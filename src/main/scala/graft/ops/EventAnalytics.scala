@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.util.Tables._
+
+/** Event-stream analytics over the `events` table (SURVEY.md §2.2):
+  * tumbling/sliding event-time windows, native session windows, and
+  * gaps-and-islands sessionization. Batch forms here are oracle-checked;
+  * the streaming variants (same expressions under `readStream` +
+  * watermark) live in `graft.streaming.EventStreams` and are covered by
+  * ScalaTest.
+  *
+  * All timestamps are floored to µs on read (Tables.events) and only
+  * ever emitted as formatted strings — DuckDB keeps ns precision, so
+  * raw timestamp output would never hash-match.
+  */
+object EventAnalytics {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Tumbling 1-hour windows per event type — Spark's `window()`. */
+  def hourlyByType(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
+  def slidingCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+        col("n"), col("n_users"))
+      .orderBy(col("w_start"))
+
+  /** Gaps-and-islands sessionization: a session breaks after >30 min
+    * idle. Manual lag+cumsum form — the exact same construction is
+    * SQL-expressible, so it oracle-checks the semantics that the native
+    * session_window operator (below) implements internally.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), TsFmt).as("session_start"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  /** Native session_window operator (30-min gap), aggregated per user.
+    * Oracle: the equivalent gaps-and-islands SQL.
+    */
+  def sessionWindowNative(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), TsFmt).as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Per-type value stats: raw min/max are bit-exact stored doubles. */
+  def typeStats(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_events_hourly"    -> hourlyByType _,
+    "q16_events_sliding"   -> slidingCounts _,
+    "q17_sessionize"       -> sessionize _,
+    "q18_session_window"   -> sessionWindowNative _,
+    "q19_event_type_stats" -> typeStats _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q15_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "q16_events_sliding" ->
+      """WITH assigned AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, user_id FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', user_id FROM events)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS w_start,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM assigned
+        |GROUP BY 1
+        |ORDER BY w_start""".stripMargin,
+    "q17_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, value,
+        |    date_trunc('microseconds', ts) AS ts_us,
+        |    lag(epoch_us(date_trunc('microseconds', ts)))
+        |      OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |    OR epoch_us(ts_us) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM t),
+        |s AS (
+        |  SELECT *, sum(new_session)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM m)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  strftime(min(ts_us), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  round(sum(value), 2) AS sum_value
+        |FROM s
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+    "q18_session_window" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |    date_trunc('microseconds', ts) AS ts_us,
+        |    lag(epoch_us(date_trunc('microseconds', ts)))
+        |      OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |    OR epoch_us(ts_us) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM t),
+        |s AS (
+        |  SELECT *, sum(new_session)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM m)
+        |SELECT user_id,
+        |  strftime(min(ts_us), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events
+        |FROM s
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q19_event_type_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 4) AS avg_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.LogPump
+import graft.util.Tables._
+
+/** Oracle-checked end-to-end exercise of the ENTIRE pump dataflow
+  * (SURVEY.md §3.2): deterministically render the `events` table as 1C
+  * technological-log files (incl. multi-line Context records and
+  * embedded SQL timestamps that must be scrubbed), run the batch pump
+  * over them, and emit a comparable projection. The DuckDB oracle
+  * computes the expected 14 columns directly from `events` — so record
+  * assembly, header parsing, SQL/Context extraction, filename-derived
+  * dates, duration parsing and the 23→16 reshape are all hash-checked,
+  * not just unit-tested.
+  */
+object PumpOps {
+
+  /** events → (file name, one rendered record per event). */
+  private[graft] def rendered(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    def n(c: String, m: Int) = pmod(col(c), lit(m)).cast("string")
+    val frac = lpad(pmod(col("event_id"), lit(1000000)).cast("string"), 6, "0")
+    val ctx = concat(
+      when(pmod(col("event_id"), lit(5)) === 0, lit("ctx line1\n")).otherwise(lit("")),
+      lit("ctx "), col("event_id"))
+    val record = concat(
+      date_format(col("ts"), "mm:ss."), frac, lit("-"), col("event_id"),
+      lit(","), upper(col("event_type")),
+      lit(","), n("event_id", 10),
+      lit(",process=rphost"),
+      lit(",p:processName=proc"), n("user_id", 5),
+      lit(",OSThread="), n("event_id", 1000),
+      lit(",t:clientID="), col("user_id"),
+      lit(",t:connectID="), n("event_id", 97),
+      lit(",SessionID="), col("event_id"),
+      lit(",Usr=user"), col("user_id"),
+      lit(",DataBase=db"), n("user_id", 3),
+      lit(",Rows="), n("event_id", 100),
+      lit(",RowsAffected="), n("user_id", 10),
+      lit(",Sql='SELECT "), col("event_id"), lit(" FROM t WHERE d > 2024-05-05 10:11:12'"),
+      lit(",Context='"), ctx, lit("'"))
+    ev.select(
+      concat(date_format(col("ts"), "yyMMddHH"), lit(".log")).as("fname"),
+      record.as("record"))
+  }
+
+  /** Render → write .log fixture files → pump → comparable projection. */
+  def pumpRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val perFile = rendered(s, d)
+      .groupBy(col("fname"))
+      .agg(concat_ws("\n", collect_list(col("record"))).as("content"))
+      .collect() // one row per hour-file (~720 at any sf) — driver-side fixture write
+    val dir = Files.createTempDirectory("graft-pump-rt")
+    perFile.foreach { r =>
+      Files.writeString(dir.resolve(r.getString(0)), r.getString(1) + "\n")
+    }
+    LogPump.pumpBatch(s, Seq(dir.toString))
+      .select(
+        date_format(col("EventDate"), "yyyy-MM-dd").as("EventDate"),
+        date_format(col("EventTime"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("EventTime"),
+        col("EventType"),
+        col("Duration"),
+        col("User"),
+        col("InfoBase"),
+        col("SessionID"),
+        col("ClientID"),
+        col("ConnectionID"),
+        col("SQLText"),
+        col("Rows").cast("long").as("Rows"),
+        col("RowsAffected").cast("long").as("RowsAffected"),
+        col("Context"),
+        col("ProcessName"))
+      .orderBy(col("SessionID"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_pump_roundtrip" -> pumpRoundTrip _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_pump_roundtrip" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS EventDate,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
+        |    || '.' || lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0') AS EventTime,
+        |  upper(event_type) AS EventType,
+        |  event_id AS Duration,
+        |  'user' || CAST(user_id AS VARCHAR) AS "User",
+        |  'db' || CAST(user_id % 3 AS VARCHAR) AS InfoBase,
+        |  event_id AS SessionID,
+        |  user_id AS ClientID,
+        |  event_id % 97 AS ConnectionID,
+        |  'SELECT ' || CAST(event_id AS VARCHAR) || ' FROM t WHERE d >' AS SQLText,
+        |  CAST(event_id % 100 AS BIGINT) AS "Rows",
+        |  CAST(user_id % 10 AS BIGINT) AS RowsAffected,
+        |  CASE WHEN event_id % 5 = 0
+        |       THEN 'ctx line1' || chr(10) || 'ctx ' || CAST(event_id AS VARCHAR)
+        |       ELSE 'ctx ' || CAST(event_id AS VARCHAR) END AS "Context",
+        |  'proc' || CAST(user_id % 5 AS VARCHAR) AS ProcessName
+        |FROM events
+        |ORDER BY SessionID""".stripMargin)
+}

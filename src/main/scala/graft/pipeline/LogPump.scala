@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Transform
+import graft.ingest.{RawRecord, RecordAssembler}
+import graft.model.LogEntry
+import graft.parse.TechLogParser
+
+/** Batch form of the reference's whole dataflow (SURVEY.md §3.2):
+  *
+  *   .log files → record assembly → parse → transform → routed sink
+  *
+  * The plan is narrow end-to-end: one task per input file, no shuffle
+  * anywhere until the (optional) sink repartition. At 100 TB this scales
+  * with file count; the only wide operation is the sink's
+  * `partitionBy(EventDate)` write, where we repartition by the
+  * partition column first so each task writes few files instead of one
+  * file per (task × date) — the classic small-files trap.
+  *
+  * The streaming form with identical semantics lives in
+  * `graft.streaming.StreamingPump`.
+  */
+object LogPump {
+
+  /** Records → typed LogEntry, with the filename override of `Timestamp`
+    * (reference `tail.go:77`: base name of the source path).
+    */
+  def parseRecords(records: Dataset[RawRecord]): Dataset[LogEntry] = {
+    import records.sparkSession.implicits._
+    records.map { r =>
+      TechLogParser.parseLine(r.Lines)
+        .copy(Timestamp = r.SourceFile.substring(r.SourceFile.lastIndexOf('/') + 1))
+    }
+  }
+
+  /** Full batch pump: directories of .log files → 16-column TechLogRow
+    * DataFrame (invalid records dropped, reference T5).
+    */
+  def pumpBatch(spark: SparkSession, dirs: Seq[String],
+      pattern: String = "*.log"): DataFrame =
+    Transform(parseRecords(RecordAssembler.readBatch(spark, dirs, pattern)).toDF())
+
+  /** A1 table routing (reference `clickhouse.go:64-72`): per-Component
+    * table with a default fallback. The map comes from config and is
+    * tiny — a literal CASE chain, fully codegen'd, no join.
+    */
+  def withRoute(rows: DataFrame, tableMap: Map[String, String],
+      defaultTable: String): DataFrame = {
+    val route = tableMap.foldLeft(lit(defaultTable)) {
+      case (acc, (component, table)) =>
+        when(col("EventType") === component, lit(table)).otherwise(acc)
+    }
+    rows.withColumn("__table", route)
+  }
+
+  /** K1 sink, lake-native form (no ClickHouse reachable — SURVEY §4.2):
+    * per routed table, parquet partitioned by EventDate and sorted
+    * within partitions by EventTime — the same physical layout as the
+    * reference's MergeTree `PARTITION BY EventDate ORDER BY (EventDate,
+    * EventTime)` DDL. Routing uses the distinct table set of THIS batch
+    * (small by construction: ≤ #components in config).
+    */
+  def writeRouted(rows: DataFrame, tableMap: Map[String, String],
+      defaultTable: String, outDir: String): Unit = {
+    val routed = withRoute(rows, tableMap, defaultTable).cache()
+    try {
+      val tables = routed.select(col("__table")).distinct()
+        .collect().map(_.getString(0))
+      tables.foreach { t =>
+        routed.filter(col("__table") === t).drop("__table")
+          .repartition(col("EventDate"))
+          .sortWithinPartitions(col("EventTime"))
+          .write.mode("append")
+          .partitionBy("EventDate")
+          .parquet(s"$outDir/$t")
+      }
+    } finally routed.unpersist()
+  }
+}

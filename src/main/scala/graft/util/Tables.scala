@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table access for the driver-generated testdata
   * (see /root/repo/TESTDATA.md). All queries take the sf dir as a
@@ -17,7 +18,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's µs TimestampType
+    * cannot hold; read it as raw nanos (legacy conf) and floor to µs —
+    * the same truncation DuckDB's date_trunc('microseconds') applies, so
+    * oracle queries stay comparable. Never emit raw `ts` in an
+    * oracle-checked output (DuckDB keeps the ns component).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      // integer `div`, NOT `/`: double division loses precision at 1.7e18 ns
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
