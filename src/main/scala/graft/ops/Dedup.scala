@@ -1,0 +1,278 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Deduplication operators over `documents` (north-star LLM-pipeline
+  * surface): exact (content-hash groupBy), MinHash+LSH candidate
+  * mining, n-gram Jaccard, and SimHash — all engine-portable, so every
+  * one is DuckDB-oracle-checked (hashes are built from md5, which both
+  * engines evaluate identically over UTF-8).
+  *
+  * Scale shape: exact dedup is one hash-shuffle on a 16-byte key.
+  * MinHash/LSH is the 100 TB path — per-doc signatures are computed in
+  * a narrow codegen'd stage (HOFs over the shingle array, no explode of
+  * the corpus), and only the tiny (doc_id, band) pairs shuffle into the
+  * band self-join; band width (2 rows × 8 bands over 16 hashes) tunes
+  * the candidate/recall trade-off. The Jaccard shingle join is the
+  * exact-verification stage you run on LSH candidates only; here it is
+  * also run corpus-wide (feasible at test sf) so the oracle can check
+  * it independently.
+  */
+object Dedup {
+
+  /** words → distinct word-3-gram shingles; docs with <3 words get an
+    * empty shingle set and are excluded from MinHash/Jaccard. Plain
+    * Scala, used inside mapPartitions stages — semantics mirror the
+    * oracle's ShinglesCte exactly (regex \s+ split keeping trailing
+    * empties, then order-preserving distinct).
+    */
+  private def shingleSet(text: String): Array[String] = {
+    val ws = text.split("\\s+", -1)
+    if (ws.length < 3) Array.empty
+    else ws.sliding(3).map(_.mkString(" ")).toArray.distinct
+  }
+
+  /** Portable 60-bit hash: first 15 hex digits of md5, as a long. */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash family: ONE md5 per shingle, then k affine transforms
+    * h_k(s) = (a_k·(h(s) mod P) + b_k) mod P over a Mersenne prime —
+    * 16× less hashing than md5-per-(k,shingle), and every step is
+    * exact long arithmetic that DuckDB reproduces bit-for-bit
+    * (a_k·x ≤ 2^31·2^31 < 2^63, no overflow).
+    */
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Exact dedup: canonical (min) doc per distinct content. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** doc_id + 16 MinHash values (affine family over one base md5 per
+    * shingle), for docs with a non-empty shingle set.
+    *
+    * The base hashes are computed as columns (codegen'd md5), but the
+    * 16 per-hash minima run in a typed map: expressed as nested HOF
+    * lambdas, CollapseProject inlines the base-hash column into the
+    * 16-iteration lambda (statically a single reference), re-evaluating
+    * shingle construction + md5 sixteen times per doc — measured 10×
+    * slower. The object boundary is a hard barrier Catalyst cannot
+    * inline across, and the inner loop is exact long arithmetic that
+    * the DuckDB oracle reproduces bit-for-bit.
+    */
+  /** md5 first-15-hex-digits as non-negative long, mod P — identical
+    * to the oracle's ('0x'||substr(md5(s),1,15))::BIGINT % P.
+    */
+  private def md5ModP(digest: java.security.MessageDigest, s: String): Long = {
+    val b = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    (v >>> 4) % P // first 60 bits = first 15 hex digits
+  }
+
+  /** (doc_id, text) → (doc_id, 16 MinHash values) for docs with a
+    * non-empty shingle set.
+    *
+    * Shingling + hashing run in a typed mapPartitions rather than HOF
+    * columns: higher-order-function lambdas evaluate interpreted (no
+    * codegen), CollapseProject re-inlines single-reference producer
+    * columns into consumers (multiplying evaluation 16×), and the
+    * Seq[String] encoder alone costs ~20µs/element — measured 10×
+    * slower end-to-end than this object-side loop. Deserialization
+    * here is two flat fields; the loop is exact long arithmetic the
+    * DuckDB oracle reproduces bit-for-bit.
+    */
+  private def signatures(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val shingles = shingleSet(text)
+          if (shingles.isEmpty) Iterator.empty
+          else {
+            val base = shingles.map(md5ModP(digest, _))
+            val sig = Array.tabulate(16) { k =>
+              val a = (1103515245L * (k + 1) % P) | 1L
+              val bb = 1234567891L * (k + 7) % P
+              var m = Long.MaxValue
+              base.foreach { h => val x = (h * a + bb) % P; if (x < m) m = x }
+              m
+            }
+            Iterator.single((id, sig))
+          }
+        }
+      }
+      .toDF("doc_id", "sig")
+  }
+
+  /** LSH banding (8 bands × 2 rows) → (doc_id, band_no, band value). */
+  private def lshBands(docs: DataFrame): DataFrame =
+    signatures(docs).select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        b => concat_ws("_",
+          element_at(col("sig"), b * 2 + 1),
+          element_at(col("sig"), b * 2 + 2)))))
+      .withColumnRenamed("pos", "band_no")
+      .withColumnRenamed("col", "band")
+
+  /** MinHash signatures + LSH banding → distinct candidate pairs.
+    *
+    * The bands relation is cache()d: it is tiny (docs × 8 rows of
+    * (long, int, string)), it is read twice by the self-join, and the
+    * cache is a plan barrier that stops CollapseProject from inlining
+    * the base-hash column into the 16 per-hash lambdas (statically one
+    * reference, but dynamically 16 evaluations → md5 would be
+    * recomputed per (hash, shingle) — measured 10× slower).
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = lshBands(documents(s, d)).cache()
+    bands.as("x").join(bands.as("y"),
+        col("x.band_no") === col("y.band_no") &&
+          col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Near-dup pipeline, production shape: LSH candidate pairs verified
+    * with EXACT n-gram Jaccard (array_intersect on the two shingle
+    * sets), keeping pairs ≥ 0.5. Verification cost is O(candidates),
+    * not O(corpus²) — the composition that survives 100 TB. The oracle
+    * mirrors the whole composition (banding included), so the exact
+    * Jaccard arithmetic is still hash-checked end-to-end.
+    */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val cands = {
+      val bands = lshBands(docs).cache() // see minhashPairs
+      bands.as("x").join(bands.as("y"),
+          col("x.band_no") === col("y.band_no") &&
+            col("x.band") === col("y.band") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+    }
+    val texts = docs.select(col("doc_id"), col("text"))
+    val scored = cands
+      .join(texts.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+      .join(texts.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .select(col("a"), col("b"), col("ta"), col("tb"))
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        val sa = shingleSet(ta).toSet
+        val sb = shingleSet(tb).toSet
+        val common = sa.count(sb.contains)
+        (a, b, common.toDouble / (sa.size + sb.size - common))
+      }
+      .toDF("a", "b", "jac")
+    scored
+      .filter(col("jac") >= 0.5)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** 16-bit SimHash fingerprint over distinct words (majority bit
+    * vote), computed entirely in HOF expressions.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h", expr(
+        """transform(array_distinct(split(text, '\\s+')),
+          |  w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) ->
+          |  acc + CASE WHEN 2 * size(filter(h, v -> (shiftright(v, j) & 1) = 1)) >= size(h)
+          |             THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_dedup_exact"   -> exactDedup _,
+    "q27_minhash_lsh"   -> minhashPairs _,
+    "q28_jaccard_pairs" -> jaccardPairs _,
+    "q29_simhash"       -> simhash _,
+  )
+
+  /** Shared oracle CTEs: shingles → base hash mod P → 16 affine
+    * minhashes → 8 two-row bands → candidate pairs. Constants must
+    * stay in lockstep with withSignature/lshBands above.
+    */
+  private val ShinglesCte =
+    """ws AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(ws) >= 3
+      |    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                        for i in range(1, len(ws) - 1)])
+      |    ELSE [] END AS shingles
+      |  FROM ws)""".stripMargin
+
+  private val SignatureCte =
+    """ok AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+      |base AS (SELECT doc_id,
+      |  list_transform(shingles,
+      |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS base
+      |  FROM ok),
+      |sig AS (SELECT doc_id,
+      |  [list_min(list_transform(base,
+      |     h -> (h * (((1103515245 * (k + 1)) % 2147483647) | 1)
+      |           + ((1234567891 * (k + 7)) % 2147483647)) % 2147483647))
+      |   for k in range(0, 16)] AS sig
+      |  FROM base),
+      |bands AS (SELECT doc_id, b AS band_no,
+      |    CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band
+      |  FROM sig, range(0, 8) t(b))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q26_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY keep_id""".stripMargin,
+    "q27_minhash_lsh" ->
+      s"""WITH $ShinglesCte,
+        |$SignatureCte
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM bands x JOIN bands y
+        |  ON x.band_no = y.band_no AND x.band = y.band AND x.doc_id < y.doc_id
+        |ORDER BY a, b""".stripMargin,
+    "q28_jaccard_pairs" ->
+      s"""WITH $ShinglesCte,
+        |$SignatureCte,
+        |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_no = y.band_no AND x.band = y.band AND x.doc_id < y.doc_id),
+        |j AS (SELECT a, b,
+        |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS common,
+        |    len(sa.shingles) AS za, len(sb.shingles) AS zb
+        |  FROM cands
+        |  JOIN sh sa ON sa.doc_id = a
+        |  JOIN sh sb ON sb.doc_id = b)
+        |SELECT a, b,
+        |  round(CAST(common AS DOUBLE) / (za + zb - common), 4) AS jaccard
+        |FROM j
+        |WHERE CAST(common AS DOUBLE) / (za + zb - common) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    "q29_simhash" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(list_distinct(regexp_split_to_array(text, '\s+')),
+        |    w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum([CASE WHEN 2 * len(list_filter(h, v -> ((v >> j) & 1) = 1)) >= len(h)
+        |                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+        |            for j in range(0, 16)]) AS BIGINT) AS simhash
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

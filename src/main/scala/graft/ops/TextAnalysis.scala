@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.2 /
+  * north-star LLM-pipeline surface): tokenization, corpus word/n-gram
+  * frequencies, per-language quality scoring, fingerprinting, and a
+  * heuristic language-ID (rows-only; no clean SQL oracle).
+  *
+  * Everything is built from codegen'd builtins (`split`,
+  * `regexp_split`, HOF `filter`/`transform`/`aggregate`, `explode`) —
+  * no UDFs — so plans stay whole-stage-codegen and scale by
+  * repartitioning documents, with word/ngram frequency the only wide
+  * (shuffle) stages.
+  */
+object TextAnalysis {
+
+  private def toks = split(col("text"), "\\s+")
+
+  /** Per-doc token/char counts. */
+  def docTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-wide top-30 words. */
+  def wordFreq(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(toks).as("word"))
+      .groupBy(lower(col("word")).as("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(30)
+
+  /** Per-language quality profile: doc count, avg tokens, stopword
+    * ratio, avg chars — the classic cheap quality signals.
+    */
+  def langQuality(s: SparkSession, d: String): DataFrame = {
+    val stops = filter(toks, t => t === "the" || t === "a")
+    documents(s, d)
+      .select(col("lang"), size(toks).as("n_tokens"),
+        size(stops).as("n_stop"), col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"),
+        round(sum(col("n_stop")) / sum(col("n_tokens")), 4).as("stop_ratio"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Content fingerprint (md5 — hex-identical across engines). */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        length(col("text")).cast("long").as("len_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-wide top-20 word 3-grams. */
+  def ngramFreq(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("ws", toks) // split once, not once per ngram term
+      .select(expr(
+        """explode(CASE WHEN size(ws) >= 3
+          |  THEN transform(sequence(1, size(ws) - 2),
+          |    i -> concat_ws(' ', element_at(ws, i),
+          |                        element_at(ws, i + 1),
+          |                        element_at(ws, i + 2)))
+          |  ELSE array() END)""".stripMargin).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(20)
+
+  /** Heuristic language ID: stopword-list voting with a deterministic
+    * tie-break. Rows-only (the CASE cascade has no clean oracle);
+    * semantics unit-tested in TextAnalysisSpec.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val lists = Seq(
+      "en" -> Seq("the", "a", "of", "and"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "es" -> Seq("el", "la", "de", "y"),
+      "fr" -> Seq("le", "la", "de", "et"),
+      "zh" -> Seq("的", "是", "了", "在"))
+    val scores = lists.map { case (lang, words) =>
+      val w = words.map(lit(_))
+      struct(size(filter(toks, t => t.isin(w: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    documents(s, d)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        greatest(scores: _*).getField("lang").as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_doc_tokens"   -> docTokens _,
+    "q21_word_freq"    -> wordFreq _,
+    "q22_lang_quality" -> langQuality _,
+    "q23_fingerprint"  -> fingerprints _,
+    "q24_ngram_freq"   -> ngramFreq _,
+    "q25_lang_id"      -> langId _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_doc_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |  length(text) AS len_chars,
+        |  n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q21_word_freq" ->
+      """SELECT lower(word) AS word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+        |      FROM documents)
+        |GROUP BY 1
+        |ORDER BY cnt DESC, word
+        |LIMIT 30""".stripMargin,
+    "q22_lang_quality" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x = 'the' OR x = 'a')) AS n_stop,
+        |    n_chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_tokens), 2) AS avg_tokens,
+        |  round(CAST(sum(n_stop) AS DOUBLE) / sum(n_tokens), 4) AS stop_ratio,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM t
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q23_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, length(text) AS len_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q24_ngram_freq" ->
+      """WITH w AS (SELECT regexp_split_to_array(text, '\s+') AS ws FROM documents),
+        |g AS (SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                     for i in range(1, len(ws) - 1)]) AS ngram
+        |      FROM w)
+        |SELECT ngram, count(*) AS cnt
+        |FROM g
+        |GROUP BY ngram
+        |ORDER BY cnt DESC, ngram
+        |LIMIT 20""".stripMargin,
+  )
+}

