@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Multimodal-column handling (north-star surface): media as opaque
+  * BINARY payloads + typed metadata, with decode / feature-extraction /
+  * frame-sampling stages. The container has no image/audio codecs, so
+  * the decode step is a clearly-marked deterministic STUB
+  * (`fakeDecode`) — but everything Spark-side is real and tested: the
+  * binary schema, the batched mapPartitions decode shape (the Scala
+  * equivalent of a pandas-UDF batch), partition-parallel feature
+  * extraction, and generate-based frame sampling.
+  *
+  * The synthetic payloads derive from `documents.text` (UTF-8 bytes +
+  * a 4-byte magic header), so the metadata queries stay DuckDB-
+  * oracle-checkable end-to-end.
+  */
+object Multimodal {
+
+  val Magic: Array[Byte] = Array[Byte](0x7f, 'G', 'M', '1')
+
+  /** documents → media table: (doc_id, media_type, payload, n_bytes). */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      concat(lit(Magic), encode(col("text"), "UTF-8")).as("payload"),
+      col("n_chars"))
+
+  /** Decoded "media" features. The per-batch loop is the Spark shape a
+    * real decoder plugs into (one codec instance per partition, batch
+    * iteration, columnar-out); only `decodeStub` itself is fake.
+    */
+  final case class MediaFeatures(
+      doc_id: Long, media_type: String, valid: Boolean,
+      width: Int, height: Int, n_bytes: Long, checksum: Long)
+
+  /** STUB decode: a real implementation would parse the codec header
+    * and rasterize; this derives deterministic pseudo-features from
+    * the bytes so the pipeline shape is testable offline.
+    */
+  private def decodeStub(payload: Array[Byte]): (Boolean, Int, Int, Long) = {
+    val valid = payload.length >= 4 &&
+      payload(0) == Magic(0) && payload(1) == Magic(1) &&
+      payload(2) == Magic(2) && payload(3) == Magic(3)
+    var sum = 0L
+    var i = 4
+    while (i < payload.length) { sum = (sum * 31 + (payload(i) & 0xff)) & 0xffffffffL; i += 1 }
+    val body = math.max(payload.length - 4, 1)
+    (valid, body % 64 + 1, body % 48 + 1, sum)
+  }
+
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        // one decoder per partition; iterate the batch (pandas-UDF shape)
+        batch.map { case (id, mt, payload) =>
+          val (valid, w, h, sum) = decodeStub(payload)
+          MediaFeatures(id, mt, valid, w, h, payload.length.toLong, sum)
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame sampling for video payloads: n_frames = n_chars % 8 + 1
+    * evenly-strided offsets, exploded one row per frame — the generate
+    * (flatMap) shape of real frame extraction, fully oracle-checkable.
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val m = mediaTable(s, d).filter(col("media_type") === "video")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("n_frames", (pmod(col("n_chars"), lit(8)) + 1).cast("long"))
+    m.select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
+      .withColumn("byte_offset", col("frame_no") * expr("n_bytes div n_frames"))
+      .select(col("doc_id"), col("frame_no"), col("byte_offset"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  /** Metadata projection over the media table (oracle-checked). */
+  def mediaMeta(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(col("doc_id"), col("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        ascii(substring(col("payload"), 5, 8).cast("string")).cast("long").as("first_char_code"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_media_meta"   -> mediaMeta _,
+    "q34_frame_sample" -> frameSample _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q33_media_meta" ->
+      """SELECT doc_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  octet_length(encode(text)) + 4 AS n_bytes,
+        |  CAST(ascii(text) AS BIGINT) AS first_char_code
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q34_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) + 4 AS n_bytes,
+        |    n_chars % 8 + 1 AS n_frames
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2)
+        |SELECT doc_id, f AS frame_no, f * (n_bytes // n_frames) AS byte_offset
+        |FROM (SELECT doc_id, n_bytes, n_frames,
+        |        unnest(range(0, n_frames)) AS f
+        |      FROM v)
+        |ORDER BY doc_id, frame_no""".stripMargin,
+  )
+}

@@ -27,11 +27,16 @@ object Similarity {
   private def sumDouble(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  private def dot(a: Column, b: Column): Column =
-    sumDouble(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-
   private def norm(a: Column): Column =
     sqrt(sumDouble(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  /** Codegen'd one-pass cosine (graft.functions.CosineSimilarity) —
+    * bit-identical to the HOF dot/norm composition (same per-element
+    * accumulation order in double), which the DuckDB oracle re-proves
+    * on every run.
+    */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSimilarity(a, b)
 
   /** Brute-force cosine top-5 neighbors for query vectors (vec_id<10). */
   def knnBrute(s: SparkSession, d: String): DataFrame = {
@@ -40,9 +45,7 @@ object Similarity {
       .filter(col("query_id") < 10)
     val scored = broadcast(q)
       .join(e, col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        dot(col("qe"), col("embedding")) /
-          (norm(col("qe")) * norm(col("embedding"))))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored
@@ -98,9 +101,7 @@ object Similarity {
     candidates
       .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe")), Seq("query_id"))
       .join(e, Seq("vec_id"))
-      .withColumn("cos",
-        dot(col("qe"), col("embedding")) /
-          (norm(col("qe")) * norm(col("embedding"))))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

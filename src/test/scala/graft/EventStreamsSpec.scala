@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked hourly aggregation finalizes windows once the watermark passes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.hourlyByType(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("es_hourly").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:20:00"), 2, "click", 2.0),
+        Ev(3, ts("2024-01-01 10:40:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      // append mode: nothing final yet (watermark still at epoch)
+      assert(spark.table("es_hourly").count() == 0)
+
+      // an event far enough ahead pushes the watermark past 11:00+2h
+      in.addData(Ev(4, ts("2024-01-01 14:00:00"), 3, "click", 4.0))
+      q.processAllAvailable()
+      in.addData(Ev(5, ts("2024-01-01 14:00:01"), 3, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("es_hourly")
+        .select(date_format(col("hour_start"), "HH:mm").as("h"),
+          col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(("10:00", "click", 2L, 3.0), ("10:00", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops replays of the same event_id") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dedupedEvents(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("es_dedup").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(1, ts("2024-01-01 10:00:05"), 1, "click", 1.0), // replay
+        Ev(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts("2024-01-01 10:02:00"), 1, "click", 1.0)) // replay again
+      q.processAllAvailable()
+      val ids = spark.table("es_dedup").select("event_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming session windows close after the gap + watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.userSessions(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("es_sessions").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 7, "click", 2.0), // same session
+        Ev(3, ts("2024-01-01 11:30:00"), 7, "click", 4.0)) // new session
+      q.processAllAvailable()
+      in.addData(Ev(4, ts("2024-01-01 15:00:00"), 8, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      in.addData(Ev(5, ts("2024-01-01 15:00:01"), 8, "view", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("es_sessions")
+        .filter(col("user_id") === 7)
+        .select(col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(sessions == Set((2L, 3.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+}

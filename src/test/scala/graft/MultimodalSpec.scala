@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("media table: binary payload with magic header + typed metadata") {
+    val m = Multimodal.mediaTable(spark, sf)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val r = m.orderBy("doc_id").first()
+    val payload = r.getAs[Array[Byte]]("payload")
+    assert(payload.take(4).sameElements(Multimodal.Magic))
+    assert(Set("image", "audio", "video").contains(r.getAs[String]("media_type")))
+  }
+
+  test("decode stub: batched partition decode, deterministic features") {
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf))
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getAs[Boolean]("valid")))
+    assert(rows.forall { r =>
+      r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 64 &&
+        r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 48
+    })
+    // deterministic across runs
+    val again = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf))
+      .orderBy("doc_id").collect().map(_.getAs[Long]("checksum")).toSeq
+    assert(again == feats.orderBy("doc_id").collect().map(_.getAs[Long]("checksum")).toSeq)
+  }
+
+  test("decode stub flags payloads with a corrupt magic header") {
+    import spark.implicits._
+    val bad = Seq((1L, "image", Array[Byte](0, 0, 0, 0, 65, 66)))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.decodeFeatures(bad).collect()
+    assert(!out(0).getAs[Boolean]("valid"))
+  }
+
+  test("frame sampling: n_frames rows per video doc, offsets strided") {
+    val frames = Multimodal.frameSample(spark, sf).collect()
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, fs) =>
+      val nos = fs.map(_.getAs[Long]("frame_no")).sorted.toSeq
+      assert(nos == (0L until nos.length).toSeq)
+      val offs = fs.sortBy(_.getAs[Long]("frame_no")).map(_.getAs[Long]("byte_offset"))
+      assert(offs.toSeq == offs.sorted.toSeq)
+    }
+  }
+}
