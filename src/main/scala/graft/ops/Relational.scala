@@ -200,7 +200,24 @@ object Relational {
           / sum(rev), 4).as("promo_pct"))
   }
 
+  /** GROUPING SETS through the SQL front-end (spark.sql over a temp
+    * view) — exercises the parser/analyzer surface, not just the
+    * DataFrame DSL; grouping_id disambiguates the sets.
+    */
+  def groupingSetsSql(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n,
+        |  grouping_id() AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_grouping_sets"     -> groupingSetsSql _,
     "q01_pricing_summary"   -> pricingSummary _,
     "q02_top_revenue"       -> topRevenueOrders _,
     "q03_region_customer"   -> regionCustomer _,
@@ -218,6 +235,14 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q37_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n,
+        |  grouping_id(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

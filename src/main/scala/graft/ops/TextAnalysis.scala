@@ -100,7 +100,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF: the most characteristic term per document (tf × ln(N/df),
+    * ties broken alphabetically). Exercises the two-level aggregation +
+    * join + window composition of a real feature pipeline.
+    */
+  def tfidfTopTerm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents(s, d).select(col("doc_id"), explode(toks).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = words.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = documents(s, d).count() // tiny scalar, computed once
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.join(df, Seq("word"))
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("word").as("top_term"),
+        round(col("tfidf"), 4).as("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact vs approximate distinct counting (HLL++). Approx sketches
+    * differ across engines → rows-only correctness; the spec asserts
+    * the approx error bound against the exact value.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), explode(toks).as("word"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("word")).as("exact_words"),
+        approx_count_distinct(col("word"), 0.02).as("approx_words"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_tfidf_top_term" -> tfidfTopTerm _,
+    "q36_approx_distinct" -> approxDistinct _,
     "q20_doc_tokens"   -> docTokens _,
     "q21_word_freq"    -> wordFreq _,
     "q22_lang_quality" -> langQuality _,
@@ -110,6 +145,24 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q35_tfidf_top_term" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word, tf * ln(CAST(n.n AS DOUBLE) / df) AS tfidf
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+        |  FROM scored)
+        |SELECT doc_id, word AS top_term, round(tfidf, 4) AS tfidf
+        |FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q20_doc_tokens" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(text, '\s+')) AS n_tokens,

@@ -119,4 +119,35 @@ object StreamingPump {
         LogPump.writeRouted(batch, tableMap, defaultTable, outDir)
       }
       .start()
+
+  /** Hot config reload (reference X1, `scan.go:24-52` fsnotify on
+    * config.yaml): Spark cannot swap a running query's source, but the
+    * routing TableMap/DefaultTable — the part 1C operators actually
+    * retune — is re-read from the config file at EVERY micro-batch;
+    * a broken config keeps the last good one, like the reference
+    * logging the reload error and keeping the old config. Source-dir
+    * changes require a query restart (documented deviation,
+    * SURVEY.md §7.4).
+    */
+  def startWithConfigFile(spark: SparkSession, configPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("20 seconds"),
+      idleFlush: java.time.Duration = DefaultIdleFlush): StreamingQuery = {
+    val initial = graft.config.PumpConfig.load(configPath)
+      .fold(err => throw new IllegalArgumentException(err), identity)
+    @volatile var lastGood = initial
+    pumpStream(spark, initial.LogDirectoryMap.values.head,
+        initial.FilePattern, idleFlush = idleFlush)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.config.PumpConfig.load(configPath).foreach(c => lastGood = c)
+        val ch = lastGood.ClickHouse
+        val default = if (ch.DefaultTable.isEmpty) "logs" else ch.DefaultTable
+        LogPump.writeRouted(batch, ch.TableMap, default, outDir)
+      }
+      .start()
+  }
 }

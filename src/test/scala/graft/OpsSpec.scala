@@ -62,6 +62,16 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "LSH should recover at least some true neighbors")
   }
 
+  test("approx_count_distinct stays within its 2% rsd bound (×5 slack)") {
+    val rows = TextAnalysis.approxDistinct(spark, sf).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_words").toDouble
+      val approx = r.getAs[Long]("approx_words").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"${r.getAs[String]("lang")}: exact=$exact approx=$approx")
+    }
+  }
+
   test("exact dedup keeps one representative per distinct content") {
     val out = Dedup.exactDedup(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_copies")).sum

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingPump
+
+/** Checkpointed resume (reference C1-C4: offset store → Spark
+  * checkpointLocation) and hot config reload (X1) — driven through
+  * real restarted streaming queries with the parquet sink.
+  */
+class PumpResumeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (cond) return true
+      Thread.sleep(250)
+    }
+    cond
+  }
+
+  private def countOut(dir: String): Long =
+    try spark.read.parquet(dir).count()
+    catch { case _: Throwable => -1L }
+
+  test("restart from checkpoint: already-pumped files are not re-ingested (C1-C4)") {
+    val logs = Files.createTempDirectory("resume-logs")
+    val cp = Files.createTempDirectory("resume-cp").toString
+    val out = Files.createTempDirectory("resume-out").toString
+    Files.writeString(logs.resolve("25052607.log"),
+      "00:01.100000-1,CONN,3,Usr=a\n00:02.100000-2,CONN,3,Usr=b\n")
+
+    def startQuery() = StreamingPump.pumpStream(spark, logs.toString,
+        idleFlush = java.time.Duration.ofMillis(200))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.pipeline.LogPump.writeRouted(batch, Map.empty, "logs", out)
+      }
+      .start()
+
+    val q1 = startQuery()
+    try assert(eventually(30000)(countOut(s"$out/logs") == 2L),
+      s"got ${countOut(s"$out/logs")}")
+    finally q1.stop()
+
+    Files.writeString(logs.resolve("25052608.log"),
+      "00:03.100000-3,CONN,3,Usr=c\n")
+    val q2 = startQuery()
+    try {
+      assert(eventually(30000)(countOut(s"$out/logs") == 3L),
+        s"got ${countOut(s"$out/logs")}")
+      Thread.sleep(1000) // extra batches must not re-ingest file 1
+      assert(countOut(s"$out/logs") == 3L)
+      val users = spark.read.parquet(s"$out/logs")
+        .select("User").collect().map(_.getString(0)).sorted.toSeq
+      assert(users == Seq("a", "b", "c"))
+    } finally q2.stop()
+  }
+
+  test("hot config reload: TableMap changes apply at the next micro-batch (X1)") {
+    val logs = Files.createTempDirectory("reload-logs")
+    val cp = Files.createTempDirectory("reload-cp").toString
+    val out = Files.createTempDirectory("reload-out").toString
+    val cfgFile = Files.createTempFile("reload-cfg", ".yaml")
+    def writeCfg(tableMap: String): Unit = Files.writeString(cfgFile,
+      s"""LogDirectoryMap:
+         |  Main: "${logs.toString}"
+         |FilePattern: "*.log"
+         |BatchSize: 100
+         |BatchInterval: 1
+         |ClickHouse:
+         |  Address: "localhost:9000"
+         |  Database: "logs_db"
+         |  DefaultTable: "logs"
+         |$tableMap
+         |""".stripMargin)
+    writeCfg("") // no TableMap: everything routes to the default table
+
+    Files.writeString(logs.resolve("25052607.log"),
+      "00:01.100000-1,DBMSSQL,3,Usr=a\n")
+    val q = StreamingPump.startWithConfigFile(spark, cfgFile.toString,
+      out, cp, Trigger.ProcessingTime("100 milliseconds"),
+      idleFlush = java.time.Duration.ofMillis(200))
+    try {
+      assert(eventually(30000)(countOut(s"$out/logs") == 1L))
+
+      // operator retunes routing without restarting the query
+      writeCfg("  TableMap:\n    DBMSSQL: \"sql_logs\"")
+      Files.writeString(logs.resolve("25052608.log"),
+        "00:02.100000-2,DBMSSQL,3,Usr=b\n")
+      assert(eventually(30000)(countOut(s"$out/sql_logs") == 1L),
+        s"sql_logs=${countOut(s"$out/sql_logs")} logs=${countOut(s"$out/logs")}")
+      assert(countOut(s"$out/logs") == 1L) // first record stays in default
+    } finally q.stop()
+  }
+}
