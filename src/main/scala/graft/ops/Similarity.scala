@@ -109,13 +109,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup: globally most-similar vector pairs
+    * (full pairwise scoring through the codegen'd cosine, then global
+    * top-k — TakeOrderedAndProject, no sort). The dedup decision at
+    * scale would consume the LSH candidates instead of all pairs; the
+    * all-pairs form is the oracle-checkable ground truth.
+    */
+  def topSimilarPairs(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")),
+        col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_top_similar_pairs" -> ((s: SparkSession, d: String) => topSimilarPairs(s, d)),
     "q30_knn_brute"       -> knnBrute _,
     "q31_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q32_embedding_stats" -> embeddingStats _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q38_top_similar_pairs" ->
+      """WITH pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(x.embedding) + 1)])
+        |    / (sqrt(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)
+        |                      for i in range(1, len(x.embedding) + 1)]))
+        |       * sqrt(list_sum([CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)
+        |                        for i in range(1, len(y.embedding) + 1)]))) AS cos
+        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+        |SELECT a, b, round(cos, 4) AS cos_sim
+        |FROM pairs
+        |ORDER BY round(cos, 4) DESC, a, b
+        |LIMIT 20""".stripMargin,
     "q30_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 10),
