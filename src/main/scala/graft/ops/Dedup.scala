@@ -35,10 +35,6 @@ object Dedup {
     else ws.sliding(3).map(_.mkString(" ")).toArray.distinct
   }
 
-  /** Portable 60-bit hash: first 15 hex digits of md5, as a long. */
-  private def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** MinHash family: ONE md5 per shingle, then k affine transforms
     * h_k(s) = (a_k·(h(s) mod P) + b_k) mod P over a Mersenne prime —
     * 16× less hashing than md5-per-(k,shingle), and every step is
