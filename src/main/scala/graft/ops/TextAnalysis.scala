@@ -133,7 +133,24 @@ object TextAnalysis {
         approx_count_distinct(col("word"), 0.02).as("approx_words"))
       .orderBy(col("lang"))
 
+  /** BPE-ish token estimation (north-star "token counting"): word
+    * pieces = runs of ASCII word chars OR single non-word non-space
+    * chars (the GPT-2 pre-tokenizer shape, ASCII classes spelled out
+    * so Java-regex and RE2 agree), plus a chars-per-token ratio.
+    */
+  def tokenEstimate(s: SparkSession, d: String): DataFrame = {
+    val pieces = regexp_extract_all(col("text"),
+      lit("[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r]"), lit(0))
+    documents(s, d)
+      .select(col("doc_id"),
+        size(pieces).cast("long").as("n_pieces"),
+        round(length(col("text")).cast("double") /
+          greatest(size(pieces), lit(1)), 4).as("chars_per_piece"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_token_estimate" -> tokenEstimate _,
     "q35_tfidf_top_term" -> tfidfTopTerm _,
     "q36_approx_distinct" -> approxDistinct _,
     "q20_doc_tokens"   -> docTokens _,
@@ -145,6 +162,16 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q39_token_estimate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r]')) AS n_pieces,
+        |    length(text) AS n_len
+        |  FROM documents)
+        |SELECT doc_id, n_pieces,
+        |  round(CAST(n_len AS DOUBLE) / greatest(n_pieces, 1), 4) AS chars_per_piece
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
     "q35_tfidf_top_term" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word

@@ -63,18 +63,38 @@ object LogPump {
     * (small by construction: ≤ #components in config).
     */
   def writeRouted(rows: DataFrame, tableMap: Map[String, String],
-      defaultTable: String, outDir: String): Unit = {
+      defaultTable: String, outDir: String): Unit =
+    foreachRoutedTable(rows, tableMap, defaultTable) { (t, df) =>
+      df.repartition(col("EventDate"))
+        .sortWithinPartitions(col("EventTime"))
+        .write.mode("append")
+        .partitionBy("EventDate")
+        .parquet(s"$outDir/$t")
+    }
+
+  /** K1 sink, JDBC form — the reference's actual sink shape (bulk
+    * INSERT per routed table, clickhouse.go:63-128). Works against any
+    * JDBC database; with ClickHouse that is
+    * `jdbc:clickhouse://host:8123/db` + the ClickHouse JDBC driver on
+    * the classpath. Exercised in LogPumpSpec against embedded Derby
+    * (the only JDBC engine shipped with Spark).
+    */
+  def writeRoutedJdbc(rows: DataFrame, tableMap: Map[String, String],
+      defaultTable: String, url: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    foreachRoutedTable(rows, tableMap, defaultTable) { (t, df) =>
+      df.write.mode("append").jdbc(url, t, props)
+    }
+
+  private def foreachRoutedTable(rows: DataFrame,
+      tableMap: Map[String, String], defaultTable: String)(
+      write: (String, DataFrame) => Unit): Unit = {
     val routed = withRoute(rows, tableMap, defaultTable).cache()
     try {
       val tables = routed.select(col("__table")).distinct()
         .collect().map(_.getString(0))
       tables.foreach { t =>
-        routed.filter(col("__table") === t).drop("__table")
-          .repartition(col("EventDate"))
-          .sortWithinPartitions(col("EventTime"))
-          .write.mode("append")
-          .partitionBy("EventDate")
-          .parquet(s"$outDir/$t")
+        write(t, routed.filter(col("__table") === t).drop("__table"))
       }
     } finally routed.unpersist()
   }

@@ -132,6 +132,29 @@ class LogPumpSpec extends AnyFunSuite {
     assert(routed == Map("DBMSSQL" -> "sql_logs", "CONN" -> "logs", "EXCP" -> "logs"))
   }
 
+  test("routed JDBC sink bulk-appends per table (K1, embedded Derby)") {
+    val dir = writeLogs(Map(
+      "25052600.log" -> ("00:01.123456-5,DBMSSQL,3,Usr=a\n" +
+        "00:02.123456-5,CONN,3,Usr=b\n" +
+        "00:03.123456-5,CONN,3,Usr=c\n")))
+    val url = s"jdbc:derby:memory:pumpdb${System.nanoTime()};create=true"
+    val rows = LogPump.pumpBatch(spark, Seq(dir.toString))
+      // Derby has no unbounded VARCHAR default for CLOB-ish cols; keep
+      // the sink-shape test on the fixed-width columns
+      .select("EventDate", "EventTime", "EventType", "User", "SessionID", "Duration")
+    LogPump.writeRoutedJdbc(rows, Map("DBMSSQL" -> "SQL_LOGS"), "LOGS", url)
+    val logs = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "LOGS").load()
+    val sqlLogs = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "SQL_LOGS").load()
+    assert(logs.count() == 2 && sqlLogs.count() == 1)
+    assert(sqlLogs.select("User").collect()(0).getString(0) == "a")
+    // append semantics: a second batch adds, never truncates
+    LogPump.writeRoutedJdbc(rows, Map("DBMSSQL" -> "SQL_LOGS"), "LOGS", url)
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "LOGS").load().count() == 4)
+  }
+
   test("routed sink writes EventDate-partitioned parquet per table (K1)") {
     val dir = writeLogs(Map(
       "25052600.log" -> ("00:01.123456-5,DBMSSQL,3,Usr=a\n" +
