@@ -83,7 +83,32 @@ object EventAnalytics {
         max(col("value")).as("max_value"))
       .orderBy(col("event_type"))
 
+  /** Pivot: daily event counts, one column per event type. Types are
+    * enumerated explicitly (the scalable form — no discovery pass).
+    */
+  def dailyPivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  /** Exact interpolated percentiles per event type (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`).
+    */
+  def valuePercentiles(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_daily_pivot"      -> dailyPivot _,
+    "q42_percentiles"      -> valuePercentiles _,
     "q15_events_hourly"    -> hourlyByType _,
     "q16_events_sliding"   -> slidingCounts _,
     "q17_sessionize"       -> sessionize _,
@@ -92,6 +117,24 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q41_daily_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
+    "q42_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q15_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Similarity, Skew, TextAnalysis}
 
 /** Semantics checks for the non-oracle (approximate/heuristic) ops and
   * cross-op consistency invariants, on sf0.001.
@@ -70,6 +70,20 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(approx - exact) / exact <= 0.10,
         s"${r.getAs[String]("lang")}: exact=$exact approx=$approx")
     }
+  }
+
+  test("salted aggregation equals the direct groupBy (skew-safe path)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.util.Tables.lineitem(spark, sf)
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_l_quantity"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(li, Seq("l_returnflag"), "l_quantity", 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // counts must be identical; double sums compared with tolerance
+    assert(direct.map(t => (t._1, t._3)) == salted.map(t => (t._1, t._3)))
+    val d = direct.toSeq.sortBy(_._1).zip(salted.toSeq.sortBy(_._1))
+    d.foreach { case (a, b) => assert(math.abs(a._2 - b._2) < 1e-6) }
   }
 
   test("exact dedup keeps one representative per distinct content") {
