@@ -46,7 +46,12 @@ def compare(name, spark_df, duck_df):
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             av = pd.to_numeric(av, errors="coerce").astype(float)
             bv = pd.to_numeric(bv, errors="coerce").astype(float)
-            bad = ~(np.isclose(av, bv, rtol=1e-12, atol=1e-9) | (av.isna() & bv.isna()))
+            # EXACT: the driver's hash compare gives no float tolerance,
+            # so neither do we. Rounded aggregates must be bit-identical.
+            bad = ~((av == bv) | (av.isna() & bv.isna()))
+            if bad.any():
+                diffs = (av - bv).abs()
+                print(f"   [maxdiff {name}.{c}: {diffs.max():.3e}]")
         else:
             bad = ~((av == bv) | (av.isna() & bv.isna()))
         if bad.any():
