@@ -125,10 +125,15 @@ object Relational {
 
   /** Running (cumulative) aggregate per supplier over a total order —
     * the frame-based window path, vs. the ranking path above.
+    * l_quantity is the last tie-break: the data contains duplicate
+    * (orderkey, linenumber) pairs (1 at sf0.1), and rows identical in
+    * every sort column INCLUDING the summand give the same running
+    * values in either order.
     */
   def runningTotalPerSupplier(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem(s, d)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -311,7 +316,7 @@ object Relational {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_quantity) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,

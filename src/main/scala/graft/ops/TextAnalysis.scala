@@ -112,7 +112,7 @@ object TextAnalysis {
     val n = documents(s, d).count() // tiny scalar, computed once
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word"))
-    tf.join(df, Seq("word"))
+    tf.join(broadcast(df), Seq("word")) // df = distinct vocab: tiny forever
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
