@@ -106,7 +106,24 @@ object EventAnalytics {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** JSON columns: parse the props payload with a declared schema
+    * (`from_json` — the Catalyst JSON parser, not string hacking) and
+    * aggregate the extracted field.
+    */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_json_props"       -> jsonProps _,
     "q41_daily_pivot"      -> dailyPivot _,
     "q42_percentiles"      -> valuePercentiles _,
     "q15_events_hourly"    -> hourlyByType _,
@@ -117,6 +134,16 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q43_json_props" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+        |  round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
+        |FROM t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q41_daily_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  count(*) FILTER (event_type = 'click') AS click,
