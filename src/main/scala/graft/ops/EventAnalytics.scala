@@ -137,7 +137,7 @@ object EventAnalytics {
     "q43_json_props" ->
       """WITH t AS (
         |  SELECT event_type,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events)
         |SELECT event_type, count(*) AS n, sum(k) AS sum_k,
         |  round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
