@@ -132,6 +132,37 @@ class LogPumpSpec extends AnyFunSuite {
     assert(routed == Map("DBMSSQL" -> "sql_logs", "CONN" -> "logs", "EXCP" -> "logs"))
   }
 
+  test("volume: 50 files x 200 records pump completely and exactly once") {
+    val files = (0 until 50).map { f =>
+      val hour = f % 24
+      val name = f"250601$hour%02d-$f.log" // suffix keeps names unique
+      val content = (0 until 200).map { r =>
+        f"00:${r % 60}%02d.${100000 + r}%06d-$r,CONN,3,Usr=u${f}_$r,SessionID=${f * 1000 + r}"
+      }.mkString("", "\n", "\n")
+      name -> content
+    }.toMap
+    val dir = writeLogs(files)
+    val out = LogPump.pumpBatch(spark, Seq(dir.toString))
+    assert(out.count() == 10000L)
+    // every record present exactly once
+    assert(out.select("SessionID").distinct().count() == 10000L)
+  }
+
+  test("SQL front-end over the pump output (temp view)") {
+    val dir = writeLogs(Map(
+      "25052607.log" -> ("00:01.100000-5,DBMSSQL,3,Usr=a,DataBase=hr\n" +
+        "00:02.100000-9,DBMSSQL,3,Usr=b,DataBase=hr\n" +
+        "00:03.100000-2,CONN,3,Usr=a,DataBase=acc\n")))
+    LogPump.pumpBatch(spark, Seq(dir.toString)).createOrReplaceTempView("tech_log")
+    val rows = spark.sql(
+      """SELECT InfoBase, count(*) AS n, sum(Duration) AS total_dur
+        |FROM tech_log
+        |GROUP BY InfoBase
+        |ORDER BY InfoBase""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("acc", 1L, 2L), ("hr", 2L, 14L)))
+  }
+
   test("routed JDBC sink bulk-appends per table (K1, embedded Derby)") {
     val dir = writeLogs(Map(
       "25052600.log" -> ("00:01.123456-5,DBMSSQL,3,Usr=a\n" +
