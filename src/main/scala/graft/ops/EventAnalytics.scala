@@ -43,6 +43,12 @@ object EventAnalytics {
     * idle. Manual lag+cumsum form — the exact same construction is
     * SQL-expressible, so it oracle-checks the semantics that the native
     * session_window operator (below) implements internally.
+    *
+    * sum_value is computed as an exact DECIMAL sum rounded in decimal
+    * domain: a plain double sum is addition-order-dependent (partial-agg
+    * order in Spark, morsel scheduling in DuckDB) and double `round()`
+    * differs across engines at .xx5 boundaries. The decimal path is
+    * order-independent and rounds identically everywhere.
     */
   def sessionize(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -56,7 +62,8 @@ object EventAnalytics {
       .groupBy(col("user_id"), col("session_no"))
       .agg(count(lit(1)).as("n_events"),
         date_format(min(col("ts")), TsFmt).as("session_start"),
-        round(sum(col("value")), 2).as("sum_value"))
+        round(sum(col("value").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(28, 6))), 2).cast("double").as("sum_value"))
       .orderBy(col("user_id"), col("session_no"))
   }
 
@@ -109,6 +116,12 @@ object EventAnalytics {
   /** JSON columns: parse the props payload with a declared schema
     * (`from_json` — the Catalyst JSON parser, not string hacking) and
     * aggregate the extracted field.
+    *
+    * avg_k is computed with exact integer arithmetic (half-up at 4
+    * decimals via scaled integer division) so the result cannot depend
+    * on the engine's double `round()` flavor: k is integer-valued, so
+    * avg(k) lands exactly on .xxxx5 boundaries where Spark (decimal
+    * half-up) and DuckDB (binary nearest) historically disagree.
     */
   def jsonProps(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -117,7 +130,8 @@ object EventAnalytics {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("k")).as("sum_k"),
-        round(avg(col("k")), 4).as("avg_k"),
+        expr("CAST((sum(k) * 20000 + count(k)) DIV (2 * count(k)) AS DOUBLE) / 10000")
+          .as("avg_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
@@ -139,8 +153,9 @@ object EventAnalytics {
         |  SELECT event_type,
         |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events)
-        |SELECT event_type, count(*) AS n, sum(k) AS sum_k,
-        |  round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST((sum(k) * 20000 + count(k)) // (2 * count(k)) AS DOUBLE) / 10000 AS avg_k,
+        |  min(k) AS min_k, max(k) AS max_k
         |FROM t
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -194,9 +209,9 @@ object EventAnalytics {
         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
         |  FROM m)
-        |SELECT user_id, session_no, count(*) AS n_events,
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
         |  strftime(min(ts_us), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |  round(sum(value), 2) AS sum_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
         |FROM s
         |GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
