@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Breadth suites proving the engine's scalar/window surface
+  * (SURVEY.md §2.2 "classic relational set"): the full window-function
+  * family, array/higher-order functions, and the portable string
+  * function set. Each query exercises many functions at once so the
+  * oracle hash pins every one of them.
+  */
+object Suites {
+
+  /** Window-function family over each customer's order history:
+    * row_number, lag/lead, ntile, percent_rank, cume_dist,
+    * first_value, nth_value — all on one totally-ordered window
+    * ((date, orderkey) is unique per customer → deterministic).
+    * percent_rank/cume_dist are exact small-integer ratios, so raw
+    * doubles compare bit-identically across engines.
+    */
+  def windowSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Array / higher-order functions per document: size, distinct,
+    * sort+slice+join, membership, and a transform/max pipeline over
+    * whitespace tokens (same tokenizer as TextAnalysis for parity).
+    */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), "|")
+          .as("first3"),
+        array_contains(col("toks"), "the").cast("long").as("has_the"),
+        array_max(transform(col("toks"), t => length(t))).cast("long")
+          .as("max_len"))
+      .orderBy(col("doc_id"))
+
+  /** Portable string-function suite per customer: case, pad, reverse,
+    * split_part, position, levenshtein, translate, substring, repeat,
+    * printf-style formatting.
+    */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("up"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("pad"),
+        reverse(col("c_mktsegment")).as("rev"),
+        element_at(split(col("c_name"), "#"), 2).as("part2"),
+        instr(col("c_name"), "1").cast("long").as("pos1"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("lev"),
+        translate(col("c_name"), "0123456789", "##########").as("tr"),
+        substring(col("c_name"), 10, 5).as("sub"),
+        repeat(substring(col("c_mktsegment"), 1, 2), 2).as("rep"),
+        format_string("%05d-%s", col("c_custkey"), col("c_mktsegment")).as("fmt"))
+      .orderBy(col("c_custkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_window_suite" -> windowSuite _,
+    "q49_array_funcs"  -> arrayFuncs _,
+    "q50_string_funcs" -> stringFuncs _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q46_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q49_array_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_tok,
+        |  len(list_distinct(toks)) AS n_uniq,
+        |  array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first3,
+        |  list_contains(toks, 'the')::BIGINT AS has_the,
+        |  list_max(list_transform(toks, x -> length(x)))::BIGINT AS max_len
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+    "q50_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS up,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+        |  reverse(c_mktsegment) AS rev,
+        |  split_part(c_name, '#', 2) AS part2,
+        |  CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev,
+        |  translate(c_name, '0123456789', '##########') AS tr,
+        |  substring(c_name, 10, 5) AS sub,
+        |  repeat(substring(c_mktsegment, 1, 2), 2) AS rep,
+        |  printf('%05d-%s', c_custkey, c_mktsegment) AS fmt
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}

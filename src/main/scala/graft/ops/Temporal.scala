@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+import graft.util.Tables._
+
+/** Temporal join operators the reference lacks but a log-analytics
+  * engine needs (SURVEY.md §2.2 extension surface): as-of join, banded
+  * range join, moving value-range window, and time-grid gap-fill with
+  * LOCF. All are built shuffle-minimal for the 100 TB case:
+  *
+  *  - as-of join: the union-merge construction — one shuffle on the
+  *    join key, one sort, no per-key driver loop and no range
+  *    explosion. This is how a distributed engine implements ASOF
+  *    without a specialized physical operator.
+  *  - range join: bucketed band join — each probe row joins only its
+  *    own 60 s bucket, each build row is replicated to the 3 adjacent
+  *    buckets, so the join is a plain equi-shuffle join with a 3×
+  *    build amplification instead of an O(n²) cross product.
+  *  - moving window / gap-fill: value-RANGE frames and an exploded
+  *    `sequence` grid — both partition-local after one keyed shuffle.
+  */
+object Temporal {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val Dec = DataTypes.createDecimalType(28, 6)
+
+  /** As-of join: for every `purchase` event, the most recent `click`
+    * by the same user at-or-before it (ties: a click at the same µs
+    * counts as "before"; among equal-ts clicks the highest event_id
+    * wins — the total order makes the result deterministic).
+    *
+    * Union-merge form: tag both sides, union, and carry the last click
+    * forward with `last(..., ignoreNulls)` over a (user, time) sort —
+    * the state-of-the-art shuffle-once distributed ASOF plan.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("event_type") === "click").cast("int").as("is_click"))
+    // clicks sort before purchases at the same µs → at-or-before
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("click_ev",
+        last(when(col("is_click") === 1,
+          struct(col("ts").as("cts"), col("event_id").as("cid"))), ignoreNulls = true)
+          .over(w))
+      .filter(col("is_click") === 0)
+      .select(col("user_id"),
+        col("event_id").as("purchase_id"),
+        date_format(col("ts"), TsFmt).as("purchase_ts"),
+        col("click_ev.cid").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ev.cts"))).as("gap_us"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  /** Banded range join: for each event, how many events of the same
+    * type fall within ±60 s (self excluded); reported as a histogram
+    * (type, neighbor count, #events). The build side is exploded into
+    * its bucket and both neighbors so the probe side joins exactly one
+    * bucket — candidate pairs appear exactly once.
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("event_type").as("t"), col("event_id").as("id"),
+        unix_micros(col("ts")).as("us"))
+    val probe = e.withColumn("b", expr("us div 60000000"))
+    val build = e.select(col("t"), col("us").as("us2"))
+      .withColumn("b", explode(array(
+        expr("us2 div 60000000 - 1"), expr("us2 div 60000000"),
+        expr("us2 div 60000000 + 1"))))
+    probe.join(build, Seq("t", "b"))
+      .filter(abs(col("us2") - col("us")) <= 60000000L)
+      .groupBy(col("t"), col("id"))
+      .agg((count(lit(1)) - 1).as("n_near")) // every row self-matches ≥ once
+      .groupBy(col("t"), col("n_near"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("t"), col("n_near"))
+  }
+
+  /** Moving 7-day revenue per customer: a value-RANGE frame over the
+    * order-date day number, so same-day peers always share one frame
+    * (deterministic under ties, unlike a ROWS frame). DECIMAL sum →
+    * decimal-domain round → double, per the oracle-parity rules.
+    */
+  def movingWindow(s: SparkSession, d: String): DataFrame = {
+    val di = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("di"))
+      .rangeBetween(-6, Window.currentRow)
+    orders(s, d)
+      .withColumn("di", di)
+      .withColumn("win7",
+        round(sum(col("o_totalprice").cast(Dec)).over(w), 2).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"), col("win7"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Hourly gap-fill per event type: explode the full
+    * min→max hour grid (`sequence`), left-join real hourly aggregates,
+    * zero-fill counts and carry the last seen hourly sum forward
+    * (LOCF via `last(..., ignoreNulls)`).
+    */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("h", date_trunc("hour", col("ts")))
+    val hourly = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(Dec)), 2).cast("double").as("sv"))
+    val grid = ev.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("sum_value_locf", last(col("sv"), ignoreNulls = true).over(w))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("sum_value_locf"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_asof_join"     -> asofJoin _,
+    "q45_range_join"    -> rangeJoin _,
+    "q47_moving_window" -> movingWindow _,
+    "q48_gap_fill"      -> gapFill _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q44_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (
+        |  SELECT *, last_value(
+        |      CASE WHEN is_click = 1
+        |        THEN struct_pack(cts := ts_us, cid := event_id) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, is_click DESC, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+        |  FROM ev)
+        |SELECT user_id, event_id AS purchase_id,
+        |  strftime(ts_us, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  (ce).cid AS click_id,
+        |  epoch_us(ts_us) - epoch_us((ce).cts) AS gap_us
+        |FROM m WHERE is_click = 0
+        |ORDER BY user_id, purchase_id""".stripMargin,
+    "q45_range_join" ->
+      """WITH e AS (
+        |  SELECT event_type AS t, event_id AS id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |p AS (
+        |  SELECT a.t, a.id, count(*) - 1 AS n_near
+        |  FROM e a JOIN e b
+        |    ON a.t = b.t AND b.us BETWEEN a.us - 60000000 AND a.us + 60000000
+        |  GROUP BY a.t, a.id)
+        |SELECT t, CAST(n_near AS BIGINT) AS n_near, count(*) AS n_events
+        |FROM p GROUP BY t, n_near
+        |ORDER BY t, n_near""".stripMargin,
+    "q47_moving_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS win7
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q48_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+        |hourly AS (
+        |  SELECT event_type, h, count(*) AS n,
+        |    CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sv
+        |  FROM ev GROUP BY event_type, h),
+        |bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY event_type),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds)
+        |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:00') AS hour,
+        |  coalesce(n, 0) AS n,
+        |  last_value(sv IGNORE NULLS)
+        |    OVER (PARTITION BY g.event_type ORDER BY g.h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_locf
+        |FROM grid g LEFT JOIN hourly USING (event_type, h)
+        |ORDER BY event_type, hour""".stripMargin,
+  )
+}
