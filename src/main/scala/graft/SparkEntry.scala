@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.EventAnalytics.queries ++ ops.PumpOps.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
-      ops.Multimodal.queries ++ ops.Temporal.queries ++ ops.Suites.queries
+      ops.Multimodal.queries ++ ops.Temporal.queries ++ ops.Suites.queries ++
+      ops.Clustering.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.EventAnalytics.oracleSql ++ ops.PumpOps.oracleSql ++
       ops.TextAnalysis.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
-      ops.Multimodal.oracleSql ++ ops.Temporal.oracleSql ++ ops.Suites.oracleSql
+      ops.Multimodal.oracleSql ++ ops.Temporal.oracleSql ++ ops.Suites.oracleSql ++
+      ops.Clustering.oracleSql
 }

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Cluster-level dedup and cell-probed similarity search — the stages
+  * that sit on top of Dedup/Similarity in a production pipeline:
+  * duplicate-cluster resolution (connected components over verified
+  * near-dup pairs), IVF-style ANN (coarse-quantizer cells + nprobe),
+  * and embedding-cosine near-dup canonicalization.
+  *
+  * Scale shape: components run min-label propagation — each round is
+  * one keyed shuffle join, converging in O(cluster diameter) rounds
+  * (near-dup clusters are shallow; planet-scale graphs would switch to
+  * the large-star/small-star alternation). IVF replaces the O(n²)
+  * scoring with |centroids|-way assignment plus per-cell local top-k —
+  * the standard inverted-file ANN layout; only (cell, id) pairs
+  * shuffle. The near-dup canonicalizer is all-pairs here (oracle-able
+  * ground truth) and would consume LSH/IVF candidates at 100 TB.
+  */
+object Clustering {
+
+  private def cosine = graft.functions.CosineSimilarity.cosineSimilarity _
+
+  /** Connected components over the verified near-dup pairs (LSH
+    * candidates at Jaccard ≥ 0.5, same edges as q28): every document
+    * in a duplicate cluster is labeled with the cluster's minimum
+    * doc_id. Min-label propagation to fixpoint, checked per round.
+    */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.jaccardPairs(s, d).select(col("a"), col("b"))
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .cache()
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("lab", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) { // ≤ diameter rounds; dup clusters are shallow
+      val nbrMin = und
+        .join(labels.select(col("id").as("v"), col("lab").as("vlab")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vlab")).as("nmin"))
+        .select(col("u").as("id"), col("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+        .cache()
+      changed = next.join(labels.select(col("id"), col("lab").as("old")), Seq("id"))
+        .filter(col("lab") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val wc = Window.partitionBy(col("cluster_id"))
+    labels
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .orderBy(col("doc_id"))
+  }
+
+  /** IVF-style ANN: deterministic coarse centroids (every 50th
+    * vector), nearest-centroid cell assignment, then per-query search
+    * restricted to the nprobe=2 closest cells, exact top-3 within
+    * them. Centroids broadcast; candidates shuffle only on cell id.
+    */
+  def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cent_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cent_id"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assign, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup canonicalization: every vector whose
+    * cosine to some lower-id vector is ≥ 0.45 is a duplicate; its
+    * canonical is the smallest such id. All-pairs here (exact ground
+    * truth the oracle can check); the LSH/IVF candidate sets above are
+    * the 100 TB input to the same decision.
+    */
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")),
+        col("a") < col("b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.45)
+      .groupBy(col("b").as("dup_id"))
+      .agg(min(col("a")).as("canonical_id"), count(lit(1)).as("n_links"))
+      .orderBy(col("dup_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_dup_clusters"   -> dupClusters _,
+    "q52_ivf_ann"        -> ivfAnn _,
+    "q53_embed_neardup"  -> embedNearDup _,
+  )
+
+  /** DuckDB cosine of two float lists — same double accumulation order
+    * as CosineSimilarity (proven by q30/q32/q38 hashes).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |              for i in range(1, len($a) + 1)])
+       |    / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)
+       |                      for i in range(1, len($a) + 1)]))
+       |       * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |                        for i in range(1, len($b) + 1)])))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    // transitive closure of the q28 near-dup pairs via recursive CTE,
+    // then min reachable id per node = the propagation fixpoint
+    "q51_dup_clusters" ->
+      s"""WITH RECURSIVE ${Dedup.PairsCtes},
+        |jp AS (SELECT a, b FROM jaccard WHERE jac >= 0.5),
+        |und AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b, a FROM jp),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM und
+        |  UNION
+        |  SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r),
+        |labeled AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM labeled
+        |ORDER BY doc_id""".stripMargin,
+    "q52_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id % 50 = 0),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+        |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id % 100 = 7),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosSql("q.qe", "c.ce")} DESC, c.cent_id) AS rn
+        |    FROM qs q CROSS JOIN cents c) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    ${cosSql("q.qe", "e.embedding")} AS cos
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |  JOIN qs q ON q.query_id = p.query_id
+        |  JOIN e ON e.vec_id = a.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "q53_embed_neardup" ->
+      s"""WITH pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    ${cosSql("x.embedding", "y.embedding")} AS cos
+        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+        |SELECT b AS dup_id, min(a) AS canonical_id, count(*) AS n_links
+        |FROM pairs WHERE cos >= 0.45
+        |GROUP BY b
+        |ORDER BY dup_id""".stripMargin,
+  )
+}

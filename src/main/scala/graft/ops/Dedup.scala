@@ -213,6 +213,26 @@ object Dedup {
       |    ELSE [] END AS shingles
       |  FROM ws)""".stripMargin
 
+  /** ShinglesCte + SignatureCte + candidate pairs + exact Jaccard
+    * (`jaccard(a, b, common, za, zb, jac)`) — the full q28 pipeline as
+    * a reusable CTE chain (q28 itself and Clustering's q51 both build
+    * on it).
+    */
+  private[ops] def PairsCtes: String =
+    s"""$ShinglesCte,
+       |$SignatureCte,
+       |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_no = y.band_no AND x.band = y.band AND x.doc_id < y.doc_id),
+       |jaccard AS (SELECT a, b, common, za, zb,
+       |    CAST(common AS DOUBLE) / (za + zb - common) AS jac
+       |  FROM (SELECT a, b,
+       |      len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS common,
+       |      len(sa.shingles) AS za, len(sb.shingles) AS zb
+       |    FROM cands
+       |    JOIN sh sa ON sa.doc_id = a
+       |    JOIN sh sb ON sb.doc_id = b))""".stripMargin
+
   private val SignatureCte =
     """ok AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
       |base AS (SELECT doc_id,
@@ -243,21 +263,10 @@ object Dedup {
         |  ON x.band_no = y.band_no AND x.band = y.band AND x.doc_id < y.doc_id
         |ORDER BY a, b""".stripMargin,
     "q28_jaccard_pairs" ->
-      s"""WITH $ShinglesCte,
-        |$SignatureCte,
-        |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bands x JOIN bands y
-        |    ON x.band_no = y.band_no AND x.band = y.band AND x.doc_id < y.doc_id),
-        |j AS (SELECT a, b,
-        |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS common,
-        |    len(sa.shingles) AS za, len(sb.shingles) AS zb
-        |  FROM cands
-        |  JOIN sh sa ON sa.doc_id = a
-        |  JOIN sh sb ON sb.doc_id = b)
-        |SELECT a, b,
-        |  round(CAST(common AS DOUBLE) / (za + zb - common), 4) AS jaccard
-        |FROM j
-        |WHERE CAST(common AS DOUBLE) / (za + zb - common) >= 0.5
+      s"""WITH $PairsCtes
+        |SELECT a, b, round(jac, 4) AS jaccard
+        |FROM jaccard
+        |WHERE jac >= 0.5
         |ORDER BY a, b""".stripMargin,
     "q29_simhash" ->
       """WITH h AS (SELECT doc_id,
