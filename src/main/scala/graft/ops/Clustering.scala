@@ -31,24 +31,36 @@ object Clustering {
     * doc_id. Min-label propagation to fixpoint, checked per round.
     */
   def dupClusters(s: SparkSession, d: String): DataFrame = {
-    val edges = Dedup.jaccardPairs(s, d).select(col("a"), col("b"))
+    val edges = Dedup.scoredPairs(s, d)
+      .filter(col("jac") >= 0.5).select(col("a"), col("b"))
+    // the dup-pair edge set is a vanishing fraction of the corpus —
+    // collapse it to one partition so each propagation round is a
+    // single-task job instead of a 32-partition shuffle cascade
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
-      .cache()
+      .coalesce(1).cache()
     var labels = und.select(col("u").as("id")).distinct()
-      .withColumn("lab", col("id")).cache()
-    var changed = 1L
+      .withColumn("lab", col("id")).coalesce(1).cache()
+    // min-label propagation only ever DECREASES labels, so the label
+    // sum is a convergence witness: one agg action per round, no
+    // old-vs-new join
+    var prevSum = labels.agg(sum(col("lab"))).first().getLong(0)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < 20) { // ≤ diameter rounds; dup clusters are shallow
+    while (!converged && iter < 20) { // ≤ diameter rounds; dup clusters are shallow
+      // labels/nbrMin are label maps over the (tiny) node set —
+      // broadcast explicitly: post-aggregate size stats are unknown to
+      // Catalyst, which would otherwise plan sort-merge shuffles
       val nbrMin = und
-        .join(labels.select(col("id").as("v"), col("lab").as("vlab")), Seq("v"))
+        .join(broadcast(labels.select(col("id").as("v"), col("lab").as("vlab"))), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlab")).as("nmin"))
         .select(col("u").as("id"), col("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = labels.join(broadcast(nbrMin), Seq("id"), "left")
         .select(col("id"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
         .cache()
-      changed = next.join(labels.select(col("id"), col("lab").as("old")), Seq("id"))
-        .filter(col("lab") =!= col("old")).count()
+      val s2 = next.agg(sum(col("lab"))).first().getLong(0)
+      converged = s2 == prevSum
+      prevSum = s2
       labels.unpersist()
       labels = next
       iter += 1
@@ -105,17 +117,11 @@ object Clustering {
     * truth the oracle can check); the LSH/IVF candidate sets above are
     * the 100 TB input to the same decision.
     */
-  def embedNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    e.select(col("vec_id").as("a"), col("embedding").as("ea"))
-      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")),
-        col("a") < col("b"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
-      .filter(col("cos") >= 0.45)
+  def embedNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.pairsAbove(s, d, 0.45)
       .groupBy(col("b").as("dup_id"))
       .agg(min(col("a")).as("canonical_id"), count(lit(1)).as("n_links"))
       .orderBy(col("dup_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_dup_clusters"   -> dupClusters _,

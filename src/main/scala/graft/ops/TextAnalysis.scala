@@ -107,8 +107,12 @@ object TextAnalysis {
   def tfidfTopTerm(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = documents(s, d).select(col("doc_id"), explode(toks).as("word"))
+    // ONE shuffle of the exploded corpus: tf's keys are exactly the
+    // distinct (doc, word) pairs, so df rolls up from tf instead of a
+    // second corpus-wide distinct(); the cache stops the explode+agg
+    // from re-running for the df branch.
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = words.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = documents(s, d).count() // tiny scalar, computed once
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word"))
