@@ -1,0 +1,75 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+import graft.util.Tables._
+
+/** Source/sink format breadth: the engine's row data round-trips
+  * through every built-in columnar/text format (CSV with header, JSON
+  * lines, ORC) and comes back value-identical — doubles survive via
+  * shortest-representation printing, so even the text formats are
+  * bit-exact. The oracle computes the same aggregate once per format
+  * tag straight from the parquet table, which hash-pins the whole
+  * write→read→aggregate path of all three formats at once.
+  */
+object Formats {
+
+  private val Dec = DataTypes.createDecimalType(28, 6)
+
+  /** Write a deterministic lineitem slice to CSV/JSON/ORC, read each
+    * back (explicit schema for the text formats — inference is a scan
+    * you don't pay twice at scale), union with a format tag, aggregate.
+    */
+  def sinkRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val src = lineitem(s, d)
+      .filter(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    val dir = Files.createTempDirectory("graft-sink-rt").toString
+    val readBack = Seq("csv", "json", "orc").map { f =>
+      val p = s"$dir/$f"
+      f match {
+        case "csv"  => src.write.mode("overwrite").option("header", true).csv(p)
+        case "json" => src.write.mode("overwrite").json(p)
+        case "orc"  => src.write.mode("overwrite").orc(p)
+      }
+      val r = f match {
+        case "csv"  => s.read.schema(src.schema).option("header", true).csv(p)
+        case "json" => s.read.schema(src.schema).json(p)
+        case "orc"  => s.read.orc(p)
+      }
+      r.select(lit(f).as("fmt"), col("l_orderkey"), col("l_quantity"),
+        col("l_returnflag"))
+    }
+    readBack.reduce(_ union _)
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        round(sum(col("l_quantity").cast(Dec)), 2).cast("double").as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_key"))
+      .orderBy(col("fmt"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_sink_roundtrip" -> sinkRoundTrip _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q54_sink_roundtrip" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_quantity, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |agg AS (
+        |  SELECT count(*) AS n,
+        |    count(DISTINCT l_returnflag) AS n_flags,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+        |  FROM src)
+        |SELECT fmt, n, n_flags, sum_qty, sum_key
+        |FROM agg, UNNEST(['csv', 'json', 'orc']) AS u(fmt)
+        |ORDER BY fmt""".stripMargin,
+  )
+}

@@ -79,8 +79,9 @@ object TextAnalysis {
       .limit(20)
 
   /** Heuristic language ID: stopword-list voting with a deterministic
-    * tie-break. Rows-only (the CASE cascade has no clean oracle);
-    * semantics unit-tested in TextAnalysisSpec.
+    * tie-break (greatest over (score, lang) structs = max score, ties
+    * to the largest lang string — mirrored by the oracle's
+    * ORDER BY score DESC, lang DESC argmax).
     */
   def langId(s: SparkSession, d: String): DataFrame = {
     val lists = Seq(
@@ -166,6 +167,30 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // argmax over the five stopword scores; ties resolved to the
+    // lexicographically largest lang, matching Spark's greatest() over
+    // (score, lang) structs
+    "q25_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, labeled_lang, (s).lang AS lang, (s).score AS score
+        |  FROM t, UNNEST([
+        |    struct_pack(lang := 'en', score := len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))),
+        |    struct_pack(lang := 'de', score := len(list_filter(toks, x -> list_contains(['der','die','das','und'], x)))),
+        |    struct_pack(lang := 'es', score := len(list_filter(toks, x -> list_contains(['el','la','de','y'], x)))),
+        |    struct_pack(lang := 'fr', score := len(list_filter(toks, x -> list_contains(['le','la','de','et'], x)))),
+        |    struct_pack(lang := 'zh', score := len(list_filter(toks, x -> list_contains(['的','是','了','在'], x))))
+        |  ]) AS u(s)),
+        |ranked AS (
+        |  SELECT doc_id, labeled_lang, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |  FROM scores)
+        |SELECT doc_id, labeled_lang, lang AS predicted_lang
+        |FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q39_token_estimate" ->
       """WITH t AS (
         |  SELECT doc_id,
