@@ -17,7 +17,9 @@ object Plans {
     val interesting = Seq("q01_pricing_summary", "q02_top_revenue",
       "q03_region_customer", "q04_semi_join", "q05_anti_join",
       "q06_topk_orders", "q15_events_hourly", "q26_dedup_exact",
-      "q27_minhash_lsh", "q30_knn_brute", "q31_ann_lsh")
+      "q27_minhash_lsh", "q30_knn_brute", "q31_ann_lsh",
+      "q44_asof_join", "q45_range_join", "q47_moving_window",
+      "q48_gap_fill", "q52_ivf_ann", "q55_skew_join")
     interesting.foreach { name =>
       println(s"\n=============== $name ===============")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
