@@ -83,6 +83,33 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
+  /** Resize stage for image payloads: decode (stub) → fit into a
+    * 32×32 box preserving aspect ratio, all in exact integer math
+    * (`new = max(1, dim·32 // max(w,h))`). Runs in the same typed
+    * mapPartitions shape a real rasterizer plugs into; the oracle
+    * recomputes the dimensions arithmetically from the payload length,
+    * so the full decode→transform plumbing is hash-checked.
+    */
+  final case class ResizedMedia(
+      doc_id: Long, width: Long, height: Long, new_w: Long, new_h: Long)
+
+  def mediaResize(s: SparkSession, d: String, target: Int = 32): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).filter(col("media_type") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val (_, w, h, _) = decodeStub(payload)
+          val m = math.max(w, h)
+          ResizedMedia(id, w.toLong, h.toLong,
+            math.max(1, w * target / m).toLong, math.max(1, h * target / m).toLong)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Metadata projection over the media table (oracle-checked). */
   def mediaMeta(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d)
@@ -94,6 +121,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_media_meta"   -> mediaMeta _,
     "q34_frame_sample" -> frameSample _,
+    "q56_media_resize" -> ((s: SparkSession, d: String) => mediaResize(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -103,6 +131,20 @@ object Multimodal {
         |  octet_length(encode(text)) + 4 AS n_bytes,
         |  CAST(ascii(text) AS BIGINT) AS first_char_code
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q56_media_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS body
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (
+        |  SELECT doc_id,
+        |    greatest(body, 1) % 64 + 1 AS w,
+        |    greatest(body, 1) % 48 + 1 AS h
+        |  FROM img)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(greatest(1, w * 32 // greatest(w, h)) AS BIGINT) AS new_w,
+        |  CAST(greatest(1, h * 32 // greatest(w, h)) AS BIGINT) AS new_h
+        |FROM dims
         |ORDER BY doc_id""".stripMargin,
     "q34_frame_sample" ->
       """WITH v AS (
