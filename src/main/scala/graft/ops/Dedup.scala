@@ -184,6 +184,33 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a"), col("b"))
 
+  /** Corpus-level MinHash sketch per language through the custom typed
+    * `Aggregator` (graft.functions.MinHashAgg): shingle base hashes
+    * flow into a fully algebraic 16-min buffer — map-side partial
+    * aggregation means the shuffle carries one 16-long sketch per
+    * (group × partition) no matter the corpus size. Output exploded to
+    * (lang, k, minhash) rows so the DuckDB oracle pins all 16
+    * transforms of the affine family.
+    */
+  def minhashAggByLang(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sketch = udaf(graft.functions.MinHashAgg)
+    documents(s, d).select(col("lang"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (lang, text) =>
+          shingleSet(text).iterator.map(sh => (lang, md5ModP(digest, sh)))
+        }
+      }
+      .toDF("lang", "h")
+      .groupBy(col("lang"))
+      .agg(sketch(col("h")).as("sig"))
+      .select(col("lang"), posexplode(col("sig")))
+      .select(col("lang"), col("pos").cast("long").as("k"), col("col").as("minhash"))
+      .orderBy(col("lang"), col("k"))
+  }
+
   /** 16-bit SimHash fingerprint over distinct words (majority bit
     * vote), computed entirely in HOF expressions.
     */
@@ -204,6 +231,7 @@ object Dedup {
     "q27_minhash_lsh"   -> minhashPairs _,
     "q28_jaccard_pairs" -> jaccardPairs _,
     "q29_simhash"       -> simhash _,
+    "q57_minhash_agg"   -> minhashAggByLang _,
   )
 
   /** Shared oracle CTEs: shingles → base hash mod P → 16 affine
@@ -274,6 +302,23 @@ object Dedup {
         |FROM jaccard
         |WHERE jac >= 0.5
         |ORDER BY a, b""".stripMargin,
+    "q57_minhash_agg" ->
+      """WITH ws AS (SELECT lang, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+        |sh AS (SELECT lang,
+        |  CASE WHEN len(ws) >= 3
+        |    THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                        for i in range(1, len(ws) - 1)])
+        |    ELSE [] END AS shingles
+        |  FROM ws),
+        |hx AS (SELECT lang,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM sh, UNNEST(shingles) AS u(s))
+        |SELECT lang, k,
+        |  min((h * (((1103515245 * (k + 1)) % 2147483647) | 1)
+        |       + ((1234567891 * (k + 7)) % 2147483647)) % 2147483647) AS minhash
+        |FROM hx, range(0, 16) t(k)
+        |GROUP BY lang, k
+        |ORDER BY lang, k""".stripMargin,
     "q29_simhash" ->
       """WITH h AS (SELECT doc_id,
         |  list_transform(list_distinct(regexp_split_to_array(text, '\s+')),
