@@ -47,7 +47,10 @@ object Skew {
     val salted = probe.withColumn("__salt", pmod(spark_partition_id(), lit(buckets)))
     val replicated = build.withColumn("__salt",
       explode(array((0 until buckets).map(lit(_)): _*)))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // the whole point of salting is spreading the SHUFFLE — a broadcast
+    // of the ×buckets replicated build side would defeat it (and only
+    // fits at toy scale)
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
   private val Dec = DataTypes.createDecimalType(28, 6)

@@ -75,7 +75,10 @@ object Temporal {
       .withColumn("b", explode(array(
         expr("us2 div 60000000 - 1"), expr("us2 div 60000000"),
         expr("us2 div 60000000 + 1"))))
-    probe.join(build, Seq("t", "b"))
+    // shuffle-hash, not broadcast: the build side is the replicated
+    // CORPUS (×3), which only ever fits a broadcast at toy scale — the
+    // plan that survives 100 TB is the equi-shuffle on (type, bucket)
+    probe.join(build.hint("shuffle_hash"), Seq("t", "b"))
       .filter(abs(col("us2") - col("us")) <= 60000000L)
       .groupBy(col("t"), col("id"))
       .agg((count(lit(1)) - 1).as("n_near")) // every row self-matches ≥ once
