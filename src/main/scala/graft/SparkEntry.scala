@@ -14,7 +14,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.EventAnalytics.queries ++ ops.PumpOps.queries ++
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Multimodal.queries ++ ops.Temporal.queries ++ ops.Suites.queries ++
-      ops.Clustering.queries ++ ops.Formats.queries ++ ops.Skew.queries
+      ops.Clustering.queries ++ ops.Formats.queries ++ ops.Skew.queries ++
+      ops.SqlSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +23,6 @@ object SparkEntry {
     ops.Relational.oracleSql ++ ops.EventAnalytics.oracleSql ++ ops.PumpOps.oracleSql ++
       ops.TextAnalysis.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
       ops.Multimodal.oracleSql ++ ops.Temporal.oracleSql ++ ops.Suites.oracleSql ++
-      ops.Clustering.oracleSql ++ ops.Formats.oracleSql ++ ops.Skew.oracleSql
+      ops.Clustering.oracleSql ++ ops.Formats.oracleSql ++ ops.Skew.oracleSql ++
+      ops.SqlSuite.oracleSql
 }

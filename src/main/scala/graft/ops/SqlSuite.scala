@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** SQL-front-end and reshaping breadth: correlated scalar subqueries
+  * (Catalyst decorrelation), UNPIVOT (the inverse of q41's pivot), and
+  * the portable date-function family.
+  */
+object SqlSuite {
+
+  /** Orders priced >20% above their customer's average — a correlated
+    * scalar subquery through `spark.sql`, decorrelated by Catalyst
+    * into an aggregate+join (no per-row re-execution). The inner avg
+    * runs in DECIMAL so the threshold is exact and order-independent
+    * on both engines.
+    */
+  def correlatedSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_above
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT 1.2 * avg(CAST(o2.o_totalprice AS DECIMAL(28,6)))
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** q41's daily pivot melted back to long form via `unpivot` —
+    * wide→long is its own operator, not just the pivot inverse.
+    */
+  def unpivotDaily(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.dailyPivot(s, d)
+      .unpivot(Array(col("day")),
+        Array(col("click"), col("view"), col("purchase"), col("signup"),
+          col("error")),
+        "event_type", "n")
+      .orderBy(col("day"), col("event_type"))
+
+  /** Portable date-function family over order dates: calendar parts,
+    * ISO week, month-end, month arithmetic (both engines clamp
+    * Jan 31 + 1 month to Feb 28), day arithmetic, and day diffs.
+    *
+    * Oracle caveat: the day add is `od + 30` (DATE + INTEGER), NOT
+    * `+ INTERVAL 30 DAY` — DuckDB 1.0 compares INTERVAL 30 DAY equal
+    * to INTERVAL 1 MONTH (month ≈ 30 d normalization), so CSE
+    * collapses the two additions into whichever appears first.
+    */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("od", col("o_orderdate").cast("date"))
+      .select(col("o_orderkey"),
+        date_format(col("od"), "yyyy-MM-dd").as("day"),
+        year(col("od")).cast("long").as("y"),
+        quarter(col("od")).cast("long").as("q"),
+        month(col("od")).cast("long").as("m"),
+        dayofmonth(col("od")).cast("long").as("dom"),
+        dayofweek(col("od")).cast("long").as("dow"), // 1 = Sunday
+        weekofyear(col("od")).cast("long").as("iso_week"),
+        date_format(last_day(col("od")), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(col("od"), 1), "yyyy-MM-dd").as("plus_month"),
+        date_format(date_add(col("od"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("1998-01-01").cast("date"), col("od")).cast("long")
+          .as("days_to_98"))
+      .orderBy(col("o_orderkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_correlated" -> correlatedSubquery _,
+    "q59_unpivot"    -> unpivotDaily _,
+    "q60_date_funcs" -> dateFuncs _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q58_correlated" ->
+      """SELECT o_orderpriority, count(*) AS n_above
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT 1.2 * avg(CAST(o2.o_totalprice AS DECIMAL(28,6)))
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q59_unpivot" ->
+      s"""WITH p AS (${EventAnalytics.oracleSql("q41_daily_pivot")})
+        |SELECT day, t.event_type,
+        |  CASE t.event_type
+        |    WHEN 'click' THEN click WHEN 'view' THEN view
+        |    WHEN 'purchase' THEN purchase WHEN 'signup' THEN signup
+        |    ELSE error END AS n
+        |FROM p, UNNEST(['click', 'view', 'purchase', 'signup', 'error']) AS t(event_type)
+        |ORDER BY day, event_type""".stripMargin,
+    "q60_date_funcs" ->
+      """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+        |SELECT o_orderkey,
+        |  strftime(od, '%Y-%m-%d') AS day,
+        |  year(od) AS y,
+        |  quarter(od) AS q,
+        |  month(od) AS m,
+        |  day(od) AS dom,
+        |  dayofweek(od) + 1 AS dow,
+        |  weekofyear(od) AS iso_week,
+        |  strftime(last_day(od), '%Y-%m-%d') AS month_end,
+        |  strftime(od + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_month,
+        |  strftime(od + 30, '%Y-%m-%d') AS plus30,
+        |  date_diff('day', od, DATE '1998-01-01') AS days_to_98
+        |FROM t
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}
