@@ -154,7 +154,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Text normalization — the first stage of every training-data
+    * pipeline: lowercase, strip non-word punctuation (ASCII classes so
+    * Java regex and RE2 agree), squish whitespace runs, trim. Emits a
+    * content hash of the normalized form so the oracle pins the exact
+    * bytes, not just lengths.
+    */
+  def normalizeText(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9\\u0080-\\uFFFF \\t\\n\\r]", " "), "[ \\t\\n\\r]+", " "))
+    documents(s, d)
+      .select(col("doc_id"), length(norm).cast("long").as("n_chars_norm"),
+        md5(norm).as("norm_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-filter verdicts: the q22 signals folded into keep/drop
+    * decisions with a reason code — the shape a corpus-cleaning job
+    * materializes. All thresholds integer/ratio-exact.
+    */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t === "the" || t === "a"))
+    documents(s, d)
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        when(nTok < 5, "too_short")
+          .when(col("n_chars") > 20000, "too_long")
+          .when(nStop * 20 < nTok, "low_stopword") // ratio < 0.05, exact ints
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_normalize_text" -> normalizeText _,
+    "q62_quality_filter" -> qualityFilter _,
     "q39_token_estimate" -> tokenEstimate _,
     "q35_tfidf_top_term" -> tfidfTopTerm _,
     "q36_approx_distinct" -> approxDistinct _,
@@ -167,6 +200,31 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q61_normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\x{0080}-\x{FFFF} \t\n\r]', ' ', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars_norm,
+        |  md5(norm) AS norm_fp
+        |FROM n
+        |ORDER BY doc_id""".stripMargin,
+    "q62_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS n_stop, n_chars
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CASE WHEN n_tokens < 5 THEN 'too_short'
+        |       WHEN n_chars > 20000 THEN 'too_long'
+        |       WHEN n_stop * 20 < n_tokens THEN 'low_stopword'
+        |       ELSE 'keep' END AS verdict
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
     // argmax over the five stopword scores; ties resolved to the
     // lexicographically largest lang, matching Spark's greatest() over
     // (score, lang) structs

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming variants of the events analytics (SURVEY.md §2.2): the
   * SAME expressions as graft.ops.EventAnalytics batch forms, applied to
@@ -35,6 +36,50 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("sum_value"))
+
+  /** One as-of match: a purchase joined to the user's latest
+    * at-or-before click (None when no click has been seen yet).
+    */
+  final case class AsofMatch(user_id: Long, purchase_id: Long,
+      click_id: Option[Long], gap_us: Option[Long])
+
+  /** Streaming as-of join — the unbounded form of
+    * graft.ops.Temporal.asofJoin: per-user state holds only the latest
+    * click (one tuple per user, the minimal ASOF state), purchases
+    * emit immediately with the current match. In-batch ordering is
+    * normalized by an explicit (ts, kind, id) sort per group, so
+    * same-µs ties resolve exactly like the batch operator; clicks that
+    * arrive in a later micro-batch than a purchase they precede are
+    * not retro-matched (emit-once semantics — the streaming/batch
+    * trade the reference's pipeline also makes).
+    */
+  def purchaseAsofClick(events: DataFrame): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[(Long, Long)]) => {
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000 + t.getNanos / 1000 % 1000
+          // clicks sort before purchases at the same µs; ascending id last
+          val evs = it.toArray.sortBy { case (_, id, typ, t) =>
+            (us(t), if (typ == "click") 0 else 1, id)
+          }
+          var last = state.getOption // (clickUs, clickId)
+          val out = Array.newBuilder[AsofMatch]
+          evs.foreach { case (_, id, typ, t) =>
+            val u = us(t)
+            if (typ == "click") last = Some((u, id))
+            else out += AsofMatch(user, id, last.map(_._2), last.map(u - _._1))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
 
   /** Streaming exact dedup by event_id within the watermark horizon —
     * the streaming form of the LLM-pipeline dedup stage: duplicates

@@ -90,4 +90,33 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(sessions == Set((2L, 3.0), (1L, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming as-of join matches purchases to the latest prior click across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.purchaseAsofClick(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("es_asof").start()
+    try {
+      // batch 1: click then purchase (same batch, out of submission order),
+      // plus a purchase with no click at all for user 9
+      in.addData(
+        Ev(11, ts("2024-01-01 10:05:00"), 1, "purchase", 1.0),
+        Ev(10, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(20, ts("2024-01-01 10:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      // batch 2: purchase only — must match the click held in state
+      in.addData(Ev(12, ts("2024-01-01 11:00:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("es_asof")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+          Option(r.getAs[java.lang.Long]("click_id")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("gap_us")).map(_.longValue))).toSet
+      assert(rows == Set(
+        (1L, 11L, Some(10L), Some(300000000L)), // 5 min after the click
+        (1L, 12L, Some(10L), Some(3600000000L)), // cross-batch state match
+        (9L, 20L, None, None))) // no click ever seen
+    } finally q.stop()
+  }
 }
