@@ -226,7 +226,36 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup pairs (Hamming distance ≤ 3 over the 16-bit
+    * fingerprint), found via pigeonhole banding: ≤3 flipped bits over
+    * 4 nibbles leave at least one nibble intact, so a self-join on
+    * (nibble index, nibble value) has EXACT recall at a fraction of
+    * the all-pairs cost — the Manku/Jain/Sarma simhash-dedup layout.
+    * Output is the pair-count histogram per distance (the 16-bit
+    * fingerprint clusters heavily on this corpus, so the raw pair list
+    * is quadratic-ish); the oracle brute-forces all pairs, so equality
+    * proves the banding loses nothing.
+    */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash(s, d)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), i -> (simhash div shiftleft(1, 4 * i)) % 16)")))
+      .withColumnRenamed("pos", "band_no")
+      .withColumnRenamed("col", "nib")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_no") === col("y.band_no") && col("x.nib") === col("y.nib") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hd"))
+      .distinct()
+      .filter(col("hd") <= 3)
+      .groupBy(col("hd")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_simhash_neardup" -> simhashNearDup _,
     "q26_dedup_exact"   -> exactDedup _,
     "q27_minhash_lsh"   -> minhashPairs _,
     "q28_jaccard_pairs" -> jaccardPairs _,
@@ -284,6 +313,23 @@ object Dedup {
       |  FROM sig, range(0, 8) t(b))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // brute-force all pairs — banding above must lose nothing
+    "q64_simhash_neardup" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(list_distinct(regexp_split_to_array(text, '\s+')),
+        |    w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS h
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CAST(list_sum([CASE WHEN 2 * len(list_filter(h, v -> ((v >> j) & 1) = 1)) >= len(h)
+        |                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+        |            for j in range(0, 16)]) AS BIGINT) AS simhash
+        |  FROM h)
+        |SELECT CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hd,
+        |  count(*) AS n_pairs
+        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        |GROUP BY hd
+        |ORDER BY hd""".stripMargin,
     "q26_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents

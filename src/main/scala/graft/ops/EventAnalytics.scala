@@ -136,7 +136,38 @@ object EventAnalytics {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Statistical aggregate family (variance / stddev / correlation)
+    * per event type, computed from EXACT decimal moment sums with the
+    * closed-form formulas written identically on both engines — the
+    * built-in stddev_samp/corr use streaming algorithms (Welford)
+    * whose low bits are engine- and order-dependent; EventStatsSpec
+    * proves this form matches them to 1e-6.
+    */
+  def statsAgg(s: SparkSession, d: String): DataFrame = {
+    val D9 = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 9)
+    events(s, d)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D9)).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(D9)).cast("double").as("s2"),
+        sum(col("k")).cast("double").as("t1"),
+        sum(col("k") * col("k")).cast("double").as("t2"),
+        sum((col("value") * col("k")).cast(D9)).cast("double").as("s11"))
+      .select(col("event_type"), col("n"),
+        round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 4)
+          .as("var_value"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
+          .as("std_value"),
+        round((col("n") * col("s11") - col("s1") * col("t1")) /
+          (sqrt(col("n") * col("s2") - col("s1") * col("s1")) *
+            sqrt(col("n") * col("t2") - col("t1") * col("t1"))), 4).as("corr_vk"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_stats_agg"        -> statsAgg _,
     "q43_json_props"       -> jsonProps _,
     "q41_daily_pivot"      -> dailyPivot _,
     "q42_percentiles"      -> valuePercentiles _,
@@ -148,6 +179,26 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q63_stats_agg" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,9))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,9))) AS DOUBLE) AS s2,
+        |    CAST(sum(k) AS DOUBLE) AS t1,
+        |    CAST(sum(k * k) AS DOUBLE) AS t2,
+        |    CAST(sum(CAST(value * k AS DECIMAL(28,9))) AS DOUBLE) AS s11
+        |  FROM t GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((s2 - s1 * s1 / n) / (n - 1), 4) AS var_value,
+        |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS std_value,
+        |  round((n * s11 - s1 * t1) /
+        |    (sqrt(n * s2 - s1 * s1) * sqrt(n * t2 - t1 * t1)), 4) AS corr_vk
+        |FROM a
+        |ORDER BY event_type""".stripMargin,
     "q43_json_props" ->
       """WITH t AS (
         |  SELECT event_type,
