@@ -226,31 +226,27 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
-  /** SimHash near-dup pairs (Hamming distance ≤ 3 over the 16-bit
-    * fingerprint), found via pigeonhole banding: ≤3 flipped bits over
-    * 4 nibbles leave at least one nibble intact, so a self-join on
-    * (nibble index, nibble value) has EXACT recall at a fraction of
-    * the all-pairs cost — the Manku/Jain/Sarma simhash-dedup layout.
-    * Output is the pair-count histogram per distance (the 16-bit
-    * fingerprint clusters heavily on this corpus, so the raw pair list
-    * is quadratic-ish); the oracle brute-forces all pairs, so equality
-    * proves the banding loses nothing.
+  /** SimHash near-dup census (pair counts per Hamming distance ≤ 3
+    * over the 16-bit fingerprint), aggregation-first: docs collapse to
+    * the DISTINCT-fingerprint histogram (≤ 2^16 rows forever, one
+    * map-side-combined shuffle), and pair counts come from joining the
+    * histogram with itself — c·(c−1)/2 within a value, c_x·c_y across
+    * values. Work is bounded by the fingerprint space, not the corpus:
+    * the doc-pair form (even pigeonhole-banded) goes quadratic on this
+    * corpus because majority-vote fingerprints cluster heavily
+    * (measured 13 s at sf0.1 vs ~0.3 s for this plan). The oracle
+    * brute-forces all doc pairs, so equality proves the rewrite exact.
     */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash(s, d)
-    val bands = sh.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), i -> (simhash div shiftleft(1, 4 * i)) % 16)")))
-      .withColumnRenamed("pos", "band_no")
-      .withColumnRenamed("col", "nib")
-    bands.as("x").join(bands.as("y"),
-        col("x.band_no") === col("y.band_no") && col("x.nib") === col("y.nib") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hd"))
-      .distinct()
+    val counts = simhash(s, d).groupBy(col("simhash"))
+      .agg(count(lit(1)).as("c")).cache() // ≤ 65536 rows
+    counts.as("x").join(counts.as("y"), col("x.simhash") <= col("y.simhash"))
+      .select(expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hd"),
+        when(col("x.simhash") === col("y.simhash"),
+          col("x.c") * (col("x.c") - 1) / 2)
+          .otherwise(col("x.c") * col("y.c")).cast("long").as("np"))
       .filter(col("hd") <= 3)
-      .groupBy(col("hd")).agg(count(lit(1)).as("n_pairs"))
+      .groupBy(col("hd")).agg(sum(col("np")).as("n_pairs"))
       .orderBy(col("hd"))
   }
 
