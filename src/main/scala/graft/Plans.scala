@@ -19,7 +19,9 @@ object Plans {
       "q06_topk_orders", "q15_events_hourly", "q26_dedup_exact",
       "q27_minhash_lsh", "q30_knn_brute", "q31_ann_lsh",
       "q44_asof_join", "q45_range_join", "q47_moving_window",
-      "q48_gap_fill", "q52_ivf_ann", "q55_skew_join")
+      "q48_gap_fill", "q52_ivf_ann", "q55_skew_join",
+      "q57_minhash_agg", "q58_correlated", "q63_stats_agg",
+      "q64_simhash_neardup")
     interesting.foreach { name =>
       println(s"\n=============== $name ===============")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
