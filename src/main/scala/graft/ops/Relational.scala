@@ -175,6 +175,25 @@ object Relational {
       .orderBy(col("custkey"))
   }
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    * multiplicities are min(m, n) and max(m − n, 0) respectively —
+    * a genuinely different operator from the distinct forms (q11),
+    * verified by counting surviving duplicates per key.
+    */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    def custkeys(prio: String): DataFrame =
+      o.filter(col("o_orderpriority") === prio)
+        .select(col("o_custkey").as("custkey")) // one row per ORDER → dups
+    val inter = custkeys("1-URGENT").intersectAll(custkeys("2-HIGH"))
+      .groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("custkey"), col("n"))
+    val exc = custkeys("1-URGENT").exceptAll(custkeys("2-HIGH"))
+      .groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("custkey"), col("n"))
+    inter.union(exc).orderBy(col("op"), col("custkey"))
+  }
+
   /** Distinct aggregation (exact). */
   def distinctSuppliers(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -234,6 +253,7 @@ object Relational {
     "q09_rollup"            -> rollupQuantities _,
     "q10_cube"              -> cubeOrders _,
     "q11_set_ops"           -> setOpsCustomers _,
+    "q65_set_ops_all"       -> setOpsAll _,
     "q12_distinct_agg"      -> distinctSuppliers _,
     "q13_orders_per_month"  -> ordersPerMonth _,
     "q14_promo_revenue"     -> promoRevenue _,
@@ -332,6 +352,15 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q65_set_ops_all" ->
+      """WITH u AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |h AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |i AS (SELECT custkey FROM u INTERSECT ALL SELECT custkey FROM h),
+        |e AS (SELECT custkey FROM u EXCEPT ALL SELECT custkey FROM h)
+        |SELECT 'intersect_all' AS op, custkey, count(*) AS n FROM i GROUP BY custkey
+        |UNION ALL
+        |SELECT 'except_all' AS op, custkey, count(*) AS n FROM e GROUP BY custkey
+        |ORDER BY op, custkey""".stripMargin,
     "q11_set_ops" ->
       """SELECT custkey FROM (
         |  SELECT custkey FROM (
