@@ -67,13 +67,38 @@ object SqlSuite {
           .as("days_to_98"))
       .orderBy(col("o_orderkey"))
 
+  /** Top-2 customers by balance per nation via a correlated LATERAL
+    * subquery with ORDER BY + LIMIT — the "top-k per group as a join"
+    * formulation (Spark plans it as a DomainJoin + window under the
+    * hood; DuckDB runs the same SQL natively).
+    */
+  def lateralTopK(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("nation")
+    customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |  LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |           WHERE c.c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_lateral_topk" -> lateralTopK _,
     "q58_correlated" -> correlatedSubquery _,
     "q59_unpivot"    -> unpivotDaily _,
     "q60_date_funcs" -> dateFuncs _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q66_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |  LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |           WHERE c.c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin,
     "q58_correlated" ->
       """SELECT o_orderpriority, count(*) AS n_above
         |FROM orders o
