@@ -166,7 +166,51 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Funnel analysis: per user, the first click and whether a purchase
+    * followed it within 1 hour — conversion counts per user cohort
+    * (cohort = the hour of the first click). Two aggregations + one
+    * broadcastable join; all-integer output.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("c0"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+    val converted = firstClick.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("c0"))
+      .agg(max(when(col("pus") >= col("c0") &&
+        col("pus") <= col("c0") + 3600000000L, 1).otherwise(0)).as("conv"))
+    converted
+      .groupBy(date_format(timestamp_micros(col("c0")), "yyyy-MM-dd HH:00").as("cohort_hour"))
+      .agg(count(lit(1)).as("n_clicked"), sum(col("conv")).as("n_converted"))
+      .orderBy(col("cohort_hour"))
+  }
+
+  /** N-day retention: for each activity day, how many of that day's
+    * active users were also active exactly 7 days later. Self-join of
+    * the (day, user) activity set — the classic cohort-retention
+    * shape; all-integer output.
+    */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val active = events(s, d)
+      .select(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"),
+        col("user_id")).distinct()
+    active.as("a")
+      .join(active.as("b"),
+        col("b.day") === col("a.day") + 7 && col("b.user_id") === col("a.user_id"),
+        "left")
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(col("b.user_id")).as("n_retained_7d"))
+      .select(date_format(date_add(lit("1970-01-01").cast("date"), col("day")),
+        "yyyy-MM-dd").as("day"), col("n_active"), col("n_retained_7d"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_funnel"           -> funnel _,
+    "q68_retention"        -> retention _,
     "q63_stats_agg"        -> statsAgg _,
     "q43_json_props"       -> jsonProps _,
     "q41_daily_pivot"      -> dailyPivot _,
@@ -179,6 +223,39 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q67_funnel" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(epoch_us(date_trunc('microseconds', ts))) AS c0
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT fc.user_id, fc.c0,
+        |    max(CASE WHEN p.pus >= fc.c0 AND p.pus <= fc.c0 + 3600000000
+        |             THEN 1 ELSE 0 END) AS conv
+        |  FROM fc LEFT JOIN p ON p.user_id = fc.user_id
+        |  GROUP BY fc.user_id, fc.c0)
+        |SELECT strftime(make_timestamp(c0), '%Y-%m-%d %H:00') AS cohort_hour,
+        |  count(*) AS n_clicked, CAST(sum(conv) AS BIGINT) AS n_converted
+        |FROM conv
+        |GROUP BY 1
+        |ORDER BY cohort_hour""".stripMargin,
+    "q68_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    user_id
+        |  FROM events),
+        |r AS (
+        |  SELECT a.day AS day, count(*) AS n_active,
+        |    count(b.user_id) AS n_retained_7d
+        |  FROM active a LEFT JOIN active b
+        |    ON b.day = a.day + 7 AND b.user_id = a.user_id
+        |  GROUP BY a.day)
+        |SELECT strftime(DATE '1970-01-01' + CAST(day AS INT), '%Y-%m-%d') AS day,
+        |  n_active, n_retained_7d
+        |FROM r
+        |ORDER BY day""".stripMargin,
     "q63_stats_agg" ->
       """WITH t AS (
         |  SELECT event_type, value,
