@@ -18,7 +18,7 @@ object Bench {
     // sf; only JVM/codegen state is warm, as in any long-lived engine.
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
-      val deadline = System.nanoTime() + 120L * 1000000000L // bounded warm-up
+      val deadline = System.nanoTime() + 180L * 1000000000L // bounded warm-up
       SparkEntry.queries.iterator
         .takeWhile(_ => System.nanoTime() < deadline)
         .foreach { case (_, fn) =>
