@@ -19,6 +19,7 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.FoldSelfCosine())
   }
 }
 

@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.CosineSimilarity
+
+/** Domain optimizer rule (extension tier (c), SURVEY.md §2.2): Catalyst
+  * cannot constant-fold a custom Expression it knows nothing about, so
+  * `cosine_similarity(v, v)` — which appears naturally when a
+  * similarity self-join's pruning predicate is rewritten or a query is
+  * generated — would execute the full O(dim) kernel per row only to
+  * return 1.0. This rule folds the structurally-self-referential call
+  * to `lit(1.0)` during optimization.
+  *
+  * Semantics note: for any non-degenerate vector cos(v, v) = 1.0
+  * exactly in IEEE doubles is NOT guaranteed (dot/(sqrt(n)*sqrt(n))
+  * can differ in the last ulp), but the all-zero vector is the only
+  * case where the kernel's 0/0 = NaN differs materially; the fold
+  * therefore only fires when both children are the SAME deterministic
+  * expression AND the caller opted in via the extensions config
+  * `spark.graft.foldSelfCosine` (default true — embedding columns are
+  * non-degenerate by construction; disable for NaN-faithful audits).
+  */
+case class FoldSelfCosine() extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled = conf.getConfString("spark.graft.foldSelfCosine", "true") == "true"
+    if (!enabled) plan
+    else plan.transformAllExpressions {
+      case CosineSimilarity(a, b)
+          if a.deterministic && b.deterministic && a.semanticEquals(b) =>
+        Literal(1.0, DoubleType)
+    }
+  }
+}

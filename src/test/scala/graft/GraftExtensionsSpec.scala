@@ -20,6 +20,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
         .collect()
       assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+
+      // the injected optimizer rule folds self-cosine to a literal:
+      // the optimized plan must contain NO cosine_similarity call
+      // (df built over range() — a LocalRelation source would be
+      // eagerly evaluated by ConvertToLocalRelation either way)
+      // v must be NON-constant (depend on id): constant args are
+      // legitimately folded by Catalyst's own ConstantFolding (the
+      // custom expression is foldable); only the injected rule can
+      // fold the non-constant self case
+      val df = s.range(1)
+        .selectExpr("id", "array(CAST(id + 3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS v")
+      val self = df.selectExpr("id", "cosine_similarity(v, v) AS c")
+      val optimized = self.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("cosine_similarity"), optimized)
+      assert(self.collect()(0).getDouble(1) == 1.0)
+      // distinct args still execute the kernel
+      val real = df.selectExpr(
+        "cosine_similarity(v, array(CAST(4.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS c")
+      assert(real.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
+      assert(math.abs(real.collect()(0).getDouble(0) - 0.96) < 1e-9)
+      // opt-out restores the kernel
+      s.conf.set("spark.graft.foldSelfCosine", "false")
+      val unfolded = df.selectExpr("cosine_similarity(v, v) AS c")
+      assert(unfolded.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
+      s.conf.set("spark.graft.foldSelfCosine", "true")
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
