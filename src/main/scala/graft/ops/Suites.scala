@@ -73,13 +73,100 @@ object Suites {
         format_string("%05d-%s", col("c_custkey"), col("c_mktsegment")).as("fmt"))
       .orderBy(col("c_custkey"))
 
+  /** Deterministic mode (most frequent value, ties to the larger
+    * value): count per (group, value), then argmax via max over
+    * (count, value) structs — one extra tiny aggregation instead of a
+    * sort, and a pinned tie rule (the built-in `mode()` leaves ties
+    * undefined in both engines).
+    */
+  def modeAgg(s: SparkSession, d: String): DataFrame = {
+    val joined = orders(s, d).join(customer(s, d),
+      col("o_custkey") === col("c_custkey"))
+    joined.groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(struct(col("n"), col("o_orderpriority"))).as("m"))
+      .select(col("c_mktsegment"), col("m.o_orderpriority").as("modal_priority"),
+        col("m.n").as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** String aggregation (LISTAGG): values sorted before joining so the
+    * result is order-independent (`collect_list` order is partition-
+    * dependent; `sort_array` pins it — DuckDB's `string_agg ORDER BY`
+    * is the same contract).
+    */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    nation(s, d).join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  /** Reproducible train/val/test split assignment — the sampling op a
+    * training-data pipeline actually needs: bucket = md5-hash of the
+    * stable key mod 100 (NOT rand() — re-runs, late data, and both
+    * engines agree), 80/10/10. Output: split sizes + an exact decimal
+    * sum per split proving membership is identical, not just counts.
+    */
+  def hashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10).cast("long"),
+      lit(100))
+    lineitem(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6))), 2)
+          .cast("double").as("sum_qty"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_window_suite" -> windowSuite _,
     "q49_array_funcs"  -> arrayFuncs _,
     "q50_string_funcs" -> stringFuncs _,
+    "q69_mode"         -> modeAgg _,
+    "q70_string_agg"   -> stringAgg _,
+    "q71_hash_split"   -> hashSplit _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q69_mode" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, o_orderpriority),
+        |r AS (
+        |  SELECT c_mktsegment, o_orderpriority AS modal_priority, n,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY n DESC, o_orderpriority DESC) AS rn
+        |  FROM c)
+        |SELECT c_mktsegment, modal_priority, n
+        |FROM r WHERE rn = 1
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q70_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+    "q71_hash_split" ->
+      """WITH t AS (
+        |  SELECT l_quantity,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |       CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM lineitem)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM t
+        |GROUP BY 1
+        |ORDER BY split""".stripMargin,
     "q46_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER w AS rn,
