@@ -185,7 +185,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PII-style redaction pass: mask email-shaped tokens then digit
+    * runs (order matters — emails often contain digits), count both,
+    * and pin the exact redacted bytes via md5. ASCII character
+    * classes so Java regex and RE2 agree.
+    */
+  def redact(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digitRe = "[0-9]+"
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), emailRe, "[EMAIL]"), digitRe, "#")
+    documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(digitRe), lit(0))).cast("long")
+          .as("n_digit_runs"),
+        md5(redacted).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context chunking: fixed 50-token windows with stride 40 (10-token
+    * overlap) — the LLM-ingest segmentation op. Chunk count and exact
+    * chunk text are both pinned (md5), built from one split + an
+    * exploded chunk index + `slice`, all engine-portable.
+    */
+  def chunk(s: SparkSession, d: String, size: Int = 50, stride: Int = 40): DataFrame =
+    documents(s, d)
+      .withColumn("ws", toks)
+      .withColumn("n_chunks",
+        greatest(ceil((org.apache.spark.sql.functions.size(col("ws")) - lit(size))
+          / lit(stride.toDouble)).cast("long") + 1, lit(1L)))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        concat_ws(" ", slice(col("ws"),
+          (col("chunk_no") * stride + 1).cast("int"), lit(size)))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_no"),
+        org.apache.spark.sql.functions.size(split(col("chunk"), " "))
+          .cast("long").as("n_tokens"),
+        md5(col("chunk")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_redact"         -> redact _,
+    "q73_chunking"       -> ((s: SparkSession, d: String) => chunk(s, d)),
     "q61_normalize_text" -> normalizeText _,
     "q62_quality_filter" -> qualityFilter _,
     "q39_token_estimate" -> tokenEstimate _,
@@ -200,6 +245,34 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q72_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]+', '#', 'g')) AS redacted_fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q73_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+        |n AS (
+        |  SELECT doc_id, ws,
+        |    greatest(CAST(ceil((len(ws) - 50) / 40.0) AS BIGINT) + 1, 1) AS n_chunks
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_no FROM n),
+        |t AS (
+        |  SELECT doc_id, chunk_no,
+        |    array_to_string(ws[(chunk_no * 40 + 1):(chunk_no * 40 + 50)], ' ') AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_no,
+        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+        |  md5(chunk) AS chunk_fp
+        |FROM t
+        |ORDER BY doc_id, chunk_no""".stripMargin,
     "q61_normalize_text" ->
       """WITH n AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
