@@ -208,7 +208,23 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** Full outer join: daily click counts vs daily purchase counts —
+    * days with only one side present survive with a zero on the other
+    * (the COALESCE-merge pattern).
+    */
+  def fullOuterDaily(s: SparkSession, d: String): DataFrame = {
+    def daily(t: String) = events(s, d).filter(col("event_type") === t)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as(s"n_$t"))
+    daily("click").join(daily("purchase"), Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_full_outer"       -> fullOuterDaily _,
     "q67_funnel"           -> funnel _,
     "q68_retention"        -> retention _,
     "q63_stats_agg"        -> statsAgg _,
@@ -223,6 +239,18 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q74_full_outer" ->
+      """WITH c AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(c.day, p.day) AS day,
+        |  coalesce(n_click, 0) AS n_click,
+        |  coalesce(n_purchase, 0) AS n_purchase
+        |FROM c FULL OUTER JOIN p ON c.day = p.day
+        |ORDER BY day""".stripMargin,
     "q67_funnel" ->
       """WITH fc AS (
         |  SELECT user_id, min(epoch_us(date_trunc('microseconds', ts))) AS c0

@@ -84,7 +84,24 @@ object SqlSuite {
         |ORDER BY n.n_name, t.c_custkey""".stripMargin)
   }
 
+  /** JSON construction + parse round-trip: rows serialized with
+    * `to_json(struct(...))`, parsed back with the declared schema, and
+    * aggregated from the EXTRACTED fields — checks serializer/parser
+    * semantics without comparing raw JSON text (whose formatting is an
+    * engine detail).
+    */
+  def jsonRoundTrip(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(to_json(struct(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("p"))).as("j"))
+      .select(from_json(col("j"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, p STRING")).as("r"))
+      .groupBy(col("r.p").as("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("r.k")).as("sum_key"))
+      .orderBy(col("priority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_json_roundtrip" -> jsonRoundTrip _,
     "q66_lateral_topk" -> lateralTopK _,
     "q58_correlated" -> correlatedSubquery _,
     "q59_unpivot"    -> unpivotDaily _,
@@ -92,6 +109,18 @@ object SqlSuite {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q75_json_roundtrip" ->
+      """WITH j AS (
+        |  SELECT to_json(struct_pack(k := o_orderkey, p := o_orderpriority)) AS j
+        |  FROM orders),
+        |r AS (
+        |  SELECT TRY_CAST(json_extract_string(j, '$.k') AS BIGINT) AS k,
+        |    json_extract_string(j, '$.p') AS p
+        |  FROM j)
+        |SELECT p AS priority, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_key
+        |FROM r
+        |GROUP BY p
+        |ORDER BY priority""".stripMargin,
     "q66_lateral_topk" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal
         |FROM nation n,
