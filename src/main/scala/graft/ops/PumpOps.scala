@@ -78,10 +78,66 @@ object PumpOps {
       .orderBy(col("SessionID"))
   }
 
+  /** Log compaction, ReplacingMergeTree-style (the reference's sink
+    * family: MergeTree absorbs duplicates, Replacing keeps the latest
+    * version per key): latest event per (user, type) by (ts,
+    * event_id) — row_number over the version order, keep 1.
+    */
+  def latestWins(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("latest_event"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("latest_ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Partition-layout round-trip: write events Hive-partitioned by day
+    * (the engine's MergeTree `PARTITION BY EventDate` analog), read
+    * back with a day filter — Catalyst prunes to 3 of ~30 partition
+    * directories — and aggregate. The oracle computes the same from
+    * the source table, so layout + pruning semantics are hash-checked.
+    */
+  def partitionPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-part-rt").toString
+    events(s, d)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("day").between("2024-01-10", "2024-01-12"))
+      // partition-type inference reads day back as DATE; normalize to
+      // string (DATE-typed outputs never oracle-match — parity rules)
+      .groupBy(col("day").cast("string").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q40_pump_roundtrip" -> pumpRoundTrip _)
+    "q40_pump_roundtrip" -> pumpRoundTrip _,
+    "q76_latest_wins"    -> latestWins _,
+    "q77_partition_prune" -> partitionPrune _)
 
   val oracleSql: Map[String, String] = Map(
+    "q76_latest_wins" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id,
+        |    date_trunc('microseconds', ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS latest_event,
+        |  strftime(ts_us, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q77_partition_prune" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
     "q40_pump_roundtrip" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS EventDate,
         |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
