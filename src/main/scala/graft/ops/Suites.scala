@@ -27,6 +27,8 @@ object Suites {
     orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
         row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
         lag(col("o_orderkey"), 1).over(w).as("prev_order"),
         lead(col("o_orderkey"), 1).over(w).as("next_order"),
         ntile(4).over(w).cast("long").as("quartile"),
@@ -170,6 +172,8 @@ object Suites {
     "q46_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rk,
+        |  dense_rank() OVER w AS drk,
         |  lag(o_orderkey, 1) OVER w AS prev_order,
         |  lead(o_orderkey, 1) OVER w AS next_order,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
