@@ -81,6 +81,29 @@ object EventStreams {
         })
   }
 
+  /** Stream-stream interval join: purchases joined to clicks of the
+    * same user within the preceding hour, both sides watermarked so
+    * the join state is bounded (clicks kept ≤ 2 h + 1 h interval,
+    * purchases ≤ 2 h — Spark derives the state horizon from the
+    * watermark + the time-range condition).
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Streaming exact dedup by event_id within the watermark horizon —
     * the streaming form of the LLM-pipeline dedup stage: duplicates
     * arriving within 2 h are dropped, state is watermark-evicted.

@@ -91,6 +91,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with same-user clicks in the past hour") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.clickPurchaseJoin(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("es_ssjoin").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:30:00"), 1, "purchase", 1.0), // joins click 1
+        Ev(3, ts("2024-01-01 09:00:00"), 2, "click", 1.0),
+        Ev(4, ts("2024-01-01 10:30:00"), 2, "purchase", 1.0)) // click too old
+      q.processAllAvailable()
+      in.addData(Ev(9, ts("2024-01-01 15:00:00"), 3, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("es_ssjoin")
+        .collect().map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"),
+          r.getAs[Long]("gap_us"))).toSet
+      assert(rows == Set((2L, 1L, 1800000000L)))
+    } finally q.stop()
+  }
+
   test("streaming as-of join matches purchases to the latest prior click across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
