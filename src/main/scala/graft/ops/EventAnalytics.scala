@@ -223,7 +223,34 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** Anomaly detection: the 3 most extreme events per type by |z|
+    * against the type's global moments. Mean/std come from the exact
+    * decimal sums (order-independent); the z expression is written
+    * identically on both engines, so raw doubles stay bit-equal and
+    * only the final display value is rounded.
+    */
+  def anomalies(s: SparkSession, d: String): DataFrame = {
+    val D9 = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 9)
+    val moments = events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D9)).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(D9)).cast("double").as("s2"))
+      .select(col("event_type"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("std"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("z")).desc, col("event_id"))
+    events(s, d).join(broadcast(moments), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("event_type"), col("event_id"), round(col("z"), 3).as("z"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_anomalies"        -> anomalies _,
     "q74_full_outer"       -> fullOuterDaily _,
     "q67_funnel"           -> funnel _,
     "q68_retention"        -> retention _,
@@ -239,6 +266,28 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q78_anomalies" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,9))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,9))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |mm AS (
+        |  SELECT event_type, s1 / n AS mean,
+        |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+        |  FROM m),
+        |z AS (
+        |  SELECT e.event_type, e.event_id,
+        |    (e.value - mm.mean) / mm.std AS z
+        |  FROM events e JOIN mm ON e.event_type = mm.event_type),
+        |r AS (
+        |  SELECT event_type, event_id, z,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY abs(z) DESC, event_id) AS rn
+        |  FROM z)
+        |SELECT event_type, event_id, round(z, 3) AS z
+        |FROM r WHERE rn <= 3
+        |ORDER BY event_type, event_id""".stripMargin,
     "q74_full_outer" ->
       """WITH c AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_click
