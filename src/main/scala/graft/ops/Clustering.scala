@@ -41,13 +41,25 @@ object Clustering {
       .coalesce(1).cache()
     var labels = und.select(col("u").as("id")).distinct()
       .withColumn("lab", col("id")).coalesce(1).cache()
+    // und + the final labels cache outlive the call (the returned plan
+    // reads them) — registry-tracked so hosts can free them
+    graft.util.CacheRegistry.register(und)
+    graft.util.CacheRegistry.register(labels)
     // min-label propagation only ever DECREASES labels, so the label
     // sum is a convergence witness: one agg action per round, no
-    // old-vs-new join
-    var prevSum = labels.agg(sum(col("lab"))).first().getLong(0)
+    // old-vs-new join. sum over zero rows is NULL — the no-edges
+    // corpus short-circuits to the empty labeling.
+    val sum0 = labels.agg(sum(col("lab"))).first()
+    if (sum0.isNullAt(0)) {
+      und.unpersist(); labels.unpersist()
+      return labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+        lit(0L).as("cluster_size")).limit(0)
+    }
+    var prevSum = sum0.getLong(0)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) { // ≤ diameter rounds; dup clusters are shallow
+    val maxIter = 20
+    while (!converged && iter < maxIter) { // ≤ diameter rounds; dup clusters are shallow
       // labels/nbrMin are label maps over the (tiny) node set —
       // broadcast explicitly: post-aggregate size stats are unknown to
       // Catalyst, which would otherwise plan sort-merge shuffles
@@ -55,9 +67,10 @@ object Clustering {
         .join(broadcast(labels.select(col("id").as("v"), col("lab").as("vlab"))), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlab")).as("nmin"))
         .select(col("u").as("id"), col("nmin"))
-      val next = labels.join(broadcast(nbrMin), Seq("id"), "left")
-        .select(col("id"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
-        .cache()
+      val next = graft.util.CacheRegistry.register(
+        labels.join(broadcast(nbrMin), Seq("id"), "left")
+          .select(col("id"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+          .cache())
       val s2 = next.agg(sum(col("lab"))).first().getLong(0)
       converged = s2 == prevSum
       prevSum = s2
@@ -65,6 +78,14 @@ object Clustering {
       labels = next
       iter += 1
     }
+    // exiting via the cap means labels did NOT reach fixpoint — the
+    // output would be a wrong (partial) clustering; fail loudly rather
+    // than return silently-truncated labels (a >20-diameter cluster
+    // means the input is not a near-dup edge set; switch to
+    // large-star/small-star before raising the cap)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters: min-label propagation did not converge in $maxIter rounds")
     val wc = Window.partitionBy(col("cluster_id"))
     labels
       .select(col("id").as("doc_id"), col("lab").as("cluster_id"))

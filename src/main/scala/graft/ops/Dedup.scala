@@ -121,16 +121,18 @@ object Dedup {
     */
   private val bandsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(bandsCache)
   private def lshBands(s: SparkSession, d: String): DataFrame =
     bandsCache.computeIfAbsent((s, d), _ =>
-      signatures(documents(s, d)).select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(7)),
-          b => concat_ws("_",
-            element_at(col("sig"), b * 2 + 1),
-            element_at(col("sig"), b * 2 + 2)))))
-        .withColumnRenamed("pos", "band_no")
-        .withColumnRenamed("col", "band")
-        .cache())
+      graft.util.CacheRegistry.register(
+        signatures(documents(s, d)).select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(7)),
+            b => concat_ws("_",
+              element_at(col("sig"), b * 2 + 1),
+              element_at(col("sig"), b * 2 + 2)))))
+          .withColumnRenamed("pos", "band_no")
+          .withColumnRenamed("col", "band")
+          .cache()))
 
   /** Distinct LSH candidate pairs (band self-join). */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
@@ -152,8 +154,9 @@ object Dedup {
     */
   private val scoredCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(scoredCache)
   private[ops] def scoredPairs(s: SparkSession, d: String): DataFrame =
-    scoredCache.computeIfAbsent((s, d), _ => {
+    scoredCache.computeIfAbsent((s, d), _ => graft.util.CacheRegistry.register {
       import s.implicits._
       val texts = documents(s, d).select(col("doc_id"), col("text"))
       candidatePairs(s, d)
@@ -229,23 +232,35 @@ object Dedup {
   /** SimHash near-dup census (pair counts per Hamming distance ≤ 3
     * over the 16-bit fingerprint), aggregation-first: docs collapse to
     * the DISTINCT-fingerprint histogram (≤ 2^16 rows forever, one
-    * map-side-combined shuffle), and pair counts come from joining the
-    * histogram with itself — c·(c−1)/2 within a value, c_x·c_y across
-    * values. Work is bounded by the fingerprint space, not the corpus:
-    * the doc-pair form (even pigeonhole-banded) goes quadratic on this
-    * corpus because majority-vote fingerprints cluster heavily
-    * (measured 13 s at sf0.1 vs ~0.3 s for this plan). The oracle
-    * brute-forces all doc pairs, so equality proves the rewrite exact.
+    * map-side-combined shuffle), then each fingerprint expands to its
+    * 697 Hamming-ball masks (Σ C(16,k), k ≤ 3) and EQUALITY-joins the
+    * histogram — a broadcast hash join over ≤ 45M expanded rows, never
+    * a nested loop. Pair counts: c·(c−1) div 2 within a fingerprint
+    * (exact integer division — the product is even, and div keeps the
+    * count in the long domain where `/` would round through double),
+    * c_x·c_y across, counted once via x < x^m. Work is bounded by the
+    * fingerprint space × ball size, not the corpus: the doc-pair form
+    * (even pigeonhole-banded) goes quadratic because majority-vote
+    * fingerprints cluster heavily, and the histogram² nested-loop form
+    * is 2^32 comparisons at saturation. The oracle brute-forces all
+    * doc pairs, so equality proves the rewrite exact.
     */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
-    val counts = simhash(s, d).groupBy(col("simhash"))
-      .agg(count(lit(1)).as("c")).cache() // ≤ 65536 rows
-    counts.as("x").join(counts.as("y"), col("x.simhash") <= col("y.simhash"))
-      .select(expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hd"),
-        when(col("x.simhash") === col("y.simhash"),
-          col("x.c") * (col("x.c") - 1) / 2)
-          .otherwise(col("x.c") * col("y.c")).cast("long").as("np"))
-      .filter(col("hd") <= 3)
+    val counts = graft.util.CacheRegistry.register(
+      simhash(s, d).groupBy(col("simhash"))
+        .agg(count(lit(1)).as("c")).cache()) // ≤ 65536 rows
+    val ballMasks = (0 until 1 << 16).filter(Integer.bitCount(_) <= 3).map(_.toLong)
+    counts
+      .select(col("simhash"), col("c"), explode(typedLit(ballMasks)).as("m"))
+      .select(col("simhash"), col("c"),
+        col("simhash").bitwiseXOR(col("m")).as("nbr"),
+        expr("cast(bit_count(m) as bigint)").as("hd"))
+      .filter(col("hd") === 0 || col("simhash") < col("nbr"))
+      .join(broadcast(counts.select(col("simhash").as("nbr"), col("c").as("cy"))),
+        Seq("nbr"))
+      .select(col("hd"),
+        when(col("hd") === 0, expr("c * (c - 1) div 2"))
+          .otherwise(col("c") * col("cy")).cast("long").as("np"))
       .groupBy(col("hd")).agg(sum(col("np")).as("n_pairs"))
       .orderBy(col("hd"))
   }

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataTypes
@@ -25,10 +23,15 @@ object Formats {
     * you don't pay twice at scale), union with a format tag, aggregate.
     */
   def sinkRoundTrip(s: SparkSession, d: String): DataFrame = {
+    // coalesce: the slice is ~5% of lineitem — 4 output files per
+    // format instead of 32 near-empty ones (per-file open/close and
+    // read-side listing dominate at this size; at real scale the
+    // coalesce factor follows target file size, not partition count)
     val src = lineitem(s, d)
       .filter(col("l_orderkey") % 20 === 0)
       .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
-    val dir = Files.createTempDirectory("graft-sink-rt").toString
+      .coalesce(4)
+    val dir = graft.util.TmpDirs.scratch("sink-rt")
     val readBack = Seq("csv", "json", "orc").map { f =>
       val p = s"$dir/$f"
       f match {

@@ -55,7 +55,7 @@ object PumpOps {
       .groupBy(col("fname"))
       .agg(concat_ws("\n", collect_list(col("record"))).as("content"))
       .collect() // one row per hour-file (~720 at any sf) — driver-side fixture write
-    val dir = Files.createTempDirectory("graft-pump-rt")
+    val dir = java.nio.file.Paths.get(graft.util.TmpDirs.scratch("pump-rt"))
     perFile.foreach { r =>
       Files.writeString(dir.resolve(r.getString(0)), r.getString(1) + "\n")
     }
@@ -102,9 +102,14 @@ object PumpOps {
     * the source table, so layout + pruning semantics are hash-checked.
     */
   def partitionPrune(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft-part-rt").toString
+    val dir = graft.util.TmpDirs.scratch("part-rt")
     events(s, d)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      // cluster by the partition column before a partitioned write:
+      // without it every task writes a sliver of every day (~32 files
+      // × 30 dirs of tiny parquet — the classic small-files failure at
+      // scale); with it each day lands in ~1 well-sized file
+      .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
     s.read.parquet(dir)
       .filter(col("day").between("2024-01-10", "2024-01-12"))

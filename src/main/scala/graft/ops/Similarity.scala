@@ -114,6 +114,7 @@ object Similarity {
         }
       }
     }.toDF("vec_id", "bucket").cache()
+    graft.util.CacheRegistry.register(bucketed)
     val q = bucketed
       .select(col("vec_id").as("query_id"), col("bucket"))
       .filter(col("query_id") < 10)

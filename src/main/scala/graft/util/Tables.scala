@@ -16,6 +16,7 @@ object Tables {
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  CacheRegistry.registerMemo(cache)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),

@@ -1,0 +1,33 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Scratch directories for the sink/round-trip operators. A fixed
+  * per-name path (recreated empty on every call) instead of
+  * `Files.createTempDirectory` per invocation: repeated warm-up +
+  * timed bench runs overwrite one directory rather than leaking a new
+  * CSV/JSON/ORC/parquet copy each run, and a JVM shutdown hook removes
+  * the whole scratch root.
+  */
+object TmpDirs {
+  private lazy val root: Path = {
+    val p = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-scratch")
+    Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+    p
+  }
+
+  /** A fresh empty directory at a stable per-name path. */
+  def scratch(name: String): String = {
+    val p = root.resolve(name)
+    deleteRecursively(p)
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => try Files.delete(f) catch { case _: Throwable => () })
+}

@@ -45,6 +45,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val unfolded = df.selectExpr("cosine_similarity(v, v) AS c")
       assert(unfolded.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
       s.conf.set("spark.graft.foldSelfCosine", "true")
+      // NULL-faithful fold: a NULLABLE vector folds to
+      // If(IsNull(v), NULL, 1.0) — the kernel is still eliminated but
+      // NULL inputs stay NULL (CosineSimilarity is null-intolerant)
+      val dfn = s.range(2).selectExpr("id",
+        "CASE WHEN id = 0 THEN array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) END AS v")
+      val selfN = dfn.selectExpr("id", "cosine_similarity(v, v) AS c").orderBy("id")
+      assert(!selfN.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
+      val nrows = selfN.collect()
+      assert(nrows(0).getDouble(1) == 1.0)
+      assert(nrows(1).isNullAt(1))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
