@@ -1,0 +1,278 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+import graft.util.Tables._
+
+/** Round-3 breadth: map-typed columns, array-of-struct reshaping,
+  * FILTER-style conditional aggregation, stratified deterministic
+  * sampling, a TPC-H Q8-style market-share join tree, DataSketches
+  * approximate distinct (HLL + Theta), VARIANT semi-structured
+  * access, and an XML construct/parse round-trip.
+  *
+  * Scale shape: everything here is groupBy/join-shaped (hash
+  * shuffles on grouping/join keys, map-side partial aggregation);
+  * the market-share tree joins facts once and broadcasts every
+  * dimension; the sketch aggregates are algebraic (mergeable
+  * buffers — the shuffle carries one sketch per group × partition,
+  * the pattern that survives any corpus size).
+  */
+object Breadth {
+
+  private val Dec = DataTypes.createDecimalType(28, 6)
+
+  /** Map-function suite over orders: build a status→count map per
+    * priority (map_from_entries over a sorted entry list), size it,
+    * map_filter to even counts, transform_values to double them,
+    * explode back to rows — the full construct/transform/consume
+    * cycle of a map-typed column, flattened so the oracle can check
+    * it relationally.
+    */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("o_orderstatus"), col("n"))))).as("m"))
+      .select(col("o_orderpriority"),
+        size(col("m")).cast("long").as("n_statuses"),
+        explode(transform_values(
+          map_filter(col("m"), (_, v) => v % 2 === 0), (_, v) => v * 2)))
+      .withColumnRenamed("key", "o_orderstatus")
+      .withColumnRenamed("value", "n2")
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  /** Array-of-struct reshaping: top-3 orders per market segment kept
+    * as a sorted struct array (collect_list → array_sort → reverse →
+    * slice), then posexplode'd back to ranked rows. The window-prune
+    * alternative is q66; this exercises the array-of-struct algebra
+    * itself (sort order = struct field order, price desc then key
+    * desc via reverse).
+    */
+  def structTopN(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(slice(reverse(array_sort(collect_list(
+        struct(col("o_totalprice"), col("o_orderkey"))))), 1, 3).as("top3"))
+      .select(col("c_mktsegment"), posexplode(col("top3")))
+      .select(col("c_mktsegment"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.o_orderkey").as("o_orderkey"),
+        col("col.o_totalprice").as("price"))
+      .orderBy(col("c_mktsegment"), col("rank"))
+
+  /** Conditional aggregation (SQL FILTER clause family): count_if,
+    * filtered sums in exact decimal, bool_or/bool_and — one pass,
+    * map-side combinable.
+    */
+  def condAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("count_if(l_quantity > 25)").as("n_big"),
+        round(sum(when(col("l_discount") > 0.05,
+          col("l_quantity").cast(Dec))), 2).cast("double").as("disc_qty"),
+        bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+        bool_and(col("l_quantity") >= 1).as("all_positive"))
+      .orderBy(col("l_returnflag"))
+
+  /** Stratified deterministic sampling: per-stratum keep rates
+    * (A 10%, N 20%, R 50%) over an md5-hash bucket of the stable row
+    * key — `sampleBy` semantics without rand(): re-runs, late data
+    * and the DuckDB oracle all agree on membership (proven by the
+    * exact decimal sum, not just counts).
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10).cast("long"),
+      lit(100))
+    val rate = when(col("l_returnflag") === "A", 10)
+      .when(col("l_returnflag") === "N", 20).otherwise(50)
+    lineitem(s, d)
+      .filter(bucket < rate)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(Dec)), 2).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q8-style market share: for ASIA customers, the fraction of
+    * yearly revenue supplied from within ASIA. One fact scan, five
+    * broadcast dimension joins (orders is the only co-shuffled side),
+    * conditional decimal revenue, double division only at the end.
+    */
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val rev = (col("l_extendedprice").cast(Dec) *
+      (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+    val custAsia = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppRegion = supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name").as("supp_region"))
+    li.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppRegion), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(rev), 2).cast("double").as("total_rev"),
+        round(
+          sum(when(col("supp_region") === "ASIA", rev).otherwise(lit(0).cast(Dec)))
+            .cast("double") / sum(rev).cast("double"), 6).as("asia_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** DataSketches approximate distinct users per event type: HLL and
+    * Theta sketch estimates side by side with the exact count.
+    * Algebraic/mergeable aggregates (one sketch per group × partition
+    * crosses the shuffle) — the 100 TB path where exact distinct
+    * means shuffling every key. Approximate by design → no SQL
+    * oracle (rows-only gate); BreadthSpec pins the error vs exact.
+    */
+  def sketchDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"),
+        round(theta_sketch_estimate(theta_sketch_agg(col("user_id"))), 0)
+          .cast("long").as("theta_users"))
+      .orderBy(col("event_type"))
+
+  /** Semi-structured access through the VARIANT type (binary
+    * semi-structured encoding, typed path extraction) — the Spark-4
+    * answer to schemaless JSON columns at scale: parse once, then
+    * typed variant_get per path, no per-query string re-parsing.
+    */
+  def variantProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** XML construct → parse round-trip (to_xml/from_xml with an
+    * explicit schema — inference is a scan you don't pay at scale),
+    * aggregated over the parsed fields so the oracle checks the
+    * whole serialize/deserialize path from the source table.
+    */
+  def xmlRoundTrip(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(to_xml(struct(col("o_orderkey"), col("o_orderstatus"))).as("x"))
+      .select(from_xml(col("x"),
+        lit("o_orderkey BIGINT, o_orderstatus STRING")).as("r"))
+      .groupBy(col("r.o_orderstatus").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("r.o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_map_funcs"         -> mapFuncs _,
+    "q80_struct_topn"       -> structTopN _,
+    "q81_cond_agg"          -> condAgg _,
+    "q82_stratified_sample" -> stratifiedSample _,
+    "q83_market_share"      -> marketShare _,
+    "q84_sketch_distinct"   -> sketchDistinct _,
+    "q85_variant_props"     -> variantProps _,
+    "q86_xml_roundtrip"     -> xmlRoundTrip _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q79_map_funcs" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT o_orderpriority, count(*) AS n_statuses FROM c GROUP BY 1)
+        |SELECT c.o_orderpriority, s.n_statuses, c.o_orderstatus, c.n * 2 AS n2
+        |FROM c JOIN s USING (o_orderpriority)
+        |WHERE c.n % 2 = 0
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q80_struct_topn" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, rank, o_orderkey, o_totalprice AS price
+        |FROM r WHERE rank <= 3
+        |ORDER BY c_mktsegment, rank""".stripMargin,
+    "q81_cond_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_quantity > 25) AS n_big,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6)))
+        |    FILTER (l_discount > 0.05), 2) AS DOUBLE) AS disc_qty,
+        |  bool_or(l_tax > 0.07) AS any_high_tax,
+        |  bool_and(l_quantity >= 1) AS all_positive
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q82_stratified_sample" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+        |      || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+        |    CASE l_returnflag WHEN 'A' THEN 10 WHEN 'N' THEN 20 ELSE 50 END AS rate
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM t WHERE bucket < rate
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q83_market_share" ->
+      """WITH cust_asia AS (
+        |  SELECT c_custkey
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |supp AS (
+        |  SELECT s_suppkey, r_name AS supp_region
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |f AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(28,6))
+        |      * (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6))) AS rev,
+        |    supp_region
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supp ON l_suppkey = s_suppkey
+        |  WHERE o_custkey IN (SELECT c_custkey FROM cust_asia))
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(round(sum(rev), 2) AS DOUBLE) AS total_rev,
+        |  round(CAST(sum(CASE WHEN supp_region = 'ASIA' THEN rev
+        |                      ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |        / CAST(sum(rev) AS DOUBLE), 6) AS asia_share
+        |FROM f
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q85_variant_props" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q86_xml_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+  )
+}
