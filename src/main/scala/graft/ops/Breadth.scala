@@ -177,7 +177,26 @@ object Breadth {
       .agg(count(lit(1)).as("n"), sum(col("r.o_orderkey")).as("sum_key"))
       .orderBy(col("o_orderstatus"))
 
+  /** Top-5 lineitems per (returnflag, linestatus) through the custom
+    * TopKPerGroup physical operator (graft.plans — logical node +
+    * strategy + two-phase bounded-heap exec): map-side pruning to
+    * ≤ k rows per group per partition BEFORE the exchange, where the
+    * window row_number form shuffles and sorts the whole corpus. The
+    * order column list is a total order, so the oracle (row_number
+    * form in DuckDB) pins exactness.
+    */
+  def topKExec(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerGroup.topK(
+      lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq("l_extendedprice", "l_orderkey", "l_linenumber"), 5)
+      .orderBy(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice").desc, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_topk_exec"         -> topKExec _,
     "q79_map_funcs"         -> mapFuncs _,
     "q80_struct_topn"       -> structTopN _,
     "q81_cond_agg"          -> condAgg _,
@@ -189,6 +208,19 @@ object Breadth {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q87_topk_exec" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+        |    l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY l_extendedprice DESC, l_orderkey DESC,
+        |               l_linenumber DESC) AS rn
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+        |  l_extendedprice
+        |FROM r WHERE rn <= 5
+        |ORDER BY l_returnflag, l_linestatus, l_extendedprice DESC,
+        |  l_orderkey DESC, l_linenumber DESC""".stripMargin,
     "q79_map_funcs" ->
       """WITH c AS (
         |  SELECT o_orderpriority, o_orderstatus, count(*) AS n

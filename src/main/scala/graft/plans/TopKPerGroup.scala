@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftext.ColumnBridge
+
+/** Whole-operator extension tier (SURVEY.md §2.2 ladder (c)): a
+  * custom LogicalPlan + SparkStrategy + SparkPlan for top-k-per-group,
+  * registered through SparkSessionExtensions.
+  *
+  * Why a physical operator: the declarative forms — window
+  * `row_number() ≤ k` (q46/q80) or LATERAL LIMIT (q66) — shuffle and
+  * sort EVERY row of every group. This operator plans two phases like
+  * partial aggregation: a map-side pass prunes each partition to ≤ k
+  * rows per group with a bounded heap (O(n log k), no sort), so the
+  * shuffle carries at most k·groups·partitions rows instead of the
+  * corpus; the reduce-side pass (EnsureRequirements inserts the
+  * exchange to satisfy its ClusteredDistribution) merges to the exact
+  * global top-k. At 100 TB with k=5 the shuffle shrinks by ~n/(5·g) —
+  * the difference between a re-shuffle of the dataset and a metadata-
+  * sized exchange.
+  */
+case class TopKPerGroup(
+    groupCols: Seq[Attribute],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(groupCols.nonEmpty && k > 0)
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as partial → (exchange) → final. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded-heap top-k per group. `partial=true` runs map-side on
+  * whatever distribution the child has (a superset of the answer);
+  * `partial=false` demands clustering on the group key and is exact.
+  */
+case class TopKPerGroupExec(
+    groupCols: Seq[Attribute],
+    ordering: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupCols) :: Nil
+
+  protected override def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { iter =>
+      val toUnsafe = UnsafeProjection.create(output, output)
+      val groupProj = UnsafeProjection.create(groupCols, output)
+      // ord.compare(a, b) < 0 ⇔ a sorts before b (a is "better")
+      val ord = GenerateOrdering.generate(ordering, output)
+      // min-heap on "badness": head = worst row currently kept
+      val heapCmp = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      while (iter.hasNext) {
+        val row = toUnsafe(iter.next())
+        val key = groupProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](k + 1, heapCmp)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < k) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** User-facing constructor (names → resolved attributes against the
+  * frame's analyzed plan; all order columns descending — pass enough
+  * of them for a total order, ties at the k boundary are otherwise
+  * planner-dependent).
+  */
+object TopKPerGroup {
+  def topK(df: DataFrame, groupCols: Seq[String], orderDescCols: Seq[String],
+      k: Int): DataFrame = {
+    // the strategy ships via GraftExtensions; for sessions built
+    // without extensions, the public experimental hook registers it
+    val exp = df.sparkSession.experimental
+    if (!exp.extraStrategies.contains(TopKStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    val analyzed = df.queryExecution.analyzed
+    def resolve(n: String): Attribute = analyzed.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${analyzed.output.map(_.name).mkString(",")}"))
+    ColumnBridge.ofRows(df.sparkSession,
+      TopKPerGroup(groupCols.map(resolve),
+        orderDescCols.map(c => SortOrder(resolve(c),
+          org.apache.spark.sql.catalyst.expressions.Descending)),
+        k, analyzed))
+  }
+}

@@ -1,15 +1,20 @@
 package org.apache.spark.sql.graftext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge. Spark 4 made these conversions
-  * `private[sql]` (columnNodeSupport.scala), so third-party Catalyst
-  * expressions need a shim inside the org.apache.spark.sql package —
-  * the standard pattern for Spark-native extension libraries.
+/** Column ⇄ Expression and LogicalPlan → DataFrame bridge. Spark 4
+  * made these conversions `private[sql]` (columnNodeSupport.scala,
+  * classic.Dataset.ofRows), so third-party Catalyst extensions need a
+  * shim inside the org.apache.spark.sql package — the standard
+  * pattern for Spark-native extension libraries.
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
