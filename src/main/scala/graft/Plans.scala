@@ -21,7 +21,10 @@ object Plans {
       "q44_asof_join", "q45_range_join", "q47_moving_window",
       "q48_gap_fill", "q52_ivf_ann", "q55_skew_join",
       "q57_minhash_agg", "q58_correlated", "q63_stats_agg",
-      "q64_simhash_neardup")
+      "q64_simhash_neardup",
+      "q79_map_funcs", "q80_struct_topn", "q81_cond_agg",
+      "q83_market_share", "q84_sketch_distinct", "q85_variant_props",
+      "q87_topk_exec")
     interesting.foreach { name =>
       println(s"\n=============== $name ===============")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
