@@ -147,6 +147,26 @@ object Breadth {
           .cast("long").as("theta_users"))
       .orderBy(col("event_type"))
 
+  /** KLL quantile sketch (DataSketches) per event type: approximate
+    * p50/p90 of `value` next to the exact interpolated quantiles
+    * (q42's operator). Mergeable like the HLL/Theta aggregates — the
+    * shuffle carries one ~KB sketch per group × partition, while the
+    * exact form must sort every value. KLL compaction is randomized →
+    * approximate by design → rows-only gate; BreadthSpec pins the
+    * RANK error contract (the fraction of values below the reported
+    * quantile), which is what KLL actually guarantees.
+    */
+  def kllQuantiles(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        kll_sketch_get_quantile_double(
+          kll_sketch_agg_double(col("value")), lit(0.5)).as("kll_p50"),
+        kll_sketch_get_quantile_double(
+          kll_sketch_agg_double(col("value")), lit(0.9)).as("kll_p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** Semi-structured access through the VARIANT type (binary
     * semi-structured encoding, typed path extraction) — the Spark-4
     * answer to schemaless JSON columns at scale: parse once, then
@@ -205,6 +225,7 @@ object Breadth {
     "q84_sketch_distinct"   -> sketchDistinct _,
     "q85_variant_props"     -> variantProps _,
     "q86_xml_roundtrip"     -> xmlRoundTrip _,
+    "q88_kll_quantiles"     -> kllQuantiles _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -37,6 +37,37 @@ class BreadthSpec extends AnyFunSuite {
     assert(merged == whole, s"union-of-parts $merged != whole $whole")
   }
 
+  test("KLL quantile sketch honors its rank-error contract") {
+    val s = TestSpark.spark
+    val rows = ops.Breadth.kllQuantiles(s, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.util.Tables.events(s, sf)
+      .select(col("event_type"), col("value")).cache()
+    try rows.foreach { r =>
+      val t = r.getString(0)
+      val n = r.getAs[Long]("n").toDouble
+      Seq("kll_p50" -> 0.5, "kll_p90" -> 0.9).foreach { case (c, q) =>
+        val below = ev.filter(col("event_type") === t &&
+          col("value") <= r.getAs[Double](c)).count().toDouble
+        // default k=200 → normalized rank error ≈ 1.65%; allow 5%
+        assert(math.abs(below / n - q) <= 0.05, s"$t $c rank ${below / n} vs $q")
+      }
+    } finally ev.unpersist()
+  }
+
+  test("Observation API reports pipeline metrics without a second scan") {
+    val s = TestSpark.spark
+    val obs = new org.apache.spark.sql.Observation("li-metrics")
+    val out = graft.util.Tables.table(s, sf, "lineitem")
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        sum(col("l_quantity")).as("qty_seen"))
+      .filter(col("l_quantity") > 25)
+      .count()
+    val m = obs.get
+    assert(m("rows_seen").asInstanceOf[Long] > out)
+    assert(m("qty_seen").asInstanceOf[Double] > 0)
+  }
+
   test("AQE runtime bloom filter injects might_contain into a selective shuffle join") {
     // isolated SQLConf (shared SparkContext): bloom-filter runtime
     // filters only apply to shuffle joins, so broadcast is disabled
