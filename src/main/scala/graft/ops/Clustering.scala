@@ -28,9 +28,21 @@ object Clustering {
   /** Connected components over the verified near-dup pairs (LSH
     * candidates at Jaccard ≥ 0.5, same edges as q28): every document
     * in a duplicate cluster is labeled with the cluster's minimum
-    * doc_id. Min-label propagation to fixpoint, checked per round.
+    * doc_id.
+    *
+    * Two paths by edge count: the near-dup edge set is a vanishing
+    * fraction of the corpus, so when it fits one task (≤ maxLocalEdges)
+    * a single-partition union-find labels everything in ONE job; the
+    * distributed fallback is min-label propagation to fixpoint
+    * (O(diameter) keyed-join rounds — and past memory, the
+    * large-star/small-star alternation). ClusteringSpec proves both
+    * paths produce identical labelings.
     */
-  def dupClusters(s: SparkSession, d: String): DataFrame = {
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    dupClustersImpl(s, d, maxLocalNodes = 5000000L)
+
+  private[graft] def dupClustersImpl(s: SparkSession, d: String,
+      maxLocalNodes: Long): DataFrame = {
     val edges = Dedup.scoredPairs(s, d)
       .filter(col("jac") >= 0.5).select(col("a"), col("b"))
     // the dup-pair edge set is a vanishing fraction of the corpus —
@@ -49,11 +61,15 @@ object Clustering {
     // sum is a convergence witness: one agg action per round, no
     // old-vs-new join. sum over zero rows is NULL — the no-edges
     // corpus short-circuits to the empty labeling.
-    val sum0 = labels.agg(sum(col("lab"))).first()
+    val sum0 = labels.agg(sum(col("lab")), count(lit(1))).first()
     if (sum0.isNullAt(0)) {
       und.unpersist(); labels.unpersist()
       return labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
         lit(0L).as("cluster_size")).limit(0)
+    }
+    if (sum0.getLong(1) <= maxLocalNodes) {
+      labels.unpersist()
+      return localUnionFind(s, und)
     }
     var prevSum = sum0.getLong(0)
     var converged = false
@@ -89,6 +105,40 @@ object Clustering {
     val wc = Window.partitionBy(col("cluster_id"))
     labels
       .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Single-task union-find over the ONE-partition undirected edge
+    * list: one job, no iteration. Unions are directed toward the
+    * smaller id (with path compression), so every root is its
+    * component's minimum — the same labeling the propagation fixpoint
+    * reaches.
+    */
+  private def localUnionFind(s: SparkSession, und: DataFrame): DataFrame = {
+    import s.implicits._
+    val labeled = und.coalesce(1)
+      .select(col("u"), col("v")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (u, v) =>
+          parent.getOrElseUpdate(u, u)
+          parent.getOrElseUpdate(v, v)
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+        val ks = parent.keys.toArray // snapshot: find() mutates parent
+        ks.iterator.map(k => (k, find(k)))
+      }.toDF("doc_id", "cluster_id")
+    val wc = Window.partitionBy(col("cluster_id"))
+    labeled
       .withColumn("cluster_size", count(lit(1)).over(wc))
       .orderBy(col("doc_id"))
   }

@@ -72,6 +72,14 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters: single-task union-find equals distributed min-label propagation") {
+    val fast = graft.ops.Clustering.dupClusters(spark, sf).collect().toSeq
+    val propagated = graft.ops.Clustering
+      .dupClustersImpl(spark, sf, maxLocalNodes = 0).collect().toSeq
+    assert(fast == propagated)
+    assert(fast.nonEmpty)
+  }
+
   test("salted aggregation equals the direct groupBy (skew-safe path)") {
     import org.apache.spark.sql.functions._
     val li = graft.util.Tables.lineitem(spark, sf)
