@@ -19,7 +19,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
       val deadline = System.nanoTime() + 180L * 1000000000L // bounded warm-up
-      SparkEntry.queries.iterator
+      SparkEntry.queries.toSeq.sortBy(_._1).iterator
         .takeWhile(_ => System.nanoTime() < deadline)
         .foreach { case (_, fn) =>
           try fn(spark, warmDir).count() catch { case _: Throwable => }
@@ -34,14 +34,17 @@ object Bench {
     // shared cost to whichever runs first — read the total, or
     // BenchOne a query in isolation, before comparing per-query times.
     graft.util.CacheRegistry.clear()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // name-sorted: hash-map iteration order would reshuffle which query
+    // pays shared first-touch costs each time the query set changes,
+    // making per-query numbers incomparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     graft.util.CacheRegistry.clear()
     spark.stop()
