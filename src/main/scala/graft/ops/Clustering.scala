@@ -152,13 +152,17 @@ object Clustering {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cent_id"))
+    // corpus-wide cell assignment is an ARGMAX aggregation, not a
+    // window: row_number would sort every (vector × centroid) pair and
+    // shuffle them all; max_by reduces map-side (the broadcast
+    // crossJoin preserves e's partitioning, so each vector's pairs
+    // collapse to one row before the exchange). Tie rule = smallest
+    // cent_id, encoded as max of (cos, -cent_id).
     val assign = e.crossJoin(broadcast(cents))
       .withColumn("cos", cosine(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("cos"), (-col("cent_id")).as("neg_id"))).as("cell"))
     val qs = e.filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val wProbe = Window.partitionBy(col("query_id"))
