@@ -106,23 +106,25 @@ object TextAnalysis {
     * join + window composition of a real feature pipeline.
     */
   def tfidfTopTerm(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val words = documents(s, d).select(col("doc_id"), explode(toks).as("word"))
     // ONE shuffle of the exploded corpus: tf's keys are exactly the
     // distinct (doc, word) pairs, so df rolls up from tf instead of a
     // second corpus-wide distinct(); the cache stops the explode+agg
     // from re-running for the df branch.
-    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val tf = graft.util.CacheRegistry.register(
+      words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")).cache())
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = documents(s, d).count() // tiny scalar, computed once
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("word"))
+    // per-doc top term is an ARGMAX aggregation (min of (-tfidf, word)
+    // = highest tfidf, ties to the smallest word), not a window —
+    // row_number would sort and shuffle every (doc, word) score
     tf.join(broadcast(df), Seq("word")) // df = distinct vocab: tiny forever
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("word").as("top_term"),
-        round(col("tfidf"), 4).as("tfidf"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("word"), col("tfidf")),
+        struct((-col("tfidf")).as("neg"), col("word"))).as("m"))
+      .select(col("doc_id"), col("m.word").as("top_term"),
+        round(col("m.tfidf"), 4).as("tfidf"))
       .orderBy(col("doc_id"))
   }
 
