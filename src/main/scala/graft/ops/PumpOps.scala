@@ -81,19 +81,21 @@ object PumpOps {
   /** Log compaction, ReplacingMergeTree-style (the reference's sink
     * family: MergeTree absorbs duplicates, Replacing keeps the latest
     * version per key): latest event per (user, type) by (ts,
-    * event_id) — row_number over the version order, keep 1.
+    * event_id). An ARGMAX aggregation, not a window — max_by reduces
+    * map-side so the shuffle carries one row per key (which is also
+    * how Replacing merges actually work: per-part reduction, then
+    * merge of winners), where row_number would sort and shuffle every
+    * version.
     */
-  def latestWins(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  def latestWins(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type"), col("event_id").as("latest_event"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("latest_ts"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(struct(col("event_id"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.event_id").as("latest_event"),
+        date_format(col("m.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("latest_ts"))
       .orderBy(col("user_id"), col("event_type"))
-  }
 
   /** Partition-layout round-trip: write events Hive-partitioned by day
     * (the engine's MergeTree `PARTITION BY EventDate` analog), read
