@@ -49,17 +49,40 @@ object PumpOps {
       record.as("record"))
   }
 
-  /** Render → write .log fixture files → pump → comparable projection. */
-  def pumpRoundTrip(s: SparkSession, d: String): DataFrame = {
+  /** Render the events table as .log fixture files on disk. */
+  private def writeFixtures(s: SparkSession, d: String, scratch: String): String = {
     val perFile = rendered(s, d)
       .groupBy(col("fname"))
       .agg(concat_ws("\n", collect_list(col("record"))).as("content"))
       .collect() // one row per hour-file (~720 at any sf) — driver-side fixture write
-    val dir = java.nio.file.Paths.get(graft.util.TmpDirs.scratch("pump-rt"))
+    val dir = java.nio.file.Paths.get(graft.util.TmpDirs.scratch(scratch))
     perFile.foreach { r =>
       Files.writeString(dir.resolve(r.getString(0)), r.getString(1) + "\n")
     }
-    LogPump.pumpBatch(s, Seq(dir.toString))
+    dir.toString
+  }
+
+  /** Render → write .log fixture files → pump → comparable projection. */
+  def pumpRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val dir = writeFixtures(s, d, "pump-rt")
+    comparableProjection(LogPump.pumpBatch(s, Seq(dir)))
+  }
+
+  /** The same round trip through the DataSource V2 connector
+    * (graft.sources.TechLogSource): `format("techlog")` replaces the
+    * wholetext+flatMap assembly, then the identical 23→16 transform —
+    * so the connector's record assembly, parsing, pruned-column
+    * projection and per-file partitioning are all hash-checked against
+    * the same oracle as q40.
+    */
+  def dsv2RoundTrip(s: SparkSession, d: String): DataFrame = {
+    val dir = writeFixtures(s, d, "pump-rt-v2")
+    comparableProjection(
+      graft.etl.Transform(s.read.format("techlog").load(dir)))
+  }
+
+  private def comparableProjection(pumped: DataFrame): DataFrame =
+    pumped
       .select(
         date_format(col("EventDate"), "yyyy-MM-dd").as("EventDate"),
         date_format(col("EventTime"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("EventTime"),
@@ -76,7 +99,6 @@ object PumpOps {
         col("Context"),
         col("ProcessName"))
       .orderBy(col("SessionID"))
-  }
 
   /** Log compaction, ReplacingMergeTree-style (the reference's sink
     * family: MergeTree absorbs duplicates, Replacing keeps the latest
@@ -124,6 +146,7 @@ object PumpOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pump_roundtrip" -> pumpRoundTrip _,
+    "q91_dsv2_roundtrip" -> dsv2RoundTrip _,
     "q76_latest_wins"    -> latestWins _,
     "q77_partition_prune" -> partitionPrune _)
 
@@ -145,7 +168,13 @@ object PumpOps {
         |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
         |GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
-    "q40_pump_roundtrip" ->
+    "q91_dsv2_roundtrip" -> PumpOracle,
+    "q40_pump_roundtrip" -> PumpOracle)
+
+  /** Shared oracle: q40 (wholetext assembly) and q91 (DSv2 connector)
+    * must both reproduce this projection of `events` exactly.
+    */
+  private lazy val PumpOracle =
       """SELECT strftime(ts, '%Y-%m-%d') AS EventDate,
         |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
         |    || '.' || lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0') AS EventTime,
@@ -163,6 +192,7 @@ object PumpOps {
         |       THEN 'ctx line1' || chr(10) || 'ctx ' || CAST(event_id AS VARCHAR)
         |       ELSE 'ctx ' || CAST(event_id AS VARCHAR) END AS "Context",
         |  'proc' || CAST(user_id % 5 AS VARCHAR) AS ProcessName
+
         |FROM events
-        |ORDER BY SessionID""".stripMargin)
+        |ORDER BY SessionID""".stripMargin
 }

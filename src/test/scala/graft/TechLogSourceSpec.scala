@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TechLogSourceSpec extends AnyFunSuite {
+
+  private lazy val dir: String = {
+    val d = graft.util.TmpDirs.scratch("techlog-src")
+    Files.writeString(Paths.get(d, "25052607.log"),
+      "00:03.310025-1327862,DBMSSQL,3,process=rphost,p:processName=srv," +
+        "Usr=alice,Sql='SELECT 1 FROM t',Context='line one\nline two'\n" +
+        "00:04.000001-5,CONN,2,process=rphost,Usr=bob\n")
+    Files.writeString(Paths.get(d, "25052608.log"),
+      "00:05.100000-77,EXCP,1,process=rphost,Usr=carol\n")
+    d
+  }
+
+  test("techlog DSv2 source equals the RecordAssembler batch pipeline") {
+    val s = TestSpark.spark
+    val viaSource = s.read.format("techlog").load(dir)
+    val viaAssembler = graft.pipeline.LogPump
+      .parseRecords(graft.ingest.RecordAssembler.readBatch(s, Seq(dir)))
+      .toDF()
+    assert(viaSource.schema == viaAssembler.schema)
+    val a = viaSource.drop("InsertedAt").orderBy("LogTimestamp").collect().toSeq
+    val b = viaAssembler.drop("InsertedAt").orderBy("LogTimestamp").collect().toSeq
+    assert(a == b)
+    assert(a.size == 3)
+  }
+
+  test("one input partition per rotated file") {
+    val s = TestSpark.spark
+    val df = s.read.format("techlog").load(dir)
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("column pruning pushes into the scan") {
+    val s = TestSpark.spark
+    val pruned = s.read.format("techlog").load(dir)
+      .select(col("Component"), col("User"))
+    // V2 pruning: the BatchScan's bracketed output list is exactly the
+    // selected columns (no other LogEntry field leaves the reader)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert("BatchScan techlog[^\\[]*\\[Component#\\d+, User#\\d+\\]".r
+      .findFirstIn(scan).isDefined, scan)
+    assert(pruned.orderBy("Component").collect().map(_.getString(0)).toSeq ==
+      Seq("CONN", "DBMSSQL", "EXCP"))
+  }
+
+  test("multi-line Context survives the source intact") {
+    val s = TestSpark.spark
+    val ctx = s.read.format("techlog").load(dir)
+      .filter(col("Component") === "DBMSSQL")
+      .select(col("Context")).collect()(0).getString(0)
+    assert(ctx == "line one\nline two")
+  }
+}
