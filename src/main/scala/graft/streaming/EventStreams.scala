@@ -1,8 +1,33 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Output row of EventStreams.runningTotals. */
+final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+/** Spark-4 `transformWithState` processor (the successor of
+  * flatMapGroupsWithState: typed composable state, TTL, timers): one
+  * ValueState[(count, sum)] per user, updated per batch, emitting the
+  * new running totals for users seen in the batch. State lives in the
+  * RocksDB state store — at scale that is what makes billions of keys
+  * feasible (off-heap, spillable, changelog-checkpointed).
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Double), UserTotals] {
+  @transient private var totals: ValueState[(Long, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      Encoders.product[(Long, Double)], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timers: TimerValues): Iterator[UserTotals] = {
+    var (n, tot) = if (totals.exists()) totals.get() else (0L, 0.0)
+    rows.foreach { case (_, v) => n += 1; tot += v }
+    totals.update((n, tot))
+    Iterator.single(UserTotals(key, n, tot))
+  }
+}
 
 /** Streaming variants of the events analytics (SURVEY.md §2.2): the
   * SAME expressions as graft.ops.EventAnalytics batch forms, applied to
@@ -112,4 +137,21 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running (count, value-sum) through transformWithState —
+    * update-mode emission per batch. Requires the RocksDB state store
+    * provider (transformWithState's backing store), set here on the
+    * source's session.
+    */
+  def runningTotals(events: DataFrame): Dataset[UserTotals] = {
+    val s = events.sparkSession
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -46,6 +46,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates per-user totals across batches (RocksDB store)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val in = MemoryStream[Ev]
+    val q = EventStreams.runningTotals(in.toDF())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("es_tws").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 2.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 1, "click", 3.0),
+        Ev(3, ts("2024-01-01 10:02:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(4, ts("2024-01-01 11:00:00"), 1, "click", 5.0))
+      q.processAllAvailable()
+      // latest update per user wins: user 1 saw 3 events totaling 10.0,
+      // the ValueState carried (2, 5.0) across the batch boundary
+      val latest = spark.table("es_tws")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events"), col("m.total_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(latest == Set((1L, 3L, 10.0), (2L, 1L, 1.0)))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark drops replays of the same event_id") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
