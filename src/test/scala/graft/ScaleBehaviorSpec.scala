@@ -48,6 +48,20 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     assert(merged.filter(col("v2").isNull).count() == 1)
   }
 
+  test("SQL DDL/DML surface: CREATE TABLE / INSERT INTO / INSERT OVERWRITE round-trip") {
+    val s = TestSpark.spark
+    s.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    s.sql("CREATE TABLE graft_ddl_t (id BIGINT, name STRING) USING parquet")
+    try {
+      s.sql("INSERT INTO graft_ddl_t VALUES (1, 'a'), (2, 'b')")
+      s.sql("INSERT INTO graft_ddl_t SELECT id + 10, 'x' FROM graft_ddl_t")
+      assert(s.sql("SELECT count(*) FROM graft_ddl_t").collect()(0).getLong(0) == 4)
+      s.sql("INSERT OVERWRITE graft_ddl_t VALUES (9, 'z')")
+      val rows = s.sql("SELECT id, name FROM graft_ddl_t").collect()
+      assert(rows.length == 1 && rows(0).getLong(0) == 9)
+    } finally s.sql("DROP TABLE IF EXISTS graft_ddl_t")
+  }
+
   test("malformed JSON records: PERMISSIVE captures, DROPMALFORMED filters, FAILFAST throws") {
     val s = TestSpark.spark
     import s.implicits._
