@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -71,7 +72,7 @@ final class TechLogTable(conf: Map[String, String]) extends Table with SupportsR
   override def name(): String = s"techlog(${conf.getOrElse("path", "?")})"
   override def schema(): StructType = TechLogSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TechLogScanBuilder(conf ++ options.asScala)
 }
@@ -90,6 +91,39 @@ final class TechLogScan(conf: Map[String, String], required: StructType)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     TechLogSource.listLogFiles(conf).map(TechLogFilePartition(_): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TechLogReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TechLogMicroBatchStream(conf, required)
+}
+
+/** File-count offset: 1C rotates hourly with name-sorted `YYMMDDHH.log`
+  * files, so the sorted listing only ever GROWS AT THE END — an offset
+  * of N means "the first N files are committed". Mirrors the
+  * reference's checkpoint semantics at file granularity (a rotated
+  * file is immutable → exactly-once per file; the current-hour file is
+  * picked up once it appears — the same widening as the batch path,
+  * SURVEY §7.4).
+  */
+final case class TechLogOffset(fileCount: Int) extends Offset {
+  override def json(): String = s"""{"fileCount":$fileCount}"""
+}
+
+final class TechLogMicroBatchStream(conf: Map[String, String],
+    required: StructType) extends MicroBatchStream {
+  override def initialOffset(): Offset = TechLogOffset(0)
+  override def latestOffset(): Offset =
+    TechLogOffset(TechLogSource.listLogFiles(conf).size)
+  override def deserializeOffset(json: String): Offset =
+    TechLogOffset("\\d+".r.findFirstIn(json).get.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TechLogOffset].fileCount
+    val e = end.asInstanceOf[TechLogOffset].fileCount
+    TechLogSource.listLogFiles(conf).slice(s, e)
+      .map(TechLogFilePartition(_): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new TechLogReaderFactory(required.fieldNames)
 }

@@ -50,6 +50,40 @@ class TechLogSourceSpec extends AnyFunSuite {
       Seq("CONN", "DBMSSQL", "EXCP"))
   }
 
+  test("micro-batch stream ingests per rotated file and resumes from checkpoint") {
+    val s = TestSpark.spark
+    val sdir = graft.util.TmpDirs.scratch("techlog-stream")
+    val ckpt = graft.util.TmpDirs.scratch("techlog-stream-ckpt")
+    val out = graft.util.TmpDirs.scratch("techlog-stream-out")
+    Files.writeString(Paths.get(sdir, "25052607.log"),
+      "00:03.000001-1,CONN,2,process=rphost,Usr=a\n")
+    // parquet sink: the memory sink refuses checkpoint recovery
+    def start() = s.readStream.format("techlog").load(sdir)
+      .select(col("Component"), col("User"), col("LogTimestamp"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet").option("path", out).start()
+    def components() = s.read.parquet(out)
+      .select("Component").collect().map(_.getString(0)).sorted.toSeq
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(components() == Seq("CONN"))
+      Files.writeString(Paths.get(sdir, "25052608.log"),
+        "00:04.000001-2,DBMSSQL,3,process=rphost,Usr=b\n")
+      q1.processAllAvailable()
+      assert(components() == Seq("CONN", "DBMSSQL"))
+    } finally q1.stop()
+    // restart from the checkpoint: the new file arrives exactly once,
+    // committed files are not re-ingested
+    Files.writeString(Paths.get(sdir, "25052609.log"),
+      "00:05.000001-3,EXCP,1,process=rphost,Usr=c\n")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(components() == Seq("CONN", "DBMSSQL", "EXCP"))
+    } finally q2.stop()
+  }
+
   test("multi-line Context survives the source intact") {
     val s = TestSpark.spark
     val ctx = s.read.format("techlog").load(dir)
