@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -78,23 +78,42 @@ final class TechLogTable(conf: Map[String, String]) extends Table with SupportsR
 }
 
 final class TechLogScanBuilder(conf: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = TechLogSource.schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TechLogScan(conf, required)
+  /** Accept equality and not-null predicates: the reader evaluates
+    * them on the parsed record before any row is materialized, so
+    * Spark drops its post-scan Filter for them entirely.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition {
+      case EqualTo(a, _) => TechLogSource.schema.fieldNames.contains(a)
+      case IsNotNull(a) => TechLogSource.schema.fieldNames.contains(a)
+      case _ => false
+    }
+    pushed = ours
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new TechLogScan(conf, required, pushed)
 }
 
-final class TechLogScan(conf: Map[String, String], required: StructType)
+final class TechLogScan(conf: Map[String, String], required: StructType,
+    pushed: Array[Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
+  override def description(): String =
+    s"techlog PushedFilters: [${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     TechLogSource.listLogFiles(conf).map(TechLogFilePartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new TechLogReaderFactory(required.fieldNames)
+    new TechLogReaderFactory(required.fieldNames, pushed)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TechLogMicroBatchStream(conf, required)
+    new TechLogMicroBatchStream(conf, required, pushed)
 }
 
 /** File-count offset: 1C rotates hourly with name-sorted `YYMMDDHH.log`
@@ -110,7 +129,8 @@ final case class TechLogOffset(fileCount: Int) extends Offset {
 }
 
 final class TechLogMicroBatchStream(conf: Map[String, String],
-    required: StructType) extends MicroBatchStream {
+    required: StructType, pushed: Array[Filter] = Array.empty)
+    extends MicroBatchStream {
   override def initialOffset(): Offset = TechLogOffset(0)
   override def latestOffset(): Offset =
     TechLogOffset(TechLogSource.listLogFiles(conf).size)
@@ -125,23 +145,34 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
       .map(TechLogFilePartition(_): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TechLogReaderFactory(required.fieldNames)
+    new TechLogReaderFactory(required.fieldNames, pushed)
 }
 
 final case class TechLogFilePartition(path: String) extends InputPartition
 
-final class TechLogReaderFactory(requiredCols: Array[String])
-    extends PartitionReaderFactory {
+final class TechLogReaderFactory(requiredCols: Array[String],
+    pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TechLogFileReader(
-      partition.asInstanceOf[TechLogFilePartition].path, requiredCols)
+      partition.asInstanceOf[TechLogFilePartition].path, requiredCols, pushed)
 }
 
 /** Reads one rotated log file: record assembly + parse, then projects
   * the pruned columns into InternalRows.
   */
-final class TechLogFileReader(path: String, requiredCols: Array[String])
-    extends PartitionReader[InternalRow] {
+final class TechLogFileReader(path: String, requiredCols: Array[String],
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  // pushed-predicate evaluation on the parsed record, before any row
+  // is materialized (equality + not-null; LogEntry fields are never
+  // null, so IsNotNull is vacuously true)
+  private val checks: Array[LogEntry => Boolean] = pushed.map {
+    case EqualTo(a, v) =>
+      val idx = TechLogSource.schema.fieldIndex(a)
+      (e: LogEntry) => e.productElement(idx) == v
+    case IsNotNull(_) => (_: LogEntry) => true
+    case f => throw new IllegalStateException(s"unpushable filter $f")
+  }
 
   private val records: Iterator[LogEntry] = {
     val p = new Path(path)
@@ -175,15 +206,19 @@ final class TechLogFileReader(path: String, requiredCols: Array[String])
 
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (records.hasNext) {
+  override def next(): Boolean = {
+    while (records.hasNext) {
       val e = records.next()
-      val row = new GenericInternalRow(projectors.length)
-      var i = 0
-      while (i < projectors.length) { row.update(i, projectors(i)(e)); i += 1 }
-      current = row
-      true
-    } else false
+      if (checks.forall(_(e))) {
+        val row = new GenericInternalRow(projectors.length)
+        var i = 0
+        while (i < projectors.length) { row.update(i, projectors(i)(e)); i += 1 }
+        current = row
+        return true
+      }
+    }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = ()

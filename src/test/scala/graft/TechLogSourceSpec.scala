@@ -84,6 +84,20 @@ class TechLogSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("equality filters push into the scan and are dropped post-scan") {
+    val s = TestSpark.spark
+    val filtered = s.read.format("techlog").load(dir)
+      .filter(col("Component") === "DBMSSQL")
+      .select(col("User"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("EqualTo(Component,DBMSSQL)"), plan)
+    // the pushed equality is evaluated in the reader — no Filter node
+    // survives for it (IsNotNull is also pushed, so none at all)
+    assert(!plan.contains("Filter ("), plan)
+    assert(filtered.collect().map(_.getString(0)).toSeq == Seq("alice"))
+  }
+
   test("multi-line Context survives the source intact") {
     val s = TestSpark.spark
     val ctx = s.read.format("techlog").load(dir)
