@@ -39,6 +39,35 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("sort"), plan)         // heap, not sort
   }
 
+  test("property: equals the window form on random data and random k") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = TestSpark.spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      k <- Gen.choose(1, 8)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 4)
+        v <- Gen.choose(-5L, 5L) // narrow domain forces ties
+      } yield (g, v))
+    } yield (k, rows)
+    (1 to 8).foreach { i =>
+      val (k, rows) = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      // unique id as the total-order tie-breaker
+      val df = rows.zipWithIndex.map { case ((g, v), id) => (g, v, id.toLong) }
+        .toDF("g", "v", "id")
+      val custom = graft.plans.TopKPerGroup.topK(df, Seq("g"), Seq("v", "id"), k)
+        .orderBy(col("g"), col("v").desc, col("id").desc).collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc, col("id").desc)
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy(col("g"), col("v").desc, col("id").desc).collect().toSeq
+      assert(custom == windowed, s"seed=$i k=$k n=${rows.size}")
+    }
+  }
+
   test("k larger than every group returns all rows") {
     val s = TestSpark.spark
     val src = graft.util.Tables.table(s, sf, "region")
