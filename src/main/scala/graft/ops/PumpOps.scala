@@ -49,24 +49,30 @@ object PumpOps {
       record.as("record"))
   }
 
-  /** Render the events table as .log fixture files on disk. */
-  private def writeFixtures(s: SparkSession, d: String, scratch: String): String = {
-    val perFile = rendered(s, d)
-      .groupBy(col("fname"))
-      .agg(concat_ws("\n", collect_list(col("record"))).as("content"))
-      .collect() // one row per hour-file (~720 at any sf) — driver-side fixture write
-    val dir = java.nio.file.Paths.get(graft.util.TmpDirs.scratch(scratch))
-    perFile.foreach { r =>
-      Files.writeString(dir.resolve(r.getString(0)), r.getString(1) + "\n")
-    }
-    dir.toString
-  }
+  /** Render the events table as .log fixture files on disk, memoized
+    * per (session, sf dir): q40 and q91 consume the identical fixture
+    * set, so only the first of the two pays the render+write (same
+    * shared-stage timing caveat as the LSH caches — see CacheRegistry).
+    */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(fixtureCache)
+  private def fixtureDir(s: SparkSession, d: String): String =
+    fixtureCache.computeIfAbsent((s, d), _ => {
+      val perFile = rendered(s, d)
+        .groupBy(col("fname"))
+        .agg(concat_ws("\n", collect_list(col("record"))).as("content"))
+        .collect() // one row per hour-file (~720 at any sf) — driver-side fixture write
+      val dir = java.nio.file.Paths.get(graft.util.TmpDirs.scratch("pump-fixtures"))
+      perFile.foreach { r =>
+        Files.writeString(dir.resolve(r.getString(0)), r.getString(1) + "\n")
+      }
+      dir.toString
+    })
 
   /** Render → write .log fixture files → pump → comparable projection. */
-  def pumpRoundTrip(s: SparkSession, d: String): DataFrame = {
-    val dir = writeFixtures(s, d, "pump-rt")
-    comparableProjection(LogPump.pumpBatch(s, Seq(dir)))
-  }
+  def pumpRoundTrip(s: SparkSession, d: String): DataFrame =
+    comparableProjection(LogPump.pumpBatch(s, Seq(fixtureDir(s, d))))
 
   /** The same round trip through the DataSource V2 connector
     * (graft.sources.TechLogSource): `format("techlog")` replaces the
@@ -75,11 +81,9 @@ object PumpOps {
     * projection and per-file partitioning are all hash-checked against
     * the same oracle as q40.
     */
-  def dsv2RoundTrip(s: SparkSession, d: String): DataFrame = {
-    val dir = writeFixtures(s, d, "pump-rt-v2")
+  def dsv2RoundTrip(s: SparkSession, d: String): DataFrame =
     comparableProjection(
-      graft.etl.Transform(s.read.format("techlog").load(dir)))
-  }
+      graft.etl.Transform(s.read.format("techlog").load(fixtureDir(s, d))))
 
   private def comparableProjection(pumped: DataFrame): DataFrame =
     pumped
