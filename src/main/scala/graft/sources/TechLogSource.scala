@@ -28,14 +28,17 @@ import graft.parse.TechLogParser
   *
   *   spark.read.format("techlog").load("/logs")
   *
-  * Scan shape: one InputPartition per .log file (1C rotates hourly, so
-  * files are bounded and file count IS the parallelism — same narrow,
-  * shuffle-free plan as RecordAssembler.readBatch), with V2 column
-  * pruning (SupportsPushDownRequiredColumns): a `select(Component)`
-  * reads and parses each record once but materializes only the pruned
-  * columns into rows. Files are opened through the Hadoop FS API, so
-  * the same connector reads local paths here and any HDFS-compatible
-  * store on a real cluster.
+  * Scan shape: rotated .log files bin-packed into InputPartitions by
+  * cumulative size (`maxPartitionBytes`, default 32 MB — task count
+  * tracks bytes, not file count; 1C rotates hourly so files are
+  * bounded and the plan stays narrow and shuffle-free like
+  * RecordAssembler.readBatch), with V2 column pruning
+  * (SupportsPushDownRequiredColumns) and equality/not-null filter
+  * pushdown (SupportsPushDownFilters): a filtered `select(Component)`
+  * parses each record once and materializes only passing rows with
+  * only the pruned columns. Files are opened through the Hadoop FS
+  * API, so the same connector reads local paths here and any
+  * HDFS-compatible store on a real cluster.
   */
 class TechLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "techlog"
@@ -51,20 +54,70 @@ object TechLogSource {
   val schema: StructType = org.apache.spark.sql.Encoders.product[LogEntry].schema
     .asInstanceOf[StructType]
 
-  private[sources] def listLogFiles(conf: Map[String, String]): Seq[String] = {
+  /** One Hadoop Configuration per JVM: construction parses the
+    * *-default.xml resources under a class-level lock, so a fresh
+    * Configuration per partition serializes every concurrent task on
+    * it (measured 6.6 s vs 0.9 s for the whole sf0.1 scan).
+    */
+  private[sources] lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
+  private[sources] def listLogFiles(conf: Map[String, String]): Seq[(String, Long)] = {
     val root = conf.getOrElse("path",
       throw new IllegalArgumentException("techlog source requires a path"))
     val suffix = conf.getOrElse("suffix", ".log")
-    val fs = FileSystem.get(new java.net.URI(new Path(root).toUri.toString),
-      new org.apache.hadoop.conf.Configuration())
-    val it = fs.listFiles(new Path(root), /* recursive = */ true)
-    val out = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(suffix))
-        out += f.getPath.toString
+    val uri = new Path(root).toUri
+    val out =
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        // local fast path: Hadoop's RawLocalFileSystem (no native lib)
+        // FORKS A SHELL PER FILE to load permission bits during
+        // listing — ~8 ms × every rotated file, on the driver, every
+        // plan. NIO walks the tree without touching permissions.
+        val rootPath = java.nio.file.Paths.get(uri.getPath)
+        val stream = java.nio.file.Files.walk(rootPath)
+        try stream.iterator().asScala
+          .filter(p => p.toString.endsWith(suffix) &&
+            java.nio.file.Files.isRegularFile(p))
+          .map(p => (p.toString, java.nio.file.Files.size(p)))
+          .toVector
+        finally stream.close()
+      } else {
+        val fs = FileSystem.get(uri, hadoopConf)
+        val it = fs.listFiles(new Path(root), /* recursive = */ true)
+        val b = Seq.newBuilder[(String, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(suffix))
+            b += ((f.getPath.toString, f.getLen))
+        }
+        b.result()
+      }
+    out.sortBy(_._1)
+  }
+
+  /** Bin-pack contiguous files into partitions by cumulative COSTED
+    * size: actual bytes plus `openCostInBytes` padding per file
+    * (defaults match the built-in file source: 128 MB partitions, 4 MB
+    * open cost). One partition per tiny file would schedule a task per
+    * hourly rotation; packing by bytes alone would serialize thousands
+    * of small files into one task — the open-cost padding balances
+    * both, scaling task count with max(bytes, file count).
+    */
+  private[sources] def packPartitions(files: Seq[(String, Long)],
+      conf: Map[String, String]): Array[InputPartition] = {
+    val target = conf.getOrElse("maxPartitionBytes", s"${128L * 1024 * 1024}").toLong
+    val openCost = conf.getOrElse("openCostInBytes", s"${4L * 1024 * 1024}").toLong
+    val parts = Array.newBuilder[InputPartition]
+    val cur = Seq.newBuilder[String]
+    var cost = 0L
+    var n = 0
+    files.foreach { case (p, len) =>
+      if (n > 0 && cost + len + openCost > target) {
+        parts += TechLogFilePartition(cur.result()); cur.clear(); cost = 0L; n = 0
+      }
+      cur += p; cost += len + openCost; n += 1
     }
-    out.result().sorted
+    if (n > 0) parts += TechLogFilePartition(cur.result())
+    parts.result()
   }
 }
 
@@ -109,7 +162,7 @@ final class TechLogScan(conf: Map[String, String], required: StructType,
     s"techlog PushedFilters: [${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    TechLogSource.listLogFiles(conf).map(TechLogFilePartition(_): InputPartition).toArray
+    TechLogSource.packPartitions(TechLogSource.listLogFiles(conf), conf)
   override def createReaderFactory(): PartitionReaderFactory =
     new TechLogReaderFactory(required.fieldNames, pushed)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -141,26 +194,25 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TechLogOffset].fileCount
     val e = end.asInstanceOf[TechLogOffset].fileCount
-    TechLogSource.listLogFiles(conf).slice(s, e)
-      .map(TechLogFilePartition(_): InputPartition).toArray
+    TechLogSource.packPartitions(TechLogSource.listLogFiles(conf).slice(s, e), conf)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TechLogReaderFactory(required.fieldNames, pushed)
 }
 
-final case class TechLogFilePartition(path: String) extends InputPartition
+final case class TechLogFilePartition(paths: Seq[String]) extends InputPartition
 
 final class TechLogReaderFactory(requiredCols: Array[String],
     pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TechLogFileReader(
-      partition.asInstanceOf[TechLogFilePartition].path, requiredCols, pushed)
+      partition.asInstanceOf[TechLogFilePartition].paths, requiredCols, pushed)
 }
 
 /** Reads one rotated log file: record assembly + parse, then projects
   * the pruned columns into InternalRows.
   */
-final class TechLogFileReader(path: String, requiredCols: Array[String],
+final class TechLogFileReader(paths: Seq[String], requiredCols: Array[String],
     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
 
   // pushed-predicate evaluation on the parsed record, before any row
@@ -175,18 +227,28 @@ final class TechLogFileReader(path: String, requiredCols: Array[String],
   }
 
   private val records: Iterator[LogEntry] = {
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(p)
-    val content = try {
-      new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    val lines = content.split("\n", -1)
-    val trimmed = if (lines.nonEmpty && lines.last.isEmpty) lines.init else lines
-    val base = path.substring(path.lastIndexOf('/') + 1)
-    RecordAssembler.splitRecords(trimmed.iterator.map(_.stripSuffix("\r")))
-      .map(ls => TechLogParser.parseLine(ls).copy(Timestamp = base))
+    val hconf = TechLogSource.hadoopConf
+    paths.iterator.flatMap { path =>
+      val uri = new Path(path).toUri
+      val content = if (uri.getScheme == null || uri.getScheme == "file") {
+        // local fast path (see listLogFiles: RawLocalFileSystem forks)
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(uri.getPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+      } else {
+        val fs = FileSystem.get(uri, hconf)
+        val in = fs.open(new Path(path))
+        try {
+          new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      }
+      val lines = content.split("\n", -1)
+      val trimmed = if (lines.nonEmpty && lines.last.isEmpty) lines.init else lines
+      val base = path.substring(path.lastIndexOf('/') + 1)
+      RecordAssembler.splitRecords(trimmed.iterator.map(_.stripSuffix("\r")))
+        .map(ls => TechLogParser.parseLine(ls).copy(Timestamp = base))
+    }
   }
 
   // pruned-column projectors, bound once per reader

@@ -31,10 +31,13 @@ class TechLogSourceSpec extends AnyFunSuite {
     assert(a.size == 3)
   }
 
-  test("one input partition per rotated file") {
+  test("files bin-pack into partitions by size (maxPartitionBytes)") {
     val s = TestSpark.spark
-    val df = s.read.format("techlog").load(dir)
-    assert(df.rdd.getNumPartitions == 2)
+    // two tiny files fit one 32 MB-target partition by default
+    assert(s.read.format("techlog").load(dir).rdd.getNumPartitions == 1)
+    // a 1-byte target forces one partition per file
+    assert(s.read.format("techlog").option("maxPartitionBytes", "1")
+      .load(dir).rdd.getNumPartitions == 2)
   }
 
   test("column pruning pushes into the scan") {
