@@ -101,6 +101,19 @@ class TechLogSourceSpec extends AnyFunSuite {
     assert(filtered.collect().map(_.getString(0)).toSeq == Seq("alice"))
   }
 
+  test("connector registers in the catalog: CREATE TABLE USING techlog + SQL") {
+    val s = TestSpark.spark
+    s.sql("DROP TABLE IF EXISTS techlog_cat")
+    s.sql(s"CREATE TABLE techlog_cat USING techlog OPTIONS (path '$dir')")
+    try {
+      val rows = s.sql(
+        """SELECT Component, count(*) AS n FROM techlog_cat
+          |GROUP BY Component ORDER BY Component""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("CONN", 1L), ("DBMSSQL", 1L), ("EXCP", 1L)))
+    } finally s.sql("DROP TABLE IF EXISTS techlog_cat")
+  }
+
   test("multi-line Context survives the source intact") {
     val s = TestSpark.spark
     val ctx = s.read.format("techlog").load(dir)
