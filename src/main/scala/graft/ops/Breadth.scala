@@ -215,7 +215,42 @@ object Breadth {
         col("l_extendedprice").desc, col("l_orderkey").desc,
         col("l_linenumber").desc)
 
+  /** Contingency table (DataFrameStatFunctions.crosstab): event type ×
+    * user-id bucket counts as a wide table. Column names come from the
+    * bucket values — sorted and cast so the oracle's FILTER pivot
+    * matches exactly.
+    */
+  def crosstab(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("bucket", pmod(col("user_id"), lit(3)))
+      .stat.crosstab("event_type", "bucket")
+      .select(col("event_type_bucket"),
+        col("0").as("b0"), col("1").as("b1"), col("2").as("b2"))
+      .orderBy(col("event_type_bucket"))
+
+  /** Covariance from exact decimal moments (q63's discipline applied
+    * to covar): cov_samp(value, user_id) per event type computed as
+    * (Σxy − ΣxΣy/n)/(n−1) over DECIMAL sums — order-independent where
+    * the built-in double accumulation is not, so it hash-matches
+    * DuckDB bit-for-bit.
+    */
+  def covariance(s: SparkSession, d: String): DataFrame = {
+    val x = col("value").cast(DataTypes.createDecimalType(28, 9))
+    val y = col("user_id").cast(DataTypes.createDecimalType(28, 9))
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(x * y).as("sxy"), sum(x).as("sx"), sum(y).as("sy"))
+      .select(col("event_type"), col("n"),
+        round((col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+          (col("n") - 1), 6).as("cov_samp"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_crosstab"          -> crosstab _,
+    "q93_covariance"        -> covariance _,
     "q87_topk_exec"         -> topKExec _,
     "q79_map_funcs"         -> mapFuncs _,
     "q80_struct_topn"       -> structTopN _,
@@ -229,6 +264,26 @@ object Breadth {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q92_crosstab" ->
+      """SELECT event_type AS event_type_bucket,
+        |  count(*) FILTER (user_id % 3 = 0) AS b0,
+        |  count(*) FILTER (user_id % 3 = 1) AS b1,
+        |  count(*) FILTER (user_id % 3 = 2) AS b2
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q93_covariance" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(28,9)) * CAST(user_id AS DECIMAL(28,9))) AS sxy,
+        |    sum(CAST(value AS DECIMAL(28,9))) AS sx,
+        |    sum(CAST(user_id AS DECIMAL(28,9))) AS sy
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |        / (n - 1), 6) AS cov_samp
+        |FROM m
+        |ORDER BY event_type""".stripMargin,
     "q87_topk_exec" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
