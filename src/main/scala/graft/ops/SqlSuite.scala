@@ -100,7 +100,31 @@ object SqlSuite {
       .agg(count(lit(1)).as("n"), sum(col("r.k")).as("sum_key"))
       .orderBy(col("priority"))
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE — the iterative-union
+    * operator the engine previously only had as the hand-rolled q51
+    * loop): ancestor chain of a synthetic binary-key hierarchy
+    * (node → node div 2 → … → 1), aggregated to depth and path sum per
+    * starting key. Same construct runs verbatim-modulo-dialect (`DIV`
+    * vs `//`) on DuckDB.
+    */
+  def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT o_orderkey AS orderkey, o_orderkey AS node, 0 AS depth
+        |  FROM orders WHERE o_orderkey < 500
+        |  UNION ALL
+        |  SELECT orderkey, node DIV 2 AS node, depth + 1 AS depth
+        |  FROM anc WHERE node > 1)
+        |SELECT orderkey, CAST(max(depth) AS BIGINT) AS depth,
+        |  CAST(sum(node) AS BIGINT) AS path_sum
+        |FROM anc
+        |GROUP BY orderkey
+        |ORDER BY orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_recursive_cte" -> recursiveCte _,
     "q75_json_roundtrip" -> jsonRoundTrip _,
     "q66_lateral_topk" -> lateralTopK _,
     "q58_correlated" -> correlatedSubquery _,
@@ -109,6 +133,18 @@ object SqlSuite {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q94_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT o_orderkey AS orderkey, o_orderkey AS node, 0 AS depth
+        |  FROM orders WHERE o_orderkey < 500
+        |  UNION ALL
+        |  SELECT orderkey, node // 2 AS node, depth + 1 AS depth
+        |  FROM anc WHERE node > 1)
+        |SELECT orderkey, CAST(max(depth) AS BIGINT) AS depth,
+        |  CAST(sum(node) AS BIGINT) AS path_sum
+        |FROM anc
+        |GROUP BY orderkey
+        |ORDER BY orderkey""".stripMargin,
     "q75_json_roundtrip" ->
       """WITH j AS (
         |  SELECT to_json(struct_pack(k := o_orderkey, p := o_orderpriority)) AS j
