@@ -248,9 +248,62 @@ object Breadth {
       .orderBy(col("event_type"))
   }
 
+  /** Null-semantics suite: nullif/coalesce/nvl2, null-safe equality
+    * (`<=>` ⟷ IS NOT DISTINCT FROM), and how aggregates skip NULLs —
+    * the classic cross-engine parity minefield, pinned by hash.
+    * NULLs are synthesized deterministically (every 10th event).
+    */
+  def nullFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("maybe", when(col("event_id") % 10 =!= 0, col("value")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("maybe")).as("n_nonnull"),
+        count(lit(1)).as("n_all"),
+        expr("count_if(maybe <=> NULL)").as("n_null_safe"),
+        round(sum(coalesce(col("maybe"), lit(0.0))
+          .cast(DataTypes.createDecimalType(28, 9))), 4)
+          .cast("double").as("sum_coalesced"),
+        expr("count_if(nvl2(maybe, 'x', 'y') = 'y')").as("n_nvl2_null"))
+      .orderBy(col("event_type"))
+
+  /** ANSI-safety family: try_divide / try_add / try_cast return NULL
+    * instead of erroring on /0, overflow, and bad casts — the
+    * behavior a pipeline needs when a malformed row must not kill a
+    * 100 TB job. DuckDB mirrors each with explicit CASE guards.
+    */
+  def tryFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        expr("try_divide(value, pmod(event_id, 3))").as("d3"),
+        expr("try_add(9223372036854775807L, pmod(event_id, 2))").as("ov"),
+        expr("try_cast(concat('1', repeat('0', cast(pmod(event_id, 30) as int))) as bigint)")
+          .as("big"))
+      .groupBy(col("event_type"))
+      .agg(count(col("d3")).as("n_div_ok"),
+        count(lit(1)).minus(count(col("ov"))).as("n_overflow"),
+        count(col("big")).as("n_cast_ok"))
+      .orderBy(col("event_type"))
+
+  /** Spark-4 collation support: grouping under UTF8_LCASE folds case
+    * variants of the language code (synthesized deterministically)
+    * into one group; the oracle lower()s explicitly.
+    */
+  def collation(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("lang_mixed",
+        when(col("doc_id") % 2 === 0, upper(col("lang"))).otherwise(col("lang")))
+      .groupBy(expr("collate(lang_mixed, 'UTF8_LCASE')").as("lang_ci"))
+      .agg(count(lit(1)).as("n"))
+      .select(lower(col("lang_ci")).as("lang_ci"), col("n"))
+      .orderBy(col("lang_ci"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_crosstab"          -> crosstab _,
     "q93_covariance"        -> covariance _,
+    "q95_null_funcs"        -> nullFuncs _,
+    "q96_try_funcs"         -> tryFuncs _,
+    "q97_collation"         -> collation _,
     "q87_topk_exec"         -> topKExec _,
     "q79_map_funcs"         -> mapFuncs _,
     "q80_struct_topn"       -> structTopN _,
@@ -264,6 +317,40 @@ object Breadth {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q95_null_funcs" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 10 <> 0 THEN value END AS maybe
+        |  FROM events)
+        |SELECT event_type,
+        |  count(maybe) AS n_nonnull,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (maybe IS NOT DISTINCT FROM NULL) AS n_null_safe,
+        |  CAST(round(sum(CAST(coalesce(maybe, 0.0) AS DECIMAL(28,9))), 4)
+        |    AS DOUBLE) AS sum_coalesced,
+        |  count(*) FILTER (maybe IS NULL) AS n_nvl2_null
+        |FROM t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q96_try_funcs" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 3 <> 0 THEN 1 END AS d3,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 END AS ov_ok,
+        |    CASE WHEN event_id % 30 <= 18 THEN 1 END AS big_ok
+        |  FROM events)
+        |SELECT event_type,
+        |  count(d3) AS n_div_ok,
+        |  count(*) - count(ov_ok) AS n_overflow,
+        |  count(big_ok) AS n_cast_ok
+        |FROM t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q97_collation" ->
+      """SELECT lower(lang) AS lang_ci, count(*) AS n
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY lang_ci""".stripMargin,
     "q92_crosstab" ->
       """SELECT event_type AS event_type_bucket,
         |  count(*) FILTER (user_id % 3 = 0) AS b0,
