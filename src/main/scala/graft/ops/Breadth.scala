@@ -298,12 +298,64 @@ object Breadth {
       .select(lower(col("lang_ci")).as("lang_ci"), col("n"))
       .orderBy(col("lang_ci"))
 
+  /** Bucketed co-located join, oracle-checked end to end: both sides
+    * written bucketBy(8) on the join key to scratch-located catalog
+    * tables, then joined and aggregated. With matching bucket counts
+    * the join needs NO exchange (BucketingSpec pins that plan); here
+    * the result itself is hash-checked from the source tables, so
+    * bucketed write → catalog read → join semantics are verified too.
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    s.sql("DROP TABLE IF EXISTS graft_li_b")
+    s.sql("DROP TABLE IF EXISTS graft_o_b")
+    lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", graft.util.TmpDirs.scratch("bucketed-li"))
+      .saveAsTable("graft_li_b")
+    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", graft.util.TmpDirs.scratch("bucketed-o"))
+      .saveAsTable("graft_o_b")
+    s.table("graft_li_b")
+      .join(s.table("graft_o_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(Dec)), 2).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Discrete percentiles (percentile_disc WITHIN GROUP — an actual
+    * member of the value set, vs q42's interpolated continuous form).
+    */
+  def percentileDisc(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90_disc"))
+      .orderBy(col("event_type"))
+
+  /** Fixed-width value histogram per event type (feature binning):
+    * bin = floor(value / 100), exact on both engines.
+    */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"),
+        floor(col("value") / 100).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_crosstab"          -> crosstab _,
     "q93_covariance"        -> covariance _,
     "q95_null_funcs"        -> nullFuncs _,
     "q96_try_funcs"         -> tryFuncs _,
     "q97_collation"         -> collation _,
+    "q98_bucketed_join"     -> bucketedJoin _,
+    "q99_percentile_disc"   -> percentileDisc _,
+    "q100_histogram"        -> histogram _,
     "q87_topk_exec"         -> topKExec _,
     "q79_map_funcs"         -> mapFuncs _,
     "q80_struct_topn"       -> structTopN _,
@@ -317,6 +369,25 @@ object Breadth {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q98_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q99_percentile_disc" ->
+      """SELECT event_type,
+        |  quantile_disc(value, 0.5) AS p50_disc,
+        |  quantile_disc(value, 0.9) AS p90_disc
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q100_histogram" ->
+      """SELECT event_type, CAST(floor(value / 100) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bin""".stripMargin,
     "q95_null_funcs" ->
       """WITH t AS (
         |  SELECT event_type,
