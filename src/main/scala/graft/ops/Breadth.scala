@@ -308,12 +308,16 @@ object Breadth {
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     s.sql("DROP TABLE IF EXISTS graft_li_b")
     s.sql("DROP TABLE IF EXISTS graft_o_b")
-    lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+    // a 1/5 key slice keeps the bucketed-write cost proportionate to
+    // the demo; both sides slice on the JOIN key so results align
+    lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_quantity"))
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", graft.util.TmpDirs.scratch("bucketed-li"))
       .saveAsTable("graft_li_b")
-    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    orders(s, d).filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
       .write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", graft.util.TmpDirs.scratch("bucketed-o"))
@@ -373,6 +377,7 @@ object Breadth {
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 5 = 0
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q99_percentile_disc" ->
