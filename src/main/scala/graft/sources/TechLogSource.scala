@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -183,10 +183,27 @@ final case class TechLogOffset(fileCount: Int) extends Offset {
 
 final class TechLogMicroBatchStream(conf: Map[String, String],
     required: StructType, pushed: Array[Filter] = Array.empty)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = TechLogOffset(0)
   override def latestOffset(): Offset =
     TechLogOffset(TechLogSource.listLogFiles(conf).size)
+  /** Admission control: `maxFilesPerTrigger` caps how many newly
+    * rotated files one micro-batch admits — backlog after downtime
+    * drains in bounded batches instead of one giant catch-up batch
+    * (the reference's analogue is its bounded in-flight buffer).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    conf.get("maxFilesPerTrigger")
+      .map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val all = TechLogSource.listLogFiles(conf).size
+    val s = start.asInstanceOf[TechLogOffset].fileCount
+    limit match {
+      case mf: ReadMaxFiles => TechLogOffset(math.min(all, s + mf.maxFiles()))
+      case _ => TechLogOffset(all)
+    }
+  }
   override def deserializeOffset(json: String): Offset =
     TechLogOffset("\\d+".r.findFirstIn(json).get.toInt)
   override def commit(end: Offset): Unit = ()

@@ -101,6 +101,28 @@ class TechLogSourceSpec extends AnyFunSuite {
     assert(filtered.collect().map(_.getString(0)).toSeq == Seq("alice"))
   }
 
+  test("maxFilesPerTrigger admits a bounded backlog per micro-batch") {
+    val s = TestSpark.spark
+    val sdir = graft.util.TmpDirs.scratch("techlog-admission")
+    (7 to 9).foreach { h =>
+      Files.writeString(Paths.get(sdir, s"2505260$h.log"),
+        s"00:0$h.000001-$h,CONN,2,process=rphost,Usr=u$h\n")
+    }
+    val q = s.readStream.format("techlog")
+      .option("maxFilesPerTrigger", "1").load(sdir)
+      .select(col("User"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tl_admit").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("tl_admit").count() == 3)
+      // 3 files drained one per micro-batch, not one catch-up batch
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3, batches.map(_.numInputRows).mkString(","))
+      assert(batches.forall(_.numInputRows == 1))
+    } finally q.stop()
+  }
+
   test("connector registers in the catalog: CREATE TABLE USING techlog + SQL") {
     val s = TestSpark.spark
     s.sql("DROP TABLE IF EXISTS techlog_cat")
