@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -183,7 +183,13 @@ final case class TechLogOffset(fileCount: Int) extends Offset {
 
 final class TechLogMicroBatchStream(conf: Map[String, String],
     required: StructType, pushed: Array[Filter] = Array.empty)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // Trigger.AvailableNow: freeze the target at query start so the run
+  // drains exactly the then-visible backlog (in admission-control-
+  // bounded batches) and terminates, ignoring files that keep arriving
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(TechLogSource.listLogFiles(conf).size)
   override def initialOffset(): Offset = TechLogOffset(0)
   override def latestOffset(): Offset =
     TechLogOffset(TechLogSource.listLogFiles(conf).size)
@@ -197,7 +203,8 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
       .map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val all = TechLogSource.listLogFiles(conf).size
+    val all = availableNowTarget
+      .getOrElse(TechLogSource.listLogFiles(conf).size)
     val s = start.asInstanceOf[TechLogOffset].fileCount
     limit match {
       case mf: ReadMaxFiles => TechLogOffset(math.min(all, s + mf.maxFiles()))

@@ -123,6 +123,26 @@ class TechLogSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches, then stops") {
+    val s = TestSpark.spark
+    val sdir = graft.util.TmpDirs.scratch("techlog-availnow")
+    (1 to 3).foreach { h =>
+      Files.writeString(Paths.get(sdir, s"2505260$h.log"),
+        s"00:0$h.000001-$h,CONN,2,process=rphost,Usr=u$h\n")
+    }
+    val q = s.readStream.format("techlog")
+      .option("maxFilesPerTrigger", "1").load(sdir)
+      .select(col("User"))
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("tl_avail").start()
+    try {
+      assert(q.awaitTermination(60000), "query did not self-terminate")
+      assert(s.table("tl_avail").count() == 3)
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3) // bounded drain
+    } finally q.stop()
+  }
+
   test("connector registers in the catalog: CREATE TABLE USING techlog + SQL") {
     val s = TestSpark.spark
     s.sql("DROP TABLE IF EXISTS techlog_cat")
