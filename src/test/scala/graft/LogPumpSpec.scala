@@ -186,6 +186,25 @@ class LogPumpSpec extends AnyFunSuite {
       .option("dbtable", "LOGS").load().count() == 4)
   }
 
+  test("idempotent JDBC batch: replayed batch ids are skipped, not double-appended") {
+    val dir = writeLogs(Map(
+      "25052600.log" -> ("00:01.123456-5,DBMSSQL,3,Usr=a\n" +
+        "00:02.123456-5,CONN,3,Usr=b\n")))
+    val url = s"jdbc:derby:memory:idemdb${System.nanoTime()};create=true"
+    val rows = LogPump.pumpBatch(spark, Seq(dir.toString))
+      .select("EventDate", "EventTime", "EventType", "User", "SessionID", "Duration")
+    def count() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "LOGS").load().count()
+    assert(LogPump.idempotentJdbcBatch(rows, 7L, Map.empty, "LOGS", url))
+    assert(count() == 2)
+    // replay of batch 7 (restart after sink commit, before checkpoint)
+    assert(!LogPump.idempotentJdbcBatch(rows, 7L, Map.empty, "LOGS", url))
+    assert(count() == 2) // unchanged — no double append
+    // the next batch id still writes
+    assert(LogPump.idempotentJdbcBatch(rows, 8L, Map.empty, "LOGS", url))
+    assert(count() == 4)
+  }
+
   test("routed sink writes EventDate-partitioned parquet per table (K1)") {
     val dir = writeLogs(Map(
       "25052600.log" -> ("00:01.123456-5,DBMSSQL,3,Usr=a\n" +
