@@ -120,6 +120,28 @@ object StreamingPump {
       }
       .start()
 
+  /** Start the streaming pump against a JDBC sink with idempotent
+    * micro-batches (the reference's actual sink shape,
+    * `clickhouse.go:63-128`, but with batch-id commit markers so
+    * replays after a sink-committed/checkpoint-failed restart are
+    * skipped — see LogPump.idempotentJdbcBatch).
+    */
+  def startJdbcSink(spark: SparkSession, dir: String, url: String,
+      checkpointDir: String, tableMap: Map[String, String],
+      defaultTable: String = "LOGS",
+      trigger: Trigger = Trigger.ProcessingTime("20 seconds"),
+      projection: DataFrame => DataFrame = identity): StreamingQuery =
+    projection(pumpStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        LogPump.idempotentJdbcBatch(batch, batchId, tableMap, defaultTable, url)
+        () // StreamingQuery ignores the skip/write verdict
+      }
+      .start()
+
   /** Hot config reload (reference X1, `scan.go:24-52` fsnotify on
     * config.yaml): Spark cannot swap a running query's source, but the
     * routing TableMap/DefaultTable — the part 1C operators actually

@@ -22,6 +22,32 @@ class StreamingPumpSpec extends AnyFunSuite {
   private def users(table: String): Set[String] =
     spark.table(table).collect().map(_.getAs[String]("User")).toSet
 
+  test("streaming JDBC sink: idempotent routed append end to end (Derby)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-jdbc")
+    java.nio.file.Files.writeString(dir.resolve("25052600.log"),
+      "00:01.123456-5,DBMSSQL,3,Usr=a\n00:02.123456-5,CONN,3,Usr=b\n")
+    val url = s"jdbc:derby:memory:sjdbc${System.nanoTime()};create=true"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-jdbc-ck").toString
+    val q = graft.streaming.StreamingPump.startJdbcSink(
+      spark, dir.toString, url, ckpt,
+      Map("DBMSSQL" -> "SQL_LOGS"), "LOGS",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      projection = _.select("EventDate", "EventTime", "EventType", "User",
+        "SessionID", "Duration"))
+    try {
+      assert(eventually(30000) {
+        try spark.read.format("jdbc").option("url", url)
+          .option("dbtable", "SQL_LOGS").load().count() == 1 &&
+          spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "LOGS").load().count() == 1
+        catch { case _: Throwable => false } // tables not created yet
+      })
+      // commit marker recorded for the batch
+      assert(spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "graft_batch_commits").load().count() >= 1)
+    } finally q.stop()
+  }
+
   test("splitKeepRemainder holds back the trailing partial record") {
     val (complete, rest) = StreamingPump.splitKeepRemainder(Seq(
       "00:01.123456-5,CONN,3,Usr=a",
