@@ -63,7 +63,11 @@ object PumpOps {
         .groupBy(col("fname"))
         .agg(concat_ws("\n", collect_list(col("record"))).as("content"))
         .collect() // one row per hour-file (~720 at any sf) — driver-side fixture write
-      val dir = java.nio.file.Paths.get(graft.util.TmpDirs.scratch("pump-fixtures"))
+      // scratch name carries the sf-dir hash: a fixed shared name would
+      // let a second sf dir overwrite fixtures the first memo entry
+      // still points at
+      val dir = java.nio.file.Paths.get(graft.util.TmpDirs.scratch(
+        "pump-fixtures-" + Integer.toHexString(d.hashCode)))
       perFile.foreach { r =>
         Files.writeString(dir.resolve(r.getString(0)), r.getString(1) + "\n")
       }

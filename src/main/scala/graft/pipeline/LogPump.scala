@@ -99,27 +99,43 @@ object LogPump {
     */
   def idempotentJdbcBatch(batch: DataFrame, batchId: Long,
       tableMap: Map[String, String], defaultTable: String, url: String,
-      props: java.util.Properties = new java.util.Properties()): Boolean = {
+      props: java.util.Properties = new java.util.Properties(),
+      pipelineId: String = "default"): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      try {
+      // existence via catalog metadata, NOT try-create-and-swallow: a
+      // real CREATE failure (permissions, dialect DDL) must surface,
+      // not resurface later as a confusing missing-table error
+      val exists = Seq("GRAFT_BATCH_COMMITS", "graft_batch_commits").exists { n =>
+        val rs = conn.getMetaData.getTables(null, null, n, null)
+        try rs.next() finally rs.close()
+      }
+      if (!exists) {
         val st = conn.createStatement()
         try st.executeUpdate(
-          "CREATE TABLE graft_batch_commits (batch_id BIGINT PRIMARY KEY)")
+          """CREATE TABLE graft_batch_commits (
+            |  pipeline VARCHAR(256) NOT NULL,
+            |  batch_id BIGINT NOT NULL,
+            |  PRIMARY KEY (pipeline, batch_id))""".stripMargin)
         finally st.close()
-      } catch { case _: java.sql.SQLException => () } // already exists
-      val check = conn.createStatement()
+      }
+      // markers are keyed by (pipeline, batch id): batch ids restart
+      // from 0 per query/checkpoint, so a bare batch_id key would make
+      // independent pipelines (or a fresh-checkpoint reprocess) skip
+      // each other's batches — silent data loss
+      val check = conn.prepareStatement(
+        "SELECT 1 FROM graft_batch_commits WHERE pipeline = ? AND batch_id = ?")
       val committed = try {
-        val rs = check.executeQuery(
-          s"SELECT 1 FROM graft_batch_commits WHERE batch_id = $batchId")
+        check.setString(1, pipelineId); check.setLong(2, batchId)
+        val rs = check.executeQuery()
         try rs.next() finally rs.close()
       } finally check.close()
       if (committed) false
       else {
         writeRoutedJdbc(batch, tableMap, defaultTable, url, props)
-        val mark = conn.createStatement()
-        try mark.executeUpdate(
-          s"INSERT INTO graft_batch_commits VALUES ($batchId)")
+        val mark = conn.prepareStatement(
+          "INSERT INTO graft_batch_commits VALUES (?, ?)")
+        try { mark.setString(1, pipelineId); mark.setLong(2, batchId); mark.executeUpdate() }
         finally mark.close()
         true
       }

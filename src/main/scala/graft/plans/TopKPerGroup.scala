@@ -51,6 +51,12 @@ object TopKStrategy extends SparkStrategy {
 /** Bounded-heap top-k per group. `partial=true` runs map-side on
   * whatever distribution the child has (a superset of the answer);
   * `partial=false` demands clustering on the group key and is exact.
+  *
+  * Memory: each task holds k rows per distinct group seen in its
+  * partition, on-heap with no spill path — right for the
+  * small-k × bounded-group-cardinality regime this operator targets.
+  * For ultra-high-cardinality group keys prefer the window row_number
+  * form, which spills via external sort.
   */
 case class TopKPerGroupExec(
     groupCols: Seq[Attribute],
@@ -111,6 +117,19 @@ object TopKPerGroup {
     if (!exp.extraStrategies.contains(TopKStrategy))
       exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
     val analyzed = df.queryExecution.analyzed
+    // float/double group keys are rejected: the exec groups by raw row
+    // bytes and Catalyst's NormalizeFloatingNumbers rule does not
+    // cover custom nodes, so -0.0 vs 0.0 (and NaN payloads) would
+    // split one logical group where the window form would not
+    groupCols.foreach { c =>
+      val dt = analyzed.output.find(_.name == c).map(_.dataType)
+      if (dt.exists(d => d == org.apache.spark.sql.types.DoubleType ||
+          d == org.apache.spark.sql.types.FloatType))
+        throw new IllegalArgumentException(
+          s"TopKPerGroup: floating-point group column $c is unsupported " +
+            "(un-normalized -0.0/NaN byte patterns would split groups); " +
+            "cast to a decimal/string key or use the window form")
+    }
     def resolve(n: String): Attribute = analyzed.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(
         s"column $n not in ${analyzed.output.map(_.name).mkString(",")}"))

@@ -29,7 +29,7 @@ import graft.parse.TechLogParser
   *   spark.read.format("techlog").load("/logs")
   *
   * Scan shape: rotated .log files bin-packed into InputPartitions by
-  * cumulative size (`maxPartitionBytes`, default 32 MB — task count
+  * cumulative size (`maxPartitionBytes`, default 128 MB — task count
   * tracks bytes, not file count; 1C rotates hourly so files are
   * bounded and the plan stays narrow and shuffle-free like
   * RecordAssembler.readBatch), with V2 column pruning
@@ -61,6 +61,27 @@ object TechLogSource {
     */
   private[sources] lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
+  /** Hadoop conf for a scan: the shared base plus any `fs.*` /
+    * `hadoop.*` reader options (the DSv2 way to carry credentials and
+    * endpoints to executors — the session's spark.hadoop.* values are
+    * not reachable from a TableProvider, so remote stores configure
+    * the connector via options).
+    */
+  /** The serializable subset of options the executors need. */
+  private[sources] def fsOptions(conf: Map[String, String]): Map[String, String] =
+    conf.filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
+
+  private[sources] def hadoopConfFor(conf: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val fsOpts = fsOptions(conf)
+    if (fsOpts.isEmpty) hadoopConf
+    else {
+      val c = new org.apache.hadoop.conf.Configuration(hadoopConf)
+      fsOpts.foreach { case (k, v) =>
+        c.set(k.stripPrefix("hadoop."), v) }
+      c
+    }
+  }
+
   private[sources] def listLogFiles(conf: Map[String, String]): Seq[(String, Long)] = {
     val root = conf.getOrElse("path",
       throw new IllegalArgumentException("techlog source requires a path"))
@@ -81,7 +102,7 @@ object TechLogSource {
           .toVector
         finally stream.close()
       } else {
-        val fs = FileSystem.get(uri, hadoopConf)
+        val fs = FileSystem.get(uri, hadoopConfFor(conf))
         val it = fs.listFiles(new Path(root), /* recursive = */ true)
         val b = Seq.newBuilder[(String, Long)]
         while (it.hasNext) {
@@ -142,9 +163,15 @@ final class TechLogScanBuilder(conf: Map[String, String])
     * Spark drops its post-scan Filter for them entirely.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // never claim the TimestampType column: the source Filter carries
+    // java.sql.Timestamp while the record field is java.time.Instant,
+    // so a reader-side == comparison would silently drop every row
+    def pushable(a: String): Boolean =
+      TechLogSource.schema.fieldNames.contains(a) &&
+        TechLogSource.schema(a).dataType != TimestampType
     val (ours, rest) = filters.partition {
-      case EqualTo(a, _) => TechLogSource.schema.fieldNames.contains(a)
-      case IsNotNull(a) => TechLogSource.schema.fieldNames.contains(a)
+      case EqualTo(a, _) => pushable(a)
+      case IsNotNull(a) => pushable(a)
       case _ => false
     }
     pushed = ours
@@ -164,7 +191,7 @@ final class TechLogScan(conf: Map[String, String], required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     TechLogSource.packPartitions(TechLogSource.listLogFiles(conf), conf)
   override def createReaderFactory(): PartitionReaderFactory =
-    new TechLogReaderFactory(required.fieldNames, pushed)
+    new TechLogReaderFactory(required.fieldNames, pushed, TechLogSource.fsOptions(conf))
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TechLogMicroBatchStream(conf, required, pushed)
 }
@@ -221,23 +248,26 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
     TechLogSource.packPartitions(TechLogSource.listLogFiles(conf).slice(s, e), conf)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TechLogReaderFactory(required.fieldNames, pushed)
+    new TechLogReaderFactory(required.fieldNames, pushed, TechLogSource.fsOptions(conf))
 }
 
 final case class TechLogFilePartition(paths: Seq[String]) extends InputPartition
 
 final class TechLogReaderFactory(requiredCols: Array[String],
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], fsOpts: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TechLogFileReader(
-      partition.asInstanceOf[TechLogFilePartition].paths, requiredCols, pushed)
+      partition.asInstanceOf[TechLogFilePartition].paths, requiredCols, pushed,
+      fsOpts)
 }
 
 /** Reads one rotated log file: record assembly + parse, then projects
   * the pruned columns into InternalRows.
   */
 final class TechLogFileReader(paths: Seq[String], requiredCols: Array[String],
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], fsOpts: Map[String, String] = Map.empty)
+    extends PartitionReader[InternalRow] {
 
   // pushed-predicate evaluation on the parsed record, before any row
   // is materialized (equality + not-null; LogEntry fields are never
@@ -251,7 +281,7 @@ final class TechLogFileReader(paths: Seq[String], requiredCols: Array[String],
   }
 
   private val records: Iterator[LogEntry] = {
-    val hconf = TechLogSource.hadoopConf
+    val hconf = TechLogSource.hadoopConfFor(fsOpts)
     paths.iterator.flatMap { path =>
       val uri = new Path(path).toUri
       val content = if (uri.getScheme == null || uri.getScheme == "file") {

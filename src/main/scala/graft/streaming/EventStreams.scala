@@ -145,8 +145,15 @@ object EventStreams {
     */
   def runningTotals(events: DataFrame): Dataset[UserTotals] = {
     val s = events.sparkSession
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // default to RocksDB only while the session still runs the stock
+    // HDFS-backed provider (the conf always reports its default, so
+    // "unset" is indistinguishable from it — and transformWithState
+    // cannot run on it anyway); an explicitly configured non-default
+    // provider is preserved rather than silently overridden
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    if (s.conf.getOption(key).forall(_.endsWith("HDFSBackedStateStoreProvider")))
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import s.implicits._
     events.select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]

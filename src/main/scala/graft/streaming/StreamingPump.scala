@@ -137,7 +137,10 @@ object StreamingPump {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        LogPump.idempotentJdbcBatch(batch, batchId, tableMap, defaultTable, url)
+        // checkpoint dir identifies the pipeline: batch ids restart
+        // per checkpoint, so markers must be scoped to it
+        LogPump.idempotentJdbcBatch(batch, batchId, tableMap, defaultTable,
+          url, pipelineId = checkpointDir)
         () // StreamingQuery ignores the skip/write verdict
       }
       .start()

@@ -12,7 +12,10 @@ import java.util.Comparator
   */
 object TmpDirs {
   private lazy val root: Path = {
-    val p = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-scratch")
+    // per-process root: concurrent JVMs (a Bench and a Verify, parallel
+    // CI jobs) must not delete each other's live scratch data
+    val p = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-scratch-" + ProcessHandle.current().pid())
     Files.createDirectories(p)
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
     p
