@@ -12,8 +12,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
-import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -33,12 +33,21 @@ import graft.parse.TechLogParser
   * tracks bytes, not file count; 1C rotates hourly so files are
   * bounded and the plan stays narrow and shuffle-free like
   * RecordAssembler.readBatch), with V2 column pruning
-  * (SupportsPushDownRequiredColumns) and equality/not-null filter
-  * pushdown (SupportsPushDownFilters): a filtered `select(Component)`
-  * parses each record once and materializes only passing rows with
-  * only the pruned columns. Files are opened through the Hadoop FS
-  * API, so the same connector reads local paths here and any
-  * HDFS-compatible store on a real cluster.
+  * (SupportsPushDownRequiredColumns) and equality/range/In/not-null
+  * filter pushdown (SupportsPushDownFilters): a filtered
+  * `select(Component)` parses each record once and materializes only
+  * passing rows with only the pruned columns. Predicates on the
+  * `Timestamp` column (the `YYMMDDHH.log` base name — the filename IS
+  * the hour) additionally prune the FILE LIST before any I/O, so a
+  * time-range scan opens only the matching rotated files. Files are
+  * opened through the Hadoop FS API, so the same connector reads local
+  * paths here and any HDFS-compatible store on a real cluster.
+  *
+  * File selection matches the reference's glob `FilePattern`
+  * (`scan.go:116-124` translates `*`/`?` globs to an anchored regex):
+  * `option("pathGlobFilter", "rphost_*.log")` (or the reference's own
+  * option name, `filePattern`) filters base names; without it the
+  * `suffix` option (default `.log`) applies.
   */
 class TechLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "techlog"
@@ -61,13 +70,12 @@ object TechLogSource {
     */
   private[sources] lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
 
-  /** Hadoop conf for a scan: the shared base plus any `fs.*` /
-    * `hadoop.*` reader options (the DSv2 way to carry credentials and
-    * endpoints to executors — the session's spark.hadoop.* values are
-    * not reachable from a TableProvider, so remote stores configure
-    * the connector via options).
+  /** The serializable subset of options the executors need (the DSv2
+    * way to carry credentials and endpoints to executors — the
+    * session's spark.hadoop.* values are not reachable from a
+    * TableProvider, so remote stores configure the connector via
+    * options).
     */
-  /** The serializable subset of options the executors need. */
   private[sources] def fsOptions(conf: Map[String, String]): Map[String, String] =
     conf.filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
 
@@ -82,10 +90,27 @@ object TechLogSource {
     }
   }
 
+  /** Base-name predicate from the reference's glob `FilePattern`
+    * (`scan.go:116-124`: `.`→`\.`, `*`→`.*`, `?`→`.`, anchored both
+    * ends). `pathGlobFilter` is the Spark-conventional option name;
+    * `filePattern` is the reference's. Without either, the `suffix`
+    * option (default `.log`) applies — the pre-round-4 behavior.
+    */
+  private[sources] def nameMatcher(conf: Map[String, String]): String => Boolean =
+    conf.get("pathGlobFilter").orElse(conf.get("filePattern")) match {
+      case Some(glob) =>
+        val re = ("^" + glob.replace(".", "\\.").replace("*", ".*")
+          .replace("?", ".") + "$").r
+        (name: String) => re.matches(name)
+      case None =>
+        val suffix = conf.getOrElse("suffix", ".log")
+        (name: String) => name.endsWith(suffix)
+    }
+
   private[sources] def listLogFiles(conf: Map[String, String]): Seq[(String, Long)] = {
     val root = conf.getOrElse("path",
       throw new IllegalArgumentException("techlog source requires a path"))
-    val suffix = conf.getOrElse("suffix", ".log")
+    val matches = nameMatcher(conf)
     val uri = new Path(root).toUri
     val out =
       if (uri.getScheme == null || uri.getScheme == "file") {
@@ -96,7 +121,7 @@ object TechLogSource {
         val rootPath = java.nio.file.Paths.get(uri.getPath)
         val stream = java.nio.file.Files.walk(rootPath)
         try stream.iterator().asScala
-          .filter(p => p.toString.endsWith(suffix) &&
+          .filter(p => matches(p.getFileName.toString) &&
             java.nio.file.Files.isRegularFile(p))
           .map(p => (p.toString, java.nio.file.Files.size(p)))
           .toVector
@@ -107,7 +132,7 @@ object TechLogSource {
         val b = Seq.newBuilder[(String, Long)]
         while (it.hasNext) {
           val f = it.next()
-          if (f.isFile && f.getPath.getName.endsWith(suffix))
+          if (f.isFile && matches(f.getPath.getName))
             b += ((f.getPath.toString, f.getLen))
         }
         b.result()
@@ -115,7 +140,36 @@ object TechLogSource {
     out.sortBy(_._1)
   }
 
-  /** Bin-pack contiguous files into partitions by cumulative COSTED
+  private def baseName(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
+  /** File-list pruning from pushed predicates on the `Timestamp`
+    * column, whose value IS the source file's base name (`YYMMDDHH
+    * .log` — 1C encodes the hour in the name). Lexicographic order on
+    * the names equals chronological order, so equality/range/IN
+    * filters select rotated files without opening any of them: a
+    * `Timestamp >= '25052608.log'` scan over a month of logs reads
+    * only the matching hours. The same predicates are ALSO evaluated
+    * per-record in the reader, so pruning is purely an I/O saving —
+    * never a correctness dependency.
+    */
+  private[sources] def pruneByName(slices: Seq[TechLogFileSlice],
+      pushed: Array[Filter]): Seq[TechLogFileSlice] = {
+    val preds: Array[String => Boolean] = pushed.collect {
+      case EqualTo("Timestamp", v: String) => (n: String) => n == v
+      case GreaterThan("Timestamp", v: String) => (n: String) => n > v
+      case GreaterThanOrEqual("Timestamp", v: String) => (n: String) => n >= v
+      case LessThan("Timestamp", v: String) => (n: String) => n < v
+      case LessThanOrEqual("Timestamp", v: String) => (n: String) => n <= v
+      case In("Timestamp", vs) =>
+        val set = vs.collect { case s: String => s }.toSet
+        (n: String) => set.contains(n)
+    }
+    if (preds.isEmpty) slices
+    else slices.filter(s => preds.forall(_(baseName(s.path))))
+  }
+
+  /** Bin-pack contiguous slices into partitions by cumulative COSTED
     * size: actual bytes plus `openCostInBytes` padding per file
     * (defaults match the built-in file source: 128 MB partitions, 4 MB
     * open cost). One partition per tiny file would schedule a task per
@@ -123,19 +177,20 @@ object TechLogSource {
     * of small files into one task — the open-cost padding balances
     * both, scaling task count with max(bytes, file count).
     */
-  private[sources] def packPartitions(files: Seq[(String, Long)],
+  private[sources] def packPartitions(slices: Seq[TechLogFileSlice],
       conf: Map[String, String]): Array[InputPartition] = {
     val target = conf.getOrElse("maxPartitionBytes", s"${128L * 1024 * 1024}").toLong
     val openCost = conf.getOrElse("openCostInBytes", s"${4L * 1024 * 1024}").toLong
     val parts = Array.newBuilder[InputPartition]
-    val cur = Seq.newBuilder[String]
+    val cur = Seq.newBuilder[TechLogFileSlice]
     var cost = 0L
     var n = 0
-    files.foreach { case (p, len) =>
+    slices.foreach { s =>
+      val len = s.end - s.start
       if (n > 0 && cost + len + openCost > target) {
         parts += TechLogFilePartition(cur.result()); cur.clear(); cost = 0L; n = 0
       }
-      cur += p; cost += len + openCost; n += 1
+      cur += s; cost += len + openCost; n += 1
     }
     if (n > 0) parts += TechLogFilePartition(cur.result())
     parts.result()
@@ -158,19 +213,26 @@ final class TechLogScanBuilder(conf: Map[String, String])
   private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  /** Accept equality and not-null predicates: the reader evaluates
-    * them on the parsed record before any row is materialized, so
-    * Spark drops its post-scan Filter for them entirely.
+  /** Accept equality, range, IN and not-null predicates: the reader
+    * evaluates them on the parsed record before any row is
+    * materialized, so Spark drops its post-scan Filter for them
+    * entirely; `Timestamp` predicates additionally prune the file
+    * list (see TechLogSource.pruneByName).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // never claim the TimestampType column: the source Filter carries
     // java.sql.Timestamp while the record field is java.time.Instant,
-    // so a reader-side == comparison would silently drop every row
+    // so a reader-side comparison would silently drop every row
     def pushable(a: String): Boolean =
       TechLogSource.schema.fieldNames.contains(a) &&
         TechLogSource.schema(a).dataType != TimestampType
     val (ours, rest) = filters.partition {
       case EqualTo(a, _) => pushable(a)
+      case GreaterThan(a, _) => pushable(a)
+      case GreaterThanOrEqual(a, _) => pushable(a)
+      case LessThan(a, _) => pushable(a)
+      case LessThanOrEqual(a, _) => pushable(a)
+      case In(a, _) => pushable(a)
       case IsNotNull(a) => pushable(a)
       case _ => false
     }
@@ -188,24 +250,74 @@ final class TechLogScan(conf: Map[String, String], required: StructType,
   override def description(): String =
     s"techlog PushedFilters: [${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    TechLogSource.packPartitions(TechLogSource.listLogFiles(conf), conf)
+  override def planInputPartitions(): Array[InputPartition] = {
+    // batch snapshot: each file read [0, size-at-listing) so a file
+    // growing mid-query yields a consistent point-in-time scan
+    val slices = TechLogSource.listLogFiles(conf)
+      .map { case (p, len) => TechLogFileSlice(p, 0L, len) }
+    TechLogSource.packPartitions(
+      TechLogSource.pruneByName(slices, pushed), conf)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new TechLogReaderFactory(required.fieldNames, pushed, TechLogSource.fsOptions(conf))
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TechLogMicroBatchStream(conf, required, pushed)
 }
 
-/** File-count offset: 1C rotates hourly with name-sorted `YYMMDDHH.log`
-  * files, so the sorted listing only ever GROWS AT THE END — an offset
-  * of N means "the first N files are committed". Mirrors the
-  * reference's checkpoint semantics at file granularity (a rotated
-  * file is immutable → exactly-once per file; the current-hour file is
-  * picked up once it appears — the same widening as the batch path,
-  * SURVEY §7.4).
+/** Per-file byte-offset streaming checkpoint — the reference's
+  * `processed` map (`watcher.go`/`tail.go:21-27`: path → committed
+  * offset, re-tail from offset when `size > offset`,
+  * `scan.go:95-103`) expressed as a DSv2 Offset. The offset IS the
+  * map `path → committed size`, so
+  *
+  *  - a still-growing current-hour file is re-admitted for exactly its
+  *    appended byte range (no per-file data-loss window),
+  *  - files discovered in NEW subdirectories (the per-process dirs the
+  *    reference walks, `watcher.go:56`) are ingested no matter where
+  *    they sort relative to already-committed paths, and
+  *  - retention-deleted files drop out of the map without shifting
+  *    anything else — replayed batches read exactly the recorded byte
+  *    ranges.
+  *
+  * Scale note: the offset is O(live files) and 1C retention bounds the
+  * live set (hours × processes), so checkpoint size stays small even
+  * at 100 TB/day ingest; the per-batch work is the byte DELTA, never a
+  * re-scan. A file whose size SHRANK was rotated/rewritten in place —
+  * it is re-read from 0 (the reference's tail would silently skip;
+  * re-reading is the lossless choice for an immutable-sink pipeline).
   */
-final case class TechLogOffset(fileCount: Int) extends Offset {
-  override def json(): String = s"""{"fileCount":$fileCount}"""
+final case class TechLogOffset(files: Map[String, Long]) extends Offset {
+  override def json(): String = {
+    val om = TechLogOffset.mapper
+    val node = om.createObjectNode()
+    val sizes = node.putObject("fileSizes")
+    files.toSeq.sortBy(_._1).foreach { case (p, s) => sizes.put(p, s) }
+    om.writeValueAsString(node)
+  }
+}
+
+object TechLogOffset {
+  private[sources] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse either the current `{"fileSizes":{path:size,…}}` form or a
+    * pre-round-4 `{"fileCount":N}` checkpoint (legacy count into the
+    * name-sorted listing — upgraded in place by resolving the first N
+    * currently-listed names at their current sizes, which preserves
+    * the old scheme's semantics exactly: those files were committed
+    * whole-file, with no append tracking).
+    */
+  def parse(json: String, conf: Map[String, String]): TechLogOffset = {
+    val node = mapper.readTree(json)
+    if (node.has("fileSizes")) {
+      val sizes = node.get("fileSizes")
+      val b = Map.newBuilder[String, Long]
+      sizes.fields().asScala.foreach(e => b += ((e.getKey, e.getValue.asLong())))
+      TechLogOffset(b.result())
+    } else {
+      val n = node.get("fileCount").asInt()
+      TechLogOffset(TechLogSource.listLogFiles(conf).take(n).toMap)
+    }
+  }
 }
 
 final class TechLogMicroBatchStream(conf: Map[String, String],
@@ -213,93 +325,166 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // Trigger.AvailableNow: freeze the target at query start so the run
   // drains exactly the then-visible backlog (in admission-control-
-  // bounded batches) and terminates, ignoring files that keep arriving
-  @volatile private var availableNowTarget: Option[Int] = None
+  // bounded batches) and terminates, ignoring data that keeps arriving
+  @volatile private var availableNowTarget: Option[Map[String, Long]] = None
+  private def listing(): Map[String, Long] = TechLogSource.listLogFiles(conf).toMap
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(TechLogSource.listLogFiles(conf).size)
-  override def initialOffset(): Offset = TechLogOffset(0)
-  override def latestOffset(): Offset =
-    TechLogOffset(TechLogSource.listLogFiles(conf).size)
-  /** Admission control: `maxFilesPerTrigger` caps how many newly
-    * rotated files one micro-batch admits — backlog after downtime
-    * drains in bounded batches instead of one giant catch-up batch
-    * (the reference's analogue is its bounded in-flight buffer).
+    availableNowTarget = Some(listing())
+  override def initialOffset(): Offset = TechLogOffset(Map.empty)
+  override def latestOffset(): Offset = TechLogOffset(listing())
+  /** Admission control: `maxFilesPerTrigger` caps how many CHANGED
+    * files (new, grown, or truncated) one micro-batch admits — backlog
+    * after downtime drains in bounded batches instead of one giant
+    * catch-up batch (the reference's analogue is its bounded in-flight
+    * buffer).
     */
   override def getDefaultReadLimit: ReadLimit =
     conf.get("maxFilesPerTrigger")
       .map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val all = availableNowTarget
-      .getOrElse(TechLogSource.listLogFiles(conf).size)
-    val s = start.asInstanceOf[TechLogOffset].fileCount
+    val all = availableNowTarget.getOrElse(listing())
+    val committed = start.asInstanceOf[TechLogOffset].files
+    // deleted files leave the map (bounded checkpoint under retention)
+    val kept = committed.filter { case (p, _) => all.contains(p) }
     limit match {
-      case mf: ReadMaxFiles => TechLogOffset(math.min(all, s + mf.maxFiles()))
-      case _ => TechLogOffset(all)
+      case mf: ReadMaxFiles =>
+        val admitted = all.toSeq.sortBy(_._1)
+          .filter { case (p, sz) => !committed.get(p).contains(sz) }
+          .take(mf.maxFiles())
+        TechLogOffset(kept ++ admitted)
+      case _ => TechLogOffset(kept ++ all)
     }
   }
   override def deserializeOffset(json: String): Offset =
-    TechLogOffset("\\d+".r.findFirstIn(json).get.toInt)
+    TechLogOffset.parse(json, conf)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+  /** The batch is the byte DELTA between two offset maps — computed
+    * purely from the checkpointed maps, never from current FS state,
+    * so a replay after restart reads exactly the original ranges even
+    * if files grew, appeared, or were deleted in between.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[TechLogOffset].fileCount
-    val e = end.asInstanceOf[TechLogOffset].fileCount
-    TechLogSource.packPartitions(TechLogSource.listLogFiles(conf).slice(s, e), conf)
+    val s = start.asInstanceOf[TechLogOffset].files
+    val e = end.asInstanceOf[TechLogOffset].files
+    val slices = e.toSeq.sortBy(_._1).flatMap { case (p, endSz) =>
+      val from = s.getOrElse(p, 0L)
+      if (endSz > from) Some(TechLogFileSlice(p, from, endSz))
+      else if (endSz < from) Some(TechLogFileSlice(p, 0L, endSz)) // truncated → re-read
+      else None
+    }
+    TechLogSource.packPartitions(
+      TechLogSource.pruneByName(slices, pushed), conf)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TechLogReaderFactory(required.fieldNames, pushed, TechLogSource.fsOptions(conf))
 }
 
-final case class TechLogFilePartition(paths: Seq[String]) extends InputPartition
+/** A byte range [start, end) of one rotated log file. Batch scans use
+  * [0, size-at-listing); streaming deltas start at the previously
+  * committed size (append re-read, reference `tail.go:21-27`).
+  */
+final case class TechLogFileSlice(path: String, start: Long, end: Long)
+
+final case class TechLogFilePartition(slices: Seq[TechLogFileSlice]) extends InputPartition
 
 final class TechLogReaderFactory(requiredCols: Array[String],
     pushed: Array[Filter], fsOpts: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TechLogFileReader(
-      partition.asInstanceOf[TechLogFilePartition].paths, requiredCols, pushed,
+      partition.asInstanceOf[TechLogFilePartition].slices, requiredCols, pushed,
       fsOpts)
 }
 
-/** Reads one rotated log file: record assembly + parse, then projects
-  * the pruned columns into InternalRows.
+/** Reads byte slices of rotated log files: record assembly + parse,
+  * then projects the pruned columns into InternalRows.
   */
-final class TechLogFileReader(paths: Seq[String], requiredCols: Array[String],
+final class TechLogFileReader(slices: Seq[TechLogFileSlice], requiredCols: Array[String],
     pushed: Array[Filter], fsOpts: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   // pushed-predicate evaluation on the parsed record, before any row
-  // is materialized (equality + not-null; LogEntry fields are never
-  // null, so IsNotNull is vacuously true)
+  // is materialized (equality/range/IN + not-null; LogEntry fields are
+  // never null, so IsNotNull is vacuously true)
+  private def cmp(a: String): (LogEntry, Any) => Int = {
+    val idx = TechLogSource.schema.fieldIndex(a)
+    TechLogSource.schema.fields(idx).dataType match {
+      case StringType => (e, v) =>
+        e.productElement(idx).asInstanceOf[String].compareTo(v.asInstanceOf[String])
+      case IntegerType => (e, v) => java.lang.Integer.compare(
+        e.productElement(idx).asInstanceOf[Int], v.asInstanceOf[Number].intValue())
+      case LongType => (e, v) => java.lang.Long.compare(
+        e.productElement(idx).asInstanceOf[Long], v.asInstanceOf[Number].longValue())
+      case dt => throw new IllegalStateException(s"unpushable type $dt for $a")
+    }
+  }
   private val checks: Array[LogEntry => Boolean] = pushed.map {
     case EqualTo(a, v) =>
       val idx = TechLogSource.schema.fieldIndex(a)
       (e: LogEntry) => e.productElement(idx) == v
+    case GreaterThan(a, v) => val c = cmp(a); (e: LogEntry) => c(e, v) > 0
+    case GreaterThanOrEqual(a, v) => val c = cmp(a); (e: LogEntry) => c(e, v) >= 0
+    case LessThan(a, v) => val c = cmp(a); (e: LogEntry) => c(e, v) < 0
+    case LessThanOrEqual(a, v) => val c = cmp(a); (e: LogEntry) => c(e, v) <= 0
+    case In(a, vs) =>
+      val idx = TechLogSource.schema.fieldIndex(a)
+      val set = vs.toSet
+      (e: LogEntry) => set.contains(e.productElement(idx))
     case IsNotNull(_) => (_: LogEntry) => true
     case f => throw new IllegalStateException(s"unpushable filter $f")
   }
 
-  private val records: Iterator[LogEntry] = {
-    val hconf = TechLogSource.hadoopConfFor(fsOpts)
-    paths.iterator.flatMap { path =>
-      val uri = new Path(path).toUri
-      val content = if (uri.getScheme == null || uri.getScheme == "file") {
-        // local fast path (see listLogFiles: RawLocalFileSystem forks)
-        new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(uri.getPath)),
-          java.nio.charset.StandardCharsets.UTF_8)
-      } else {
-        val fs = FileSystem.get(uri, hconf)
-        val in = fs.open(new Path(path))
-        try {
-          new String(org.apache.commons.io.IOUtils.toByteArray(in),
+  /** Read exactly [start, min(end, current-size)): `end` is the size
+    * this batch committed — bytes appended since belong to a later
+    * delta and must not leak into a replayed batch.
+    */
+  private def readSlice(slice: TechLogFileSlice,
+      hconf: org.apache.hadoop.conf.Configuration): String = {
+    val uri = new Path(slice.path).toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      // local fast path (see listLogFiles: RawLocalFileSystem forks)
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(uri.getPath))
+      try {
+        val upper = math.min(ch.size(), slice.end)
+        val len = upper - slice.start
+        if (len <= 0) ""
+        else {
+          require(len <= Int.MaxValue, s"slice > 2 GB in ${slice.path}")
+          val buf = java.nio.ByteBuffer.allocate(len.toInt)
+          ch.position(slice.start)
+          while (buf.hasRemaining && ch.read(buf) >= 0) {}
+          new String(buf.array(), 0, buf.position(),
             java.nio.charset.StandardCharsets.UTF_8)
+        }
+      } finally ch.close()
+    } else {
+      val fs = FileSystem.get(uri, hconf)
+      val status = fs.getFileStatus(new Path(slice.path))
+      val upper = math.min(status.getLen, slice.end)
+      val len = upper - slice.start
+      if (len <= 0) ""
+      else {
+        require(len <= Int.MaxValue, s"slice > 2 GB in ${slice.path}")
+        val in = fs.open(new Path(slice.path))
+        try {
+          val arr = new Array[Byte](len.toInt)
+          in.readFully(slice.start, arr)
+          new String(arr, java.nio.charset.StandardCharsets.UTF_8)
         } finally in.close()
       }
+    }
+  }
+
+  private val records: Iterator[LogEntry] = {
+    val hconf = TechLogSource.hadoopConfFor(fsOpts)
+    slices.iterator.flatMap { slice =>
+      val content = readSlice(slice, hconf)
       val lines = content.split("\n", -1)
       val trimmed = if (lines.nonEmpty && lines.last.isEmpty) lines.init else lines
-      val base = path.substring(path.lastIndexOf('/') + 1)
+      val base = slice.path.substring(slice.path.lastIndexOf('/') + 1)
       RecordAssembler.splitRecords(trimmed.iterator.map(_.stripSuffix("\r")))
         .map(ls => TechLogParser.parseLine(ls).copy(Timestamp = base))
     }

@@ -156,6 +156,144 @@ class TechLogSourceSpec extends AnyFunSuite {
     } finally s.sql("DROP TABLE IF EXISTS techlog_cat")
   }
 
+  test("appended bytes on a committed file are re-read exactly once (tail.go parity)") {
+    val s = TestSpark.spark
+    val sdir = graft.util.TmpDirs.scratch("techlog-append")
+    val ckpt = graft.util.TmpDirs.scratch("techlog-append-ckpt")
+    val out = graft.util.TmpDirs.scratch("techlog-append-out")
+    val f = Paths.get(sdir, "25052607.log")
+    Files.writeString(f, "00:01.000001-1,CONN,2,process=rphost,Usr=a\n")
+    def start() = s.readStream.format("techlog").load(sdir)
+      .select(col("Component"), col("User"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet").option("path", out).start()
+    def users() = s.read.parquet(out)
+      .select("User").collect().map(_.getString(0)).sorted.toSeq
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(users() == Seq("a"))
+      // the current-hour file GROWS after its batch committed: only the
+      // appended byte range is admitted — no loss, no re-read of [0,S)
+      Files.writeString(f,
+        "00:02.000001-2,DBMSSQL,3,process=rphost,Usr=b\n",
+        java.nio.file.StandardOpenOption.APPEND)
+      q1.processAllAvailable()
+      assert(users() == Seq("a", "b"))
+    } finally q1.stop()
+    // grow again while the query is DOWN; restart reads only the delta
+    Files.writeString(f,
+      "00:03.000001-3,EXCP,1,process=rphost,Usr=c\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(users() == Seq("a", "b", "c"))
+    } finally q2.stop()
+  }
+
+  test("files in new subdirectories are ingested wherever they sort (watcher.go:56 parity)") {
+    val s = TestSpark.spark
+    val sdir = graft.util.TmpDirs.scratch("techlog-newdir")
+    val ckpt = graft.util.TmpDirs.scratch("techlog-newdir-ckpt")
+    val out = graft.util.TmpDirs.scratch("techlog-newdir-out")
+    Files.createDirectories(Paths.get(sdir, "rphost_200"))
+    Files.writeString(Paths.get(sdir, "rphost_200", "25052607.log"),
+      "00:01.000001-1,CONN,2,process=rphost,Usr=late\n")
+    val q = s.readStream.format("techlog").load(sdir)
+      .select(col("User"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet").option("path", out).start()
+    try {
+      q.processAllAvailable()
+      // a new per-process dir whose paths sort BEFORE the committed
+      // ones (a count-based offset would swallow it silently)
+      Files.createDirectories(Paths.get(sdir, "ragent_100"))
+      Files.writeString(Paths.get(sdir, "ragent_100", "25052607.log"),
+        "00:02.000001-2,DBMSSQL,3,process=ragent,Usr=early\n")
+      q.processAllAvailable()
+      val users = s.read.parquet(out)
+        .select("User").collect().map(_.getString(0)).sorted.toSeq
+      assert(users == Seq("early", "late"))
+    } finally q.stop()
+  }
+
+  test("a truncated (rotated-in-place) file is re-read from zero") {
+    val s = TestSpark.spark
+    val sdir = graft.util.TmpDirs.scratch("techlog-trunc")
+    val ckpt = graft.util.TmpDirs.scratch("techlog-trunc-ckpt")
+    val out = graft.util.TmpDirs.scratch("techlog-trunc-out")
+    val f = Paths.get(sdir, "25052607.log")
+    Files.writeString(f,
+      "00:01.000001-1,CONN,2,process=rphost,Usr=a\n" +
+        "00:02.000001-2,CONN,2,process=rphost,Usr=b\n")
+    val q = s.readStream.format("techlog").load(sdir)
+      .select(col("User"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet").option("path", out).start()
+    try {
+      q.processAllAvailable()
+      assert(s.read.parquet(out).count() == 2)
+      // in-place rewrite, SMALLER than the committed size
+      Files.writeString(f, "00:09.000001-9,EXCP,1,process=rphost,Usr=z\n")
+      q.processAllAvailable()
+      val users = s.read.parquet(out)
+        .select("User").collect().map(_.getString(0)).sorted.toSeq
+      assert(users == Seq("a", "b", "z"))
+    } finally q.stop()
+  }
+
+  test("glob FilePattern selects files like the reference (scan.go:116-124)") {
+    val s = TestSpark.spark
+    val gdir = graft.util.TmpDirs.scratch("techlog-glob")
+    Files.writeString(Paths.get(gdir, "rphost_1234.log"),
+      "00:01.000001-1,CONN,2,process=rphost,Usr=rp\n")
+    Files.writeString(Paths.get(gdir, "ragent_1234.log"),
+      "00:02.000001-2,CONN,2,process=ragent,Usr=ra\n")
+    Files.writeString(Paths.get(gdir, "rphost_1234.txt"),
+      "00:03.000001-3,CONN,2,process=rphost,Usr=nope\n")
+    def usersWith(opt: String): Seq[String] =
+      s.read.format("techlog").option(opt, "rphost_*.log").load(gdir)
+        .select("User").collect().map(_.getString(0)).sorted.toSeq
+    assert(usersWith("pathGlobFilter") == Seq("rp"))
+    assert(usersWith("filePattern") == Seq("rp")) // reference's option name
+    // `?` matches exactly one character
+    val q = s.read.format("techlog").option("pathGlobFilter", "r?host_????.log")
+      .load(gdir).select("User").collect().map(_.getString(0)).toSeq
+    assert(q == Seq("rp"))
+  }
+
+  test("range and IN filters push into the scan and are dropped post-scan") {
+    val s = TestSpark.spark
+    val ge = s.read.format("techlog").load(dir)
+      .filter(col("Severity") >= 2).select(col("User"))
+    val plan = ge.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(Severity,2)"), plan)
+    assert(!plan.contains("Filter ("), plan)
+    assert(ge.collect().map(_.getString(0)).sorted.toSeq == Seq("alice", "bob"))
+    val in = s.read.format("techlog").load(dir)
+      .filter(col("Component").isin("CONN", "EXCP")).select(col("User"))
+    val planIn = in.queryExecution.executedPlan.toString
+    assert(planIn.contains("In(Component"), planIn)
+    assert(!planIn.contains("Filter ("), planIn)
+    assert(in.collect().map(_.getString(0)).sorted.toSeq == Seq("bob", "carol"))
+  }
+
+  test("Timestamp predicates prune the file list before any I/O") {
+    val s = TestSpark.spark
+    // 1-byte target ⇒ one partition per surviving file: partition
+    // count proves pruning happened at planInputPartitions, pre-read
+    def parts(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+    val base = s.read.format("techlog").option("maxPartitionBytes", "1").load(dir)
+    assert(parts(base) == 2)
+    assert(parts(base.filter(col("Timestamp") >= "25052608.log")) == 1)
+    assert(parts(base.filter(col("Timestamp") === "25052607.log")) == 1)
+    assert(parts(base.filter(col("Timestamp").isin("25052608.log"))) == 1)
+    // and the pruned scan still returns the right rows
+    assert(base.filter(col("Timestamp") >= "25052608.log")
+      .select("User").collect().map(_.getString(0)).toSeq == Seq("carol"))
+  }
+
   test("multi-line Context survives the source intact") {
     val s = TestSpark.spark
     val ctx = s.read.format("techlog").load(dir)
