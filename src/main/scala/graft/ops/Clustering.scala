@@ -188,12 +188,13 @@ object Clustering {
 
   /** Embedding-cosine near-dup canonicalization: every vector whose
     * cosine to some lower-id vector is ≥ 0.45 is a duplicate; its
-    * canonical is the smallest such id. All-pairs here (exact ground
-    * truth the oracle can check); the LSH/IVF candidate sets above are
-    * the 100 TB input to the same decision.
+    * canonical is the smallest such id. Exact all-pairs via the
+    * distributed block sweep (no driver materialization — ground truth
+    * the oracle can check); the LSH/IVF candidate sets above are the
+    * 100 TB input to the same decision.
     */
   def embedNearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.pairsAbove(s, d, 0.45)
+    Similarity.pairsAboveBlocked(s, d, 0.45)
       .groupBy(col("b").as("dup_id"))
       .agg(min(col("a")).as("canonical_id"), count(lit(1)).as("n_links"))
       .orderBy(col("dup_id"))

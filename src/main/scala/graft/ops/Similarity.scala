@@ -135,20 +135,108 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** All-pairs cosine scores above a raw-cosine floor, as a block
-    * nested loop: the corpus is broadcast as one primitive array
-    * (valid precisely because the all-pairs form only exists where the
-    * corpus fits — the scale paths are the LSH/IVF candidate
-    * generators), each task streams its vector range against the block
-    * with precomputed norms. The double accumulation order is
-    * identical to CosineSimilarity / the DuckDB list-comprehension
-    * oracle, so scores stay bit-exact.
+  /** Exact all-pairs cosine above a floor, as a DISTRIBUTED block-pair
+    * sweep — no driver-side corpus materialization anywhere:
     *
-    * A per-row `a < b` nested-loop JOIN evaluates ~10M pairs/s (row
-    * overhead, not flops); this loop does the same 25M-pair sweep in
-    * tens of ms.
+    *  1. vectors are hash-assigned to ⌈n/blockRows⌉ blocks and packed
+    *     into one sorted array row per block (a narrow groupBy);
+    *  2. each block replicates itself to every unordered block pair
+    *     (i ≤ j) it participates in — shuffle volume O(n·√pairs), the
+    *     standard triangle-replication join for all-pairs problems;
+    *  3. each (i, j) task receives exactly its two blocks (one when
+    *     i = j) and runs the tight primitive-array loop over their
+    *     cross/within pairs with precomputed norms.
+    *
+    * Task memory is two blocks (~blockRows·dim floats), independent of
+    * corpus size, so the sweep survives any corpus that the O(n²)
+    * COMPUTE itself survives. Exact all-pairs is inherently quadratic —
+    * at true 100 TB the same ≥-threshold decision consumes the LSH
+    * (q27/q31) or IVF (q52) candidate sets instead; this form exists
+    * because the oracle needs exact ground truth.
+    *
+    * The per-pair double accumulation order (index-order dot, then
+    * /(na·nb)) is identical to CosineSimilarity / the DuckDB
+    * list-comprehension oracle, so scores stay bit-exact, and is
+    * symmetric in (a, b), so hash-blocking cannot perturb a value.
     */
-  private[ops] def pairsAbove(s: SparkSession, d: String,
+  private[graft] def pairsAboveBlocked(s: SparkSession, d: String,
+      minCos: Double, blockRows: Int = 4096): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val nBlocks = math.max(1, math.ceil(e.count().toDouble / blockRows).toInt)
+    val packed = e
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)).cast("int"))
+      .groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vecs"))
+      .as[(Int, Array[(Long, Array[Float])])]
+    val replicated = packed.flatMap { case (i, vecs) =>
+      (0 until nBlocks).iterator.map { j =>
+        (math.min(i, j), math.max(i, j), i, vecs)
+      }
+    }
+    def norms(vs: Array[(Long, Array[Float])]): Array[Double] =
+      vs.map { case (_, v) =>
+        var n = 0.0; var k = 0
+        while (k < v.length) { n += v(k).toDouble * v(k).toDouble; k += 1 }
+        math.sqrt(n)
+      }
+    def score(a: Array[Float], b: Array[Float], na: Double, nb: Double): Double = {
+      var dot = 0.0; var k = 0
+      val n = math.min(a.length, b.length)
+      while (k < n) { dot += a(k).toDouble * b(k).toDouble; k += 1 }
+      dot / (na * nb)
+    }
+    replicated
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Array[(Long, Array[Float])])]) =>
+        val (lo, hi) = key
+        val blocks = it.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        if (lo == hi) {
+          val vs = blocks.head._4 // sorted by vec_id → pairs are (a < b)
+          val ns = norms(vs)
+          var ai = 0
+          while (ai < vs.length) {
+            var bi = ai + 1
+            while (bi < vs.length) {
+              val c = score(vs(ai)._2, vs(bi)._2, ns(ai), ns(bi))
+              if (c >= minCos) out += ((vs(ai)._1, vs(bi)._1, c))
+              bi += 1
+            }
+            ai += 1
+          }
+        } else {
+          // hash-blocking puts each vector in exactly one block, so the
+          // two id sets are disjoint and interleave: order each cross
+          // pair by id (cosine is argument-symmetric, value unchanged)
+          val va = blocks.find(_._3 == lo).get._4
+          val vb = blocks.find(_._3 == hi).get._4
+          val na = norms(va); val nb = norms(vb)
+          var ai = 0
+          while (ai < va.length) {
+            var bi = 0
+            while (bi < vb.length) {
+              val c = score(va(ai)._2, vb(bi)._2, na(ai), nb(bi))
+              if (c >= minCos) {
+                val idA = va(ai)._1; val idB = vb(bi)._1
+                out += (if (idA < idB) (idA, idB, c) else (idB, idA, c))
+              }
+              bi += 1
+            }
+            ai += 1
+          }
+        }
+        out.iterator
+      }.toDF("a", "b", "cos")
+  }
+
+  /** Single-task all-pairs reference implementation — SPEC-ONLY ground
+    * truth (SimilaritySpec proves pairsAboveBlocked ≡ this). Collects
+    * the corpus to the driver, so it must never be reachable from
+    * `SparkEntry.queries`; the registered q38/q53 run the distributed
+    * block sweep above.
+    */
+  private[graft] def pairsAbove(s: SparkSession, d: String,
       minCos: Double): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -186,14 +274,16 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup: globally most-similar vector pairs
-    * (block-broadcast pairwise scoring, then global top-k). The dedup
+    * (distributed block-pair scoring, then global top-k — a
+    * TakeOrderedAndProject over the ≥-floor survivors, so only
+    * threshold-passing pairs reach the final ordering). The dedup
     * decision at scale would consume the LSH candidates instead of all
     * pairs; the all-pairs form is the oracle-checkable ground truth.
     * The floor of 0.3 is far below any top-20 score at every sf (the
     * 20th pair sits ≈ 0.49) and only caps the emitted pair count.
     */
   def topSimilarPairs(s: SparkSession, d: String, k: Int = 20): DataFrame =
-    pairsAbove(s, d, 0.3)
+    pairsAboveBlocked(s, d, 0.3)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a"), col("b"))
       .limit(k)

@@ -62,6 +62,19 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "LSH should recover at least some true neighbors")
   }
 
+  test("pairsAboveBlocked (distributed sweep) ≡ pairsAbove ground truth, bit-exact, multi-block") {
+    // blockRows=64 forces many blocks at sf0.001 so the cross-block
+    // path, the within-block path, and the id-ordering normalization
+    // are all exercised; doubles must match BIT-exactly (same
+    // accumulation order), not approximately
+    val blocked = Similarity.pairsAboveBlocked(spark, sf, 0.3, blockRows = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val reference = Similarity.pairsAbove(spark, sf, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked.nonEmpty)
+    assert(blocked == reference)
+  }
+
   test("approx_count_distinct stays within its 2% rsd bound (×5 slack)") {
     val rows = TextAnalysis.approxDistinct(spark, sf).collect()
     rows.foreach { r =>
