@@ -107,7 +107,12 @@ object TechLogSource {
         (name: String) => name.endsWith(suffix)
     }
 
-  private[sources] def listLogFiles(conf: Map[String, String]): Seq[(String, Long)] = {
+  /** Name-sorted recursive listing: (path, size, mtimeMs). The mtime
+    * feeds the streaming idle-admission rule (a current-hour file
+    * whose writer has gone idle flushes its in-progress record, the
+    * reference's 2 s idle flush, `tail.go:79-85`).
+    */
+  private[sources] def listLogFiles(conf: Map[String, String]): Seq[(String, Long, Long)] = {
     val root = conf.getOrElse("path",
       throw new IllegalArgumentException("techlog source requires a path"))
     val matches = nameMatcher(conf)
@@ -123,21 +128,112 @@ object TechLogSource {
         try stream.iterator().asScala
           .filter(p => matches(p.getFileName.toString) &&
             java.nio.file.Files.isRegularFile(p))
-          .map(p => (p.toString, java.nio.file.Files.size(p)))
+          .map(p => (p.toString, java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
           .toVector
         finally stream.close()
       } else {
         val fs = FileSystem.get(uri, hadoopConfFor(conf))
         val it = fs.listFiles(new Path(root), /* recursive = */ true)
-        val b = Seq.newBuilder[(String, Long)]
+        val b = Seq.newBuilder[(String, Long, Long)]
         while (it.hasNext) {
           val f = it.next()
           if (f.isFile && matches(f.getPath.getName))
-            b += ((f.getPath.toString, f.getLen))
+            b += ((f.getPath.toString, f.getLen, f.getModificationTime))
         }
         b.result()
       }
     out.sortBy(_._1)
+  }
+
+  /** Bytes [from, to) of a file (driver-side, small tail windows only). */
+  private[sources] def readRange(path: String, from: Long, to: Long,
+      hconf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    val uri = new Path(path).toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(uri.getPath))
+      try {
+        val upper = math.min(ch.size(), to)
+        val n = math.max(0L, upper - from).toInt
+        val buf = java.nio.ByteBuffer.allocate(n)
+        ch.position(from)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        java.util.Arrays.copyOf(buf.array(), buf.position())
+      } finally ch.close()
+    } else {
+      val fs = FileSystem.get(uri, hconf)
+      val in = fs.open(new Path(path))
+      try {
+        val arr = new Array[Byte]((to - from).toInt)
+        in.readFully(from, arr)
+        arr
+      } finally in.close()
+    }
+  }
+
+  /** Align a streaming admission target to safe boundaries. A listing
+    * catches the writer wherever it happens to be, so the raw size can
+    * split a line (even a UTF-8 sequence) or a multi-line record; the
+    * reference never commits either — its tail consumes whole lines
+    * and stores offsets only after a complete record flush
+    * (`tail.go:79-85`).
+    *
+    *  - always: cap at the byte AFTER the last '\n' ≤ size (whole
+    *    lines only — a partial trailing line stays pending, exactly
+    *    like the reference's line scanner);
+    *  - `holdBackRecord` (the still-hot current-hour file): cap at the
+    *    START of the last record-boundary line, holding the
+    *    record-in-progress back until a later boundary line arrives,
+    *    the writer goes idle, or the file rotates.
+    *
+    * Scans backward in growing chunks from the end — the in-progress
+    * tail is small, so this is one 64 KB read per changed file in the
+    * common case.
+    */
+  private[sources] def alignedAdmit(path: String, size: Long, holdBackRecord: Boolean,
+      hconf: org.apache.hadoop.conf.Configuration): Long = {
+    var chunk = 64L * 1024
+    while (size > 0) {
+      val from = math.max(0L, size - chunk)
+      val bytes = readRange(path, from, size, hconf)
+      var i = bytes.length - 1
+      while (i >= 0 && bytes(i) != '\n') i -= 1
+      if (i < 0) {
+        if (from == 0) return 0L // no complete line in the whole file
+        chunk *= 4
+      } else {
+        val lineEnd = from + i + 1
+        if (!holdBackRecord) return lineEnd
+        // if the partial trailing line ALREADY matches the boundary
+        // pattern, a new record has provably started at lineEnd — the
+        // unanchored match can't be undone by more bytes — so every
+        // byte before it belongs to complete records: admit them all
+        if (i < bytes.length - 1) {
+          val partial = new String(bytes, i + 1, bytes.length - (i + 1),
+            java.nio.charset.StandardCharsets.UTF_8).replace("\u0000", "")
+          if (TechLogParser.isNewLogRecord(partial)) return lineEnd
+        }
+        // otherwise the partial line may continue the last record:
+        // walk the complete lines in [from, lineEnd) backward; the
+        // START of the last boundary line is the admission point
+        // (that record is the unconfirmed one, held back)
+        var end = (lineEnd - from).toInt // exclusive, ends with '\n'
+        while (end > 0) {
+          var ls = end - 1
+          while (ls > 0 && bytes(ls - 1) != '\n') ls -= 1
+          if (ls > 0 || from == 0) { // ls == 0 with from > 0 → partial line
+            val line = new String(bytes, ls, end - 1 - ls,
+              java.nio.charset.StandardCharsets.UTF_8).replace("\u0000", "") // tail.go:98 NUL strip
+            if (TechLogParser.isNewLogRecord(line)) return from + ls
+          }
+          end = ls
+        }
+        if (from == 0) return 0L // no boundary line at all yet
+        chunk *= 4
+      }
+    }
+    0L
   }
 
   private def baseName(path: String): String =
@@ -254,7 +350,7 @@ final class TechLogScan(conf: Map[String, String], required: StructType,
     // batch snapshot: each file read [0, size-at-listing) so a file
     // growing mid-query yields a consistent point-in-time scan
     val slices = TechLogSource.listLogFiles(conf)
-      .map { case (p, len) => TechLogFileSlice(p, 0L, len) }
+      .map { case (p, len, _) => TechLogFileSlice(p, 0L, len) }
     TechLogSource.packPartitions(
       TechLogSource.pruneByName(slices, pushed), conf)
   }
@@ -278,6 +374,16 @@ final class TechLogScan(conf: Map[String, String], required: StructType,
   *  - retention-deleted files drop out of the map without shifting
   *    anything else — replayed batches read exactly the recorded byte
   *    ranges.
+  *
+  * Committed sizes are never raw listing sizes: they are aligned to
+  * safe boundaries first (`alignedAdmit`) — whole lines always, and
+  * for the still-hot current-hour file, whole RECORDS: the
+  * record-in-progress is held back until a later boundary line
+  * arrives, the writer goes idle (`idleAdmitMs`, default 2 s — the
+  * reference's idle flush), or the file rotates. A raw listing size
+  * can catch the writer mid-record (even mid-UTF-8-sequence); the
+  * reference only stores offsets after a complete record flush
+  * (`tail.go:79-85`).
   *
   * Scale note: the offset is O(live files) and 1C retention bounds the
   * live set (hours × processes), so checkpoint size stays small even
@@ -315,7 +421,8 @@ object TechLogOffset {
       TechLogOffset(b.result())
     } else {
       val n = node.get("fileCount").asInt()
-      TechLogOffset(TechLogSource.listLogFiles(conf).take(n).toMap)
+      TechLogOffset(TechLogSource.listLogFiles(conf).take(n)
+        .map { case (p, s, _) => p -> s }.toMap)
     }
   }
 }
@@ -327,11 +434,19 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
   // drains exactly the then-visible backlog (in admission-control-
   // bounded batches) and terminates, ignoring data that keeps arriving
   @volatile private var availableNowTarget: Option[Map[String, Long]] = None
-  private def listing(): Map[String, Long] = TechLogSource.listLogFiles(conf).toMap
+  private def rawSizes(): Map[String, Long] =
+    TechLogSource.listLogFiles(conf).map { case (p, s, _) => p -> s }.toMap
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(listing())
+    availableNowTarget = Some(rawSizes())
   override def initialOffset(): Offset = TechLogOffset(Map.empty)
-  override def latestOffset(): Offset = TechLogOffset(listing())
+  override def latestOffset(): Offset = TechLogOffset(rawSizes())
+  /** Idle-admission window (ms): a current-hour file younger than this
+    * holds back its record-in-progress (see alignedAdmit); once the
+    * writer goes idle the pending record flushes — the reference's 2 s
+    * idle flush (`tail.go:79-85`). 0 disables holdback (admit raw
+    * listed sizes — callers that KNOW writes are quiesced).
+    */
+  private val idleAdmitMs = conf.getOrElse("idleAdmitMs", "2000").toLong
   /** Admission control: `maxFilesPerTrigger` caps how many CHANGED
     * files (new, grown, or truncated) one micro-batch admits — backlog
     * after downtime drains in bounded batches instead of one giant
@@ -343,17 +458,58 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
       .map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val all = availableNowTarget.getOrElse(listing())
     val committed = start.asInstanceOf[TechLogOffset].files
-    // deleted files leave the map (bounded checkpoint under retention)
-    val kept = committed.filter { case (p, _) => all.contains(p) }
-    limit match {
-      case mf: ReadMaxFiles =>
-        val admitted = all.toSeq.sortBy(_._1)
-          .filter { case (p, sz) => !committed.get(p).contains(sz) }
-          .take(mf.maxFiles())
-        TechLogOffset(kept ++ admitted)
-      case _ => TechLogOffset(kept ++ all)
+    availableNowTarget match {
+      case Some(frozen) =>
+        // Trigger.AvailableNow drains a quiesced backlog: admit the
+        // frozen raw sizes whole (record assembly emits a final record
+        // with no successor boundary, reference end-of-tail behavior)
+        val kept = committed.filter { case (p, _) => frozen.contains(p) }
+        limit match {
+          case mf: ReadMaxFiles =>
+            val admitted = frozen.toSeq.sortBy(_._1)
+              .filter { case (p, sz) => !committed.get(p).contains(sz) }
+              .take(mf.maxFiles())
+            TechLogOffset(kept ++ admitted)
+          case _ => TechLogOffset(kept ++ frozen)
+        }
+      case None =>
+        val files = TechLogSource.listLogFiles(conf)
+        val names = files.map(_._1).toSet
+        // deleted files leave the map (bounded checkpoint under retention)
+        val kept = committed.filter { case (p, _) => names(p) }
+        // the still-hot file per directory (1C writes one current-hour
+        // file per process dir; lexicographic = chronological)
+        val lastPerDir = files.map(_._1)
+          .groupBy(p => p.substring(0, p.lastIndexOf('/') + 1))
+          .map { case (dir, ps) => dir -> ps.max }
+        val now = System.currentTimeMillis()
+        val hconf = TechLogSource.hadoopConfFor(conf)
+        // admission target per size-changed file, aligned to safe
+        // boundaries; only files whose committed offset would MOVE
+        // count as changed (a grown-but-all-held-back file does not
+        // consume a maxFilesPerTrigger slot every batch)
+        val changed = files.flatMap { case (p, sz, mtime) =>
+          val prev = committed.getOrElse(p, 0L)
+          if (sz == prev) None
+          else {
+            val dir = p.substring(0, p.lastIndexOf('/') + 1)
+            val holdBack = idleAdmitMs > 0 && lastPerDir(dir) == p &&
+              (now - mtime) < idleAdmitMs
+            val target =
+              if (idleAdmitMs <= 0) sz // holdback disabled: raw size
+              else {
+                val aligned = TechLogSource.alignedAdmit(p, sz, holdBack, hconf)
+                if (sz < prev) aligned // truncated: re-read [0, aligned)
+                else math.max(prev, aligned) // grown: never regress
+              }
+            if (target == prev) None else Some(p -> target)
+          }
+        }
+        limit match {
+          case mf: ReadMaxFiles => TechLogOffset(kept ++ changed.take(mf.maxFiles()))
+          case _ => TechLogOffset(kept ++ changed)
+        }
     }
   }
   override def deserializeOffset(json: String): Offset =

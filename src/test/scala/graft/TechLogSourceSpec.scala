@@ -61,7 +61,8 @@ class TechLogSourceSpec extends AnyFunSuite {
     Files.writeString(Paths.get(sdir, "25052607.log"),
       "00:03.000001-1,CONN,2,process=rphost,Usr=a\n")
     // parquet sink: the memory sink refuses checkpoint recovery
-    def start() = s.readStream.format("techlog").load(sdir)
+    def start() = s.readStream.format("techlog")
+      .option("idleAdmitMs", "0").load(sdir)
       .select(col("Component"), col("User"), col("LogTimestamp"))
       .writeStream.option("checkpointLocation", ckpt)
       .outputMode("append").format("parquet").option("path", out).start()
@@ -109,6 +110,7 @@ class TechLogSourceSpec extends AnyFunSuite {
         s"00:0$h.000001-$h,CONN,2,process=rphost,Usr=u$h\n")
     }
     val q = s.readStream.format("techlog")
+      .option("idleAdmitMs", "0")
       .option("maxFilesPerTrigger", "1").load(sdir)
       .select(col("User"))
       .writeStream.outputMode("append")
@@ -163,7 +165,8 @@ class TechLogSourceSpec extends AnyFunSuite {
     val out = graft.util.TmpDirs.scratch("techlog-append-out")
     val f = Paths.get(sdir, "25052607.log")
     Files.writeString(f, "00:01.000001-1,CONN,2,process=rphost,Usr=a\n")
-    def start() = s.readStream.format("techlog").load(sdir)
+    def start() = s.readStream.format("techlog")
+      .option("idleAdmitMs", "0").load(sdir)
       .select(col("Component"), col("User"))
       .writeStream.option("checkpointLocation", ckpt)
       .outputMode("append").format("parquet").option("path", out).start()
@@ -200,7 +203,8 @@ class TechLogSourceSpec extends AnyFunSuite {
     Files.createDirectories(Paths.get(sdir, "rphost_200"))
     Files.writeString(Paths.get(sdir, "rphost_200", "25052607.log"),
       "00:01.000001-1,CONN,2,process=rphost,Usr=late\n")
-    val q = s.readStream.format("techlog").load(sdir)
+    val q = s.readStream.format("techlog")
+      .option("idleAdmitMs", "0").load(sdir)
       .select(col("User"))
       .writeStream.option("checkpointLocation", ckpt)
       .outputMode("append").format("parquet").option("path", out).start()
@@ -227,7 +231,8 @@ class TechLogSourceSpec extends AnyFunSuite {
     Files.writeString(f,
       "00:01.000001-1,CONN,2,process=rphost,Usr=a\n" +
         "00:02.000001-2,CONN,2,process=rphost,Usr=b\n")
-    val q = s.readStream.format("techlog").load(sdir)
+    val q = s.readStream.format("techlog")
+      .option("idleAdmitMs", "0").load(sdir)
       .select(col("User"))
       .writeStream.option("checkpointLocation", ckpt)
       .outputMode("append").format("parquet").option("path", out).start()
@@ -300,5 +305,54 @@ class TechLogSourceSpec extends AnyFunSuite {
       .filter(col("Component") === "DBMSSQL")
       .select(col("Context")).collect()(0).getString(0)
     assert(ctx == "line one\nline two")
+  }
+
+  test("streaming offsets are record-aligned: a half-written record is held back, then arrives exactly once intact") {
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+    import graft.sources.{TechLogMicroBatchStream, TechLogSource}
+    // ensure the class-level Spark session exists (reader uses its conf)
+    TestSpark.spark
+    val sdir = graft.util.TmpDirs.scratch("techlog-halfrec")
+    val f = Paths.get(sdir, "25052607.log")
+    val userIdx = TechLogSource.schema.fieldIndex("User")
+    def users(st: TechLogMicroBatchStream, a: Offset, b: Offset): Seq[String] = {
+      val rf = st.createReaderFactory()
+      st.planInputPartitions(a, b).toSeq.flatMap { p =>
+        val r = rf.createReader(p)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        try { while (r.next()) buf += r.get().getUTF8String(userIdx).toString }
+        finally r.close()
+        buf
+      }
+    }
+    // a complete record, then HALF of a second one — cut mid-line,
+    // exactly what a listing catches when it races the writer
+    Files.writeString(f,
+      "00:01.000001-1,CONN,2,process=rphost,Usr=a\n" +
+        "00:02.000001-2,DBMSSQL,3,process=rphost,Us")
+    val st = new TechLogMicroBatchStream(
+      Map("path" -> sdir, "idleAdmitMs" -> "600000"), TechLogSource.schema)
+    val o0 = st.initialOffset()
+    val o1 = st.latestOffset(o0, ReadLimit.allAvailable())
+    // batch 1 admits only the complete record — the in-progress one
+    // (and its partial line) is held back, not emitted malformed
+    assert(users(st, o0, o1) == Seq("a"))
+    // the writer finishes the record and starts a third
+    Files.writeString(f,
+      "r=b\n00:03.000001-3,EXCP,1,process=rphost,Usr=c\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val o2 = st.latestOffset(o1, ReadLimit.allAvailable())
+    // batch 2 = exactly the completed record, intact — the half from
+    // batch 1 was never read, so nothing is duplicated or torn
+    assert(users(st, o1, o2) == Seq("b"))
+    // record 3 is still the in-progress tail of the hot file: held
+    assert(users(st, o2, st.latestOffset(o2, ReadLimit.allAvailable())).isEmpty)
+    // writer goes idle → the pending record flushes (reference's 2 s
+    // idle flush, tail.go:79-85) — modeled with a short idleAdmitMs
+    val idle = new TechLogMicroBatchStream(
+      Map("path" -> sdir, "idleAdmitMs" -> "50"), TechLogSource.schema)
+    Thread.sleep(120)
+    val o3 = idle.latestOffset(o2, ReadLimit.allAvailable())
+    assert(users(idle, o2, o3) == Seq("c"))
   }
 }
