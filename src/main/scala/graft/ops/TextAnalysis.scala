@@ -128,16 +128,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Exact vs approximate distinct counting (HLL++). Approx sketches
-    * differ across engines → rows-only correctness; the spec asserts
-    * the approx error bound against the exact value.
+  /** Exact vs approximate distinct counting (HLL++), raw estimates —
+    * spec-only (OpsSpec pins the error); the registered q36 is the
+    * gate form below.
     */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
+  private[graft] def approxDistinctRaw(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("lang"), explode(toks).as("word"))
       .groupBy(col("lang"))
       .agg(countDistinct(col("word")).as("exact_words"),
         approx_count_distinct(col("word"), 0.02).as("approx_words"))
+      .orderBy(col("lang"))
+
+  /** HLL++ distinct, deterministic driver gate: the estimate itself is
+    * engine-specific (DuckDB's sketch ≠ Spark's), so the registered
+    * output carries the EXACT count (oracle-checkable) plus a boolean
+    * asserting the estimate sits inside its declared envelope — 10%,
+    * i.e. 5× the requested 2% rsd. HLL++ is hash-based and
+    * order-independent, so the boolean is stable run to run, and the
+    * gate now distinguishes "approximate by design" from "broken".
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    approxDistinctRaw(s, d)
+      .select(col("lang"), col("exact_words"),
+        (abs(col("approx_words") - col("exact_words")) <=
+          col("exact_words").cast("double") * lit(0.10)).as("approx_ok"))
       .orderBy(col("lang"))
 
   /** BPE-ish token estimation (north-star "token counting"): word
@@ -247,6 +262,12 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q36_approx_distinct" ->
+      """SELECT lang, count(DISTINCT word) AS exact_words, TRUE AS approx_ok
+        |FROM (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS word
+        |      FROM documents)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "q72_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

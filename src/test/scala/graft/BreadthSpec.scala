@@ -8,7 +8,7 @@ class BreadthSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("HLL and Theta sketch estimates stay within 5% of exact distinct") {
-    val rows = ops.Breadth.sketchDistinct(TestSpark.spark, sf).collect()
+    val rows = ops.Breadth.sketchDistinctRaw(TestSpark.spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getAs[Long]("exact_users").toDouble
@@ -39,7 +39,7 @@ class BreadthSpec extends AnyFunSuite {
 
   test("KLL quantile sketch honors its rank-error contract") {
     val s = TestSpark.spark
-    val rows = ops.Breadth.kllQuantiles(s, sf).collect()
+    val rows = ops.Breadth.kllQuantilesRaw(s, sf).collect()
     assert(rows.nonEmpty)
     val ev = graft.util.Tables.events(s, sf)
       .select(col("event_type"), col("value")).cache()

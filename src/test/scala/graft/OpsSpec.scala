@@ -76,7 +76,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within its 2% rsd bound (×5 slack)") {
-    val rows = TextAnalysis.approxDistinct(spark, sf).collect()
+    val rows = TextAnalysis.approxDistinctRaw(spark, sf).collect()
     rows.foreach { r =>
       val exact = r.getAs[Long]("exact_words").toDouble
       val approx = r.getAs[Long]("approx_words").toDouble
