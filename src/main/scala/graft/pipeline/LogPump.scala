@@ -73,17 +73,22 @@ object LogPump {
     }
 
   /** K1 sink, JDBC form — the reference's actual sink shape (bulk
-    * INSERT per routed table, clickhouse.go:63-128). Works against any
-    * JDBC database; with ClickHouse that is
-    * `jdbc:clickhouse://host:8123/db` + the ClickHouse JDBC driver on
-    * the classpath. Exercised in LogPumpSpec against embedded Derby
-    * (the only JDBC engine shipped with Spark).
+    * INSERT per routed table, clickhouse.go:63-128). A
+    * `jdbc:clickhouse://host:8123/db` (or `jdbc:ch:`) URL takes the
+    * ClickHouse-dialect path: first-write auto-provisioning with the
+    * MergeTree DDL (DateTime64(6), LowCardinality — `ClickHouseDdl`)
+    * and the reference's explicit-column bulk INSERT
+    * (`ClickHouseSink`); any other JDBC database uses Spark's generic
+    * writer. Exercised in LogPumpSpec against embedded Derby (the only
+    * JDBC engine shipped with Spark) driving both the generic path and
+    * the ClickHouse executor batch cycle.
     */
   def writeRoutedJdbc(rows: DataFrame, tableMap: Map[String, String],
       defaultTable: String, url: String,
       props: java.util.Properties = new java.util.Properties()): Unit =
     foreachRoutedTable(rows, tableMap, defaultTable) { (t, df) =>
-      df.write.mode("append").jdbc(url, t, props)
+      if (ClickHouseSink.isClickHouseUrl(url)) ClickHouseSink.write(df, t, url, props)
+      else df.write.mode("append").jdbc(url, t, props)
     }
 
   /** Idempotent micro-batch JDBC write for `foreachBatch`: a
