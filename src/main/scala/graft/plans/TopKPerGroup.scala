@@ -52,11 +52,16 @@ object TopKStrategy extends SparkStrategy {
   * whatever distribution the child has (a superset of the answer);
   * `partial=false` demands clustering on the group key and is exact.
   *
-  * Memory: each task holds k rows per distinct group seen in its
-  * partition, on-heap with no spill path — right for the
-  * small-k × bounded-group-cardinality regime this operator targets.
-  * For ultra-high-cardinality group keys prefer the window row_number
-  * form, which spills via external sort.
+  * Memory guard (`spark.graft.topKPerGroup.maxRetainedBytesPerTask`,
+  * default 256 MB of retained UnsafeRow bytes per task): the partial
+  * phase FLUSHES its heaps downstream and restarts accumulation when
+  * the cap is hit — the union of chunk-wise top-k is still a superset
+  * of the per-group answer, so correctness is unchanged and map-side
+  * memory is bounded for ANY group cardinality. The final phase must
+  * see a whole group at once, so exceeding the cap there fails loudly
+  * with the remediation spelled out (more shuffle partitions, or the
+  * window row_number form, which spills via external sort) instead of
+  * dying on an executor OOM.
   */
 case class TopKPerGroupExec(
     groupCols: Seq[Attribute],
@@ -71,7 +76,11 @@ case class TopKPerGroupExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupCols) :: Nil
 
-  protected override def doExecute(): RDD[InternalRow] =
+  protected override def doExecute(): RDD[InternalRow] = {
+    val maxRetained = session.sessionState.conf.getConfString(
+      TopKPerGroupExec.MaxRetainedKey, (256L << 20).toString).toLong
+    val isPartial = partial
+    val kk = k
     child.execute().mapPartitions { iter =>
       val toUnsafe = UnsafeProjection.create(output, output)
       val groupProj = UnsafeProjection.create(groupCols, output)
@@ -81,26 +90,61 @@ case class TopKPerGroupExec(
       val heapCmp = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
       }
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
-        val row = toUnsafe(iter.next())
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](k + 1, heapCmp)
-          heaps.put(key.copy(), heap)
+      import scala.jdk.CollectionConverters._
+      new Iterator[InternalRow] {
+        private val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+        private var retained = 0L
+        private var out: Iterator[InternalRow] = Iterator.empty
+        /** Accumulate until the cap or input exhaustion, then expose
+          * the heap contents as `out` (a flush in the partial phase,
+          * the finished answer otherwise).
+          */
+        private def refill(): Unit = {
+          heaps.clear(); retained = 0L
+          while (iter.hasNext && (retained <= maxRetained || !isPartial)) {
+            val row = toUnsafe(iter.next())
+            val key = groupProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[UnsafeRow](kk + 1, heapCmp)
+              val keyCopy = key.copy()
+              heaps.put(keyCopy, heap)
+              retained += keyCopy.getSizeInBytes
+            }
+            if (heap.size < kk) {
+              heap.add(row.copy()); retained += row.getSizeInBytes
+            } else if (ord.compare(row, heap.peek()) < 0) {
+              retained -= heap.poll().getSizeInBytes
+              heap.add(row.copy()); retained += row.getSizeInBytes
+            }
+            if (!isPartial && retained > maxRetained)
+              throw new IllegalStateException(
+                s"TopKPerGroup final phase exceeded ${TopKPerGroupExec.MaxRetainedKey}" +
+                  s"=$maxRetained bytes (k=$kk, ${heaps.size} groups in this task). " +
+                  "Raise the cap, raise spark.sql.shuffle.partitions to spread " +
+                  "groups, or use the window row_number form, which spills.")
+          }
+          out = heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
         }
-        if (heap.size < k) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+        override def hasNext: Boolean = {
+          while (!out.hasNext && iter.hasNext) refill()
+          out.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          out.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }
+  }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Retained-bytes cap per task (see TopKPerGroupExec scaladoc). */
+  val MaxRetainedKey = "spark.graft.topKPerGroup.maxRetainedBytesPerTask"
 }
 
 /** User-facing constructor (names → resolved attributes against the

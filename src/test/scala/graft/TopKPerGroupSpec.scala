@@ -68,6 +68,56 @@ class TopKPerGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("partial phase flushes under a small retained-bytes cap and stays exact") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val key = graft.plans.TopKPerGroupExec.MaxRetainedKey
+    // 5000 distinct groups in every input partition: the map-side heap
+    // map would retain ~320 KB (k·groups UnsafeRows + keys) — a 128 KB
+    // cap forces mid-stream flushes; the final phase (~1/8 of the
+    // groups per shuffle task, ~52 KB) stays under it
+    val df = (0 until 20000).map(i => (i % 5000, i.toLong)).toDF("g", "v")
+    s.conf.set(key, (128L * 1024).toString)
+    // AQE would coalesce the tiny shuffle partitions into ONE final
+    // task holding every group — defeating the spread the test relies
+    // on to keep the final phase under the cap
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = s.conf.getOption(coalesceKey)
+    s.conf.set(coalesceKey, "false")
+    try {
+      val custom = graft.plans.TopKPerGroup.topK(df, Seq("g"), Seq("v"), 2)
+        .orderBy(col("g"), col("v").desc).collect().toSeq
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+        .orderBy(col("g"), col("v").desc).collect().toSeq
+      assert(custom == windowed)
+    } finally {
+      s.conf.unset(key)
+      prevCoalesce match {
+        case Some(v) => s.conf.set(coalesceKey, v)
+        case None => s.conf.unset(coalesceKey)
+      }
+    }
+  }
+
+  test("final phase fails loudly (not OOM) when a task's groups exceed the cap") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val key = graft.plans.TopKPerGroupExec.MaxRetainedKey
+    val df = (0 until 20000).map(i => (i % 5000, i.toLong)).toDF("g", "v")
+    s.conf.set(key, "512")
+    try {
+      val e = intercept[Exception] {
+        graft.plans.TopKPerGroup.topK(df, Seq("g"), Seq("v"), 2).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("TopKPerGroup final phase exceeded")),
+        messages(e).mkString(" | "))
+    } finally s.conf.unset(key)
+  }
+
   test("k larger than every group returns all rows") {
     val s = TestSpark.spark
     val src = graft.util.Tables.table(s, sf, "region")
