@@ -307,6 +307,57 @@ class TechLogSourceSpec extends AnyFunSuite {
     assert(ctx == "line one\nline two")
   }
 
+  test("property: random byte-chunk writer races never tear or duplicate records") {
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+    import graft.sources.{TechLogMicroBatchStream, TechLogSource}
+    TestSpark.spark
+    val userIdx = TechLogSource.schema.fieldIndex("User")
+    def collect(st: TechLogMicroBatchStream, a: Offset, b: Offset): Seq[String] = {
+      val rf = st.createReaderFactory()
+      st.planInputPartitions(a, b).toSeq.flatMap { p =>
+        val r = rf.createReader(p)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        try { while (r.next()) buf += r.get().getUTF8String(userIdx).toString }
+        finally r.close()
+        buf
+      }
+    }
+    val rnd = new scala.util.Random(42) // deterministic trials
+    (1 to 4).foreach { trial =>
+      val sdir = graft.util.TmpDirs.scratch(s"techlog-prop$trial")
+      val f = Paths.get(sdir, "25052607.log")
+      Files.write(f, Array.emptyByteArray)
+      // multi-line Context records + multi-byte UTF-8 user names, so
+      // chunk cuts land mid-record, mid-line, and mid-codepoint
+      val users = (1 to 25).map(i => s"uté$i")
+      val content = users.zipWithIndex.map { case (u, i) =>
+        val ctx = if (i % 3 == 0) ",Context='l1\nl2'" else ""
+        f"00:${i % 60}%02d.000001-${i + 1},CONN,2,process=rphost,Usr=$u$ctx\n"
+      }.mkString
+      val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val st = new TechLogMicroBatchStream(
+        Map("path" -> sdir, "idleAdmitMs" -> "600000"), TechLogSource.schema)
+      var off = st.initialOffset()
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < bytes.length) {
+        val next = math.min(bytes.length, pos + 1 + rnd.nextInt(97))
+        Files.write(f, java.util.Arrays.copyOfRange(bytes, pos, next),
+          java.nio.file.StandardOpenOption.APPEND)
+        pos = next
+        val o2 = st.latestOffset(off, ReadLimit.allAvailable())
+        got ++= collect(st, off, o2)
+        off = o2
+      }
+      // writer done → drain the held-back tail (idle-flush semantics)
+      val idle = new TechLogMicroBatchStream(
+        Map("path" -> sdir, "idleAdmitMs" -> "0"), TechLogSource.schema)
+      val o3 = idle.latestOffset(off, ReadLimit.allAvailable())
+      got ++= collect(idle, off, o3)
+      assert(got.toSeq == users, s"trial $trial")
+    }
+  }
+
   test("streaming offsets are record-aligned: a half-written record is held back, then arrives exactly once intact") {
     import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
     import graft.sources.{TechLogMicroBatchStream, TechLogSource}
