@@ -100,12 +100,116 @@ object TrainingData {
       .orderBy(col("lang"))
   }
 
+  /** Sequence packing for a fixed token budget: documents in doc_id
+    * order stream into `budget`-token packs; a doc belongs to the pack
+    * its STARTING token offset falls in (streaming packing — training
+    * pipelines concatenate docs with EOS and slice fixed windows, so
+    * the boundary doc straddles by design).
+    *
+    * The required exclusive prefix sum runs as a distributed two-pass
+    * scan: range-partition + sort by doc_id, per-partition token
+    * totals (one tiny row per partition to the driver), exclusive scan
+    * of those totals broadcast back as partition offsets — the classic
+    * parallel-scan decomposition. The naive
+    * `sum() OVER (ORDER BY doc_id)` window collapses the corpus into
+    * ONE task; this shape keeps every pass fully parallel and moves
+    * O(partitions) rows through the driver.
+    */
+  def packSequences(s: SparkSession, d: String, budget: Long = 2048L): DataFrame = {
+    import s.implicits._
+    val ranged = documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .cache() // pins the (sampled) range bounds so both passes see one partitioning
+    graft.util.CacheRegistry.register(ranged)
+    val partSums = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = ranged.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    (0 until nParts).foreach { i =>
+      offsets(i) = acc; acc += partSums.getOrElse(i, 0L)
+    }
+    val bc = s.sparkContext.broadcast(offsets)
+    ranged.as[(Long, Long)].mapPartitions { it =>
+      var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (id, tok) =>
+        val start = cum
+        cum += tok
+        (id, tok, start / budget)
+      }
+    }.toDF("doc_id", "n_tokens", "pack_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition signals per document: total word-2-gram
+    * count, the most-frequent-2-gram fraction, the duplicated-2-gram
+    * fraction, and the resulting repetitive verdict (top fraction
+    * > 0.2) — the filters a corpus build applies before training.
+    * One explode → two keyed aggregations on doc_id; nothing
+    * corpus-wide.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .withColumn("ws", split(col("text"), "\\s+"))
+      .select(col("doc_id"), expr(
+        """explode(CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))
+          |  ELSE array() END)""".stripMargin).as("g"))
+    grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_cnt"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_grams"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("top_cnt").cast("double") / col("n_grams"), 4).as("top_2gram_frac"),
+        round(col("dup_grams").cast("double") / col("n_grams"), 4).as("dup_2gram_frac"),
+        (col("top_cnt").cast("double") / col("n_grams") > lit(0.2)).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_training_mix"  -> trainingMix _,
     "q90_decontaminate" -> decontaminate _,
+    "q101_seq_packing"  -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "q102_repetition"   -> repetition _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q101_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start // 2048 AS pack_id
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    "q102_repetition" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
+        |  FROM ws WHERE len(ws) >= 2),
+        |per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_2gram_frac,
+        |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 4)
+        |    AS dup_2gram_frac,
+        |  max(c) / CAST(sum(c) AS DOUBLE) > 0.2 AS repetitive
+        |FROM per
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q89_training_mix" ->
       s"""WITH ${Dedup.PairsCtes},
         |q AS (
