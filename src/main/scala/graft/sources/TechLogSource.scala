@@ -163,9 +163,13 @@ object TechLogSource {
       } finally ch.close()
     } else {
       val fs = FileSystem.get(uri, hconf)
+      // cap at the CURRENT length: the file may have been truncated
+      // between the listing and this read (readFully past EOF throws)
+      val upper = math.min(fs.getFileStatus(new Path(path)).getLen, to)
+      val n = math.max(0L, upper - from).toInt
       val in = fs.open(new Path(path))
       try {
-        val arr = new Array[Byte]((to - from).toInt)
+        val arr = new Array[Byte](n)
         in.readFully(from, arr)
         arr
       } finally in.close()
@@ -439,7 +443,12 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(rawSizes())
   override def initialOffset(): Offset = TechLogOffset(Map.empty)
-  override def latestOffset(): Offset = TechLogOffset(rawSizes())
+  /** Legacy non-admission-control entry point — Spark uses the
+    * (start, limit) form for SupportsAdmissionControl sources, but
+    * keep the alignment guarantees if anything else calls this.
+    */
+  override def latestOffset(): Offset =
+    latestOffset(TechLogOffset(Map.empty), ReadLimit.allAvailable())
   /** Idle-admission window (ms): a current-hour file younger than this
     * holds back its record-in-progress (see alignedAdmit); once the
     * writer goes idle the pending record flushes — the reference's 2 s
