@@ -301,8 +301,12 @@ object Similarity {
   def annLshGate(s: SparkSession, d: String): DataFrame = {
     val ann = annLsh(s, d).select(col("query_id"), col("neighbor_id"))
     val brute = knnBrute(s, d).select(col("query_id"), col("neighbor_id"))
-    val hits = ann.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
-    val floorMet = hits.count().toDouble / brute.count() >= 0.30
+    // one action: hit-mark the exact pairs, aggregate both tallies
+    val st = brute
+      .join(ann.withColumn("m", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .agg(sum(coalesce(col("m"), lit(0))).as("hits"), count(lit(1)).as("n"))
+      .first()
+    val floorMet = st.getLong(0).toDouble / st.getLong(1) >= 0.30
     brute.select(col("query_id")).distinct()
       .select(col("query_id"), lit(floorMet).as("recall_floor_met"))
       .orderBy(col("query_id"))
