@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.config.PumpConfig
+import graft.pipeline.LogPump
+import graft.streaming.StreamingPump
+
+/** Runnable service entry point — the reference's `cmd/app/main.go`:
+  * load + validate config.yaml, start one streaming pump per
+  * configured log directory, run until SIGTERM, stop gracefully.
+  *
+  *   spark-submit --class graft.PumpMain graft.jar config.yaml \
+  *     [--parquet /lake/root] [--checkpoint /ckpt/root]
+  *
+  * Sink selection mirrors the deployment reality: with `--parquet`
+  * the routed lake sink writes per-table EventDate-partitioned
+  * parquet (the MergeTree layout); without it the ClickHouse block of
+  * the config becomes a `jdbc:clickhouse://Address/Database` sink with
+  * first-write MergeTree auto-provisioning and idempotent batch-id
+  * markers (LogPump.idempotentJdbcBatch — strictly stronger than the
+  * reference, which drops a batch on sink error, `batch.go:44-49`).
+  * Component-based table routing follows `clickhouse.go:64-72`;
+  * `BatchInterval` is the trigger period (`config.yaml:15`). Each
+  * directory gets its own checkpoint subdir, so offsets and batch-id
+  * markers never collide across pumps.
+  */
+object PumpMain {
+
+  /** Start one pump query per configured directory. Factored from
+    * main() so specs can drive it against a scratch config + sink.
+    */
+  def startAll(spark: SparkSession, cfg: PumpConfig,
+      parquetOut: Option[String], checkpointRoot: String): Seq[StreamingQuery] = {
+    val ch = cfg.ClickHouse
+    val default = if (ch.DefaultTable.isEmpty) "logs" else ch.DefaultTable
+    val trigger = Trigger.ProcessingTime(s"${cfg.BatchInterval} seconds")
+    cfg.LogDirectoryMap.toSeq.sortBy(_._1).map { case (key, dir) =>
+      val ckpt = s"$checkpointRoot/$key"
+      val stream = StreamingPump.pumpStream(spark, dir, cfg.FilePattern)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger)
+      parquetOut match {
+        case Some(out) =>
+          stream.foreachBatch { (batch: DataFrame, _: Long) =>
+            LogPump.writeRouted(batch, ch.TableMap, default, out)
+          }.start()
+        case None =>
+          val url = s"jdbc:clickhouse://${ch.Address}/${ch.Database}"
+          val props = new java.util.Properties()
+          if (ch.Username.nonEmpty) props.setProperty("user", ch.Username)
+          if (ch.Password.nonEmpty) props.setProperty("password", ch.Password)
+          stream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+            LogPump.idempotentJdbcBatch(batch, batchId, ch.TableMap, default,
+              url, props, pipelineId = ckpt)
+            ()
+          }.start()
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val configPath = args.headOption.getOrElse("config.yaml")
+    def flag(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val cfg = PumpConfig.load(configPath)
+      .fold(err => throw new IllegalArgumentException(err), identity)
+    val spark = SparkSession.builder()
+      .appName("graft-log-pump")
+      .getOrCreate() // master/resources come from spark-submit
+    val queries = startAll(spark, cfg,
+      flag("--parquet"), flag("--checkpoint").getOrElse("graft-checkpoints"))
+    // SIGTERM → graceful stop: finish the in-flight micro-batch, then
+    // exit (the reference's signal.Notify + cancel, main.go)
+    sys.addShutdownHook { queries.foreach(q => try q.stop() catch { case _: Throwable => () }) }
+    queries.foreach(_.awaitTermination())
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The service entry point (reference cmd/app/main.go parity): config
+  * load → one pump per configured directory → routed sink, stoppable.
+  */
+class PumpMainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (cond) return true
+      Thread.sleep(200)
+    }
+    cond
+  }
+
+  test("startAll pumps every configured directory through the routed sink") {
+    val d1 = Files.createTempDirectory("graft-main-d1")
+    val d2 = Files.createTempDirectory("graft-main-d2")
+    Files.writeString(d1.resolve("25052607.log"),
+      "00:01.000001-1,DBMSSQL,3,process=rphost,Usr=a\n")
+    Files.writeString(d2.resolve("25052607.log"),
+      "00:02.000001-2,CONN,2,process=rphost,Usr=b\n")
+    val out = Files.createTempDirectory("graft-main-out").toString
+    val ckpt = Files.createTempDirectory("graft-main-ckpt").toString
+    val confPath = Files.createTempDirectory("graft-main-conf").resolve("config.yaml")
+    Files.writeString(confPath,
+      s"""LogDirectoryMap:
+         |  Map1: "$d1"
+         |  Map2: "$d2"
+         |FilePattern: "*.log"
+         |BatchSize: 100
+         |BatchInterval: 1
+         |ClickHouse:
+         |  Address: "localhost:9000"
+         |  Database: "logs_db"
+         |  DefaultTable: "logs"
+         |  TableMap:
+         |    DBMSSQL: "sql_logs"
+         |""".stripMargin)
+    val cfg = graft.config.PumpConfig.load(confPath.toString)
+      .fold(e => fail(e), identity)
+    val queries = PumpMain.startAll(spark, cfg, Some(out), ckpt)
+    try {
+      assert(queries.size == 2) // one pump per directory
+      // DBMSSQL routes to sql_logs (clickhouse.go:64-72); CONN falls
+      // back to the default table — each from its own directory's pump
+      assert(eventually(30000) {
+        def u(t: String): Set[String] =
+          try spark.read.parquet(s"$out/$t").collect()
+            .map(_.getAs[String]("User")).toSet
+          catch { case _: Throwable => Set.empty }
+        u("sql_logs") == Set("a") && u("logs") == Set("b")
+      })
+    } finally queries.foreach(_.stop())
+    // per-directory checkpoints exist and are disjoint
+    assert(Files.exists(Paths.get(ckpt, "Map1")) &&
+      Files.exists(Paths.get(ckpt, "Map2")))
+  }
+}
