@@ -508,7 +508,13 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
             val target =
               if (idleAdmitMs <= 0) sz // holdback disabled: raw size
               else {
-                val aligned = TechLogSource.alignedAdmit(p, sz, holdBack, hconf)
+                // retention can delete the file between the listing
+                // and this tail read — skip it this batch (the next
+                // listing drops it from the offset) instead of
+                // failing the whole stream
+                val aligned =
+                  try TechLogSource.alignedAdmit(p, sz, holdBack, hconf)
+                  catch { case _: java.io.IOException => prev }
                 if (sz < prev) aligned // truncated: re-read [0, aligned)
                 else math.max(prev, aligned) // grown: never regress
               }
