@@ -388,6 +388,11 @@ class TechLogSourceSpec extends AnyFunSuite {
     // batch 1 admits only the complete record — the in-progress one
     // (and its partial line) is held back, not emitted malformed
     assert(users(st, o0, o1) == Seq("a"))
+    // a mid-file record-boundary offset survives the checkpoint JSON
+    // round-trip exactly (restart replays the same byte ranges)
+    assert(graft.sources.TechLogOffset.parse(
+      o1.asInstanceOf[graft.sources.TechLogOffset].json(),
+      Map("path" -> sdir)) == o1)
     // the writer finishes the record and starts a third
     Files.writeString(f,
       "r=b\n00:03.000001-3,EXCP,1,process=rphost,Usr=c\n",
