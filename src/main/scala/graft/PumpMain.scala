@@ -12,7 +12,8 @@ import graft.streaming.StreamingPump
   * configured log directory, run until SIGTERM, stop gracefully.
   *
   *   spark-submit --class graft.PumpMain graft.jar config.yaml \
-  *     [--parquet /lake/root] [--checkpoint /ckpt/root]
+  *     [--parquet /lake/root] [--checkpoint /ckpt/root] \
+  *     [--jdbc-url jdbc:clickhouse://host:8123/db]
   *
   * Sink selection mirrors the deployment reality: with `--parquet`
   * the routed lake sink writes per-table EventDate-partitioned
@@ -28,11 +29,28 @@ import graft.streaming.StreamingPump
   */
 object PumpMain {
 
+  /** The sink URL for a config: the ClickHouse JDBC driver speaks
+    * HTTP (default port 8123), while the reference's `Address` is its
+    * NATIVE endpoint (`host:9000`, `Protocol: tcp`) — so a reused
+    * reference config would point the JDBC driver at the wrong port.
+    * Translate the well-known native port to the HTTP one; anything
+    * else passes through (an explicit `--jdbc-url` overrides all of
+    * this).
+    */
+  private[graft] def jdbcUrl(cfg: PumpConfig): String = {
+    val ch = cfg.ClickHouse
+    val address =
+      if (ch.Address.endsWith(":9000")) ch.Address.stripSuffix(":9000") + ":8123"
+      else ch.Address
+    s"jdbc:clickhouse://$address/${ch.Database}"
+  }
+
   /** Start one pump query per configured directory. Factored from
     * main() so specs can drive it against a scratch config + sink.
     */
   def startAll(spark: SparkSession, cfg: PumpConfig,
-      parquetOut: Option[String], checkpointRoot: String): Seq[StreamingQuery] = {
+      parquetOut: Option[String], checkpointRoot: String,
+      jdbcUrlOverride: Option[String] = None): Seq[StreamingQuery] = {
     val ch = cfg.ClickHouse
     val default = if (ch.DefaultTable.isEmpty) "logs" else ch.DefaultTable
     val trigger = Trigger.ProcessingTime(s"${cfg.BatchInterval} seconds")
@@ -49,7 +67,7 @@ object PumpMain {
             LogPump.writeRouted(batch, ch.TableMap, default, out)
           }.start()
         case None =>
-          val url = s"jdbc:clickhouse://${ch.Address}/${ch.Database}"
+          val url = jdbcUrlOverride.getOrElse(jdbcUrl(cfg))
           val props = new java.util.Properties()
           if (ch.Username.nonEmpty) props.setProperty("user", ch.Username)
           if (ch.Password.nonEmpty) props.setProperty("password", ch.Password)
@@ -72,7 +90,8 @@ object PumpMain {
       .appName("graft-log-pump")
       .getOrCreate() // master/resources come from spark-submit
     val queries = startAll(spark, cfg,
-      flag("--parquet"), flag("--checkpoint").getOrElse("graft-checkpoints"))
+      flag("--parquet"), flag("--checkpoint").getOrElse("graft-checkpoints"),
+      flag("--jdbc-url"))
     // SIGTERM → graceful stop: finish the in-flight micro-batch, then
     // exit (the reference's signal.Notify + cancel, main.go)
     sys.addShutdownHook { queries.foreach(q => try q.stop() catch { case _: Throwable => () }) }

@@ -307,7 +307,11 @@ object Similarity {
       .agg(sum(coalesce(col("m"), lit(0))).as("hits"), count(lit(1)).as("n"))
       .first()
     val floorMet = st.getLong(0).toDouble / st.getLong(1) >= 0.30
-    brute.select(col("query_id")).distinct()
+    // output rows come from a plain embeddings scan — re-deriving the
+    // query ids from `brute` would execute the whole kNN plan a
+    // second time just to enumerate vec_id < 10
+    embeddings(s, d).select(col("vec_id").as("query_id"))
+      .filter(col("query_id") < 10)
       .select(col("query_id"), lit(floorMet).as("recall_floor_met"))
       .orderBy(col("query_id"))
   }

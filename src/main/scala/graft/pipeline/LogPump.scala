@@ -117,11 +117,7 @@ object LogPump {
       }
       if (!exists) {
         val st = conn.createStatement()
-        try st.executeUpdate(
-          """CREATE TABLE graft_batch_commits (
-            |  pipeline VARCHAR(256) NOT NULL,
-            |  batch_id BIGINT NOT NULL,
-            |  PRIMARY KEY (pipeline, batch_id))""".stripMargin)
+        try st.executeUpdate(markerTableDdl(url))
         finally st.close()
       }
       // markers are keyed by (pipeline, batch id): batch ids restart
@@ -146,6 +142,25 @@ object LogPump {
       }
     } finally conn.close()
   }
+
+  /** Marker-table DDL per dialect: ClickHouse rejects engine-less
+    * ANSI DDL (and has no PRIMARY KEY constraint clause) — it gets a
+    * MergeTree ordered by the marker key; everything else takes the
+    * generic form.
+    */
+  private[graft] def markerTableDdl(url: String): String =
+    if (ClickHouseSink.isClickHouseUrl(url))
+      """CREATE TABLE IF NOT EXISTS graft_batch_commits (
+        |  pipeline String,
+        |  batch_id Int64
+        |)
+        |ENGINE = MergeTree
+        |ORDER BY (pipeline, batch_id)""".stripMargin
+    else
+      """CREATE TABLE graft_batch_commits (
+        |  pipeline VARCHAR(256) NOT NULL,
+        |  batch_id BIGINT NOT NULL,
+        |  PRIMARY KEY (pipeline, batch_id))""".stripMargin
 
   private def foreachRoutedTable(rows: DataFrame,
       tableMap: Map[String, String], defaultTable: String)(

@@ -149,6 +149,7 @@ object TechLogSource {
   /** Bytes [from, to) of a file (driver-side, small tail windows only). */
   private[sources] def readRange(path: String, from: Long, to: Long,
       hconf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    require(to - from <= Int.MaxValue, s"readRange window > 2 GB in $path")
     val uri = new Path(path).toUri
     if (uri.getScheme == null || uri.getScheme == "file") {
       val ch = java.nio.channels.FileChannel.open(
@@ -198,7 +199,10 @@ object TechLogSource {
   private[sources] def alignedAdmit(path: String, size: Long, holdBackRecord: Boolean,
       hconf: org.apache.hadoop.conf.Configuration): Long = {
     var chunk = 64L * 1024
+    val maxChunk = 1L << 30 // a >1 GB run without the sought boundary
+    //              is not a techlog — hold rather than buffer it all
     while (size > 0) {
+      if (chunk > maxChunk && size > maxChunk) return 0L
       val from = math.max(0L, size - chunk)
       val bytes = readRange(path, from, size, hconf)
       var i = bytes.length - 1
@@ -379,15 +383,17 @@ final class TechLogScan(conf: Map[String, String], required: StructType,
   *    anything else — replayed batches read exactly the recorded byte
   *    ranges.
   *
-  * Committed sizes are never raw listing sizes: they are aligned to
-  * safe boundaries first (`alignedAdmit`) — whole lines always, and
-  * for the still-hot current-hour file, whole RECORDS: the
+  * Committed sizes are never raw listing sizes (unless the caller
+  * opts out with `idleAdmitMs=0`): they are aligned to safe
+  * boundaries first (`alignedAdmit`) — whole lines always, and for
+  * any still-hot (recently-written) file, whole RECORDS: the
   * record-in-progress is held back until a later boundary line
-  * arrives, the writer goes idle (`idleAdmitMs`, default 2 s — the
-  * reference's idle flush), or the file rotates. A raw listing size
-  * can catch the writer mid-record (even mid-UTF-8-sequence); the
-  * reference only stores offsets after a complete record flush
-  * (`tail.go:79-85`).
+  * arrives or the writer goes idle (`idleAdmitMs`, default 2 s — the
+  * reference's per-file idle flush). This holds for continuous
+  * triggers AND Trigger.AvailableNow drains (only the LISTING is
+  * frozen there). A raw listing size can catch the writer mid-record
+  * (even mid-UTF-8-sequence); the reference only stores offsets after
+  * a complete record flush (`tail.go:79-85`).
   *
   * Scale note: the offset is O(live files) and 1C retention bounds the
   * live set (hours × processes), so checkpoint size stays small even
@@ -434,14 +440,17 @@ object TechLogOffset {
 final class TechLogMicroBatchStream(conf: Map[String, String],
     required: StructType, pushed: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  // Trigger.AvailableNow: freeze the target at query start so the run
+  // Trigger.AvailableNow: freeze the LISTING at query start so the run
   // drains exactly the then-visible backlog (in admission-control-
-  // bounded batches) and terminates, ignoring data that keeps arriving
-  @volatile private var availableNowTarget: Option[Map[String, Long]] = None
-  private def rawSizes(): Map[String, Long] =
-    TechLogSource.listLogFiles(conf).map { case (p, s, _) => p -> s }.toMap
+  // bounded batches) and terminates, ignoring data that keeps
+  // arriving. Admission rules (alignment, holdback, idle flush) are
+  // identical to the continuous path — only the listing is frozen, so
+  // a drain racing a live writer still never commits a torn record; a
+  // held-back tail simply waits for the next periodic drain (or set
+  // idleAdmitMs=0 when writes are known quiesced).
+  @volatile private var availableNowTarget: Option[Seq[(String, Long, Long)]] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(rawSizes())
+    availableNowTarget = Some(TechLogSource.listLogFiles(conf))
   override def initialOffset(): Offset = TechLogOffset(Map.empty)
   /** Legacy non-admission-control entry point — Spark uses the
     * (start, limit) form for SupportsAdmissionControl sources, but
@@ -449,13 +458,21 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
     */
   override def latestOffset(): Offset =
     latestOffset(TechLogOffset(Map.empty), ReadLimit.allAvailable())
-  /** Idle-admission window (ms): a current-hour file younger than this
-    * holds back its record-in-progress (see alignedAdmit); once the
-    * writer goes idle the pending record flushes — the reference's 2 s
-    * idle flush (`tail.go:79-85`). 0 disables holdback (admit raw
+  /** Idle-admission window (ms): a file younger than this holds back
+    * its record-in-progress (see alignedAdmit); once its writer goes
+    * idle the pending record flushes — the reference's 2 s idle flush
+    * (`tail.go:79-85`), applied to EVERY tailed file exactly like the
+    * reference's per-file tails (hour rollover flushes the old file's
+    * final record the same way). 0 disables holdback (admit raw
     * listed sizes — callers that KNOW writes are quiesced).
     */
   private val idleAdmitMs = conf.getOrElse("idleAdmitMs", "2000").toLong
+  /** (path, size, holdBack) → aligned target, valid while the file's
+    * size is unchanged: a hot file that is all held back (target ==
+    * prev) would otherwise pay its tail read on EVERY trigger.
+    */
+  private val admitMemo =
+    scala.collection.mutable.HashMap.empty[(String, Long, Boolean), Long]
   /** Admission control: `maxFilesPerTrigger` caps how many CHANGED
     * files (new, grown, or truncated) one micro-batch admits — backlog
     * after downtime drains in bounded batches instead of one giant
@@ -468,63 +485,50 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
       .getOrElse(ReadLimit.allAvailable())
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val committed = start.asInstanceOf[TechLogOffset].files
-    availableNowTarget match {
-      case Some(frozen) =>
-        // Trigger.AvailableNow drains a quiesced backlog: admit the
-        // frozen raw sizes whole (record assembly emits a final record
-        // with no successor boundary, reference end-of-tail behavior)
-        val kept = committed.filter { case (p, _) => frozen.contains(p) }
-        limit match {
-          case mf: ReadMaxFiles =>
-            val admitted = frozen.toSeq.sortBy(_._1)
-              .filter { case (p, sz) => !committed.get(p).contains(sz) }
-              .take(mf.maxFiles())
-            TechLogOffset(kept ++ admitted)
-          case _ => TechLogOffset(kept ++ frozen)
-        }
-      case None =>
-        val files = TechLogSource.listLogFiles(conf)
-        val names = files.map(_._1).toSet
-        // deleted files leave the map (bounded checkpoint under retention)
-        val kept = committed.filter { case (p, _) => names(p) }
-        // the still-hot file per directory (1C writes one current-hour
-        // file per process dir; lexicographic = chronological)
-        val lastPerDir = files.map(_._1)
-          .groupBy(p => p.substring(0, p.lastIndexOf('/') + 1))
-          .map { case (dir, ps) => dir -> ps.max }
-        val now = System.currentTimeMillis()
-        val hconf = TechLogSource.hadoopConfFor(conf)
-        // admission target per size-changed file, aligned to safe
-        // boundaries; only files whose committed offset would MOVE
-        // count as changed (a grown-but-all-held-back file does not
-        // consume a maxFilesPerTrigger slot every batch)
-        val changed = files.flatMap { case (p, sz, mtime) =>
-          val prev = committed.getOrElse(p, 0L)
-          if (sz == prev) None
+    val files = availableNowTarget.getOrElse(TechLogSource.listLogFiles(conf))
+    val names = files.map(_._1).toSet
+    // deleted files leave the map (bounded checkpoint under retention)
+    val kept = committed.filter { case (p, _) => names(p) }
+    // prune memo entries for deleted files AND superseded sizes (a
+    // growing file would otherwise leave one stale entry per batch)
+    val sizeByPath = files.map(f => f._1 -> f._2).toMap
+    admitMemo.filterInPlace { case ((p, s, _), _) => sizeByPath.get(p).contains(s) }
+    val now = System.currentTimeMillis()
+    val hconf = TechLogSource.hadoopConfFor(conf)
+    // admission target per size-changed file, aligned to safe
+    // boundaries; only files whose committed offset would MOVE count
+    // as changed (a grown-but-all-held-back file does not consume a
+    // maxFilesPerTrigger slot). LAZY so a ReadMaxFiles cap stops the
+    // per-file tail reads after maxFiles admissions — a post-downtime
+    // backlog costs O(maxFiles) reads per trigger, not O(backlog).
+    val changed = files.iterator.flatMap { case (p, sz, mtime) =>
+      val prev = committed.getOrElse(p, 0L)
+      if (sz == prev) None
+      else {
+        val holdBack = idleAdmitMs > 0 && (now - mtime) < idleAdmitMs
+        val target =
+          if (idleAdmitMs <= 0) sz // holdback disabled: raw size
           else {
-            val dir = p.substring(0, p.lastIndexOf('/') + 1)
-            val holdBack = idleAdmitMs > 0 && lastPerDir(dir) == p &&
-              (now - mtime) < idleAdmitMs
-            val target =
-              if (idleAdmitMs <= 0) sz // holdback disabled: raw size
-              else {
-                // retention can delete the file between the listing
-                // and this tail read — skip it this batch (the next
-                // listing drops it from the offset) instead of
-                // failing the whole stream
-                val aligned =
-                  try TechLogSource.alignedAdmit(p, sz, holdBack, hconf)
-                  catch { case _: java.io.IOException => prev }
-                if (sz < prev) aligned // truncated: re-read [0, aligned)
-                else math.max(prev, aligned) // grown: never regress
-              }
-            if (target == prev) None else Some(p -> target)
+            // retention can delete the file between the listing and
+            // this tail read — skip it this batch (the next listing
+            // drops it from the offset) instead of failing the
+            // stream; failures are NOT memoized
+            val aligned = admitMemo.get((p, sz, holdBack)).getOrElse {
+              try {
+                val v = TechLogSource.alignedAdmit(p, sz, holdBack, hconf)
+                admitMemo((p, sz, holdBack)) = v
+                v
+              } catch { case _: java.io.IOException => prev }
+            }
+            if (sz < prev) aligned // truncated: re-read [0, aligned)
+            else math.max(prev, aligned) // grown: never regress
           }
-        }
-        limit match {
-          case mf: ReadMaxFiles => TechLogOffset(kept ++ changed.take(mf.maxFiles()))
-          case _ => TechLogOffset(kept ++ changed)
-        }
+        if (target == prev) None else Some(p -> target)
+      }
+    }
+    limit match {
+      case mf: ReadMaxFiles => TechLogOffset(kept ++ changed.take(mf.maxFiles()))
+      case _ => TechLogOffset(kept ++ changed)
     }
   }
   override def deserializeOffset(json: String): Offset =

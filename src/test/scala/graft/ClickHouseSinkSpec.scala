@@ -84,6 +84,16 @@ class ClickHouseSinkSpec extends AnyFunSuite {
     assert(micros.getNanos == 310025000)
   }
 
+  test("batch-commit marker table DDL is dialect-aware (ClickHouse needs an ENGINE)") {
+    val ch = graft.pipeline.LogPump.markerTableDdl("jdbc:clickhouse://h:8123/db")
+    assert(ch.contains("ENGINE = MergeTree"))
+    assert(ch.contains("ORDER BY (pipeline, batch_id)"))
+    assert(!ch.contains("PRIMARY KEY")) // no such constraint clause in ClickHouse
+    val generic = graft.pipeline.LogPump.markerTableDdl("jdbc:derby:memory:x")
+    assert(generic.contains("PRIMARY KEY (pipeline, batch_id)"))
+    assert(!generic.contains("ENGINE"))
+  }
+
   test("executor batch cycle appends through a real JDBC engine (Derby)") {
     val s = TestSpark.spark
     import s.implicits._

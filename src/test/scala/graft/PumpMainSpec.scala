@@ -19,6 +19,19 @@ class PumpMainSpec extends AnyFunSuite {
     cond
   }
 
+  test("jdbcUrl translates the reference's native endpoint to the JDBC HTTP port") {
+    import graft.config.{ClickHouseConfig, PumpConfig}
+    def cfg(addr: String) = PumpConfig(
+      ClickHouse = ClickHouseConfig(Address = addr, Database = "logs_db"))
+    // a reused reference config points at the native protocol port —
+    // the JDBC driver speaks HTTP, so 9000 maps to 8123
+    assert(PumpMain.jdbcUrl(cfg("localhost:9000")) ==
+      "jdbc:clickhouse://localhost:8123/logs_db")
+    // anything explicitly HTTP-ish passes through untouched
+    assert(PumpMain.jdbcUrl(cfg("ch.example:8123")) ==
+      "jdbc:clickhouse://ch.example:8123/logs_db")
+  }
+
   test("startAll pumps every configured directory through the routed sink") {
     val d1 = Files.createTempDirectory("graft-main-d1")
     val d2 = Files.createTempDirectory("graft-main-d2")

@@ -133,6 +133,7 @@ class TechLogSourceSpec extends AnyFunSuite {
         s"00:0$h.000001-$h,CONN,2,process=rphost,Usr=u$h\n")
     }
     val q = s.readStream.format("techlog")
+      .option("idleAdmitMs", "0") // quiesced backlog: admit raw sizes
       .option("maxFilesPerTrigger", "1").load(sdir)
       .select(col("User"))
       .writeStream.outputMode("append")
