@@ -412,4 +412,47 @@ class TechLogSourceSpec extends AnyFunSuite {
     val o3 = idle.latestOffset(o2, ReadLimit.allAvailable())
     assert(users(idle, o2, o3) == Seq("c"))
   }
+
+  test("AvailableNow drain racing a live writer never commits a torn record") {
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+    import graft.sources.{TechLogMicroBatchStream, TechLogSource}
+    TestSpark.spark
+    val sdir = graft.util.TmpDirs.scratch("techlog-availnow-race")
+    val f = Paths.get(sdir, "25052607.log")
+    val userIdx = TechLogSource.schema.fieldIndex("User")
+    def users(st: TechLogMicroBatchStream, a: Offset, b: Offset): Seq[String] = {
+      val rf = st.createReaderFactory()
+      st.planInputPartitions(a, b).toSeq.flatMap { p =>
+        val r = rf.createReader(p)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        try { while (r.next()) buf += r.get().getUTF8String(userIdx).toString }
+        finally r.close()
+        buf
+      }
+    }
+    // the drain's initial listing catches the writer mid-record
+    Files.writeString(f,
+      "00:01.000001-1,CONN,2,process=rphost,Usr=a\n" +
+        "00:02.000001-2,DBMSSQL,3,process=rphost,Us")
+    val st = new TechLogMicroBatchStream(
+      Map("path" -> sdir, "idleAdmitMs" -> "600000"), TechLogSource.schema)
+    st.prepareForTriggerAvailableNow() // freeze the LISTING here
+    val o0 = st.initialOffset()
+    val o1 = st.latestOffset(o0, ReadLimit.allAvailable())
+    // only the listing is frozen — admission still aligns to record
+    // boundaries, so the drain emits the complete record and holds
+    // the in-progress one rather than committing the frozen raw size
+    assert(users(st, o0, o1) == Seq("a"))
+    // the drain reaches a fixed point and self-terminates with the
+    // torn tail still un-committed
+    assert(st.latestOffset(o1, ReadLimit.allAvailable()) == o1)
+    // writer finishes the record → the NEXT periodic drain delivers
+    // it intact, exactly once
+    Files.writeString(f, "r=b\n", java.nio.file.StandardOpenOption.APPEND)
+    val next = new TechLogMicroBatchStream(
+      Map("path" -> sdir, "idleAdmitMs" -> "0"), TechLogSource.schema)
+    next.prepareForTriggerAvailableNow()
+    val o2 = next.latestOffset(o1, ReadLimit.allAvailable())
+    assert(users(next, o1, o2) == Seq("b"))
+  }
 }
