@@ -128,6 +128,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 relevance: top-10 documents for a fixed query (Okapi
+    * k1=1.2, b=0.75 — Robertson et al.). The retrieval scorer behind
+    * classic quality filtering / retrieval-based decontamination.
+    *
+    * Scale shape: tokens are filtered to the QUERY terms before any
+    * shuffle, so the wide stages see ≤ |terms| rows per doc, never the
+    * exploded corpus; doc length rides along in the grouping key
+    * (functionally dependent on doc_id) instead of a second join; df
+    * is |terms| rows, broadcast. Final top-10 is a
+    * TakeOrderedAndProject, no global sort.
+    */
+  def bm25(s: SparkSession, d: String,
+      terms: Seq[String] = Seq("hash", "join", "scan"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), toks.as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("double").as("dl"))
+    val st = docs.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl")).first()
+    val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+      .select(col("doc_id"), col("dl"), lower(col("w")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))
+    tf.join(broadcast(df), Seq("word"))
+      .withColumn("term_score", idf * col("tf") * lit(k1 + 1) / norm)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+  }
+
   /** Exact vs approximate distinct counting (HLL++), raw estimates —
     * spec-only (OpsSpec pins the error); the registered q36 is the
     * gate form below.
@@ -259,9 +298,37 @@ object TextAnalysis {
     "q23_fingerprint"  -> fingerprints _,
     "q24_ngram_freq"   -> ngramFreq _,
     "q25_lang_id"      -> langId _,
+    "q103_bm25"        -> ((s: SparkSession, d: String) => bm25(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q103_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         avg(CAST(len(ws) AS DOUBLE)) AS avgdl
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, word, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+        |               lower(unnest(ws)) AS word
+        |        FROM docs)
+        |  WHERE word IN ('hash', 'join', 'scan')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+        |        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN stats
+        |  GROUP BY doc_id)
+        |SELECT doc_id, round(score, 4) AS bm25
+        |FROM scored
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin,
     "q36_approx_distinct" ->
       """SELECT lang, count(DISTINCT word) AS exact_words, TRUE AS approx_ok
         |FROM (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS word
