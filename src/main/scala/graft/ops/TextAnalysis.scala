@@ -167,6 +167,58 @@ object TextAnalysis {
       .select(col("doc_id"), round(col("score"), 4).as("bm25"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the word co-occurrence (bigram) graph, 3 fixed
+    * iterations, damping 0.85, top-20 words.
+    *
+    * Scale shape: the distributed stage is the GRAPH BUILD — one
+    * shuffle aggregating the corpus's bigram stream down to weighted
+    * edges (|V|² worst case, ≪ corpus). Each iteration is then two
+    * equi-joins + an aggregation on that edge table, expressed as
+    * DataFrames so the same code runs whether the vocabulary is 31
+    * words (here) or 10M (web-scale); AQE picks broadcast vs shuffle
+    * join per size at runtime. No per-node driver loop — the only
+    * actions are the two scalar stats.
+    */
+  def textRank(s: SparkSession, d: String,
+      iters: Int = 3, damp: Double = 0.85): DataFrame = {
+    val docs = documents(s, d).withColumn("ws", toks)
+    val bigrams = docs.select(expr(
+      """explode(CASE WHEN size(ws) >= 2
+        |  THEN transform(sequence(1, size(ws) - 1),
+        |    i -> struct(lower(element_at(ws, i)) AS src,
+        |                lower(element_at(ws, i + 1)) AS dst))
+        |  ELSE array() END)""".stripMargin).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = bigrams.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    // cache the NORMALIZED edges and the node set, not the raw edge
+    // counts: each iteration re-reads norm and nodes, so without the
+    // caches the corpus-wide bigram aggregation + window would re-run
+    // per iteration (measured ~2× on the whole query)
+    val norm = graft.util.CacheRegistry.register(edges
+      .withColumn("p", col("w") / sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("p")).cache())
+    val nodes = graft.util.CacheRegistry.register(
+      norm.select(col("src").as("word"))
+        .union(norm.select(col("dst").as("word"))).distinct().cache())
+    val nv = nodes.count().toDouble
+    var rank = nodes.select(col("word"), lit(1.0 / nv).as("score"))
+    (1 to iters).foreach { _ =>
+      val contrib = norm
+        .join(rank.withColumnRenamed("word", "src"), Seq("src"))
+        .groupBy(col("dst").as("word"))
+        .agg(sum(col("p") * col("score")).as("c"))
+      rank = nodes.join(contrib, Seq("word"), "left")
+        .select(col("word"),
+          (lit((1 - damp) / nv) +
+            lit(damp) * coalesce(col("c"), lit(0.0))).as("score"))
+    }
+    rank.orderBy(col("score").desc, col("word")).limit(20)
+      .select(col("word"), round(col("score"), 6).as("rank"))
+  }
+
   /** Exact vs approximate distinct counting (HLL++), raw estimates —
     * spec-only (OpsSpec pins the error); the registered q36 is the
     * gate form below.
@@ -299,9 +351,53 @@ object TextAnalysis {
     "q24_ngram_freq"   -> ngramFreq _,
     "q25_lang_id"      -> langId _,
     "q103_bm25"        -> ((s: SparkSession, d: String) => bm25(s, d)),
+    "q104_textrank"    -> ((s: SparkSession, d: String) => textRank(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q104_textrank" ->
+      """WITH docs AS (
+        |  SELECT [lower(x) for x in regexp_split_to_array(text, '\s+')] AS ws
+        |  FROM documents),
+        |e AS (
+        |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        |  FROM (SELECT unnest([{'src': ws[i], 'dst': ws[i+1]}
+        |                       for i in range(1, len(ws))],
+        |                      recursive := true)
+        |        FROM docs)
+        |  GROUP BY 1, 2),
+        |norm AS (
+        |  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM e),
+        |nodes AS (
+        |  SELECT DISTINCT word
+        |  FROM (SELECT src AS word FROM e UNION ALL SELECT dst FROM e)),
+        |nv AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM nodes),
+        |r0 AS (SELECT word, 1.0 / nv AS score FROM nodes CROSS JOIN nv),
+        |r1 AS (
+        |  SELECT nodes.word,
+        |    0.15 / (SELECT nv FROM nv) + 0.85 * coalesce(c.c, 0) AS score
+        |  FROM nodes LEFT JOIN (
+        |    SELECT norm.dst AS word, sum(norm.p * r0.score) AS c
+        |    FROM norm JOIN r0 ON r0.word = norm.src GROUP BY 1) c
+        |  USING (word)),
+        |r2 AS (
+        |  SELECT nodes.word,
+        |    0.15 / (SELECT nv FROM nv) + 0.85 * coalesce(c.c, 0) AS score
+        |  FROM nodes LEFT JOIN (
+        |    SELECT norm.dst AS word, sum(norm.p * r1.score) AS c
+        |    FROM norm JOIN r1 ON r1.word = norm.src GROUP BY 1) c
+        |  USING (word)),
+        |r3 AS (
+        |  SELECT nodes.word,
+        |    0.15 / (SELECT nv FROM nv) + 0.85 * coalesce(c.c, 0) AS score
+        |  FROM nodes LEFT JOIN (
+        |    SELECT norm.dst AS word, sum(norm.p * r2.score) AS c
+        |    FROM norm JOIN r2 ON r2.word = norm.src GROUP BY 1) c
+        |  USING (word))
+        |SELECT word, round(score, 6) AS rank
+        |FROM r3
+        |ORDER BY score DESC, word
+        |LIMIT 20""".stripMargin,
     "q103_bm25" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
