@@ -14,7 +14,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
   private val allowedBnlj = Set("q30_knn_brute", "q31_ann_lsh", "q52_ivf_ann")
-  private val allowedSinglePartition = Set("q14_promo_revenue")
+  private val allowedSinglePartition =
+    Set("q14_promo_revenue", "q105_bloom_semi_join") // scalar final aggregates
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark

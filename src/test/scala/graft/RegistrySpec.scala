@@ -27,10 +27,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the documented surface") {
-    assert(SparkEntry.queries.size == 104)
+    assert(SparkEntry.queries.size == 105)
     // every query — including the four approximate ones, which emit
     // deterministic bound-check gate rows — has a DuckDB oracle
-    assert(SparkEntry.oracleSql.size == 104)
+    assert(SparkEntry.oracleSql.size == 105)
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 }
