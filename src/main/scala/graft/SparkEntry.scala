@@ -15,7 +15,8 @@ object SparkEntry {
       ops.TextAnalysis.queries ++ ops.Dedup.queries ++ ops.Similarity.queries ++
       ops.Multimodal.queries ++ ops.Temporal.queries ++ ops.Suites.queries ++
       ops.Clustering.queries ++ ops.Formats.queries ++ ops.Skew.queries ++
-      ops.SqlSuite.queries ++ ops.Breadth.queries ++ ops.TrainingData.queries
+      ops.SqlSuite.queries ++ ops.Breadth.queries ++ ops.TrainingData.queries ++
+      ops.Frequency.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
       ops.TextAnalysis.oracleSql ++ ops.Dedup.oracleSql ++ ops.Similarity.oracleSql ++
       ops.Multimodal.oracleSql ++ ops.Temporal.oracleSql ++ ops.Suites.oracleSql ++
       ops.Clustering.oracleSql ++ ops.Formats.oracleSql ++ ops.Skew.oracleSql ++
-      ops.SqlSuite.oracleSql ++ ops.Breadth.oracleSql ++ ops.TrainingData.oracleSql
+      ops.SqlSuite.oracleSql ++ ops.Breadth.oracleSql ++ ops.TrainingData.oracleSql ++
+      ops.Frequency.oracleSql
 }

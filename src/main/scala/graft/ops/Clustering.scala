@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -199,10 +199,64 @@ object Clustering {
       .agg(min(col("a")).as("canonical_id"), count(lit(1)).as("n_links"))
       .orderBy(col("dup_id"))
 
+  /** Lloyd's k-means over the embedding corpus (k = 10 seeds = the
+    * vectors with vec_id < 10, 3 assignment passes / 2 centroid
+    * updates), reporting per-cluster size and inertia.
+    *
+    * The classic distributed-ML iteration shape: centroids are tiny
+    * (k × dims) and ride a broadcast into each assignment pass, so the
+    * corpus is only ever scanned narrowly — the per-vector work is a
+    * k-way local argmin, the update is one (cid, dim)-keyed partial
+    * aggregation. Nothing quadratic, nothing driver-side: the loop
+    * builds ONE lazy plan whose breadth is k·dims per round.
+    *
+    * Numeric parity: distances fold in list order as doubles and are
+    * rounded to 6 before the argmin (ties then break on cid), and
+    * updated centroids round to 6 after the mean — so both engines
+    * compare identical values and the iteration trajectory is
+    * bit-stable, per-engine aggregation order notwithstanding.
+    */
+  def kmeans(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .cache()
+    graft.util.CacheRegistry.register(e)
+    def dist2(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x)
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist_r"), col("cid"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("dist_r", round(dist2(col("v"), col("c")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("dist_r"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("im"))
+        .select(col("cid"), transform(col("im"), s => s.getField("m")).as("c"))
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    var assigned = assign(cent)
+    (1 until iters).foreach { _ =>
+      cent = update(assigned)
+      assigned = assign(cent)
+    }
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), round(sum(col("dist_r")), 4).as("inertia"))
+      .orderBy(col("cid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_dup_clusters"   -> dupClusters _,
     "q52_ivf_ann"        -> ivfAnn _,
     "q53_embed_neardup"  -> embedNearDup _,
+    "q112_kmeans"        -> ((s: SparkSession, d: String) => kmeans(s, d)),
   )
 
   /** DuckDB cosine of two float lists — same double accumulation order
@@ -216,7 +270,44 @@ object Clustering {
        |       * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
        |                        for i in range(1, len($b) + 1)])))""".stripMargin
 
+  /** One k-means round as a CTE pair: score every vector against the
+    * centroids of `cent`, keep the argmin row (`a$n`), then emit the
+    * element-wise rounded mean centroids (`c$n`). Mirrors
+    * assign/update above exactly (64 dims, round-6 distances/means).
+    */
+  private def kmeansRoundCte(n: Int, cent: String): String =
+    s"""s$n AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    round(list_sum([(e.v[i] - c.c[i]) * (e.v[i] - c.c[i])
+       |                    for i in range(1, 65)]), 6) AS dist_r
+       |  FROM e CROSS JOIN $cent c),
+       |a$n AS (
+       |  SELECT vec_id, v, cid, dist_r FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist_r, cid) AS rn
+       |    FROM s$n)
+       |  WHERE rn = 1),
+       |c$n AS (
+       |  SELECT cid, list(m ORDER BY i) AS c FROM (
+       |    SELECT cid, i, round(avg(v[i]), 6) AS m
+       |    FROM a$n, generate_series(1, 64) AS g(i)
+       |    GROUP BY cid, i)
+       |  GROUP BY cid)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q112_kmeans" ->
+      s"""WITH e AS (
+        |  SELECT vec_id,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 10),
+        |${kmeansRoundCte(1, "c0")},
+        |${kmeansRoundCte(2, "c1")},
+        |${kmeansRoundCte(3, "c2")}
+        |SELECT cid, count(*) AS n, round(sum(dist_r), 4) AS inertia
+        |FROM a3
+        |GROUP BY cid
+        |ORDER BY cid""".stripMargin,
     // transitive closure of the q28 near-dup pairs via recursive CTE,
     // then min reachable id per node = the propagation fixpoint
     "q51_dup_clusters" ->

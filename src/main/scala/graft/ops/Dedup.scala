@@ -265,7 +265,31 @@ object Dedup {
       .orderBy(col("hd"))
   }
 
+  /** Edit-distance similarity join over the distinct part-name
+    * vocabulary: pairs of names sharing their head noun (last token —
+    * the blocking key) within Levenshtein distance ≤ 3.
+    *
+    * Blocking turns the quadratic all-pairs problem into an
+    * equi-shuffle join on the block key with per-block local pairs —
+    * the standard fuzzy-join shape (block → verify). The expensive
+    * `levenshtein` verify runs only on block-local candidates, and the
+    * vocabulary is DISTINCT names (bounded), never the row stream.
+    */
+  def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+    val names = part(s, d).select(col("p_name")).distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("noun"))
+    val b = names.select(col("p_name").as("name_b"), col("noun"))
+    a.join(b, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_edit_distance"  -> editDistancePairs _,
     "q64_simhash_neardup" -> simhashNearDup _,
     "q26_dedup_exact"   -> exactDedup _,
     "q27_minhash_lsh"   -> minhashPairs _,
@@ -324,6 +348,15 @@ object Dedup {
       |  FROM sig, range(0, 8) t(b))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q111_edit_distance" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, (regexp_split_to_array(p_name, ' '))[-1] AS noun
+        |      FROM n)
+        |SELECT x.p_name AS name_a, y.p_name AS name_b,
+        |  CAST(levenshtein(x.p_name, y.p_name) AS INT) AS dist
+        |FROM b x JOIN b y ON x.noun = y.noun AND x.p_name < y.p_name
+        |WHERE levenshtein(x.p_name, y.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
     // brute-force all pairs — banding above must lose nothing
     "q64_simhash_neardup" ->
       """WITH h AS (SELECT doc_id,

@@ -249,7 +249,36 @@ object EventAnalytics {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** SCD Type-2 history build (the CDC/merge operator a warehouse load
+    * runs): collapse each user's event stream into contiguous
+    * same-event_type segments with [valid_from, valid_to) validity and
+    * a per-user version number; the open segment has NULL valid_to and
+    * is flagged current.
+    *
+    * Shape: one shuffle on user_id; the change-point filter and both
+    * follow-up windows (version, lead) reuse that partitioning, so the
+    * whole history build is a single keyed exchange regardless of
+    * corpus size.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val starts = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wAll))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val wSeg = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    starts
+      .withColumn("version", row_number().over(wSeg))
+      .withColumn("next_ts", lead(col("ts"), 1).over(wSeg))
+      .select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("ts"), TsFmt).as("valid_from"),
+        date_format(col("next_ts"), TsFmt).as("valid_to"),
+        col("next_ts").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_scd2"            -> scd2History _,
     "q78_anomalies"        -> anomalies _,
     "q74_full_outer"       -> fullOuterDaily _,
     "q67_funnel"           -> funnel _,
@@ -266,6 +295,27 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q108_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    date_trunc('microseconds', ts) AS ts_us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('microseconds', ts), event_id) AS prev_type
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS version,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS next_ts
+        |  FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, CAST(version AS INT) AS version, event_type,
+        |  strftime(ts_us, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(next_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  next_ts IS NULL AS is_current
+        |FROM seg
+        |ORDER BY user_id, version""".stripMargin,
     "q78_anomalies" ->
       """WITH m AS (
         |  SELECT event_type, count(*) AS n,

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Frequency-analysis operators over the `documents` corpus
+  * (SURVEY.md §2.2 LLM-pipeline surface): exact heavy-hitter detection
+  * via a distributed Misra-Gries sketch, and inverted-index
+  * construction (the retrieval-side companion to q103's BM25).
+  *
+  * Scale shapes:
+  *  - heavy hitters: the full token stream is NEVER shuffled. Each
+  *    partition runs an O(k)-space Misra-Gries pass; the union of
+  *    per-partition survivors is a guaranteed superset of every global
+  *    item with count > n/k (averaging argument: a global heavy hitter
+  *    must be partition-local heavy in at least one partition). Only
+  *    that tiny candidate set is broadcast back, so the exact recount
+  *    aggregates ≤ k·partitions distinct keys instead of the whole
+  *    vocabulary — output is EXACT, the sketch only prunes.
+  *  - inverted index: postings are capped (top-8 doc_ids per term) with
+  *    a window rank BEFORE any per-term array materializes, so no task
+  *    ever holds an unbounded posting list; term stats and capped
+  *    postings reuse one (word)-keyed shuffle.
+  */
+object Frequency {
+
+  /** Misra-Gries decrement threshold / heavy-hitter divisor: report
+    * words with count > n/K exactly.
+    */
+  private val K = 64
+
+  /** Exact corpus heavy hitters (count > n/64) with frequency share.
+    * Sketch pass → candidate broadcast semi-join → exact recount.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .select(lower(col("w")).as("word"))
+    // per-partition Misra-Gries summary (k counters, O(k) space)
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        counters.get(w) match {
+          case Some(c) => counters.update(w, c + 1)
+          case None if counters.size < K => counters.update(w, 1L)
+          case None => // decrement-all; drop zeros
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.foreach { case (k, c) =>
+              if (c == 1L) dead += k else counters.update(k, c - 1)
+            }
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("word").distinct()
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks
+      .join(broadcast(candidates), Seq("word"), "left_semi")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * K > col("n"))
+      .select(col("word"), col("cnt"),
+        round(col("cnt").cast("double") / col("n"), 6).as("frac"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  /** Inverted index: per term, document frequency, total term
+    * frequency, and the first-8 posting doc_ids (comma-joined — the
+    * capped materialization a real index shard would page).
+    */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val perDoc = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .groupBy(lower(col("w")).as("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_d"))
+    val stats = perDoc.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("tf_d")).as("tf"))
+    val top8 = perDoc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("word")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 8)
+      .groupBy(col("word"))
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+    stats.join(top8, Seq("word"))
+      .orderBy(col("word"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_heavy_hitters"  -> heavyHitters _,
+    "q110_inverted_index" -> invertedIndex _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q106_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT lower(unnest(regexp_split_to_array(text, '\s+'))) AS word
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM t),
+        |c AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1)
+        |SELECT word, cnt, round(cnt / CAST(n AS DOUBLE), 6) AS frac
+        |FROM c, tot
+        |WHERE cnt * 64 > n
+        |ORDER BY cnt DESC, word""".stripMargin,
+    "q110_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(unnest(regexp_split_to_array(text, '\s+'))) AS word
+        |  FROM documents),
+        |pd AS (SELECT word, doc_id, count(*) AS tf_d FROM t GROUP BY 1, 2),
+        |st AS (SELECT word, count(*) AS df, CAST(sum(tf_d) AS BIGINT) AS tf
+        |       FROM pd GROUP BY 1),
+        |top8 AS (
+        |  SELECT word,
+        |    array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |  FROM (SELECT word, doc_id,
+        |          row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+        |        FROM pd)
+        |  WHERE rn <= 8 GROUP BY word)
+        |SELECT word, df, tf, postings
+        |FROM st JOIN top8 USING (word)
+        |ORDER BY word""".stripMargin,
+  )
+}

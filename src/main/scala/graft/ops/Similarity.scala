@@ -316,7 +316,42 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * /serving compression step an embedding pipeline runs before
+    * indexing. Per vector: scale = max|x|/127, q_i = ⌊x_i/scale + ½⌋
+    * (identical floor(+0.5) arithmetic on both engines — engine round()
+    * tie conventions never enter), plus exact integer checksums and the
+    * reconstruction MSE.
+    *
+    * Purely row-local (one narrow projection, no shuffle, no UDF —
+    * all HOF builtins) so it scales linearly with the corpus.
+    */
+  def int8Quantize(s: SparkSession, d: String): DataFrame = {
+    val maxAbs = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    // internal name `sc` ≠ output alias `scale`: Spark 4 lateral column
+    // alias resolution would otherwise bind the later col("scale")
+    // references in this select to the ROUNDED alias, skewing qv/mse
+    val q = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("sc",
+        when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") / col("sc") + 0.5).cast("long")))
+    q.select(col("vec_id"),
+      round(col("sc"), 8).as("scale"),
+      aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+      aggregate(col("qv"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+      round(
+        aggregate(zip_with(col("embedding"), col("qv"),
+          (x, qi) => {
+            val e = x.cast("double") - qi.cast("double") * col("sc")
+            e * e
+          }), lit(0.0), (a, x) => a + x) / size(col("embedding")), 9).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_int8_quantize"  -> int8Quantize _,
     "q38_top_similar_pairs" -> ((s: SparkSession, d: String) => topSimilarPairs(s, d)),
     "q30_knn_brute"       -> knnBrute _,
     "q31_ann_lsh"         -> annLshGate _,
@@ -324,6 +359,31 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q109_int8_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN list_max([abs(CAST(embedding[i] AS DOUBLE))
+        |                        for i in range(1, len(embedding) + 1)]) = 0
+        |      THEN 1.0
+        |      ELSE list_max([abs(CAST(embedding[i] AS DOUBLE))
+        |                     for i in range(1, len(embedding) + 1)]) / 127
+        |    END AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale, embedding,
+        |    [CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) AS BIGINT)
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM s)
+        |SELECT vec_id, round(scale, 8) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum([abs(qv[i]) for i in range(1, len(qv) + 1)]) AS BIGINT)
+        |    AS q_l1,
+        |  round(list_sum([(CAST(embedding[i] AS DOUBLE) - qv[i] * scale)
+        |                  * (CAST(embedding[i] AS DOUBLE) - qv[i] * scale)
+        |                  for i in range(1, len(embedding) + 1)])
+        |        / len(embedding), 9) AS mse
+        |FROM q
+        |ORDER BY vec_id""".stripMargin,
     "q31_ann_lsh" ->
       """SELECT vec_id AS query_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 10

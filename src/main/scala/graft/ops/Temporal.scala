@@ -130,14 +130,57 @@ object Temporal {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Exponentially-weighted moving average of `value` per user (the
+    * classic time-series smoother, `s_i = α·x_i + (1-α)·s_{i-1}`),
+    * reported as the final smoothed level per user.
+    *
+    * The recurrence unrolls to the closed-form weighted sum
+    * `s_n = (1-α)^{n-1}·x_1 + Σ_{i≥2} α·(1-α)^{n-i}·x_i`, which turns a
+    * sequential scan into ONE commutative keyed aggregation: a window
+    * pass assigns each row its rank and the user's row count (one
+    * shuffle on user_id), and the groupBy on the same key reuses that
+    * partitioning — no second exchange, no per-key driver loop. Weights
+    * for ancient rows underflow to 0.0 harmlessly, so a key with
+    * millions of rows at 100 TB still aggregates in one pass.
+    */
+  def ewmaSmooth(s: SparkSession, d: String, alpha: Double = 0.3): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val decay = lit(1.0 - alpha)
+    events(s, d)
+      .select(col("user_id"), col("value"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        round(sum(
+          when(col("rn") === 1, pow(decay, col("n") - 1) * col("value"))
+            .otherwise(lit(alpha) * pow(decay, col("n") - col("rn")) * col("value"))), 4)
+          .as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_join"     -> asofJoin _,
     "q45_range_join"    -> rangeJoin _,
     "q47_moving_window" -> movingWindow _,
     "q48_gap_fill"      -> gapFill _,
+    "q107_ewma"         -> ((s: SparkSession, d: String) => ewmaSmooth(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q107_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, max(n) AS n_events,
+        |  round(sum(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value
+        |                 ELSE 0.3 * power(0.7, n - rn) * value END), 4) AS ewma
+        |FROM e
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q44_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts_us,

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Clustering, Dedup, Frequency, Similarity, Temporal}
+
+/** Semantics invariants for the round-5 widening (q106-q112) beyond
+  * the DuckDB hash gate: sketch-exactness guarantees, quantization
+  * bounds, iteration monotonicity, and degenerate-parameter laws.
+  */
+class AdvancedOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q106: Misra-Gries candidates + exact recount ≡ brute-force heavy hitters") {
+    import org.apache.spark.sql.functions._
+    val got = Frequency.heavyHitters(spark, sf).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toMap
+    val toks = graft.util.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .select(lower(col("w")).as("word"))
+    val n = toks.count()
+    val exact = toks.groupBy("word").count().collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("count"))
+      .filter { case (_, c) => c * 64 > n }.toMap
+    assert(exact.nonEmpty, "fixture should contain heavy hitters")
+    assert(got == exact)
+  }
+
+  test("q107: α = 1 degenerates EWMA to the last value per user") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ewma1 = Temporal.ewmaSmooth(spark, sf, alpha = 1.0).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("ewma")).toMap
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val lastVals = graft.util.Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), round(col("value"), 4).as("v")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("v")).toMap
+    assert(ewma1.keySet == lastVals.keySet)
+    ewma1.foreach { case (u, v) => assert(math.abs(v - lastVals(u)) < 1e-9, s"user $u") }
+  }
+
+  test("q108: SCD2 versions are contiguous, intervals chain, exactly one open segment") {
+    val rows = graft.ops.EventAnalytics.scd2History(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, segs) =>
+      val sorted = segs.sortBy(_.getAs[Int]("version"))
+      assert(sorted.map(_.getAs[Int]("version")).toSeq == (1 to segs.length))
+      // adjacent segments chain: valid_to(i) == valid_from(i+1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"), s"user $u")
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"), s"user $u")
+        case _ =>
+      }
+      assert(segs.count(_.getAs[Boolean]("is_current")) == 1, s"user $u")
+      assert(sorted.last.getAs[String]("valid_to") == null, s"user $u")
+    }
+  }
+
+  test("q109: quantized magnitudes bounded by 127, MSE within the quantization-step bound") {
+    val rows = Similarity.int8Quantize(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val mse = r.getAs[Double]("mse")
+      // |q_i| ≤ 127 ⇒ L1 of 64 dims ≤ 64·127
+      assert(r.getAs[Long]("q_l1") <= 64L * 127)
+      // per-element error ≤ scale/2 ⇒ MSE ≤ (scale/2)² (+ rounding slack)
+      assert(mse <= scale * scale / 4 + 1e-12, s"vec ${r.getAs[Long]("vec_id")}")
+    }
+  }
+
+  test("q110: postings capped at 8 and consistent with df") {
+    val rows = Frequency.invertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val postings = r.getAs[String]("postings").split(",")
+      assert(postings.length == math.min(df, 8L).toInt)
+      assert(postings.map(_.toLong).sorted.sameElements(postings.map(_.toLong)))
+      assert(r.getAs[Long]("tf") >= df)
+    }
+  }
+
+  test("q111: blocked edit-distance join ≡ brute force within blocks") {
+    val names = graft.util.Tables.part(spark, sf)
+      .select("p_name").distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last
+      dist = lev(a, b) if dist <= 3
+    } yield (a, b, dist)).toSet
+    val got = Dedup.editDistancePairs(spark, sf).collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"),
+        r.getAs[Int]("dist"))).toSet
+    assert(brute.nonEmpty, "fixture should contain near names")
+    assert(got == brute)
+  }
+
+  test("q112: k-means inertia is non-increasing across iterations") {
+    def totalInertia(iters: Int): Double =
+      Clustering.kmeans(spark, sf, iters = iters).collect()
+        .map(_.getAs[Double]("inertia")).sum
+    val i1 = totalInertia(1)
+    val i2 = totalInertia(2)
+    val i3 = totalInertia(3)
+    // Lloyd's update never increases the objective (round-6 centroid
+    // rounding can wiggle the tail, hence the epsilon)
+    assert(i2 <= i1 + 1e-3, s"i1=$i1 i2=$i2")
+    assert(i3 <= i2 + 1e-3, s"i2=$i2 i3=$i3")
+    val sizes = Clustering.kmeans(spark, sf).collect().map(_.getAs[Long]("n")).sum
+    assert(sizes == 500L)
+  }
+}

@@ -7,15 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * sneaking into a hot path) fails here instead of waiting for a
   * round's judge. Each allowed hit has a scale rationale in PLANS.md:
   * q30/q31 broadcast-nested-loop over 10 query vectors by
-  * construction, q52's over the broadcast centroid table, q14's
-  * single-partition exchange is its scalar final aggregate.
+  * construction, q52/q112's over the broadcast centroid table (k rows),
+  * q106's over the broadcast 1-row token total; the single-partition
+  * exchanges are scalar final aggregates (q14/q105) or the same 1-row
+  * total (q106).
   */
 class PlanAuditSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
-  private val allowedBnlj = Set("q30_knn_brute", "q31_ann_lsh", "q52_ivf_ann")
+  private val allowedBnlj = Set("q30_knn_brute", "q31_ann_lsh", "q52_ivf_ann",
+    "q106_heavy_hitters", "q112_kmeans")
   private val allowedSinglePartition =
-    Set("q14_promo_revenue", "q105_bloom_semi_join") // scalar final aggregates
+    Set("q14_promo_revenue", "q105_bloom_semi_join",
+      "q106_heavy_hitters") // scalar final aggregates / 1-row totals
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark

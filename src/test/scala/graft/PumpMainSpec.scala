@@ -63,7 +63,7 @@ class PumpMainSpec extends AnyFunSuite {
       assert(queries.size == 2) // one pump per directory
       // DBMSSQL routes to sql_logs (clickhouse.go:64-72); CONN falls
       // back to the default table — each from its own directory's pump
-      assert(eventually(30000) {
+      assert(eventually(90000) {
         def u(t: String): Set[String] =
           try spark.read.parquet(s"$out/$t").collect()
             .map(_.getAs[String]("User")).toSet

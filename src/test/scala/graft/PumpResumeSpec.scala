@@ -38,14 +38,14 @@ class PumpResumeSpec extends AnyFunSuite {
         idleFlush = java.time.Duration.ofMillis(200))
       .writeStream.outputMode("append")
       .option("checkpointLocation", cp)
-      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         graft.pipeline.LogPump.writeRouted(batch, Map.empty, "logs", out)
       }
       .start()
 
     val q1 = startQuery()
-    try assert(eventually(30000)(countOut(s"$out/logs") == 2L),
+    try assert(eventually(90000)(countOut(s"$out/logs") == 2L),
       s"got ${countOut(s"$out/logs")}")
     finally q1.stop()
 
@@ -53,7 +53,7 @@ class PumpResumeSpec extends AnyFunSuite {
       "00:03.100000-3,CONN,3,Usr=c\n")
     val q2 = startQuery()
     try {
-      assert(eventually(30000)(countOut(s"$out/logs") == 3L),
+      assert(eventually(90000)(countOut(s"$out/logs") == 3L),
         s"got ${countOut(s"$out/logs")}")
       Thread.sleep(1000) // extra batches must not re-ingest file 1
       assert(countOut(s"$out/logs") == 3L)
@@ -85,16 +85,16 @@ class PumpResumeSpec extends AnyFunSuite {
     Files.writeString(logs.resolve("25052607.log"),
       "00:01.100000-1,DBMSSQL,3,Usr=a\n")
     val q = StreamingPump.startWithConfigFile(spark, cfgFile.toString,
-      out, cp, Trigger.ProcessingTime("100 milliseconds"),
+      out, cp, Trigger.ProcessingTime("250 milliseconds"),
       idleFlush = java.time.Duration.ofMillis(200))
     try {
-      assert(eventually(30000)(countOut(s"$out/logs") == 1L))
+      assert(eventually(90000)(countOut(s"$out/logs") == 1L))
 
       // operator retunes routing without restarting the query
       writeCfg("  TableMap:\n    DBMSSQL: \"sql_logs\"")
       Files.writeString(logs.resolve("25052608.log"),
         "00:02.100000-2,DBMSSQL,3,Usr=b\n")
-      assert(eventually(30000)(countOut(s"$out/sql_logs") == 1L),
+      assert(eventually(90000)(countOut(s"$out/sql_logs") == 1L),
         s"sql_logs=${countOut(s"$out/sql_logs")} logs=${countOut(s"$out/logs")}")
       assert(countOut(s"$out/logs") == 1L) // first record stays in default
     } finally q.stop()

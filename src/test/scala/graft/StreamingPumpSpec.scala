@@ -35,7 +35,7 @@ class StreamingPumpSpec extends AnyFunSuite {
       projection = _.select("EventDate", "EventTime", "EventType", "User",
         "SessionID", "Duration"))
     try {
-      assert(eventually(30000) {
+      assert(eventually(90000) {
         try spark.read.format("jdbc").option("url", url)
           .option("dbtable", "SQL_LOGS").load().count() == 1 &&
           spark.read.format("jdbc").option("url", url)
@@ -69,10 +69,10 @@ class StreamingPumpSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("pump_hold")
       .option("checkpointLocation", cp.toString)
-      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
       .start()
     try {
-      assert(eventually(30000)(users("pump_hold") == Set("ivanov")))
+      assert(eventually(90000)(users("pump_hold") == Set("ivanov")))
       Thread.sleep(1000) // give it more batches: petrov must STILL be held
       assert(users("pump_hold") == Set("ivanov"))
       val r = spark.table("pump_hold").collect()(0)
@@ -91,10 +91,10 @@ class StreamingPumpSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("pump_flush")
       .option("checkpointLocation", cp.toString)
-      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
       .start()
     try {
-      assert(eventually(30000)(users("pump_flush") == Set("sidorov")),
+      assert(eventually(90000)(users("pump_flush") == Set("sidorov")),
         s"timeout flush missing, got ${users("pump_flush")}")
     } finally q.stop()
   }
