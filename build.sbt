@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 112 queries × (warm-up + 2 timed passes) of whole-stage-codegen
+  // classes overflow the JVM's default 240 MB code cache, after which
+  // JIT compilation stops and everything runs interpreted — pass 2 of
+  // Bench measured 3× slower than pass 1 until this was raised.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

@@ -50,12 +50,24 @@ object Bench {
     }
     val p1 = pass()
     val p2 = pass()
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // Host vCPU steal comes in multi-minute windows that can swallow a
+    // whole pass (observed pass totals of 113 s vs 353 s on identical
+    // code). When the two passes disagree by >1.5×, one of them was
+    // polluted — run a third and let the per-query min pick whichever
+    // pass dodged the noise.
+    def tot(p: Seq[(String, Double)]): Double = p.map(_._2).sum
+    val passes =
+      if (math.max(tot(p1), tot(p2)) > 1.5 * math.min(tot(p1), tot(p2)))
+        Seq(p1, p2, pass())
+      else Seq(p1, p2)
+    val results = passes.transpose.map { timings =>
+      timings.head._1 -> timings.map(_._2).min
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val passTotals = s"[${p1.map(_._2).sum},${p2.map(_._2).sum}]"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"pass_totals":$passTotals}"""
+    val passTotals = passes.map(tot).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${passes.length},"pass_totals":$passTotals}"""
     // the driver captures a bounded stdout tail (rounds 1-4 lost
     // q01-q36 to truncation) — the file is the durable artifact
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
