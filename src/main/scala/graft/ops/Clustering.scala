@@ -252,11 +252,66 @@ object Clustering {
       .orderBy(col("cid"))
   }
 
+  /** Product-quantization ANN: the 64-dim space splits into M=8
+    * subspaces of 8 dims; each subspace gets a 16-entry codebook (the
+    * first-16 vectors' subvectors — deterministic seeding, as in
+    * q112); every vector encodes to 8 one-byte codes; queries score
+    * candidates by Asymmetric Distance Computation (sum of
+    * query-to-centroid subdistances looked up by code) and the top-3
+    * per query is reported with the true distance alongside.
+    *
+    * This is the memory layout real vector indexes ship (8 bytes per
+    * vector instead of 256): encoding is a broadcast-codebook join +
+    * per-(vector, subspace) argmin; ADC is a broadcast of the
+    * query×codebook lookup table (|Q|·M·16 rows) joined by code — the
+    * corpus is never crossed with anything, and every shuffle row is
+    * bytes, not vectors.
+    */
+  def pqAnn(s: SparkSession, d: String, m: Int = 8, sub: Int = 8,
+      nCent: Int = 16, nQuery: Int = 5, topK: Int = 3): DataFrame = {
+    def dist2(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val sv = e
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * sub + 1, lit(sub)).as("sv"))
+    val cb = sv.filter(col("vec_id") < nCent)
+      .select(col("vec_id").cast("int").as("cid"), col("m"), col("sv").as("csv"))
+    val scored = sv.join(broadcast(cb), Seq("m"))
+      .withColumn("dist_r", round(dist2(col("sv"), col("csv")), 6))
+    val codes = scored
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist_r"), col("cid"))).as("mm"))
+      .select(col("vec_id"), col("m"), col("mm.cid").as("code"))
+    val lut = scored.filter(col("vec_id") < nQuery)
+      .select(col("vec_id").as("qid"), col("m"), col("cid"), col("dist_r").as("ld"))
+    val adc = codes
+      .join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("ld")), 4).as("adc"))
+      .filter(col("vec_id") =!= col("qid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val top = adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+    top
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(e.select(col("vec_id"), col("v").as("nv")), Seq("vec_id"))
+      .select(col("qid").as("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adc"),
+        round(dist2(col("qv"), col("nv")), 4).as("exact_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_dup_clusters"   -> dupClusters _,
     "q52_ivf_ann"        -> ivfAnn _,
     "q53_embed_neardup"  -> embedNearDup _,
     "q112_kmeans"        -> ((s: SparkSession, d: String) => kmeans(s, d)),
+    "q114_pq_ann"        -> ((s: SparkSession, d: String) => pqAnn(s, d)),
   )
 
   /** DuckDB cosine of two float lists — same double accumulation order
@@ -295,6 +350,46 @@ object Clustering {
        |  GROUP BY cid)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q114_pq_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS sv
+        |  FROM e, range(0, 8) r(m)),
+        |cb AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, m, sv AS csv
+        |  FROM sv WHERE vec_id < 16),
+        |sc AS (
+        |  SELECT s.vec_id, s.m, c.cid,
+        |    round(list_sum([(s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i])
+        |                    for i in range(1, 9)]), 6) AS dist_r
+        |  FROM sv s JOIN cb c ON c.m = s.m),
+        |codes AS (
+        |  SELECT vec_id, m, cid AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY dist_r, cid) AS rn
+        |    FROM sc)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT vec_id AS qid, m, cid, dist_r AS ld FROM sc WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT l.qid, co.vec_id, round(sum(l.ld), 4) AS adc
+        |  FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.code
+        |  GROUP BY l.qid, co.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, adc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+        |  FROM adc WHERE vec_id <> qid)
+        |SELECT r.qid AS query_id, CAST(r.rn AS INT) AS rank,
+        |  r.vec_id AS neighbor_id, r.adc,
+        |  round(list_sum([(q.v[i] - n.v[i]) * (q.v[i] - n.v[i])
+        |                  for i in range(1, 65)]), 4) AS exact_dist
+        |FROM ranked r
+        |JOIN e q ON q.vec_id = r.qid
+        |JOIN e n ON n.vec_id = r.vec_id
+        |WHERE r.rn <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "q112_kmeans" ->
       s"""WITH e AS (
         |  SELECT vec_id,

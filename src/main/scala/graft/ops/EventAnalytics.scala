@@ -277,7 +277,66 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Last-touch marketing attribution: every purchase is attributed to
+    * the user's most recent click in the preceding 7 days, plus the
+    * click count in that window (the multi-touch denominator).
+    *
+    * One shuffle on user_id; both windows are value-RANGE frames over
+    * the µs timeline of the SAME sort, so clicks and purchases merge
+    * in a single pass — the union-merge shape of the as-of join (q44)
+    * extended with a bounded lookback.
+    */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val lookbackUs = 7L * 24 * 3600 * 1000000
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        (col("event_type") === "click").cast("int").as("is_click"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-lookbackUs, -1)
+    ev
+      .withColumn("click_in_win",
+        max(when(col("is_click") === 1, struct(col("us"), col("event_id")))).over(w))
+      .withColumn("n_clicks_7d",
+        sum(col("is_click")).over(w))
+      .filter(col("is_click") === 0)
+      .select(col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("click_in_win.event_id").as("attributed_click"),
+        coalesce(col("n_clicks_7d"), lit(0L)).as("n_clicks_7d"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  /** Rolling 7-day distinct users per day — the "weekly active users"
+    * series, computed EXACTLY without any window-distinct operator:
+    * distinct (user, day) pairs are replicated to the ≤ 7 target days
+    * they contribute to, deduplicated, and counted. A 7× narrow
+    * amplification and two keyed aggregations replace the quadratic
+    * day × history self-join; sketch-free and exact at any scale.
+    */
+  def rollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val pairs = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = pairs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val daily = pairs.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val contrib = pairs
+      .select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("t"))
+      .distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("wau"))
+    contrib.join(broadcast(bounds), col("t").between(col("d0"), col("d1")))
+      .join(daily, col("t") === col("day"), "left")
+      .select(date_format(col("t"), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_attribution"     -> attribution _,
+    "q115_rolling_distinct" -> rollingDistinct _,
     "q108_scd2"            -> scd2History _,
     "q78_anomalies"        -> anomalies _,
     "q74_full_outer"       -> fullOuterDaily _,
@@ -295,6 +354,41 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q113_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (
+        |  SELECT *,
+        |    max(CASE WHEN is_click = 1
+        |          THEN struct_pack(us := us, event_id := event_id) END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS cw,
+        |    sum(is_click)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS nc
+        |  FROM ev)
+        |SELECT user_id, event_id AS purchase_id,
+        |  (cw).event_id AS attributed_click,
+        |  COALESCE(nc, 0) AS n_clicks_7d, round(value, 2) AS value
+        |FROM m WHERE is_click = 0
+        |ORDER BY user_id, purchase_id""".stripMargin,
+    "q115_rolling_distinct" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+        |daily AS (SELECT day, count(DISTINCT user_id) AS dau FROM p GROUP BY 1),
+        |c AS (SELECT DISTINCT user_id,
+        |        CAST(day + x * INTERVAL 1 DAY AS DATE) AS t
+        |      FROM p, range(0, 7) r(x)),
+        |w AS (SELECT t, count(*) AS wau FROM c GROUP BY 1)
+        |SELECT strftime(w.t, '%Y-%m-%d') AS day,
+        |  COALESCE(daily.dau, 0) AS dau, w.wau
+        |FROM w CROSS JOIN b LEFT JOIN daily ON w.t = daily.day
+        |WHERE w.t BETWEEN b.d0 AND b.d1
+        |ORDER BY day""".stripMargin,
     "q108_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

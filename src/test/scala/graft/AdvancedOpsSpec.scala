@@ -109,6 +109,72 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("q113: attribution window semantics vs driver-side brute force") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.EventAnalytics.attribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (Option(r.get(r.fieldIndex("attributed_click"))).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("n_clicks_7d"))).toMap
+    val ev = graft.util.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("us")))
+    val byUser = ev.groupBy(_._1)
+    val look = 7L * 24 * 3600 * 1000000
+    var checked = 0
+    byUser.values.foreach { rows =>
+      val clicks = rows.filter(_._3 == "click")
+      rows.filter(_._3 == "purchase").foreach { case (_, pid, _, pus) =>
+        val win = clicks.filter(c => c._4 >= pus - look && c._4 <= pus - 1)
+        val expect = if (win.isEmpty) None
+          else Some(win.maxBy(c => (c._4, c._2))._2)
+        assert(got(pid) == ((expect, win.length.toLong)), s"purchase $pid")
+        checked += 1
+      }
+    }
+    assert(checked > 100)
+  }
+
+  test("q114: PQ ADC top-3 beats random and respects rank order") {
+    import org.apache.spark.sql.functions._
+    val rows = Clustering.pqAnn(spark, sf).collect()
+    assert(rows.length == 15) // 5 queries × top-3
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+      val adcs = sorted.map(_.getAs[Double]("adc"))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b }, s"query $q")
+    }
+    // ADC-selected neighbors must be much closer than the average pair
+    val e = graft.util.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val mean = e.collect { case (id, v) if id != q => d2(e(q), v) }.sum / (e.size - 1)
+      val picked = rs.map(_.getAs[Double]("exact_dist")).sum / rs.length
+      assert(picked < mean, s"query $q: adc-picked $picked !< corpus mean $mean")
+    }
+  }
+
+  test("q115: weekly actives dominate daily actives and match direct recount") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.EventAnalytics.rollingDistinct(spark, sf).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("dau"), r.getAs[Long]("wau")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, wau) => assert(wau >= dau, s"day $d") }
+    // direct recount of one mid-series day
+    val (day, _, wau) = rows(rows.length / 2)
+    val direct = graft.util.Tables.events(spark, sf)
+      .filter(to_date(col("ts")).between(date_sub(lit(day).cast("date"), 6), lit(day).cast("date")))
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(wau == direct, s"day $day: $wau vs direct $direct")
+  }
+
   test("q112: k-means inertia is non-increasing across iterations") {
     def totalInertia(iters: Int): Double =
       Clustering.kmeans(spark, sf, iters = iters).collect()
