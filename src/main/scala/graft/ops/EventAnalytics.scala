@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DataTypes
 
 import graft.util.Tables._
 
@@ -334,7 +335,107 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** Session path analysis: the Markov transition matrix over
+    * event_type within 30-minute-gap sessions (q17's sessionization) —
+    * transition counts and per-source probabilities. Two windows and
+    * two aggregations, all on the user-keyed sort; probabilities are
+    * exact integer ratios so the oracle parity is rounding-only.
+    */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val trans = ev
+      .withColumn("from_type", lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"), col("sess"))
+          .orderBy(col("us"), col("event_id"))))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Per-event-type linear trend of `value` over time — grouped OLS
+    * from EXACT integer/decimal moments (the q93 covariance discipline
+    * extended to regression): x is whole seconds from the group's
+    * first event (so x² sums stay exactly representable), y is
+    * decimal(28,6); slope/intercept leave the exact domain only for
+    * the final double division. One pass for the per-group time
+    * origin, one for the moments — two keyed aggregations, no window.
+    */
+  def valueTrend(s: SparkSession, d: String): DataFrame = {
+    def dec(p: Int) = DataTypes.createDecimalType(p, 0)
+    val ev = events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+    val origin = ev.groupBy(col("event_type")).agg(min(col("us")).as("m"))
+    // x: whole seconds from the group origin; y: value in micro-units
+    // via floor(+0.5) — every moment is an INTEGER, so sums (decimal
+    // where they outgrow long) are exact on both engines and the only
+    // float step is the final division. Margins: x ≤ 3e6 s, yu ≤ 6e8,
+    // so even 1e12-row groups keep every product under decimal(38).
+    val mom = ev.join(broadcast(origin), Seq("event_type"))
+      .withColumn("x", expr("(us - m) div 1000000"))
+      .withColumn("yu", floor(col("value") * 1e6 + 0.5).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("yu")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("x") * col("yu")).cast(dec(38))).as("sxy"))
+    val num = (col("n").cast(dec(18)) * col("sxy")
+      - col("sx").cast(dec(19)) * col("sy").cast(dec(19))).cast("double")
+    val den = (col("n").cast(dec(18)) * col("sxx").cast(dec(30))
+      - col("sx").cast(dec(19)) * col("sx").cast(dec(19))).cast("double")
+    val slopeSecU = num / den // micro-units per second
+    mom.select(col("event_type"), col("n"),
+      round(slopeSecU * 86400 / 1e6, 6).as("slope_per_day"),
+      round((col("sy").cast("double") / 1e6
+        - slopeSecU / 1e6 * col("sx").cast("double")) / col("n"), 4).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Time-weighted average value per user (each reading holds until
+    * the next — the sensor/metrics integral): Σ vᵢ·(tᵢ₊₁−tᵢ) / span,
+    * in exact decimal·µs arithmetic until the final division. One
+    * user-keyed sort carries the lead(); users with a single event
+    * (zero span) are excluded on both engines.
+    */
+  def timeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    // (18,6)×(13,0): stays inside DuckDB's 38-digit product cap and
+    // Spark computes it without scale adjustment — exact on both
+    val DecV = DataTypes.createDecimalType(18, 6)
+    val DecT = DataTypes.createDecimalType(13, 0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("hold_us", lead(col("us"), 1).over(w) - col("us"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("hold_us").isNotNull,
+          col("value").cast(DecV) * col("hold_us").cast(DecT))).as("wsum"),
+        (max(col("us")) - min(col("us"))).as("span_us"),
+        count(lit(1)).as("n_events"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_events"),
+        round(col("wsum").cast("double") / col("span_us"), 4).as("twa"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_markov"          -> markovTransitions _,
+    "q117_value_trend"     -> valueTrend _,
+    "q118_time_weighted"   -> timeWeightedAvg _,
     "q113_attribution"     -> attribution _,
     "q115_rolling_distinct" -> rollingDistinct _,
     "q108_scd2"            -> scd2History _,
@@ -354,6 +455,79 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q116_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lg IS NULL OR us - lg > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS lg FROM e)),
+        |s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g),
+        |t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id, sess
+        |      ORDER BY us, event_id) AS from_type
+        |  FROM s),
+        |c AS (
+        |  SELECT from_type, event_type AS to_type, count(*) AS n
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+        |FROM c
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q117_value_trend" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(date_trunc('microseconds', ts)) AS us, value
+        |  FROM events),
+        |o AS (SELECT event_type, min(us) AS m FROM e GROUP BY 1),
+        |x AS (
+        |  SELECT e.event_type, (us - m) // 1000000 AS x,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yu
+        |  FROM e JOIN o USING (event_type)),
+        |mm AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(yu) AS sy,
+        |    sum(x * x) AS sxx, sum(x * yu) AS sxy
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) * 86400 / 1e6, 6)
+        |    AS slope_per_day,
+        |  round((CAST(sy AS DOUBLE) / 1e6
+        |         - CAST(n * sxy - sx * sy AS DOUBLE)
+        |           / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6
+        |           * CAST(sx AS DOUBLE)) / n, 4) AS intercept
+        |FROM mm
+        |ORDER BY event_type""".stripMargin,
+    "q118_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us, value
+        |  FROM events),
+        |h AS (
+        |  SELECT *, lead(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) - us AS hold_us
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN hold_us IS NOT NULL
+        |          -- width-19 casts force INT128 arithmetic (an INT64
+        |          -- mantissa product overflows); values identical to
+        |          -- Spark's (18,6)x(13,0)
+        |          THEN CAST(value AS DECIMAL(19,6)) * CAST(hold_us AS DECIMAL(19,0))
+        |        END) AS wsum,
+        |    max(us) - min(us) AS span_us, count(*) AS n_events
+        |  FROM h GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  round(CAST(wsum AS DOUBLE) / span_us, 4) AS twa
+        |FROM a WHERE span_us > 0
+        |ORDER BY user_id""".stripMargin,
     "q113_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, value,

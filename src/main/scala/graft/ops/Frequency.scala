@@ -90,9 +90,45 @@ object Frequency {
       .orderBy(col("word"))
   }
 
+  /** Pointwise mutual information over word pairs (document-level
+    * presence): PMI = log(P(a,b) / (P(a)·P(b))) — the classic
+    * collocation/association score a corpus build uses for phrase
+    * mining. Top-50 positive associations with their co-document
+    * counts.
+    *
+    * Scale shape: presence sets are DISTINCT (doc, word) pairs; the
+    * pair count is a doc_id-keyed self-join whose width is bounded by
+    * per-doc distinct-vocabulary size (cap the vocabulary by df for
+    * web-scale corpora); unigram counts broadcast. All counts are
+    * integers — the only float is the final log.
+    */
+  def pmiPairs(s: SparkSession, d: String): DataFrame = {
+    val dw = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .select(col("doc_id"), lower(col("w")).as("word"))
+      .distinct()
+    val wc = dw.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("nd"))
+    val pairs = dw.select(col("doc_id"), col("word").as("wa"))
+      .join(dw.select(col("doc_id"), col("word").as("wb")), Seq("doc_id"))
+      .filter(col("wa") < col("wb"))
+      .groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(wc.select(col("word").as("wa"), col("c").as("ca"))), Seq("wa"))
+      .join(broadcast(wc.select(col("word").as("wb"), col("c").as("cb"))), Seq("wb"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("wa"), col("wb"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("nd")
+          / (col("ca").cast("double") * col("cb"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("wa"), col("wb"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_heavy_hitters"  -> heavyHitters _,
     "q110_inverted_index" -> invertedIndex _,
+    "q119_pmi"            -> pmiPairs _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -123,5 +159,25 @@ object Frequency {
         |SELECT word, df, tf, postings
         |FROM st JOIN top8 USING (word)
         |ORDER BY word""".stripMargin,
+    "q119_pmi" ->
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id,
+        |    lower(unnest(regexp_split_to_array(text, '\s+'))) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, count(*) AS c FROM dw GROUP BY 1),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |p AS (
+        |  SELECT a.word AS wa, b.word AS wb, count(*) AS c_ab
+        |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+        |  GROUP BY 1, 2)
+        |SELECT wa, wb, c_ab,
+        |  round(ln(CAST(c_ab AS DOUBLE) * nd.nd
+        |           / (CAST(ca.c AS DOUBLE) * cb.c)), 4) AS pmi
+        |FROM p
+        |JOIN wc ca ON ca.word = p.wa
+        |JOIN wc cb ON cb.word = p.wb
+        |CROSS JOIN nd
+        |ORDER BY pmi DESC, wa, wb
+        |LIMIT 50""".stripMargin,
   )
 }

@@ -175,6 +175,79 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(wau == direct, s"day $day: $wau vs direct $direct")
   }
 
+  test("q116: transition probabilities normalize per source state") {
+    val rows = graft.ops.EventAnalytics.markovTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, rs) =>
+      val total = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(total - 1.0) < 0.01, s"from $f: $total")
+      assert(rs.forall(_.getAs[Long]("n") > 0))
+    }
+  }
+
+  test("q117: grouped OLS matches driver-side exact regression") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.EventAnalytics.valueTrend(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("slope_per_day"), r.getAs[Double]("intercept"))).toMap
+    val raw = graft.util.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("us"), r.getAs[Double]("value")))
+    raw.groupBy(_._1).foreach { case (t, rs) =>
+      val m = rs.map(_._2).min
+      val xs = rs.map(r => ((r._2 - m) / 1000000).toDouble)
+      val ys = rs.map(r => math.floor(r._3 * 1e6 + 0.5) / 1e6)
+      val n = xs.length.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val (gotSlope, gotIcpt) = got(t)
+      assert(math.abs(gotSlope - slope * 86400) < 1e-4, s"$t slope")
+      assert(math.abs(gotIcpt - (sy - slope * sx) / n) < 1e-2, s"$t intercept")
+    }
+  }
+
+  test("q118: time-weighted average matches driver-side integral") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.EventAnalytics.timeWeightedAvg(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("twa")).toMap
+    val raw = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    raw.groupBy(_._1).filter(_._2.length > 1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val span = (sorted.last._2 - sorted.head._2).toDouble
+      val wsum = sorted.sliding(2).map {
+        case Array(a, b) => a._4 * (b._2 - a._2).toDouble
+        case _ => 0.0
+      }.sum
+      assert(math.abs(got(u) - wsum / span) < 1e-3, s"user $u")
+    }
+  }
+
+  test("q119: PMI agrees with direct probability computation") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Frequency.pmiPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.util.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[String]("text").split("\\s+").map(_.toLowerCase).toSet)
+    val n = docs.length.toDouble
+    rows.take(5).foreach { r =>
+      val (wa, wb) = (r.getAs[String]("wa"), r.getAs[String]("wb"))
+      val ca = docs.count(_.contains(wa)).toDouble
+      val cb = docs.count(_.contains(wb)).toDouble
+      val cab = docs.count(d => d.contains(wa) && d.contains(wb)).toDouble
+      assert(r.getAs[Long]("c_ab").toDouble == cab, s"($wa,$wb) c_ab")
+      val pmi = math.log(cab * n / (ca * cb))
+      assert(math.abs(r.getAs[Double]("pmi") - pmi) < 1e-3, s"($wa,$wb) pmi")
+    }
+  }
+
   test("q112: k-means inertia is non-increasing across iterations") {
     def totalInertia(iters: Int): Double =
       Clustering.kmeans(spark, sf, iters = iters).collect()
