@@ -100,6 +100,58 @@ object Breadth {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    * each order draws an exponential rank key -ln(u)/w with u a
+    * 52-bit md5-hash uniform and w = o_totalprice; the 10 SMALLEST
+    * keys are the sample, so selection probability tracks the weight.
+    * Deterministic (hash-seeded, no rand()) and reproducible across
+    * engines; a top-k aggregation, never a sort of the corpus.
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("ws|"), col("o_orderkey"))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h + 1).cast("double") / lit(4503599627370496.0) // 2^52, u ∈ (0,1]
+    orders(s, d)
+      .withColumn("rk", -log(u) / col("o_totalprice"))
+      .orderBy(col("rk"), col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("weight"),
+        round(col("rk") * 1e6, 6).as("rank_key_ppm"))
+  }
+
+  /** Group-wise z-score normalization with outlier detection: per
+    * event_type mean/σ from EXACT decimal moments (q93's discipline),
+    * broadcast back, |z| > 3 flagged. The only irrational step is
+    * sqrt — IEEE-exact on both engines, unlike libm pow/exp — so the
+    * z-scores are bit-identical. Two keyed aggregations, no window.
+    */
+  def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val stats = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Dec)).as("sv"),
+        // (18,6)² stays exact (scale 12, ≤ 37 digits) on BOTH engines;
+        // the wider Dec would force Spark to round the product to 6 dp
+        // and DuckDB to reject the 56-digit width outright
+        sum(col("value").cast(DataTypes.createDecimalType(18, 6))
+          * col("value").cast(DataTypes.createDecimalType(18, 6))).as("svv"))
+      .select(col("event_type"), col("n"),
+        (col("sv").cast("double") / col("n")).as("mean"),
+        sqrt(col("svv").cast("double") / col("n")
+          - (col("sv").cast("double") / col("n"))
+            * (col("sv").cast("double") / col("n"))).as("sd"))
+    events(s, d)
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("z")) > 3, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("z")), 4).as("max_z"),
+        round(min(col("z")), 4).as("min_z"))
+      .orderBy(col("event_type"))
+  }
+
   /** TPC-H Q8-style market share: for ASIA customers, the fraction of
     * yearly revenue supplied from within ASIA. One fact scan, five
     * broadcast dimension joins (orders is the only co-shuffled side),
@@ -389,6 +441,8 @@ object Breadth {
       .orderBy(col("event_type"), col("bin"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_weighted_sample"  -> weightedSample _,
+    "q121_zscore_outliers"  -> zscoreOutliers _,
     "q92_crosstab"          -> crosstab _,
     "q93_covariance"        -> covariance _,
     "q95_null_funcs"        -> nullFuncs _,
@@ -410,6 +464,39 @@ object Breadth {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q120_weighted_sample" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    ('0x' || substr(md5('ws|' || CAST(o_orderkey AS VARCHAR)), 1, 13))::BIGINT
+        |      AS h
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS weight,
+        |  round(-ln((h + 1) / 4503599627370496.0) / o_totalprice * 1e6, 6)
+        |    AS rank_key_ppm
+        |FROM o
+        |ORDER BY -ln((h + 1) / 4503599627370496.0) / o_totalprice, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q121_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(28,6))) AS sv,
+        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+        |      AS svv
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT event_type,
+        |    CAST(sv AS DOUBLE) / n AS mean,
+        |    sqrt(CAST(svv AS DOUBLE) / n
+        |         - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) AS sd
+        |  FROM s)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs((value - mean) / sd) > 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  round(max((value - mean) / sd), 4) AS max_z,
+        |  round(min((value - mean) / sd), 4) AS min_z
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q84_sketch_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS hll_ok, TRUE AS theta_ok

@@ -248,6 +248,45 @@ class AdvancedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q120: weighted sample is deterministic, ranked, and weight-biased") {
+    val a = graft.ops.Breadth.weightedSample(spark, sf).collect()
+    val b = graft.ops.Breadth.weightedSample(spark, sf).collect()
+    assert(a.length == 10)
+    assert(a.map(_.getAs[Long]("o_orderkey")).toSeq ==
+      b.map(_.getAs[Long]("o_orderkey")).toSeq) // hash-seeded, no rand()
+    val keys = a.map(_.getAs[Double]("rank_key_ppm"))
+    assert(keys.zip(keys.tail).forall { case (x, y) => x <= y })
+    // A-ES biases selection toward heavy weights: the sampled orders'
+    // mean weight should exceed the population mean
+    import org.apache.spark.sql.functions._
+    val popMean = graft.util.Tables.orders(spark, sf)
+      .agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+    val sampMean = a.map(_.getAs[Double]("weight")).sum / a.length
+    assert(sampMean > popMean, s"sample $sampMean !> population $popMean")
+  }
+
+  test("q121: z-score stats match driver-side computation") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Breadth.zscoreOutliers(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_outliers"),
+          r.getAs[Double]("max_z"), r.getAs[Double]("min_z"))).toMap
+    val raw = graft.util.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("value"))
+    raw.groupBy(_._1).foreach { case (t, rs) =>
+      val vs = rs.map(_._2)
+      val mean = vs.sum / vs.length
+      val sd = math.sqrt(vs.map(v => v * v).sum / vs.length - mean * mean)
+      val zs = vs.map(v => (v - mean) / sd)
+      val (n, out, maxZ, minZ) = got(t)
+      assert(n == vs.length)
+      assert(out == zs.count(z => math.abs(z) > 3), s"$t outliers")
+      assert(math.abs(maxZ - zs.max) < 1e-3, s"$t max_z")
+      assert(math.abs(minZ - zs.min) < 1e-3, s"$t min_z")
+    }
+  }
+
   test("q112: k-means inertia is non-increasing across iterations") {
     def totalInertia(iters: Int): Double =
       Clustering.kmeans(spark, sf, iters = iters).collect()
