@@ -152,6 +152,53 @@ object Breadth {
       .orderBy(col("event_type"))
   }
 
+  /** 2-D skyline (Pareto frontier): the lineitem (price, quantity)
+    * pairs not dominated by any other (lower-or-equal price AND
+    * higher-or-equal quantity, at least one strict) — minimize price,
+    * maximize quantity.
+    *
+    * The classic single-pass algorithm (sort by price, keep rows that
+    * beat the running max quantity) needs a GLOBAL order, which as one
+    * window would collapse to a single task. Instead it runs as the
+    * same distributed two-pass scan as q101's prefix sum, with MAX as
+    * the scan operator: range-partition by price (equal prices
+    * co-locate), per-partition max-quantity (one tiny row per
+    * partition to the driver), exclusive prefix-max broadcast back,
+    * then a per-partition streaming filter against the running max.
+    * Every pass is fully parallel; O(partitions) rows cross the
+    * driver.
+    */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = lineitem(s, d)
+      .select(col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+      .distinct()
+      .repartitionByRange(col("price"))
+      .sortWithinPartitions(col("price"), col("qty").desc)
+      .cache() // pin the sampled range bounds across both passes
+    graft.util.CacheRegistry.register(pts)
+    val partMax = pts
+      .groupBy(spark_partition_id().as("pid")).agg(max(col("qty")).as("mq"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val nParts = pts.rdd.getNumPartitions
+    val prefix = new Array[Double](nParts)
+    var acc = Double.NegativeInfinity
+    (0 until nParts).foreach { i =>
+      prefix(i) = acc
+      acc = math.max(acc, partMax.getOrElse(i, Double.NegativeInfinity))
+    }
+    val bc = s.sparkContext.broadcast(prefix)
+    pts.as[(Double, Double)].mapPartitions { it =>
+      var run = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.filter { case (_, q) =>
+        val survives = q > run
+        if (survives) run = q
+        survives
+      }
+    }.toDF("price", "qty")
+      .orderBy(col("price"), col("qty"))
+  }
+
   /** TPC-H Q8-style market share: for ASIA customers, the fraction of
     * yearly revenue supplied from within ASIA. One fact scan, five
     * broadcast dimension joins (orders is the only co-shuffled side),
@@ -443,6 +490,7 @@ object Breadth {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_weighted_sample"  -> weightedSample _,
     "q121_zscore_outliers"  -> zscoreOutliers _,
+    "q122_skyline"          -> skyline _,
     "q92_crosstab"          -> crosstab _,
     "q93_covariance"        -> covariance _,
     "q95_null_funcs"        -> nullFuncs _,
@@ -464,6 +512,18 @@ object Breadth {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q122_skyline" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT l_extendedprice AS price, l_quantity AS qty
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT price, qty,
+        |    max(qty) OVER (ORDER BY price, qty DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mq
+        |  FROM pts)
+        |SELECT price, qty FROM w
+        |WHERE mq IS NULL OR mq < qty
+        |ORDER BY price, qty""".stripMargin,
     "q120_weighted_sample" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice,

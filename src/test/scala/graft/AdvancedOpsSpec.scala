@@ -287,6 +287,28 @@ class AdvancedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q122: distributed skyline ≡ brute-force Pareto frontier") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Breadth.skyline(spark, sf).collect()
+      .map(r => (r.getAs[Double]("price"), r.getAs[Double]("qty"))).toSet
+    val pts = graft.util.Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice"), col("l_quantity")).distinct().collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val brute = pts.filter { case (p, q) =>
+      !pts.exists { case (p2, q2) =>
+        p2 <= p && q2 >= q && (p2 < p || q2 > q)
+      }
+    }.toSet
+    assert(brute.nonEmpty)
+    assert(got == brute)
+    // frontier law: quantity strictly increases with price
+    val sorted = got.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._2)
+      case _ =>
+    }
+  }
+
   test("q112: k-means inertia is non-increasing across iterations") {
     def totalInertia(iters: Int): Double =
       Clustering.kmeans(spark, sf, iters = iters).collect()
