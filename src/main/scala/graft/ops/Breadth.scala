@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataTypes
 
@@ -150,6 +150,43 @@ object Breadth {
         round(max(col("z")), 4).as("max_z"),
         round(min(col("z")), 4).as("min_z"))
       .orderBy(col("event_type"))
+  }
+
+  /** Z-order (Morton) clustering key over (ship-date, price) — the
+    * multi-dimensional layout primitive: writing sorted by z keeps
+    * rows close in BOTH dimensions inside each row group, so min/max
+    * row-group stats prune box predicates on either column (the
+    * Delta/Iceberg OPTIMIZE ZORDER trick, as a pure Column
+    * expression). Bit-spreading is 4 mask-shift rounds per dimension —
+    * integer-exact on any engine, codegen-friendly, no UDF.
+    *
+    * Reported as the z-space histogram (top byte of z) with per-bucket
+    * date/price spans, which is exactly the row-group stats view a
+    * scan planner would prune against.
+    */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    // spread a 16-bit value's bits to the even positions of 32 bits
+    def spread(c: Column): Column = {
+      val s1 = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FF))
+      val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0F))
+      val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333))
+      (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555))
+    }
+    val day = datediff(col("l_shipdate").cast("date"),
+      lit("1992-01-01").cast("date")).cast("long")
+    val priceBucket = expr("CAST(l_extendedprice AS BIGINT) div 16")
+    val z = spread(pmod(col("day"), lit(65536)).cast("int"))
+      .cast("long")
+      .bitwiseOR(shiftleft(spread(pmod(col("pb"), lit(65536)).cast("int"))
+        .cast("long"), 1))
+    lineitem(s, d)
+      .withColumn("day", day).withColumn("pb", priceBucket)
+      .withColumn("z", z)
+      .groupBy(shiftright(col("z"), 24).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+        min(col("pb")).as("min_pb"), max(col("pb")).as("max_pb"))
+      .orderBy(col("zbucket"))
   }
 
   /** 2-D skyline (Pareto frontier): the lineitem (price, quantity)
@@ -491,6 +528,7 @@ object Breadth {
     "q120_weighted_sample"  -> weightedSample _,
     "q121_zscore_outliers"  -> zscoreOutliers _,
     "q122_skyline"          -> skyline _,
+    "q123_zorder"           -> zorderLayout _,
     "q92_crosstab"          -> crosstab _,
     "q93_covariance"        -> covariance _,
     "q95_null_funcs"        -> nullFuncs _,
@@ -512,6 +550,27 @@ object Breadth {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q123_zorder" ->
+      """WITH t AS (
+        |  SELECT date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |           AS day,
+        |         CAST(l_extendedprice AS BIGINT) // 16 AS pb
+        |  FROM lineitem),
+        |s0 AS (SELECT day, pb, CAST(day % 65536 AS BIGINT) AS a,
+        |              CAST(pb % 65536 AS BIGINT) AS b FROM t),
+        |s1 AS (SELECT day, pb, (a | (a << 8)) & 16711935 AS a,
+        |              (b | (b << 8)) & 16711935 AS b FROM s0),
+        |s2 AS (SELECT day, pb, (a | (a << 4)) & 252645135 AS a,
+        |              (b | (b << 4)) & 252645135 AS b FROM s1),
+        |s3 AS (SELECT day, pb, (a | (a << 2)) & 858993459 AS a,
+        |              (b | (b << 2)) & 858993459 AS b FROM s2),
+        |s4 AS (SELECT day, pb, (a | (a << 1)) & 1431655765 AS a,
+        |              (b | (b << 1)) & 1431655765 AS b FROM s3),
+        |z AS (SELECT day, pb, a | (b << 1) AS z FROM s4)
+        |SELECT z >> 24 AS zbucket, count(*) AS n,
+        |  min(day) AS min_day, max(day) AS max_day,
+        |  min(pb) AS min_pb, max(pb) AS max_pb
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q122_skyline" ->
       """WITH pts AS (
         |  SELECT DISTINCT l_extendedprice AS price, l_quantity AS qty

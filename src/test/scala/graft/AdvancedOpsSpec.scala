@@ -309,6 +309,20 @@ class AdvancedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q123: z-buckets bound BOTH dimensions (the pruning contract)") {
+    val rows = graft.ops.Breadth.zorderLayout(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // top byte of a 32-bit Morton code carries the top 4 bits of each
+    // dimension, so within a bucket each dimension spans < 2^12
+    rows.foreach { r =>
+      val zb = r.getAs[Long]("zbucket")
+      assert(r.getAs[Long]("max_day") - r.getAs[Long]("min_day") < 4096, s"zbucket $zb day span")
+      assert(r.getAs[Long]("max_pb") - r.getAs[Long]("min_pb") < 4096, s"zbucket $zb pb span")
+    }
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == graft.util.Tables.lineitem(spark, sf).count())
+  }
+
   test("q112: k-means inertia is non-increasing across iterations") {
     def totalInertia(iters: Int): Double =
       Clustering.kmeans(spark, sf, iters = iters).collect()
