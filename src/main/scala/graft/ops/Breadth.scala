@@ -174,7 +174,9 @@ object Breadth {
     }
     val day = datediff(col("l_shipdate").cast("date"),
       lit("1992-01-01").cast("date")).cast("long")
-    val priceBucket = expr("CAST(l_extendedprice AS BIGINT) div 16")
+    // explicit floor: Spark's double→BIGINT cast truncates while
+    // DuckDB's rounds — 3 sf0.1 prices crossed a bucket boundary
+    val priceBucket = expr("CAST(floor(l_extendedprice) AS BIGINT) div 16")
     val z = spread(pmod(col("day"), lit(65536)).cast("int"))
       .cast("long")
       .bitwiseOR(shiftleft(spread(pmod(col("pb"), lit(65536)).cast("int"))
@@ -554,7 +556,7 @@ object Breadth {
       """WITH t AS (
         |  SELECT date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
         |           AS day,
-        |         CAST(l_extendedprice AS BIGINT) // 16 AS pb
+        |         CAST(floor(l_extendedprice) AS BIGINT) // 16 AS pb
         |  FROM lineitem),
         |s0 AS (SELECT day, pb, CAST(day % 65536 AS BIGINT) AS a,
         |              CAST(pb % 65536 AS BIGINT) AS b FROM t),
