@@ -379,18 +379,21 @@ object EventAnalytics {
       .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
     val origin = ev.groupBy(col("event_type")).agg(min(col("us")).as("m"))
     // x: whole seconds from the group origin; y: value in micro-units
-    // via floor(+0.5) — every moment is an INTEGER, so sums (decimal
-    // where they outgrow long) are exact on both engines and the only
-    // float step is the final division. Margins: x ≤ 3e6 s, yu ≤ 6e8,
-    // so even 1e12-row groups keep every product under decimal(38).
+    // via floor(+0.5) — every moment is an INTEGER. Per-term products
+    // fit a long (x ≤ 3e6 ⇒ x² ≤ 9e12, x·yu ≤ 1.8e15) but their SUMS
+    // do not at scale (1e12 rows × 9e12 ≈ 9e24 ≫ 2^63), so every sum
+    // accumulates in decimal(38,0) — exact to 1e38, matching DuckDB's
+    // HUGEINT widening instead of Spark's silent long wrap. The final
+    // slope combination leaves the exact domain only at the double
+    // division.
     val mom = ev.join(broadcast(origin), Seq("event_type"))
       .withColumn("x", expr("(us - m) div 1000000"))
       .withColumn("yu", floor(col("value") * 1e6 + 0.5).cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"),
-        sum(col("yu")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x").cast(dec(38))).as("sx"),
+        sum(col("yu").cast(dec(38))).as("sy"),
+        sum((col("x") * col("x")).cast(dec(38))).as("sxx"),
         sum((col("x") * col("yu")).cast(dec(38))).as("sxy"))
     val num = (col("n").cast(dec(18)) * col("sxy")
       - col("sx").cast(dec(19)) * col("sy").cast(dec(19))).cast("double")
@@ -546,7 +549,9 @@ object EventAnalytics {
         |  FROM ev)
         |SELECT user_id, event_id AS purchase_id,
         |  (cw).event_id AS attributed_click,
-        |  COALESCE(nc, 0) AS n_clicks_7d, round(value, 2) AS value
+        |  -- windowed sum(BIGINT) widens to HUGEINT in DuckDB; the driver
+        |  -- hashes HUGEINT as float64 — cast back (q89/q102 discipline)
+        |  CAST(COALESCE(nc, 0) AS BIGINT) AS n_clicks_7d, round(value, 2) AS value
         |FROM m WHERE is_click = 0
         |ORDER BY user_id, purchase_id""".stripMargin,
     "q115_rolling_distinct" ->

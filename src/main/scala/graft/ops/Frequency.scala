@@ -47,12 +47,12 @@ object Frequency {
         counters.get(w) match {
           case Some(c) => counters.update(w, c + 1)
           case None if counters.size < K => counters.update(w, 1L)
-          case None => // decrement-all; drop zeros
-            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-            counters.foreach { case (k, c) =>
-              if (c == 1L) dead += k else counters.update(k, c - 1)
-            }
-            dead.foreach(counters.remove)
+          case None => // decrement-all; drop zeros — via the in-place
+            // ops DEFINED for self-mutation (mutating a mutable.HashMap
+            // inside its own foreach is undefined per the collections
+            // contract and could silently drop candidates)
+            counters.mapValuesInPlace((_, c) => c - 1L)
+            counters.filterInPlace((_, c) => c > 0L)
         }
       }
       counters.keysIterator

@@ -142,6 +142,13 @@ object Temporal {
     * partitioning — no second exchange, no per-key driver loop. Weights
     * for ancient rows underflow to 0.0 harmlessly, so a key with
     * millions of rows at 100 TB still aggregates in one pass.
+    *
+    * Each weighted term is quantized to DECIMAL(28,6) before the sum
+    * (the repo's float-aggregate discipline): double terms of wildly
+    * varying magnitude summed in nondeterministic order could flip
+    * round(...,4) on knife-edge values across core counts; decimal
+    * addition is exact and order-free, and 1e-6 term quantization is
+    * noise against the 1e-4 report rounding.
     */
   def ewmaSmooth(s: SparkSession, d: String, alpha: Double = 0.3): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -155,7 +162,8 @@ object Temporal {
       .agg(max(col("n")).as("n_events"),
         round(sum(
           when(col("rn") === 1, pow(decay, col("n") - 1) * col("value"))
-            .otherwise(lit(alpha) * pow(decay, col("n") - col("rn")) * col("value"))), 4)
+            .otherwise(lit(alpha) * pow(decay, col("n") - col("rn")) * col("value"))
+            .cast(Dec)).cast("double"), 4)
           .as("ewma"))
       .orderBy(col("user_id"))
   }
@@ -176,8 +184,9 @@ object Temporal {
         |    count(*) OVER (PARTITION BY user_id) AS n
         |  FROM events)
         |SELECT user_id, max(n) AS n_events,
-        |  round(sum(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value
-        |                 ELSE 0.3 * power(0.7, n - rn) * value END), 4) AS ewma
+        |  round(CAST(sum(CAST(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value
+        |                 ELSE 0.3 * power(0.7, n - rn) * value END
+        |             AS DECIMAL(28,6))) AS DOUBLE), 4) AS ewma
         |FROM e
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,

@@ -191,7 +191,7 @@ object TrainingData {
         |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
         |  FROM t)
-        |SELECT doc_id, n_tokens, start // 2048 AS pack_id
+        |SELECT doc_id, n_tokens, CAST(start // 2048 AS BIGINT) AS pack_id
         |FROM c
         |ORDER BY doc_id""".stripMargin,
     "q102_repetition" ->

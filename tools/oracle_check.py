@@ -32,6 +32,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first").reset_index(drop=True)
     return df
 
+def dtype_kind(s: pd.Series) -> str:
+    if np.issubdtype(s.dtype, np.datetime64): return "datetime"
+    if s.dtype == bool or str(s.dtype) == "boolean": return "bool"
+    if np.issubdtype(s.dtype, np.integer): return "int"
+    if np.issubdtype(s.dtype, np.floating): return "float"
+    return "object"
+
 def compare(name, spark_df, duck_df):
     problems = []
     sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
@@ -39,6 +46,18 @@ def compare(name, spark_df, duck_df):
         return [f"schema mismatch: spark={sc} duck={dc}"]
     if len(spark_df) != len(duck_df):
         problems.append(f"rowcount mismatch: spark={len(spark_df)} duck={len(duck_df)}")
+        return problems
+    # DTYPE-STRICT: the driver hashes values through their materialized
+    # pandas dtype, so int64 vs float64 is a hash mismatch even when the
+    # values are numerically equal (the r5 q101/q113 HUGEINT trap). Fail
+    # loudly on any kind divergence instead of coercing it away.
+    for c in sc:
+        ks, kd = dtype_kind(spark_df[c]), dtype_kind(duck_df[c])
+        if ks != kd:
+            problems.append(
+                f"dtype mismatch col {c}: spark={spark_df[c].dtype}({ks}) "
+                f"duck={duck_df[c].dtype}({kd}) — driver hashes these differently")
+    if problems:
         return problems
     a, b = canon(spark_df), canon(duck_df)
     for c in a.columns:
@@ -81,10 +100,20 @@ def main():
             print(f"{status} {name}: {len(spark_df)} rows, no oracle")
             continue
         try:
-            duck_df = con.execute(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            duck_types = [str(t) for t in rel.types]
+            duck_df = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
-        problems = compare(name, spark_df, duck_df)
+        problems = []
+        # registry invariant: no oracle may emit HUGEINT — duckdb-python
+        # materializes it as float64 and the driver hashes it as float
+        # while Spark emits int64 (the exact r5 q101/q113 failure)
+        hug = [f"{col}:{t}" for col, t in zip(rel.columns, duck_types)
+               if "HUGEINT" in t.upper()]
+        if hug:
+            problems.append(f"oracle emits HUGEINT ({', '.join(hug)}) — add CAST(... AS BIGINT)")
+        problems += compare(name, spark_df, duck_df)
         if problems:
             n_fail += 1
             print(f"FAIL {name}:")
