@@ -146,6 +146,124 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Positional k-gram stream over a (doc_id, text) corpus:
+    * one row per gram start, `(doc_id, pos, gh)` with `pos` the
+    * 1-based token index and `gh` = xxhash64 of the gram text. All
+    * codegen'd built-ins (split/sequence/transform/slice/xxhash64);
+    * the shuffled payload downstream is an 8-byte hash, never the
+    * gram string (the gram text at k=50 is ~300 bytes — hashing cuts
+    * the exchange 40×; xxhash64 collisions at 2^64 are negligible
+    * against corpus gram counts and only ever merge two runs).
+    */
+  private def posGrams(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), expr(
+        s"""explode(transform(sequence(1, size(ws) - ${k - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS pos,
+           |    xxhash64(concat_ws(' ', slice(ws, i, $k))) AS gh)))""".stripMargin)
+        .as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gh").as("gh"))
+
+  /** Substring-level exact dedup, detection pass (Lee-et-al-style
+    * "Deduplicating Training Data" at k-token granularity): maximal
+    * runs of k-gram starts whose gram text occurs in ≥ 2 distinct
+    * documents — i.e. every ≥ k-token substring shared across
+    * documents, reported as (start_pos, end_pos, span) per document.
+    *
+    * Scale shape — no all-pairs stage anywhere: one (gh)-keyed
+    * aggregation finds duplicated grams (8-byte keys), one semi-join
+    * marks positions, one doc-keyed window folds consecutive
+    * positions into maximal runs via the pos − row_number() grouping
+    * identity. Every stage is a single keyed shuffle; task memory is
+    * O(1) rows. This is the distributed stand-in for the suffix-array
+    * pass — same output for cross-document repeats of length ≥ k.
+    *
+    * k defaults to 50 tokens (the production LLM-corpus threshold);
+    * the registered query uses k=8 because the fixture documents are
+    * 10-99 tokens long.
+    */
+  def substringRunsOn(docs: DataFrame, k: Int): DataFrame = {
+    val g = posGrams(docs, k)
+    val dup = g.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    g.join(dup, Seq("gh"), "left_semi")
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"), col("n_dup_grams"),
+        (col("end_pos") - col("start_pos") + k).as("span_tokens"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
+  def substringRuns(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    substringRunsOn(documents(s, d), k)
+
+  /** Substring-level exact dedup, removal pass: every duplicated gram
+    * keeps exactly ONE canonical occurrence corpus-wide — the
+    * lexicographically smallest (doc_id, pos) — and every other
+    * occurrence's k-token span is dropped. Reported per document as
+    * before/after token counts (the text rebuild is the same anti-join
+    * on token index, see [[removeDupSpansOn]]).
+    *
+    * Owner election is `min(struct(doc_id, pos))` inside the same
+    * (gh)-keyed aggregation that finds duplicates — no extra shuffle
+    * over the detection pass; removed token indices union via
+    * per-doc distinct.
+    */
+  def substringDedupOn(docs: DataFrame, k: Int): DataFrame = {
+    val removedPerDoc = removedTokenIdx(docs, k)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .join(removedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  def substringDedup(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    substringDedupOn(documents(s, d), k)
+
+  /** Distinct (doc_id, token index) pairs covered by a non-canonical
+    * occurrence of a cross-document duplicated gram.
+    */
+  private def removedTokenIdx(docs: DataFrame, k: Int): DataFrame = {
+    val g = posGrams(docs, k)
+    val owner = g.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("own"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"), col("own.doc_id").as("odoc"), col("own.pos").as("opos"))
+    g.join(owner, Seq("gh"))
+      .filter(!(col("doc_id") === col("odoc") && col("pos") === col("opos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
+      .distinct()
+  }
+
+  /** Text rebuild after substring dedup: documents with the removed
+    * spans stripped (tokens re-joined with single spaces). Spec-level
+    * surface proving the planted duplicate disappears; the q125 gate
+    * row is the count form above.
+    */
+  def removeDupSpansOn(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("t"), col("col").as("w"))
+    toks.join(removedTokenIdx(docs, k), Seq("doc_id", "t"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("t"), col("w"))))
+        .getField("w")).as("text"))
+  }
+
   /** Gopher-style repetition signals per document: total word-2-gram
     * count, the most-frequent-2-gram fraction, the duplicated-2-gram
     * fraction, and the resulting repetitive verdict (top fraction
@@ -178,9 +296,58 @@ object TrainingData {
     "q90_decontaminate" -> decontaminate _,
     "q101_seq_packing"  -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "q102_repetition"   -> repetition _,
+    "q124_substring_runs"  -> ((s: SparkSession, d: String) => substringRuns(s, d, k = 8)),
+    "q125_substring_dedup" -> ((s: SparkSession, d: String) => substringDedup(s, d, k = 8)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle keys on the gram TEXT where the engine keys on its
+    // xxhash64 — identical duplicate sets absent 2^-64 collisions
+    "q124_substring_runs" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i, 'gram': array_to_string(ws[i:i+7], ' ')}
+        |            for i in range(1, len(ws) - 6)]) AS pg
+        |  FROM ws WHERE len(ws) >= 8),
+        |gg AS (SELECT doc_id, CAST(pg.pos AS BIGINT) AS pos, pg.gram AS gram FROM g),
+        |dup AS (SELECT gram FROM gg GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM gg WHERE gram IN (SELECT gram FROM dup))
+        |SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
+        |  count(*) AS n_dup_grams,
+        |  CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+        |FROM m GROUP BY doc_id, grp
+        |ORDER BY doc_id, start_pos""".stripMargin,
+    "q125_substring_dedup" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i, 'gram': array_to_string(ws[i:i+7], ' ')}
+        |            for i in range(1, len(ws) - 6)]) AS pg
+        |  FROM ws WHERE len(ws) >= 8),
+        |gg AS (SELECT doc_id, CAST(pg.pos AS BIGINT) AS pos, pg.gram AS gram FROM g),
+        |dup AS (SELECT gram FROM gg GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |r AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |      FROM gg WHERE gram IN (SELECT gram FROM dup)),
+        |rem AS (SELECT DISTINCT doc_id, t FROM (
+        |          SELECT doc_id, unnest(range(pos, pos + 8)) AS t
+        |          FROM r WHERE rn > 1)),
+        |cnt AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY 1),
+        |n AS (SELECT doc_id,
+        |        CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |SELECT n.doc_id, n.n_tokens,
+        |  CAST(COALESCE(cnt.n_removed, 0) AS BIGINT) AS n_removed,
+        |  n.n_tokens - CAST(COALESCE(cnt.n_removed, 0) AS BIGINT) AS n_kept
+        |FROM n LEFT JOIN cnt ON n.doc_id = cnt.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "q101_seq_packing" ->
       """WITH t AS (
         |  SELECT doc_id,

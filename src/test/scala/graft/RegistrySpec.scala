@@ -28,10 +28,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the documented surface") {
-    assert(SparkEntry.queries.size == 123)
+    assert(SparkEntry.queries.size == 125)
     // every query — including the four approximate ones, which emit
     // deterministic bound-check gate rows — has a DuckDB oracle
-    assert(SparkEntry.oracleSql.size == 123)
+    assert(SparkEntry.oracleSql.size == 125)
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TrainingData
+
+/** Substring-level exact dedup (q124/q125): planted cross-document
+  * repeated substrings must be detected as maximal runs and removed
+  * everywhere except one canonical occurrence — the Lee-et-al corpus
+  * guarantee the DuckDB hash gate can't state directly.
+  */
+class SubstringDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val K = 5
+
+  // a 9-token substring planted in docs 1 and 3 (offset differs);
+  // doc 2 and 4 share nothing ≥ K tokens with anyone
+  private val planted = "alpha bravo charlie delta echo foxtrot golf hotel india"
+  private def docs = Seq(
+    (1L, s"unique one two $planted tail1 tail2"),
+    (2L, "nothing here repeats with any other document at all ever"),
+    (3L, s"$planted closing words differ entirely"),
+    (4L, "another fully distinct document body with no shared runs"),
+  ).toDF("doc_id", "text")
+
+  test("q124: the planted substring is detected as one maximal run per doc") {
+    val runs = TrainingData.substringRunsOn(docs, K)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_pos"),
+        r.getAs[Long]("end_pos"), r.getAs[Long]("span_tokens")))
+    // 9 planted tokens ⇒ 9 − K + 1 = 5 duplicated gram starts per doc
+    // doc 1: planted starts at token 4 → gram starts 4..8, span 4..12
+    // doc 3: planted starts at token 1 → gram starts 1..5, span 1..9
+    assert(runs.toSet == Set((1L, 4L, 8L, 9L), (3L, 1L, 5L, 9L)))
+  }
+
+  test("q125: removal keeps exactly one canonical copy corpus-wide") {
+    val counts = TrainingData.substringDedupOn(docs, K)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"), r.getAs[Long]("n_kept")))
+      .toMap
+    // owner = lexicographically smallest (doc_id, pos) ⇒ doc 1 keeps
+    // its copy, doc 3 loses the 9 planted tokens; bystanders untouched
+    assert(counts(1L) == (14L, 0L, 14L))
+    assert(counts(2L)._2 == 0L)
+    assert(counts(3L) == (13L, 9L, 4L))
+    assert(counts(4L)._2 == 0L)
+  }
+
+  test("text rebuild strips the planted substring everywhere but the owner") {
+    val rebuilt = TrainingData.removeDupSpansOn(docs, K)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(rebuilt(1L).contains(planted), "canonical copy survives")
+    assert(rebuilt(3L) == "closing words differ entirely")
+    assert(rebuilt(2L) == docs.collect()(1).getString(1), "bystander unchanged")
+    val corpusHits = rebuilt.values.count(_.contains(planted))
+    assert(corpusHits == 1, s"planted substring must survive exactly once, got $corpusHits")
+  }
+
+  test("within-document-only repeats are NOT flagged (cross-doc semantics)") {
+    val selfRep = Seq(
+      (1L, "x1 x2 x3 x4 x5 mid x1 x2 x3 x4 x5"), // repeats only within doc 1
+      (2L, "totally different words in this one here"),
+    ).toDF("doc_id", "text")
+    assert(TrainingData.substringRunsOn(selfRep, K).count() == 0)
+  }
+
+  test("no all-pairs stage: plan is free of cartesian/BNLJ") {
+    val plan = TrainingData.substringRunsOn(docs, K).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
