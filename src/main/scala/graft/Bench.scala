@@ -67,7 +67,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val passTotals = passes.map(tot).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${passes.length},"pass_totals":$passTotals}"""
+    // Noise self-identification: steal-polluted runs (pass totals of
+    // 451/830/195 s for identical code in r5) must not read as
+    // regressions. Per-query spread = max/min across passes; the run
+    // is flagged noisy when the pass totals disagree >1.5× (the same
+    // threshold that triggers the third pass) — consumers should then
+    // trust per-query mins, not totals or single passes.
+    def r2(d: Double): Double = math.rint(d * 100) / 100
+    val spreads = passes.transpose.map { timings =>
+      val ts = timings.map(_._2)
+      timings.head._1 -> r2(if (ts.min > 0) ts.max / ts.min else 1.0)
+    }
+    val spreadJson = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val totSpread = r2(passes.map(tot).max / passes.map(tot).min)
+    val sortedSpreads = spreads.map(_._2).sorted
+    val medianSpread = sortedSpreads(sortedSpreads.length / 2)
+    val noisy = totSpread > 1.5
+    val noiseJson = s"""{"pass_total_spread":$totSpread,"median_query_spread":$medianSpread,"max_query_spread":${sortedSpreads.last},"noisy":$noisy}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${passes.length},"pass_totals":$passTotals,"query_spread":$spreadJson,"noise":$noiseJson}"""
     // the driver captures a bounded stdout tail (rounds 1-4 lost
     // q01-q36 to truncation) — the file is the durable artifact
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
