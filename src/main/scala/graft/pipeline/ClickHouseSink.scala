@@ -45,8 +45,11 @@ object ClickHouseSink {
   }
 
   /** JDBC parameter binding per Spark type. Timestamps bind as
-    * java.sql.Timestamp, which carries sub-millisecond precision —
-    * DateTime64(6) keeps all six fractional digits.
+    * java.sql.Timestamp truncated to microseconds — the DateTime64(6)
+    * column holds exactly six fractional digits, so the sink owns the
+    * truncation deterministically instead of leaving sub-µs residue to
+    * server-side parse behavior. (Spark's TimestampType is µs-exact
+    * already; the guard matters for rows bound from raw JDBC callers.)
     */
   private[graft] def bind(ps: java.sql.PreparedStatement,
       schema: StructType, row: Row): Unit = {
@@ -62,7 +65,7 @@ object ClickHouseSink {
         case FloatType => ps.setFloat(idx, row.getFloat(i))
         case BooleanType => ps.setBoolean(idx, row.getBoolean(i))
         case DateType => ps.setDate(idx, row.getDate(i))
-        case TimestampType => ps.setTimestamp(idx, row.getTimestamp(i))
+        case TimestampType => ps.setTimestamp(idx, toMicros(row.getTimestamp(i)))
         case BinaryType => ps.setBytes(idx, row.getAs[Array[Byte]](i))
         case _: DecimalType => ps.setBigDecimal(idx, row.getDecimal(i))
         case _ => ps.setObject(idx, row.get(i))
@@ -70,6 +73,17 @@ object ClickHouseSink {
       i += 1
     }
   }
+
+  /** DateTime64(6) precision: truncate sub-microsecond nanos (no-op —
+    * and no allocation — for the µs-aligned values Spark produces).
+    */
+  private[graft] def toMicros(t: java.sql.Timestamp): java.sql.Timestamp =
+    if (t == null || t.getNanos % 1000 == 0) t
+    else {
+      val us = new java.sql.Timestamp(t.getTime)
+      us.setNanos(t.getNanos / 1000 * 1000)
+      us
+    }
 
   /** Drain one partition's rows through a prepared statement in
     * bounded batches (factored out so a spec can drive it with a

@@ -3,6 +3,8 @@ package graft
 import java.lang.reflect.{InvocationHandler, Method, Proxy}
 import java.sql.{Connection, DriverManager, PreparedStatement, Statement}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -92,6 +94,49 @@ class ClickHouseSinkSpec extends AnyFunSuite {
     val generic = graft.pipeline.LogPump.markerTableDdl("jdbc:derby:memory:x")
     assert(generic.contains("PRIMARY KEY (pipeline, batch_id)"))
     assert(!generic.contains("ENGINE"))
+  }
+
+  test("binding truncates sub-µs nanos to the DateTime64(6) grid") {
+    // a raw-JDBC caller can hand the sink a ns-precision Timestamp;
+    // DateTime64(6) holds six digits, so bind owns the truncation
+    val ns = java.sql.Timestamp.valueOf("2025-05-26 07:00:03.310025999")
+    val truncated = ClickHouseSink.toMicros(ns)
+    assert(truncated.getNanos == 310025000)
+    assert(truncated.getTime == ns.getTime) // integral millis untouched
+    // µs-aligned values pass through identically (no reallocation)
+    val us = java.sql.Timestamp.valueOf("2025-05-26 07:00:03.310025")
+    assert(ClickHouseSink.toMicros(us) eq us)
+    assert(ClickHouseSink.toMicros(null) == null)
+  }
+
+  test("value cycle: µs precision and Nullable columns survive the full write path") {
+    val s = TestSpark.spark
+    val url = "jdbc:derby:memory:chcycle;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        "CREATE TABLE cyc (id INT, et TIMESTAMP, exc VARCHAR(32), rws INT)")
+    } finally conn.close()
+    // Nullable(String)/Nullable(Int32) dialect columns: null and
+    // non-null rows; EventTime at full six-fractional-digit precision
+    val t6 = java.sql.Timestamp.valueOf("2025-05-26 07:00:03.310025")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("et", TimestampType, nullable = false),
+      StructField("exc", StringType, nullable = true),
+      StructField("rws", IntegerType, nullable = true)))
+    val rows = Seq(Row(1, t6, "TimeoutException", Integer.valueOf(42)),
+      Row(2, t6, null, null))
+    val df = s.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+    ClickHouseSink.write(df, "cyc", url, batchSize = 1, provision = false)
+    val back = s.read.jdbc(url, "cyc", new java.util.Properties())
+      .collect().sortBy(_.getInt(0))
+    assert(back(0).getTimestamp(1) == t6 &&
+      back(0).getTimestamp(1).getNanos == 310025000,
+      "all six fractional digits survive the bind→insert→read cycle")
+    assert(back(0).getString(2) == "TimeoutException" && back(0).getInt(3) == 42)
+    assert(back(1).isNullAt(2) && back(1).isNullAt(3),
+      "SQL NULLs in Nullable dialect columns round-trip as nulls")
   }
 
   test("executor batch cycle appends through a real JDBC engine (Derby)") {
