@@ -196,11 +196,13 @@ object TechLogSource {
     * tail is small, so this is one 64 KB read per changed file in the
     * common case.
     */
-  private[sources] def alignedAdmit(path: String, size: Long, holdBackRecord: Boolean,
-      hconf: org.apache.hadoop.conf.Configuration): Long = {
+  private[graft] def alignedAdmit(path: String, size: Long, holdBackRecord: Boolean,
+      hconf: org.apache.hadoop.conf.Configuration,
+      maxChunk: Long = 1L << 30): Long = {
+    // maxChunk: a >1 GB run without the sought boundary is not a
+    // techlog — hold everything (return 0) rather than buffer it all;
+    // parameterized so the spec pins the guard without 1 GiB of IO
     var chunk = 64L * 1024
-    val maxChunk = 1L << 30 // a >1 GB run without the sought boundary
-    //              is not a techlog — hold rather than buffer it all
     while (size > 0) {
       if (chunk > maxChunk && size > maxChunk) return 0L
       val from = math.max(0L, size - chunk)

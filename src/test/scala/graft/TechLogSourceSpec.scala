@@ -413,6 +413,41 @@ class TechLogSourceSpec extends AnyFunSuite {
     assert(users(idle, o2, o3) == Seq("c"))
   }
 
+  test("giant-record guard: a boundary-free run past maxChunk holds everything, never buffers it all") {
+    import graft.sources.TechLogSource
+    val sdir = graft.util.TmpDirs.scratch("techlog-giant-record")
+    val hconf = new org.apache.hadoop.conf.Configuration()
+    // a run larger than the backward-scan cap with NO newline at all —
+    // not a techlog; alignedAdmit must give up (admit 0) instead of
+    // growing its scan window without bound. maxChunk is pinned at the
+    // 64 KiB initial chunk so the guard fires after one failed scan
+    // (production default 1 GiB — same code path, spec-sized IO).
+    val cap = 64L * 1024
+    val giant = Paths.get(sdir, "25052608.log")
+    Files.write(giant, Array.fill[Byte]((cap + 16 * 1024).toInt)('x'))
+    val size = Files.size(giant)
+    assert(TechLogSource.alignedAdmit(giant.toString, size, holdBackRecord = true,
+      hconf, maxChunk = cap) == 0L)
+    assert(TechLogSource.alignedAdmit(giant.toString, size, holdBackRecord = false,
+      hconf, maxChunk = cap) == 0L)
+    // same size but WITH a line boundary inside the first scan chunk:
+    // admission proceeds normally — the guard gates scan growth, not
+    // file size
+    val ok = Paths.get(sdir, "25052609.log")
+    val rec = "00:01.000001-1,CONN,2,process=rphost,Usr=a\n"
+    val pad = new String(Array.fill((cap + 16 * 1024).toInt - rec.length - 10)('x')) + "\n"
+    Files.writeString(ok, rec + pad + "partialtail")
+    assert(TechLogSource.alignedAdmit(ok.toString, Files.size(ok),
+      holdBackRecord = false, hconf, maxChunk = cap) ==
+      (rec + pad).length.toLong)
+    // a boundary-free file SMALLER than the cap also admits nothing
+    // (the from == 0 exhaustion path, not the guard)
+    val small = Paths.get(sdir, "25052610.log")
+    Files.write(small, Array.fill[Byte](1024)('x'))
+    assert(TechLogSource.alignedAdmit(small.toString, 1024L,
+      holdBackRecord = true, hconf, maxChunk = cap) == 0L)
+  }
+
   test("AvailableNow drain racing a live writer never commits a torn record") {
     import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
     import graft.sources.{TechLogMicroBatchStream, TechLogSource}
