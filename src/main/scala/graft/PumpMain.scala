@@ -89,12 +89,19 @@ object PumpMain {
     val spark = SparkSession.builder()
       .appName("graft-log-pump")
       .getOrCreate() // master/resources come from spark-submit
+    val metrics = graft.streaming.PumpMetrics.attach(spark)
     val queries = startAll(spark, cfg,
       flag("--parquet"), flag("--checkpoint").getOrElse("graft-checkpoints"),
       flag("--jdbc-url"))
-    // SIGTERM → graceful stop: finish the in-flight micro-batch, then
-    // exit (the reference's signal.Notify + cancel, main.go)
-    sys.addShutdownHook { queries.foreach(q => try q.stop() catch { case _: Throwable => () }) }
+    // SIGTERM → graceful stop: finish the in-flight micro-batch, print
+    // the rows/batches/lag report, then exit (the reference's
+    // signal.Notify + cancel, main.go — its zap logs carried the same
+    // per-batch counts)
+    sys.addShutdownHook {
+      queries.foreach(q => try q.stop() catch { case _: Throwable => () })
+      val rep = metrics.report(queries.map(_.id))
+      if (rep.nonEmpty) println(rep)
+    }
     queries.foreach(_.awaitTermination())
   }
 }

@@ -58,6 +58,7 @@ class PumpMainSpec extends AnyFunSuite {
          |""".stripMargin)
     val cfg = graft.config.PumpConfig.load(confPath.toString)
       .fold(e => fail(e), identity)
+    val metrics = graft.streaming.PumpMetrics.attach(spark)
     val queries = PumpMain.startAll(spark, cfg, Some(out), ckpt)
     try {
       assert(queries.size == 2) // one pump per directory
@@ -70,7 +71,20 @@ class PumpMainSpec extends AnyFunSuite {
           catch { case _: Throwable => Set.empty }
         u("sql_logs") == Set("a") && u("logs") == Set("b")
       })
-    } finally queries.foreach(_.stop())
+      // metrics surface: after the drain each pump's counters show its
+      // one record and at least one data-carrying micro-batch (the
+      // listener bus is async — wait for it to catch up)
+      val ids = queries.map(_.id)
+      assert(eventually(30000) { metrics.totalRows(ids) == 2 })
+      assert(ids.forall(id => metrics.stats(id).exists(s =>
+        s.rows == 1 && s.batches >= 1)))
+      assert(metrics.totalBatches(ids) >= 2)
+      val report = metrics.report(ids)
+      assert(report.linesIterator.size == 2 && report.contains("rows=1"))
+    } finally {
+      queries.foreach(_.stop())
+      graft.streaming.PumpMetrics.detach(spark, metrics)
+    }
     // per-directory checkpoints exist and are disjoint
     assert(Files.exists(Paths.get(ckpt, "Map1")) &&
       Files.exists(Paths.get(ckpt, "Map2")))
