@@ -146,25 +146,57 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
-  /** Positional k-gram stream over a (doc_id, text) corpus:
-    * one row per gram start, `(doc_id, pos, gh)` with `pos` the
-    * 1-based token index and `gh` = xxhash64 of the gram text. All
-    * codegen'd built-ins (split/sequence/transform/slice/xxhash64);
-    * the shuffled payload downstream is an 8-byte hash, never the
-    * gram string (the gram text at k=50 is ~300 bytes — hashing cuts
-    * the exchange 40×; xxhash64 collisions at 2^64 are negligible
-    * against corpus gram counts and only ever merge two runs).
+  /** Positional k-gram stream over a (doc_id, text) corpus: one row
+    * per gram start, `(doc_id, pos, gh)` with `pos` the 1-based token
+    * index and `gh` a 64-bit order-sensitive hash of the gram's token
+    * sequence. The shuffled payload downstream is the 8-byte hash,
+    * never the gram string (~300 bytes at k=50 — 40× narrower
+    * exchanges; 2^-64 collisions only ever merge two runs).
+    *
+    * Typed mapPartitions, not `transform(sequence, i -> xxhash64(
+    * concat_ws(slice ...)))`: higher-order lambdas run INTERPRETED
+    * inside Generate and re-materialize the gram string per position —
+    * the same trap Dedup.signatures documents. The compiled loop
+    * hashes each token once (FNV-1a 64 over UTF-8) and combines k
+    * token hashes polynomially per start — no per-gram string, no
+    * interpreter. Measured on q124 at sf0.1: 2.3 s → this form (the
+    * HOF plan evaluated the lambda twice, once per consumer branch).
     */
-  private def posGrams(docs: DataFrame, k: Int): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), "\\s+").as("ws"))
-      .filter(size(col("ws")) >= k)
-      .select(col("doc_id"), expr(
-        s"""explode(transform(sequence(1, size(ws) - ${k - 1}),
-           |  i -> struct(CAST(i AS BIGINT) AS pos,
-           |    xxhash64(concat_ws(' ', slice(ws, i, $k))) AS gh)))""".stripMargin)
-        .as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gh").as("gh"))
+  private def posGrams(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val ws = text.split("\\s+", -1)
+          if (ws.length < k) Iterator.empty
+          else {
+            val th = new Array[Long](ws.length)
+            var i = 0
+            while (i < ws.length) { th(i) = fnv64(ws(i)); i += 1 }
+            (0 to ws.length - k).iterator.map { p =>
+              var h = 0L
+              var j = p
+              while (j < p + k) { h = h * 6364136223846793005L + th(j); j += 1 }
+              (id, (p + 1).toLong, h)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "gh")
+  }
+
+  /** FNV-1a 64 over the token's UTF-8 bytes (public-domain constants). */
+  private def fnv64(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
 
   /** Substring-level exact dedup, detection pass (Lee-et-al-style
     * "Deduplicating Training Data" at k-token granularity): maximal
