@@ -125,13 +125,50 @@ object Frequency {
       .limit(50)
   }
 
+  /** Conjunctive (AND) retrieval — the query-side companion to q110's
+    * index build and q103's BM25: documents containing ALL query
+    * terms, ranked by total term frequency (ties: doc_id), top 10.
+    *
+    * Scale shape: the term filter applies BEFORE the first exchange
+    * (the corpus token stream never shuffles — only postings of the
+    * |terms| query words do, exactly like a real index probe), then
+    * one doc-keyed aggregation enforces the conjunction via distinct
+    * term count and ranks in the same pass. Top-k is
+    * TakeOrderedAndProject, no global sort.
+    */
+  def andRetrieval(s: SparkSession, d: String,
+      terms: Seq[String] = Seq("spark", "window", "merge")): DataFrame = {
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .select(col("doc_id"), lower(col("w")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("word")).as("nt"), count(lit(1)).as("tf_total"))
+      .filter(col("nt") === terms.length)
+      .select(col("doc_id"), col("tf_total"))
+      .orderBy(col("tf_total").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_heavy_hitters"  -> heavyHitters _,
     "q110_inverted_index" -> invertedIndex _,
     "q119_pmi"            -> pmiPairs _,
+    "q127_and_retrieval"  -> ((s: SparkSession, d: String) => andRetrieval(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q127_and_retrieval" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(unnest(regexp_split_to_array(text, '\s+'))) AS word
+        |  FROM documents),
+        |f AS (SELECT doc_id, word FROM t
+        |      WHERE word IN ('spark', 'window', 'merge')),
+        |h AS (SELECT doc_id, count(DISTINCT word) AS nt, count(*) AS tf_total
+        |      FROM f GROUP BY 1)
+        |SELECT doc_id, tf_total FROM h WHERE nt = 3
+        |ORDER BY tf_total DESC, doc_id
+        |LIMIT 10""".stripMargin,
     "q106_heavy_hitters" ->
       """WITH t AS (
         |  SELECT lower(unnest(regexp_split_to_array(text, '\s+'))) AS word

@@ -264,6 +264,38 @@ object TrainingData {
   def substringDedup(s: SparkSession, d: String, k: Int = 50): DataFrame =
     substringDedupOn(documents(s, d), k)
 
+  /** Corpus duplication diagnostic: per language, how many tokens sit
+    * inside a cross-document duplicated run (q124's definition) — the
+    * number a corpus build reports before deciding how aggressively to
+    * dedup. Distinct duplicated token indices per doc (overlapping
+    * gram spans union, no double counting), one lang-keyed rollup.
+    */
+  def dupCoverage(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    dupCoverageOn(documents(s, d), k)
+
+  def dupCoverageOn(docs: DataFrame, k: Int): DataFrame = {
+    val g = posGrams(docs, k)
+    val dup = g.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val dupPerDoc = g.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(coalesce(col("n_dup"), lit(0L))).as("n_dup_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_dup_tokens"),
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 4).as("dup_frac"))
+      .orderBy(col("lang"))
+  }
+
   /** Distinct (doc_id, token index) pairs covered by a non-canonical
     * occurrence of a cross-document duplicated gram.
     */
@@ -330,11 +362,40 @@ object TrainingData {
     "q102_repetition"   -> repetition _,
     "q124_substring_runs"  -> ((s: SparkSession, d: String) => substringRuns(s, d, k = 8)),
     "q125_substring_dedup" -> ((s: SparkSession, d: String) => substringDedup(s, d, k = 8)),
+    "q128_dup_coverage"    -> ((s: SparkSession, d: String) => dupCoverage(s, d, k = 8)),
   )
 
   val oracleSql: Map[String, String] = Map(
-    // the oracle keys on the gram TEXT where the engine keys on its
-    // xxhash64 — identical duplicate sets absent 2^-64 collisions
+    // the oracles key on the gram TEXT where the engine keys on its
+    // 64-bit token-sequence hash — identical duplicate sets absent
+    // 2^-64 collisions
+    "q128_dup_coverage" ->
+      """WITH ws AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i, 'gram': array_to_string(ws[i:i+7], ' ')}
+        |            for i in range(1, len(ws) - 6)]) AS pg
+        |  FROM ws WHERE len(ws) >= 8),
+        |gg AS (SELECT doc_id, CAST(pg.pos AS BIGINT) AS pos, pg.gram AS gram FROM g),
+        |dup AS (SELECT gram FROM gg GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |dt AS (SELECT DISTINCT doc_id, t FROM (
+        |         SELECT doc_id, unnest(range(pos, pos + 8)) AS t
+        |         FROM gg WHERE gram IN (SELECT gram FROM dup))),
+        |per AS (SELECT doc_id, count(*) AS n_dup FROM dt GROUP BY 1),
+        |n AS (SELECT doc_id, lang,
+        |        CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok
+        |      FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(COALESCE(per.n_dup, 0)) AS BIGINT) AS n_dup_tokens,
+        |  round(sum(COALESCE(per.n_dup, 0)) / CAST(sum(n_tok) AS DOUBLE), 4)
+        |    AS dup_frac
+        |FROM n LEFT JOIN per ON n.doc_id = per.doc_id
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "q124_substring_runs" ->
       """WITH ws AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
