@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Dataset-audit operators — the profiling passes a pipeline runs
+  * before trusting a new 100 TB drop: per-column statistics and
+  * cross-segment audience overlap.
+  */
+object Audit {
+
+  /** Columns profiled by q131 — integer/string-typed only, so the
+    * stringified min/max compare bit-identically across engines (no
+    * float formatting or timestamp-precision parity hazards).
+    */
+  private val ProfileCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+
+  /** Column profile of `lineitem`: per column, row count, null count,
+    * distinct count, and stringified min/max.
+    *
+    * Scale shape: melt-then-aggregate — ONE scan of the table emits
+    * (column, value) pairs via an inline array explode (×|cols| rows,
+    * each a short string), then one column-keyed aggregation computes
+    * every statistic. The naive alternative — one aggregation job per
+    * column — scans the table |cols| times; at 100 TB that is the
+    * difference between one pass and six. The explode factor is
+    * bounded by the profiled column list, never the schema.
+    */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val pairs: Seq[Column] = ProfileCols.map { c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value"))
+    }
+    lineitem(s, d)
+      .select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.value").as("value"))
+      .groupBy(col("column"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("value")).as("n_distinct"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy(col("column"))
+  }
+
+  /** Audience overlap between event types: for every unordered pair,
+    * the distinct-user intersection and Jaccard similarity — the
+    * segment-overlap matrix behind "are these two cohorts the same
+    * people".
+    *
+    * Scale shape: the (user, type) incidence is distinct-reduced
+    * FIRST (map-side combinable, output bounded by users × types),
+    * then one user-keyed self-join emits per-user type pairs — the
+    * expansion per user is (their type count choose 2), bounded by
+    * the type-alphabet, never the raw event count. Per-type sizes
+    * come from the same incidence and broadcast onto the pair rows.
+    * Raw events are never self-joined.
+    */
+  def audienceOverlap(s: SparkSession, d: String): DataFrame = {
+    val inc = events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = inc.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = inc.as("a").join(inc.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("na"))),
+        Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("nb"))),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_column_profile"  -> columnProfile _,
+    "q132_audience_overlap" -> audienceOverlap _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q131_column_profile" ->
+      """WITH m AS (
+        |  SELECT 'l_orderkey' AS "column", CAST(l_orderkey AS VARCHAR) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', l_returnflag FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', l_linestatus FROM lineitem)
+        |SELECT "column", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT value) AS n_distinct,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM m
+        |GROUP BY "column"
+        |ORDER BY "column"""".stripMargin,
+    "q132_audience_overlap" ->
+      """WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS n FROM inc GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_common
+        |  FROM inc a JOIN inc b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.event_type = pairs.type_a
+        |JOIN sizes sb ON sb.event_type = pairs.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+  )
+}

@@ -55,7 +55,10 @@ object Graph {
     */
   def triangleParts(s: SparkSession, d: String, minSupport: Long = 2L,
       topK: Int = 10): DataFrame =
-    triangleCounts(copurchaseEdges(s, d, minSupport))
+    // cache the edge list: it feeds the degree count AND the
+    // orientation join — uncached, the basket self-join reruns 3×
+    triangleCounts(graft.util.CacheRegistry.register(
+        copurchaseEdges(s, d, minSupport).cache()))
       .orderBy(col("n_triangles").desc, col("p_key"))
       .limit(topK)
 
@@ -70,13 +73,16 @@ object Graph {
     val withDeg = e
       .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
-    val oriented = withDeg.select(
+    // cached: the oriented edge list is the probe, wedge, AND closing
+    // side of the count — three scans of one edge-sized table
+    val oriented = graft.util.CacheRegistry.register(withDeg.select(
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
         struct(col("u").as("s"), col("v").as("t"),
           col("dv").as("dt")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"),
           col("du").as("dt"))).as("o"))
       .select(col("o.s").as("s"), col("o.t").as("t"), col("o.dt").as("dt"))
+      .cache())
     // wedges around each source, ordered within the same total order,
     // closed by the (consistently oriented) third edge
     val tri = oriented.as("e1")
@@ -92,11 +98,180 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Symmetric adjacency (s, t, deg_s) of the co-purchase graph —
+    * every undirected edge in both directions, with the source's
+    * degree attached once so iterative algorithms don't recompute it.
+    */
+  private def adjacency(e: DataFrame): DataFrame = {
+    val adj = e.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(e.select(col("v").as("s"), col("u").as("t")))
+    val deg = adj.groupBy(col("s").as("n")).agg(count(lit(1)).as("deg"))
+    adj.join(deg, adj("s") === deg("n")).select(col("s"), col("t"), col("deg"))
+  }
+
+  /** PageRank over the co-purchase graph, 3 unrolled iterations,
+    * damping 0.85, in EXACT integer arithmetic: ranks live in 1e-12
+    * units (BIGINT), each neighbor contribution is `rank div deg`
+    * (integer division), and the damping step is `(85 * Σ) div 100`.
+    * Every operation is order-free and bit-identical on any engine —
+    * no float summation nondeterminism at any core count, which is
+    * what makes a 1000-executor PageRank reproducible run to run.
+    * Mass lost to the integer floors stays in the algorithm's
+    * definition (both engines floor identically).
+    *
+    * Scale shape: per iteration, ONE shuffle — adjacency ⋈ ranks on
+    * the source key, then a target-keyed aggregation; the (node,
+    * rank) table is narrow (16 bytes/row), degrees ride along with
+    * the adjacency, and contribution magnitudes are bounded by the
+    * total mass (1e12), so the BIGINT sums cannot overflow at any
+    * node count.
+    */
+  def pageRank(s: SparkSession, d: String, minSupport: Long = 2L,
+      iters: Int = 3, topK: Int = 10): DataFrame =
+    pageRankOn(copurchaseEdges(s, d, minSupport), iters)
+      .orderBy(col("rank_e12").desc, col("p_key"))
+      .limit(topK)
+
+  /** Integer-exact PageRank over an undirected edge list (u, v):
+    * (p_key, rank_e12) for every node. See [[pageRank]].
+    */
+  private[graft] def pageRankOn(e: DataFrame, iters: Int): DataFrame = {
+    val Scale = 1000000000000L // 1e12: rank mass units
+    // cache the graph, not the iterates: every iteration (and the
+    // final action) would otherwise re-derive the basket self-join —
+    // the same graph-pinning GraphX does for its iterative algorithms
+    val adj = graft.util.CacheRegistry.register(adjacency(e).cache())
+    val nodes = graft.util.CacheRegistry.register(
+      adj.select(col("s").as("n")).distinct().cache())
+    val nN = nodes.count() // one small job; N is a scalar of the algorithm
+    val r0 = Scale / nN
+    val base = (Scale * 15L / 100L) / nN
+    var ranks = nodes.withColumn("r", lit(r0))
+    (1 to iters).foreach { _ =>
+      // rank/contribution tables are node-sized (the part catalog —
+      // dwarfed by the edge/basket data): broadcast them so the cached
+      // adjacency is map-side probed, never re-shuffled per iteration;
+      // the only exchange per iteration is the target-keyed rollup.
+      // localCheckpoint truncates the iterate's lineage — without it
+      // the logical plan (and Catalyst's per-action planning cost)
+      // grows with every iteration, the exact failure GraphX Pregel's
+      // periodic checkpoint exists for; a cluster deployment with
+      // executor churn uses checkpoint() to reliable storage instead.
+      val contrib = adj.join(broadcast(ranks), adj("s") === ranks("n"))
+        .select(col("t"), expr("r div deg").as("c"))
+        .groupBy(col("t")).agg(sum(col("c")).as("cs"))
+      ranks = nodes.join(broadcast(contrib), nodes("n") === contrib("t"), "left")
+        .select(col("n"),
+          (lit(base) + expr(s"85 * coalesce(cs, 0L) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("n").as("p_key"), col("r").as("rank_e12"))
+  }
+
+  /** Multi-source BFS: nodes reachable within 3 hops of the 3
+    * smallest part keys in the co-purchase graph, reported as
+    * (hop, n_nodes) at each node's MINIMUM distance.
+    *
+    * Scale shape: textbook frontier BFS — per hop, one equi-join
+    * (frontier ⋈ adjacency) plus one anti-join against the visited
+    * set; the frontier and visited tables are single-column. The
+    * oracle's recursive CTE enumerates paths; the engine never does —
+    * visited-set pruning keeps per-hop work proportional to the
+    * frontier, not to the path count, which is the difference between
+    * BFS and exponential blowup on dense graphs.
+    */
+  def bfsReach(s: SparkSession, d: String, minSupport: Long = 2L,
+      hops: Int = 3, nSeeds: Int = 3): DataFrame = {
+    val adj = graft.util.CacheRegistry.register(
+      adjacency(copurchaseEdges(s, d, minSupport))
+        .select(col("s"), col("t")).cache())
+    val seeds = adj.select(col("s").as("n")).distinct()
+      .orderBy(col("n")).limit(nSeeds)
+    bfsLayers(adj, seeds, hops)
+      .groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hop"))
+  }
+
+  /** Min-hop BFS layers (n, hop) from `seeds` over directed adjacency
+    * (s, t), hop ≤ `hops`. See [[bfsReach]] for the plan shape.
+    */
+  private[graft] def bfsLayers(adj: DataFrame, seeds: DataFrame,
+      hops: Int): DataFrame = {
+    // Each hop's frontier is localCheckpoint()ed: the hop-h node set
+    // is referenced by the hop-h+1 expansion, every later anti-join,
+    // AND the final rollup — without truncation the logical plan tree
+    // doubles per hop and Catalyst planning time, not the data,
+    // becomes the bottleneck (the Pregel superstep checkpoint,
+    // exactly like GraphX; a cluster run with executor churn uses
+    // checkpoint() to reliable storage).
+    var layers = seeds.withColumn("hop", lit(0)).localCheckpoint()
+    var frontier = layers.select(col("n"))
+    (1 to hops).foreach { h =>
+      // frontier and visited-set are broadcast: a seed-bounded BFS's
+      // working sets are the reachable neighborhood, dwarfed by the
+      // (cached, never re-shuffled) adjacency — the hop is a map-side
+      // probe of the graph, not a sort-merge of it
+      val next =
+        adj.join(broadcast(frontier), adj("s") === frontier("n"))
+          .select(col("t").as("n")).distinct()
+          .join(broadcast(layers.select(col("n"))), Seq("n"), "left_anti")
+          .withColumn("hop", lit(h))
+          .localCheckpoint()
+      layers = layers.unionAll(next)
+      frontier = next.select(col("n"))
+    }
+    layers
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_triangles" -> ((s: SparkSession, d: String) => triangleParts(s, d)),
+    "q130_pagerank"  -> ((s: SparkSession, d: String) => pageRank(s, d)),
+    "q133_bfs_reach" -> ((s: SparkSession, d: String) => bfsReach(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q130_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT s AS n, count(*) AS deg FROM adj GROUP BY 1),
+        |a AS (SELECT adj.s, adj.t, deg.deg FROM adj JOIN deg ON adj.s = deg.n),
+        |sz AS (SELECT count(*) AS nn FROM deg),
+        |r0 AS (SELECT n, 1000000000000 // nn AS r FROM deg CROSS JOIN sz),
+        |c1 AS (SELECT a.t, CAST(sum(r0.r // a.deg) AS BIGINT) AS cs
+        |       FROM a JOIN r0 ON a.s = r0.n GROUP BY 1),
+        |r1 AS (SELECT deg.n, (150000000000 // nn) + 85 * COALESCE(c1.cs, 0) // 100 AS r
+        |       FROM deg CROSS JOIN sz LEFT JOIN c1 ON deg.n = c1.t),
+        |c2 AS (SELECT a.t, CAST(sum(r1.r // a.deg) AS BIGINT) AS cs
+        |       FROM a JOIN r1 ON a.s = r1.n GROUP BY 1),
+        |r2 AS (SELECT deg.n, (150000000000 // nn) + 85 * COALESCE(c2.cs, 0) // 100 AS r
+        |       FROM deg CROSS JOIN sz LEFT JOIN c2 ON deg.n = c2.t),
+        |c3 AS (SELECT a.t, CAST(sum(r2.r // a.deg) AS BIGINT) AS cs
+        |       FROM a JOIN r2 ON a.s = r2.n GROUP BY 1),
+        |r3 AS (SELECT deg.n, (150000000000 // nn) + 85 * COALESCE(c3.cs, 0) // 100 AS r
+        |       FROM deg CROSS JOIN sz LEFT JOIN c3 ON deg.n = c3.t)
+        |SELECT n AS p_key, r AS rank_e12 FROM r3
+        |ORDER BY rank_e12 DESC, p_key
+        |LIMIT 10""".stripMargin,
+    "q133_bfs_reach" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+        |seeds AS (SELECT DISTINCT s AS n FROM adj ORDER BY n LIMIT 3),
+        |bfs AS (
+        |  SELECT n, 0 AS hop FROM seeds
+        |  UNION ALL
+        |  SELECT a.t AS n, bfs.hop + 1 AS hop
+        |  FROM bfs JOIN adj a ON a.s = bfs.n WHERE bfs.hop < 3),
+        |m AS (SELECT n, min(hop) AS hop FROM bfs GROUP BY n)
+        |SELECT hop, count(*) AS n_nodes FROM m
+        |GROUP BY hop
+        |ORDER BY hop""".stripMargin,
     "q126_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT a.p AS u, b.p AS v FROM li a

@@ -355,7 +355,63 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM perplexity scoring — the classic model-based quality
+    * filter: train an add-one-smoothed bigram language model ON the
+    * corpus itself, score every document's average per-bigram negative
+    * log-likelihood, and report (doc_id, n_bigrams, avg_nll). High
+    * avg_nll = statistically unusual text (gibberish, boilerplate,
+    * wrong-language shards) — the rows a corpus build cuts first.
+    *
+    * Determinism: each bigram's nll is quantized to integer
+    * micro-nats — floor(-ln(p)·1e6 + 0.5) — BEFORE the per-doc sum,
+    * so the aggregation is exact integer addition: order-free at any
+    * core count, bit-identical in DuckDB. P(w2|w1) =
+    * (c(w1,w2)+1)/(c(w1·)+V) where c(w1·) counts w1's bigram-left
+    * occurrences and V is corpus vocabulary size — both exact
+    * integers, so the double quotient (and hence ln) sees identical
+    * IEEE inputs on both engines.
+    *
+    * Scale shape: one (w1,w2)-keyed count builds the model, its
+    * w1-rollup gives the left-context counts WITHOUT a second token
+    * pass, and scoring is one join of doc-bigrams against the model
+    * on (w1,w2) — at 100 TB the model table is vocabulary-sized
+    * (≪ corpus), AQE can broadcast it, and nothing corpus-wide ever
+    * sits on the driver (V and the two model tables live as
+    * DataFrames end to end).
+    */
+  def perplexity(s: SparkSession, d: String): DataFrame =
+    perplexityOn(documents(s, d))
+
+  private[graft] def perplexityOn(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .withColumn("ws", split(lower(col("text")), "\\s+"))
+      .select(col("doc_id"), expr(
+        """explode(CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |    i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))
+          |  ELSE array() END)""".stripMargin).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val model = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val left = model.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+    val vocab = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bigrams
+      .join(model, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll_u",
+        floor(-log((col("cb") + lit(1)).cast("double")
+          / (col("cl") + col("v")).cast("double")) * lit(1e6) + lit(0.5)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_u")).as("su"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("su").cast("double") / 1e6 / col("n_bigrams"), 4).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_perplexity"   -> perplexity _,
     "q89_training_mix"  -> trainingMix _,
     "q90_decontaminate" -> decontaminate _,
     "q101_seq_packing"  -> ((s: SparkSession, d: String) => packSequences(s, d)),
@@ -366,6 +422,31 @@ object TrainingData {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q129_perplexity" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': ws[i], 'w2': ws[i + 1]} for i in range(1, len(ws))]) AS bg
+        |  FROM ws WHERE len(ws) >= 2),
+        |bg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        |model AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |lft AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cl FROM model GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM (
+        |          SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |          FROM documents)),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    CAST(floor(-ln(CAST(model.cb + 1 AS DOUBLE)
+        |                   / CAST(lft.cl + voc.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS nll_u
+        |  FROM bg JOIN model USING (w1, w2) JOIN lft USING (w1) CROSS JOIN voc)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(nll_u) AS DOUBLE) / 1e6 / count(*), 4) AS avg_nll
+        |FROM scored
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // the oracles key on the gram TEXT where the engine keys on its
     // 64-bit token-sequence hash — identical duplicate sets absent
     // 2^-64 collisions

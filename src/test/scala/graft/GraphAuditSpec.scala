@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Audit, Graph, TrainingData}
+
+/** Semantics invariants for the round-6 graph/audit/LM additions,
+  * pinned on planted fixtures where the exact answer is computable by
+  * hand (or by an independent in-test reference implementation) —
+  * stronger than the DuckDB hash gate alone because the expected
+  * values do not share any engine code with the system under test.
+  */
+class GraphAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  /** Spark's round(): HALF_UP on the decimal representation. */
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q130 core: integer PageRank matches an independent scalar reference") {
+    // chorded square: 1-2-3-4-1 plus chord 1-3 (degrees 3,2,3,2)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("u", "v")
+    val got = Graph.pageRankOn(e, iters = 3).collect()
+      .map(r => r.getAs[Long]("p_key") -> r.getAs[Long]("rank_e12")).toMap
+    // reference: same algorithm, plain Scala Maps and Long arithmetic
+    val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(1L, 3L))
+    val n = 4L
+    val base = 150000000000L / n
+    var r = adj.keys.map(_ -> 1000000000000L / n).toMap
+    (1 to 3).foreach { _ =>
+      r = adj.keys.map { v =>
+        // .toSeq before mapping to contribution values: equal
+        // contributions from different neighbors must not collapse
+        val cs = adj.filter(_._2.contains(v)).keys.toSeq
+          .map(u => r(u) / adj(u).size).sum
+        v -> (base + 85L * cs / 100L)
+      }.toMap
+    }
+    assert(got == r)
+    // higher-degree nodes end up ranked higher on this graph
+    assert(got(1L) == got(3L) && got(2L) == got(4L) && got(1L) > got(2L))
+  }
+
+  test("q133 core: BFS min-hop layers on a path graph") {
+    // path 1-2-3-4-5 plus an off-path edge 2-6; seed {1}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L)).toDF("u", "v")
+    val adj = e.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(e.select(col("v").as("s"), col("u").as("t")))
+    val seeds = Seq(1L).toDF("n")
+    val got = Graph.bfsLayers(adj, seeds, hops = 3).collect()
+      .map(r => r.getAs[Long]("n") -> r.getAs[Int]("hop")).toMap
+    // node 5 is 4 hops out — beyond the cap, absent
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3))
+  }
+
+  test("q129 core: planted two-doc corpus scores to hand-computed nll") {
+    // corpus: "a b a b" + "a b c" → bigrams d1:[ab, ba, ab], d2:[ab, bc]
+    // model: c(a,b)=3 c(b,a)=1 c(b,c)=1; left: c(a·)=3 c(b·)=2; V=3
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TrainingData.perplexityOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("avg_nll"))).toList
+    def nllU(cb: Long, cl: Long): Long =
+      math.floor(-math.log((cb + 1.0) / (cl + 3.0)) * 1e6 + 0.5).toLong
+    val ab = nllU(3, 3); val ba = nllU(1, 2); val bc = nllU(1, 2)
+    val d1 = round4((ab + ba + ab) / 1e6 / 3)
+    val d2 = round4((ab + bc) / 1e6 / 2)
+    assert(got == List((1L, 3L, d1), (2L, 2L, d2)))
+    // the all-common-bigram doc is less surprising than the one with a rare tail
+    assert(d1 < d2)
+  }
+
+  test("q131: profile stats agree with direct per-column aggregates") {
+    val li = graft.util.Tables.lineitem(spark, sf)
+    val got = Audit.columnProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"),
+          r.getAs[Long]("n_distinct"), r.getAs[String]("min_v"),
+          r.getAs[String]("max_v"))).toMap
+    assert(got.keySet == Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_returnflag", "l_linestatus"))
+    val n = li.count()
+    got.foreach { case (c, (rows, nulls, distinct, minV, maxV)) =>
+      assert(rows == n, s"$c rows")
+      val direct = li.agg(
+        sum(when(col(c).isNull, 1L).otherwise(0L)),
+        countDistinct(col(c).cast("string")),
+        min(col(c).cast("string")), max(col(c).cast("string"))).collect()(0)
+      assert(nulls == direct.getLong(0), s"$c nulls")
+      assert(distinct == direct.getLong(1), s"$c distinct")
+      assert(minV == direct.getString(2) && maxV == direct.getString(3), s"$c min/max")
+    }
+  }
+
+  test("q132: overlap counts equal set-intersection ground truth; jaccard in (0,1]") {
+    val byType = graft.util.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = Audit.audienceOverlap(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b)
+      val inter = (byType(a) & byType(b)).size.toLong
+      assert(r.getAs[Long]("n_common") == inter, s"($a,$b) intersection")
+      val j = r.getAs[Double]("jaccard")
+      val expect = round4(inter.toDouble
+        / (byType(a).size + byType(b).size - inter))
+      assert(j == expect && j > 0.0 && j <= 1.0, s"($a,$b) jaccard")
+    }
+    // every co-present pair is reported
+    val expectPairs = for {
+      a <- byType.keys; b <- byType.keys
+      if a < b && (byType(a) & byType(b)).nonEmpty
+    } yield (a, b)
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet == expectPairs.toSet)
+  }
+}

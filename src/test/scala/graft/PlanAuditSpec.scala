@@ -17,11 +17,13 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private val allowedBnlj = Set("q30_knn_brute", "q31_ann_lsh", "q52_ivf_ann",
     "q106_heavy_hitters", "q112_kmeans", "q119_pmi",
-    "q115_rolling_distinct") // broadcast 1-row day-bounds range filter
+    "q115_rolling_distinct", // broadcast 1-row day-bounds range filter
+    "q129_perplexity") // broadcast 1-row vocabulary-size scalar
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
-      "q115_rolling_distinct") // scalar final aggregates / 1-row totals
+      "q115_rolling_distinct", // scalar final aggregates / 1-row totals
+      "q129_perplexity") // 1-row vocabulary-size aggregate
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark
