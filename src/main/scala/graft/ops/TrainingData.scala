@@ -162,7 +162,24 @@ object TrainingData {
     * interpreter. Measured on q124 at sf0.1: 2.3 s → this form (the
     * HOF plan evaluated the lambda twice, once per consumer branch).
     */
-  private def posGrams(docs: DataFrame, k: Int): DataFrame = {
+  /** posGrams output memoized per (docs, k) and cache()d: q124, q125
+    * and q128 all start from the same corpus-wide token-hash pass, and
+    * each consumes it twice (duplicate detection + the semi-join back)
+    * — six recomputes without the memo, one with. mapPartitions
+    * closures defeat Spark's canonical-plan cache sharing (each lambda
+    * instance canonicalizes differently), so the sharing must happen
+    * at this layer, like the Tables catalog.
+    */
+  private val posGramsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(DataFrame, Int), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(posGramsMemo)
+
+  private def posGrams(docs: DataFrame, k: Int): DataFrame =
+    posGramsMemo.computeIfAbsent((docs, k), { kk =>
+      graft.util.CacheRegistry.register(posGramsUncached(kk._1, kk._2).cache())
+    })
+
+  private def posGramsUncached(docs: DataFrame, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
