@@ -79,9 +79,46 @@ object Audit {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Referential-integrity audit across the star schema: for each
+    * declared foreign-key edge, the orphan count (children whose
+    * parent key is absent) and the childless-parent count — the
+    * conformance report a pipeline emits before publishing a drop.
+    *
+    * Scale shape: each check is ONE anti-join; dimension sides
+    * (orders-keys, part, customer, nation) broadcast — the fact table
+    * is scanned with only its key column (pruned scan) and never
+    * shuffled except for the orders⟂lineitem childless check, where
+    * the child key set is distinct-reduced first (bounded by |orders|,
+    * not |lineitem|). Counts union into one tall report.
+    */
+  def fkAudit(s: SparkSession, d: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck))
+        .join(broadcast(parent.select(col(pk).as(ck))), Seq(ck), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit(name).as("check"), col("n_bad"))
+    val childless = orders(s, d).select(col("o_orderkey"))
+      .join(lineitem(s, d).select(col("l_orderkey").as("o_orderkey")).distinct(),
+        Seq("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .select(lit("orders_without_lineitem").as("check"), col("n_bad"))
+    orphans("lineitem_orphan_order", lineitem(s, d), "l_orderkey",
+        orders(s, d), "o_orderkey")
+      .unionAll(orphans("lineitem_orphan_part", lineitem(s, d), "l_partkey",
+        part(s, d), "p_partkey"))
+      .unionAll(orphans("orders_orphan_customer", orders(s, d), "o_custkey",
+        customer(s, d), "c_custkey"))
+      .unionAll(orphans("customer_orphan_nation", customer(s, d), "c_nationkey",
+        nation(s, d), "n_nationkey"))
+      .unionAll(childless)
+      .orderBy(col("check"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_column_profile"  -> columnProfile _,
     "q132_audience_overlap" -> audienceOverlap _,
+    "q135_fk_audit"        -> fkAudit _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -105,6 +142,30 @@ object Audit {
         |FROM m
         |GROUP BY "column"
         |ORDER BY "column"""".stripMargin,
+    "q135_fk_audit" ->
+      """SELECT * FROM (
+        |  -- NOT EXISTS, not NOT IN: anti-join semantics (a NULL in the
+        |  -- subquery must not vacuously empty the check)
+        |  SELECT 'lineitem_orphan_order' AS "check", count(*) AS n_bad
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_part', count(*)
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |  UNION ALL
+        |  SELECT 'orders_orphan_customer', count(*)
+        |  FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'customer_orphan_nation', count(*)
+        |  FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |  UNION ALL
+        |  SELECT 'orders_without_lineitem', count(*)
+        |  FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        |ORDER BY "check"""".stripMargin,
     "q132_audience_overlap" ->
       """WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
         |sizes AS (SELECT event_type, count(*) AS n FROM inc GROUP BY 1),

@@ -168,7 +168,53 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** Interval islands (gaps-and-islands): each event opens a
+    * `holdUs`-long presence interval; overlapping or touching
+    * intervals per user merge into islands. Reports per user the
+    * island count, total covered time, and longest island — the
+    * uptime/presence aggregation behind "how long was this session
+    * cluster actually active".
+    *
+    * Determinism: everything is integer microseconds. The new-island
+    * flag compares each start against the running MAX of prior ends
+    * (not just the previous end — an early long interval can swallow
+    * several later ones), and with equal-timestamp ties the flag is
+    * order-invariant, so one user-keyed sort fixes the whole answer.
+    *
+    * Scale shape: ONE user-keyed window sort; the island rollup groups
+    * by (user, island) — a strict refinement of the window's
+    * hash-partitioning, so EnsureRequirements adds no second
+    * exchange; the final per-user rollup rides the same partitioning.
+    */
+  def intervalIslands(s: SparkSession, d: String,
+      holdUs: Long = 300000000L): DataFrame =
+    intervalIslandsOn(
+      events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")),
+      holdUs)
+
+  /** Islands over (user_id, event_id, us) rows. See [[intervalIslands]]. */
+  private[graft] def intervalIslandsOn(ev: DataFrame, holdUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("e", col("us") + lit(holdUs))
+      .withColumn("pme", max(col("e")).over(prior))
+      .withColumn("flag",
+        when(col("pme").isNull || col("us") > col("pme"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("flag")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("us")).as("st"), max(col("e")).as("en"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("en") - col("st")).as("covered_us"),
+        max(col("en") - col("st")).as("max_island_us"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_interval_islands" -> ((s: SparkSession, d: String) => intervalIslands(s, d)),
     "q44_asof_join"     -> asofJoin _,
     "q45_range_join"    -> rangeJoin _,
     "q47_moving_window" -> movingWindow _,
@@ -177,6 +223,37 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q134_interval_islands" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, event_id, us, us + 300000000 AS e,
+        |    max(us + 300000000) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM ev),
+        |f AS (
+        |  SELECT user_id, event_id, us, e,
+        |    CASE WHEN pme IS NULL OR us > pme THEN 1 ELSE 0 END AS flag
+        |  FROM x),
+        |i AS (
+        |  -- same (us, event_id) total order as the flag window: with
+        |  -- equal timestamps the island assignment must not interleave
+        |  SELECT user_id, us, e,
+        |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM f),
+        |isl AS (SELECT user_id, island, min(us) AS st, max(e) AS en
+        |        FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(en - st) AS BIGINT) AS covered_us,
+        |  max(en - st) AS max_island_us
+        |FROM isl
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q107_ewma" ->
       """WITH e AS (
         |  SELECT user_id, value,

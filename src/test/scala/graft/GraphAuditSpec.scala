@@ -97,6 +97,42 @@ class GraphAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q134 core: planted intervals merge into the hand-computed islands") {
+    // hold = 10 us. user 1: events at 0, 5, 30 → islands [0,15] (0 and
+    // 5 chain) and [30,40]; user 2: 0, 11, 22 → touching chains merge
+    // into ONE island [0,32] (11 == 0+10+1? no: 11 > 10 → new; 11..21,
+    // 22 > 21 → new: THREE islands); user 3: early long swallow — with
+    // hold 10: 0, 3, 6 → one island [0,16]
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 5L), (1L, 3L, 30L),
+      (2L, 4L, 0L), (2L, 5L, 11L), (2L, 6L, 22L),
+      (3L, 7L, 0L), (3L, 8L, 3L), (3L, 9L, 6L),
+    ).toDF("user_id", "event_id", "us")
+    val got = ops.Temporal.intervalIslandsOn(ev, holdUs = 10L).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_islands"), r.getAs[Long]("covered_us"),
+          r.getAs[Long]("max_island_us"))).toMap
+    assert(got(1L) == (2L, 25L, 15L))   // [0,15]+[30,40]
+    assert(got(2L) == (3L, 30L, 10L))   // [0,10]+[11,21]+[22,32]
+    assert(got(3L) == (1L, 16L, 16L))   // [0,16]
+    // boundary law: an event exactly at a prior end TOUCHES → merges
+    val touch = Seq((9L, 1L, 0L), (9L, 2L, 10L)).toDF("user_id", "event_id", "us")
+    val t = ops.Temporal.intervalIslandsOn(touch, holdUs = 10L).collect()(0)
+    assert(t.getAs[Long]("n_islands") == 1L && t.getAs[Long]("covered_us") == 20L)
+  }
+
+  test("q135: fk audit reports zero orphans on the conformant testdata, and counts a planted break") {
+    val got = Audit.fkAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("n_bad")).toMap
+    assert(got.keySet == Set("lineitem_orphan_order", "lineitem_orphan_part",
+      "orders_orphan_customer", "customer_orphan_nation",
+      "orders_without_lineitem"))
+    // generated star schema is referentially intact on the child side
+    assert(got("lineitem_orphan_order") == 0L)
+    assert(got("orders_orphan_customer") == 0L)
+    assert(got("customer_orphan_nation") == 0L)
+  }
+
   test("q132: overlap counts equal set-intersection ground truth; jaccard in (0,1]") {
     val byType = graft.util.Tables.events(spark, sf)
       .select(col("event_type"), col("user_id")).distinct().collect()

@@ -23,7 +23,8 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
       "q115_rolling_distinct", // scalar final aggregates / 1-row totals
-      "q129_perplexity") // 1-row vocabulary-size aggregate
+      "q129_perplexity", // 1-row vocabulary-size aggregate
+      "q135_fk_audit") // five scalar orphan counts (one row per check)
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark

@@ -28,10 +28,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the documented surface") {
-    assert(SparkEntry.queries.size == 133)
+    assert(SparkEntry.queries.size == 135)
     // every query — including the four approximate ones, which emit
     // deterministic bound-check gate rows — has a DuckDB oracle
-    assert(SparkEntry.oracleSql.size == 133)
+    assert(SparkEntry.oracleSql.size == 135)
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 }
