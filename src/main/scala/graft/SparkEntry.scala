@@ -16,7 +16,8 @@ object SparkEntry {
       ops.Multimodal.queries ++ ops.Temporal.queries ++ ops.Suites.queries ++
       ops.Clustering.queries ++ ops.Formats.queries ++ ops.Skew.queries ++
       ops.SqlSuite.queries ++ ops.Breadth.queries ++ ops.TrainingData.queries ++
-      ops.Frequency.queries ++ ops.Graph.queries ++ ops.Audit.queries
+      ops.Frequency.queries ++ ops.Graph.queries ++ ops.Audit.queries ++
+      ops.Behavior.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       ops.Multimodal.oracleSql ++ ops.Temporal.oracleSql ++ ops.Suites.oracleSql ++
       ops.Clustering.oracleSql ++ ops.Formats.oracleSql ++ ops.Skew.oracleSql ++
       ops.SqlSuite.oracleSql ++ ops.Breadth.oracleSql ++ ops.TrainingData.oracleSql ++
-      ops.Frequency.oracleSql ++ ops.Graph.oracleSql ++ ops.Audit.oracleSql
+      ops.Frequency.oracleSql ++ ops.Graph.oracleSql ++ ops.Audit.oracleSql ++
+      ops.Behavior.oracleSql
 }

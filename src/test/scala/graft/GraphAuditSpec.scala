@@ -133,6 +133,58 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(got("customer_orphan_nation") == 0L)
   }
 
+  test("q136 core: planted sequences count non-overlapping conversion paths") {
+    // user 1: c v v p c p  → 2 paths; user 2: c v v (no p) → 0;
+    // user 3: p c p → 1 (leading p unused); user 4: c e p → 1 (errors allowed)
+    val ev = Seq(
+      (1L, "cvvpcp"), (2L, "cvv"), (3L, "pcp"), (4L, "cep"),
+    ).flatMap { case (u, sq) =>
+      sq.zipWithIndex.map { case (ch, i) => (u, i.toLong, (u * 100 + i), ch.toString) }
+    }.map { case (u, us, eid, l) => (u, us, eid.toLong, l) }
+      .toDF("user_id", "us", "event_id", "l")
+    val got = ops.Behavior.sequenceMatchOn(ev, "c[ve]*p").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_paths")).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L, 4L -> 1L)) // user 2 filtered out
+  }
+
+  test("q137 core: MAD resists the outlier that drags the mean") {
+    // group a: values 1..9 plus one corrupt 1000 → median 5.5, MAD
+    // stays small, exactly one 3-MAD outlier (the corrupt reading)
+    val ev = ((1 to 9).map(v => ("a", v.toDouble)) :+ ("a", 1000.0))
+      .toDF("event_type", "value")
+    val r = ops.Behavior.madOutliersOn(ev).collect()(0)
+    assert(r.getAs[Double]("med") == 5.5)
+    // adevs: 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5 → median 2.5
+    assert(r.getAs[Double]("mad") == 2.5)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("q138: every cohort reports its full size at offset 0 and offsets are non-negative") {
+    val rows = ops.Behavior.cohortMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[String]("cohort_week"))
+    byCohort.foreach { case (cw, rs) =>
+      val offs = rs.map(_.getAs[Long]("week_offset"))
+      assert(offs.contains(0L), s"cohort $cw must have offset 0")
+      assert(offs.forall(_ >= 0L))
+      // retention can never exceed the cohort's size
+      val size0 = rs.find(_.getAs[Long]("week_offset") == 0L).get.getAs[Long]("n_users")
+      assert(rs.forall(_.getAs[Long]("n_users") <= size0), s"cohort $cw monotone bound")
+    }
+  }
+
+  test("q139: segments partition the customer base; digits in 1..5") {
+    val rows = ops.Behavior.rfmSegments(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val nCust = graft.util.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(total == nCust)
+    rows.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      assert(seg.length == 3 && seg.forall(c => c >= '1' && c <= '5'), seg)
+    }
+  }
+
   test("q132: overlap counts equal set-intersection ground truth; jaccard in (0,1]") {
     val byType = graft.util.Tables.events(spark, sf)
       .select(col("event_type"), col("user_id")).distinct().collect()

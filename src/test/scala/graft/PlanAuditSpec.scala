@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q106_heavy_hitters", "q119_pmi",
       "q115_rolling_distinct", // scalar final aggregates / 1-row totals
       "q129_perplexity", // 1-row vocabulary-size aggregate
-      "q135_fk_audit") // five scalar orphan counts (one row per check)
+      "q135_fk_audit", // five scalar orphan counts (one row per check)
+      "q139_rfm_segments") // exact global quintiles = global sort of the customer-sized rollup (see scaladoc)
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark

@@ -20,7 +20,8 @@ class RegistrySpec extends AnyFunSuite {
       ops.Multimodal.queries, ops.Temporal.queries, ops.Suites.queries,
       ops.Clustering.queries, ops.Formats.queries, ops.Skew.queries,
       ops.SqlSuite.queries, ops.Breadth.queries, ops.TrainingData.queries,
-      ops.Frequency.queries, ops.Graph.queries, ops.Audit.queries)
+      ops.Frequency.queries, ops.Graph.queries, ops.Audit.queries,
+      ops.Behavior.queries)
     val keys = all.flatMap(_.keys)
     val dupes = keys.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
@@ -28,10 +29,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the documented surface") {
-    assert(SparkEntry.queries.size == 135)
+    assert(SparkEntry.queries.size == 139)
     // every query — including the four approximate ones, which emit
     // deterministic bound-check gate rows — has a DuckDB oracle
-    assert(SparkEntry.oracleSql.size == 135)
+    assert(SparkEntry.oracleSql.size == 139)
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 }
