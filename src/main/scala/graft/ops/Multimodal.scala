@@ -118,13 +118,86 @@ object Multimodal {
         ascii(substring(col("payload"), 5, 8).cast("string")).cast("long").as("first_char_code"))
       .orderBy(col("doc_id"))
 
+  /** One decoded audio window: 16 int16 samples → integer mean-square
+    * energy + peak amplitude.
+    */
+  final case class AudioWindow(doc_id: Long, win: Long, mean_sq: Long, peak: Int)
+
+  /** Audio windowing over the `audio` media rows: the payload body
+    * decodes as big-endian int16 PCM (deterministic fake — a real
+    * codec drops into the same per-partition loop), split into
+    * non-overlapping 16-sample windows; each window reports its
+    * integer mean-square energy and peak amplitude — the
+    * silence-detection / loudness-normalization kernel of an audio
+    * training pipeline.
+    *
+    * Everything is exact integer arithmetic (Σs² ≤ 16·2¹⁵² per
+    * window, ≪ 2⁶³), so the DuckDB oracle reproduces it bit-for-bit
+    * from the SAME bytes via ascii() — the corpus is ASCII so
+    * payload-body bytes ≡ text characters.
+    *
+    * Scale shape: a narrow compiled mapPartitions (decoder-per-
+    * partition, the pandas-UDF batch shape) — no shuffle at all until
+    * the presentation sort; window rows are 28 bytes regardless of
+    * payload size.
+    */
+  def audioWindows(s: SparkSession, d: String, winLen: Int = 16): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          val body = payload.length - 4 // magic header
+          val nWin = body / 2 / winLen  // full windows of int16 samples
+          (0 until nWin).iterator.map { w =>
+            var sumSq = 0L
+            var peak = 0
+            var k = 0
+            while (k < winLen) {
+              val i = 4 + 2 * (w * winLen + k)
+              val v = ((payload(i) & 0xff) << 8 | (payload(i + 1) & 0xff)) - 32768
+              sumSq += v.toLong * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              k += 1
+            }
+            AudioWindow(id, w.toLong, sumSq / winLen, peak)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("win"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_media_meta"   -> mediaMeta _,
     "q34_frame_sample" -> frameSample _,
     "q56_media_resize" -> ((s: SparkSession, d: String) => mediaResize(s, d)),
+    "q140_audio_windows" -> ((s: SparkSession, d: String) => audioWindows(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q140_audio_windows" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT doc_id, text,
+        |        unnest(range(0, (n // 2) // 16)) AS win
+        |      FROM a),
+        |s AS (SELECT doc_id, text, win, unnest(range(0, 16)) AS k FROM w),
+        |v AS (
+        |  SELECT doc_id, win,
+        |    ascii(substring(text, CAST(2 * (win * 16 + k) + 1 AS INT), 1)) * 256
+        |      + ascii(substring(text, CAST(2 * (win * 16 + k) + 2 AS INT), 1))
+        |      - 32768 AS v
+        |  FROM s)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        |  CAST(sum(v * v) // 16 AS BIGINT) AS mean_sq,
+        |  CAST(max(abs(v)) AS INT) AS peak
+        |FROM v
+        |GROUP BY doc_id, win
+        |ORDER BY doc_id, win""".stripMargin,
     "q33_media_meta" ->
       """SELECT doc_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,

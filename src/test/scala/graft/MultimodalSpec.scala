@@ -41,6 +41,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(0).getAs[Boolean]("valid"))
   }
 
+  test("q140: audio windows decode to hand-computed int16 energies") {
+    // audio docs are doc_id % 3 == 1; window = 16 samples = 32 body
+    // bytes. Use BenchOne-free direct check on sf fixture: recompute
+    // one doc's first window from its raw text bytes.
+    val doc = graft.util.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 1)
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val (id, text) = (doc.getLong(0), doc.getString(1))
+    assume(text.length >= 32)
+    val bytes = text.getBytes("UTF-8")
+    var sumSq = 0L
+    var peak = 0
+    (0 until 16).foreach { k =>
+      val v = ((bytes(2 * k) & 0xff) << 8 | (bytes(2 * k + 1) & 0xff)) - 32768
+      sumSq += v.toLong * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+    }
+    val first = Multimodal.audioWindows(spark, sf).filter(
+      org.apache.spark.sql.functions.col("doc_id") === id).orderBy("win").head()
+    assert(first.getAs[Long]("win") == 0L)
+    assert(first.getAs[Long]("mean_sq") == sumSq / 16)
+    assert(first.getAs[Int]("peak") == peak)
+    // window count law: full windows only
+    val nWin = Multimodal.audioWindows(spark, sf).filter(
+      org.apache.spark.sql.functions.col("doc_id") === id).count()
+    assert(nWin == bytes.length / 2 / 16)
+  }
+
   test("frame sampling: n_frames rows per video doc, offsets strided") {
     val frames = Multimodal.frameSample(spark, sf).collect()
     assert(frames.nonEmpty)
