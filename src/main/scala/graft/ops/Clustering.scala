@@ -216,7 +216,17 @@ object Clustering {
     * compare identical values and the iteration trajectory is
     * bit-stable, per-engine aggregation order notwithstanding.
     */
-  def kmeans(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame = {
+  def kmeans(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame =
+    kmeansAssigned(s, d, k, iters).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), round(sum(col("dist_r")), 4).as("inertia"))
+      .orderBy(col("cid"))
+
+  /** Final-round Lloyd assignment (vec_id, v, cid, dist_r) — the shared
+    * clustering core behind q112 (inertia rollup) and q141 (SemDeDup's
+    * cluster-bounded pairwise stage).
+    */
+  private[graft] def kmeansAssigned(s: SparkSession, d: String, k: Int = 10,
+      iters: Int = 3): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .cache()
@@ -247,9 +257,50 @@ object Clustering {
       cent = update(assigned)
       assigned = assign(cent)
     }
-    assigned.groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"), round(sum(col("dist_r")), 4).as("inertia"))
-      .orderBy(col("cid"))
+    assigned
+  }
+
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023, public):
+    * cluster the embedding corpus with k-means (q112's deterministic
+    * seeding and rounds), then compare vectors pairwise ONLY within
+    * their final cluster; any vector with a lower-id same-cluster
+    * neighbor at cosine ≥ tau is a semantic duplicate of the smallest
+    * such neighbor. Reports every vector with its cluster, dup flag,
+    * canonical id (-1 if kept) and its strongest intra-cluster cosine.
+    *
+    * This is the architecture that makes embedding-level dedup viable
+    * at 100 TB where q53's exact all-pairs sweep cannot go: the
+    * pairwise stage is an equi-join on cid, so its width is bounded by
+    * the largest cluster, never the corpus — and k grows with n to
+    * keep clusters size-bounded (real SemDeDup caps cluster sizes for
+    * exactly this reason; a runaway cluster here would be re-split or
+    * salted). Assignment itself is the broadcast-centroid pass of
+    * q112: the corpus never shuffles to be clustered.
+    *
+    * Numeric parity: cosine uses the codegen'd one-pass expression
+    * whose double fold order matches the oracle's list comprehension
+    * (the q52/q53-proven pairing); the ≥ tau comparison sits on those
+    * bit-identical doubles, and the reported max rounds to 4.
+    */
+  def semanticDedup(s: SparkSession, d: String, tau: Double = 0.30): DataFrame = {
+    val asg = kmeansAssigned(s, d).select(col("vec_id"), col("cid")).cache()
+    graft.util.CacheRegistry.register(asg)
+    val withVec = asg.join(embeddings(s, d).select(col("vec_id"), col("embedding")),
+      Seq("vec_id"))
+    val left = withVec.select(col("cid"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val right = withVec.select(col("cid"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val dups = left.join(right, Seq("cid"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("canon"), round(max(col("cos")), 4).as("mc"))
+    withVec.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("canon").isNotNull.cast("long").as("is_dup"),
+        coalesce(col("canon"), lit(-1L)).as("canonical_id"),
+        coalesce(col("mc"), lit(0.0)).as("max_intra_cos"))
+      .orderBy(col("vec_id"))
   }
 
   /** Product-quantization ANN: the 64-dim space splits into M=8
@@ -312,6 +363,7 @@ object Clustering {
     "q53_embed_neardup"  -> embedNearDup _,
     "q112_kmeans"        -> ((s: SparkSession, d: String) => kmeans(s, d)),
     "q114_pq_ann"        -> ((s: SparkSession, d: String) => pqAnn(s, d)),
+    "q141_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
   )
 
   /** DuckDB cosine of two float lists — same double accumulation order
@@ -403,6 +455,33 @@ object Clustering {
         |FROM a3
         |GROUP BY cid
         |ORDER BY cid""".stripMargin,
+    // q112's clustering rounds verbatim, then pairwise cosine confined
+    // to each final cluster; dup = lower-id neighbor at cos >= 0.30
+    "q141_semantic_dedup" ->
+      s"""WITH e AS (
+        |  SELECT vec_id,
+        |    [CAST(x AS DOUBLE) for x in embedding] AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 10),
+        |${kmeansRoundCte(1, "c0")},
+        |${kmeansRoundCte(2, "c1")},
+        |${kmeansRoundCte(3, "c2")},
+        |w AS (
+        |  SELECT a.vec_id, a.cid, r.embedding
+        |  FROM a3 a JOIN embeddings r USING (vec_id)),
+        |p AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    ${cosSql("x.embedding", "y.embedding")} AS cos
+        |  FROM w x JOIN w y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        |d AS (
+        |  SELECT b AS vec_id, min(a) AS canon, round(max(cos), 4) AS mc
+        |  FROM p WHERE cos >= 0.30 GROUP BY b)
+        |SELECT w.vec_id, w.cid,
+        |  CAST(d.vec_id IS NOT NULL AS BIGINT) AS is_dup,
+        |  COALESCE(d.canon, -1) AS canonical_id,
+        |  COALESCE(d.mc, 0.0) AS max_intra_cos
+        |FROM w LEFT JOIN d USING (vec_id)
+        |ORDER BY w.vec_id""".stripMargin,
     // transitive closure of the q28 near-dup pairs via recursive CTE,
     // then min reachable id per node = the propagation fixpoint
     "q51_dup_clusters" ->

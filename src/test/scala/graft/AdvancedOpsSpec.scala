@@ -337,4 +337,38 @@ class AdvancedOpsSpec extends AnyFunSuite {
     val sizes = Clustering.kmeans(spark, sf).collect().map(_.getAs[Long]("n")).sum
     assert(sizes == 500L)
   }
+
+  test("q141: a planted near-copy is flagged with its original as canonical; dedup never crosses clusters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    // 20 independent random vectors (pairwise cosine ~N(0, 1/8), far
+    // from 0.95) + vec 20 = a jittered copy of vec 4
+    val base = (0L until 20L).map(i => (i, vec(i.toInt * 31 + 1), i.toInt % 3))
+    val copyV = vec(4 * 31 + 1).clone()
+    copyV(0) = copyV(0) + 1e-4f
+    (base :+ ((20L, copyV, 1))).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Clustering.semanticDedup(spark, dir, tau = 0.95).collect()
+    assert(out.length == 21)
+    val r20 = out.find(_.getAs[Long]("vec_id") == 20L).get
+    assert(r20.getAs[Long]("is_dup") == 1L)
+    assert(r20.getAs[Long]("canonical_id") == 4L)
+    assert(r20.getAs[Double]("max_intra_cos") > 0.999)
+    assert(out.count(_.getAs[Long]("is_dup") == 1L) == 1)
+    // flag/canonical/cosine agree, dups canonicalize downward within
+    // their own cluster, and kept vectors report no qualifying neighbor
+    val cidOf = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+    out.foreach { r =>
+      val dup = r.getAs[Long]("is_dup") == 1L
+      assert(dup == (r.getAs[Long]("canonical_id") >= 0L))
+      if (dup) {
+        assert(r.getAs[Long]("canonical_id") < r.getAs[Long]("vec_id"))
+        assert(cidOf(r.getAs[Long]("canonical_id")) == r.getAs[Int]("cid"))
+      } else assert(r.getAs[Double]("max_intra_cos") == 0.0)
+    }
+  }
 }
