@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables._
@@ -293,6 +294,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Relative quality gate, CCNet-style: instead of q62's absolute
+    * thresholds, each language keeps the head of ITS OWN quality
+    * distribution — drop every document whose stopword density falls
+    * below that language's q-th percentile. Reports per language the
+    * doc count, the interpolated cutoff, and kept/dropped counts.
+    *
+    * The percentile is histogram-exact, not buffer-exact: a
+    * (lang, score)-keyed count is the only corpus-wide aggregation
+    * (map-side combinable; state bounded by DISTINCT score ratios —
+    * rationals of small token counts — never by doc count), and the
+    * interpolation `v_lo + (v_hi - v_lo)·frac` runs over that tiny
+    * histogram. Spark's `percentile()` would buffer every value per
+    * group — the 100 TB anti-pattern this shape exists to avoid. Kept
+    * counts also read the histogram, so after the one scan nothing
+    * touches per-doc rows.
+    *
+    * Determinism: scores are int/int double divisions (bit-identical
+    * both engines); the oracle spells out the SAME interpolation
+    * formula instead of quantile_cont, so the cutoff and the ≥
+    * comparisons sit on identical doubles.
+    */
+  def qualityGate(s: SparkSession, d: String, q: Double = 0.25): DataFrame = {
+    val score = (size(filter(toks, t => t === "the" || t === "a")).cast("double") /
+      size(toks).cast("double")).as("score")
+    val hist = documents(s, d).select(col("lang"), score)
+      .groupBy(col("lang"), col("score")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("score"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .withColumn("r", (col("n") - 1).cast("double") * lit(q))
+      .withColumn("k", floor(col("r")))
+    val cuts = cum.groupBy(col("lang"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(col("r") - col("k")).as("frac"),
+        min(when(col("cum") >= col("k") + 1, col("score"))).as("vlo"),
+        min(when(col("cum") >= col("k") + 2, col("score"))).as("vhi"))
+      .select(col("lang"), col("n_docs"),
+        (col("vlo") + (coalesce(col("vhi"), col("vlo")) - col("vlo")) * col("frac"))
+          .as("cutoff"))
+    hist.join(broadcast(cuts), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        round(max(col("cutoff")), 6).as("cutoff"),
+        sum(when(col("score") >= col("cutoff"), col("c")).otherwise(lit(0L)))
+          .as("n_kept"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** PII-style redaction pass: mask email-shaped tokens then digit
     * runs (order matters — emails often contain digits), count both,
     * and pin the exact redacted bytes via md5. ASCII character
@@ -341,6 +394,7 @@ object TextAnalysis {
     "q73_chunking"       -> ((s: SparkSession, d: String) => chunk(s, d)),
     "q61_normalize_text" -> normalizeText _,
     "q62_quality_filter" -> qualityFilter _,
+    "q142_quality_gate"  -> ((s: SparkSession, d: String) => qualityGate(s, d)),
     "q39_token_estimate" -> tokenEstimate _,
     "q35_tfidf_top_term" -> tfidfTopTerm _,
     "q36_approx_distinct" -> approxDistinct _,
@@ -469,6 +523,49 @@ object TextAnalysis {
         |  md5(norm) AS norm_fp
         |FROM n
         |ORDER BY doc_id""".stripMargin,
+    // same histogram-interpolation formula as the engine (NOT
+    // quantile_cont — full control of the float arithmetic); sums of
+    // BIGINT cast back per the HUGEINT discipline
+    "q142_quality_gate" ->
+      """WITH t AS (
+        |  SELECT lang, regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS score
+        |  FROM t),
+        |h AS (SELECT lang, score, count(*) AS c FROM sc GROUP BY 1, 2),
+        |cu AS (
+        |  SELECT lang, score, c,
+        |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY score) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM h),
+        |ex AS (
+        |  SELECT lang, score, c, cum, n,
+        |    CAST(n - 1 AS DOUBLE) * 0.25 AS r,
+        |    floor(CAST(n - 1 AS DOUBLE) * 0.25) AS k
+        |  FROM cu),
+        |cut AS (
+        |  SELECT lang, max(n) AS n_docs,
+        |    min(CASE WHEN cum >= k + 1 THEN score END) AS vlo,
+        |    min(CASE WHEN cum >= k + 2 THEN score END) AS vhi,
+        |    max(r - k) AS frac
+        |  FROM ex GROUP BY lang),
+        |cc AS (
+        |  SELECT lang, n_docs,
+        |    vlo + (COALESCE(vhi, vlo) - vlo) * frac AS cutoff
+        |  FROM cut)
+        |SELECT h.lang, max(cc.n_docs) AS n_docs,
+        |  round(max(cc.cutoff), 6) AS cutoff,
+        |  CAST(sum(CASE WHEN h.score >= cc.cutoff THEN h.c ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  max(cc.n_docs)
+        |    - CAST(sum(CASE WHEN h.score >= cc.cutoff THEN h.c ELSE 0 END) AS BIGINT)
+        |    AS n_dropped
+        |FROM h JOIN cc ON cc.lang = h.lang
+        |GROUP BY h.lang
+        |ORDER BY h.lang""".stripMargin,
     "q62_quality_filter" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars, regexp_split_to_array(text, '\s+') AS toks

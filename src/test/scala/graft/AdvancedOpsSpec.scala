@@ -338,6 +338,22 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(sizes == 500L)
   }
 
+  test("q142: quantile-0 gate keeps every document, and the kept count shrinks as q rises") {
+    import graft.ops.TextAnalysis
+    val at0 = TextAnalysis.qualityGate(spark, sf, q = 0.0).collect()
+    at0.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_dropped") == 0L)
+    }
+    def kept(q: Double): Long =
+      TextAnalysis.qualityGate(spark, sf, q).collect().map(_.getAs[Long]("n_kept")).sum
+    val k25 = kept(0.25)
+    val k50 = kept(0.50)
+    assert(k25 <= kept(0.0))
+    assert(k50 <= k25, s"k25=$k25 k50=$k50")
+    assert(k50 > 0)
+  }
+
   test("q141: a planted near-copy is flagged with its original as canonical; dedup never crosses clusters") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
