@@ -115,13 +115,79 @@ object Audit {
       .orderBy(col("check"))
   }
 
+  /** Source-level corpus governance — the blocklist pass a crawl
+    * pipeline runs per domain before admitting its documents: for each
+    * source, the doc count, exact-duplicate membership count
+    * (md5-fingerprint multiplicity > 1 corpus-wide), mean token count,
+    * the share of sub-40-token docs, and a blocked flag when the
+    * source's stats fall outside the envelope (short average OR a
+    * short-doc-heavy tail).
+    *
+    * Scale shape: TWO keyed shuffles total — the fingerprint
+    * multiplicity agg (16-byte md5 keys, map-side combinable) whose
+    * >1 survivors are a vanishing fraction of the corpus (broadcast
+    * back as a semi-probe), and the source rollup. Every quality
+    * signal is computed in the same single pass over documents.
+    *
+    * Determinism: token counts and flags are integers; means are
+    * exact-integer sums divided once (never float-accumulated
+    * `avg()`); ratio comparisons run on bit-identical doubles.
+    */
+  def sourceGovernance(s: SparkSession, d: String,
+      minAvgTokens: Double = 52.0, maxShortShare: Double = 0.30): DataFrame = {
+    val docs = documents(s, d).select(col("source"),
+      md5(col("text")).as("fp"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    val dupFps = docs.groupBy(col("fp")).agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1).select(col("fp"), lit(1L).as("isdup"))
+    val avgT = col("sum_tokens").cast("double") / col("n_docs").cast("double")
+    val shortShare = col("n_short").cast("double") / col("n_docs").cast("double")
+    docs.join(broadcast(dupFps), Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(when(col("n_tokens") < 40, 1L).otherwise(0L)).as("n_short"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        round(avgT, 2).as("avg_tokens"),
+        round(shortShare, 4).as("short_share"),
+        (avgT < minAvgTokens || shortShare > maxShortShare).cast("long").as("blocked"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_column_profile"  -> columnProfile _,
     "q132_audience_overlap" -> audienceOverlap _,
     "q135_fk_audit"        -> fkAudit _,
+    "q143_source_governance" -> ((s: SparkSession, d: String) => sourceGovernance(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q143_source_governance" ->
+      """WITH d AS (
+        |  SELECT source, md5(text) AS fp,
+        |    len(regexp_split_to_array(text, '\s+')) AS nt
+        |  FROM documents),
+        |dup AS (SELECT fp FROM d GROUP BY fp HAVING count(*) > 1),
+        |f AS (
+        |  SELECT d.source, d.nt,
+        |    CASE WHEN dup.fp IS NULL THEN 0 ELSE 1 END AS isdup
+        |  FROM d LEFT JOIN dup ON dup.fp = d.fp),
+        |r AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(isdup) AS BIGINT) AS n_dup_docs,
+        |    CAST(sum(nt) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(CASE WHEN nt < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |  FROM f GROUP BY source)
+        |SELECT source, n_docs, n_dup_docs,
+        |  round(CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 2) AS avg_tokens,
+        |  round(CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS short_share,
+        |  CAST(CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) < 52.0
+        |       OR CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.30
+        |    AS BIGINT) AS blocked
+        |FROM r
+        |ORDER BY source""".stripMargin,
     "q131_column_profile" ->
       """WITH m AS (
         |  SELECT 'l_orderkey' AS "column", CAST(l_orderkey AS VARCHAR) AS value FROM lineitem

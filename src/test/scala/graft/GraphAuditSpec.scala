@@ -208,4 +208,29 @@ class GraphAuditSpec extends AnyFunSuite {
     } yield (a, b)
     assert(got.map(r => (r.getString(0), r.getString(1))).toSet == expectPairs.toSet)
   }
+
+  test("q143: a short-doc source with planted duplicates is blocked; a healthy source is not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov").toString
+    val longText = (1 to 60).map(i => s"w$i").mkString(" ")   // 60 tokens
+    val shortText = "a b c"                                   // 3 tokens
+    val rows = Seq(
+      (1L, longText + " x1", "en", "good", 0L),
+      (2L, longText + " x2", "en", "good", 0L),
+      (3L, shortText, "en", "bad", 0L),   // exact dup pair
+      (4L, shortText, "en", "bad", 0L),
+      (5L, "d e f g", "en", "bad", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Audit.sourceGovernance(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val bad = out("bad")
+    assert(bad.getAs[Long]("n_docs") == 3L)
+    assert(bad.getAs[Long]("n_dup_docs") == 2L)
+    assert(bad.getAs[Long]("blocked") == 1L)
+    assert(bad.getAs[Double]("short_share") == 1.0)
+    val good = out("good")
+    assert(good.getAs[Long]("n_dup_docs") == 0L)
+    assert(good.getAs[Long]("blocked") == 0L)
+    assert(good.getAs[Double]("avg_tokens") == 61.0)
+  }
 }

@@ -18,7 +18,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowedBnlj = Set("q30_knn_brute", "q31_ann_lsh", "q52_ivf_ann",
     "q106_heavy_hitters", "q112_kmeans", "q119_pmi",
     "q115_rolling_distinct", // broadcast 1-row day-bounds range filter
-    "q129_perplexity") // broadcast 1-row vocabulary-size scalar
+    "q129_perplexity", // broadcast 1-row vocabulary-size scalar
+    "q141_semantic_dedup") // q112's broadcast centroid table (k rows)
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
