@@ -278,6 +278,59 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** CDC MERGE / upsert (the `MERGE INTO` primitive a warehouse load
+    * runs, complementing q108's SCD2 history): the user-profile table
+    * as of a cutoff is merged with the changeset of later events.
+    * Matched users whose latest delta event is an `error` are DELETEd;
+    * other matches UPDATE (event counts add, last-seen state moves
+    * forward); unmatched changeset users INSERT unless their latest
+    * event is an `error` (REJECT). Untouched users KEEP. Every row is
+    * emitted with its action — the full audit a merge sink applies.
+    *
+    * The cutoff splits the event span 80/20 in integer µs from the
+    * stream's own min/max (no wall clock — reproducible replays).
+    *
+    * Shape: one user-keyed window sort per side for the last-event
+    * state (the q108 partitioning), then ONE full-outer shuffle join
+    * on user_id. The 1-row span scalar broadcasts (the q115-style
+    * allowed BNLJ). No corpus-wide sort: per-side windows are
+    * user-keyed, and the join is the only cross-side exchange.
+    */
+  def cdcMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val span = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      // integer div: `/` on longs would detour through double
+      .select((col("lo") + expr("(hi - lo) * 4 div 5")).as("cut"))
+    val cutEv = ev.crossJoin(broadcast(span))
+    def profile(side: DataFrame, prefix: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      side
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as(s"${prefix}_n"),
+          max(when(col("rn") === 1, col("event_type"))).as(s"${prefix}_type"),
+          max(when(col("rn") === 1, col("value"))).as(s"${prefix}_value"),
+          max(when(col("rn") === 1, col("us"))).as(s"${prefix}_us"))
+    }
+    val base  = profile(cutEv.filter(col("us") < col("cut")), "b")
+    val delta = profile(cutEv.filter(col("us") >= col("cut")), "d")
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("d_n").isNull, "keep")
+          .when(col("d_type") === "error",
+            when(col("b_n").isNull, "reject").otherwise("delete"))
+          .when(col("b_n").isNull, "insert")
+          .otherwise("update").as("action"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_events"),
+        coalesce(col("d_type"), col("b_type")).as("last_type"),
+        round(coalesce(col("d_value"), col("b_value")), 2).as("last_value"),
+        coalesce(col("d_us"), col("b_us")).as("last_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Last-touch marketing attribution: every purchase is attributed to
     * the user's most recent click in the preceding 7 days, plus the
     * click count in that window (the multi-touch denominator).
@@ -442,6 +495,7 @@ object EventAnalytics {
     "q113_attribution"     -> attribution _,
     "q115_rolling_distinct" -> rollingDistinct _,
     "q108_scd2"            -> scd2History _,
+    "q144_cdc_merge"       -> cdcMerge _,
     "q78_anomalies"        -> anomalies _,
     "q74_full_outer"       -> fullOuterDaily _,
     "q67_funnel"           -> funnel _,
@@ -589,6 +643,46 @@ object EventAnalytics {
         |  next_ts IS NULL AS is_current
         |FROM seg
         |ORDER BY user_id, version""".stripMargin,
+    // same 80/20 integer-µs cutoff, same window tiebreak; count sums
+    // cast back per the HUGEINT discipline
+    "q144_cdc_merge" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |sp AS (SELECT min(us) + (max(us) - min(us)) * 4 // 5 AS cut FROM ev),
+        |b AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS b_n,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS b_type,
+        |    max(CASE WHEN rn = 1 THEN value END) AS b_value,
+        |    max(CASE WHEN rn = 1 THEN us END) AS b_us
+        |  FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev e, sp WHERE us < cut)
+        |  GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS d_n,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS d_type,
+        |    max(CASE WHEN rn = 1 THEN value END) AS d_value,
+        |    max(CASE WHEN rn = 1 THEN us END) AS d_us
+        |  FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev e, sp WHERE us >= cut)
+        |  GROUP BY user_id)
+        |SELECT user_id,
+        |  CASE WHEN d_n IS NULL THEN 'keep'
+        |       WHEN d_type = 'error' AND b_n IS NULL THEN 'reject'
+        |       WHEN d_type = 'error' THEN 'delete'
+        |       WHEN b_n IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action,
+        |  COALESCE(b_n, 0) + COALESCE(d_n, 0) AS n_events,
+        |  COALESCE(d_type, b_type) AS last_type,
+        |  round(COALESCE(d_value, b_value), 2) AS last_value,
+        |  COALESCE(d_us, b_us) AS last_us
+        |FROM b FULL JOIN d USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q78_anomalies" ->
       """WITH m AS (
         |  SELECT event_type, count(*) AS n,

@@ -338,6 +338,35 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(sizes == 500L)
   }
 
+  test("q144: merge actions partition users consistently with the cutoff and error rule") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val users = ev.select("user_id").distinct().count()
+    val total = ev.count()
+    val Array(lo, hi) = ev.agg(min("us"), max("us")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val cut = lo + (hi - lo) * 4L / 5L
+    val out = graft.ops.EventAnalytics.cdcMerge(spark, sf).collect()
+    assert(out.length == users)
+    assert(out.map(_.getAs[Long]("n_events")).sum == total)
+    out.foreach { r =>
+      val action = r.getAs[String]("action")
+      val lastUs = r.getAs[Long]("last_us")
+      val lastType = r.getAs[String]("last_type")
+      assert(Set("keep", "insert", "update", "delete", "reject")(action))
+      if (action == "keep") assert(lastUs < cut, s"keep user ${r.get(0)}")
+      else assert(lastUs >= cut, s"$action user ${r.get(0)}")
+      assert((action == "delete" || action == "reject") ==
+        (lastType == "error" && lastUs >= cut), s"error rule user ${r.get(0)}")
+    }
+    // the changeset must actually exercise the merge (at sf0.001 every
+    // user is active on both sides, so keep/insert may be empty — the
+    // update branch is the one the fixture guarantees)
+    val acts = out.groupBy(_.getAs[String]("action")).view.mapValues(_.length).toMap
+    assert(acts.getOrElse("update", 0) > 0, acts.toString)
+  }
+
   test("q142: quantile-0 gate keeps every document, and the kept count shrinks as q rises") {
     import graft.ops.TextAnalysis
     val at0 = TextAnalysis.qualityGate(spark, sf, q = 0.0).collect()

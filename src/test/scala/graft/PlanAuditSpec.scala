@@ -19,14 +19,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "q106_heavy_hitters", "q112_kmeans", "q119_pmi",
     "q115_rolling_distinct", // broadcast 1-row day-bounds range filter
     "q129_perplexity", // broadcast 1-row vocabulary-size scalar
-    "q141_semantic_dedup") // q112's broadcast centroid table (k rows)
+    "q141_semantic_dedup", // q112's broadcast centroid table (k rows)
+    "q144_cdc_merge") // broadcast 1-row span-cutoff scalar
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
       "q115_rolling_distinct", // scalar final aggregates / 1-row totals
       "q129_perplexity", // 1-row vocabulary-size aggregate
       "q135_fk_audit", // five scalar orphan counts (one row per check)
-      "q139_rfm_segments") // exact global quintiles = global sort of the customer-sized rollup (see scaladoc)
+      "q139_rfm_segments", // exact global quintiles = global sort of the customer-sized rollup (see scaladoc)
+      "q144_cdc_merge") // 1-row span-cutoff scalar aggregate
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark
