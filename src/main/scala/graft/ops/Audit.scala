@@ -156,14 +156,105 @@ object Audit {
       .orderBy(col("source"))
   }
 
+  /** Snapshot diff — the table-level change audit between two
+    * versions of a keyed dataset (yesterday's drop vs today's): per
+    * diff status (`added`/`removed`/`changed`/`unchanged`), the row
+    * count and the key range it spans. The two snapshots are carved
+    * deterministically from `orders`: the old one misses keys ≡ 3
+    * (mod 20), the new one misses keys ≡ 7 (mod 20) and rewrites
+    * `o_orderstatus` to `'X'` for keys ≡ 0 (mod 5) — so all four
+    * statuses occur.
+    *
+    * Scale shape: ONE full-outer join on the primary key (each side
+    * shuffles exactly once, no sort), the row-level status is a pure
+    * projection over the joined row, and the report is a 4-group
+    * rollup. Column comparison is explicit per compared column — at
+    * 100 TB the join carries only the key + compared columns, never
+    * the full row width.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val oldSnap = base.filter(col("o_orderkey") % 20 =!= 3)
+    val newSnap = base.filter(col("o_orderkey") % 20 =!= 7)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 5 === 0, lit("X")).otherwise(col("o_orderstatus")))
+    val j = oldSnap.as("o").join(newSnap.as("n"),
+      col("o.o_orderkey") === col("n.o_orderkey"), "full_outer")
+    val status = when(col("o.o_orderkey").isNull, "added")
+      .when(col("n.o_orderkey").isNull, "removed")
+      .when(col("o.o_orderstatus") =!= col("n.o_orderstatus") ||
+        col("o.o_custkey") =!= col("n.o_custkey") ||
+        col("o.o_totalprice") =!= col("n.o_totalprice"), "changed")
+      .otherwise("unchanged")
+    j.select(coalesce(col("o.o_orderkey"), col("n.o_orderkey")).as("k"),
+        status.as("diff_status"))
+      .groupBy(col("diff_status"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy(col("diff_status"))
+  }
+
+  /** k-anonymity audit over the quasi-identifier (c_nationkey,
+    * c_mktsegment): for every QI combination, its equivalence-class
+    * size k and an at-risk flag (k below the anonymity threshold) —
+    * the re-identification check a pipeline runs before releasing a
+    * dataset containing demographic columns.
+    *
+    * Scale shape: ONE map-side-combinable aggregation on the QI
+    * columns; the output is bounded by the QI-domain cardinality
+    * (|nations| × |segments|), never the row count — the same rollup
+    * costs the same at 100 TB.
+    */
+  def kAnonymity(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("k_size"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("k_size"),
+        (col("k_size") < k).cast("long").as("at_risk"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_column_profile"  -> columnProfile _,
     "q132_audience_overlap" -> audienceOverlap _,
     "q135_fk_audit"        -> fkAudit _,
     "q143_source_governance" -> ((s: SparkSession, d: String) => sourceGovernance(s, d)),
+    "q145_snapshot_diff"   -> snapshotDiff _,
+    "q146_k_anonymity"     -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q145_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |olds AS (SELECT * FROM base WHERE o_orderkey % 20 <> 3),
+        |news AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_totalprice
+        |  FROM base WHERE o_orderkey % 20 <> 7),
+        |j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_orderstatus <> n.o_orderstatus
+        |           OR o.o_custkey <> n.o_custkey
+        |           OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+        |         ELSE 'unchanged' END AS diff_status
+        |  FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey)
+        |SELECT diff_status, count(*) AS n_rows,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM j
+        |GROUP BY diff_status
+        |ORDER BY diff_status""".stripMargin,
+    "q146_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS k_size,
+        |  CAST(count(*) < 5 AS BIGINT) AS at_risk
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q143_source_governance" ->
       """WITH d AS (
         |  SELECT source, md5(text) AS fp,

@@ -427,6 +427,66 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-unigram feature
+    * distribution is. Target = the `en` shard (the stand-in for a
+    * trusted corpus); features = token md5-hash buckets (B=256); the
+    * per-bucket importance log-ratio is
+    * ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B)) (add-one smoothing on both
+    * the target and raw bucket distributions), and a document's score
+    * is the sum of its tokens' bucket log-ratios. `selected` marks
+    * score > 0 — more target-like than the raw average.
+    *
+    * Determinism: the q129 discipline — each bucket's log-ratio is
+    * quantized to integer micro-nats once in the B-row model table,
+    * so the per-doc aggregation is exact integer arithmetic
+    * (count × ratio), order-free at any core count, bit-identical in
+    * DuckDB (both engines feed `ln` identical IEEE quotients of exact
+    * integers).
+    *
+    * Scale shape: both distribution tables are ≤ B rows built by
+    * map-side-combinable counts; the model BROADCASTS onto per-doc
+    * bucket counts (doc-keyed, width ≤ B per doc); one doc-keyed
+    * rollup produces the scores. The only corpus-sized exchanges are
+    * the two doc/bucket aggregations — nothing global, no sort, and
+    * the driver never sees a corpus-sized row set. At 100 TB the
+    * model build is a 256-row reduce and scoring is embarrassingly
+    * parallel.
+    */
+  def importanceWeights(s: SparkSession, d: String, buckets: Int = 256): DataFrame =
+    importanceWeightsOn(documents(s, d), buckets)
+
+  private[graft] def importanceWeightsOn(docs: DataFrame, buckets: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    val tc = toks.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rc = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val nt = toks.filter(col("lang") === "en").agg(count(lit(1)).as("nt"))
+    val nr = toks.agg(count(lit(1)).as("nr"))
+    val model = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        floor((log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            / (col("nt") + lit(buckets.toLong)).cast("double"))
+          - log((col("cr") + 1).cast("double")
+            / (col("nr") + lit(buckets.toLong)).cast("double")))
+          * lit(1e6) + lit(0.5)).as("lr_u"))
+    toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("lr_u")).as("score_u"))
+      .select(col("doc_id"), col("n_tokens"), col("score_u"),
+        (col("score_u") > 0).cast("long").as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_perplexity"   -> perplexity _,
     "q89_training_mix"  -> trainingMix _,
@@ -436,9 +496,38 @@ object TrainingData {
     "q124_substring_runs"  -> ((s: SparkSession, d: String) => substringRuns(s, d, k = 8)),
     "q125_substring_dedup" -> ((s: SparkSession, d: String) => substringDedup(s, d, k = 8)),
     "q128_dup_coverage"    -> ((s: SparkSession, d: String) => dupCoverage(s, d, k = 8)),
+    "q147_importance_weights" -> ((s: SparkSession, d: String) => importanceWeights(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q147_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 256 AS b
+        |  FROM toks),
+        |tc AS (SELECT b, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM b GROUP BY 1),
+        |nt AS (SELECT count(*) AS nt FROM b WHERE lang = 'en'),
+        |nr AS (SELECT count(*) AS nr FROM b),
+        |model AS (
+        |  SELECT rc.b,
+        |    CAST(floor((ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+        |                   / CAST(nt.nt + 256 AS DOUBLE))
+        |              - ln(CAST(rc.cr + 1 AS DOUBLE)
+        |                   / CAST(nr.nr + 256 AS DOUBLE))) * 1e6 + 0.5)
+        |      AS BIGINT) AS lr_u
+        |  FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN nt CROSS JOIN nr),
+        |dbc AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c * lr_u) AS BIGINT) AS score_u,
+        |  CAST(CAST(sum(c * lr_u) AS BIGINT) > 0 AS BIGINT) AS selected
+        |FROM dbc JOIN model USING (b)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q129_perplexity" ->
       """WITH ws AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws

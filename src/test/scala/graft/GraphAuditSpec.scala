@@ -233,4 +233,81 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(good.getAs[Long]("blocked") == 0L)
     assert(good.getAs[Double]("avg_tokens") == 61.0)
   }
+
+  test("q145: diff statuses partition the key universe; counts match a driver-side recount") {
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    // independent reference: the same carve rules in plain Scala
+    val expect = rows.keys.toSeq.map { k =>
+      val inOld = k % 20 != 3
+      val inNew = k % 20 != 7
+      val changed = inOld && inNew && k % 5 == 0 && rows(k)._2 != "X"
+      if (!inOld && inNew) "added"
+      else if (inOld && !inNew) "removed"
+      else if (changed) "changed"
+      else "unchanged"
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.ops.Audit.snapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("diff_status") -> r.getAs[Long]("n_rows")).toMap
+    assert(got == expect)
+    assert(Set("added", "removed", "changed", "unchanged").subsetOf(got.keySet))
+    assert(got.values.sum == rows.size.toLong) // statuses partition all keys
+  }
+
+  test("q146: equivalence classes cover every customer; at_risk ≡ k below threshold") {
+    val out = graft.ops.Audit.kAnonymity(spark, sf, k = 5).collect()
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(out.map(_.getAs[Long]("k_size")).sum == total)
+    assert(out.forall(r =>
+      r.getAs[Long]("at_risk") == (if (r.getAs[Long]("k_size") < 5) 1L else 0L)))
+    // QI-domain bound: output rows ≤ |nations| × |segments|, never row count
+    assert(out.length <= 25 * 5)
+  }
+
+  test("q147 core: planted bilingual corpus scores match an independent Scala model") {
+    // target (en) token mass must dominate the add-one smoothing for
+    // the sign to be meaningful: 'alpha' is 99/100 of the target
+    // distribution and absent from raw-only docs except doc 4
+    val alpha50 = Array.fill(50)("alpha").mkString(" ")
+    val gamma50 = Array.fill(50)("gamma").mkString(" ")
+    val docs = Seq(
+      (1L, alpha50, "en"),
+      (2L, alpha50.replaceFirst("alpha$", "beta"), "en"),
+      (3L, gamma50, "zh"),
+      (4L, "alpha alpha alpha", "zh"),   // zh doc made of target-enriched tokens
+      (5L, "gamma gamma gamma", "zh"))   // zh doc made of raw-only tokens
+      .toDF("doc_id", "text", "lang")
+    val got = TrainingData.importanceWeightsOn(docs, buckets = 256).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("score_u"))).toMap
+    // independent reference: same math, plain Scala (MessageDigest md5)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Long = {
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 256
+    }
+    val corpus = Seq(
+      1L -> (alpha50, "en"), 2L -> (alpha50.replaceFirst("alpha$", "beta"), "en"),
+      3L -> (gamma50, "zh"), 4L -> ("alpha alpha alpha", "zh"),
+      5L -> ("gamma gamma gamma", "zh"))
+    val all = corpus.flatMap { case (id, (t, l)) =>
+      t.split("\\s+").map(w => (id, l, bucket(w))) }
+    val tCnt = all.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size).toMap
+    val rCnt = all.groupBy(_._3).view.mapValues(_.size).toMap
+    val (nt, nr) = (all.count(_._2 == "en"), all.size)
+    def lrU(b: Long): Long =
+      math.floor((math.log((tCnt.getOrElse(b, 0) + 1).toDouble / (nt + 256))
+        - math.log((rCnt(b) + 1).toDouble / (nr + 256))) * 1e6 + 0.5).toLong
+    val expect = all.groupBy(_._1).view.mapValues { ts =>
+      (ts.size.toLong, ts.map(t => lrU(t._3)).sum) }.toMap
+    assert(got == expect)
+    // directionality: the target-enriched doc scores positive (selected),
+    // the raw-only doc negative — and they rank accordingly
+    assert(got(4L)._2 > 0L && got(5L)._2 < 0L)
+    assert(got(4L)._2 > got(5L)._2)
+  }
 }

@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q115_rolling_distinct", // broadcast 1-row day-bounds range filter
     "q129_perplexity", // broadcast 1-row vocabulary-size scalar
     "q141_semantic_dedup", // q112's broadcast centroid table (k rows)
-    "q144_cdc_merge") // broadcast 1-row span-cutoff scalar
+    "q144_cdc_merge", // broadcast 1-row span-cutoff scalar
+    "q147_importance_weights") // broadcast 1-row Nt/Nr token-total scalars
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
@@ -28,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q129_perplexity", // 1-row vocabulary-size aggregate
       "q135_fk_audit", // five scalar orphan counts (one row per check)
       "q139_rfm_segments", // exact global quintiles = global sort of the customer-sized rollup (see scaladoc)
-      "q144_cdc_merge") // 1-row span-cutoff scalar aggregate
+      "q144_cdc_merge", // 1-row span-cutoff scalar aggregate
+      "q147_importance_weights") // 1-row Nt/Nr token-total aggregates
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark
