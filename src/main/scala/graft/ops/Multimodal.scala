@@ -170,14 +170,116 @@ object Multimodal {
       .orderBy(col("doc_id"), col("win"))
   }
 
+  /** Perceptual-hash (aHash) near-duplicate detection over the image
+    * shard — the image-dedup pass of a multimodal corpus build. The
+    * stub "decode" samples the payload body into an 8×8 grayscale
+    * grid (pixel i = body byte at (i·n)/64 — a real rasterizer drops
+    * into the same expression), the 64-bit average-hash sets bit i
+    * when pixel i exceeds the integer mean, and near-dups are pairs
+    * at Hamming distance ≤ 3.
+    *
+    * The corpus unions a deterministic planted perturbation (first
+    * character rewritten, same length) of every 15th document — the
+    * near-identical re-encode this operator exists to catch.
+    *
+    * Scale shape: NO all-pairs stage — the 64-bit hash splits into
+    * four 16-bit bands, and by pigeonhole any pair within Hamming 3
+    * collides on at least one band, so candidates come from four
+    * band-keyed equi-self-joins over (band, value) keys; the exact
+    * Hamming verify runs on candidates only (bit_count(xor) on two
+    * 32-bit halves — codegen'd integer ops). The same
+    * band-then-verify shape as MinHash-LSH (q27) and SimHash (q64),
+    * applied to the binary modality.
+    */
+  def phashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val img = documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val planted = img.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(lit("X"), substring(col("text"), 2, Int.MaxValue)).as("text"))
+    val hashes = img.unionAll(planted)
+      .withColumn("n", octet_length(col("text")).cast("long"))
+      .withColumn("px", expr(
+        """transform(sequence(0, 63),
+          |  i -> CAST(ascii(substring(text, CAST((i * n) div 64 AS INT) + 1, 1))
+          |       AS BIGINT))""".stripMargin))
+      .withColumn("mean", expr("aggregate(px, 0L, (a, x) -> a + x) div 64"))
+      .withColumn("lo", expr(
+        """aggregate(transform(sequence(0, 31),
+          |  i -> IF(element_at(px, i + 1) > mean, shiftleft(1L, i), 0L)),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("hi", expr(
+        """aggregate(transform(sequence(32, 63),
+          |  i -> IF(element_at(px, i + 1) > mean, shiftleft(1L, i - 32), 0L)),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .select(col("doc_id"), col("lo"), col("hi"))
+    val bands = hashes.select(col("doc_id"), col("lo"), col("hi"),
+        posexplode(array(
+          col("lo") % 65536, expr("lo div 65536"),
+          col("hi") % 65536, expr("hi div 65536"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("a.lo").as("alo"), col("a.hi").as("ahi"),
+        col("b.doc_id").as("b"), col("b.lo").as("blo"), col("b.hi").as("bhi"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(expr("alo ^ blo")) + bit_count(expr("ahi ^ bhi")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_media_meta"   -> mediaMeta _,
     "q34_frame_sample" -> frameSample _,
     "q56_media_resize" -> ((s: SparkSession, d: String) => mediaResize(s, d)),
     "q140_audio_windows" -> ((s: SparkSession, d: String) => audioWindows(s, d)),
+    "q148_phash_neardup" -> ((s: SparkSession, d: String) => phashNearDup(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q148_phash_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, 'X' || substr(text, 2)
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+        |px AS (
+        |  SELECT doc_id,
+        |    [CAST(ascii(substring(text,
+        |       CAST((i * octet_length(encode(text))) // 64 + 1 AS INT), 1)) AS BIGINT)
+        |     for i in range(0, 64)] AS p
+        |  FROM img),
+        |m AS (SELECT doc_id, p,
+        |        CAST(list_sum(p) AS BIGINT) // 64 AS mean FROM px),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN p[i + 1] > mean
+        |        THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 32)])
+        |      AS BIGINT) AS lo,
+        |    CAST(list_sum([CASE WHEN p[i + 1] > mean
+        |        THEN (1::BIGINT << (i - 32)) ELSE 0 END for i in range(32, 64)])
+        |      AS BIGINT) AS hi
+        |  FROM m),
+        |bands AS (
+        |  SELECT doc_id, lo, hi, b AS band,
+        |    CASE b WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+        |           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bv
+        |  FROM h, unnest(range(0, 4)) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a, a.lo AS alo, a.hi AS ahi,
+        |    b.doc_id AS b, b.lo AS blo, b.hi AS bhi
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT a, b,
+        |  CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT)
+        |    AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+        |ORDER BY a, b""".stripMargin,
     "q140_audio_windows" ->
       """WITH a AS (
         |  SELECT doc_id, text, length(text) AS n

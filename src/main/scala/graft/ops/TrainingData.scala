@@ -487,6 +487,43 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based mixture reweighting (the multilingual-corpus
+    * sampling rule, p_l ∝ n_l^α with α = 0.5): per language, document
+    * and token counts, the natural token share, the temperature-
+    * flattened sampling share, and the token budget each language
+    * receives in a 1M-token epoch — the table a corpus build publishes
+    * to justify its language mix (α < 1 up-samples low-resource
+    * shards).
+    *
+    * Determinism: sqrt(n_l) is quantized to integer micro-units
+    * (floor(√n·1e6 + 0.5)) per language BEFORE the total, so every
+    * share and budget derives from exact integer sums — no
+    * float-accumulation order anywhere (the q129/q147 micro-nat
+    * discipline).
+    *
+    * Scale shape: ONE lang-keyed map-side-combinable rollup
+    * (|langs| rows), a 1-row total broadcast back over it; epoch
+    * budgets are exact integer products/divisions of the micro-unit
+    * weights.
+    */
+  def temperatureMix(s: SparkSession, d: String, epochTokens: Long = 1000000L): DataFrame = {
+    val perLang = documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("w_u",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+    val totals = perLang.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w_u")).as("tot_w"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 4).as("nat_share"),
+        round(col("w_u").cast("double") / col("tot_w"), 4).as("temp_share"),
+        expr(s"(w_u * ${epochTokens}L) div tot_w").as("epoch_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_perplexity"   -> perplexity _,
     "q89_training_mix"  -> trainingMix _,
@@ -497,9 +534,31 @@ object TrainingData {
     "q125_substring_dedup" -> ((s: SparkSession, d: String) => substringDedup(s, d, k = 8)),
     "q128_dup_coverage"    -> ((s: SparkSession, d: String) => dupCoverage(s, d, k = 8)),
     "q147_importance_weights" -> ((s: SparkSession, d: String) => importanceWeights(s, d)),
+    "q149_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q149_temperature_mix" ->
+      """WITH per AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS w_u
+        |  FROM per),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |    CAST(sum(w_u) AS BIGINT) AS tot_w
+        |  FROM w)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / tot_tokens, 4) AS nat_share,
+        |  round(CAST(w_u AS DOUBLE) / tot_w, 4) AS temp_share,
+        |  (w_u * 1000000) // tot_w AS epoch_tokens
+        |FROM w CROSS JOIN tot
+        |ORDER BY lang""".stripMargin,
     "q147_importance_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -310,4 +310,31 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(got(4L)._2 > 0L && got(5L)._2 < 0L)
     assert(got(4L)._2 > got(5L)._2)
   }
+
+  test("q149: temperature mix matches an independent integer model; α=0.5 flattens the shares") {
+    val out = TrainingData.temperatureMix(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("nat_share"),
+          r.getAs[Double]("temp_share"), r.getAs[Long]("epoch_tokens"))).toMap
+    // independent reference from a direct recount
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sum).toMap
+    val wu = counts.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong).toMap
+    val (totT, totW) = (counts.values.sum, wu.values.sum)
+    counts.foreach { case (l, n) =>
+      assert(out(l)._1 == n)
+      assert(out(l)._4 == wu(l) * 1000000L / totW)
+    }
+    // α = 0.5 compresses the mix: the largest shard loses share, the
+    // smallest gains
+    val largest = counts.maxBy(_._2)._1
+    val smallest = counts.minBy(_._2)._1
+    assert(out(largest)._3 < out(largest)._2)
+    assert(out(smallest)._3 > out(smallest)._2)
+    // epoch budgets never exceed the epoch (floor division)
+    assert(out.values.map(_._4).sum <= 1000000L)
+  }
 }

@@ -80,4 +80,41 @@ class MultimodalSpec extends AnyFunSuite {
       assert(offs.toSeq == offs.sorted.toSeq)
     }
   }
+
+  test("q148: banded aHash pairs ≡ brute-force all-pairs reference at Hamming ≤ 3") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    def t(seed: Int): String =
+      (0 until 80).map(i => ('a' + (i * 7 + seed * 13) % 26).toChar).mkString
+    // ids ≡ 0 (mod 3) are images; 0 and 15 also get planted copies
+    val rows = Seq(
+      (0L, t(1), "en", "s", 0L), (3L, t(2), "en", "s", 0L),
+      (6L, t(2), "en", "s", 0L), // 3 and 6 identical → Hamming-0 pair
+      (9L, t(5), "en", "s", 0L), (12L, t(9), "en", "s", 0L),
+      (15L, t(4), "en", "s", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.phashNearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("hamming")))
+      .toSet
+    // independent reference: plain-Scala aHash + brute-force all pairs
+    def ahash(s: String): Long = {
+      val n = s.length
+      val px = Array.tabulate(64)(i => s.charAt((i * n) / 64).toLong)
+      val mean = px.sum / 64
+      px.zipWithIndex.map { case (p, i) => if (p > mean) 1L << i else 0L }.sum
+    }
+    val corpus = rows.map { case (id, text, _, _, _) => (id, text) } ++
+      rows.collect { case (id, text, _, _, _) if id % 5 == 0 =>
+        (id + 1000000000L, "X" + text.substring(1)) }
+    val expect = (for {
+      (a, ta) <- corpus; (b, tb) <- corpus if a < b
+      h = java.lang.Long.bitCount(ahash(ta) ^ ahash(tb)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == expect)
+    assert(got.contains((3L, 6L, 0L))) // identical images collide at 0
+    // both planted perturbations are caught
+    assert(got.exists(p => p._1 == 0L && p._2 == 1000000000L))
+    assert(got.exists(p => p._1 == 15L && p._2 == 1000000015L))
+  }
 }

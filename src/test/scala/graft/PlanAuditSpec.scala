@@ -21,7 +21,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q129_perplexity", // broadcast 1-row vocabulary-size scalar
     "q141_semantic_dedup", // q112's broadcast centroid table (k rows)
     "q144_cdc_merge", // broadcast 1-row span-cutoff scalar
-    "q147_importance_weights") // broadcast 1-row Nt/Nr token-total scalars
+    "q147_importance_weights", // broadcast 1-row Nt/Nr token-total scalars
+    "q149_temperature_mix") // broadcast 1-row mixture-total scalar
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
@@ -30,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q135_fk_audit", // five scalar orphan counts (one row per check)
       "q139_rfm_segments", // exact global quintiles = global sort of the customer-sized rollup (see scaladoc)
       "q144_cdc_merge", // 1-row span-cutoff scalar aggregate
-      "q147_importance_weights") // 1-row Nt/Nr token-total aggregates
+      "q147_importance_weights", // 1-row Nt/Nr token-total aggregates
+      "q149_temperature_mix") // 1-row mixture-total aggregate
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark
