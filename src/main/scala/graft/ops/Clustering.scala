@@ -143,6 +143,92 @@ object Clustering {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components via the large-star / small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * a public textbook algorithm) — the planet-scale path q51's
+    * min-label propagation defers to. Same input edges and identical
+    * output labeling as q51 (component minimum as cluster id), but
+    * every round is a pair of node-keyed aggregation+join steps over
+    * the EDGE list itself: no per-node label table, no broadcast, and
+    * convergence in O(log n) rounds instead of O(diameter) — the
+    * difference between 40 rounds and 6 on a chain-shaped giant
+    * component.
+    *
+    * Round structure (edges kept canonically oriented u > v):
+    * large-star points every neighbor v > u at u's adjacency minimum;
+    * small-star then collapses each remaining star to its minimum.
+    * Both are groupBy(u).min + one equi-join back — the edge set only
+    * ever shrinks toward (node, componentMin) stars, witnessed per
+    * round by the (count, xxhash64-sum) pair going stationary.
+    */
+  private[graft] def ccStarOn(edges0: DataFrame, maxIter: Int = 30): DataFrame = {
+    val allNodes = edges0
+      .select(col("u").as("id")).union(edges0.select(col("v").as("id")))
+      .distinct()
+    // each round's edge set is localCheckpoint()ed, not cache()d: the
+    // iterate feeds the next round's two self-referencing joins, so an
+    // un-truncated lineage doubles per round and Catalyst planning
+    // (plan-tree stringification alone) OOMs before the data does —
+    // the same Pregel-superstep truncation Graph.pageRank/bfsLayers
+    // use; a cluster run with executor churn uses checkpoint() to
+    // reliable storage instead.
+    var edges = edges0.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // hash-sum accumulates in DECIMAL(38,0): xxhash64 spans the full
+    // 64-bit range, so a Long sum overflows under ANSI mode
+    def witness(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).first()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var prev = witness(edges)
+    if (prev._1 == 0L)
+      return edges.select(col("u").as("doc_id"), col("v").as("cluster_id"),
+        lit(0L).as("cluster_size")).limit(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lMins = adj.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = adj.join(lMins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      val sMins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = ls.join(sMins, Seq("u")).filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sMins.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      val w = witness(next)
+      converged = w == prev
+      prev = w
+      edges.unpersist()
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccStar: star alternation did not converge in $maxIter rounds")
+    // fixpoint = disjoint stars: every non-root points at its root once
+    val wc = Window.partitionBy(col("cluster_id"))
+    allNodes
+      .join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("root"), col("id")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q150 surface: star-alternation components over the q51 edge set
+    * (LSH-verified near-dup pairs at Jaccard ≥ 0.5) — labeling
+    * hash-identical to q51 by construction, proven by the shared
+    * oracle and OpsSpec equality.
+    */
+  def ccStar(s: SparkSession, d: String): DataFrame =
+    ccStarOn(Dedup.scoredPairs(s, d).filter(col("jac") >= 0.5)
+      .select(col("a").as("u"), col("b").as("v")))
+
   /** IVF-style ANN: deterministic coarse centroids (every 50th
     * vector), nearest-centroid cell assignment, then per-query search
     * restricted to the nprobe=2 closest cells, exact top-3 within
@@ -359,6 +445,7 @@ object Clustering {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_dup_clusters"   -> dupClusters _,
+    "q150_cc_star"       -> ccStar _,
     "q52_ivf_ann"        -> ivfAnn _,
     "q53_embed_neardup"  -> embedNearDup _,
     "q112_kmeans"        -> ((s: SparkSession, d: String) => kmeans(s, d)),
@@ -484,6 +571,21 @@ object Clustering {
         |ORDER BY w.vec_id""".stripMargin,
     // transitive closure of the q28 near-dup pairs via recursive CTE,
     // then min reachable id per node = the propagation fixpoint
+    // identical closure to q51 — q150 computes the SAME labeling with
+    // the star-alternation algorithm; one oracle pins both
+    "q150_cc_star" ->
+      s"""WITH RECURSIVE ${Dedup.PairsCtes},
+        |jp AS (SELECT a, b FROM jaccard WHERE jac >= 0.5),
+        |und AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b, a FROM jp),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM und
+        |  UNION
+        |  SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r),
+        |labeled AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM labeled
+        |ORDER BY doc_id""".stripMargin,
     "q51_dup_clusters" ->
       s"""WITH RECURSIVE ${Dedup.PairsCtes},
         |jp AS (SELECT a, b FROM jaccard WHERE jac >= 0.5),

@@ -191,28 +191,46 @@ object Multimodal {
     * band-then-verify shape as MinHash-LSH (q27) and SimHash (q64),
     * applied to the binary modality.
     */
+  /** One 64-bit aHash as two 32-bit halves (keeps every downstream
+    * band/xor in non-negative BIGINT range on both engines).
+    */
+  final case class AHash(doc_id: Long, lo: Long, hi: Long)
+
   def phashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
     val img = documents(s, d).filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("text"))
     val planted = img.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000000L).as("doc_id"),
         concat(lit("X"), substring(col("text"), 2, Int.MaxValue)).as("text"))
+    // compiled per-partition hash loop, NOT chained transform/aggregate
+    // HOF columns: CollapseProject inlines the px array into every
+    // consumer, so element_at(px, i) re-evaluates the whole 64-element
+    // interpreted lambda per access — measured 22.7 s for this stage
+    // at sf0.1 vs 0.35 s compiled (the Dedup.signatures / posGrams
+    // trap). Bytes ≡ ascii() here because the corpus is ASCII (the
+    // q140 assumption, documented there).
     val hashes = img.unionAll(planted)
-      .withColumn("n", octet_length(col("text")).cast("long"))
-      .withColumn("px", expr(
-        """transform(sequence(0, 63),
-          |  i -> CAST(ascii(substring(text, CAST((i * n) div 64 AS INT) + 1, 1))
-          |       AS BIGINT))""".stripMargin))
-      .withColumn("mean", expr("aggregate(px, 0L, (a, x) -> a + x) div 64"))
-      .withColumn("lo", expr(
-        """aggregate(transform(sequence(0, 31),
-          |  i -> IF(element_at(px, i + 1) > mean, shiftleft(1L, i), 0L)),
-          |  0L, (a, x) -> a + x)""".stripMargin))
-      .withColumn("hi", expr(
-        """aggregate(transform(sequence(32, 63),
-          |  i -> IF(element_at(px, i + 1) > mean, shiftleft(1L, i - 32), 0L)),
-          |  0L, (a, x) -> a + x)""".stripMargin))
-      .select(col("doc_id"), col("lo"), col("hi"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = bytes.length
+          val px = new Array[Long](64)
+          var sum = 0L
+          var i = 0
+          while (i < 64) {
+            val p = (bytes(((i.toLong * n) / 64).toInt) & 0xff).toLong
+            px(i) = p; sum += p; i += 1
+          }
+          val mean = sum / 64
+          var lo = 0L; var hi = 0L
+          i = 0
+          while (i < 32) { if (px(i) > mean) lo |= 1L << i; i += 1 }
+          while (i < 64) { if (px(i) > mean) hi |= 1L << (i - 32); i += 1 }
+          AHash(id, lo, hi)
+        }
+      }.toDF()
     val bands = hashes.select(col("doc_id"), col("lo"), col("hi"),
         posexplode(array(
           col("lo") % 65536, expr("lo div 65536"),

@@ -93,6 +93,30 @@ class OpsSpec extends AnyFunSuite {
     assert(fast.nonEmpty)
   }
 
+  test("q150: star-alternation components equal q51 on the near-dup graph") {
+    val star = graft.ops.Clustering.ccStar(spark, sf).collect().toSeq
+    val q51 = graft.ops.Clustering.dupClusters(spark, sf).collect().toSeq
+    assert(star == q51)
+    assert(star.nonEmpty)
+  }
+
+  test("q150 core: deep chain + star + isolated pair label to component minima") {
+    import spark.implicits._
+    // chain 1..9 (diameter 8 — exercises multi-round alternation),
+    // star around 20, and the pair (100, 101)
+    val edges = ((1L to 8L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (20L, 22L), (20L, 23L), (100L, 101L)))
+      .toDF("u", "v")
+    val got = graft.ops.Clustering.ccStarOn(edges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    val expect =
+      (1L to 9L).map(_ -> (1L, 9L)).toMap ++
+        Seq(20L, 21L, 22L, 23L).map(_ -> (20L, 4L)).toMap ++
+        Map(100L -> (100L, 2L), 101L -> (100L, 2L))
+    assert(got == expect)
+  }
+
   test("salted aggregation equals the direct groupBy (skew-safe path)") {
     import org.apache.spark.sql.functions._
     val li = graft.util.Tables.lineitem(spark, sf)
