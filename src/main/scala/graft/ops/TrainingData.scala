@@ -524,8 +524,149 @@ object TrainingData {
       .orderBy(col("lang"))
   }
 
+  /** Distributed BPE merge training — the first `iters` merges of a
+    * byte-pair-encoding tokenizer learned from the corpus, the way
+    * production subword trainers factorize it: the corpus is touched
+    * ONCE (a word-histogram aggregation); every merge iteration then
+    * runs on the vocabulary table alone, because a pair's corpus
+    * frequency is Σ word_count × occurrences-in-word. Output:
+    * (iter, pair, merged, pair_count) — the learned merge table.
+    *
+    * Symbol strings are delimiter-framed (`|h||e||l||l||o|`, every
+    * symbol wrapped in its own `|…|`): the pair pattern `|x||y|`
+    * then rewrites left-to-right via plain string replace with
+    * exactly BPE's greedy-left non-overlapping semantics
+    * (`|a||a||a||a|` → `|aa||aa|`), identically in Spark and DuckDB.
+    * Ties break (count DESC, pair ASC) so the trajectory is
+    * deterministic on both engines.
+    *
+    * Scale shape: one corpus-wide word shuffle; after that every
+    * stage is |vocab|-sized (pair explode ≤ word length per row, one
+    * pair-keyed rollup per iteration, vocab rewrite is a narrow
+    * projection). The driver holds ONE argmax row per iteration —
+    * O(iters) control rows, the q122/q101 two-pass-scan pattern; the
+    * merge table IS the algorithm's output, not materialized data.
+    * Iterates are localCheckpoint()ed (the Pregel-superstep
+    * truncation, as in ccStarOn/pageRank).
+    */
+  def bpeMerges(s: SparkSession, d: String, iters: Int = 5): DataFrame =
+    bpeMergesOn(documents(s, d), iters)
+
+  private[graft] def bpeMergesOn(docs: DataFrame, iters: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var vocab = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("sym"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (it <- 1 to iters if !exhausted) {
+      val best = vocab
+        .withColumn("a", split(expr("trim(BOTH '|' FROM sym)"), "\\|\\|"))
+        .filter(size(col("a")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(0, size(a) - 2),
+            |  i -> concat(element_at(a, i + 1), ' ', element_at(a, i + 2)))"""
+            .stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val n = best(0).getLong(1)
+        val Array(x, y) = pair.split(" ", 2)
+        merges += ((it.toLong, pair, x + y, n))
+        vocab = vocab
+          .select(replace(col("sym"), lit(s"|$x||$y|"), lit(s"|$x$y|")).as("sym"),
+            col("cnt"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("iter", "pair", "merged", "pair_count").orderBy(col("iter"))
+  }
+
+  /** Deterministic multi-epoch global shuffle + shard assignment —
+    * the "reshuffle the corpus every epoch" step of a training run,
+    * with NO rand(): each (epoch, doc) gets a position key from
+    * md5(epoch|doc_id) (the q71 hash-split discipline), so the order
+    * is a fresh pseudo-random permutation per epoch yet bit-stable
+    * across re-runs, preemption, and late-arriving re-computation.
+    * Shard = pos mod `shards` — the file a data-parallel reader rank
+    * would consume. Output per (epoch, shard): doc/token counts, the
+    * position range, and a membership witness (sum of doc_ids) that
+    * PROVES the epochs are genuinely different permutations while
+    * each remains deterministic.
+    *
+    * Scale shape: an epochs× narrow projection (no data duplication
+    * beyond the 3 small columns), ONE (epoch, shard)-keyed map-side-
+    * combinable rollup; output is epochs×shards rows. Materializing
+    * the actual order is repartitionByRange over (epoch, shard, pos)
+    * + sortWithinPartitions(pos) — range-partition boundaries from
+    * hash-uniform keys, never a global sort.
+    */
+  def epochShuffle(s: SparkSession, d: String, epochs: Int = 3,
+      shards: Int = 8): DataFrame =
+    epochShuffleOn(documents(s, d), epochs, shards)
+
+  private[graft] def epochShuffleOn(docs: DataFrame, epochs: Int,
+      shards: Int): DataFrame = {
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        explode(sequence(lit(1), lit(epochs))).as("e"))
+      .select(col("doc_id"), col("n_tokens"), col("e").cast("long").as("epoch"))
+      .withColumn("pos", conv(substring(md5(concat_ws("|",
+        col("epoch"), col("doc_id"))), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("epoch"), pmod(col("pos"), lit(shards)).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  /** Cross-source contamination matrix: for every pair of corpus
+    * sources, how many distinct k-token grams they share, plus the
+    * gram-set Jaccard — the "is source B just a scrape of source A"
+    * diagnostic a corpus build runs before mixing. Same fnv64 gram
+    * hashing as q124/q125 (oracle compares on gram STRINGS — the
+    * documented collision-free-at-sf equivalence).
+    *
+    * Scale shape: (gram, source) distinct — one gh-keyed shuffle —
+    * then a gh-keyed self-equi-join whose per-key fan-out is bounded
+    * by |sources| (a catalog, not the corpus), one (src_a, src_b)
+    * rollup, and a sources-sized totals table broadcast back for the
+    * Jaccard. Never doc×doc, never corpus×corpus.
+    */
+  def sourceOverlap(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    sourceOverlapOn(documents(s, d), k)
+
+  private[graft] def sourceOverlapOn(docs: DataFrame, k: Int): DataFrame = {
+    val gs = posGrams(docs, k)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("gh"), col("source")).distinct()
+    val per = gs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = gs.as("x")
+      .join(gs.as("y"),
+        col("x.gh") === col("y.gh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(per.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(per.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double") /
+          (col("na") + col("nb") - col("shared_grams")), 4).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_perplexity"   -> perplexity _,
+    "q151_bpe_merges"   -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
+    "q152_epoch_shuffle"  -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
+    "q153_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "q89_training_mix"  -> trainingMix _,
     "q90_decontaminate" -> decontaminate _,
     "q101_seq_packing"  -> ((s: SparkSession, d: String) => packSequences(s, d)),
@@ -537,7 +678,80 @@ object TrainingData {
     "q149_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
   )
 
+  /** q151 oracle: the same BPE trajectory unrolled as `iters` CTE
+    * stages (pair rollup → deterministic argmax → vocab rewrite per
+    * stage) — pair counts CAST to BIGINT inside each stage so DuckDB's
+    * HUGEINT widening never reaches the output (the q101/q113 lesson).
+    */
+  private def bpeOracle(iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT u.pair, CAST(sum(u.cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt,
+         |      unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS pair
+         |    FROM (SELECT string_split(trim(sym, '|'), '||') AS l, cnt
+         |          FROM v${i - 1})) u
+         |  GROUP BY 1),
+         |b$i AS (SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1),
+         |v$i AS (
+         |  SELECT replace(sym, '|' || replace(b$i.pair, ' ', '||') || '|',
+         |                 '|' || replace(b$i.pair, ' ', '') || '|') AS sym, cnt
+         |  FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to iters).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS iter, pair, replace(pair, ' ', '') AS merged, n AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents),
+       |v0 AS (
+       |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS sym, count(*) AS cnt
+       |  FROM toks WHERE len(w) > 0 GROUP BY 1),
+       |$stages
+       |$rows
+       |ORDER BY iter""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q151_bpe_merges" -> bpeOracle(5),
+    "q152_epoch_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |e AS (SELECT doc_id, n_tokens, unnest(range(1, 4)) AS epoch FROM d),
+        |h AS (
+        |  SELECT epoch, doc_id, n_tokens,
+        |    ('0x' || substr(md5(CAST(epoch AS VARCHAR) || '|' ||
+        |       CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pos
+        |  FROM e)
+        |SELECT epoch, pos % 8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(pos) AS min_pos, max(pos) AS max_pos,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM h GROUP BY epoch, shard
+        |ORDER BY epoch, shard""".stripMargin,
+    "q153_source_overlap" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    unnest([array_to_string(ws[i:i+7], ' ')
+        |            for i in range(1, len(ws) - 6)]) AS gram
+        |  FROM ws WHERE len(ws) >= 8),
+        |gs AS (SELECT DISTINCT source, gram FROM g),
+        |per AS (SELECT source, count(*) AS n FROM gs GROUP BY source),
+        |sh AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS shared_grams
+        |  FROM gs x JOIN gs y ON x.gram = y.gram AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_grams,
+        |  round(CAST(shared_grams AS DOUBLE) /
+        |    (pa.n + pb.n - shared_grams), 4) AS jaccard
+        |FROM sh
+        |JOIN per pa ON pa.source = sh.src_a
+        |JOIN per pb ON pb.source = sh.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "q149_temperature_mix" ->
       """WITH per AS (
         |  SELECT lang, count(*) AS n_docs,

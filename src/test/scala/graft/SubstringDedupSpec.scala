@@ -76,4 +76,60 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q151: BPE trajectory on a planted corpus is exact, greedy-left, and stops when dry") {
+    // words: aaab ×2, ab ×1
+    // iter1: 'a a' count 4 (two overlapping occurrences per aaab) → aa,
+    //        greedy-left rewrite |a||a||a||b| → |aa||a||b|
+    // iter2: 'a b' count 3 beats 'aa a' count 2 → ab
+    // iter3: 'aa ab' count 2 → aaab; then no pairs remain — 3 rows
+    //        even though 5 iterations were requested
+    val bpe = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TrainingData.bpeMergesOn(bpe, iters = 5).collect()
+      .map(r => (r.getAs[Long]("iter"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    assert(got.toSeq == Seq(
+      (1L, "a a", "aa", 4L),
+      (2L, "a b", "ab", 3L),
+      (3L, "aa ab", "aaab", 2L)))
+  }
+
+  test("q152: every epoch partitions the corpus; permutations differ; re-run is bit-stable") {
+    val corpus = (1L to 40L).map(i => (i, s"tok$i body words here")).toDF("doc_id", "text")
+    val run = TrainingData.epochShuffleOn(corpus, epochs = 3, shards = 4).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_doc_ids")))
+    val byEpoch = run.groupBy(_._1)
+    // each epoch covers all 40 docs exactly once, whatever the shard layout
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._3).sum == 40L)
+      assert(rows.map(_._4).sum == (1L to 40L).sum)
+    }
+    // the shard-membership witnesses differ between epochs = real reshuffle
+    val vectors = byEpoch.map { case (_, rows) =>
+      rows.sortBy(_._2).map(r => (r._2, r._4)).toSeq
+    }.toSeq
+    assert(vectors.distinct.size == vectors.size, "epoch permutations must differ")
+    // determinism: a second evaluation is identical
+    val again = TrainingData.epochShuffleOn(corpus, epochs = 3, shards = 4).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_doc_ids")))
+    assert(run.toSeq == again.toSeq)
+  }
+
+  test("q153: planted cross-source gram overlap is counted; disjoint sources are absent") {
+    val shared = "s1 s2 s3 s4 s5" // one 5-gram shared by srcA and srcB
+    val corpus = Seq(
+      (1L, s"$shared plus more words", "srcA"),
+      (2L, s"prefix words $shared", "srcB"),
+      (3L, "completely unrelated body of text here", "srcC"),
+      (4L, s"$shared plus more words", "srcA"), // dup within srcA: still 1 distinct gram
+    ).toDF("doc_id", "text", "source")
+    val got = TrainingData.sourceOverlapOn(corpus, k = 5).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("shared_grams")))
+    // srcA docs have grams at 4 start positions each (8 tokens, k=5),
+    // srcB likewise; only the planted gram string is common
+    assert(got.toSeq == Seq(("srcA", "srcB", 1L)))
+  }
 }
