@@ -80,6 +80,52 @@ object EventAnalytics {
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** q154: the q18 session-window aggregation executed as a REAL
+    * Structured Streaming job — `readStream` over the events parquet,
+    * `Trigger.AvailableNow` (drain everything, then stop), session
+    * state in the streaming aggregation operator, result landed by
+    * `foreachBatch` overwrite — and gated by the SAME gaps-and-islands
+    * DuckDB oracle as the batch form. This is the one place the driver
+    * gate exercises the streaming engine end-to-end: state store,
+    * trigger lifecycle, and sink commit all sit between the input and
+    * the hash.
+    *
+    * Complete output mode (not append+watermark): with a finite
+    * backlog the watermark never passes the last sessions, so append
+    * would hold them back forever — complete emits the full state at
+    * each trigger and the LAST overwrite is the total answer. The
+    * foreachBatch parquet overwrite keeps the result distributed
+    * (no driver-side memory sink); at 100 TB the same topology
+    * streams from object storage with the identical plan, and only
+    * the sink cadence changes.
+    */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val out = graft.util.TmpDirs.scratch("stream-sessions")
+    // the file stream source insists its base path be a DIRECTORY: a
+    // plain file path fails outright, so list the single events file
+    // via a glob — base resolves to the sf dir, the glob matches just
+    // the events table
+    val agg = s.readStream.schema(s.read.parquet(path).schema)
+      .parquet(s"$d/events.parquet*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), TsFmt).as("session_start"),
+        col("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Per-type value stats: raw min/max are bit-exact stored doubles. */
   def typeStats(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -508,6 +554,7 @@ object EventAnalytics {
     "q16_events_sliding"   -> slidingCounts _,
     "q17_sessionize"       -> sessionize _,
     "q18_session_window"   -> sessionWindowNative _,
+    "q154_stream_sessions" -> streamSessions _,
     "q19_event_type_stats" -> typeStats _,
   )
 
@@ -837,28 +884,11 @@ object EventAnalytics {
         |FROM s
         |GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
-    "q18_session_window" ->
-      """WITH t AS (
-        |  SELECT user_id,
-        |    date_trunc('microseconds', ts) AS ts_us,
-        |    lag(epoch_us(date_trunc('microseconds', ts)))
-        |      OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)) AS prev_us
-        |  FROM events),
-        |m AS (
-        |  SELECT *, CASE WHEN prev_us IS NULL
-        |    OR epoch_us(ts_us) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |  FROM t),
-        |s AS (
-        |  SELECT *, sum(new_session)
-        |    OVER (PARTITION BY user_id ORDER BY ts_us
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
-        |  FROM m)
-        |SELECT user_id,
-        |  strftime(min(ts_us), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |  count(*) AS n_events
-        |FROM s
-        |GROUP BY user_id, session_no
-        |ORDER BY user_id, session_start""".stripMargin,
+    // q154 is the SAME aggregation as q18 run through the streaming
+    // engine — one oracle string pins both (q51/q150 shared-oracle
+    // pattern); see the `SessionWindowOracle` indirection below
+    "q154_stream_sessions" -> EventAnalyticsOracles.SessionWindow,
+    "q18_session_window" -> EventAnalyticsOracles.SessionWindow,
     "q19_event_type_stats" ->
       """SELECT event_type, count(*) AS n,
         |  round(sum(value), 2) AS sum_value,
@@ -869,4 +899,35 @@ object EventAnalytics {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
   )
+}
+
+/** Oracle SQL shared by more than one registered query. */
+private[ops] object EventAnalyticsOracles {
+  /** Gaps-and-islands 30-min sessionization — pins BOTH q18 (batch
+    * session_window) and q154 (the same aggregation through the
+    * streaming engine): one string, so the two engines can never be
+    * held to diverging definitions.
+    */
+  val SessionWindow: String =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    date_trunc('microseconds', ts) AS ts_us,
+      |    lag(epoch_us(date_trunc('microseconds', ts)))
+      |      OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL
+      |    OR epoch_us(ts_us) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM t),
+      |s AS (
+      |  SELECT *, sum(new_session)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM m)
+      |SELECT user_id,
+      |  strftime(min(ts_us), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_start""".stripMargin
 }

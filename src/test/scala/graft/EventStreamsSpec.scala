@@ -175,4 +175,14 @@ class EventStreamsSpec extends AnyFunSuite {
         (9L, 20L, None, None))) // no click ever seen
     } finally q.stop()
   }
+
+  test("q154 streaming session windows reproduce the batch q18 answer exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.ops.EventAnalytics.sessionWindowNative(spark, sf)
+      .collect().toSeq
+    val streamed = graft.ops.EventAnalytics.streamSessions(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
