@@ -350,8 +350,67 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Retrieval-quality evaluation of int8 quantization (q155): rank the
+    * corpus for each query vector twice — exact float cosine vs cosine
+    * over the q109-quantized integer vectors — and score the quantized
+    * ranking against the exact one with the standard retrieval metrics:
+    * recall@5 and the reciprocal rank of the TRUE nearest neighbor in
+    * the quantized list. This is the eval a serving pipeline runs
+    * before switching its index to int8.
+    *
+    * Cosine is scale-invariant, so the per-vector quantization scale
+    * cancels and the quantized score is just the cosine of the integer
+    * vectors — small exact integers whose double dot/norm accumulation
+    * is bit-identical in list order on both engines (no rounding enters
+    * until the final metric round).
+    *
+    * Scale shape: the query side (10 vectors) broadcasts against two
+    * narrow corpus projections — the same queries × corpus pattern as
+    * q30, linear in the corpus with no self-join; metrics are two
+    * query-keyed joins over k-row-per-query rankings.
+    */
+  def quantRecall(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val maxAbs = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val qvecs = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("sc", when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127))
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") / col("sc") + 0.5)).as("qv"))
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val q = qvecs.select(col("vec_id").as("query_id"), col("qv").as("qa"))
+      .filter(col("query_id") < 10)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val quant = broadcast(q)
+      .join(qvecs, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dotD(col("qa"), col("qv")) /
+        (sqrt(dotD(col("qa"), col("qa"))) * sqrt(dotD(col("qv"), col("qv")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("qrank"))
+    val exact = knnBrute(s, d)
+    val hits = exact
+      .join(quant.withColumn("m", lit(1)).select(col("query_id"),
+        col("neighbor_id"), col("m")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("m"), lit(0))).as("n_hits"))
+    val rr = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(quant, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        coalesce(lit(1.0) / col("qrank"), lit(0.0)).as("rr"))
+    hits.join(rr, Seq("query_id"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / 5.0, 4).as("recall_at_5"),
+        round(col("rr"), 4).as("rr"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_int8_quantize"  -> int8Quantize _,
+    "q155_quant_recall"   -> ((s: SparkSession, d: String) => quantRecall(s, d)),
     "q38_top_similar_pairs" -> ((s: SparkSession, d: String) => topSimilarPairs(s, d)),
     "q30_knn_brute"       -> knnBrute _,
     "q31_ann_lsh"         -> annLshGate _,
@@ -359,6 +418,68 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q155_quant_recall" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN list_max([abs(CAST(embedding[i] AS DOUBLE))
+        |                        for i in range(1, len(embedding) + 1)]) = 0
+        |      THEN 1.0
+        |      ELSE list_max([abs(CAST(embedding[i] AS DOUBLE))
+        |                     for i in range(1, len(embedding) + 1)]) / 127
+        |    END AS scale
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id,
+        |    [floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5)
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM s),
+        |eq AS (SELECT vec_id AS query_id, embedding AS qe
+        |       FROM embeddings WHERE vec_id < 10),
+        |es AS (
+        |  SELECT eq.query_id, e.vec_id,
+        |    list_sum([CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |              for i in range(1, len(qe) + 1)])
+        |    / (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                      for i in range(1, len(qe) + 1)]))
+        |       * sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                        for i in range(1, len(embedding) + 1)]))) AS cos
+        |  FROM eq JOIN embeddings e ON e.vec_id <> eq.query_id),
+        |e5 AS (
+        |  SELECT query_id, vec_id, rank FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, vec_id) AS rank
+        |    FROM es) WHERE rank <= 5),
+        |qq AS (SELECT vec_id AS query_id, qv AS qa FROM qv WHERE vec_id < 10),
+        |qs AS (
+        |  SELECT qq.query_id, e.vec_id,
+        |    list_sum([qa[i] * e.qv[i] for i in range(1, len(qa) + 1)])
+        |    / (sqrt(list_sum([qa[i] * qa[i] for i in range(1, len(qa) + 1)]))
+        |       * sqrt(list_sum([e.qv[i] * e.qv[i]
+        |                        for i in range(1, len(e.qv) + 1)]))) AS cos
+        |  FROM qq JOIN qv e ON e.vec_id <> qq.query_id),
+        |q5 AS (
+        |  SELECT query_id, vec_id, rank FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, vec_id) AS rank
+        |    FROM qs) WHERE rank <= 5),
+        |hits AS (
+        |  SELECT e5.query_id, CAST(count(q5.vec_id) AS BIGINT) AS n_hits
+        |  FROM e5 LEFT JOIN q5
+        |    ON e5.query_id = q5.query_id AND e5.vec_id = q5.vec_id
+        |  GROUP BY e5.query_id),
+        |rr AS (
+        |  SELECT e1.query_id,
+        |    coalesce(CAST(1.0 AS DOUBLE) / q5.rank, CAST(0.0 AS DOUBLE)) AS rr
+        |  FROM (SELECT query_id, vec_id FROM e5 WHERE rank = 1) e1
+        |  LEFT JOIN q5
+        |    ON e1.query_id = q5.query_id AND e1.vec_id = q5.vec_id)
+        |SELECT hits.query_id, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / 5, 4) AS recall_at_5,
+        |  round(rr, 4) AS rr
+        |FROM hits JOIN rr ON hits.query_id = rr.query_id
+        |ORDER BY hits.query_id""".stripMargin,
     "q109_int8_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

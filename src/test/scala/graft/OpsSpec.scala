@@ -62,6 +62,22 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.0, "LSH should recover at least some true neighbors")
   }
 
+  test("q155 quantized-retrieval metrics are internally consistent") {
+    val rows = Similarity.quantRecall(spark, sf).collect()
+    assert(rows.length == 10) // one row per query vector
+    val validRr = Set(0.0, 1.0, 0.5, 0.3333, 0.25, 0.2)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 5)
+      assert(r.getAs[Double]("recall_at_5") == hits / 5.0)
+      assert(validRr.contains(r.getAs[Double]("rr")),
+        s"rr must be 1/rank for rank 1-5 or 0: ${r.getAs[Double]("rr")}")
+      // int8 keeps 64-dim cosine rankings nearly intact: losing the
+      // entire exact top-5 would mean the quantizer is broken
+      assert(hits >= 1, s"query ${r.getAs[Long]("query_id")} lost all 5")
+    }
+  }
+
   test("pairsAboveBlocked (distributed sweep) ≡ pairsAbove ground truth, bit-exact, multi-block") {
     // blockRows=64 forces many blocks at sf0.001 so the cross-block
     // path, the within-block path, and the id-ordering normalization

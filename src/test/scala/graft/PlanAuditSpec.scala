@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q141_semantic_dedup", // q112's broadcast centroid table (k rows)
     "q144_cdc_merge", // broadcast 1-row span-cutoff scalar
     "q147_importance_weights", // broadcast 1-row Nt/Nr token-total scalars
-    "q149_temperature_mix") // broadcast 1-row mixture-total scalar
+    "q149_temperature_mix", // broadcast 1-row mixture-total scalar
+    "q155_quant_recall") // q30's broadcast 10-query =!= join, on both rankings
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
