@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -588,6 +588,56 @@ object TrainingData {
     merges.toSeq.toDF("iter", "pair", "merged", "pair_count").orderBy(col("iter"))
   }
 
+  /** BPE tokenizer APPLICATION (q156) — encode the corpus with the
+    * q151-learned merge table and report the per-language compression:
+    * word count, character count, post-merge token count, and
+    * chars-per-token. This is the "how well does the tokenizer we just
+    * trained actually compress each language" eval that follows
+    * training, and it exercises the full train→apply cycle through one
+    * driver-gated query.
+    *
+    * The merge table arrives as O(iters) driver control rows (the
+    * documented q151 pattern); application is then a pure column
+    * expression — frame each word, chain `iters` greedy-left replaces
+    * — over a (lang, word)-histogram, so the corpus is touched once
+    * for the histogram and every rewrite runs on vocabulary-sized
+    * data. Token counts roll back up weighted by word frequency.
+    *
+    * The oracle unrolls the SAME training stages as q151 and applies
+    * the learned pairs with the identical nested-replace chain, so a
+    * trajectory divergence ANYWHERE (training or application) breaks
+    * the hash. Assumes the corpus yields all `iters` merges (true for
+    * the fixture tables — q151 emits 5 rows — and spec'd; an
+    * exhausted trajectory would empty the oracle's cross joins).
+    */
+  def bpeApply(s: SparkSession, d: String, iters: Int = 5): DataFrame =
+    bpeApplyOn(documents(s, d), iters)
+
+  private[graft] def bpeApplyOn(docs: DataFrame, iters: Int): DataFrame = {
+    val merges = bpeMergesOn(docs, iters).collect() // O(iters) control rows
+    var sym: Column = regexp_replace(col("w"), "(.)", "|$1|")
+    merges.foreach { r =>
+      val Array(x, y) = r.getAs[String]("pair").split(" ", 2)
+      sym = replace(sym, lit(s"|$x||$y|"), lit(s"|$x$y|"))
+    }
+    docs
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", sym)
+      // framed form carries 2 pipes per symbol: |ab||c| → 2 symbols
+      .withColumn("n_syms",
+        expr("(length(sym) - length(replace(sym, '|', ''))) div 2"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("w"))).as("n_chars"),
+        sum(col("cnt") * col("n_syms")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic multi-epoch global shuffle + shard assignment —
     * the "reshuffle the corpus every epoch" step of a training run,
     * with NO rand(): each (epoch, doc) gets a position key from
@@ -665,6 +715,7 @@ object TrainingData {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_perplexity"   -> perplexity _,
     "q151_bpe_merges"   -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
+    "q156_bpe_apply"    -> ((s: SparkSession, d: String) => bpeApply(s, d)),
     "q152_epoch_shuffle"  -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "q153_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "q89_training_mix"  -> trainingMix _,
@@ -683,7 +734,11 @@ object TrainingData {
     * stage) — pair counts CAST to BIGINT inside each stage so DuckDB's
     * HUGEINT widening never reaches the output (the q101/q113 lesson).
     */
-  private def bpeOracle(iters: Int): String = {
+  /** Shared WITH-prefix for the q151/q156 oracles: word histogram v0
+    * plus `iters` unrolled training stages (pair rollup p_i →
+    * deterministic argmax b_i → vocab rewrite v_i).
+    */
+  private def bpeStageCtes(iters: Int): String = {
     val stages = (1 to iters).map { i =>
       s"""p$i AS (
          |  SELECT u.pair, CAST(sum(u.cnt) AS BIGINT) AS n FROM (
@@ -698,21 +753,61 @@ object TrainingData {
          |                 '|' || replace(b$i.pair, ' ', '') || '|') AS sym, cnt
          |  FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to iters).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS iter, pair, replace(pair, ' ', '') AS merged, n AS pair_count FROM b$i"
-    }.mkString("\nUNION ALL ")
     s"""WITH toks AS (
        |  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents),
        |v0 AS (
        |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS sym, count(*) AS cnt
        |  FROM toks WHERE len(w) > 0 GROUP BY 1),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  private def bpeOracle(iters: Int): String = {
+    val rows = (1 to iters).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS iter, pair, replace(pair, ' ', '') AS merged, n AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""${bpeStageCtes(iters)}
        |$rows
        |ORDER BY iter""".stripMargin
   }
 
+  /** q156 oracle: train via the shared stages, then apply b1..b_iters
+    * to a (lang, word) histogram with the identical nested greedy-left
+    * replace chain and roll token counts up per language.
+    */
+  private def bpeApplyOracle(iters: Int): String = {
+    val chain = (1 to iters).foldLeft("regexp_replace(w, '(.)', '|\\1|', 'g')") {
+      (acc, i) =>
+        s"replace($acc, '|' || replace(b$i.pair, ' ', '||') || '|', " +
+          s"'|' || replace(b$i.pair, ' ', '') || '|')"
+    }
+    val crosses = (1 to iters).map(i => s"CROSS JOIN b$i").mkString(" ")
+    s"""${bpeStageCtes(iters)},
+       |wh AS (
+       |  SELECT lang, w, count(*) AS cnt FROM (
+       |    SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) > 0 GROUP BY lang, w),
+       |app AS (
+       |  SELECT lang, cnt, len(w) AS wlen,
+       |    $chain AS sym
+       |  FROM wh $crosses),
+       |t AS (
+       |  SELECT lang, cnt, wlen,
+       |    (len(sym) - len(replace(sym, '|', ''))) // 2 AS n_syms
+       |  FROM app)
+       |SELECT lang, n_words, n_chars, n_tokens,
+       |  round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token
+       |FROM (
+       |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |    CAST(sum(cnt * wlen) AS BIGINT) AS n_chars,
+       |    CAST(sum(cnt * n_syms) AS BIGINT) AS n_tokens
+       |  FROM t GROUP BY lang)
+       |ORDER BY lang""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q151_bpe_merges" -> bpeOracle(5),
+    "q156_bpe_apply" -> bpeApplyOracle(5),
     "q152_epoch_shuffle" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -94,6 +94,22 @@ class SubstringDedupSpec extends AnyFunSuite {
       (3L, "aa ab", "aaab", 2L)))
   }
 
+  test("q156: applying the learned merges encodes both corpus words to one token") {
+    // same corpus as q151 above, tagged with languages; the learned
+    // trajectory (aa, ab, aaab) collapses 'aaab' AND 'ab' to a single
+    // symbol each: xx = 2 words × 4 chars → 2 tokens, yy = 1 word ×
+    // 2 chars → 1 token
+    val docs = Seq((1L, "aaab aaab", "xx"), (2L, "ab", "yy"))
+      .toDF("doc_id", "text", "lang")
+    val got = TrainingData.bpeApplyOn(docs, iters = 5).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("chars_per_token")))
+    assert(got.toSeq == Seq(
+      ("xx", 2L, 8L, 2L, 4.0),
+      ("yy", 1L, 2L, 1L, 2.0)))
+  }
+
   test("q152: every epoch partitions the corpus; permutations differ; re-run is bit-stable") {
     val corpus = (1L to 40L).map(i => (i, s"tok$i body words here")).toDF("doc_id", "text")
     val run = TrainingData.epochShuffleOn(corpus, epochs = 3, shards = 4).collect()
