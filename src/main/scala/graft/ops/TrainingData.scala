@@ -100,6 +100,36 @@ object TrainingData {
       .orderBy(col("lang"))
   }
 
+  /** Near-dup decontamination (q157): q90 catches exact k-gram overlap
+    * between train and eval; this op catches the FUZZY leakage exact
+    * grams miss — train documents that are MinHash-LSH near-duplicates
+    * (exact shingle-Jaccard ≥ 0.5 on LSH candidates, the q27/q28
+    * composition) of any document in the held-out eval split
+    * (doc_id % 5 = 0, a 20 % holdout). Output per language: train-doc
+    * count, flagged count, flagged share — the drop-list audit a
+    * corpus build runs before training.
+    *
+    * Scale shape: inherits q28's — banding shuffles (doc_id, band)
+    * pairs, exact verification touches only LSH candidates, and the
+    * final rollup is a broadcast-joinable flag set (flagged docs are
+    * a vanishing fraction of the corpus). Never train × eval.
+    */
+  def nearDupDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val flagged = Dedup.scoredPairs(s, d)
+      .filter(col("jac") >= 0.5 &&
+        ((col("a") % 5 === 0) =!= (col("b") % 5 === 0)))
+      .select(when(col("a") % 5 === 0, col("b")).otherwise(col("a")).as("tid"))
+      .distinct()
+    documents(s, d).filter(col("doc_id") % 5 =!= 0)
+      .join(flagged, col("doc_id") === col("tid"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"), count(col("tid")).as("n_flagged"))
+      .select(col("lang"), col("n_train"), col("n_flagged"),
+        round(col("n_flagged").cast("double") / col("n_train"), 4)
+          .as("flagged_share"))
+      .orderBy(col("lang"))
+  }
+
   /** Sequence packing for a fixed token budget: documents in doc_id
     * order stream into `budget`-token packs; a doc belongs to the pack
     * its STARTING token offset falls in (streaming packing — training
@@ -716,6 +746,7 @@ object TrainingData {
     "q129_perplexity"   -> perplexity _,
     "q151_bpe_merges"   -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
     "q156_bpe_apply"    -> ((s: SparkSession, d: String) => bpeApply(s, d)),
+    "q157_neardup_decon" -> nearDupDecontaminate _,
     "q152_epoch_shuffle"  -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "q153_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "q89_training_mix"  -> trainingMix _,
@@ -808,6 +839,18 @@ object TrainingData {
   val oracleSql: Map[String, String] = Map(
     "q151_bpe_merges" -> bpeOracle(5),
     "q156_bpe_apply" -> bpeApplyOracle(5),
+    "q157_neardup_decon" ->
+      s"""WITH ${Dedup.PairsCtes},
+         |xp AS (
+         |  SELECT DISTINCT CASE WHEN a % 5 = 0 THEN b ELSE a END AS tid
+         |  FROM jaccard
+         |  WHERE jac >= 0.5 AND ((a % 5 = 0) <> (b % 5 = 0)))
+         |SELECT lang, count(*) AS n_train, count(tid) AS n_flagged,
+         |  round(CAST(count(tid) AS DOUBLE) / count(*), 4) AS flagged_share
+         |FROM documents dd LEFT JOIN xp ON dd.doc_id = xp.tid
+         |WHERE dd.doc_id % 5 <> 0
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
     "q152_epoch_shuffle" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.TrainingData
+import graft.ops.{Dedup, TrainingData}
 
 /** Substring-level exact dedup (q124/q125): planted cross-document
   * repeated substrings must be detected as maximal runs and removed
@@ -13,6 +13,7 @@ import graft.ops.TrainingData
 class SubstringDedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
 
   private val K = 5
 
@@ -108,6 +109,22 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       ("xx", 2L, 8L, 2L, 4.0),
       ("yy", 1L, 2L, 1L, 2.0)))
+  }
+
+  test("q157: flagged train docs are exactly the cross-split near-dup endpoints") {
+    val pairs = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val expected = pairs
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) b else a }.toSet
+    val got = TrainingData.nearDupDecontaminate(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("n_flagged")).sum == expected.size)
+    // the fixture plants near-dups across the split — a gate of all
+    // zeros would prove nothing
+    assert(expected.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_train"))
+    }
   }
 
   test("q152: every epoch partitions the corpus; permutations differ; re-run is bit-stable") {
