@@ -288,7 +288,44 @@ object Dedup {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** q159: streaming key dedup through the driver gate — `readStream`
+    * over the events table, `dropDuplicates(user_id)` holding the
+    * seen-key set in the state store (~97 % of the stream drops
+    * against it), AvailableNow drain, append-mode emission of each
+    * first occurrence into a distributed parquet sink — gated by the
+    * plain `SELECT DISTINCT user_id` oracle. With q154 this puts a
+    * second stateful streaming operator (dedup state, vs
+    * session-window state) under the driver's hash gate; it's the
+    * incremental build of a user dimension from an event stream. Only
+    * the key is emitted, so the result is deterministic no matter
+    * which physical row wins the state race.
+    *
+    * Scale shape: state = one 8-byte key per DISTINCT user — the
+    * streaming twin of q26's fingerprint-key shuffle; an unbounded
+    * stream runs the same topology with `withWatermark` to bound
+    * state (the documented B1-style trade).
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val out = graft.util.TmpDirs.scratch("stream-dedup")
+    val q = s.readStream.schema(s.read.parquet(path).schema)
+      .parquet(s"$d/events.parquet*")
+      .select(col("user_id"))
+      .dropDuplicates("user_id")
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_stream_dedup"   -> streamDedup _,
     "q111_edit_distance"  -> editDistancePairs _,
     "q64_simhash_neardup" -> simhashNearDup _,
     "q26_dedup_exact"   -> exactDedup _,
@@ -348,6 +385,10 @@ object Dedup {
       |  FROM sig, range(0, 8) t(b))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q159_stream_dedup" ->
+      """SELECT DISTINCT user_id
+        |FROM events
+        |ORDER BY user_id""".stripMargin,
     "q111_edit_distance" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),
         |b AS (SELECT p_name, (regexp_split_to_array(p_name, ' '))[-1] AS noun

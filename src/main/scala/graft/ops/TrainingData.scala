@@ -130,6 +130,38 @@ object TrainingData {
       .orderBy(col("lang"))
   }
 
+  /** Length-bucketed batching audit (q158): the padding-waste
+    * accounting behind dynamic batching. Documents bucket by token
+    * length (fixed width-64 caps — integer arithmetic, so both
+    * engines agree exactly, unlike a float log2 pow-of-two cap), each
+    * bucket batches `batch` docs padded to the bucket cap; output per
+    * bucket: doc/batch counts, real vs padded token totals and the
+    * waste share — the number that decides bucket boundaries for a
+    * training run.
+    *
+    * Scale shape: one narrow projection → one map-side-combinable
+    * rollup on ≤ (max_len/64) keys. Nothing else — deliberately the
+    * cheapest query in the registry per input row.
+    */
+  def lengthBuckets(s: SparkSession, d: String, width: Int = 64,
+      batch: Int = 32): DataFrame =
+    lengthBucketsOn(documents(s, d), width, batch)
+
+  private[graft] def lengthBucketsOn(docs: DataFrame, width: Int,
+      batch: Int): DataFrame =
+    docs
+      .select(size(split(col("text"), "\\s+")).cast("long").as("n"))
+      .withColumn("cap", expr(s"((n - 1) div $width + 1) * $width"))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .select(col("cap").as("bucket_cap"), col("n_docs"),
+        expr(s"(n_docs + ${batch - 1}) div $batch").as("n_batches"),
+        col("sum_tokens"),
+        (col("n_docs") * col("cap")).as("padded_tokens"),
+        round((col("n_docs") * col("cap") - col("sum_tokens")).cast("double")
+          / (col("n_docs") * col("cap")), 4).as("waste_share"))
+      .orderBy(col("bucket_cap"))
+
   /** Sequence packing for a fixed token budget: documents in doc_id
     * order stream into `budget`-token packs; a doc belongs to the pack
     * its STARTING token offset falls in (streaming packing — training
@@ -747,6 +779,7 @@ object TrainingData {
     "q151_bpe_merges"   -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
     "q156_bpe_apply"    -> ((s: SparkSession, d: String) => bpeApply(s, d)),
     "q157_neardup_decon" -> nearDupDecontaminate _,
+    "q158_length_buckets" -> ((s: SparkSession, d: String) => lengthBuckets(s, d)),
     "q152_epoch_shuffle"  -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "q153_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "q89_training_mix"  -> trainingMix _,
@@ -839,6 +872,19 @@ object TrainingData {
   val oracleSql: Map[String, String] = Map(
     "q151_bpe_merges" -> bpeOracle(5),
     "q156_bpe_apply" -> bpeApplyOracle(5),
+    "q158_length_buckets" ->
+      """WITH d AS (
+        |  SELECT CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT ((n - 1) // 64 + 1) * 64 AS cap, n FROM d)
+        |SELECT cap AS bucket_cap, count(*) AS n_docs,
+        |  (count(*) + 31) // 32 AS n_batches,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |  count(*) * cap AS padded_tokens,
+        |  round(CAST(count(*) * cap - sum(n) AS DOUBLE) / (count(*) * cap), 4)
+        |    AS waste_share
+        |FROM b GROUP BY cap
+        |ORDER BY bucket_cap""".stripMargin,
     "q157_neardup_decon" ->
       s"""WITH ${Dedup.PairsCtes},
          |xp AS (

@@ -176,6 +176,18 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q159 streaming dedup emits exactly the batch-distinct user set") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.ops.Dedup.streamDedup(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = graft.util.Tables.events(spark, sf)
+      .select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == exact)
+    assert(streamed.size < graft.util.Tables.events(spark, sf).count(),
+      "the dedup state must actually drop repeat keys")
+  }
+
   test("q154 streaming session windows reproduce the batch q18 answer exactly") {
     val sf = "/root/testdata/sf0.001"
     val batch = graft.ops.EventAnalytics.sessionWindowNative(spark, sf)

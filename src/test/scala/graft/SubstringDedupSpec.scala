@@ -111,6 +111,22 @@ class SubstringDedupSpec extends AnyFunSuite {
       ("yy", 1L, 2L, 1L, 2.0)))
   }
 
+  test("q158: bucket caps, batch counts, and padding waste on planted lengths") {
+    // lengths 3, 64, 65, 65: caps 64, 64, 128, 128; batch size 32
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, Seq.fill(64)("w").mkString(" ")),
+      (3L, Seq.fill(65)("w").mkString(" ")),
+      (4L, Seq.fill(65)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = TrainingData.lengthBucketsOn(docs, width = 64, batch = 32).collect()
+      .map(r => (r.getAs[Long]("bucket_cap"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_batches"), r.getAs[Long]("sum_tokens"),
+        r.getAs[Long]("padded_tokens"), r.getAs[Double]("waste_share")))
+    assert(got.toSeq == Seq(
+      (64L, 2L, 1L, 67L, 128L, 0.4766),  // (128-67)/128
+      (128L, 2L, 1L, 130L, 256L, 0.4922))) // (256-130)/256
+  }
+
   test("q157: flagged train docs are exactly the cross-split near-dup endpoints") {
     val pairs = Dedup.jaccardPairs(spark, sf).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
