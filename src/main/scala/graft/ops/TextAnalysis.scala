@@ -389,7 +389,43 @@ object TextAnalysis {
         md5(col("chunk")).as("chunk_fp"))
       .orderBy(col("doc_id"), col("chunk_no"))
 
+  /** Lexical diversity per language (q160): type-token ratio, Simpson
+    * diversity 1 − Σp², and effective vocabulary 1/Σp² — the corpus
+    * health metrics that flag a template-flooded or over-deduped
+    * language slice before training. Deliberately log-free: entropy's
+    * per-term `p·log₂p` would hash-race on libm ulp differences
+    * between the JVM and DuckDB, while Σc² is exact integer
+    * arithmetic and the final ratios are single IEEE divisions —
+    * bit-identical everywhere.
+    *
+    * Scale shape: one (lang, word) rollup (map-side combinable) →
+    * one ≤|langs|-key rollup. The Σc² accumulator is exact while
+    * every per-word count stays < 3×10⁹ (Σc² < 2⁶³); a corpus beyond
+    * that lifts the accumulator to DECIMAL(38,0), the q117
+    * discipline.
+    */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame =
+    lexicalDiversityOn(documents(s, d))
+
+  private[graft] def lexicalDiversityOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("sum_sq"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens")), 6).as("simpson"),
+        round(col("n_tokens").cast("double") * col("n_tokens") / col("sum_sq"), 4)
+          .as("eff_vocab"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_lexical_diversity" -> lexicalDiversity _,
     "q72_redact"         -> redact _,
     "q73_chunking"       -> ((s: SparkSession, d: String) => chunk(s, d)),
     "q61_normalize_text" -> normalizeText _,
@@ -409,6 +445,22 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q160_lexical_diversity" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT lang, w, count(*) AS c FROM t WHERE len(w) > 0
+        |      GROUP BY lang, w),
+        |a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        count(*) AS vocab, CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |      FROM c GROUP BY lang)
+        |SELECT lang, n_tokens, vocab, sum_sq,
+        |  round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  round(1.0 - CAST(sum_sq AS DOUBLE)
+        |        / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) AS simpson,
+        |  round(CAST(n_tokens AS DOUBLE) * n_tokens / sum_sq, 4) AS eff_vocab
+        |FROM a
+        |ORDER BY lang""".stripMargin,
     "q104_textrank" ->
       """WITH docs AS (
         |  SELECT [lower(x) for x in regexp_split_to_array(text, '\s+')] AS ws

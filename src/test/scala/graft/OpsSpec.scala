@@ -153,4 +153,19 @@ class OpsSpec extends AnyFunSuite {
     assert(total == 500) // partitions the corpus
     assert(out.map(_.getAs[String]("fp")).distinct.length == out.length)
   }
+
+  test("q160 lexical diversity on a planted histogram is exact") {
+    import spark.implicits._
+    // lang x: tokens a a b → n=3, vocab=2, Σc²=5,
+    // ttr=2/3, simpson=1−5/9, eff_vocab=9/5
+    val docs = Seq((1L, "a a b", "x")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.lexicalDiversityOn(docs).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_tokens") == 3L)
+    assert(r(0).getAs[Long]("vocab") == 2L)
+    assert(r(0).getAs[Long]("sum_sq") == 5L)
+    assert(r(0).getAs[Double]("ttr") == 0.666667)
+    assert(r(0).getAs[Double]("simpson") == 0.444444)
+    assert(r(0).getAs[Double]("eff_vocab") == 1.8)
+  }
 }
