@@ -408,9 +408,52 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Per-label embedding centroid & dispersion audit (q161): for each
+    * class label, the squared centroid norm and the trace of the
+    * (biased) covariance — the two scalars that say whether a label's
+    * embeddings form a coherent cluster (‖μ‖² well away from 0,
+    * tr Σ small) or noise. This is the embedding-space health check a
+    * labeling or retrieval pipeline runs per class.
+    *
+    * Float sums across rows are addition-order-dependent, so every
+    * component is quantized to integer micro-units (⌊x·10⁶ + ½⌋, the
+    * q149 discipline) and summed exactly:
+    * tr Σ = Σ_d (n·S2_d − S1_d²)/n², ‖μ‖² = Σ_d S1_d²/n², divided out
+    * in double only once at the end. Accumulators stay within BIGINT
+    * while n·Σ_d S2_d < 2⁶³ (true to ~10⁵ vectors/label at |x| ≤ 1);
+    * beyond that they lift to DECIMAL(38,0).
+    *
+    * Scale shape: one narrow posexplode → a (label, dim)-keyed
+    * map-side-combinable rollup (|labels|·dim keys) → a |labels|-key
+    * rollup. No joins, no windows.
+    */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    labelCentroidsOn(embeddings(s, d))
+
+  private[graft] def labelCentroidsOn(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("xu"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xu")).as("s1"),
+        sum(col("xu") * col("xu")).as("s2"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("n") * col("s2") - col("s1") * col("s1")).as("var_u"),
+        sum(col("s1") * col("s1")).as("norm_u"))
+      .select(col("label"), col("n_vecs"),
+        round(col("var_u").cast("double") /
+          (col("n_vecs").cast("double") * col("n_vecs") * lit(1e12)), 6)
+          .as("trace_var"),
+        round(col("norm_u").cast("double") /
+          (col("n_vecs").cast("double") * col("n_vecs") * lit(1e12)), 6)
+          .as("centroid_norm2"))
+      .orderBy(col("label"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_int8_quantize"  -> int8Quantize _,
     "q155_quant_recall"   -> ((s: SparkSession, d: String) => quantRecall(s, d)),
+    "q161_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
     "q38_top_similar_pairs" -> ((s: SparkSession, d: String) => topSimilarPairs(s, d)),
     "q30_knn_brute"       -> knnBrute _,
     "q31_ann_lsh"         -> annLshGate _,
@@ -418,6 +461,34 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q161_label_centroids" ->
+      """WITH t AS (
+        |  SELECT label, unnest(range(1, len(embedding) + 1)) AS d,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT label, d,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xu
+        |  FROM t),
+        |pd AS (
+        |  SELECT label, d, count(*) AS n,
+        |    CAST(sum(xu) AS BIGINT) AS s1,
+        |    CAST(sum(xu * xu) AS BIGINT) AS s2
+        |  FROM u GROUP BY label, d),
+        |a AS (
+        |  SELECT label, max(n) AS n_vecs,
+        |    CAST(sum(n * s2 - s1 * s1) AS BIGINT) AS var_u,
+        |    CAST(sum(s1 * s1) AS BIGINT) AS norm_u
+        |  FROM pd GROUP BY label)
+        |SELECT label, n_vecs,
+        |  round(CAST(var_u AS DOUBLE)
+        |        / (CAST(n_vecs AS DOUBLE) * n_vecs * 1000000000000), 6)
+        |    AS trace_var,
+        |  round(CAST(norm_u AS DOUBLE)
+        |        / (CAST(n_vecs AS DOUBLE) * n_vecs * 1000000000000), 6)
+        |    AS centroid_norm2
+        |FROM a
+        |ORDER BY label""".stripMargin,
     "q155_quant_recall" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

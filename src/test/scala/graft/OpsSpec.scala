@@ -154,6 +154,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("fp")).distinct.length == out.length)
   }
 
+  test("q161 label centroids on planted unit vectors are exact") {
+    import spark.implicits._
+    // label 0: (1,0) and (0,1) → per dim mean ½, biased var ¼ →
+    // trace 0.5; centroid (½,½) → ‖μ‖² = 0.5
+    val e = Seq((0L, Array(1.0f, 0.0f)), (0L, Array(0.0f, 1.0f)))
+      .toDF("label", "embedding")
+    val r = Similarity.labelCentroidsOn(e).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_vecs") == 2L)
+    assert(r(0).getAs[Double]("trace_var") == 0.5)
+    assert(r(0).getAs[Double]("centroid_norm2") == 0.5)
+  }
+
   test("q160 lexical diversity on a planted histogram is exact") {
     import spark.implicits._
     // lang x: tokens a a b → n=3, vocab=2, Σc²=5,
