@@ -130,6 +130,49 @@ object TrainingData {
       .orderBy(col("lang"))
   }
 
+  /** Source token-budget water-filling (q162): given a token budget
+    * B = ⌊corpus/2⌋, find the per-source cap t with
+    * Σ_s min(n_s, t) ≤ B maximal — the classic water-fill that caps
+    * over-represented sources while leaving small ones whole, i.e.
+    * the allocation step a corpus build runs before q89/q149 mixing.
+    * Closed form over the sorted source histogram: with sources
+    * ascending, need_i = P_{i−1} + (S−i+1)·n_i is nondecreasing, so
+    * the uncapped set is the prefix where need ≤ B, and
+    * t = (B − P_k) div (S − k). All-integer arithmetic end to end.
+    *
+    * Scale shape: one corpus rollup to |sources| rows, then windows
+    * and 1-row scalar broadcasts over that CATALOG-sized table — the
+    * single-partition window and broadcast scalars are over ≤ dozens
+    * of rows by construction (PlanAudit-whitelisted like q139/q149).
+    */
+  def budgetWaterfill(s: SparkSession, d: String): DataFrame =
+    budgetWaterfillOn(documents(s, d))
+
+  private[graft] def budgetWaterfillOn(docs: DataFrame): DataFrame = {
+    val src = docs
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), "\\s+")).cast("long")).as("n"))
+    val w = Window.orderBy(col("n"), col("source"))
+    val o = src
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = src.agg(sum(col("n")).as("tot"), count(lit(1)).as("s"))
+    val c = o.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tot div 2"))
+      .withColumn("need",
+        col("p") - col("n") + (col("s") - col("i") + 1) * col("n"))
+    val k = c.filter(col("need") <= col("budget"))
+      .agg(count(lit(1)).as("k"), coalesce(max(col("p")), lit(0L)).as("pk"))
+    val cap = broadcast(tot).crossJoin(broadcast(k))
+      .select(expr("(tot div 2 - pk) div (s - k)").as("cap"))
+    c.crossJoin(broadcast(cap))
+      .select(col("source"), col("n").as("n_tokens"),
+        least(col("n"), col("cap")).as("allocated"),
+        (col("n") > col("cap")).as("capped"))
+      .orderBy(col("source"))
+  }
+
   /** Length-bucketed batching audit (q158): the padding-waste
     * accounting behind dynamic batching. Documents bucket by token
     * length (fixed width-64 caps — integer arithmetic, so both
@@ -780,6 +823,7 @@ object TrainingData {
     "q156_bpe_apply"    -> ((s: SparkSession, d: String) => bpeApply(s, d)),
     "q157_neardup_decon" -> nearDupDecontaminate _,
     "q158_length_buckets" -> ((s: SparkSession, d: String) => lengthBuckets(s, d)),
+    "q162_budget_waterfill" -> budgetWaterfill _,
     "q152_epoch_shuffle"  -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "q153_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "q89_training_mix"  -> trainingMix _,
@@ -872,6 +916,33 @@ object TrainingData {
   val oracleSql: Map[String, String] = Map(
     "q151_bpe_merges" -> bpeOracle(5),
     "q156_bpe_apply" -> bpeApplyOracle(5),
+    "q162_budget_waterfill" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS s FROM src),
+        |o AS (
+        |  SELECT source, n,
+        |    CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i,
+        |    CAST(sum(n) OVER (ORDER BY n, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        |  FROM src),
+        |c AS (
+        |  SELECT o.*, tot.tot // 2 AS budget,
+        |    (p - n) + (tot.s - i + 1) * n AS need
+        |  FROM o CROSS JOIN tot),
+        |k AS (
+        |  SELECT count(*) AS k, coalesce(CAST(max(p) AS BIGINT), 0) AS pk
+        |  FROM c WHERE need <= budget),
+        |cap AS (
+        |  SELECT (tot.tot // 2 - k.pk) // (tot.s - k.k) AS cap
+        |  FROM tot CROSS JOIN k)
+        |SELECT source, n AS n_tokens,
+        |  CAST(least(n, cap.cap) AS BIGINT) AS allocated,
+        |  n > cap.cap AS capped
+        |FROM c CROSS JOIN cap
+        |ORDER BY source""".stripMargin,
     "q158_length_buckets" ->
       """WITH d AS (
         |  SELECT CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n

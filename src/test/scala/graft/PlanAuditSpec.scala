@@ -23,7 +23,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q144_cdc_merge", // broadcast 1-row span-cutoff scalar
     "q147_importance_weights", // broadcast 1-row Nt/Nr token-total scalars
     "q149_temperature_mix", // broadcast 1-row mixture-total scalar
-    "q155_quant_recall") // q30's broadcast 10-query =!= join, on both rankings
+    "q155_quant_recall", // q30's broadcast 10-query =!= join, on both rankings
+    "q162_budget_waterfill") // broadcast 1-row totals/cap scalars over the source catalog
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
@@ -33,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q139_rfm_segments", // exact global quintiles = global sort of the customer-sized rollup (see scaladoc)
       "q144_cdc_merge", // 1-row span-cutoff scalar aggregate
       "q147_importance_weights", // 1-row Nt/Nr token-total aggregates
-      "q149_temperature_mix") // 1-row mixture-total aggregate
+      "q149_temperature_mix", // 1-row mixture-total aggregate
+      "q162_budget_waterfill") // source-catalog-sized window + 1-row scalars
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark

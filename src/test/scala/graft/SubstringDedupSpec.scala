@@ -127,6 +127,23 @@ class SubstringDedupSpec extends AnyFunSuite {
       (128L, 2L, 1L, 130L, 256L, 0.4922))) // (256-130)/256
   }
 
+  test("q162: water-fill caps the big source and exactly exhausts the budget") {
+    // token counts: a=10, b=20, c=70 → tot=100, B=50; need = [30, 50, 100]
+    // → k=2 uncapped, cap = (50−30)/1 = 20 → allocations 10+20+20 = 50
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" "), "a"),
+      (2L, Seq.fill(20)("w").mkString(" "), "b"),
+      (3L, Seq.fill(70)("w").mkString(" "), "c"))
+      .toDF("doc_id", "text", "source")
+    val got = TrainingData.budgetWaterfillOn(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("allocated"), r.getAs[Boolean]("capped")))
+    assert(got.toSeq == Seq(
+      ("a", 10L, 10L, false),
+      ("b", 20L, 20L, false),
+      ("c", 70L, 20L, true)))
+  }
+
   test("q157: flagged train docs are exactly the cross-split near-dup endpoints") {
     val pairs = Dedup.jaccardPairs(spark, sf).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
