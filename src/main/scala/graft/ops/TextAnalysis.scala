@@ -346,6 +346,66 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Cross-lingual quantile normalization (q163): map every document's
+    * q142-style quality score to the GLOBAL score distribution at the
+    * document's within-language quantile — the rank-based calibration
+    * that makes one score threshold mean the same thing across
+    * languages (a per-language score of "75th percentile" becomes the
+    * corpus-wide 75th-percentile VALUE). Interpolation between global
+    * order statistics uses the exact (N−1)·pr rule, the same
+    * convention as q42/q142.
+    *
+    * The global order statistics are computed SCALE-CORRECTLY: no
+    * single-partition window — a range partition on score (Spark's
+    * distributed sort) plus the q101/q122 two-pass scan (per-partition
+    * counts → exclusive offsets broadcast back) yields every global
+    * rank with O(partitions) driver rows; the per-language percent_rank
+    * is an ordinary partitioned window.
+    */
+  def quantileNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val score = (size(filter(toks, t => t === "the" || t === "a")).cast("double") /
+      size(toks).cast("double")).as("score")
+    val sc = documents(s, d).select(col("doc_id"), col("lang"), score)
+    val n = sc.count()
+    val ranged = sc.select(col("score"), col("doc_id"))
+      .repartitionByRange(col("score"), col("doc_id"))
+      .sortWithinPartitions(col("score"), col("doc_id"))
+      .cache() // pins the sampled range bounds across the two passes
+    graft.util.CacheRegistry.register(ranged)
+    val partCounts = ranged.groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = ranged.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    (0 until nParts).foreach { i =>
+      offsets(i) = acc; acc += partCounts.getOrElse(i, 0L)
+    }
+    val bc = s.sparkContext.broadcast(offsets)
+    val ranks = ranged.as[(Double, Long)].mapPartitions { it =>
+      var rn = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (sv, _) => rn += 1; (rn, sv) }
+    }.toDF("rn", "gscore")
+    val wLang = Window.partitionBy(col("lang")).orderBy(col("score"))
+    val ks = sc
+      .withColumn("pr", percent_rank().over(wLang))
+      .withColumn("r", col("pr") * lit((n - 1).toDouble))
+      .withColumn("k", floor(col("r")).cast("long"))
+      .withColumn("frac", col("r") - floor(col("r")))
+    ks
+      .join(ranks.select(col("rn"), col("gscore").as("s_lo")),
+        ks("k") + 1 === col("rn"))
+      .drop("rn")
+      .join(ranks.select(col("rn"), col("gscore").as("s_hi")),
+        ks("k") + 2 === col("rn"), "left")
+      .select(col("doc_id"), col("lang"), round(col("score"), 6).as("score"),
+        round(col("s_lo") +
+          (coalesce(col("s_hi"), col("s_lo")) - col("s_lo")) * col("frac"), 6)
+          .as("norm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII-style redaction pass: mask email-shaped tokens then digit
     * runs (order matters — emails often contain digits), count both,
     * and pin the exact redacted bytes via md5. ASCII character
@@ -426,6 +486,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_lexical_diversity" -> lexicalDiversity _,
+    "q163_quantile_norm" -> quantileNormalize _,
     "q72_redact"         -> redact _,
     "q73_chunking"       -> ((s: SparkSession, d: String) => chunk(s, d)),
     "q61_normalize_text" -> normalizeText _,
@@ -445,6 +506,37 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q163_quantile_norm" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS score
+        |  FROM t),
+        |n AS (SELECT count(*) AS n FROM sc),
+        |g AS (SELECT score AS gscore,
+        |        row_number() OVER (ORDER BY score, doc_id) AS rn
+        |      FROM sc),
+        |pr AS (
+        |  SELECT doc_id, lang, score,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr
+        |  FROM sc),
+        |k AS (
+        |  SELECT doc_id, lang, score,
+        |    pr * (n.n - 1) AS r,
+        |    CAST(floor(pr * (n.n - 1)) AS BIGINT) AS k,
+        |    pr * (n.n - 1) - floor(pr * (n.n - 1)) AS frac
+        |  FROM pr CROSS JOIN n)
+        |SELECT k.doc_id, k.lang, round(k.score, 6) AS score,
+        |  round(lo.gscore
+        |        + (coalesce(hi.gscore, lo.gscore) - lo.gscore) * frac, 6)
+        |    AS norm_score
+        |FROM k
+        |JOIN g lo ON lo.rn = k.k + 1
+        |LEFT JOIN g hi ON hi.rn = k.k + 2
+        |ORDER BY k.doc_id""".stripMargin,
     "q160_lexical_diversity" ->
       """WITH t AS (
         |  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w

@@ -154,6 +154,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("fp")).distinct.length == out.length)
   }
 
+  test("q163 quantile normalization preserves within-lang order and pins the range") {
+    val rows = TextAnalysis.quantileNormalize(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("score"),
+        r.getAs[Double]("norm_score")))
+    assert(rows.nonEmpty)
+    // within each language, normalization is monotone in the raw score
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(r => (r._2, r._3))
+      sorted.sliding(2).foreach {
+        case Array((_, _, n1), (_, _, n2)) => assert(n1 <= n2)
+        case _ =>
+      }
+    }
+    // every lang's extremes map onto the global extremes (pr 0 → global
+    // min, pr 1 → global max), so the normalized range = raw range
+    val gMin = rows.map(_._2).min
+    val gMax = rows.map(_._2).max
+    assert(rows.map(_._3).min == gMin)
+    assert(rows.map(_._3).max == gMax)
+  }
+
   test("q161 label centroids on planted unit vectors are exact") {
     import spark.implicits._
     // label 0: (1,0) and (0,1) → per dim mean ½, biased var ¼ →
