@@ -126,6 +126,41 @@ object EventAnalytics {
     s.read.parquet(out).orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q164: per-user running totals through the STREAMING engine — the
+    * third stateful streaming operator under the driver gate
+    * (aggregation state, vs q154's session windows and q159's dedup
+    * keys). `readStream` over events, user_id-keyed streaming
+    * aggregation, AvailableNow drain, complete-mode overwrite; the
+    * last emission is the total answer and is gated by the plain batch
+    * GROUP BY oracle. The value sum runs in DECIMAL(28,6) (the q17
+    * discipline) so streaming partial-aggregation order can never
+    * perturb the rounded output.
+    *
+    * Scale shape: state = one (count, decimal sum) pair per user,
+    * sharded by user_id hash exactly like the batch shuffle; an
+    * unbounded run switches to update mode + a sink that upserts.
+    */
+  def streamUserTotals(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val out = graft.util.TmpDirs.scratch("stream-user-totals")
+    val q = s.readStream.schema(s.read.parquet(path).schema)
+      .parquet(s"$d/events.parquet*")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DataTypes.createDecimalType(28, 6))), 2)
+          .cast("double").as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy(col("user_id"))
+  }
+
   /** Per-type value stats: raw min/max are bit-exact stored doubles. */
   def typeStats(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -555,6 +590,7 @@ object EventAnalytics {
     "q17_sessionize"       -> sessionize _,
     "q18_session_window"   -> sessionWindowNative _,
     "q154_stream_sessions" -> streamSessions _,
+    "q164_stream_totals"   -> streamUserTotals _,
     "q19_event_type_stats" -> typeStats _,
   )
 
@@ -888,6 +924,13 @@ object EventAnalytics {
     // engine — one oracle string pins both (q51/q150 shared-oracle
     // pattern); see the `SessionWindowOracle` indirection below
     "q154_stream_sessions" -> EventAnalyticsOracles.SessionWindow,
+    "q164_stream_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q18_session_window" -> EventAnalyticsOracles.SessionWindow,
     "q19_event_type_stats" ->
       """SELECT event_type, count(*) AS n,

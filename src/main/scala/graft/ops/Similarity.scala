@@ -450,10 +450,45 @@ object Similarity {
           .as("centroid_norm2"))
       .orderBy(col("label"))
 
+  /** Contrastive hard-negative mining (q165): for each query vector,
+    * the single most-similar SAME-label vector (the positive) and the
+    * `kNeg` most-similar DIFFERENT-label vectors (the hard negatives)
+    * — exactly the triplet-construction step of contrastive embedding
+    * training, where random negatives are too easy and the nearest
+    * wrong-label examples carry the gradient.
+    *
+    * Same queries × corpus shape as q30 (broadcast query side, corpus
+    * streams); the two role branches rank with the standard
+    * (cos DESC, vec_id) deterministic tie-break and the cosine is the
+    * bit-exact codegen'd expression, so the whole mined set is
+    * hash-gated. At index scale the corpus pass consumes LSH/IVF
+    * candidates instead of the full scan (q31/q52), unchanged shape.
+    */
+  def hardNegatives(s: SparkSession, d: String, kNeg: Int = 3): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    val q = e.select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+      col("embedding").as("qe")).filter(col("query_id") < 10)
+    val scored = broadcast(q)
+      .join(e, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    def ranked(part: DataFrame, role: String, keep: Int) = part
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= keep)
+      .select(col("query_id"), lit(role).as("role"),
+        col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+    ranked(scored.filter(col("label") === col("qlabel")), "pos", 1)
+      .unionAll(ranked(scored.filter(col("label") =!= col("qlabel")), "neg", kNeg))
+      .orderBy(col("query_id"), col("role"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_int8_quantize"  -> int8Quantize _,
     "q155_quant_recall"   -> ((s: SparkSession, d: String) => quantRecall(s, d)),
     "q161_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
+    "q165_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "q38_top_similar_pairs" -> ((s: SparkSession, d: String) => topSimilarPairs(s, d)),
     "q30_knn_brute"       -> knnBrute _,
     "q31_ann_lsh"         -> annLshGate _,
@@ -461,6 +496,37 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q165_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+        |             embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+        |    list_sum([CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |              for i in range(1, len(qe) + 1)])
+        |    / (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                      for i in range(1, len(qe) + 1)]))
+        |       * sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                        for i in range(1, len(embedding) + 1)]))) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        |p AS (
+        |  SELECT query_id, 'pos' AS role, CAST(rank AS BIGINT) AS rank,
+        |    vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY cos DESC, vec_id) AS rank
+        |        FROM s WHERE label = qlabel)
+        |  WHERE rank = 1),
+        |n AS (
+        |  SELECT query_id, 'neg' AS role, CAST(rank AS BIGINT) AS rank,
+        |    vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY cos DESC, vec_id) AS rank
+        |        FROM s WHERE label <> qlabel)
+        |  WHERE rank <= 3)
+        |SELECT * FROM p
+        |UNION ALL
+        |SELECT * FROM n
+        |ORDER BY query_id, role, rank""".stripMargin,
     "q161_label_centroids" ->
       """WITH t AS (
         |  SELECT label, unnest(range(1, len(embedding) + 1)) AS d,

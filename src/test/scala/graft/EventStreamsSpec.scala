@@ -188,6 +188,21 @@ class EventStreamsSpec extends AnyFunSuite {
       "the dedup state must actually drop repeat keys")
   }
 
+  test("q164 streaming per-user totals reproduce the batch aggregation exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.ops.EventAnalytics.streamUserTotals(spark, sf)
+      .collect().toSeq
+    val batch = graft.util.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6))), 2)
+          .cast("double").as("sum_value"))
+      .orderBy(col("user_id")).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("q154 streaming session windows reproduce the batch q18 answer exactly") {
     val sf = "/root/testdata/sf0.001"
     val batch = graft.ops.EventAnalytics.sessionWindowNative(spark, sf)

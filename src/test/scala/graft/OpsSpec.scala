@@ -154,6 +154,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("fp")).distinct.length == out.length)
   }
 
+  test("q165 hard negatives: roles respect labels and ranks are consistent") {
+    val labels = graft.util.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("label").longValue).toMap
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      val same = labels(q) == labels(n)
+      if (r.getAs[String]("role") == "pos") assert(same) else assert(!same)
+    }
+    // every query mines exactly 1 positive + 3 hard negatives
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.count(_.getAs[String]("role") == "pos") == 1)
+      assert(g.count(_.getAs[String]("role") == "neg") == 3)
+    }
+  }
+
   test("q163 quantile normalization preserves within-lang order and pins the range") {
     val rows = TextAnalysis.quantileNormalize(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Double]("score"),

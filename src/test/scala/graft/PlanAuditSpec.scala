@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q147_importance_weights", // broadcast 1-row Nt/Nr token-total scalars
     "q149_temperature_mix", // broadcast 1-row mixture-total scalar
     "q155_quant_recall", // q30's broadcast 10-query =!= join, on both rankings
-    "q162_budget_waterfill") // broadcast 1-row totals/cap scalars over the source catalog
+    "q162_budget_waterfill", // broadcast 1-row totals/cap scalars over the source catalog
+    "q165_hard_negatives") // q30's broadcast 10-query =!= join, both role branches
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
