@@ -569,7 +569,82 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Winsorized robust mean per event type: values clamped to the
+    * [p05, p95] continuous-percentile band before averaging — the
+    * standard outlier-robust aggregate for metrics pipelines.
+    *
+    * Scale shape: the 5-row bounds table comes from one keyed
+    * aggregation and is broadcast back, so the clamp is map-side; the
+    * final aggregate reuses the same event_type key. No row-level
+    * window, no second wide shuffle. Sums ride the DECIMAL(28,6)
+    * float-aggregate discipline so the report rounding is
+    * order-independent across core counts.
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val Dec = DataTypes.createDecimalType(28, 6)
+    val ev = events(s, d).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // decimal-exact sum, ONE double division, then round: engines
+        // see the same dividend bits, so the quotient rounds alike
+        round(sum(col("value").cast(Dec)).cast("double") / count(lit(1)), 4)
+          .as("avg_raw"),
+        round(sum(col("w").cast(Dec)).cast("double") / count(lit(1)), 4)
+          .as("avg_winsor"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Deterministic A/B experiment read-out: users hash-bucketed into
+    * two arms (md5 of the salted user_id — re-runs and late data land
+    * in the same arm; never rand()), then per event type the arm
+    * means, their difference, and the Welch z statistic from exact
+    * decimal moments (Σv, Σv²) — variance assembled in double only at
+    * the end, so aggregation order cannot flip the rounding.
+    *
+    * Scale shape: arm assignment is a map-side hash; the single
+    * shuffle is the (event_type)-keyed moment aggregation with
+    * map-side partials. Nothing is per-user stateful.
+    */
+  def abLift(s: SparkSession, d: String): DataFrame = {
+    val Dec = DataTypes.createDecimalType(28, 6)
+    val arm = when(pmod(conv(substring(md5(concat(lit("ab|"),
+      col("user_id"))), 1, 15), 16, 10).cast("long"), lit(2)) === 0, "A")
+      .otherwise("B")
+    val m = events(s, d)
+      .select(col("event_type"), col("value"), arm.as("arm"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(Dec)).as("sv"),
+        sum((col("value") * col("value")).cast(Dec)).as("svv"))
+    def side(a: String) = m.filter(col("arm") === a)
+      .select(col("event_type"), col("n").as(s"cnt_$a"),
+        col("sv").as(s"sv_$a"), col("svv").as(s"svv_$a"))
+    def mean(a: String) = col(s"sv_$a").cast("double") / col(s"cnt_$a")
+    def varc(a: String) =
+      (col(s"svv_$a").cast("double")
+        - col(s"sv_$a").cast("double") * col(s"sv_$a").cast("double") / col(s"cnt_$a")) /
+        (col(s"cnt_$a") - 1)
+    side("A").join(side("B"), Seq("event_type"))
+      .select(col("event_type"),
+        col("cnt_A").as("n_arm_a"), col("cnt_B").as("n_arm_b"),
+        round(mean("A"), 4).as("mean_a"),
+        round(mean("B"), 4).as("mean_b"),
+        round(mean("B") - mean("A"), 4).as("lift"),
+        round((mean("B") - mean("A")) /
+          sqrt(varc("A") / col("cnt_A") + varc("B") / col("cnt_B")), 4).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_winsorize"       -> winsorize _,
+    "q172_ab_lift"         -> abLift _,
     "q116_markov"          -> markovTransitions _,
     "q117_value_trend"     -> valueTrend _,
     "q118_time_weighted"   -> timeWeightedAvg _,
@@ -595,6 +670,50 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q166_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE)
+        |    / count(*), 4) AS avg_raw,
+        |  round(CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_winsor,
+        |  CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+    "q172_ab_lift" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, arm, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(28,6))) AS sv,
+        |    sum(CAST(value * value AS DECIMAL(28,6))) AS svv
+        |  FROM t GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type,
+        |    a.n AS na, CAST(a.sv AS DOUBLE) AS sva, CAST(a.svv AS DOUBLE) AS svva,
+        |    b.n AS nb, CAST(b.sv AS DOUBLE) AS svb, CAST(b.svv AS DOUBLE) AS svvb
+        |  FROM m a JOIN m b ON a.event_type = b.event_type
+        |  WHERE a.arm = 'A' AND b.arm = 'B')
+        |SELECT event_type, na AS n_arm_a, nb AS n_arm_b,
+        |  round(sva / na, 4) AS mean_a,
+        |  round(svb / nb, 4) AS mean_b,
+        |  round(svb / nb - sva / na, 4) AS lift,
+        |  round((svb / nb - sva / na) /
+        |    sqrt(((svva - sva * sva / na) / (na - 1)) / na
+        |       + ((svvb - svb * svb / nb) / (nb - 1)) / nb), 4) AS z
+        |FROM j
+        |ORDER BY event_type""".stripMargin,
     "q116_markov" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

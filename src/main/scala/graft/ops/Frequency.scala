@@ -150,7 +150,67 @@ object Frequency {
       .limit(10)
   }
 
+  /** Gini coefficient of the per-document token-count distribution,
+    * by source — the inequality audit behind "is this source a few
+    * giant pages or many small ones". Rank formula
+    * G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx): every moment is an exact
+    * integer (sums in decimal so DuckDB's HUGEINT widening and Spark
+    * agree bit-for-bit); doubles appear only at the final division.
+    *
+    * Scale shape: one (source)-keyed window for the rank (ties broken
+    * by doc_id for determinism), then a keyed aggregation that reuses
+    * the same partitioning — a single shuffle of (source, long, long).
+    */
+  def giniBySource(s: SparkSession, d: String): DataFrame = {
+    val Dec = DataTypes.createDecimalType(38, 0)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast(Dec)).as("sx"),
+        sum((col("rk") * col("n_tokens")).cast(Dec)).as("srx"))
+      .select(col("source"), col("n_docs"),
+        round((lit(2.0) * col("srx").cast("double")
+          - (col("n_docs") + 1).cast("double") * col("sx").cast("double"))
+          / (col("n_docs").cast("double") * col("sx").cast("double")), 6)
+          .as("gini"))
+      .orderBy(col("source"))
+  }
+
+  /** Herfindahl–Hirschman concentration index of source share per
+    * language: Σ share² over token counts — the corpus-governance
+    * read-out for "is this language dominated by one source". Token
+    * sums stay integer-exact in decimal; shares go double only in the
+    * final combine.
+    *
+    * Scale shape: one (lang, source)-keyed aggregation (map-side
+    * partials over the token explode), then a lang-keyed rollup of at
+    * most |sources| rows per language.
+    */
+  def hhiByLang(s: SparkSession, d: String): DataFrame = {
+    val Dec = DataTypes.createDecimalType(38, 0)
+    val perSrc = documents(s, d)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_tokens").cast(Dec)).as("tok"))
+    val perLang = Window.partitionBy(col("lang"))
+    perSrc
+      .withColumn("tot", sum(col("tok")).over(perLang))
+      .withColumn("share", col("tok").cast("double") / col("tot").cast("double"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        round(sum(col("share") * col("share")), 6).as("hhi"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_gini"           -> giniBySource _,
+    "q170_hhi"            -> hhiByLang _,
     "q106_heavy_hitters"  -> heavyHitters _,
     "q110_inverted_index" -> invertedIndex _,
     "q119_pmi"            -> pmiPairs _,
