@@ -107,9 +107,9 @@ object EventAnalytics {
     // plain file path fails outright, so list the single events file
     // via a glob — base resolves to the sf dir, the glob matches just
     // the events table
-    val agg = s.readStream.schema(s.read.parquet(path).schema)
-      .parquet(s"$d/events.parquet*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.util.Tables.normalizeTs(
+      s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(s"$d/events.parquet*"))
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
 
 import graft.util.Tables._
 
@@ -183,28 +184,34 @@ object Frequency {
 
   /** Herfindahl–Hirschman concentration index of source share per
     * language: Σ share² over token counts — the corpus-governance
-    * read-out for "is this language dominated by one source". Token
-    * sums stay integer-exact in decimal; shares go double only in the
-    * final combine.
+    * read-out for "is this language dominated by one source".
     *
-    * Scale shape: one (lang, source)-keyed aggregation (map-side
-    * partials over the token explode), then a lang-keyed rollup of at
-    * most |sources| rows per language.
+    * Σ share² = Σ tok² / (Σ tok)², so the whole statistic is two exact
+    * integer moments (decimal sums, order-independent) and ONE double
+    * division at the end — no order-dependent float accumulation, per
+    * the repo's float-aggregate discipline.
+    *
+    * Scale shape: one (lang, source)-keyed aggregation with map-side
+    * partials, then a lang-keyed rollup of at most |sources| rows per
+    * language; no window, two shuffles of tiny keyed longs total.
+    * tok² ≤ (1e14 tokens)² = 1e28 ≪ 10³⁸, so decimal(38,0) is exact
+    * even at 100 TB corpus scale.
     */
   def hhiByLang(s: SparkSession, d: String): DataFrame = {
     val Dec = DataTypes.createDecimalType(38, 0)
-    val perSrc = documents(s, d)
+    documents(s, d)
       .select(col("lang"), col("source"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
       .groupBy(col("lang"), col("source"))
-      .agg(sum(col("n_tokens").cast(Dec)).as("tok"))
-    val perLang = Window.partitionBy(col("lang"))
-    perSrc
-      .withColumn("tot", sum(col("tok")).over(perLang))
-      .withColumn("share", col("tok").cast("double") / col("tot").cast("double"))
+      .agg(sum(col("n_tokens")).as("tok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sources"),
-        round(sum(col("share") * col("share")), 6).as("hhi"))
+        sum((col("tok") * col("tok")).cast(Dec)).as("ssq"),
+        sum(col("tok").cast(Dec)).as("tot"))
+      .select(col("lang"), col("n_sources"),
+        round(col("ssq").cast("double")
+          / (col("tot").cast("double") * col("tot").cast("double")), 6)
+          .as("hhi"))
       .orderBy(col("lang"))
   }
 
@@ -218,6 +225,34 @@ object Frequency {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q167_gini" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_tokens, doc_id) AS BIGINT) AS rk
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round((2.0 * CAST(sum(rk * n_tokens) AS DOUBLE)
+        |         - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(n_tokens) AS DOUBLE))
+        |        / (CAST(count(*) AS DOUBLE) * CAST(sum(n_tokens) AS DOUBLE)), 6)
+        |    AS gini
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q170_hhi" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ps AS (SELECT lang, source, CAST(sum(n_tokens) AS BIGINT) AS tok
+        |       FROM t GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |  round(CAST(sum(tok * tok) AS DOUBLE)
+        |        / (CAST(sum(tok) AS DOUBLE) * CAST(sum(tok) AS DOUBLE)), 6)
+        |    AS hhi
+        |FROM ps GROUP BY lang ORDER BY lang""".stripMargin,
     "q127_and_retrieval" ->
       """WITH t AS (
         |  SELECT doc_id, lower(unnest(regexp_split_to_array(text, '\s+'))) AS word

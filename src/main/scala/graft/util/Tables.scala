@@ -29,17 +29,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's µs TimestampType
-    * cannot hold; read it as raw nanos (legacy conf) and floor to µs —
-    * the same truncation DuckDB's date_trunc('microseconds') applies, so
-    * oracle queries stay comparable. Never emit raw `ts` in an
-    * oracle-checked output (DuckDB keeps the ns component).
+  /** events.ts has changed physical type across driver testdata
+    * generations: early rounds wrote parquet TIMESTAMP(NANOS) — which
+    * Spark's µs TimestampType cannot hold, so it is read as raw nanos
+    * (legacy conf) and floored to µs, the same truncation DuckDB's
+    * date_trunc('microseconds') applies — while round-6 data is
+    * timestamp[us], which Spark reads as TIMESTAMP_NTZ. Normalize both
+    * to µs TimestampType here (session TZ is pinned UTC, so the
+    * NTZ→LTZ cast is the identity on the wall clock). Never emit raw
+    * `ts` in an oracle-checked output.
     */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT `/`: double division loses precision at 1.7e18 ns
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      // integer `div`, NOT `/`: double division loses precision at 1.7e18 ns
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
