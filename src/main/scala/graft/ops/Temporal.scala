@@ -213,7 +213,121 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** q168: peak session concurrency per day — the sweep-line interval
+    * operator ("how many sessions were open at once"), the classic
+    * capacity-planning read-out a native engine answers with a
+    * specialized interval index.
+    *
+    * Construction: gap-sessionize per user (30-min idle, the q17
+    * semantics), make each session a half-open interval
+    * [min_ts, max_ts + 1µs), CLIP every interval to UTC day boundaries,
+    * then sweep each day independently: ±1 deltas ordered by
+    * (instant, delta) — ends before starts at the same instant, so
+    * back-to-back sessions never double-count — and the running sum's
+    * max is the day's peak. All arithmetic is integer epoch-µs.
+    *
+    * Scale shape: the day clipping is WHY this survives 100 TB — a
+    * single global sweep would be one totally-ordered running sum (a
+    * single-partition window); clipped segments make the sweep
+    * per-day-partitioned, so every window sorts only that day's
+    * session endpoints and days parallelize freely. Sessions span
+    * midnight at most a handful of times each, so the clip fan-out is
+    * ~1×. Deterministic: ties at the same instant carry equal deltas,
+    * so every tie order yields the same prefix-sum multiset.
+    */
+  def sessionConcurrency(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 86400000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("flag",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sno", sum(col("flag")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sno"))
+      .agg(min(col("us")).as("st"), (max(col("us")) + lit(1L)).as("en"))
+    val segs = sess
+      .withColumn("day", explode(sequence(
+        expr(s"st div ${DayUs}L"), expr(s"(en - 1) div ${DayUs}L"))))
+      .withColumn("seg_st", greatest(col("st"), col("day") * DayUs))
+      .withColumn("seg_en", least(col("en"), (col("day") + 1) * DayUs))
+    val deltas = segs
+      .select(col("day"), col("seg_st").as("t"), lit(1L).as("delta"))
+      .unionAll(segs
+        .select(col("day"), col("seg_en").as("t"), lit(-1L).as("delta")))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+    deltas
+      .withColumn("run", sum(col("delta")).over(
+        wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("peak_concurrency"),
+        count(when(col("delta") === 1L, true)).as("n_active_sessions"))
+      .select(
+        date_format(timestamp_micros(col("day") * DayUs), "yyyy-MM-dd")
+          .as("day"),
+        col("peak_concurrency"), col("n_active_sessions"))
+      .orderBy(col("day"))
+  }
+
+  /** q169: autocorrelation of daily order revenue at calendar lags
+    * 1..7 — the seasonality probe (a strong lag-7 says weekly cycle).
+    * ACF_k here is the Pearson correlation of (revenue_t,
+    * revenue_{t+k}) over all matched day pairs.
+    *
+    * Revenue is quantized to exact integer cents at the day rollup, so
+    * all five moments (Σx, Σy, Σxy, Σx², Σy²) are exact decimal(38,0)
+    * integers — order-independent — and both engines assemble the same
+    * closed form from identical integers with doubles appearing only
+    * in the final expression (the q93/q117 discipline). Products are
+    * taken decimal×decimal, never long×long: day revenue at 100 TB is
+    * ~10¹³ cents and the cross-product ~10²⁶ would wrap int64.
+    *
+    * Scale shape: the only corpus-sized stage is the day-keyed revenue
+    * rollup (map-side combinable). The lag join runs on the CALENDAR-
+    * sized result (|days| rows) as a pure equi-join on day+lag after a
+    * 7× explode — no banded/nested-loop join, nothing here grows with
+    * order count.
+    */
+  def dailyAcf(s: SparkSession, d: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val rev = orders(s, d)
+      .select(
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .as("day"),
+        col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
+          .as("p"))
+      .groupBy(col("day"))
+      .agg((sum(col("p")) * 100).cast("long").as("cents"))
+    val lagged = rev
+      .withColumn("lag", explode(sequence(lit(1), lit(7))))
+      .select((col("day") + col("lag")).as("bday"),
+        col("lag").cast("long").as("lag"), col("cents").as("x"))
+    val joined = lagged.join(
+      rev.select(col("day").as("bday"), col("cents").as("y")), "bday")
+    val n = col("n_pairs").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    joined
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(Dec)).as("sx"),
+        sum(col("y").cast(Dec)).as("sy"),
+        sum(col("x").cast(Dec) * col("y").cast(Dec)).as("sxy"),
+        sum(col("x").cast(Dec) * col("x").cast(Dec)).as("sxx"),
+        sum(col("y").cast(Dec) * col("y").cast(Dec)).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        round((n * dd("sxy") - dd("sx") * dd("sy"))
+          / sqrt((n * dd("sxx") - dd("sx") * dd("sx"))
+            * (n * dd("syy") - dd("sy") * dd("sy"))), 6).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_concurrency"  -> sessionConcurrency _,
+    "q169_daily_acf"    -> dailyAcf _,
     "q134_interval_islands" -> ((s: SparkSession, d: String) => intervalIslands(s, d)),
     "q44_asof_join"     -> asofJoin _,
     "q45_range_join"    -> rangeJoin _,
@@ -223,6 +337,78 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q168_concurrency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS flag,
+        |    event_id
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |snum AS (
+        |  SELECT user_id, us,
+        |    sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+        |  FROM x),
+        |sess AS (
+        |  SELECT user_id, sno, min(us) AS st, max(us) + 1 AS en
+        |  FROM snum GROUP BY 1, 2),
+        |segs AS (
+        |  SELECT st, en,
+        |    unnest(generate_series(st // 86400000000,
+        |                           (en - 1) // 86400000000)) AS day
+        |  FROM sess),
+        |cl AS (
+        |  SELECT day, greatest(st, day * 86400000000) AS seg_st,
+        |    least(en, (day + 1) * 86400000000) AS seg_en
+        |  FROM segs),
+        |deltas AS (
+        |  SELECT day, seg_st AS t, 1 AS delta FROM cl
+        |  UNION ALL
+        |  SELECT day, seg_en AS t, -1 AS delta FROM cl),
+        |runs AS (
+        |  SELECT day, delta,
+        |    sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM deltas)
+        |SELECT strftime(epoch_ms(day * 86400000), '%Y-%m-%d') AS day,
+        |  CAST(max(run) AS BIGINT) AS peak_concurrency,
+        |  CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT)
+        |    AS n_active_sessions
+        |FROM runs GROUP BY day ORDER BY day""".stripMargin,
+    "q169_daily_acf" ->
+      """WITH rev AS (
+        |  SELECT date_diff('day', DATE '1970-01-01',
+        |                   CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, a.cents AS x, b.cents AS y
+        |  FROM rev a CROSS JOIN l
+        |  JOIN rev b ON b.day = a.day + l.lag),
+        |m AS (
+        |  SELECT lag, count(*) AS n_pairs,
+        |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+        |  FROM pairs GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+        |FROM m ORDER BY lag""".stripMargin,
     "q134_interval_islands" ->
       """WITH ev AS (
         |  SELECT user_id, event_id,

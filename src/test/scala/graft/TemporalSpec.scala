@@ -73,4 +73,71 @@ class TemporalSpec extends AnyFunSuite {
       assert(rs.forall(_.getAs[java.lang.Double]("sum_value_locf") != null))
     }
   }
+
+  test("q168 concurrency: peak equals brute-force max over session starts") {
+    import scala.jdk.CollectionConverters._
+    // rebuild the 30-min-gap sessions exactly as the operator does
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts")
+      .collectAsList().asScala
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var st = sorted.head; var en = sorted.head
+      sorted.tail.foreach { us =>
+        if (us - en > 1800000000L) { bounds += ((st, en + 1)); st = us }
+        en = us
+      }
+      bounds += ((st, en + 1))
+      bounds
+    }
+    // peak concurrency per UTC day, brute-force: evaluate the active
+    // count at every day-clipped segment start (the max of a step
+    // function is attained at some step-up instant)
+    val DayUs = 86400000000L
+    val expect = sessions
+      .flatMap { case (st, en) =>
+        (st / DayUs) to ((en - 1) / DayUs) map { day =>
+          (day, math.max(st, day * DayUs), math.min(en, (day + 1) * DayUs))
+        }
+      }
+      .groupBy(_._1).map { case (day, segs) =>
+        val peak = segs.map { case (_, t, _) =>
+          segs.count { case (_, s2, e2) => s2 <= t && t < e2 }
+        }.max
+        day -> (peak.toLong, segs.size.toLong)
+      }
+    val got = Temporal.sessionConcurrency(spark, sf).collect()
+      .map { r =>
+        val day = java.time.LocalDate.parse(r.getAs[String]("day"))
+          .toEpochDay
+        day -> (r.getAs[Long]("peak_concurrency"),
+          r.getAs[Long]("n_active_sessions"))
+      }.toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (day, e) => assert(got(day) == e, s"day=$day") }
+  }
+
+  test("q169 ACF: closed form matches builtin corr within rounding") {
+    import org.apache.spark.sql.functions._
+    val out = Temporal.dailyAcf(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("lag")).toSeq == (1L to 7L))
+    val rev = Tables.orders(spark, sf)
+      .select(datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg((sum(col("p")) * 100).cast("long").as("cents"))
+    out.foreach { r =>
+      val k = r.getAs[Long]("lag").toInt
+      val ref = rev.as("a")
+        .join(rev.as("b"), col("b.day") === col("a.day") + k)
+        .agg(corr(col("a.cents").cast("double"),
+          col("b.cents").cast("double")))
+        .head.getDouble(0)
+      assert(math.abs(r.getAs[Double]("acf") - ref) < 1e-4,
+        s"lag=$k got=${r.getAs[Double]("acf")} ref=$ref")
+    }
+  }
 }
