@@ -215,7 +215,58 @@ object Audit {
         (col("k_size") < k).cast("long").as("at_risk"))
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
 
+  /** Benford's-law first-digit literals, log10(1 + 1/d) quantized to
+    * 6 dp. LITERALS on purpose, mirrored verbatim in the oracle SQL:
+    * computing log10 at runtime would make the gate hang on two libm
+    * implementations agreeing to the last ulp.
+    */
+  private val BenfordExpected = Seq(
+    "1" -> 0.301030, "2" -> 0.176091, "3" -> 0.124939,
+    "4" -> 0.096910, "5" -> 0.079181, "6" -> 0.066947,
+    "7" -> 0.057992, "8" -> 0.051153, "9" -> 0.045757)
+
+  /** q171: Benford's-law first-significant-digit audit of order
+    * totals — the classic fraud/synthetic-data smell test. Emits one
+    * row per digit with observed count, observed frequency, the
+    * Benford expectation, and the deviation; no cross-digit scalar is
+    * aggregated, so there is no order-dependent float summation
+    * anywhere.
+    *
+    * The digit is extracted from the INTEGER cent value's decimal
+    * string — never via log10/double formatting, which differ across
+    * engines at powers of ten.
+    *
+    * Scale shape: one map-side-combinable 9-key aggregation over a
+    * narrow projection; everything after runs on a 9-row table (the
+    * single-partition window is over those 9 rows, free by
+    * construction at any corpus size).
+    */
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    val digits = orders(s, d)
+      .select((col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
+        * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val exp = s.createDataFrame(BenfordExpected.map { case (dg, p) => (dg, p) })
+      .toDF("digit", "expected")
+    digits
+      .withColumn("total", sum(col("n")).over(wAll))
+      .join(exp, "digit")
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("freq"),
+        col("expected"),
+        round(col("n").cast("double") / col("total").cast("double")
+          - col("expected"), 6).as("dev"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
     "q132_audience_overlap" -> audienceOverlap _,
     "q135_fk_audit"        -> fkAudit _,
@@ -225,6 +276,29 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q171_benford" ->
+      """WITH cents AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents
+        |  FROM orders),
+        |d AS (
+        |  SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM cents WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d),
+        |exp AS (
+        |  SELECT * FROM (VALUES
+        |    ('1', 0.301030), ('2', 0.176091), ('3', 0.124939),
+        |    ('4', 0.096910), ('5', 0.079181), ('6', 0.066947),
+        |    ('7', 0.057992), ('8', 0.051153), ('9', 0.045757))
+        |    AS v(digit, expected))
+        |SELECT d.digit, d.n,
+        |  round(CAST(d.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS freq,
+        |  expected,
+        |  round(CAST(d.n AS DOUBLE) / CAST(t.total AS DOUBLE) - expected, 6)
+        |    AS dev
+        |FROM d JOIN exp USING (digit) CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
     "q145_snapshot_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

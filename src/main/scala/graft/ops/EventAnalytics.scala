@@ -642,7 +642,60 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** q173: STREAM-STREAM inner join through the driver gate — the
+    * fourth stateful streaming operator in the registry, and the one
+    * that exercises Spark's symmetric-hash join state: purchases
+    * joined to same-user clicks at most 10 minutes earlier.
+    *
+    * Both sides carry a 1-hour watermark plus the event-time range
+    * condition, which is exactly what lets the state store evict
+    * expired click/purchase rows on an unbounded run — the finite
+    * AvailableNow backlog here is the gate form of the same topology.
+    * Matched pairs append to a distributed parquet sink (no driver
+    * memory sink); the deterministic rollup runs batch-side on the
+    * joined output.
+    *
+    * Scale shape: join state is sharded by user_id like any keyed
+    * shuffle; per-key state is bounded by the watermark horizon
+    * (1 h of events per user), not the stream length.
+    */
+  def streamClickAttribution(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val out = graft.util.TmpDirs.scratch("stream-join")
+    def src = graft.util.Tables.normalizeTs(
+      s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(s"$d/events.parquet*"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val q = purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"))
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_stream_join"     -> streamClickAttribution _,
     "q166_winsorize"       -> winsorize _,
     "q172_ab_lift"         -> abLift _,
     "q116_markov"          -> markovTransitions _,
@@ -670,6 +723,23 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q173_stream_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS cts
+        |      FROM e WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.user_id, purchase_id, click_id
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND cts <= pts AND cts >= pts - INTERVAL 10 MINUTE)
+        |SELECT user_id,
+        |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q166_winsorize" ->
       """WITH b AS (
         |  SELECT event_type,

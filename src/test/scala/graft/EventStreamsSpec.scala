@@ -212,4 +212,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("q173 stream-stream join reproduces the batch interval join exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.util.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val batch = purchases.join(clicks,
+        col("cu") === col("pu") && col("cts") <= col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("pu").as("user_id"))
+      .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id")).collect().toSeq
+    val streamed = graft.ops.EventAnalytics.streamClickAttribution(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }

@@ -220,4 +220,20 @@ class OpsSpec extends AnyFunSuite {
     assert(r(0).getAs[Double]("simpson") == 0.444444)
     assert(r(0).getAs[Double]("eff_vocab") == 1.8)
   }
+
+  test("q171 benford: digit counts partition the orders and freqs sum to 1") {
+    val out = graft.ops.Audit.benfordAudit(spark, sf).collect()
+    assert(out.map(_.getAs[String]("digit")).toSeq == (1 to 9).map(_.toString))
+    val nOrders = graft.util.Tables.orders(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum == nOrders)
+    val freqSum = out.map(_.getAs[Double]("freq")).sum
+    assert(math.abs(freqSum - 1.0) < 1e-5)
+    // dev is freq minus the Benford literal, rounded
+    out.foreach { r =>
+      val dev = r.getAs[Double]("dev")
+      val expect = BigDecimal(r.getAs[Double]("freq") - r.getAs[Double]("expected"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(dev - expect) < 1e-6)
+    }
+  }
 }
