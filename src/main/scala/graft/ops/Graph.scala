@@ -223,13 +223,87 @@ object Graph {
     layers
   }
 
+  /** q174: market-basket association rules over the part co-purchase
+    * incidence — support / confidence / lift for directed rules u→v
+    * with pair support ≥ 2, top 10 by (lift, confidence) with total
+    * (u, v) tie-break. The classic "customers who bought X also
+    * bought Y" mining pass, sharing q126's basket-bounded pair build.
+    *
+    * Every metric is a ratio of exact integer counts assembled in one
+    * double expression (identical on both engines); no float
+    * accumulation.
+    *
+    * Scale shape: pair expansion is bounded by basket width (≤ 21
+    * pairs/order at TPC-H line counts); pair and item counts are
+    * map-side-combinable keyed aggs; item counts and the 1-row order
+    * total broadcast onto the pair table (the q147/q149 allowed
+    * scalar-BNLJ shape); final top-10 is TakeOrderedAndProject — no
+    * global sort, nothing driver-side.
+    */
+  def assocRules(s: SparkSession, d: String,
+      minSupport: Long = 2L, topK: Int = 10): DataFrame = {
+    val inc = incidence(s, d)
+    val nOrders = inc.select(countDistinct(col("o")).as("n_orders"))
+    val item = inc.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+    val pairs = inc.as("a").join(inc.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("cuv"))
+      .filter(col("cuv") >= minSupport)
+    val directed = pairs.select(col("u"), col("v"), col("cuv"))
+      .unionAll(pairs.select(col("v").as("u"), col("u").as("v"), col("cuv")))
+    directed
+      .join(broadcast(item.select(col("p").as("u"), col("cp").as("cu"))),
+        Seq("u"))
+      .join(broadcast(item.select(col("p").as("v"), col("cp").as("cv"))),
+        Seq("v"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("u"), col("v"), col("cuv"),
+        round(col("cuv").cast("double") / col("n_orders").cast("double"), 6)
+          .as("support"),
+        round(col("cuv").cast("double") / col("cu").cast("double"), 6)
+          .as("confidence"),
+        round(col("cuv").cast("double") * col("n_orders").cast("double")
+          / (col("cu").cast("double") * col("cv").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_assoc_rules" -> ((s: SparkSession, d: String) => assocRules(s, d)),
     "q126_triangles" -> ((s: SparkSession, d: String) => triangleParts(s, d)),
     "q130_pagerank"  -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "q133_bfs_reach" -> ((s: SparkSession, d: String) => bfsReach(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q174_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+        |item AS (SELECT p, CAST(count(*) AS BIGINT) AS cp FROM li GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS cuv
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |directed AS (
+        |  SELECT u, v, cuv FROM pairs
+        |  UNION ALL
+        |  SELECT v AS u, u AS v, cuv FROM pairs)
+        |SELECT d.u, d.v, d.cuv,
+        |  round(CAST(d.cuv AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(d.cuv AS DOUBLE) / CAST(iu.cp AS DOUBLE), 6)
+        |    AS confidence,
+        |  round(CAST(d.cuv AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+        |    / (CAST(iu.cp AS DOUBLE) * CAST(iv.cp AS DOUBLE)), 6) AS lift
+        |FROM directed d
+        |JOIN item iu ON iu.p = d.u
+        |JOIN item iv ON iv.p = d.v
+        |CROSS JOIN n
+        |ORDER BY lift DESC, confidence DESC, u, v
+        |LIMIT 10""".stripMargin,
     "q130_pagerank" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT a.p AS u, b.p AS v FROM li a

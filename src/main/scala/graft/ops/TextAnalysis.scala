@@ -142,7 +142,18 @@ object TextAnalysis {
     */
   def bm25(s: SparkSession, d: String,
       terms: Seq[String] = Seq("hash", "join", "scan"),
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(s, d, terms, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+
+  /** Unrounded per-doc BM25 scores — q103's scorer, reused by the RRF
+    * fusion (q175), which needs the raw ranking, not the rounded
+    * top-10 projection.
+    */
+  private[graft] def bm25Scores(s: SparkSession, d: String,
+      terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), toks.as("ws"))
       .select(col("doc_id"), col("ws"),
@@ -163,9 +174,6 @@ object TextAnalysis {
       .withColumn("term_score", idf * col("tf") * lit(k1 + 1) / norm)
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
-      .select(col("doc_id"), round(col("score"), 4).as("bm25"))
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
@@ -503,9 +511,109 @@ object TextAnalysis {
     "q25_lang_id"      -> langId _,
     "q103_bm25"        -> ((s: SparkSession, d: String) => bm25(s, d)),
     "q104_textrank"    -> ((s: SparkSession, d: String) => textRank(s, d)),
+    "q175_rrf_fusion"  -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
   )
 
+  /** q175: reciprocal-rank fusion (Cormack et al. 2009) of the two
+    * retrieval modalities the registry already serves — the lexical
+    * BM25 ranking (q103's scorer) and the embedding cosine ranking
+    * (q30's scorer, query = vector 0, vec_id ≡ doc_id) — into one
+    * hybrid top-10: RRF(d) = Σ_modality 1/(60 + rank_modality(d)).
+    *
+    * Determinism: ranks are integers with total tie-breaks
+    * (score desc, doc_id), each doc's RRF score is at most TWO double
+    * terms combined in one fixed expression — no variable-order float
+    * accumulation anywhere.
+    *
+    * Scale shape: each modality reduces corpus-sized scoring to a
+    * top-20 via TakeOrderedAndProject (no global sort); the
+    * single-partition row_number windows run on those 20-row lists —
+    * bounded by the fusion width, not the corpus — and the fusion
+    * join is 20×20 at any scale.
+    */
+  def rrfFusion(s: SparkSession, d: String,
+      kRrf: Int = 60, topN: Int = 20): DataFrame = {
+    val lexTop = bm25Scores(s, d, Seq("hash", "join", "scan"), 1.2, 0.75)
+      .orderBy(col("score").desc, col("doc_id")).limit(topN)
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = lexTop
+      .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val semTop = e.crossJoin(broadcast(q))
+      .withColumn("cos", graft.functions.CosineSimilarity
+        .cosineSimilarity(col("embedding"), col("qe")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(topN)
+    val wSem = Window.orderBy(col("cos").desc, col("vec_id"))
+    val sem = semTop
+      .withColumn("r_sem", row_number().over(wSem).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"),
+        round(
+          when(col("r_lex").isNotNull,
+            lit(1.0) / (col("r_lex") + kRrf)).otherwise(lit(0.0)) +
+          when(col("r_sem").isNotNull,
+            lit(1.0) / (col("r_sem") + kRrf)).otherwise(lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q175_rrf_fusion" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         avg(CAST(len(ws) AS DOUBLE)) AS avgdl
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, word, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+        |               lower(unnest(ws)) AS word
+        |        FROM docs)
+        |  WHERE word IN ('hash', 'join', 'scan')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+        |        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN stats
+        |  GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS BIGINT) AS r_lex
+        |  FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_sum([CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |              for i in range(1, len(qe) + 1)])
+        |    / (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                      for i in range(1, len(qe) + 1)]))
+        |       * sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+        |                        * CAST(embedding[i] AS DOUBLE)
+        |                        for i in range(1, len(embedding) + 1)]))) AS cos
+        |  FROM embeddings e CROSS JOIN qv),
+        |sem AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+        |    AS BIGINT) AS r_sem
+        |  FROM cs ORDER BY cos DESC, doc_id LIMIT 20)
+        |SELECT doc_id,
+        |  coalesce(r_lex, 0) AS r_lex,
+        |  coalesce(r_sem, 0) AS r_sem,
+        |  round(CASE WHEN r_lex IS NOT NULL THEN 1.0 / (r_lex + 60) ELSE 0 END
+        |      + CASE WHEN r_sem IS NOT NULL THEN 1.0 / (r_sem + 60) ELSE 0 END,
+        |      6) AS rrf
+        |FROM lex FULL OUTER JOIN sem USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q163_quantile_norm" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS toks

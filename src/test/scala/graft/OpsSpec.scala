@@ -221,6 +221,39 @@ class OpsSpec extends AnyFunSuite {
     assert(r(0).getAs[Double]("eff_vocab") == 1.8)
   }
 
+  test("q174 assoc rules: metrics are consistent ratios and lift is symmetric") {
+    val out = graft.ops.Graph.assocRules(spark, sf, minSupport = 2L, topK = 1000)
+      .collect()
+    assert(out.nonEmpty)
+    val byPair = out.map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) -> r).toMap
+    out.foreach { r =>
+      assert(r.getAs[Double]("confidence") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("support") > 0.0)
+      // lift(u->v) == lift(v->u): same cuv, same denominator product
+      byPair.get((r.getAs[Long]("v"), r.getAs[Long]("u"))).foreach { rev =>
+        assert(rev.getAs[Double]("lift") == r.getAs[Double]("lift"))
+        assert(rev.getAs[Long]("cuv") == r.getAs[Long]("cuv"))
+      }
+    }
+  }
+
+  test("q175 RRF: doc 0 tops the semantic list and scores stay in range") {
+    val out = graft.ops.TextAnalysis.rrfFusion(spark, sf).collect()
+    assert(out.length == 10)
+    // query vector IS vec 0, so doc 0 must carry semantic rank 1
+    val d0 = out.find(_.getAs[Long]("doc_id") == 0L)
+    assert(d0.forall(_.getAs[Long]("r_sem") == 1L))
+    out.foreach { r =>
+      val rrf = r.getAs[Double]("rrf")
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-9)
+      // a fused doc appears in at least one modality
+      assert(r.getAs[Long]("r_lex") > 0L || r.getAs[Long]("r_sem") > 0L)
+    }
+    // descending by fused score
+    val scores = out.map(_.getAs[Double]("rrf")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   test("q171 benford: digit counts partition the orders and freqs sum to 1") {
     val out = graft.ops.Audit.benfordAudit(spark, sf).collect()
     assert(out.map(_.getAs[String]("digit")).toSeq == (1 to 9).map(_.toString))
