@@ -694,7 +694,90 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** q176: Shannon entropy of each user's event-type mix — the
+    * behavioral-diversity score (entropy 0 = single-type bot-like
+    * traffic; high entropy = organic usage).
+    *
+    * Determinism: the q129 micro-nat discipline — each type's term
+    * (c/n)·ln(n/c) is computed from exact integer (c, n), quantized
+    * ONCE to integer nano-nats (floor(x·1e9 + 0.5)), and the per-user
+    * aggregation is exact integer addition: order-free at any core
+    * count, bit-identical in DuckDB.
+    *
+    * Scale shape: one (user, type)-keyed map-side-combinable count,
+    * a user-keyed window over ≤ |types| rows per user for the total,
+    * and one user-keyed rollup — all shuffles carry (user, type, long)
+    * triples, never events.
+    */
+  def typeEntropy(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(byUser))
+      .withColumn("q", floor(
+        (col("c").cast("double") / col("n").cast("double"))
+          * log(col("n").cast("double") / col("c").cast("double"))
+          * 1e9 + lit(0.5)).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(sum(col("q")).cast("double") / 1e9, 6).as("entropy_nat"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q177: CUSUM changepoint detection on daily order revenue — the
+    * level-shift locator ("when did the business change"). For day t
+    * (1-indexed over the T observed days), the centered cumulative sum
+    * is prefix_t − t·(S/T); we scale by T to stay integral:
+    * dev_t = T·prefix_t − t·S, an EXACT integer in decimal(38,0)
+    * (T·prefix at 100 TB is ~10¹⁹⁺ and would wrap int64). The top-5
+    * days by |dev| are emitted with the conventional dollars-scale
+    * CUSUM (dev/(T·100¢)), doubles appearing only in that final
+    * projection.
+    *
+    * Scale shape: the only corpus-sized stage is the day-keyed revenue
+    * rollup; the prefix-sum window and ranking run on the CALENDAR-
+    * sized day table (the q162 catalog-window argument), and the 1-row
+    * (T, S) total broadcasts (allowed scalar BNLJ).
+    */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    // 28-digit sums × 10-digit scalars: product width 38 stays exact
+    // in BOTH engines (DuckDB multiply width = w1+w2 must be ≤ 38)
+    val Dec28 = DataTypes.createDecimalType(28, 0)
+    val Dec10 = DataTypes.createDecimalType(10, 0)
+    val rev = orders(s, d)
+      .select(
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .as("day"),
+        col("o_totalprice").cast(DataTypes.createDecimalType(18, 2)).as("p"))
+      .groupBy(col("day"))
+      .agg((sum(col("p")) * 100).cast("long").as("cents"))
+    val tot = rev.agg(count(lit(1)).as("nd"),
+      sum(col("cents").cast(Dec28)).as("s_total"))
+    val wOrd = Window.orderBy(col("day"))
+    rev
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("prefix", sum(col("cents").cast(Dec28)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev",
+        col("nd").cast(Dec10) * col("prefix").cast(Dec28)
+          - col("t").cast(Dec10) * col("s_total").cast(Dec28))
+      .withColumn("absdev", abs(col("dev")))
+      .orderBy(col("absdev").desc, col("day"))
+      .limit(5)
+      .select(
+        date_format(timestamp_micros(col("day") * 86400000000L), "yyyy-MM-dd")
+          .as("day"),
+        col("t"),
+        round(col("dev").cast("double")
+          / (col("nd").cast("double") * 100.0), 2).as("cusum_dollars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_type_entropy"    -> typeEntropy _,
+    "q177_cusum"           -> cusumChangepoint _,
     "q173_stream_join"     -> streamClickAttribution _,
     "q166_winsorize"       -> winsorize _,
     "q172_ab_lift"         -> abLift _,
@@ -723,6 +806,55 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q176_type_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, c,
+        |    CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM c),
+        |q AS (
+        |  SELECT user_id, n,
+        |    CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+        |      * 1e9 + 0.5) AS BIGINT) AS q
+        |  FROM w)
+        |SELECT user_id, max(n) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  round(CAST(sum(q) AS DOUBLE) / 1e9, 6) AS entropy_nat
+        |FROM q GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q177_cusum" ->
+      """WITH rev AS (
+        |  SELECT date_diff('day', DATE '1970-01-01',
+        |                   CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(CAST(cents AS DECIMAL(28,0))) AS DECIMAL(28,0))
+        |      AS s_total
+        |  FROM rev),
+        |pre AS (
+        |  SELECT day,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(CAST(cents AS DECIMAL(28,0)))
+        |      OVER (ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(28,0)) AS prefix
+        |  FROM rev),
+        |dev AS (
+        |  SELECT day, t, nd,
+        |    CAST(nd AS DECIMAL(10,0)) * prefix
+        |      - CAST(t AS DECIMAL(10,0)) * s_total AS dev
+        |  FROM pre CROSS JOIN tot)
+        |SELECT strftime(epoch_ms(day * 86400000), '%Y-%m-%d') AS day, t,
+        |  round(CAST(dev AS DOUBLE) / (CAST(nd AS DOUBLE) * 100.0), 2)
+        |    AS cusum_dollars
+        |FROM dev
+        |ORDER BY abs(dev) DESC, day
+        |LIMIT 5""".stripMargin,
     "q173_stream_join" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -254,6 +254,47 @@ class OpsSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("q176 entropy: bounds hold and single-type users score zero") {
+    val out = graft.ops.EventAnalytics.typeEntropy(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getAs[Double]("entropy_nat")
+      val k = r.getAs[Long]("n_types")
+      assert(h >= 0.0)
+      // Shannon bound: H <= ln(k) (+ quantization slack)
+      assert(h <= math.log(k.toDouble) + 1e-6, s"user=${r.get(0)} h=$h k=$k")
+      if (k == 1L) assert(h == 0.0)
+    }
+  }
+
+  test("q177 CUSUM: dev recomputes from the raw prefix sums") {
+    val out = graft.ops.EventAnalytics.cusumChangepoint(spark, sf).collect()
+    assert(out.length == 5)
+    // brute-force the same statistic driver-side
+    import org.apache.spark.sql.functions._
+    val rev = graft.util.Tables.orders(spark, sf)
+      .select(datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg((sum(col("p")) * 100).cast("long").as("cents"))
+      .orderBy("day").collect().map(r => (r.getAs[Int]("day"), r.getAs[Long]("cents")))
+    val nd = rev.length.toLong
+    val s = rev.map(x => BigInt(x._2)).sum
+    var prefix = BigInt(0)
+    val devs = rev.zipWithIndex.map { case ((day, c), i) =>
+      prefix += c
+      (day, i + 1L, BigInt(nd) * prefix - BigInt(i + 1) * s)
+    }
+    val top = devs.sortBy { case (day, _, dev) => (-dev.abs, day) }.take(5)
+    out.zip(top).foreach { case (r, (day, t, dev)) =>
+      assert(java.time.LocalDate.parse(r.getAs[String]("day")).toEpochDay == day.toLong)
+      assert(r.getAs[Long]("t") == t)
+      val expect = (BigDecimal(dev) / (BigDecimal(nd) * 100))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("cusum_dollars") - expect) < 0.02)
+    }
+  }
+
   test("q171 benford: digit counts partition the orders and freqs sum to 1") {
     val out = graft.ops.Audit.benfordAudit(spark, sf).collect()
     assert(out.map(_.getAs[String]("digit")).toSeq == (1 to 9).map(_.toString))
