@@ -242,7 +242,10 @@ object Graph {
     */
   def assocRules(s: SparkSession, d: String,
       minSupport: Long = 2L, topK: Int = 10): DataFrame = {
-    val inc = incidence(s, d)
+    // cache the incidence: it feeds the order total, the item counts
+    // AND both sides of the pair self-join — uncached, the distinct
+    // shuffle reruns 4×
+    val inc = graft.util.CacheRegistry.register(incidence(s, d).cache())
     val nOrders = inc.select(countDistinct(col("o")).as("n_orders"))
     val item = inc.groupBy(col("p")).agg(count(lit(1)).as("cp"))
     val pairs = inc.as("a").join(inc.as("b"),
