@@ -526,7 +526,47 @@ object Breadth {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bin"))
 
+  /** q179: the Observation/CollectMetrics API — pipeline-health
+    * counters collected ON THE SIDE of a real pass instead of a second
+    * scan. The query runs one filtering pass over lineitem (the
+    * "work"), piggybacks row/sum/min/max metrics on it via
+    * `Dataset.observe`, and emits the observed metrics as the result —
+    * the exactly-once metrics pattern a production pipeline wires into
+    * its batch listener.
+    *
+    * Determinism: all observed values are exact (counts, DECIMAL sum,
+    * string min/max); the sum is rounded in decimal domain.
+    *
+    * Scale shape: CollectMetricsExec accumulates per-partition and
+    * merges on the driver — zero extra jobs, zero shuffles beyond the
+    * pass it rides on; the pass itself is one filter+count over the
+    * pruned scan.
+    */
+  def observedMetrics(s: SparkSession, d: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation()
+    val passed = lineitem(s, d)
+      .filter(col("l_quantity") >= 25)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast(DataTypes.createDecimalType(28, 6)))
+          .as("sum_price"),
+        min(col("l_returnflag")).as("min_flag"),
+        max(col("l_linestatus")).as("max_status"))
+      .count() // the action the metrics ride on
+    val m = obs.get
+    import s.implicits._
+    Seq((
+      passed,
+      m("n_rows").asInstanceOf[Long],
+      BigDecimal(m("sum_price").asInstanceOf[java.math.BigDecimal])
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      m("min_flag").asInstanceOf[String],
+      m("max_status").asInstanceOf[String]))
+      .toDF("n_passed", "n_rows", "sum_price", "min_flag", "max_status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_observe" -> observedMetrics _,
     "q120_weighted_sample"  -> weightedSample _,
     "q121_zscore_outliers"  -> zscoreOutliers _,
     "q122_skyline"          -> skyline _,
@@ -552,6 +592,14 @@ object Breadth {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q179_observe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_passed,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2)
+        |    AS DOUBLE) AS sum_price,
+        |  min(l_returnflag) AS min_flag,
+        |  max(l_linestatus) AS max_status
+        |FROM lineitem WHERE l_quantity >= 25""".stripMargin,
     "q123_zorder" ->
       """WITH t AS (
         |  SELECT date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))

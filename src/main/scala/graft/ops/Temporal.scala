@@ -325,7 +325,58 @@ object Temporal {
       .orderBy(col("lag"))
   }
 
+  /** q178: Theil-Sen robust trend of daily revenue — the median of all
+    * pairwise day-slopes, reported next to the classical OLS slope
+    * (q117's moment form). The robust estimator ignores the revenue
+    * spikes that drag OLS around: the two numbers disagreeing IS the
+    * signal.
+    *
+    * Determinism: every slope is one double division of exact integer
+    * (Δcents, Δdays); both engines then take the interpolated median
+    * of identical double multisets (same two middle elements, same
+    * (a+b)/2). The OLS side is assembled from exact decimal moments.
+    *
+    * Scale shape: the pair table is CALENDAR² (~3M pairs for a decade
+    * of days) — a constant independent of corpus size, which is the
+    * only reason an all-pairs inequality join is acceptable here; the
+    * corpus contributes one day-keyed rollup. The same bound holds at
+    * 100 TB: more orders change the cents, not the day count.
+    */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val rev = orders(s, d)
+      .select(
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .as("day"),
+        col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
+          .as("p"))
+      .groupBy(col("day"))
+      .agg((sum(col("p")) * 100).cast("long").as("cents"))
+    val cached = graft.util.CacheRegistry.register(rev.cache())
+    val pairs = cached.as("a").join(cached.as("b"),
+        col("b.day") > col("a.day"))
+      .select(((col("b.cents") - col("a.cents")).cast("double")
+        / (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    val sen = pairs.agg(count(lit(1)).as("n_pairs"),
+      expr("percentile(slope, 0.5)").as("sen_cents"))
+    val ols = cached
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day").cast(Dec)).as("sx"),
+        sum(col("cents").cast(Dec)).as("sy"),
+        sum(col("day").cast(Dec) * col("cents").cast(Dec)).as("sxy"),
+        sum(col("day").cast(Dec) * col("day").cast(Dec)).as("sxx"))
+    def dd(c: String) = col(c).cast("double")
+    sen.crossJoin(broadcast(ols))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("sen_cents") / 100.0, 4).as("sen_slope_dollars"),
+        round((dd("n_days") * dd("sxy") - dd("sx") * dd("sy"))
+          / (dd("n_days") * dd("sxx") - dd("sx") * dd("sx")) / 100.0, 4)
+          .as("ols_slope_dollars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_theil_sen"    -> theilSen _,
     "q168_concurrency"  -> sessionConcurrency _,
     "q169_daily_acf"    -> dailyAcf _,
     "q134_interval_islands" -> ((s: SparkSession, d: String) => intervalIslands(s, d)),
@@ -337,6 +388,38 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q178_theil_sen" ->
+      """WITH rev AS (
+        |  SELECT date_diff('day', DATE '1970-01-01',
+        |                   CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT CAST(b.cents - a.cents AS DOUBLE)
+        |       / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM rev a JOIN rev b ON b.day > a.day),
+        |sen AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    quantile_cont(slope, 0.5) AS sen_cents
+        |  FROM pairs),
+        |ols AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(CAST(day AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(cents AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(day AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+        |      AS sxy,
+        |    sum(CAST(day AS DECIMAL(19,0)) * CAST(day AS DECIMAL(19,0)))
+        |      AS sxx
+        |  FROM rev)
+        |SELECT n_days, n_pairs,
+        |  round(sen_cents / 100.0, 4) AS sen_slope_dollars,
+        |  round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 4)
+        |    AS ols_slope_dollars
+        |FROM sen CROSS JOIN ols""".stripMargin,
     "q168_concurrency" ->
       """WITH ev AS (
         |  SELECT user_id, event_id,

@@ -295,6 +295,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q179 observe: side-channel metrics equal a direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Breadth.observedMetrics(spark, sf).head()
+    val direct = graft.util.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 25)
+      .agg(count(lit(1)),
+        round(sum(col("l_extendedprice").cast("decimal(28,6)")), 2)
+          .cast("double"),
+        min(col("l_returnflag")), max(col("l_linestatus"))).head()
+    assert(out.getAs[Long]("n_passed") == direct.getLong(0))
+    assert(out.getAs[Long]("n_rows") == direct.getLong(0))
+    assert(out.getAs[Double]("sum_price") == direct.getDouble(1))
+    assert(out.getAs[String]("min_flag") == direct.getString(2))
+    assert(out.getAs[String]("max_status") == direct.getString(3))
+  }
+
   test("q171 benford: digit counts partition the orders and freqs sum to 1") {
     val out = graft.ops.Audit.benfordAudit(spark, sf).collect()
     assert(out.map(_.getAs[String]("digit")).toSeq == (1 to 9).map(_.toString))

@@ -120,6 +120,28 @@ class TemporalSpec extends AnyFunSuite {
     expect.foreach { case (day, e) => assert(got(day) == e, s"day=$day") }
   }
 
+  test("q178 Theil-Sen: slope equals the driver-side median of pair slopes") {
+    import org.apache.spark.sql.functions._
+    val rev = Tables.orders(spark, sf)
+      .select(datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("day").agg((sum(col("p")) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getAs[Int]("day"), r.getAs[Long]("cents")))
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- rev.indices; j <- (i + 1) until rev.length
+    } yield (rev(j)._2 - rev(i)._2).toDouble / (rev(j)._1 - rev(i)._1))
+      .sorted
+    val n = slopes.length
+    val median = if (n % 2 == 1) slopes(n / 2)
+      else (slopes(n / 2 - 1) + slopes(n / 2)) / 2
+    val out = Temporal.theilSen(spark, sf).head()
+    assert(out.getAs[Long]("n_days") == rev.length.toLong)
+    assert(out.getAs[Long]("n_pairs") == n.toLong)
+    assert(math.abs(out.getAs[Double]("sen_slope_dollars") - median / 100.0) < 1e-3)
+  }
+
   test("q169 ACF: closed form matches builtin corr within rounding") {
     import org.apache.spark.sql.functions._
     val out = Temporal.dailyAcf(spark, sf).collect()
