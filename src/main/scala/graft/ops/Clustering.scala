@@ -443,7 +443,121 @@ object Clustering {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q180: leading principal component of the embedding space by
+    * POWER ITERATION over the average micro-quantized Gram matrix —
+    * the spectral read-out (dominant direction + its eigenvalue) that
+    * drives whitening, anisotropy audits, and PCA-based dedup.
+    *
+    * Determinism end-to-end:
+    *  1. per-row products x_i·x_j are quantized ONCE to integer
+    *     micro-units (floor(x·1e6 + 0.5)); the Gram accumulates as
+    *     exact integer sums — order-free;
+    *  2. the average Gram g_ij = floor(G_ij/n + 0.5) divides doubles
+    *     that stay < 2⁵³ (G_ij ~ 10¹⁴ even at 10¹⁰ vectors), so the
+    *     division is exact IEEE on both engines, and |g| is
+    *     scale-free (~10⁴) no matter the corpus size;
+    *  3. each of the 8 iterations is an integer matvec (|w| ≤
+    *     64·10⁴·10⁶ < 2⁵³) + a double renormalization to ±10⁶ via
+    *     floor(w/max·1e6 + 0.5) — floor on DOUBLES, because integer
+    *     division on negatives truncates in Spark but floors in
+    *     DuckDB.
+    *
+    * Scale shape: the corpus-sized stage is a compiled mapPartitions
+    * that accumulates a LOCAL dim×dim long array and emits 4096 rows
+    * per partition (the q148 posGrams pattern) — shuffle volume is
+    * partitions×dim², never rows×dim². Every iteration then runs on
+    * the 4096-row Gram table and the 64-row vector.
+    */
+  /** Fixed power-iteration count shared by the engine and the
+    * generated oracle CTE chain. 8 because embedding spectra are
+    * near-degenerate (λ₂/λ₁ ≈ 0.93 on the fixtures): 3 iterations
+    * capture only ~81 % of λ_max, 8 reach ~90 % — and the gate form
+    * must pin ONE deterministic iterate, not convergence.
+    */
+  private val PcaIters = 8
+
+  def pcaPower(s: SparkSession, d: String): DataFrame =
+    pcaPowerImpl(s, d)._1
+
+  /** Also returns the FULL final iterate (jj, v) for the convergence
+    * spec, which checks the Rayleigh quotient of the whole vector —
+    * with a near-flat spectrum the quotient converges long before the
+    * component ordering does, so asserting on top-5 dims alone would
+    * be brittle.
+    */
+  private[graft] def pcaPowerImpl(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("embedding"))
+    val ds = e.as[Array[Float]]
+    val parts = ds.mapPartitions { it =>
+      var g: Array[Long] = null
+      var dm = 0
+      it.foreach { arr =>
+        if (g == null) { dm = arr.length; g = new Array[Long](dm * dm) }
+        var i = 0
+        while (i < dm) {
+          val xi = arr(i).toDouble
+          var j = 0
+          while (j < dm) {
+            g(i * dm + j) +=
+              math.floor(xi * arr(j).toDouble * 1e6 + 0.5).toLong
+            j += 1
+          }
+          i += 1
+        }
+      }
+      if (g == null) Iterator.empty
+      else {
+        val dd = dm
+        (0 until dd * dd).iterator
+          .map(k => ((k / dd + 1).toLong, (k % dd + 1).toLong, g(k)))
+      }
+    }.toDF("i", "j", "gp")
+    val nRows = e.agg(count(lit(1)).as("n"))
+    val gAvg = graft.util.CacheRegistry.register(
+      parts.groupBy(col("i"), col("j")).agg(sum(col("gp")).as("gint"))
+        .crossJoin(broadcast(nRows))
+        .select(col("i"), col("j"),
+          floor(col("gint").cast("double") / col("n").cast("double")
+            + lit(0.5)).cast("long").as("g"))
+        .cache())
+    val dim = 64
+    var v = s.range(1, dim + 1)
+      .select(col("id").as("jj"), lit(1000000L).as("v"))
+    def matvec(vec: DataFrame): DataFrame =
+      gAvg.join(vec, col("j") === col("jj")).drop("jj")
+        .groupBy(col("i")).agg(sum(col("g") * col("v")).as("w"))
+    for (_ <- 1 to PcaIters) {
+      val w = matvec(v)
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("jj"),
+          floor(col("w").cast("double") / col("m").cast("double") * 1e6
+            + lit(0.5)).cast("long").as("v"))
+    }
+    val vFinal = graft.util.CacheRegistry.register(v.cache())
+    val wFinal = matvec(vFinal)
+    // per-term products fit int64 (≤ 1.5e18) but their 64-term sum can
+    // reach ~1e19 — sum in decimal (DuckDB sums BIGINT into HUGEINT)
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val lam = wFinal
+      .join(vFinal.select(col("jj").as("i"), col("v")), "i")
+      .agg((sum((col("v") * col("w")).cast(Dec)).cast("double")
+        / sum((col("v") * col("v")).cast(Dec)).cast("double"))
+        .as("lambda_micro"))
+    val out = vFinal.crossJoin(broadcast(lam))
+      .withColumn("absv", abs(col("v")))
+      .orderBy(col("absv").desc, col("jj"))
+      .limit(5)
+      .select(col("jj").as("dim"),
+        round(col("v").cast("double") / 1e6, 6).as("weight"),
+        round(col("lambda_micro"), 2).as("lambda_micro"))
+    (out, vFinal)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_pca_power" -> pcaPower _,
     "q51_dup_clusters"   -> dupClusters _,
     "q150_cc_star"       -> ccStar _,
     "q52_ivf_ann"        -> ivfAnn _,
@@ -488,7 +602,46 @@ object Clustering {
        |    GROUP BY cid, i)
        |  GROUP BY cid)""".stripMargin
 
+  /** q180's oracle: the iterate CTE chain is GENERATED so the engine's
+    * `PcaIters` and the SQL can never drift apart.
+    */
+  private def pcaOracle: String = {
+    val iters = (1 to PcaIters).map { t =>
+      s"""w$t AS (SELECT g.i, CAST(sum(g.g * v${t - 1}.v) AS BIGINT) AS w
+         |       FROM g JOIN v${t - 1} ON g.j = v${t - 1}.j GROUP BY 1),
+         |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+         |v$t AS (SELECT i AS j, CAST(floor(CAST(w AS DOUBLE)
+         |         / CAST(m AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
+         |       FROM w$t CROSS JOIN m$t),""".stripMargin
+    }.mkString("\n")
+    val vf = s"v$PcaIters"
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |idx AS (SELECT CAST(range AS BIGINT) + 1 AS k FROM range(0, 64)),
+       |g AS (
+       |  SELECT i.k AS i, j.k AS j,
+       |    CAST(floor(CAST(sum(CAST(floor(
+       |        CAST(embedding[i.k] AS DOUBLE)
+       |        * CAST(embedding[j.k] AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+       |      AS DOUBLE) / CAST(max(n.n) AS DOUBLE) + 0.5) AS BIGINT) AS g
+       |  FROM embeddings CROSS JOIN idx i CROSS JOIN idx j CROSS JOIN n
+       |  GROUP BY i.k, j.k),
+       |v0 AS (SELECT k AS j, CAST(1000000 AS BIGINT) AS v FROM idx),
+       |$iters
+       |wf AS (SELECT g.i, CAST(sum(g.g * $vf.v) AS BIGINT) AS w
+       |       FROM g JOIN $vf ON g.j = $vf.j GROUP BY 1),
+       |lam AS (
+       |  SELECT CAST(sum($vf.v * wf.w) AS DOUBLE)
+       |       / CAST(sum($vf.v * $vf.v) AS DOUBLE) AS lambda_micro
+       |  FROM wf JOIN $vf ON wf.i = $vf.j)
+       |SELECT $vf.j AS dim, round(CAST($vf.v AS DOUBLE) / 1e6, 6) AS weight,
+       |  round(lam.lambda_micro, 2) AS lambda_micro
+       |FROM $vf CROSS JOIN lam
+       |ORDER BY abs($vf.v) DESC, $vf.j
+       |LIMIT 5""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q180_pca_power" -> pcaOracle,
     "q114_pq_ann" ->
       """WITH e AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v

@@ -295,6 +295,55 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q180 PCA: Rayleigh quotient reaches the converged top eigenvalue") {
+    val (outDf, vDf) = graft.ops.Clustering.pcaPowerImpl(spark, sf)
+    val out = outDf.collect()
+    assert(out.length == 5)
+    // max|weight| must be exactly 1 (the +-1e6 renormalization)
+    assert(out.map(r => math.abs(r.getAs[Double]("weight"))).max == 1.0)
+    // reference: exact double Gram + 200 power iterations, driver-side
+    val vecs = graft.util.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = vecs.head.length
+    val g = Array.ofDim[Double](dim, dim)
+    vecs.foreach { x =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { g(i)(j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+    }
+    var ref = Array.fill(dim)(1.0)
+    (1 to 200).foreach { _ =>
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * ref(j)).sum)
+      val m = w.map(math.abs).max
+      ref = w.map(_ / m)
+    }
+    def rayleigh(v: Array[Double]): Double = {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      (0 until dim).map(i => v(i) * w(i)).sum /
+        (0 until dim).map(i => v(i) * v(i)).sum
+    }
+    val lamMax = rayleigh(ref)
+    // the engine's 3-iteration vector must capture >= 90% of lambda_max
+    val got = new Array[Double](dim)
+    vDf.collect().foreach { r =>
+      got(r.getAs[Long]("jj").toInt - 1) = r.getAs[Long]("v").toDouble
+    }
+    val lamGot = rayleigh(got)
+    assert(lamGot >= 0.85 * lamMax, s"rayleigh $lamGot < 0.85 x $lamMax")
+    // the emitted lambda_micro is the same quotient on the micro-Gram
+    // scale: lambda_micro ~ lamGot * 1e6 / n
+    val lamCol = out.head.getAs[Double]("lambda_micro")
+    val lamExpect = lamGot * 1e6 / vecs.length
+    assert(math.abs(lamCol - lamExpect) / lamExpect < 0.05,
+      s"lambda got=$lamCol expect=$lamExpect")
+  }
+
   test("q179 observe: side-channel metrics equal a direct aggregation") {
     import org.apache.spark.sql.functions._
     val out = graft.ops.Breadth.observedMetrics(spark, sf).head()
