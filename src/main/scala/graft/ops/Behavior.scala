@@ -146,7 +146,34 @@ object Behavior {
       .orderBy(col("segment"))
   }
 
+  /** q181: longest daily-activity streak per user — gaps-and-islands
+    * over each user's DISTINCT active days (epoch-day integers), the
+    * engagement metric behind "N-day streak" product features.
+    *
+    * Scale shape: the event stream reduces to distinct
+    * (user, epoch_day) pairs FIRST (map-side combinable; bounded by
+    * users × calendar, not events), then user-keyed windows run over
+    * ≤ |days| rows per user. All integer day arithmetic — a streak
+    * breaks when day − row_number changes, the classic island key.
+    */
+  def activityStreaks(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_streaks" -> activityStreaks _,
     "q136_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
     "q137_mad_outliers"   -> madOutliers _,
     "q138_cohort_matrix"  -> cohortMatrix _,
@@ -154,6 +181,23 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q181_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(date_trunc('microseconds', ts)) // 86400000000 AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+        |  max(len) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q136_sequence_match" ->
       """WITH l AS (
         |  SELECT user_id,

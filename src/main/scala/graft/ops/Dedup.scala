@@ -324,7 +324,40 @@ object Dedup {
     s.read.parquet(out).orderBy(col("user_id"))
   }
 
+  /** q182: streaming dedup with BOUNDED state —
+    * `dropDuplicatesWithinWatermark`, the state-expiring variant of
+    * q159's unbounded `dropDuplicates`. The watermark lets the state
+    * store evict keys older than the horizon, which is the difference
+    * between "state = all keys ever seen" (q159, fine for a finite
+    * backlog) and "state = one horizon of keys" (what an unbounded
+    * 100 TB stream actually requires).
+    *
+    * On the finite AvailableNow backlog both forms emit the same
+    * first-occurrence key set, which is exactly what makes the
+    * expiring form gate-able against the batch DISTINCT oracle.
+    */
+  def streamDedupWatermark(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val out = graft.util.TmpDirs.scratch("stream-dedup-wm")
+    val q = graft.util.Tables.normalizeTs(
+        s.readStream.schema(s.read.parquet(path).schema)
+          .parquet(s"$d/events.parquet*"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id")
+      .select(col("user_id"))
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_stream_dedup_wm" -> streamDedupWatermark _,
     "q159_stream_dedup"   -> streamDedup _,
     "q111_edit_distance"  -> editDistancePairs _,
     "q64_simhash_neardup" -> simhashNearDup _,
@@ -386,6 +419,10 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "q159_stream_dedup" ->
+      """SELECT DISTINCT user_id
+        |FROM events
+        |ORDER BY user_id""".stripMargin,
+    "q182_stream_dedup_wm" ->
       """SELECT DISTINCT user_id
         |FROM events
         |ORDER BY user_id""".stripMargin,

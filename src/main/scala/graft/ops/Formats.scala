@@ -56,11 +56,50 @@ object Formats {
       .orderBy(col("fmt"))
   }
 
+  /** q183: schema-evolution read — two parquet generations of the same
+    * table (generation 2 adds a column), read back in one pass with
+    * `mergeSchema`; generation-1 rows surface the new column as NULL
+    * and are bucketed 'UNKNOWN'. This is the mechanics of every
+    * long-lived 100 TB lake table: columns arrive over time and the
+    * scan must reconcile footers without rewriting history.
+    *
+    * Scale note: mergeSchema footer reconciliation costs one metadata
+    * pass over file footers — at real scale you pin the merged schema
+    * in a catalog instead of re-inferring per query, which is why the
+    * read here lists exactly the two generation dirs.
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.util.TmpDirs.scratch("schema-evo")
+    val o = orders(s, d)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$dir/gen1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$dir/gen2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/gen1", s"$dir/gen2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("UNKNOWN")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast(Dec)), 2).cast("double")
+          .as("sum_price"))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_schema_evolution" -> schemaEvolution _,
     "q54_sink_roundtrip" -> sinkRoundTrip _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q183_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'UNKNOWN'
+        |            ELSE o_orderstatus END AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY 1 ORDER BY status""".stripMargin,
     "q54_sink_roundtrip" ->
       """WITH src AS (
         |  SELECT l_orderkey, l_quantity, l_returnflag

@@ -123,7 +123,28 @@ object SqlSuite {
         |ORDER BY orderkey""".stripMargin)
   }
 
+  /** q184: parameterized SQL + the IDENTIFIER clause — the injection-
+    * safe front-end surface (named parameter markers for values, an
+    * IDENTIFIER parameter for the table name) a multi-tenant SQL
+    * service builds on instead of string interpolation. The plan is
+    * identical to the literal query once bound, so there is zero
+    * runtime cost.
+    */
+  def paramSql(s: SparkSession, d: String): DataFrame = {
+    graft.util.Tables.lineitem(s, d).createOrReplaceTempView("li_param")
+    s.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM IDENTIFIER(:tbl)
+        |WHERE l_quantity >= :minq
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+      Map("tbl" -> "li_param", "minq" -> Integer.valueOf(30)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_param_sql" -> paramSql _,
     "q94_recursive_cte" -> recursiveCte _,
     "q75_json_roundtrip" -> jsonRoundTrip _,
     "q66_lateral_topk" -> lateralTopK _,
@@ -133,6 +154,14 @@ object SqlSuite {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q184_param_sql" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity >= 30
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q94_recursive_cte" ->
       """WITH RECURSIVE anc AS (
         |  SELECT o_orderkey AS orderkey, o_orderkey AS node, 0 AS depth

@@ -344,6 +344,64 @@ class OpsSpec extends AnyFunSuite {
       s"lambda got=$lamCol expect=$lamExpect")
   }
 
+  test("q181 streaks: longest run matches a driver-side scan") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Behavior.activityStreaks(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_streaks"), r.getAs[Long]("longest_streak"),
+          r.getAs[Long]("active_days"))).toMap
+    val days = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(out.keySet == days.keySet)
+    days.foreach { case (u, ds) =>
+      var longest = 1L; var cur = 1L; var n = 1L
+      ds.sliding(2).foreach {
+        case Vector(a, b) =>
+          if (b == a + 1) { cur += 1; longest = math.max(longest, cur) }
+          else { cur = 1; n += 1 }
+        case _ =>
+      }
+      assert(out(u) == ((n, longest, ds.length.toLong)), s"user $u")
+    }
+  }
+
+  test("q182 watermarked stream dedup emits the batch-distinct key set") {
+    val wm = graft.ops.Dedup.streamDedupWatermark(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = graft.util.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(wm == exact)
+  }
+
+  test("q183 schema evolution: merged read buckets gen-1 rows as UNKNOWN") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Formats.schemaEvolution(spark, sf).collect()
+    val unknown = out.find(_.getAs[String]("status") == "UNKNOWN")
+    assert(unknown.isDefined, "gen-1 rows must surface as UNKNOWN")
+    val nEven = graft.util.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 2 === 0).count()
+    assert(unknown.get.getAs[Long]("n") == nEven)
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      graft.util.Tables.orders(spark, sf).count())
+  }
+
+  test("q184 parameterized SQL binds values and IDENTIFIER identically to the DataFrame form") {
+    import org.apache.spark.sql.functions._
+    val viaParams = graft.ops.SqlSuite.paramSql(spark, sf).collect().toSeq
+    val direct = graft.util.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 30)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(28,6)")), 2)
+          .cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(viaParams == direct)
+  }
+
   test("q179 observe: side-channel metrics equal a direct aggregation") {
     import org.apache.spark.sql.functions._
     val out = graft.ops.Breadth.observedMetrics(spark, sf).head()
