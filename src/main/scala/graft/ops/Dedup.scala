@@ -306,22 +306,24 @@ object Dedup {
     * state (the documented B1-style trade).
     */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$d/events.parquet"
-    val out = graft.util.TmpDirs.scratch("stream-dedup")
-    val q = s.readStream.schema(s.read.parquet(path).schema)
-      .parquet(s"$d/events.parquet*")
-      .select(col("user_id"))
-      .dropDuplicates("user_id")
-      .writeStream
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
-    s.read.parquet(out).orderBy(col("user_id"))
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-dedup")
+      val q = s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(s"$d/events.parquet*")
+        .select(col("user_id"))
+        .dropDuplicates("user_id")
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("user_id"))
+    }
   }
 
   /** q182: streaming dedup with BOUNDED state —
@@ -337,23 +339,25 @@ object Dedup {
     * expiring form gate-able against the batch DISTINCT oracle.
     */
   def streamDedupWatermark(s: SparkSession, d: String): DataFrame = {
-    val path = s"$d/events.parquet"
-    val out = graft.util.TmpDirs.scratch("stream-dedup-wm")
-    val q = graft.util.Tables.normalizeTs(
-        s.readStream.schema(s.read.parquet(path).schema)
-          .parquet(s"$d/events.parquet*"))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("user_id")
-      .select(col("user_id"))
-      .writeStream
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
-    s.read.parquet(out).orderBy(col("user_id"))
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val path = s"$d/events.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-dedup-wm")
+      val q = graft.util.Tables.normalizeTs(
+          s.readStream.schema(s.read.parquet(path).schema)
+            .parquet(s"$d/events.parquet*"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id")
+        .select(col("user_id"))
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("user_id"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -100,30 +100,32 @@ object EventAnalytics {
     * the sink cadence changes.
     */
   def streamSessions(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$d/events.parquet"
-    val out = graft.util.TmpDirs.scratch("stream-sessions")
-    // the file stream source insists its base path be a DIRECTORY: a
-    // plain file path fails outright, so list the single events file
-    // via a glob — base resolves to the sf dir, the glob matches just
-    // the events table
-    val agg = graft.util.Tables.normalizeTs(
-      s.readStream.schema(s.read.parquet(path).schema)
-        .parquet(s"$d/events.parquet*"))
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        date_format(col("w.start"), TsFmt).as("session_start"),
-        col("n_events"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
-    s.read.parquet(out).orderBy(col("user_id"), col("session_start"))
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-sessions")
+      // the file stream source insists its base path be a DIRECTORY: a
+      // plain file path fails outright, so list the single events file
+      // via a glob — base resolves to the sf dir, the glob matches just
+      // the events table
+      val agg = graft.util.Tables.normalizeTs(
+        s.readStream.schema(s.read.parquet(path).schema)
+          .parquet(s"$d/events.parquet*"))
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), TsFmt).as("session_start"),
+          col("n_events"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("user_id"), col("session_start"))
+    }
   }
 
   /** q164: per-user running totals through the STREAMING engine — the
@@ -141,24 +143,26 @@ object EventAnalytics {
     * unbounded run switches to update mode + a sink that upserts.
     */
   def streamUserTotals(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$d/events.parquet"
-    val out = graft.util.TmpDirs.scratch("stream-user-totals")
-    val q = s.readStream.schema(s.read.parquet(path).schema)
-      .parquet(s"$d/events.parquet*")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast(DataTypes.createDecimalType(28, 6))), 2)
-          .cast("double").as("sum_value"))
-      .writeStream
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
-    s.read.parquet(out).orderBy(col("user_id"))
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-user-totals")
+      val q = s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(s"$d/events.parquet*")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast(DataTypes.createDecimalType(28, 6))), 2)
+            .cast("double").as("sum_value"))
+        .writeStream
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("user_id"))
+    }
   }
 
   /** Per-type value stats: raw min/max are bit-exact stored doubles. */
@@ -662,16 +666,10 @@ object EventAnalytics {
   def streamClickAttribution(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
     val out = graft.util.TmpDirs.scratch("stream-join")
-    // A stream-stream join materializes FOUR state stores per shuffle
-    // partition; at gate scale the per-partition store open/commit
-    // dominates wall clock (measured 6.2 s at 32 partitions). Pin the
-    // streaming shuffle width down for this query and restore after —
-    // on a real cluster this is sized to key cardinality, not cores.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // see StreamTuning: four state stores per shuffle partition here
+    graft.util.StreamTuning.withShuffle(s, 8) {
       streamClickAttributionInner(s, d, path, out)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   private def streamClickAttributionInner(s: SparkSession, d: String,
