@@ -787,7 +787,58 @@ object EventAnalytics {
           / (col("nd").cast("double") * 100.0), 2).as("cusum_dollars"))
   }
 
+  /** q187: one-way ANOVA — does `value` differ across event types?
+    * F = (SSB/(k−1)) / (SSW/(n−k)) plus effect size η² from exact
+    * per-group decimal moments (the q63 discipline).
+    *
+    * The one float-summation hazard — Σ_g S_g²/n_g across groups — is
+    * folded SEQUENTIALLY over the event-type-sorted group array
+    * (Spark `aggregate` over `sort_array(collect_list(...))` ≡ DuckDB
+    * `list_reduce(list(... ORDER BY ...))`), so the addition order is
+    * contractually left-to-right on both engines instead of
+    * partial-agg-order-dependent.
+    *
+    * Scale shape: one map-side-combinable aggregation over the corpus;
+    * everything after runs on the k-row (≤ |event types|) group table.
+    */
+  def anovaF(s: SparkSession, d: String): DataFrame = {
+    val D9 = DataTypes.createDecimalType(28, 9)
+    val per = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("value").cast(D9)).as("sg"),
+        sum((col("value") * col("value")).cast(D9)).as("qg"))
+    per
+      .agg(count(lit(1)).as("k"),
+        sum(col("ng")).as("n"),
+        sum(col("sg")).as("s_tot"),
+        sum(col("qg")).as("q_tot"),
+        collect_list(struct(col("event_type"),
+          (col("sg").cast("double") * col("sg").cast("double")
+            / col("ng").cast("double")).as("t"))).as("terms"))
+      .withColumn("ssb_part",
+        aggregate(sort_array(col("terms")), lit(0.0),
+          (acc, x) => acc + x.getField("t")))
+      .select(col("k"), col("n"),
+        round(col("ssb_part")
+          - col("s_tot").cast("double") * col("s_tot").cast("double")
+            / col("n").cast("double"), 2).as("ssb"),
+        round(col("q_tot").cast("double") - col("ssb_part"), 2).as("ssw"),
+        round(((col("ssb_part")
+          - col("s_tot").cast("double") * col("s_tot").cast("double")
+            / col("n").cast("double")) / (col("k") - 1).cast("double"))
+          / ((col("q_tot").cast("double") - col("ssb_part"))
+            / (col("n") - col("k")).cast("double")), 4).as("f_stat"),
+        round((col("ssb_part")
+          - col("s_tot").cast("double") * col("s_tot").cast("double")
+            / col("n").cast("double"))
+          / (col("q_tot").cast("double")
+            - col("s_tot").cast("double") * col("s_tot").cast("double")
+              / col("n").cast("double")), 6).as("eta_sq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_anova"           -> anovaF _,
     "q176_type_entropy"    -> typeEntropy _,
     "q177_cusum"           -> cusumChangepoint _,
     "q173_stream_join"     -> streamClickAttribution _,
@@ -818,6 +869,30 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q187_anova" ->
+      """WITH per AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+        |    sum(CAST(value AS DECIMAL(28,9))) AS sg,
+        |    sum(CAST(value * value AS DECIMAL(28,9))) AS qg
+        |  FROM events GROUP BY 1),
+        |one AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS DOUBLE) AS s_tot,
+        |    CAST(sum(qg) AS DOUBLE) AS q_tot,
+        |    list_reduce(
+        |      list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |             / CAST(ng AS DOUBLE) ORDER BY event_type),
+        |      (acc, x) -> acc + x) AS ssb_part
+        |  FROM per)
+        |SELECT k, n,
+        |  round(ssb_part - s_tot * s_tot / n, 2) AS ssb,
+        |  round(q_tot - ssb_part, 2) AS ssw,
+        |  round(((ssb_part - s_tot * s_tot / n) / (k - 1))
+        |    / ((q_tot - ssb_part) / (n - k)), 4) AS f_stat,
+        |  round((ssb_part - s_tot * s_tot / n)
+        |    / (q_tot - s_tot * s_tot / n), 6) AS eta_sq
+        |FROM one""".stripMargin,
     "q176_type_entropy" ->
       """WITH c AS (
         |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c

@@ -375,7 +375,28 @@ object Temporal {
           .as("ols_slope_dollars"))
   }
 
+  /** q185: conversion-lag distribution — exact percentiles of the
+    * click→purchase as-of gap (q44's join), the "how fast do users
+    * convert" read-out. Percentiles interpolate over exact integer µs
+    * gaps (Spark `percentile` ≡ DuckDB `quantile_cont`, the q42
+    * convention); unconverted purchases (NULL gap) are excluded by
+    * both engines' null-skipping aggregates.
+    *
+    * Scale shape: inherits q44's shuffle-once ASOF (one user-keyed
+    * window); the final 1-row aggregate buffers per-group gap values
+    * only for the exact-percentile form — at 100 TB this switches to
+    * the KLL sketch (q88) with a declared rank-error envelope.
+    */
+  def conversionLag(s: SparkSession, d: String): DataFrame =
+    asofJoin(s, d)
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("click_id")).as("n_converted"),
+        round(expr("percentile(gap_us, 0.5)") / 1e6, 3).as("p50_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1e6, 3).as("p90_s"),
+        round(expr("percentile(gap_us, 0.99)") / 1e6, 3).as("p99_s"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_conversion_lag" -> conversionLag _,
     "q178_theil_sen"    -> theilSen _,
     "q168_concurrency"  -> sessionConcurrency _,
     "q169_daily_acf"    -> dailyAcf _,
@@ -388,6 +409,28 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q185_conversion_lag" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (
+        |  SELECT *, last_value(
+        |      CASE WHEN is_click = 1
+        |        THEN struct_pack(cts := ts_us, cid := event_id) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, is_click DESC, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+        |  FROM ev),
+        |gaps AS (
+        |  SELECT (ce).cid AS click_id,
+        |    epoch_us(ts_us) - epoch_us((ce).cts) AS gap_us
+        |  FROM m WHERE is_click = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(click_id) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(gap_us, 0.5) / 1e6, 3) AS p50_s,
+        |  round(quantile_cont(gap_us, 0.9) / 1e6, 3) AS p90_s,
+        |  round(quantile_cont(gap_us, 0.99) / 1e6, 3) AS p99_s
+        |FROM gaps""".stripMargin,
     "q178_theil_sen" ->
       """WITH rev AS (
         |  SELECT date_diff('day', DATE '1970-01-01',

@@ -402,6 +402,42 @@ class OpsSpec extends AnyFunSuite {
     assert(viaParams == direct)
   }
 
+  test("q187 ANOVA: F and eta^2 match Spark's builtin variance decomposition") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.EventAnalytics.anovaF(spark, sf).head()
+    val ev = graft.util.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val groups = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = ev.length.toDouble
+    val k = groups.size.toDouble
+    val mean = ev.map(_._2).sum / n
+    val ssb = groups.values.map { xs =>
+      val m = xs.sum / xs.length
+      xs.length * (m - mean) * (m - mean)
+    }.sum
+    val ssw = groups.values.map { xs =>
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(out.getAs[Long]("k") == groups.size.toLong)
+    assert(out.getAs[Long]("n") == ev.length.toLong)
+    assert(math.abs(out.getAs[Double]("f_stat") - f) / f < 1e-3,
+      s"F got=${out.getAs[Double]("f_stat")} ref=$f")
+    assert(math.abs(out.getAs[Double]("eta_sq") - ssb / (ssb + ssw)) < 1e-4)
+  }
+
+  test("q185 conversion lag: percentiles are ordered and counts consistent") {
+    val out = graft.ops.Temporal.conversionLag(spark, sf).head()
+    val nP = out.getAs[Long]("n_purchases")
+    val nC = out.getAs[Long]("n_converted")
+    assert(nP > 0 && nC <= nP)
+    val (p50, p90, p99) = (out.getAs[Double]("p50_s"),
+      out.getAs[Double]("p90_s"), out.getAs[Double]("p99_s"))
+    assert(p50 >= 0 && p50 <= p90 && p90 <= p99)
+  }
+
   test("q179 observe: side-channel metrics equal a direct aggregation") {
     import org.apache.spark.sql.functions._
     val out = graft.ops.Breadth.observedMetrics(spark, sf).head()
