@@ -484,7 +484,66 @@ object Similarity {
       .orderBy(col("query_id"), col("role"), col("rank"))
   }
 
+  /** q186: Johnson-Lindenstrauss projection audit — project every
+    * 64-d embedding to 16-d with a ±1 sign matrix and report the
+    * norm-distortion histogram ‖Rx/√m‖²/‖x‖². The empirical check
+    * behind every "reduce the embedding dim before the expensive
+    * op" decision (JL: distortion concentrates near 1).
+    *
+    * Determinism: the sign matrix derives from md5("jl|i|j") (top bit
+    * of the first digest byte ⇔ first hex char < '8' — both engines
+    * agree); coordinates quantize ONCE to integer micro-units, so
+    * projections and both norms are exact integer sums; the ratio is
+    * one double division of exact integers, and the histogram bucket
+    * is floor(ratio·10) of that identical double.
+    *
+    * Scale shape: a narrow compiled mapPartitions computes each
+    * vector's ratio in one pass (the sign matrix is built once per
+    * partition); the only shuffle is the ≤ ~20-key bucket rollup.
+    */
+  def jlAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dimIn, dimOut) = (64, 16)
+    val ratios = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        // sign(i)(j) for 1-based (i, j), matching the oracle's strings
+        val sign = Array.tabulate(dimIn, dimOut) { (i0, j0) =>
+          val b = digest.digest(
+            s"jl|${i0 + 1}|${j0 + 1}".getBytes("UTF-8"))
+          if ((b(0) & 0x80) == 0) 1L else -1L
+        }
+        it.map { case (id, arr) =>
+          val qx = Array.tabulate(dimIn)(i =>
+            math.floor(arr(i).toDouble * 1e6 + 0.5).toLong)
+          var nx = 0L
+          var i = 0
+          while (i < dimIn) { nx += qx(i) * qx(i); i += 1 }
+          var ny = 0L
+          var j = 0
+          while (j < dimOut) {
+            var y = 0L
+            var k = 0
+            while (k < dimIn) { y += sign(k)(j) * qx(k); k += 1 }
+            ny += y * y
+            j += 1
+          }
+          val ratio = (ny.toDouble / dimOut) / nx.toDouble
+          (id, math.floor(ratio * 10).toLong, ratio)
+        }
+      }
+      .toDF("vec_id", "bucket", "ratio")
+    ratios.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("ratio")), 4).as("min_ratio"),
+        round(max(col("ratio")), 4).as("max_ratio"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_jl_audit"       -> jlAudit _,
     "q109_int8_quantize"  -> int8Quantize _,
     "q155_quant_recall"   -> ((s: SparkSession, d: String) => quantRecall(s, d)),
     "q161_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
@@ -496,6 +555,36 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q186_jl_audit" ->
+      """WITH ii AS (SELECT CAST(range AS BIGINT) AS i FROM range(1, 65)),
+        |jj AS (SELECT CAST(range AS BIGINT) AS j FROM range(1, 17)),
+        |sg AS (
+        |  SELECT i, j,
+        |    CASE WHEN substr(md5('jl|' || i || '|' || j), 1, 1) < '8'
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM ii CROSS JOIN jj),
+        |x AS (
+        |  SELECT vec_id, ii.i,
+        |    CAST(floor(CAST(embedding[ii.i] AS DOUBLE) * 1e6 + 0.5)
+        |      AS BIGINT) AS qx
+        |  FROM embeddings CROSS JOIN ii),
+        |nx AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS nx
+        |       FROM x GROUP BY 1),
+        |y AS (
+        |  SELECT x.vec_id, sg.j, CAST(sum(sg.sign * x.qx) AS BIGINT) AS yq
+        |  FROM x JOIN sg ON sg.i = x.i
+        |  GROUP BY 1, 2),
+        |ny AS (SELECT vec_id, CAST(sum(yq * yq) AS BIGINT) AS ny
+        |       FROM y GROUP BY 1),
+        |r AS (
+        |  SELECT nx.vec_id,
+        |    (CAST(ny AS DOUBLE) / 16) / CAST(nx AS DOUBLE) AS ratio
+        |  FROM nx JOIN ny ON nx.vec_id = ny.vec_id)
+        |SELECT CAST(floor(ratio * 10) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(ratio), 4) AS min_ratio,
+        |  round(max(ratio), 4) AS max_ratio
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q165_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
         |             embedding AS qe

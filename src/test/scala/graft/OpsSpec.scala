@@ -428,6 +428,21 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("eta_sq") - ssb / (ssb + ssw)) < 1e-4)
   }
 
+  test("q186 JL audit: distortion concentrates near 1 and covers every vector") {
+    val out = graft.ops.Similarity.jlAudit(spark, sf).collect()
+    val nVecs = graft.util.Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum == nVecs)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Double]("min_ratio") >= b / 10.0 - 1e-9)
+      assert(r.getAs[Double]("max_ratio") < (b + 1) / 10.0 + 1e-9)
+    }
+    // JL concentration: the bulk of vectors distort by less than 2x
+    val near1 = out.filter(r => (5L to 19L).contains(r.getAs[Long]("bucket")))
+      .map(_.getAs[Long]("n")).sum
+    assert(near1.toDouble / nVecs > 0.9, s"only $near1/$nVecs within [0.5, 2)")
+  }
+
   test("q185 conversion lag: percentiles are ordered and counts consistent") {
     val out = graft.ops.Temporal.conversionLag(spark, sf).head()
     val nP = out.getAs[Long]("n_purchases")
