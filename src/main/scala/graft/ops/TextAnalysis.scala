@@ -512,7 +512,39 @@ object TextAnalysis {
     "q103_bm25"        -> ((s: SparkSession, d: String) => bm25(s, d)),
     "q104_textrank"    -> ((s: SparkSession, d: String) => textRank(s, d)),
     "q175_rrf_fusion"  -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
+    "q188_rank_corr"   -> ((s: SparkSession, d: String) => rankCorrelation(s, d)),
   )
+
+  /** q188: Kendall τ between the lexical and semantic top-20 rankings
+    * (q175's two lists) — the agreement statistic that says whether
+    * the two retrieval modalities order the SAME documents the same
+    * way. Computed over the intersection of the lists: every doc pair
+    * is concordant (both rankings agree on the order) or discordant
+    * (ranks are distinct integers — no tie branch).
+    *
+    * Determinism: pure integer pair counting; τ is one double
+    * division at the end.
+    *
+    * Scale shape: both inputs are fusion-width lists (≤ 20 rows), so
+    * the pairwise self-join is ≤ m² rows at any corpus size.
+    */
+  def rankCorrelation(s: SparkSession, d: String,
+      topN: Int = 20): DataFrame = {
+    val (lex, sem) = fusionRankings(s, d, topN)
+    val both = lex.join(sem, Seq("doc_id"))
+    val pairs = both.as("a").join(both.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(((col("a.r_lex") - col("b.r_lex"))
+        * (col("a.r_sem") - col("b.r_sem"))).as("prod"))
+    val m = both.agg(count(lit(1)).as("m"))
+    pairs
+      .agg(count(when(col("prod") > 0, true)).as("concordant"),
+        count(when(col("prod") < 0, true)).as("discordant"))
+      .crossJoin(broadcast(m))
+      .select(col("m"), col("concordant"), col("discordant"),
+        round((col("concordant") - col("discordant")).cast("double")
+          / (col("m") * (col("m") - 1) / 2).cast("double"), 4).as("tau"))
+  }
 
   /** q175: reciprocal-rank fusion (Cormack et al. 2009) of the two
     * retrieval modalities the registry already serves — the lexical
@@ -531,8 +563,12 @@ object TextAnalysis {
     * bounded by the fusion width, not the corpus — and the fusion
     * join is 20×20 at any scale.
     */
-  def rrfFusion(s: SparkSession, d: String,
-      kRrf: Int = 60, topN: Int = 20): DataFrame = {
+  /** The two top-`topN` retrieval rankings q175/q188 compare: lexical
+    * (BM25) and semantic (cosine vs vector 0), each rank-numbered
+    * inside its bounded top list.
+    */
+  private[graft] def fusionRankings(s: SparkSession, d: String,
+      topN: Int): (DataFrame, DataFrame) = {
     val lexTop = bm25Scores(s, d, Seq("hash", "join", "scan"), 1.2, 0.75)
       .orderBy(col("score").desc, col("doc_id")).limit(topN)
     val wLex = Window.orderBy(col("score").desc, col("doc_id"))
@@ -549,6 +585,12 @@ object TextAnalysis {
     val sem = semTop
       .withColumn("r_sem", row_number().over(wSem).cast("long"))
       .select(col("vec_id").as("doc_id"), col("r_sem"))
+    (lex, sem)
+  }
+
+  def rrfFusion(s: SparkSession, d: String,
+      kRrf: Int = 60, topN: Int = 20): DataFrame = {
+    val (lex, sem) = fusionRankings(s, d, topN)
     lex.join(sem, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("r_lex"), lit(0L)).as("r_lex"),
@@ -564,6 +606,60 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q188_rank_corr" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         avg(CAST(len(ws) AS DOUBLE)) AS avgdl
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, word, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+        |               lower(unnest(ws)) AS word
+        |        FROM docs)
+        |  WHERE word IN ('hash', 'join', 'scan')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+        |        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |      AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN stats
+        |  GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS BIGINT) AS r_lex
+        |  FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_sum([CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |              for i in range(1, len(qe) + 1)])
+        |    / (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                      for i in range(1, len(qe) + 1)]))
+        |       * sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+        |                        * CAST(embedding[i] AS DOUBLE)
+        |                        for i in range(1, len(embedding) + 1)]))) AS cos
+        |  FROM embeddings e CROSS JOIN qv),
+        |sem AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+        |    AS BIGINT) AS r_sem
+        |  FROM cs ORDER BY cos DESC, doc_id LIMIT 20),
+        |bt AS (SELECT doc_id, r_lex, r_sem FROM lex JOIN sem USING (doc_id)),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bt),
+        |p AS (
+        |  SELECT (a.r_lex - b.r_lex) * (a.r_sem - b.r_sem) AS prod
+        |  FROM bt a JOIN bt b ON a.doc_id < b.doc_id)
+        |SELECT mm.m,
+        |  CAST(count(*) FILTER (WHERE prod > 0) AS BIGINT) AS concordant,
+        |  CAST(count(*) FILTER (WHERE prod < 0) AS BIGINT) AS discordant,
+        |  round(CAST(count(*) FILTER (WHERE prod > 0)
+        |             - count(*) FILTER (WHERE prod < 0) AS DOUBLE)
+        |    / (mm.m * (mm.m - 1) / 2), 4) AS tau
+        |FROM p CROSS JOIN mm GROUP BY mm.m""".stripMargin,
     "q175_rrf_fusion" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws

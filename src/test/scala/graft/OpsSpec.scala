@@ -428,6 +428,20 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("eta_sq") - ssb / (ssb + ssw)) < 1e-4)
   }
 
+  test("q188 Kendall tau: pair counts partition and tau recomputes exactly") {
+    val out = graft.ops.TextAnalysis.rankCorrelation(spark, sf).head()
+    val m = out.getAs[Long]("m")
+    val c = out.getAs[Long]("concordant")
+    val dd = out.getAs[Long]("discordant")
+    assert(m >= 2, "rankings must overlap for tau to exist")
+    assert(c + dd == m * (m - 1) / 2, "ranks are distinct: no tie branch")
+    val tau = out.getAs[Double]("tau")
+    assert(tau >= -1.0 && tau <= 1.0)
+    val expect = BigDecimal((c - dd).toDouble / (m * (m - 1) / 2).toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(tau == expect)
+  }
+
   test("q186 JL audit: distortion concentrates near 1 and covers every vector") {
     val out = graft.ops.Similarity.jlAudit(spark, sf).collect()
     val nVecs = graft.util.Tables.embeddings(spark, sf).count()
