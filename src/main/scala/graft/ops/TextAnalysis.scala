@@ -542,8 +542,13 @@ object TextAnalysis {
         count(when(col("prod") < 0, true)).as("discordant"))
       .crossJoin(broadcast(m))
       .select(col("m"), col("concordant"), col("discordant"),
-        round((col("concordant") - col("discordant")).cast("double")
-          / (col("m") * (col("m") - 1) / 2).cast("double"), 4).as("tau"))
+        // NULL below 2 overlapping docs (0 pairs) instead of a
+        // divide-by-zero under ANSI mode — mirrored by the oracle's
+        // NULLIF denominator
+        when(col("m") >= 2,
+          round((col("concordant") - col("discordant")).cast("double")
+            / (col("m") * (col("m") - 1) / 2).cast("double"), 4))
+          .as("tau"))
   }
 
   /** q175: reciprocal-rank fusion (Cormack et al. 2009) of the two
@@ -658,7 +663,7 @@ object TextAnalysis {
         |  CAST(count(*) FILTER (WHERE prod < 0) AS BIGINT) AS discordant,
         |  round(CAST(count(*) FILTER (WHERE prod > 0)
         |             - count(*) FILTER (WHERE prod < 0) AS DOUBLE)
-        |    / (mm.m * (mm.m - 1) / 2), 4) AS tau
+        |    / NULLIF(mm.m * (mm.m - 1) / 2, 0), 4) AS tau
         |FROM p CROSS JOIN mm GROUP BY mm.m""".stripMargin,
     "q175_rrf_fusion" ->
       """WITH docs AS (

@@ -433,13 +433,17 @@ class OpsSpec extends AnyFunSuite {
     val m = out.getAs[Long]("m")
     val c = out.getAs[Long]("concordant")
     val dd = out.getAs[Long]("discordant")
-    assert(m >= 2, "rankings must overlap for tau to exist")
     assert(c + dd == m * (m - 1) / 2, "ranks are distinct: no tie branch")
-    val tau = out.getAs[Double]("tau")
-    assert(tau >= -1.0 && tau <= 1.0)
-    val expect = BigDecimal((c - dd).toDouble / (m * (m - 1) / 2).toDouble)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(tau == expect)
+    if (m >= 2) {
+      val tau = out.getAs[Double]("tau")
+      assert(tau >= -1.0 && tau <= 1.0)
+      val expect = BigDecimal((c - dd).toDouble / (m * (m - 1) / 2).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(tau == expect)
+    } else {
+      // degenerate overlap (sf0.001): tau is NULL by contract
+      assert(out.isNullAt(out.fieldIndex("tau")))
+    }
   }
 
   test("q186 JL audit: distortion concentrates near 1 and covers every vector") {
