@@ -837,7 +837,58 @@ object EventAnalytics {
               / col("n").cast("double")), 6).as("eta_sq"))
   }
 
+  /** q189: Spearman rank correlation between `value` and the json
+    * payload field `k`, per event type — the monotone-association
+    * statistic that (unlike q63's Pearson) ignores outliers and
+    * nonlinearity.
+    *
+    * Average ranks with ties are kept INTEGER by doubling:
+    * 2·avg_rank = 2·min_rank + (tie_count − 1); Pearson is invariant
+    * under the affine map, so the statistic is unchanged and every
+    * moment is an exact decimal integer (the q169 discipline —
+    * products taken decimal×decimal; rank sums at 10¹⁰ rows would
+    * wrap int64). One double assembly at the end.
+    *
+    * Scale shape: two type-keyed rank windows + one type-keyed moment
+    * rollup — the windows sort within event type only (5 partitions of
+    * n/5 rows; a skewed type would range-partition WITHIN the type by
+    * value, the q163 two-pass shape).
+    */
+  def spearman(s: SparkSession, d: String): DataFrame = {
+    val Dec = DataTypes.createDecimalType(38, 0)
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wvt = Window.partitionBy(col("event_type"), col("value"))
+    val wk = Window.partitionBy(col("event_type")).orderBy(col("k"))
+    val wkt = Window.partitionBy(col("event_type"), col("k"))
+    events(s, d)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("rv", (lit(2) * rank().over(wv)
+        + count(lit(1)).over(wvt) - 1).cast("long"))
+      .withColumn("rk", (lit(2) * rank().over(wk)
+        + count(lit(1)).over(wkt) - 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rv").cast(Dec)).as("sx"),
+        sum(col("rk").cast(Dec)).as("sy"),
+        sum(col("rv").cast(Dec) * col("rk").cast(Dec)).as("sxy"),
+        sum(col("rv").cast(Dec) * col("rv").cast(Dec)).as("sxx"),
+        sum(col("rk").cast(Dec) * col("rk").cast(Dec)).as("syy"))
+      .select(col("event_type"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 4)
+          .as("spearman"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_spearman"        -> spearman _,
     "q187_anova"           -> anovaF _,
     "q176_type_entropy"    -> typeEntropy _,
     "q177_cusum"           -> cusumChangepoint _,
@@ -869,6 +920,39 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q189_spearman" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |f AS (SELECT * FROM t WHERE k IS NOT NULL),
+        |r AS (
+        |  SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+        |      + count(*) OVER (PARTITION BY event_type, value) - 1 AS rv,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY k)
+        |      + count(*) OVER (PARTITION BY event_type, k) - 1 AS rk
+        |  FROM f),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rv AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(rk AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(rv AS DECIMAL(19,0)) * CAST(rk AS DECIMAL(19,0)))
+        |      AS sxy,
+        |    sum(CAST(rv AS DECIMAL(19,0)) * CAST(rv AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    sum(CAST(rk AS DECIMAL(19,0)) * CAST(rk AS DECIMAL(19,0)))
+        |      AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        |    AS spearman
+        |FROM m ORDER BY event_type""".stripMargin,
     "q187_anova" ->
       """WITH per AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,

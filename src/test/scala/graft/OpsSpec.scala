@@ -428,6 +428,43 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("eta_sq") - ssb / (ssb + ssw)) < 1e-4)
   }
 
+  test("q189 Spearman: matches a driver-side average-rank correlation") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.EventAnalytics.spearman(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("spearman")).toMap
+    val rows = graft.util.Tables.events(spark, sf)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k"))
+      .filter(col("k").isNotNull)
+      .select("event_type", "value", "k").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def avgRanks[T](xs: Seq[T])(implicit o: Ordering[T]): Seq[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val rankOf = scala.collection.mutable.Map.empty[Int, Double]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && o.equiv(sorted(j)._1, sorted(i)._1)) j += 1
+        val avg = (i + j + 1) / 2.0 // average of ranks i+1..j
+        (i until j).foreach(t => rankOf(sorted(t)._2) = avg)
+        i = j
+      }
+      xs.indices.map(rankOf)
+    }
+    rows.groupBy(_._1).foreach { case (et, grp) =>
+      val rv = avgRanks(grp.toSeq.map(_._2))
+      val rk = avgRanks(grp.toSeq.map(_._3))
+      val n = rv.length.toDouble
+      val (mx, my) = (rv.sum / n, rk.sum / n)
+      val cov = rv.zip(rk).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sx = math.sqrt(rv.map(a => (a - mx) * (a - mx)).sum)
+      val sy = math.sqrt(rk.map(b => (b - my) * (b - my)).sum)
+      val rho = cov / (sx * sy)
+      assert(math.abs(out(et) - rho) < 1e-3, s"$et got=${out(et)} ref=$rho")
+    }
+  }
+
   test("q188 Kendall tau: pair counts partition and tau recomputes exactly") {
     val out = graft.ops.TextAnalysis.rankCorrelation(spark, sf).head()
     val m = out.getAs[Long]("m")
