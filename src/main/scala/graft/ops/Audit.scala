@@ -265,7 +265,53 @@ object Audit {
       .orderBy(col("digit"))
   }
 
+  /** q192: population-stability-index (PSI) drift audit of the order
+    * value distribution between two cohorts (even vs odd order keys —
+    * the stand-in for "last month vs this month"). Ten fixed-width
+    * integer-cent buckets over the global [min, max]; per bucket the
+    * Laplace-smoothed shares and the PSI contribution
+    * (p−q)·ln(p/q) ≥ 0. Emitting PER-BUCKET rows (the analyst view)
+    * also removes any cross-bucket float summation from the gate.
+    *
+    * Scale shape: one scalar min/max broadcast, one
+    * map-side-combinable 10-key bucket rollup, then constant-size
+    * arithmetic; bucket index is pure positive-integer division
+    * (identical truncation on both engines).
+    */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"),
+      (col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
+        * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    o.crossJoin(broadcast(mm))
+      .select(col("o_orderkey"),
+        least(lit(9L), expr("((cents - mn) * 10) div (mx - mn + 1)"))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("o_orderkey") % 2 === 0, true)).as("n_base"),
+        count(when(col("o_orderkey") % 2 === 1, true)).as("n_cur"))
+      .withColumn("tb", sum(col("n_base")).over(wAll))
+      .withColumn("tc", sum(col("n_cur")).over(wAll))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        round((col("n_base") + 1).cast("double")
+          / (col("tb") + 10).cast("double"), 6).as("p_base"),
+        round((col("n_cur") + 1).cast("double")
+          / (col("tc") + 10).cast("double"), 6).as("p_cur"),
+        round(((col("n_base") + 1).cast("double")
+            / (col("tb") + 10).cast("double")
+          - (col("n_cur") + 1).cast("double")
+            / (col("tc") + 10).cast("double"))
+          * log(((col("n_base") + 1).cast("double")
+              / (col("tb") + 10).cast("double"))
+            / ((col("n_cur") + 1).cast("double")
+              / (col("tc") + 10).cast("double"))), 6).as("psi_contrib"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
     "q132_audience_overlap" -> audienceOverlap _,
@@ -276,6 +322,38 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q192_psi_drift" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM o),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    least(9, ((cents - mn) * 10) // (mx - mn + 1)) AS bucket
+        |  FROM o CROSS JOIN mm),
+        |g AS (
+        |  SELECT bucket,
+        |    CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+        |      AS n_base,
+        |    CAST(count(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT)
+        |      AS n_cur
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |             CAST(sum(n_cur) AS BIGINT) AS tc FROM g)
+        |SELECT bucket, n_base, n_cur,
+        |  round(CAST(n_base + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE), 6)
+        |    AS p_base,
+        |  round(CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE), 6)
+        |    AS p_cur,
+        |  round((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)
+        |       - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+        |    * ln((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+        |       / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))), 6)
+        |    AS psi_contrib
+        |FROM g CROSS JOIN t
+        |ORDER BY bucket""".stripMargin,
     "q171_benford" ->
       """WITH cents AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -817,7 +817,73 @@ object TrainingData {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q190: k-fold cross-validation assignment audit — fold docs by
+    * md5(doc_id) % 5 (the q71 hash-split discipline) and report, per
+    * fold, the doc count, token total, and per-language composition
+    * against the corpus share. The pre-training check that a fold
+    * split didn't concentrate a language or length regime.
+    *
+    * All-integer counts; shares are single double divisions. One
+    * map-side-combinable (fold, lang) rollup; everything after runs on
+    * ≤ folds×langs rows.
+    */
+  def foldBalance(s: SparkSession, d: String, folds: Int = 5): DataFrame = {
+    val fold = pmod(conv(substring(md5(concat(lit("fold|"),
+      col("doc_id"))), 1, 15), 16, 10).cast("long"), lit(folds))
+    val perFoldLang = documents(s, d)
+      .select(fold.as("fold"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val perLang = perFoldLang.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("lang_docs"))
+    val total = perFoldLang.agg(sum(col("n_docs")).as("all_docs"))
+    perFoldLang
+      .join(broadcast(perLang), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .select(col("fold"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("lang_docs").cast("double"),
+          4).as("fold_share_of_lang"),
+        round(col("lang_docs").cast("double") / col("all_docs").cast("double"),
+          4).as("lang_share_of_corpus"))
+      .orderBy(col("fold"), col("lang"))
+  }
+
+  /** q191: word2vec-style negative-sampling table — the top-20 words
+    * by unigram^0.75 sampling mass. The ¾-power is computed as
+    * sqrt(c·sqrt(c)): `sqrt` is IEEE-correctly-rounded on both
+    * engines (unlike `pow`, which drifts ulps across libms), so the
+    * weights are bit-identical. Each weight quantizes ONCE to integer
+    * nano-units; the normalizing total is an exact decimal sum, so
+    * probabilities are single double divisions of exact integers.
+    *
+    * Scale shape: one token-keyed count (map-side combinable), then
+    * everything runs on the vocabulary-sized table; top-20 is
+    * TakeOrderedAndProject.
+    */
+  def negSampling(s: SparkSession, d: String, topK: Int = 20): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val counts = documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .select(lower(col("w")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("qw", floor(
+        sqrt(col("c").cast("double") * sqrt(col("c").cast("double")))
+          * 1e9 + lit(0.5)).cast("long"))
+    val tot = counts.agg(sum(col("qw").cast(Dec)).as("qtot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("word"), col("c"),
+        round(col("qw").cast("double") / col("qtot").cast("double"), 6)
+          .as("p_sample"))
+      .orderBy(col("p_sample").desc, col("word"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_fold_balance" -> ((s: SparkSession, d: String) => foldBalance(s, d)),
+    "q191_neg_sampling" -> ((s: SparkSession, d: String) => negSampling(s, d)),
     "q129_perplexity"   -> perplexity _,
     "q151_bpe_merges"   -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
     "q156_bpe_apply"    -> ((s: SparkSession, d: String) => bpeApply(s, d)),
@@ -914,6 +980,45 @@ object TrainingData {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q190_fold_balance" ->
+      """WITH f AS (
+        |  SELECT ('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)),
+        |           1, 15))::BIGINT % 5 AS fold,
+        |    lang,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |pfl AS (
+        |  SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM f GROUP BY 1, 2),
+        |pl AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs
+        |       FROM pfl GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS all_docs FROM pfl)
+        |SELECT fold, pfl.lang, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(lang_docs AS DOUBLE), 4)
+        |    AS fold_share_of_lang,
+        |  round(CAST(lang_docs AS DOUBLE) / CAST(all_docs AS DOUBLE), 4)
+        |    AS lang_share_of_corpus
+        |FROM pfl JOIN pl ON pfl.lang = pl.lang CROSS JOIN t
+        |ORDER BY fold, pfl.lang""".stripMargin,
+    "q191_neg_sampling" ->
+      """WITH t AS (
+        |  SELECT lower(unnest(regexp_split_to_array(text, '\s+'))) AS word
+        |  FROM documents),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM t
+        |      WHERE len(word) > 0 GROUP BY 1),
+        |q AS (
+        |  SELECT word, c,
+        |    CAST(floor(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE)))
+        |      * 1e9 + 0.5) AS BIGINT) AS qw
+        |  FROM c),
+        |tot AS (SELECT sum(CAST(qw AS DECIMAL(38,0))) AS qtot FROM q)
+        |SELECT word, c,
+        |  round(CAST(qw AS DOUBLE) / CAST(qtot AS DOUBLE), 6) AS p_sample
+        |FROM q CROSS JOIN tot
+        |ORDER BY p_sample DESC, word
+        |LIMIT 20""".stripMargin,
     "q151_bpe_merges" -> bpeOracle(5),
     "q156_bpe_apply" -> bpeApplyOracle(5),
     "q162_budget_waterfill" ->

@@ -428,6 +428,40 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("eta_sq") - ssb / (ssb + ssw)) < 1e-4)
   }
 
+  test("q190 fold balance: folds partition the corpus and shares are consistent") {
+    val out = graft.ops.TrainingData.foldBalance(spark, sf).collect()
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // per language, the fold shares sum to 1
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val s = rows.map(_.getAs[Double]("fold_share_of_lang")).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"$lang shares sum to $s")
+    }
+  }
+
+  test("q191 negative sampling: probabilities follow the 3/4-power law") {
+    val rows = graft.ops.TrainingData.negSampling(spark, sf).collect()
+    assert(rows.length == 20)
+    val ps = rows.map(_.getAs[Double]("p_sample"))
+    assert(ps.toSeq == ps.sortBy(-_).toSeq)
+    // p ratio ~ (c1/c2)^0.75 for the top two words
+    val (c1, c2) = (rows(0).getAs[Long]("c"), rows(1).getAs[Long]("c"))
+    val expectRatio = math.pow(c1.toDouble / c2, 0.75)
+    val gotRatio = ps(0) / ps(1)
+    assert(math.abs(gotRatio - expectRatio) / expectRatio < 0.01)
+  }
+
+  test("q192 PSI: buckets partition both cohorts and contributions are non-negative") {
+    val rows = graft.ops.Audit.psiDrift(spark, sf).collect()
+    val nOrders = graft.util.Tables.orders(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_cur")).sum
+      == nOrders)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi_contrib") >= -1e-9)
+      assert(r.getAs[Double]("p_base") > 0 && r.getAs[Double]("p_cur") > 0)
+    }
+  }
+
   test("q189 Spearman: matches a driver-side average-rank correlation") {
     import org.apache.spark.sql.functions._
     val out = graft.ops.EventAnalytics.spearman(spark, sf).collect()
