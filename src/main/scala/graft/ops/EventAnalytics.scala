@@ -887,7 +887,51 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** q193: the transformWithState CUSTOM STATEFUL PROCESSOR through
+    * the driver gate — Spark 4's typed arbitrary-state API (the
+    * successor of flatMapGroupsWithState: composable ValueState, TTL,
+    * timers) on the RocksDB store, computing per-user count / exact
+    * decimal sum / max. The sixth streaming operator in the registry,
+    * and the one that exercises user-defined state rather than a
+    * built-in stateful operator.
+    *
+    * Determinism: the processor's sum state is an integer micro-unit
+    * accumulator (per-row BigDecimal HALF_UP quantization ≡ the
+    * oracle's CAST(value AS DECIMAL(28,6))), so emission is exact
+    * whatever the row order; count and max are order-free.
+    *
+    * Scale shape: state is one (long, long, double) triple per user in
+    * RocksDB — off-heap, spillable, changelog-checkpointed — sharded
+    * by user_id like the batch shuffle; unbounded runs add TTL.
+    */
+  def streamUserStats(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val path = s"$d/events.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-user-stats")
+      val src = graft.util.Tables.normalizeTs(
+        s.readStream.schema(s.read.parquet(path).schema)
+          .parquet(s"$d/events.parquet*"))
+      val q = graft.streaming.EventStreams.userStats(src)
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      // AvailableNow drains the finite backlog; update-mode emits each
+      // user once per batch, so the LAST emission per user is the total
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      s.read.parquet(out)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy(col("user_id"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_stream_custom_state" -> streamUserStats _,
     "q189_spearman"        -> spearman _,
     "q187_anova"           -> anovaF _,
     "q176_type_entropy"    -> typeEntropy _,
@@ -920,6 +964,14 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q193_stream_custom_state" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_value,
+        |  max(value) AS max_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q189_spearman" ->
       """WITH t AS (
         |  SELECT event_type, value,

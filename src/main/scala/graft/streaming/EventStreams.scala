@@ -7,6 +7,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Output row of EventStreams.runningTotals. */
 final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+/** Output row of EventStreams.userStats (q193's gate form). */
+final case class UserStats(user_id: Long, n_events: Long,
+    sum_value: Double, max_value: Double)
+
+/** Gate-form transformWithState processor: per-user (count, exact
+  * micro-unit value sum, max). The sum state is an integer — each
+  * value quantizes ONCE via BigDecimal HALF_UP at 6 dp (≡ both
+  * engines' CAST(value AS DECIMAL(28,6))) — so accumulation order can
+  * never perturb the rounded output, unlike a double accumulator.
+  */
+class UserStatsProcessor
+    extends StatefulProcessor[Long, (Long, Double), UserStats] {
+  @transient private var st: ValueState[(Long, Long, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Double)]("stats",
+      Encoders.product[(Long, Long, Double)], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timers: TimerValues): Iterator[UserStats] = {
+    var (n, micros, mx) =
+      if (st.exists()) st.get() else (0L, 0L, Double.NegativeInfinity)
+    rows.foreach { case (_, v) =>
+      n += 1
+      micros += java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+      if (v > mx) mx = v
+    }
+    st.update((n, micros, mx))
+    Iterator.single(UserStats(key, n,
+      new java.math.BigDecimal(micros).movePointLeft(6)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue(), mx))
+  }
+}
+
 /** Spark-4 `transformWithState` processor (the successor of
   * flatMapGroupsWithState: typed composable state, TTL, timers): one
   * ValueState[(count, sum)] per user, updated per batch, emitting the
@@ -159,6 +193,23 @@ object EventStreams {
       .as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** q193's processor applied to a streaming events frame (RocksDB
+    * store forced exactly as in runningTotals).
+    */
+  def userStats(events: DataFrame): Dataset[UserStats] = {
+    val s = events.sparkSession
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    if (s.conf.getOption(key).forall(_.endsWith("HDFSBackedStateStoreProvider")))
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 }

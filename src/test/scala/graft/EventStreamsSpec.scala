@@ -213,6 +213,22 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("q193 transformWithState custom processor reproduces the batch aggregation") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.ops.EventAnalytics.streamUserStats(spark, sf)
+      .collect().toSeq
+    val batch = graft.util.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6))), 2)
+          .cast("double").as("sum_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("user_id")).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("q173 stream-stream join reproduces the batch interval join exactly") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.util.Tables.events(spark, sf)
