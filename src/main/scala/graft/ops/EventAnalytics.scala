@@ -930,7 +930,27 @@ object EventAnalytics {
         .orderBy(col("user_id"))
     }
 
+  /** q194: geometric mean of `value` per event type through the custom
+    * typed Aggregator tier (`functions.GeoMeanAgg`) — algebraic state
+    * (Σ nano-nat ln, count), map-side partials, one 16-byte buffer per
+    * group × partition on the shuffle. The exact integer nano-nat sum
+    * is emitted alongside the rounded mean as the hash-gate anchor.
+    */
+  def geoMean(s: SparkSession, d: String): DataFrame = {
+    val gm = udaf(graft.functions.GeoMeanAgg)
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(gm(col("value")).as("g"))
+      .select(col("event_type"),
+        col("g._2").as("n"),
+        col("g._1").as("sum_nanonats"),
+        round(exp(col("g._1").cast("double") / 1e9
+          / col("g._2").cast("double")), 4).as("geo_mean"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_geo_mean"        -> geoMean _,
     "q193_stream_custom_state" -> streamUserStats _,
     "q189_spearman"        -> spearman _,
     "q187_anova"           -> anovaF _,
@@ -964,6 +984,15 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q194_geo_mean" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(floor(ln(value) * 1e9 + 0.5) AS BIGINT) AS q
+        |  FROM events WHERE value > 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q) AS BIGINT) AS sum_nanonats,
+        |  round(exp(CAST(sum(q) AS DOUBLE) / 1e9 / count(*)), 4) AS geo_mean
+        |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q193_stream_custom_state" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)

@@ -143,7 +143,25 @@ object SqlSuite {
       Map("tbl" -> "li_param", "minq" -> Integer.valueOf(30)))
   }
 
+  /** q195: SQL pipe syntax (Spark 4's `|>` operators — FROM … |> WHERE
+    * … |> AGGREGATE) — the linear query-authoring surface; the parser
+    * lowers it to the identical logical plan as the nested form, so
+    * this pins front-end breadth at zero runtime cost.
+    */
+  def pipeSql(s: SparkSession, d: String): DataFrame = {
+    graft.util.Tables.lineitem(s, d).createOrReplaceTempView("li_pipe")
+    s.sql(
+      """FROM li_pipe
+        ||> WHERE l_quantity >= 25
+        ||> AGGREGATE count(*) AS n,
+        |     CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |       AS sum_qty
+        |   GROUP BY l_returnflag
+        ||> ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_pipe_sql"  -> pipeSql _,
     "q184_param_sql" -> paramSql _,
     "q94_recursive_cte" -> recursiveCte _,
     "q75_json_roundtrip" -> jsonRoundTrip _,
@@ -154,6 +172,14 @@ object SqlSuite {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q195_pipe_sql" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity >= 25
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q184_param_sql" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)

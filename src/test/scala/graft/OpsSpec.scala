@@ -428,6 +428,37 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("eta_sq") - ssb / (ssb + ssw)) < 1e-4)
   }
 
+  test("q194 geometric mean: aggregator matches a driver-side computation") {
+    val out = graft.ops.EventAnalytics.geoMean(spark, sf).collect()
+    val vals = graft.util.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .filter(_._2 > 0.0)
+    val byType = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    out.foreach { r =>
+      val et = r.getString(0)
+      val xs = byType(et)
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      val gm = math.exp(xs.map(math.log).sum / xs.length)
+      // output is rounded to 4 dp; nano-nat quantization adds ~1e-9
+      assert(math.abs(r.getAs[Double]("geo_mean") - gm) < 1e-4 * (1 + gm),
+        s"$et got=${r.getAs[Double]("geo_mean")} ref=$gm")
+    }
+  }
+
+  test("q195 pipe SQL lowers to the same answer as the DataFrame form") {
+    import org.apache.spark.sql.functions._
+    val piped = graft.ops.SqlSuite.pipeSql(spark, sf).collect().toSeq
+    val direct = graft.util.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 25)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(28,6)")), 2)
+          .cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(piped == direct)
+  }
+
   test("q190 fold balance: folds partition the corpus and shares are consistent") {
     val out = graft.ops.TrainingData.foldBalance(spark, sf).collect()
     val nDocs = graft.util.Tables.documents(spark, sf).count()
