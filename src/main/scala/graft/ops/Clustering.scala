@@ -485,59 +485,82 @@ object Clustering {
     * component ordering does, so asserting on top-5 dims alone would
     * be brittle.
     */
-  private[graft] def pcaPowerImpl(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    import s.implicits._
-    val e = embeddings(s, d).select(col("embedding"))
-    val ds = e.as[Array[Float]]
-    val parts = ds.mapPartitions { it =>
-      var g: Array[Long] = null
-      var dm = 0
-      it.foreach { arr =>
-        if (g == null) { dm = arr.length; g = new Array[Long](dm * dm) }
-        var i = 0
-        while (i < dm) {
-          val xi = arr(i).toDouble
-          var j = 0
-          while (j < dm) {
-            g(i * dm + j) +=
-              math.floor(xi * arr(j).toDouble * 1e6 + 0.5).toLong
-            j += 1
+  /** Average micro-Gram of the embedding table, memoized per
+    * (session, sf dir): q180 and q200 share one build.
+    */
+  private val gramMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(gramMemo)
+
+  private def gramAvg(s: SparkSession, d: String): DataFrame =
+    gramMemo.computeIfAbsent((s, d), _ => {
+      import s.implicits._
+      val e = embeddings(s, d).select(col("embedding"))
+      val parts = e.as[Array[Float]].mapPartitions { it =>
+        var g: Array[Long] = null
+        var dm = 0
+        it.foreach { arr =>
+          if (g == null) { dm = arr.length; g = new Array[Long](dm * dm) }
+          var i = 0
+          while (i < dm) {
+            val xi = arr(i).toDouble
+            var j = 0
+            while (j < dm) {
+              g(i * dm + j) +=
+                math.floor(xi * arr(j).toDouble * 1e6 + 0.5).toLong
+              j += 1
+            }
+            i += 1
           }
-          i += 1
         }
-      }
-      if (g == null) Iterator.empty
-      else {
-        val dd = dm
-        (0 until dd * dd).iterator
-          .map(k => ((k / dd + 1).toLong, (k % dd + 1).toLong, g(k)))
-      }
-    }.toDF("i", "j", "gp")
-    val nRows = e.agg(count(lit(1)).as("n"))
-    val gAvg = graft.util.CacheRegistry.register(
-      parts.groupBy(col("i"), col("j")).agg(sum(col("gp")).as("gint"))
-        .crossJoin(broadcast(nRows))
-        .select(col("i"), col("j"),
-          floor(col("gint").cast("double") / col("n").cast("double")
-            + lit(0.5)).cast("long").as("g"))
-        .cache())
-    val dim = 64
-    var v = s.range(1, dim + 1)
+        if (g == null) Iterator.empty
+        else {
+          val dd = dm
+          (0 until dd * dd).iterator
+            .map(k => ((k / dd + 1).toLong, (k % dd + 1).toLong, g(k)))
+        }
+      }.toDF("i", "j", "gp")
+      val nRows = e.agg(count(lit(1)).as("n"))
+      graft.util.CacheRegistry.register(
+        parts.groupBy(col("i"), col("j")).agg(sum(col("gp")).as("gint"))
+          .crossJoin(broadcast(nRows))
+          .select(col("i"), col("j"),
+            floor(col("gint").cast("double") / col("n").cast("double")
+              + lit(0.5)).cast("long").as("g"))
+          .cache())
+    })
+
+  private def gMatvec(g: DataFrame, vec: DataFrame): DataFrame =
+    g.join(vec, col("j") === col("jj")).drop("jj")
+      .groupBy(col("i")).agg(sum(col("g") * col("v")).as("w"))
+
+  /** `iters` integer power iterations of `g` from the all-ones start;
+    * returns the final iterate (jj, v) renormalized to ±10⁶. Each
+    * iterate is localCheckpoint()ed (the q130/q151 iterative-plan
+    * discipline): without the barrier the analyzed plan nests one full
+    * chain per iteration and q200's SIXTEEN chained iterations made
+    * Catalyst analysis itself the bottleneck. The checkpoint is a
+    * 64-row action — negligible — and truncates lineage to a scan.
+    */
+  private def powerIterate(s: SparkSession, g: DataFrame,
+      iters: Int): DataFrame = {
+    var v = s.range(1, 65)
       .select(col("id").as("jj"), lit(1000000L).as("v"))
-    def matvec(vec: DataFrame): DataFrame =
-      gAvg.join(vec, col("j") === col("jj")).drop("jj")
-        .groupBy(col("i")).agg(sum(col("g") * col("v")).as("w"))
-    for (_ <- 1 to PcaIters) {
-      val w = matvec(v)
+    for (_ <- 1 to iters) {
+      val w = gMatvec(g, v)
       val m = w.agg(max(abs(col("w"))).as("m"))
       v = w.crossJoin(broadcast(m))
         .select(col("i").as("jj"),
           floor(col("w").cast("double") / col("m").cast("double") * 1e6
             + lit(0.5)).cast("long").as("v"))
+        .localCheckpoint()
     }
-    val vFinal = graft.util.CacheRegistry.register(v.cache())
-    val wFinal = matvec(vFinal)
+    v
+  }
+
+  /** Rayleigh quotient + top-5 projection shared by q180/q200. */
+  private def pcaSummary(g: DataFrame, vFinal: DataFrame): DataFrame = {
+    val wFinal = gMatvec(g, vFinal)
     // per-term products fit int64 (≤ 1.5e18) but their 64-term sum can
     // reach ~1e19 — sum in decimal (DuckDB sums BIGINT into HUGEINT)
     val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
@@ -546,18 +569,64 @@ object Clustering {
       .agg((sum((col("v") * col("w")).cast(Dec)).cast("double")
         / sum((col("v") * col("v")).cast(Dec)).cast("double"))
         .as("lambda_micro"))
-    val out = vFinal.crossJoin(broadcast(lam))
+    vFinal.crossJoin(broadcast(lam))
       .withColumn("absv", abs(col("v")))
       .orderBy(col("absv").desc, col("jj"))
       .limit(5)
       .select(col("jj").as("dim"),
         round(col("v").cast("double") / 1e6, 6).as("weight"),
         round(col("lambda_micro"), 2).as("lambda_micro"))
-    (out, vFinal)
+  }
+
+  private[graft] def pcaPowerImpl(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val g = gramAvg(s, d)
+    val vFinal = powerIterate(s, g, PcaIters)
+    (pcaSummary(g, vFinal), vFinal)
+  }
+
+  /** q200: SECOND principal component by Hotelling deflation — subtract
+    * the rank-one λ₁·v̂₁v̂₁ᵀ image of the leading direction from the
+    * average micro-Gram and power-iterate the deflated matrix.
+    * Completes the spectral tier: top-2 directions + both eigenvalues
+    * are the anisotropy read-out (how concentrated is the embedding
+    * space) behind whitening decisions.
+    *
+    * Determinism: the deflation term d_ij = floor(λ̂·v_i·v_j/(vᵀv)+0.5)
+    * is a fixed chain of double ops over EXACT integers (λ̂ = vᵀGv/vᵀv
+    * converts integers ≲10¹⁹ to double identically on both engines),
+    * so g₂ is again an exact integer matrix and the q180 iteration
+    * machinery applies unchanged.
+    *
+    * Scale shape: reuses q180's memoized Gram (corpus touched once
+    * across both queries); everything else runs on 64²-row tables; the
+    * 64×64 outer product broadcasts one side.
+    */
+  def pca2(s: SparkSession, d: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = gramAvg(s, d)
+    val v1 = powerIterate(s, g, PcaIters)
+    val w1 = gMatvec(g, v1)
+    val scal = w1
+      .join(v1.select(col("jj").as("i"), col("v")), "i")
+      .agg(sum((col("v") * col("w")).cast(Dec)).as("vgv"),
+        sum((col("v") * col("v")).cast(Dec)).as("vv"))
+    val defl = v1.select(col("jj").as("i"), col("v").as("vi"))
+      .crossJoin(broadcast(v1.select(col("jj").as("j"), col("v").as("vj"))))
+      .crossJoin(broadcast(scal))
+      .select(col("i"), col("j"),
+        floor((col("vgv").cast("double") / col("vv").cast("double"))
+          * (col("vi").cast("double") * col("vj").cast("double"))
+          / col("vv").cast("double") + lit(0.5)).cast("long").as("dd"))
+    val g2 = g.join(defl, Seq("i", "j"))
+      .select(col("i"), col("j"), (col("g") - col("dd")).as("g"))
+      .localCheckpoint()
+    pcaSummary(g2, powerIterate(s, g2, PcaIters))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_pca_power" -> pcaPower _,
+    "q200_pca_deflate" -> pca2 _,
     "q51_dup_clusters"   -> dupClusters _,
     "q150_cc_star"       -> ccStar _,
     "q52_ivf_ann"        -> ivfAnn _,
@@ -602,22 +671,28 @@ object Clustering {
        |    GROUP BY cid, i)
        |  GROUP BY cid)""".stripMargin
 
-  /** q180's oracle: the iterate CTE chain is GENERATED so the engine's
-    * `PcaIters` and the SQL can never drift apart.
+  /** q180/q200 oracles: every iterate CTE chain is GENERATED from the
+    * same `PcaIters` constant the engine uses, so SQL and Scala can
+    * never drift apart. `p` prefixes the chain's CTE names; `gram` is
+    * the matrix CTE it iterates.
     */
-  private def pcaOracle: String = {
-    val iters = (1 to PcaIters).map { t =>
-      s"""w$t AS (SELECT g.i, CAST(sum(g.g * v${t - 1}.v) AS BIGINT) AS w
-         |       FROM g JOIN v${t - 1} ON g.j = v${t - 1}.j GROUP BY 1),
-         |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
-         |v$t AS (SELECT i AS j, CAST(floor(CAST(w AS DOUBLE)
+  private def pcaIterCtes(gram: String, p: String): String =
+    (1 to PcaIters).map { t =>
+      s"""${p}w$t AS MATERIALIZED (SELECT $gram.i,
+         |         CAST(sum($gram.g * ${p}v${t - 1}.v) AS BIGINT) AS w
+         |       FROM $gram JOIN ${p}v${t - 1}
+         |         ON $gram.j = ${p}v${t - 1}.j GROUP BY 1),
+         |${p}m$t AS MATERIALIZED (SELECT max(abs(w)) AS m FROM ${p}w$t),
+         |${p}v$t AS MATERIALIZED (SELECT i AS j, CAST(floor(CAST(w AS DOUBLE)
          |         / CAST(m AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
-         |       FROM w$t CROSS JOIN m$t),""".stripMargin
+         |       FROM ${p}w$t CROSS JOIN ${p}m$t),""".stripMargin
     }.mkString("\n")
-    val vf = s"v$PcaIters"
+
+  /** Shared WITH-prefix: Gram build + the first (undeflated) chain. */
+  private def pcaGramAndChain: String =
     s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
        |idx AS (SELECT CAST(range AS BIGINT) + 1 AS k FROM range(0, 64)),
-       |g AS (
+       |g AS MATERIALIZED (
        |  SELECT i.k AS i, j.k AS j,
        |    CAST(floor(CAST(sum(CAST(floor(
        |        CAST(embedding[i.k] AS DOUBLE)
@@ -625,23 +700,54 @@ object Clustering {
        |      AS DOUBLE) / CAST(max(n.n) AS DOUBLE) + 0.5) AS BIGINT) AS g
        |  FROM embeddings CROSS JOIN idx i CROSS JOIN idx j CROSS JOIN n
        |  GROUP BY i.k, j.k),
-       |v0 AS (SELECT k AS j, CAST(1000000 AS BIGINT) AS v FROM idx),
-       |$iters
-       |wf AS (SELECT g.i, CAST(sum(g.g * $vf.v) AS BIGINT) AS w
-       |       FROM g JOIN $vf ON g.j = $vf.j GROUP BY 1),
-       |lam AS (
-       |  SELECT CAST(sum($vf.v * wf.w) AS DOUBLE)
+       |v0 AS MATERIALIZED (SELECT k AS j, CAST(1000000 AS BIGINT) AS v FROM idx),
+       |${pcaIterCtes("g", "")}""".stripMargin
+
+  private def pcaSummarySql(gram: String, vf: String, lamC: String,
+      wfC: String): String =
+    s"""$wfC AS MATERIALIZED (SELECT $gram.i, CAST(sum($gram.g * $vf.v) AS BIGINT) AS w
+       |       FROM $gram JOIN $vf ON $gram.j = $vf.j GROUP BY 1),
+       |$lamC AS (
+       |  SELECT CAST(sum($vf.v * $wfC.w) AS DOUBLE)
        |       / CAST(sum($vf.v * $vf.v) AS DOUBLE) AS lambda_micro
-       |  FROM wf JOIN $vf ON wf.i = $vf.j)
+       |  FROM $wfC JOIN $vf ON $wfC.i = $vf.j)
        |SELECT $vf.j AS dim, round(CAST($vf.v AS DOUBLE) / 1e6, 6) AS weight,
-       |  round(lam.lambda_micro, 2) AS lambda_micro
-       |FROM $vf CROSS JOIN lam
+       |  round($lamC.lambda_micro, 2) AS lambda_micro
+       |FROM $vf CROSS JOIN $lamC
        |ORDER BY abs($vf.v) DESC, $vf.j
        |LIMIT 5""".stripMargin
+
+  private def pcaOracle: String = {
+    val vf = s"v$PcaIters"
+    s"""$pcaGramAndChain
+       |${pcaSummarySql("g", vf, "lam", "wf")}""".stripMargin
+  }
+
+  private def pca2Oracle: String = {
+    val vf = s"v$PcaIters"
+    val uf = s"uv$PcaIters"
+    s"""$pcaGramAndChain
+       |wfa AS MATERIALIZED (SELECT g.i, CAST(sum(g.g * $vf.v) AS BIGINT) AS w
+       |        FROM g JOIN $vf ON g.j = $vf.j GROUP BY 1),
+       |sc AS MATERIALIZED (
+       |  SELECT sum($vf.v * wfa.w) AS vgv, sum($vf.v * $vf.v) AS vv
+       |  FROM wfa JOIN $vf ON wfa.i = $vf.j),
+       |d AS MATERIALIZED (
+       |  SELECT a.j AS i, b.j AS j,
+       |    CAST(floor((CAST(vgv AS DOUBLE) / CAST(vv AS DOUBLE))
+       |      * (CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE))
+       |      / CAST(vv AS DOUBLE) + 0.5) AS BIGINT) AS dd
+       |  FROM $vf a CROSS JOIN $vf b CROSS JOIN sc),
+       |g2 AS MATERIALIZED (SELECT g.i, g.j, g.g - d.dd AS g
+       |       FROM g JOIN d ON d.i = g.i AND d.j = g.j),
+       |uv0 AS MATERIALIZED (SELECT k AS j, CAST(1000000 AS BIGINT) AS v FROM idx),
+       |${pcaIterCtes("g2", "u")}
+       |${pcaSummarySql("g2", uf, "ulam", "uwf")}""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
     "q180_pca_power" -> pcaOracle,
+    "q200_pca_deflate" -> pca2Oracle,
     "q114_pq_ann" ->
       """WITH e AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v

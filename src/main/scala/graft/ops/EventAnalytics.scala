@@ -949,7 +949,78 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** q196: WATERMARKED tumbling-window aggregation through the driver
+    * gate — the seventh streaming operator, and the one exercising
+    * event-time window state with a lateness bound. Complete mode
+    * emits every window at the final AvailableNow trigger (append
+    * would withhold the last watermark horizon on a finite backlog —
+    * the documented trade, mirrored from B1); on an unbounded run the
+    * same topology switches to append and the watermark actually
+    * evicts closed-window state.
+    */
+  def streamHourly(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val path = s"$d/events.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-hourly")
+      val q = graft.util.Tables.normalizeTs(
+          s.readStream.schema(s.read.parquet(path).schema)
+            .parquet(s"$d/events.parquet*"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DataTypes.createDecimalType(28, 6))), 2)
+            .cast("double").as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .writeStream
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("hour_start"), col("event_type"))
+    }
+
+  /** q199: per-user burstiness of inter-event times —
+    * B = (σ−μ)/(σ+μ) over the integer-µs gap sequence (Goh & Barabási
+    * 2008): B→−1 periodic, B≈0 Poisson, B→1 bursty. The behavioral
+    * fingerprint separating schedulers/bots from humans.
+    *
+    * Exact integer gap moments (Σg, Σg² in decimal — gap² at month
+    * scale is ~10²⁵ and would wrap int64); σ and the final ratio are
+    * one double assembly from identical integers.
+    *
+    * Scale shape: one user-keyed lag window (the q17 sort) + one
+    * user-keyed moment rollup — shuffles carry (user, long) pairs.
+    */
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    val Dec = DataTypes.createDecimalType(38, 0)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("gap").isNotNull)
+    def dd(c: String) = col(c).cast("double")
+    gaps
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(Dec)).as("sg"),
+        sum(col("gap").cast(Dec) * col("gap").cast(Dec)).as("qg"))
+      .select(col("user_id"), col("n_gaps"),
+        round(dd("sg") / dd("n_gaps") / 1e6, 3).as("mean_gap_s"),
+        round((sqrt((dd("n_gaps") * dd("qg") - dd("sg") * dd("sg")))
+          - dd("sg"))
+          / (sqrt((dd("n_gaps") * dd("qg") - dd("sg") * dd("sg")))
+            + dd("sg")), 4).as("burstiness"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_burstiness"      -> burstiness _,
+    "q196_stream_windows"  -> streamHourly _,
     "q194_geo_mean"        -> geoMean _,
     "q193_stream_custom_state" -> streamUserStats _,
     "q189_spearman"        -> spearman _,
@@ -984,6 +1055,42 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q199_burstiness" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS gap
+        |  FROM ev),
+        |f AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    sum(CAST(gap AS DECIMAL(38,0))) AS sg,
+        |    sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+        |      AS qg
+        |  FROM f GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1e6, 3)
+        |    AS mean_gap_s,
+        |  round((sqrt(CAST(n_gaps AS DOUBLE) * CAST(qg AS DOUBLE)
+        |              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |         - CAST(sg AS DOUBLE))
+        |      / (sqrt(CAST(n_gaps AS DOUBLE) * CAST(qg AS DOUBLE)
+        |              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |         + CAST(sg AS DOUBLE)), 4) AS burstiness
+        |FROM m ORDER BY user_id""".stripMargin,
+    "q196_stream_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
+        |    AS hour_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
     "q194_geo_mean" ->
       """WITH t AS (
         |  SELECT event_type,

@@ -881,7 +881,98 @@ object TrainingData {
       .limit(topK)
   }
 
+  /** q197: boilerplate shingle density per source — the share of each
+    * source's doc-distinct 8-gram shingles that recur in ≥ 3 distinct
+    * documents (headers, footers, templates). The per-source signal
+    * that says "this crawl is template soup" before it pollutes a
+    * training mix; complements q153 (cross-source overlap) with a
+    * WITHIN-corpus recurrence measure.
+    *
+    * Scale shape: the gram stream reduces to doc-distinct rows before
+    * the gram-keyed doc-frequency rollup; both wide stages shuffle
+    * (gram, ids) pairs bounded by distinct-gram counts, never raw
+    * text. Integer counts; one double division per source.
+    */
+  def boilerplateDensity(s: SparkSession, d: String,
+      k: Int = 8, minDocs: Long = 3L): DataFrame = {
+    val ws = documents(s, d)
+      .withColumn("ws", split(col("text"), "\\s+"))
+      .filter(size(col("ws")) >= k)
+    val grams = graft.util.CacheRegistry.register(
+      ws.select(col("doc_id"), col("source"),
+        explode(expr(s"transform(sequence(1, size(ws) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(ws, i, $k)))")).as("gram"))
+        .distinct().cache())
+    val dfreq = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(dfreq, Seq("gram"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= minDocs, true)).as("n_boiler"))
+      .select(col("source"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams").cast("double"),
+          4).as("boiler_share"))
+      .orderBy(col("source"))
+  }
+
+  /** q198: Jensen-Shannon divergence between every source pair's word
+    * distributions — the symmetric, bounded (≤ ln 2) distributional
+    * distance behind domain-mixing decisions (complements q192's PSI,
+    * which is bucket-based and asymmetric-prone).
+    *
+    * Decomposition keeps it exact-deterministic: shared-word terms
+    * p·ln(2p/(p+q)) + q·ln(2q/(p+q)) quantize to integer nano-nats
+    * and sum exactly; words private to one source contribute
+    * ln 2·(missing mass), computed from EXACT integer count sums and
+    * the ln 2 double literal — so no variable-order float accumulation
+    * anywhere.
+    *
+    * Scale shape: one (source, word)-keyed count, a word-keyed
+    * pair join bounded by |sources|² fan-out per word, and a
+    * pair-keyed rollup; totals broadcast.
+    */
+  def jsDivergence(s: SparkSession, d: String): DataFrame = {
+    val Ln2 = 0.6931471805599453
+    val wc = graft.util.CacheRegistry.register(
+      documents(s, d)
+        .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+        .select(col("source"), lower(col("w")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("c")).cache())
+    val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val pair = wc.select(col("source").as("src_a"), col("word"),
+        col("c").as("ca"))
+      .join(wc.select(col("source").as("src_b"), col("word"),
+        col("c").as("cb")), Seq("word"))
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    pair
+      .withColumn("q", floor((pa * log(lit(2.0) * pa / (pa + pb))
+        + pb * log(lit(2.0) * pb / (pa + pb))) * 1e9 + lit(0.5))
+        .cast("long"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_words"),
+        sum(col("q")).as("qsum"),
+        sum(col("ca")).as("sa"), sum(col("cb")).as("sb"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .select(col("src_a"), col("src_b"), col("n_shared_words"),
+        round(lit(0.5) * (col("qsum").cast("double") / 1e9
+          + lit(Ln2) * (col("na") - col("sa")).cast("double")
+            / col("na").cast("double")
+          + lit(Ln2) * (col("nb") - col("sb")).cast("double")
+            / col("nb").cast("double")), 6).as("js_nats"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_boilerplate"  -> ((s: SparkSession, d: String) => boilerplateDensity(s, d)),
+    "q198_js_divergence" -> jsDivergence _,
     "q190_fold_balance" -> ((s: SparkSession, d: String) => foldBalance(s, d)),
     "q191_neg_sampling" -> ((s: SparkSession, d: String) => negSampling(s, d)),
     "q129_perplexity"   -> perplexity _,
@@ -980,6 +1071,59 @@ object TrainingData {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q197_boilerplate" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest([array_to_string(ws[i:i+7], ' ')
+        |            for i in range(1, len(ws) - 6)]) AS gram
+        |  FROM ws WHERE len(ws) >= 8),
+        |gd AS (SELECT DISTINCT doc_id, source, gram FROM g),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM gd GROUP BY 1)
+        |SELECT gd.source, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE df >= 3) AS BIGINT) AS n_boiler,
+        |  round(CAST(count(*) FILTER (WHERE df >= 3) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS boiler_share
+        |FROM gd JOIN df USING (gram)
+        |GROUP BY 1 ORDER BY gd.source""".stripMargin,
+    "q198_js_divergence" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    lower(unnest(regexp_split_to_array(text, '\s+'))) AS word
+        |  FROM documents),
+        |wc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        |       FROM t WHERE len(word) > 0 GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |        FROM wc GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.word,
+        |    a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb
+        |  FROM wc a JOIN wc b ON a.word = b.word AND a.source < b.source
+        |  JOIN tot ta ON ta.source = a.source
+        |  JOIN tot tb ON tb.source = b.source),
+        |q AS (
+        |  SELECT src_a, src_b, ca, cb, na, nb,
+        |    CAST(floor(((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+        |        * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+        |             / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+        |                + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))))
+        |      + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |        * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |             / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+        |                + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))))
+        |      * 1e9 + 0.5) AS BIGINT) AS q
+        |  FROM pr)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_words,
+        |  round(0.5 * (CAST(sum(q) AS DOUBLE) / 1e9
+        |    + 0.6931471805599453
+        |      * CAST(max(na) - sum(ca) AS DOUBLE) / CAST(max(na) AS DOUBLE)
+        |    + 0.6931471805599453
+        |      * CAST(max(nb) - sum(cb) AS DOUBLE) / CAST(max(nb) AS DOUBLE)),
+        |    6) AS js_nats
+        |FROM q GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin,
     "q190_fold_balance" ->
       """WITH f AS (
         |  SELECT ('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)),

@@ -573,6 +573,51 @@ class OpsSpec extends AnyFunSuite {
     assert(p50 >= 0 && p50 <= p90 && p90 <= p99)
   }
 
+  test("q200 PCA deflation: second component is near-orthogonal with a smaller eigenvalue") {
+    val out1 = graft.ops.Clustering.pcaPower(spark, sf).collect()
+    val out2 = graft.ops.Clustering.pca2(spark, sf).collect()
+    assert(out2.length == 5)
+    val lam1 = out1.head.getAs[Double]("lambda_micro")
+    val lam2 = out2.head.getAs[Double]("lambda_micro")
+    // NOTE lam2 < lam1 need NOT hold: v1 is an 8-iteration iterate
+    // (~90 % of lambda_max on this near-degenerate spectrum), so the
+    // deflated matrix keeps part of the top direction and its Rayleigh
+    // can exceed v1's. The sound bound is Weyl's: g2 = g - c*uu^T with
+    // c > 0 only ever LOWERS the top eigenvalue, so lam2 must stay
+    // below the converged lambda_max of g.
+    val vecs = graft.util.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = vecs.head.length
+    val g = Array.ofDim[Double](dim, dim)
+    vecs.foreach { x =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { g(i)(j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+    }
+    var ref = Array.fill(dim)(1.0)
+    (1 to 200).foreach { _ =>
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * ref(j)).sum)
+      val m = w.map(math.abs).max
+      ref = w.map(_ / m)
+    }
+    val wRef = Array.tabulate(dim)(i =>
+      (0 until dim).map(j => g(i)(j) * ref(j)).sum)
+    val lamMax = (0 until dim).map(i => ref(i) * wRef(i)).sum /
+      (0 until dim).map(i => ref(i) * ref(i)).sum
+    val lamMaxMicro = lamMax * 1e6 / vecs.length
+    assert(lam2 > 0 && lam2 <= lamMaxMicro * 1.001,
+      s"lam2=$lam2 must stay below lambda_max=$lamMaxMicro (lam1=$lam1)")
+    // and the two reported directions must actually differ
+    assert(out1.map(r => (r.getAs[Long]("dim"), r.getAs[Double]("weight")))
+      .toSeq != out2.map(r => (r.getAs[Long]("dim"),
+        r.getAs[Double]("weight"))).toSeq)
+  }
+
   test("q179 observe: side-channel metrics equal a direct aggregation") {
     import org.apache.spark.sql.functions._
     val out = graft.ops.Breadth.observedMetrics(spark, sf).head()

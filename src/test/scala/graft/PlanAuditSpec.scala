@@ -34,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q188_rank_corr", // q175's 1-row query-vector broadcast + ≤20-row pair join
     "q190_fold_balance", // broadcast 1-row corpus-total scalar
     "q191_neg_sampling", // broadcast 1-row normalizing-total scalar
-    "q192_psi_drift") // broadcast 1-row min/max bounds scalar
+    "q192_psi_drift", // broadcast 1-row min/max bounds scalar
+    "q200_pca_deflate") // 64-row outer product + 1-row scalars (q180 tier)
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
@@ -57,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q188_rank_corr", // ≤20-row rank windows + 1-row pair counts
       "q190_fold_balance", // 1-row corpus-total aggregate
       "q191_neg_sampling", // 1-row normalizing-total aggregate
-      "q192_psi_drift") // 10-row bucket window + 1-row bounds
+      "q192_psi_drift", // 10-row bucket window + 1-row bounds
+      "q200_pca_deflate") // 64-row iterate windows + 1-row scalars
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark
