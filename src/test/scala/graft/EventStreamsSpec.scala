@@ -229,6 +229,23 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("q196 watermarked stream windows reproduce the batch hourly aggregation") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.ops.EventAnalytics.streamHourly(spark, sf)
+      .collect().toSeq
+    val batch = graft.util.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6))), 2)
+          .cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type")).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("q173 stream-stream join reproduces the batch interval join exactly") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.util.Tables.events(spark, sf)

@@ -459,6 +459,43 @@ class OpsSpec extends AnyFunSuite {
     assert(piped == direct)
   }
 
+  test("q197 boilerplate: shares bounded and gram totals partition the corpus") {
+    val out = graft.ops.TrainingData.boilerplateDensity(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_grams"))
+      val s = r.getAs[Double]("boiler_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("q198 JS divergence: bounded by ln 2 and covers every source pair") {
+    val out = graft.ops.TrainingData.jsDivergence(spark, sf).collect()
+    val nSources = graft.util.Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(out.length == nSources * (nSources - 1) / 2)
+    out.foreach { r =>
+      val js = r.getAs[Double]("js_nats")
+      assert(js >= -1e-9 && js <= math.log(2.0) + 1e-9,
+        s"${r.getString(0)}-${r.getString(1)}: $js")
+    }
+  }
+
+  test("q199 burstiness: bounded in [-1, 1] and gap counts are n_events - 1 per user") {
+    val out = graft.ops.EventAnalytics.burstiness(spark, sf).collect()
+    val counts = graft.util.Tables.events(spark, sf)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("n_gaps") == counts(u) - 1)
+      val b = r.getAs[Double]("burstiness")
+      assert(b >= -1.0 - 1e-9 && b <= 1.0 + 1e-9, s"user $u: $b")
+      assert(r.getAs[Double]("mean_gap_s") > 0.0)
+    }
+  }
+
   test("q190 fold balance: folds partition the corpus and shares are consistent") {
     val out = graft.ops.TrainingData.foldBalance(spark, sf).collect()
     val nDocs = graft.util.Tables.documents(spark, sf).count()
