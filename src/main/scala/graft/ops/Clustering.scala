@@ -530,59 +530,83 @@ object Clustering {
           .cache())
     })
 
-  private def gMatvec(g: DataFrame, vec: DataFrame): DataFrame =
-    g.join(vec, col("j") === col("jj")).drop("jj")
-      .groupBy(col("i")).agg(sum(col("g") * col("v")).as("w"))
-
-  /** `iters` integer power iterations of `g` from the all-ones start;
-    * returns the final iterate (jj, v) renormalized to ±10⁶. Each
-    * iterate is localCheckpoint()ed (the q130/q151 iterative-plan
-    * discipline): without the barrier the analyzed plan nests one full
-    * chain per iteration and q200's SIXTEEN chained iterations made
-    * Catalyst analysis itself the bottleneck. The checkpoint is a
-    * 64-row action — negligible — and truncates lineage to a scan.
+  /** The collected average micro-Gram — a dim²-bounded (64×64 long)
+    * summary, the q151 "driver control rows" shape: once the
+    * corpus-sized build has reduced to it, the power iterations are
+    * pure integer recurrences over 4096 numbers, and running them as
+    * DataFrame jobs costs 2+ scheduler actions per iteration for zero
+    * parallelism (measured: q180+q200 spent ~7 s in ~35 actions on
+    * 64-row frames). The driver loop below reproduces the EXACT same
+    * arithmetic the generated oracle CTEs run — integer matvec,
+    * max-|w| renormalization via floor on doubles — so the gate is
+    * unchanged.
     */
-  private def powerIterate(s: SparkSession, g: DataFrame,
-      iters: Int): DataFrame = {
-    var v = s.range(1, 65)
-      .select(col("id").as("jj"), lit(1000000L).as("v"))
+  private def collectGram(s: SparkSession, d: String): Array[Array[Long]] = {
+    val dim = 64
+    val g = Array.ofDim[Long](dim, dim)
+    gramAvg(s, d).collect().foreach { r =>
+      g(r.getLong(0).toInt - 1)(r.getLong(1).toInt - 1) = r.getLong(2)
+    }
+    g
+  }
+
+  private def matvecL(g: Array[Array[Long]], v: Array[Long]): Array[Long] = {
+    val dim = v.length
+    Array.tabulate(dim) { i =>
+      var acc = 0L
+      var j = 0
+      while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+      acc
+    }
+  }
+
+  private def powerIterateL(g: Array[Array[Long]],
+      iters: Int): Array[Long] = {
+    var v = Array.fill(g.length)(1000000L)
     for (_ <- 1 to iters) {
-      val w = gMatvec(g, v)
-      val m = w.agg(max(abs(col("w"))).as("m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("i").as("jj"),
-          floor(col("w").cast("double") / col("m").cast("double") * 1e6
-            + lit(0.5)).cast("long").as("v"))
-        .localCheckpoint()
+      val w = matvecL(g, v)
+      var m = 0L
+      w.foreach(x => if (math.abs(x) > m) m = math.abs(x))
+      val md = m.toDouble
+      v = w.map(x => math.floor(x.toDouble / md * 1e6 + 0.5).toLong)
     }
     v
   }
 
-  /** Rayleigh quotient + top-5 projection shared by q180/q200. */
-  private def pcaSummary(g: DataFrame, vFinal: DataFrame): DataFrame = {
-    val wFinal = gMatvec(g, vFinal)
-    // per-term products fit int64 (≤ 1.5e18) but their 64-term sum can
-    // reach ~1e19 — sum in decimal (DuckDB sums BIGINT into HUGEINT)
-    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val lam = wFinal
-      .join(vFinal.select(col("jj").as("i"), col("v")), "i")
-      .agg((sum((col("v") * col("w")).cast(Dec)).cast("double")
-        / sum((col("v") * col("v")).cast(Dec)).cast("double"))
-        .as("lambda_micro"))
-    vFinal.crossJoin(broadcast(lam))
-      .withColumn("absv", abs(col("v")))
-      .orderBy(col("absv").desc, col("jj"))
-      .limit(5)
-      .select(col("jj").as("dim"),
-        round(col("v").cast("double") / 1e6, 6).as("weight"),
-        round(col("lambda_micro"), 2).as("lambda_micro"))
+  /** (vᵀGv, vᵀv) as exact integers — the DataFrame form's decimal
+    * sums; BigInt→Double is the same round-to-nearest as decimal→
+    * double.
+    */
+  private def rayleighL(g: Array[Array[Long]], v: Array[Long]): Double = {
+    val w = matvecL(g, v)
+    val vgv = v.indices.map(i => BigInt(v(i)) * BigInt(w(i))).sum
+    val vv = v.indices.map(i => BigInt(v(i)) * BigInt(v(i))).sum
+    vgv.toDouble / vv.toDouble
+  }
+
+  private def round2(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Top-5 |component| projection with the Rayleigh quotient — the
+    * q180/q200 output shape, built from the driver-side iterate.
+    */
+  private def pcaSummaryL(s: SparkSession, g: Array[Array[Long]],
+      v: Array[Long]): DataFrame = {
+    import s.implicits._
+    val lam = round2(rayleighL(g, v), 2)
+    v.zipWithIndex
+      .map { case (x, i0) => ((i0 + 1).toLong, x) }
+      .sortBy { case (dim, x) => (-math.abs(x), dim) }
+      .take(5)
+      .map { case (dim, x) => (dim, round2(x.toDouble / 1e6, 6), lam) }
+      .toSeq.toDF("dim", "weight", "lambda_micro")
   }
 
   private[graft] def pcaPowerImpl(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val g = gramAvg(s, d)
-    val vFinal = powerIterate(s, g, PcaIters)
-    (pcaSummary(g, vFinal), vFinal)
+      s: SparkSession, d: String): (DataFrame, Array[Long]) = {
+    val g = collectGram(s, d)
+    val v = powerIterateL(g, PcaIters)
+    (pcaSummaryL(s, g, v), v)
   }
 
   /** q200: SECOND principal component by Hotelling deflation — subtract
@@ -603,25 +627,18 @@ object Clustering {
     * 64×64 outer product broadcasts one side.
     */
   def pca2(s: SparkSession, d: String): DataFrame = {
-    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val g = gramAvg(s, d)
-    val v1 = powerIterate(s, g, PcaIters)
-    val w1 = gMatvec(g, v1)
-    val scal = w1
-      .join(v1.select(col("jj").as("i"), col("v")), "i")
-      .agg(sum((col("v") * col("w")).cast(Dec)).as("vgv"),
-        sum((col("v") * col("v")).cast(Dec)).as("vv"))
-    val defl = v1.select(col("jj").as("i"), col("v").as("vi"))
-      .crossJoin(broadcast(v1.select(col("jj").as("j"), col("v").as("vj"))))
-      .crossJoin(broadcast(scal))
-      .select(col("i"), col("j"),
-        floor((col("vgv").cast("double") / col("vv").cast("double"))
-          * (col("vi").cast("double") * col("vj").cast("double"))
-          / col("vv").cast("double") + lit(0.5)).cast("long").as("dd"))
-    val g2 = g.join(defl, Seq("i", "j"))
-      .select(col("i"), col("j"), (col("g") - col("dd")).as("g"))
-      .localCheckpoint()
-    pcaSummary(g2, powerIterate(s, g2, PcaIters))
+    val g = collectGram(s, d)
+    val v1 = powerIterateL(g, PcaIters)
+    val w1 = matvecL(g, v1)
+    val vgv = v1.indices.map(i => BigInt(v1(i)) * BigInt(w1(i))).sum
+    val vv = v1.indices.map(i => BigInt(v1(i)) * BigInt(v1(i))).sum
+    val (vgvD, vvD) = (vgv.toDouble, vv.toDouble)
+    val dim = g.length
+    val g2 = Array.tabulate(dim, dim) { (i, j) =>
+      g(i)(j) - math.floor((vgvD / vvD)
+        * (v1(i).toDouble * v1(j).toDouble) / vvD + 0.5).toLong
+    }
+    pcaSummaryL(s, g2, powerIterateL(g2, PcaIters))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -296,7 +296,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("q180 PCA: Rayleigh quotient reaches the converged top eigenvalue") {
-    val (outDf, vDf) = graft.ops.Clustering.pcaPowerImpl(spark, sf)
+    val (outDf, vArr) = graft.ops.Clustering.pcaPowerImpl(spark, sf)
     val out = outDf.collect()
     assert(out.length == 5)
     // max|weight| must be exactly 1 (the +-1e6 renormalization)
@@ -330,10 +330,7 @@ class OpsSpec extends AnyFunSuite {
     }
     val lamMax = rayleigh(ref)
     // the engine's 3-iteration vector must capture >= 90% of lambda_max
-    val got = new Array[Double](dim)
-    vDf.collect().foreach { r =>
-      got(r.getAs[Long]("jj").toInt - 1) = r.getAs[Long]("v").toDouble
-    }
+    val got = vArr.map(_.toDouble)
     val lamGot = rayleigh(got)
     assert(lamGot >= 0.85 * lamMax, s"rayleigh $lamGot < 0.85 x $lamMax")
     // the emitted lambda_micro is the same quotient on the micro-Gram

@@ -30,12 +30,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q175_rrf_fusion", // broadcast 1-row query-vector scalar (q30 shape)
     "q177_cusum", // broadcast 1-row (T, S) totals onto the calendar table
     "q178_theil_sen", // calendar²-bounded all-pairs slope join (PLANS.md)
-    "q180_pca_power", // broadcast 1-row n / max-|w| scalars per iteration
     "q188_rank_corr", // q175's 1-row query-vector broadcast + ≤20-row pair join
     "q190_fold_balance", // broadcast 1-row corpus-total scalar
     "q191_neg_sampling", // broadcast 1-row normalizing-total scalar
-    "q192_psi_drift", // broadcast 1-row min/max bounds scalar
-    "q200_pca_deflate") // 64-row outer product + 1-row scalars (q180 tier)
+    "q192_psi_drift") // broadcast 1-row min/max bounds scalar
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
@@ -52,14 +50,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q175_rrf_fusion", // fusion-width (≤20-row) rank windows
       "q177_cusum", // calendar-sized prefix window + 1-row totals
       "q178_theil_sen", // 1-row percentile/OLS-moment aggregates
-      "q180_pca_power", // 64-row iterate windows + 1-row scalars
       "q185_conversion_lag", // 1-row percentile aggregate
       "q187_anova", // k-row (≤|event types|) group fold
       "q188_rank_corr", // ≤20-row rank windows + 1-row pair counts
       "q190_fold_balance", // 1-row corpus-total aggregate
       "q191_neg_sampling", // 1-row normalizing-total aggregate
-      "q192_psi_drift", // 10-row bucket window + 1-row bounds
-      "q200_pca_deflate") // 64-row iterate windows + 1-row scalars
+      "q192_psi_drift") // 10-row bucket window + 1-row bounds
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark
