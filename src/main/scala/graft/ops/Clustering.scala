@@ -616,11 +616,21 @@ object Clustering {
     * are the anisotropy read-out (how concentrated is the embedding
     * space) behind whitening decisions.
     *
-    * Determinism: the deflation term d_ij = floor(λ̂·v_i·v_j/(vᵀv)+0.5)
-    * is a fixed chain of double ops over EXACT integers (λ̂ = vᵀGv/vᵀv
-    * converts integers ≲10¹⁹ to double identically on both engines),
-    * so g₂ is again an exact integer matrix and the q180 iteration
-    * machinery applies unchanged.
+    * Determinism: λ̂ is first quantized to integer micro-units —
+    * λ_q = floor(vᵀGv·10⁶/vᵀv + 0.5) — computed entirely in exact
+    * integer arithmetic (BigInt here, HUGEINT in the oracle; both
+    * sides use the same (2·vgv·10⁶ + vv) / (2·vv) truncating-division
+    * form, exact for the non-negative vgv of a PSD Gram). vᵀGv can
+    * exceed 2⁶³, where a direct HUGEINT→DOUBLE conversion is NOT
+    * guaranteed to round identically across engines (DuckDB composes
+    * upper·2⁶⁴ + lower and can double-round by 1 ulp vs BigInt's
+    * correctly-rounded toDouble) — quantizing before any double
+    * conversion removes that hazard. The deflation term is then
+    * d_ij = floor((λ_q/10⁶)·v_i·v_j/(vᵀv) + 0.5): every operand is an
+    * exactly-representable double (λ_q ≤ ~6.4e13 < 2⁵³, v_i·v_j ≤
+    * 10¹², vᵀv ≤ 6.4e13) and every op is a correctly-rounded IEEE
+    * primitive, so g₂ is the same exact integer matrix on both engines
+    * and the q180 iteration machinery applies unchanged.
     *
     * Scale shape: reuses q180's memoized Gram (corpus touched once
     * across both queries); everything else runs on 64²-row tables; the
@@ -632,10 +642,13 @@ object Clustering {
     val w1 = matvecL(g, v1)
     val vgv = v1.indices.map(i => BigInt(v1(i)) * BigInt(w1(i))).sum
     val vv = v1.indices.map(i => BigInt(v1(i)) * BigInt(v1(i))).sum
-    val (vgvD, vvD) = (vgv.toDouble, vv.toDouble)
+    // λ_q = floor(vgv·1e6/vv + 0.5) in exact integers; truncating
+    // division == floor for the non-negative vgv of a PSD Gram.
+    val lamQ = (vgv * 2000000 + vv) / (vv * 2)
+    val (lamD, vvD) = (lamQ.toDouble / 1e6, vv.toDouble)
     val dim = g.length
     val g2 = Array.tabulate(dim, dim) { (i, j) =>
-      g(i)(j) - math.floor((vgvD / vvD)
+      g(i)(j) - math.floor(lamD
         * (v1(i).toDouble * v1(j).toDouble) / vvD + 0.5).toLong
     }
     pcaSummaryL(s, g2, powerIterateL(g2, PcaIters))
@@ -747,14 +760,17 @@ object Clustering {
        |wfa AS MATERIALIZED (SELECT g.i, CAST(sum(g.g * $vf.v) AS BIGINT) AS w
        |        FROM g JOIN $vf ON g.j = $vf.j GROUP BY 1),
        |sc AS MATERIALIZED (
-       |  SELECT sum($vf.v * wfa.w) AS vgv, sum($vf.v * $vf.v) AS vv
+       |  SELECT sum(CAST($vf.v AS HUGEINT) * CAST(wfa.w AS HUGEINT)) AS vgv,
+       |         sum(CAST($vf.v AS HUGEINT) * CAST($vf.v AS HUGEINT)) AS vv
        |  FROM wfa JOIN $vf ON wfa.i = $vf.j),
+       |lamq AS MATERIALIZED (
+       |  SELECT (vgv * 2000000 + vv) // (vv * 2) AS lq, vv FROM sc),
        |d AS MATERIALIZED (
        |  SELECT a.j AS i, b.j AS j,
-       |    CAST(floor((CAST(vgv AS DOUBLE) / CAST(vv AS DOUBLE))
+       |    CAST(floor((CAST(lq AS DOUBLE) / 1e6)
        |      * (CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE))
        |      / CAST(vv AS DOUBLE) + 0.5) AS BIGINT) AS dd
-       |  FROM $vf a CROSS JOIN $vf b CROSS JOIN sc),
+       |  FROM $vf a CROSS JOIN $vf b CROSS JOIN lamq),
        |g2 AS MATERIALIZED (SELECT g.i, g.j, g.g - d.dd AS g
        |       FROM g JOIN d ON d.i = g.i AND d.j = g.j),
        |uv0 AS MATERIALIZED (SELECT k AS j, CAST(1000000 AS BIGINT) AS v FROM idx),

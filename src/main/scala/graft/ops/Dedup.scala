@@ -85,7 +85,7 @@ object Dedup {
     * here is two flat fields; the loop is exact long arithmetic the
     * DuckDB oracle reproduces bit-for-bit.
     */
-  private def signatures(docs: DataFrame): DataFrame = {
+  private[graft] def signatures(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -122,17 +122,22 @@ object Dedup {
   private val bandsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   graft.util.CacheRegistry.registerMemo(bandsCache)
+  /** (doc_id, sig) → (doc_id, band_no, band) — 8 bands × 2 rows; shared
+    * by the batch lshBands cache and the streaming incremental dedup
+    * (graft.streaming.DedupStreams), so both paths band identically.
+    */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        b => concat_ws("_",
+          element_at(col("sig"), b * 2 + 1),
+          element_at(col("sig"), b * 2 + 2)))))
+      .withColumnRenamed("pos", "band_no")
+      .withColumnRenamed("col", "band")
   private def lshBands(s: SparkSession, d: String): DataFrame =
     bandsCache.computeIfAbsent((s, d), _ =>
       graft.util.CacheRegistry.register(
-        signatures(documents(s, d)).select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(7)),
-            b => concat_ws("_",
-              element_at(col("sig"), b * 2 + 1),
-              element_at(col("sig"), b * 2 + 2)))))
-          .withColumnRenamed("pos", "band_no")
-          .withColumnRenamed("col", "band")
-          .cache()))
+        bandsOf(signatures(documents(s, d))).cache()))
 
   /** Distinct LSH candidate pairs (band self-join). */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
@@ -360,7 +365,47 @@ object Dedup {
     }
   }
 
+  /** q201: streaming INCREMENTAL near-dup dedup through the driver gate
+    * — the continuous-ingest completion of the MinHash+LSH family. The
+    * document stream runs the exact batch signature+banding stages
+    * (shared code), then per-band min-doc_id state in
+    * `transformWithState` (graft.streaming.DedupStreams) flags each doc
+    * against every PRIOR doc without rescanning the admitted corpus;
+    * the per-doc OR over its 8 band votes is batch-local (a doc's votes
+    * all land in its own micro-batch), so the foreachBatch rollup needs
+    * no second stateful operator. Gated by the arrival-order-free batch
+    * form of the same statistic: doc is near-dup iff it shares a band
+    * with a smaller doc_id (the q27 candidate relation, read from the
+    * `b` side).
+    *
+    * Scale shape: state = 8 bytes per distinct band (RocksDB); shuffle
+    * carries (band-key, doc_id) pairs only — identical bytes to the
+    * batch LSH self-join, but amortized over ingest instead of paid as
+    * a corpus rescan per refresh.
+    */
+  def streamNearDup(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val path = s"$d/documents.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-neardup")
+      val src = s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(s"$d/documents.parquet*")
+        .select(col("doc_id"), col("text"))
+      val q = graft.streaming.DedupStreams.bandFlags(src).toDF()
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("doc_id"))
+            .agg(max(col("dup")).as("is_near_dup"))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("doc_id"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_stream_neardup" -> streamNearDup _,
     "q182_stream_dedup_wm" -> streamDedupWatermark _,
     "q159_stream_dedup"   -> streamDedup _,
     "q111_edit_distance"  -> editDistancePairs _,
@@ -422,6 +467,17 @@ object Dedup {
       |  FROM sig, range(0, 8) t(b))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q201_stream_neardup" ->
+      s"""WITH $ShinglesCte,
+        |$SignatureCte,
+        |dup AS (SELECT DISTINCT y.doc_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band_no = y.band_no AND x.band = y.band
+        |   AND x.doc_id < y.doc_id)
+        |SELECT b.doc_id, (dup.doc_id IS NOT NULL) AS is_near_dup
+        |FROM (SELECT DISTINCT doc_id FROM bands) b
+        |LEFT JOIN dup ON dup.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q159_stream_dedup" ->
       """SELECT DISTINCT user_id
         |FROM events

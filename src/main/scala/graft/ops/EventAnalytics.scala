@@ -935,10 +935,15 @@ object EventAnalytics {
     * (Σ nano-nat ln, count), map-side partials, one 16-byte buffer per
     * group × partition on the shuffle. The exact integer nano-nat sum
     * is emitted alongside the rounded mean as the hash-gate anchor.
+    * Non-positive values are filtered BEFORE the groupBy (mirroring
+    * the oracle's WHERE value > 0) so an event_type whose values are
+    * all ≤ 0 drops out of the group set entirely on both engines,
+    * rather than surfacing as a Spark-only (n=0, NaN) row.
     */
   def geoMean(s: SparkSession, d: String): DataFrame = {
     val gm = udaf(graft.functions.GeoMeanAgg)
     events(s, d)
+      .filter(col("value") > 0)
       .groupBy(col("event_type"))
       .agg(gm(col("value")).as("g"))
       .select(col("event_type"),

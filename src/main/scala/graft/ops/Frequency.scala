@@ -195,9 +195,13 @@ object Frequency {
     * partials, then a lang-keyed rollup of at most |sources| rows per
     * language; no window, two shuffles of tiny keyed longs total.
     * tok² ≤ (1e14 tokens)² = 1e28 ≪ 10³⁸, so decimal(38,0) is exact
-    * even at 100 TB corpus scale.
+    * even at 100 TB corpus scale. The squaring casts each factor to
+    * decimal FIRST (decimal(19,0)² → decimal(38,0)) — squaring in LONG
+    * and casting after would wrap int64 silently once a (lang, source)
+    * token sum exceeds ~3.03e9.
     */
   def hhiByLang(s: SparkSession, d: String): DataFrame = {
+    val Dec19 = DataTypes.createDecimalType(19, 0)
     val Dec = DataTypes.createDecimalType(38, 0)
     documents(s, d)
       .select(col("lang"), col("source"),
@@ -206,7 +210,7 @@ object Frequency {
       .agg(sum(col("n_tokens")).as("tok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sources"),
-        sum((col("tok") * col("tok")).cast(Dec)).as("ssq"),
+        sum(col("tok").cast(Dec19) * col("tok").cast(Dec19)).as("ssq"),
         sum(col("tok").cast(Dec)).as("tot"))
       .select(col("lang"), col("n_sources"),
         round(col("ssq").cast("double")
@@ -249,7 +253,7 @@ object Frequency {
         |ps AS (SELECT lang, source, CAST(sum(n_tokens) AS BIGINT) AS tok
         |       FROM t GROUP BY 1, 2)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
-        |  round(CAST(sum(tok * tok) AS DOUBLE)
+        |  round(CAST(sum(CAST(tok AS DECIMAL(19,0)) * CAST(tok AS DECIMAL(19,0))) AS DOUBLE)
         |        / (CAST(sum(tok) AS DOUBLE) * CAST(sum(tok) AS DOUBLE)), 6)
         |    AS hhi
         |FROM ps GROUP BY lang ORDER BY lang""".stripMargin,

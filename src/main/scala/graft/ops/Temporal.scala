@@ -282,8 +282,10 @@ object Temporal {
     * integers — order-independent — and both engines assemble the same
     * closed form from identical integers with doubles appearing only
     * in the final expression (the q93/q117 discipline). Products are
-    * taken decimal×decimal, never long×long: day revenue at 100 TB is
-    * ~10¹³ cents and the cross-product ~10²⁶ would wrap int64.
+    * taken decimal(19,0)×decimal(19,0) — the q178/q199 convention,
+    * giving a provably exact 38-digit result — never long×long: day
+    * revenue at 100 TB is ~10¹³ cents and the cross-product ~10²⁶
+    * would wrap int64.
     *
     * Scale shape: the only corpus-sized stage is the day-keyed revenue
     * rollup (map-side combinable). The lag join runs on the CALENDAR-
@@ -293,6 +295,7 @@ object Temporal {
     */
   def dailyAcf(s: SparkSession, d: String): DataFrame = {
     val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val Dec19 = org.apache.spark.sql.types.DataTypes.createDecimalType(19, 0)
     val rev = orders(s, d)
       .select(
         datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
@@ -315,9 +318,9 @@ object Temporal {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x").cast(Dec)).as("sx"),
         sum(col("y").cast(Dec)).as("sy"),
-        sum(col("x").cast(Dec) * col("y").cast(Dec)).as("sxy"),
-        sum(col("x").cast(Dec) * col("x").cast(Dec)).as("sxx"),
-        sum(col("y").cast(Dec) * col("y").cast(Dec)).as("syy"))
+        sum(col("x").cast(Dec19) * col("y").cast(Dec19)).as("sxy"),
+        sum(col("x").cast(Dec19) * col("x").cast(Dec19)).as("sxx"),
+        sum(col("y").cast(Dec19) * col("y").cast(Dec19)).as("syy"))
       .select(col("lag"), col("n_pairs"),
         round((n * dd("sxy") - dd("sx") * dd("sy"))
           / sqrt((n * dd("sxx") - dd("sx") * dd("sx"))
@@ -523,9 +526,11 @@ object Temporal {
         |  SELECT lag, count(*) AS n_pairs,
         |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
         |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
-        |    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
-        |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
-        |    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+        |    -- DECIMAL(19,0) factors → provably exact 38-digit products
+        |    -- (the q178/q199 convention); 38×38 would silently cap at 38
+        |    sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |    sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |    sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
         |  FROM pairs GROUP BY lag)
         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
         |  round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)

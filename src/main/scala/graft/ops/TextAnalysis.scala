@@ -657,14 +657,15 @@ object TextAnalysis {
         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bt),
         |p AS (
         |  SELECT (a.r_lex - b.r_lex) * (a.r_sem - b.r_sem) AS prod
-        |  FROM bt a JOIN bt b ON a.doc_id < b.doc_id)
-        |SELECT mm.m,
-        |  CAST(count(*) FILTER (WHERE prod > 0) AS BIGINT) AS concordant,
-        |  CAST(count(*) FILTER (WHERE prod < 0) AS BIGINT) AS discordant,
-        |  round(CAST(count(*) FILTER (WHERE prod > 0)
-        |             - count(*) FILTER (WHERE prod < 0) AS DOUBLE)
+        |  FROM bt a JOIN bt b ON a.doc_id < b.doc_id),
+        |pa AS (
+        |  SELECT CAST(count(*) FILTER (WHERE prod > 0) AS BIGINT) AS concordant,
+        |         CAST(count(*) FILTER (WHERE prod < 0) AS BIGINT) AS discordant
+        |  FROM p)
+        |SELECT mm.m, pa.concordant, pa.discordant,
+        |  round(CAST(pa.concordant - pa.discordant AS DOUBLE)
         |    / NULLIF(mm.m * (mm.m - 1) / 2, 0), 4) AS tau
-        |FROM p CROSS JOIN mm GROUP BY mm.m""".stripMargin,
+        |FROM pa CROSS JOIN mm""".stripMargin,
     "q175_rrf_fusion" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws

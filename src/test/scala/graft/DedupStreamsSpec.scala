@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.DedupStreams
+
+case class Doc(doc_id: Long, text: String)
+
+class DedupStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("a late near-dup arriving in a later micro-batch is caught against band state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val in = MemoryStream[Doc]
+    val q = DedupStreams.bandFlags(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ds_neardup").start()
+    try {
+      in.addData(
+        Doc(1, "alpha beta gamma delta epsilon"),
+        Doc(2, "totally different words in here now"))
+      q.processAllAvailable()
+      // batch 2: doc 3 duplicates doc 1's text — every band must hit
+      // the min-id state carried from batch 1; doc 4 is novel
+      in.addData(
+        Doc(3, "alpha beta gamma delta epsilon"),
+        Doc(4, "yet another unrelated document body"))
+      q.processAllAvailable()
+      val flags = spark.table("ds_neardup")
+        .groupBy(col("doc_id")).agg(max(col("dup")).as("d"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(flags == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("an in-batch near-dup pair resolves by doc_id order, like the batch operator") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val in = MemoryStream[Doc]
+    val q = DedupStreams.bandFlags(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ds_inbatch").start()
+    try {
+      // both copies in ONE batch, submitted larger-id first: the sorted
+      // in-group sweep must still flag only the larger id
+      in.addData(
+        Doc(8, "omega psi chi phi upsilon tau"),
+        Doc(7, "omega psi chi phi upsilon tau"))
+      q.processAllAvailable()
+      val flags = spark.table("ds_inbatch")
+        .groupBy(col("doc_id")).agg(max(col("dup")).as("d"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(flags == Map(7L -> false, 8L -> true))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("q201 streamed flags match the batch q27 composition on the fixture corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.ops.Dedup.streamNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    // arrival-order-free batch form: doc is near-dup iff it is the b
+    // side of some q27 candidate pair (shares a band with a smaller id)
+    val dupIds = graft.ops.Dedup.minhashPairs(spark, sf)
+      .select(col("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val domain = graft.ops.Dedup
+      .signatures(graft.util.Tables.documents(spark, sf))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val batch = domain.map(id => (id, dupIds.contains(id))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    assert(streamed.exists(_._2), "fixture must contain at least one near-dup")
+  }
+}
