@@ -988,6 +988,45 @@ object EventAnalytics {
       s.read.parquet(out).orderBy(col("hour_start"), col("event_type"))
     }
 
+  /** q202: stream-static enrichment join through the driver gate — the
+    * day-one streaming op the r6 verdict flagged missing: events stream
+    * in and each is enriched against the static customer⨝nation
+    * dimension (pre-joined once, `cache()`d, BROADCAST into every
+    * micro-batch). The plan is completely shuffle-free: the stream side
+    * is a map-side hash probe against the broadcast dim, so no state
+    * store, no watermark, no exchange — pinned by the
+    * EventStreamsSpec plan assertion (no ShuffleExchange in any batch).
+    *
+    * Scale shape: broadcasting the dim is what keeps a 100 TB/day
+    * stream enrichment shuffle-free; a dim over the broadcast
+    * threshold degrades to a pre-bucketed shuffled join instead.
+    */
+  def streamEnrich(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-enrich")
+      val dim = customer(s, d)
+        .join(nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("n_name"))
+        .cache()
+      val src = s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(s"$d/events.parquet*")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val q = graft.streaming.EventStreams.enrichWithDim(src, dim)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      dim.unpersist()
+      s.read.parquet(out).orderBy(col("event_id"))
+    }
+
   /** q199: per-user burstiness of inter-event times —
     * B = (σ−μ)/(σ+μ) over the integer-µs gap sequence (Goh & Barabási
     * 2008): B→−1 periodic, B≈0 Poisson, B→1 bursty. The behavioral
@@ -1024,6 +1063,7 @@ object EventAnalytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_stream_enrich"   -> streamEnrich _,
     "q199_burstiness"      -> burstiness _,
     "q196_stream_windows"  -> streamHourly _,
     "q194_geo_mean"        -> geoMean _,
@@ -1060,6 +1100,12 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q202_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment, n.n_name, e.value
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY e.event_id""".stripMargin,
     "q199_burstiness" ->
       """WITH ev AS (
         |  SELECT user_id, event_id,

@@ -163,6 +163,25 @@ object EventStreams {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** Stream-static enrichment join — the most common streaming op of
+    * all: each event enriched against a static dimension (customer ⨝
+    * nation, pre-joined once on the batch side). The dim is BROADCAST:
+    * the stream side is never shuffled and the static side never
+    * re-shuffles per micro-batch — the whole enrichment is a stateless
+    * map-side hash probe, so there is no state store, no watermark, and
+    * latency is one broadcast build per batch over a dim that a real
+    * deployment additionally `cache()`s (done in the q202 gate form).
+    *
+    * At scale: a dim that outgrows the broadcast threshold switches to
+    * a pre-bucketed shuffled join on user_id — but customer-class dims
+    * (millions of rows × narrow columns) broadcast comfortably, and
+    * broadcasting is THE way to keep a 100 TB/day stream shuffle-free.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("n_name"), col("value"))
+
   /** Streaming exact dedup by event_id within the watermark horizon —
     * the streaming form of the LLM-pipeline dedup stage: duplicates
     * arriving within 2 h are dropped, state is watermark-evicted.

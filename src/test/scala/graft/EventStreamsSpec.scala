@@ -176,6 +176,61 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim: no shuffle in any micro-batch plan") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "BUILDING", "FRANCE"), (2L, "MACHINERY", "KENYA"))
+      .toDF("c_custkey", "c_mktsegment", "n_name")
+    val in = MemoryStream[Ev]
+    // the foreachBatch dataset wraps an already-computed RDD, so the
+    // micro-batch join plan is only visible through the query's explain
+    def lastPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String = {
+      val bos = new java.io.ByteArrayOutputStream
+      Console.withOut(new java.io.PrintStream(bos)) { q.explain() }
+      bos.toString
+    }
+    val q = EventStreams.enrichWithDim(
+        in.toDF().select(col("event_id"), col("user_id"), col("value")), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("es_enrich").start()
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val plan1 = lastPlan(q)
+      in.addData(Ev(2, ts("2024-01-01 11:00:00"), 2, "view", 2.0),
+        Ev(3, ts("2024-01-01 11:01:00"), 5, "view", 3.0)) // no dim row → dropped
+      q.processAllAvailable()
+      val plan2 = lastPlan(q)
+      Seq(plan1, plan2).foreach { p =>
+        assert(p.contains("BroadcastHashJoin"),
+          s"enrichment must be a broadcast hash join:\n$p")
+        assert(!p.contains("ShuffleExchange"),
+          s"neither side may shuffle — per-batch static re-shuffle is the bug this pins:\n$p")
+      }
+      val rows = spark.table("es_enrich")
+        .collect().map(r => (r.getAs[Long]("event_id"),
+          r.getAs[String]("c_mktsegment"), r.getAs[String]("n_name"))).toSet
+      assert(rows == Set((1L, "BUILDING", "FRANCE"), (2L, "MACHINERY", "KENYA")))
+    } finally q.stop()
+  }
+
+  test("q202 streamed enrichment matches the batch join exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.ops.EventAnalytics.streamEnrich(spark, sf)
+      .collect().toSeq
+    val batch = graft.util.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .join(graft.util.Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .join(graft.util.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("n_name"), col("value"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("q159 streaming dedup emits exactly the batch-distinct user set") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.ops.Dedup.streamDedup(spark, sf)
