@@ -443,6 +443,205 @@ object Clustering {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- Persisted ANN index lifecycle (q203/q204) -------------------
+  //
+  // q52/q114 rebuild the IVF cells / PQ codes inside every query; the
+  // production lifecycle is "index build ONCE, probe many": the
+  // corpus-sized artifact (cell assignment, code table) is written as
+  // a BUCKETED parquet table and every probe reads it back without any
+  // assignment/encode stage in its plan. Build cost is paid once per
+  // corpus version; probes touch only narrow index rows (8-16 B per
+  // vector), and the IVF probe additionally bucket-prunes to the
+  // nprobe cells it actually needs.
+
+  /** Monotone build counter — lets specs PROVE probe calls reuse the
+    * persisted index instead of silently rebuilding it.
+    */
+  private[graft] val indexBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def tableNameFor(prefix: String, d: String): String =
+    (prefix + d.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
+
+  /** Drop any same-session table, clear a stale on-disk location (the
+    * InMemoryCatalog forgets tables across JVMs but the warehouse dir
+    * survives — CTAS refuses a non-empty managed location), then
+    * (re)create `name` from `df` bucketed+sorted by `bucketCol`.
+    */
+  private def recreateBucketed(s: SparkSession, name: String,
+      df: DataFrame, bucketCol: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      if (wh.contains(":/")) java.nio.file.Paths.get(new java.net.URI(wh))
+      else java.nio.file.Paths.get(wh)
+    val loc = whPath.resolve(name)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+        .sortBy(_.getNameCount)(Ordering[Int].reverse)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(8, bucketCol).sortBy(bucketCol).saveAsTable(name)
+    indexBuilds.incrementAndGet()
+  }
+
+  /** (vec_id, cell) for the whole corpus — q52's assignment stage. */
+  private def ivfAssignment(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("cos"), (-col("cent_id")).as("neg_id"))).as("cell"))
+  }
+
+  private val ivfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(ivfMemo)
+
+  /** Ensure the IVF cell table exists for (session, sf dir); returns
+    * its name. Memoized so repeated probes in one session never
+    * rebuild (proven by the indexBuilds counter in AnnIndexSpec).
+    */
+  private[graft] def ensureIvfIndex(s: SparkSession, d: String): String =
+    ivfMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_ivf_cells_", d)
+      recreateBucketed(s, name, ivfAssignment(s, d), "cell")
+      name
+    })
+
+  /** q203: IVF probe against the PERSISTED cell index — q52's search
+    * semantics (same queries, nprobe=2, top-3) with the corpus-side
+    * assignment read from the bucketed table instead of recomputed:
+    * the probe plan contains NO max_by assignment stage, and the index
+    * scan bucket-prunes to the probed cells (the collected probe-cell
+    * id list is nprobe × |queries| driver control rows — the q151
+    * bound). Gated by the same oracle as q52: index + probe must
+    * reproduce the direct computation exactly.
+    *
+    * Scale shape: the index is built once per corpus version (the one
+    * corpus-wide stage); each probe then reads ≤ nprobe buckets of
+    * (vec_id, cell) rows, broadcasts the tiny probe/query tables, and
+    * only re-touches full vectors for candidate rerank — the
+    * inverted-file contract that makes ANN serving viable at 100 TB.
+    */
+  def ivfProbe(s: SparkSession, d: String): DataFrame = {
+    val cells = s.table(ensureIvfIndex(s, d))
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cent_id"))
+    val probes = graft.util.CacheRegistry.register(
+      qs.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("query_id"), col("cent_id").as("cell"))
+        .cache())
+    // nprobe × |queries| ids — bounded probe-request control data; the
+    // isin literal is what lets the scan prune to the hit buckets
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cells.filter(col("cell").isin(probeCells: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def dist2Col(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+
+  /** (vec_id, m, sv) subvector expansion shared by q114 and the q204
+    * index/probe split.
+    */
+  private def subvectors(e: DataFrame, m: Int, sub: Int): DataFrame =
+    e.select(col("vec_id"), col("v"),
+      explode(sequence(lit(0), lit(m - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * sub + 1, lit(sub)).as("sv"))
+
+  /** (vec_id, m, code) for the whole corpus — q114's encode stage. */
+  private def pqCodes(s: SparkSession, d: String, m: Int = 8, sub: Int = 8,
+      nCent: Int = 16): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val sv = subvectors(e, m, sub)
+    val cb = sv.filter(col("vec_id") < nCent)
+      .select(col("vec_id").cast("int").as("cid"), col("m"), col("sv").as("csv"))
+    sv.join(broadcast(cb), Seq("m"))
+      .withColumn("dist_r", round(dist2Col(col("sv"), col("csv")), 6))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist_r"), col("cid"))).as("mm"))
+      .select(col("vec_id"), col("m"), col("mm.cid").as("code"))
+  }
+
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(pqMemo)
+
+  private[graft] def ensurePqIndex(s: SparkSession, d: String): String =
+    pqMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_pq_codes_", d)
+      recreateBucketed(s, name, pqCodes(s, d), "vec_id")
+      name
+    })
+
+  /** q204: ADC probe against the PERSISTED PQ code table — q114's
+    * search (5 queries, top-3 by asymmetric distance, true distance
+    * alongside) with the corpus-side encode read from the bucketed
+    * table: no codebook argmin over the corpus in the probe plan. The
+    * query-side LUT (|Q|·M·16 rows) is recomputed per probe — that IS
+    * the asymmetric split: queries are cheap, the corpus is indexed.
+    *
+    * Scale shape: the probe's corpus-touching work is one linear scan
+    * of 8-byte code rows joined to a broadcast LUT — the PQ memory
+    * contract (32× narrower than the vectors); full vectors are only
+    * read for the top-k rerank rows.
+    */
+  def pqProbe(s: SparkSession, d: String, m: Int = 8, sub: Int = 8,
+      nCent: Int = 16, nQuery: Int = 5, topK: Int = 3): DataFrame = {
+    val codes = s.table(ensurePqIndex(s, d))
+    val e = embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val sv = subvectors(e, m, sub)
+    val cb = sv.filter(col("vec_id") < nCent)
+      .select(col("vec_id").cast("int").as("cid"), col("m"), col("sv").as("csv"))
+    val lut = sv.filter(col("vec_id") < nQuery)
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("ld", round(dist2Col(col("sv"), col("csv")), 6))
+      .select(col("vec_id").as("qid"), col("m"), col("cid"), col("ld"))
+    val adc = codes
+      .join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("ld")), 4).as("adc"))
+      .filter(col("vec_id") =!= col("qid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(e.select(col("vec_id"), col("v").as("nv")), Seq("vec_id"))
+      .select(col("qid").as("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adc"),
+        round(dist2Col(col("qv"), col("nv")), 4).as("exact_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q180: leading principal component of the embedding space by
     * POWER ITERATION over the average micro-quantized Gram matrix —
     * the spectral read-out (dominant direction + its eigenvalue) that
@@ -660,6 +859,8 @@ object Clustering {
     "q51_dup_clusters"   -> dupClusters _,
     "q150_cc_star"       -> ccStar _,
     "q52_ivf_ann"        -> ivfAnn _,
+    "q203_ivf_probe"     -> ivfProbe _,
+    "q204_pq_probe"      -> ((s: SparkSession, d: String) => pqProbe(s, d)),
     "q53_embed_neardup"  -> embedNearDup _,
     "q112_kmeans"        -> ((s: SparkSession, d: String) => kmeans(s, d)),
     "q114_pq_ann"        -> ((s: SparkSession, d: String) => pqAnn(s, d)),
@@ -778,49 +979,89 @@ object Clustering {
        |${pcaSummarySql("g2", uf, "ulam", "uwf")}""".stripMargin
   }
 
+  /** q114's full pipeline SQL — shared with q204: the persisted code
+    * table + probe must reproduce the direct computation exactly.
+    */
+  private def pqAnnSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+      |  FROM embeddings),
+      |sv AS (
+      |  SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS sv
+      |  FROM e, range(0, 8) r(m)),
+      |cb AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, m, sv AS csv
+      |  FROM sv WHERE vec_id < 16),
+      |sc AS (
+      |  SELECT s.vec_id, s.m, c.cid,
+      |    round(list_sum([(s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i])
+      |                    for i in range(1, 9)]), 6) AS dist_r
+      |  FROM sv s JOIN cb c ON c.m = s.m),
+      |codes AS (
+      |  SELECT vec_id, m, cid AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |        ORDER BY dist_r, cid) AS rn
+      |    FROM sc)
+      |  WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS qid, m, cid, dist_r AS ld FROM sc WHERE vec_id < 5),
+      |adc AS (
+      |  SELECT l.qid, co.vec_id, round(sum(l.ld), 4) AS adc
+      |  FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.code
+      |  GROUP BY l.qid, co.vec_id),
+      |ranked AS (
+      |  SELECT qid, vec_id, adc,
+      |    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+      |  FROM adc WHERE vec_id <> qid)
+      |SELECT r.qid AS query_id, CAST(r.rn AS INT) AS rank,
+      |  r.vec_id AS neighbor_id, r.adc,
+      |  round(list_sum([(q.v[i] - n.v[i]) * (q.v[i] - n.v[i])
+      |                  for i in range(1, 65)]), 4) AS exact_dist
+      |FROM ranked r
+      |JOIN e q ON q.vec_id = r.qid
+      |JOIN e n ON n.vec_id = r.vec_id
+      |WHERE r.rn <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** q52's full pipeline SQL — shared with q203 for the same reason. */
+  private def ivfAnnSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id % 50 = 0),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+      |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id % 100 = 7),
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.query_id, c.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${cosSql("q.qe", "c.ce")} DESC, c.cent_id) AS rn
+      |    FROM qs q CROSS JOIN cents c) WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id,
+      |    ${cosSql("q.qe", "e.embedding")} AS cos
+      |  FROM probes p
+      |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN qs q ON q.query_id = p.query_id
+      |  JOIN e ON e.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q180_pca_power" -> pcaOracle,
     "q200_pca_deflate" -> pca2Oracle,
-    "q114_pq_ann" ->
-      """WITH e AS (
-        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-        |  FROM embeddings),
-        |sv AS (
-        |  SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS sv
-        |  FROM e, range(0, 8) r(m)),
-        |cb AS (
-        |  SELECT CAST(vec_id AS INT) AS cid, m, sv AS csv
-        |  FROM sv WHERE vec_id < 16),
-        |sc AS (
-        |  SELECT s.vec_id, s.m, c.cid,
-        |    round(list_sum([(s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i])
-        |                    for i in range(1, 9)]), 6) AS dist_r
-        |  FROM sv s JOIN cb c ON c.m = s.m),
-        |codes AS (
-        |  SELECT vec_id, m, cid AS code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-        |        ORDER BY dist_r, cid) AS rn
-        |    FROM sc)
-        |  WHERE rn = 1),
-        |lut AS (
-        |  SELECT vec_id AS qid, m, cid, dist_r AS ld FROM sc WHERE vec_id < 5),
-        |adc AS (
-        |  SELECT l.qid, co.vec_id, round(sum(l.ld), 4) AS adc
-        |  FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.code
-        |  GROUP BY l.qid, co.vec_id),
-        |ranked AS (
-        |  SELECT qid, vec_id, adc,
-        |    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
-        |  FROM adc WHERE vec_id <> qid)
-        |SELECT r.qid AS query_id, CAST(r.rn AS INT) AS rank,
-        |  r.vec_id AS neighbor_id, r.adc,
-        |  round(list_sum([(q.v[i] - n.v[i]) * (q.v[i] - n.v[i])
-        |                  for i in range(1, 65)]), 4) AS exact_dist
-        |FROM ranked r
-        |JOIN e q ON q.vec_id = r.qid
-        |JOIN e n ON n.vec_id = r.vec_id
-        |WHERE r.rn <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+    "q114_pq_ann" -> pqAnnSql,
+    // q204 probes the PERSISTED code table; results must equal the
+    // direct q114 computation, so they share one oracle
+    "q204_pq_probe" -> pqAnnSql,
     "q112_kmeans" ->
       s"""WITH e AS (
         |  SELECT vec_id,
@@ -891,36 +1132,9 @@ object Clustering {
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM labeled
         |ORDER BY doc_id""".stripMargin,
-    "q52_ivf_ann" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id % 50 = 0),
-        |assign AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
-        |    FROM e CROSS JOIN cents c) WHERE rn = 1),
-        |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id % 100 = 7),
-        |probes AS (
-        |  SELECT query_id, cell FROM (
-        |    SELECT q.query_id, c.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY q.query_id
-        |        ORDER BY ${cosSql("q.qe", "c.ce")} DESC, c.cent_id) AS rn
-        |    FROM qs q CROSS JOIN cents c) WHERE rn <= 2),
-        |scored AS (
-        |  SELECT p.query_id, a.vec_id,
-        |    ${cosSql("q.qe", "e.embedding")} AS cos
-        |  FROM probes p
-        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
-        |  JOIN qs q ON q.query_id = p.query_id
-        |  JOIN e ON e.vec_id = a.vec_id),
-        |ranked AS (
-        |  SELECT query_id, vec_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos_sim
-        |FROM ranked WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+    "q52_ivf_ann" -> ivfAnnSql,
+    // q203 probes the PERSISTED cell table; same oracle as q52
+    "q203_ivf_probe" -> ivfAnnSql,
     "q53_embed_neardup" ->
       s"""WITH pairs AS (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
