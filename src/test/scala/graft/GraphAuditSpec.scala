@@ -46,6 +46,35 @@ class GraphAuditSpec extends AnyFunSuite {
     assert(got(1L) == got(3L) && got(2L) == got(4L) && got(1L) > got(2L))
   }
 
+  test("q130: rank broadcast degrades to a shuffled join past the threshold, same answer") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("u", "v")
+    def run(): Map[Long, Long] = Graph.pageRankOn(e, iters = 3).collect()
+      .map(r => r.getAs[Long]("p_key") -> r.getAs[Long]("rank_e12")).toMap
+    val withBroadcast = run()
+    // decision unit: a tiny node set gets the hint, a huge one (or a
+    // disabled threshold) falls through to the shuffled join
+    val nodes = Seq((1L, 1L)).toDF("n", "r")
+    assert(Graph.maybeBroadcastNodes(nodes, 10L).ne(nodes),
+      "small node set must carry the broadcast hint")
+    assert(Graph.maybeBroadcastNodes(nodes, 1L << 40).eq(nodes),
+      "a node set past the threshold must NOT be broadcast")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(Graph.maybeBroadcastNodes(nodes, 10L).eq(nodes),
+        "disabled auto-broadcast must disable the hint too")
+      // the degraded (shuffled-join) iteration is really shuffled...
+      val adj = e.select(col("u").as("s"), col("v").as("t"))
+        .unionAll(e.select(col("v").as("s"), col("u").as("t")))
+      val probe = adj.join(Graph.maybeBroadcastNodes(nodes, 1L << 40),
+        adj("s") === nodes("n"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), s"degraded join must shuffle:\n$plan")
+      // ...and still produces the exact integer ranks
+      assert(run() == withBroadcast)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("q133 core: BFS min-hop layers on a path graph") {
     // path 1-2-3-4-5 plus an off-path edge 2-6; seed {1}
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L)).toDF("u", "v")
