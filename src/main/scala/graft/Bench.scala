@@ -85,7 +85,22 @@ object Bench {
     val medianSpread = sortedSpreads(sortedSpreads.length / 2)
     val noisy = totSpread > 1.5
     val noiseJson = s"""{"pass_total_spread":$totSpread,"median_query_spread":$medianSpread,"max_query_spread":${sortedSpreads.last},"noisy":$noisy}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${passes.length},"pass_totals":$passTotals,"query_spread":$spreadJson,"noise":$noiseJson}"""
+    // Self-description (r6 verdict task 6): the committed artifact must
+    // carry its provenance so bench numbers can't silently drift from
+    // commit messages — round (env, driver-set), git SHA, timestamp.
+    def sh(cmd: Seq[String]): String =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+    val gitSha = sh(Seq("git", "rev-parse", "--short", "HEAD"))
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "unknown")
+    val stamp = java.time.Instant.now().toString
+    val provJson =
+      s"""{"round":"$round","git_sha":"$gitSha","timestamp":"$stamp"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${passes.length},"pass_totals":$passTotals,"query_spread":$spreadJson,"noise":$noiseJson,"provenance":$provJson}"""
     // the driver captures a bounded stdout tail (rounds 1-4 lost
     // q01-q36 to truncation) — the file is the durable artifact
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")

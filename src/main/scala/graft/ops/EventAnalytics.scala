@@ -662,12 +662,24 @@ object EventAnalytics {
     * Scale shape: join state is sharded by user_id like any keyed
     * shuffle; per-key state is bounded by the watermark horizon
     * (1 h of events per user), not the stream length.
+    *
+    * Width 4 (not the streaming gate's usual 8): a stream-stream join
+    * opens FOUR state stores per shuffle partition, and at gate scale
+    * store open/commit dominates — measured at sf0.1/local[32]:
+    * width 8 ≈ 4.1-5.3 s, width 4 ≈ 2.7 s, widths 2/1 no better
+    * (r6 task 7; RocksDB was also tried and is ~1.8× SLOWER here —
+    * native store setup cost dwarfs this state size). An unbounded
+    * production run re-widens with key cardinality.
     */
-  def streamClickAttribution(s: SparkSession, d: String): DataFrame = {
+  def streamClickAttribution(s: SparkSession, d: String): DataFrame =
+    streamClickAttributionN(s, d, 4)
+
+  private[graft] def streamClickAttributionN(s: SparkSession, d: String,
+      width: Int): DataFrame = {
     val path = s"$d/events.parquet"
     val out = graft.util.TmpDirs.scratch("stream-join")
     // see StreamTuning: four state stores per shuffle partition here
-    graft.util.StreamTuning.withShuffle(s, 8) {
+    graft.util.StreamTuning.withShuffle(s, width) {
       streamClickAttributionInner(s, d, path, out)
     }
   }
