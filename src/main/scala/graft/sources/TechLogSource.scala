@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -246,6 +246,53 @@ object TechLogSource {
     0L
   }
 
+  /** Count-bounded admission (B1, `batch.go:59`): forward-scan the
+    * record-aligned delta [from, to) and return (admitTarget,
+    * recordsAdmitted) where admitTarget is `to` if the delta holds at
+    * most `maxRecords` records, else the byte offset of the START of
+    * the (maxRecords+1)-th record-boundary line — so the admitted
+    * range always ends exactly at a record boundary. `from` must be
+    * record-aligned (committed offsets always are; with idleAdmitMs=0
+    * the caller opted out of alignment and the count is approximate).
+    *
+    * Chunked scan with a partial-line carry: memory is one chunk, not
+    * the delta, and the scan stops as soon as the budget is exhausted
+    * — a post-downtime backlog costs O(admitted bytes) per trigger.
+    */
+  private[graft] def recordLimitedAdmit(path: String, from: Long, to: Long,
+      maxRecords: Long, hconf: org.apache.hadoop.conf.Configuration,
+      chunkSize: Int = 256 * 1024): (Long, Long) = {
+    var pos = from
+    var records = 0L
+    var curLineStart = from
+    val pending = new java.lang.StringBuilder
+    while (pos < to) {
+      val bytes = readRange(path, pos, math.min(to, pos + chunkSize), hconf)
+      if (bytes.isEmpty) return (to, records) // file shrank under us
+      var i = 0
+      var chunkLineStart = 0
+      while (i < bytes.length) {
+        if (bytes(i) == '\n') {
+          val line = (pending.toString + new String(bytes, chunkLineStart,
+            i - chunkLineStart, java.nio.charset.StandardCharsets.UTF_8))
+            .stripSuffix("\r").replace("\u0000", "")
+          if (TechLogParser.isNewLogRecord(line)) {
+            if (records == maxRecords) return (curLineStart, records)
+            records += 1
+          }
+          pending.setLength(0)
+          curLineStart = pos + i + 1
+          chunkLineStart = i + 1
+        }
+        i += 1
+      }
+      pending.append(new String(bytes, chunkLineStart,
+        bytes.length - chunkLineStart, java.nio.charset.StandardCharsets.UTF_8))
+      pos += bytes.length
+    }
+    (to, records)
+  }
+
   private def baseName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)
 
@@ -476,15 +523,24 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
   private val admitMemo =
     scala.collection.mutable.HashMap.empty[(String, Long, Boolean), Long]
   /** Admission control: `maxFilesPerTrigger` caps how many CHANGED
-    * files (new, grown, or truncated) one micro-batch admits — backlog
-    * after downtime drains in bounded batches instead of one giant
-    * catch-up batch (the reference's analogue is its bounded in-flight
-    * buffer).
+    * files (new, grown, or truncated) one micro-batch admits;
+    * `maxRecordsPerTrigger` caps how many RECORDS (count-based flush —
+    * the reference's B1 batch-size bound, `batch.go:59`, record-
+    * aligned by recordLimitedAdmit). Either alone or both composed:
+    * backlog after downtime drains in bounded batches instead of one
+    * giant catch-up batch.
     */
-  override def getDefaultReadLimit: ReadLimit =
-    conf.get("maxFilesPerTrigger")
-      .map(n => ReadLimit.maxFiles(n.toInt))
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      conf.get("maxFilesPerTrigger").map(n => ReadLimit.maxFiles(n.toInt)),
+      conf.get("maxRecordsPerTrigger").map(n => ReadLimit.maxRows(n.toLong)))
+      .flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val committed = start.asInstanceOf[TechLogOffset].files
     val files = availableNowTarget.getOrElse(TechLogSource.listLogFiles(conf))
@@ -528,9 +584,40 @@ final class TechLogMicroBatchStream(conf: Map[String, String],
         if (target == prev) None else Some(p -> target)
       }
     }
-    limit match {
-      case mf: ReadMaxFiles => TechLogOffset(kept ++ changed.take(mf.maxFiles()))
-      case _ => TechLogOffset(kept ++ changed)
+    // decompose the limit: a file cap, a record cap, or both composed
+    def caps(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case mf: ReadMaxFiles => (Some(mf.maxFiles()), None)
+      case mr: ReadMaxRows => (None, Some(mr.maxRows()))
+      case c: CompositeReadLimit =>
+        val ls = c.getReadLimits
+        (ls.collectFirst { case m: ReadMaxFiles => m.maxFiles() },
+          ls.collectFirst { case m: ReadMaxRows => m.maxRows() })
+      case _ => (None, None)
+    }
+    val (fileCap, recordCap) = caps(limit)
+    val capped = fileCap.map(n => changed.take(n)).getOrElse(changed)
+    recordCap match {
+      case None => TechLogOffset(kept ++ capped)
+      case Some(budget) =>
+        // count-based flush (B1): walk the capped files in listing
+        // order, shrinking the last admitted file's target to the
+        // record-budget boundary; committed offsets are record-aligned,
+        // so the delta scan counts boundary lines exactly. Files past
+        // the exhausted budget wait for the next trigger.
+        val b = Map.newBuilder[String, Long]
+        var remaining = math.max(1L, budget) // always make progress
+        val it = capped
+        while (remaining > 0 && it.hasNext) {
+          val (p, target) = it.next()
+          val prev = committed.getOrElse(p, 0L)
+          val lo = if (target < prev) 0L else prev // truncated: re-read
+          val (t, n) =
+            try TechLogSource.recordLimitedAdmit(p, lo, target, remaining, hconf)
+            catch { case _: java.io.IOException => (lo, 0L) } // deleted mid-scan
+          if (t != prev) b += p -> t
+          remaining -= n
+        }
+        TechLogOffset(kept ++ b.result())
     }
   }
   override def deserializeOffset(json: String): Offset =

@@ -125,6 +125,55 @@ class TechLogSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxRecordsPerTrigger: count-based flush admits N records per batch") {
+    val s = TestSpark.spark
+    val sdir = graft.util.TmpDirs.scratch("techlog-reccap")
+    val recs = (1 to 10).map(i => f"00:00.$i%06d-$i,CONN,2,process=rphost,Usr=u$i")
+    Files.writeString(Paths.get(sdir, "25052600.log"), recs.mkString("\n") + "\n")
+    val q = s.readStream.format("techlog")
+      .option("idleAdmitMs", "0")
+      .option("maxRecordsPerTrigger", "3").load(sdir)
+      .select(col("User"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tl_reccap").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("tl_reccap").count() == 10)
+      val batches = q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows)
+      // B1 count-based flush: batch sizes track the configured count
+      assert(batches.toSeq == Seq(3L, 3L, 3L, 1L), batches.mkString(","))
+      assert(s.table("tl_reccap").collect().map(_.getString(0)).sorted.toSeq ==
+        (1 to 10).map(i => s"u$i").sorted)
+    } finally q.stop()
+  }
+
+  test("maxRecordsPerTrigger never splits a multi-line record across batches") {
+    val s = TestSpark.spark
+    val sdir = graft.util.TmpDirs.scratch("techlog-reccap-multi")
+    // 4 records, each a boundary line + 2 continuation lines: a byte
+    // cap at anything but a record boundary would tear one apart
+    // the continuation lines extend the LAST property (Sql) — 1C
+    // property values are multiline; Usr stays clean on the header
+    val recs = (1 to 4).map { i =>
+      f"00:00.$i%06d-$i,CONN,2,process=rphost,Usr=u$i,Sql=SELECT a\nFROM t$i\nWHERE x = $i"
+    }
+    Files.writeString(Paths.get(sdir, "25052600.log"), recs.mkString("\n") + "\n")
+    val q = s.readStream.format("techlog")
+      .option("idleAdmitMs", "0")
+      .option("maxRecordsPerTrigger", "2").load(sdir)
+      .select(col("User"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tl_reccap_m").start()
+    try {
+      q.processAllAvailable()
+      val batches = q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows)
+      assert(batches.toSeq == Seq(2L, 2L), batches.mkString(","))
+      // every record parsed whole — the header user survives assembly
+      assert(s.table("tl_reccap_m").collect().map(_.getString(0)).sorted.toSeq ==
+        (1 to 4).map(i => s"u$i"))
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog in bounded batches, then stops") {
     val s = TestSpark.spark
     val sdir = graft.util.TmpDirs.scratch("techlog-availnow")
