@@ -172,7 +172,62 @@ object Behavior {
       .orderBy(col("user_id"))
   }
 
+  /** q208: delete-one-user jackknife standard error of the per-type
+    * mean value — the resampling-free uncertainty estimate for a
+    * metric whose observations cluster by user (events of one user
+    * are correlated, so the naive SE is too small; the delete-a-GROUP
+    * jackknife is the standard cluster-robust answer, and unlike the
+    * bootstrap it needs no random resampling — a hard requirement
+    * under the deterministic gate).
+    *
+    * θ₍₋ᵤ₎ = (S − sᵤ)/(N − nᵤ) per user; SE² = (G−1)/G · Σ(θ₍₋ᵤ₎ − θ̄)².
+    * Per-user value sums ride DECIMAL(28,6) (the q17 discipline), each
+    * θ is one double division of exact decimals, θ quantizes to
+    * micro-units before the cross-user moments (order-free integer
+    * sums, DECIMAL(19,0)→(38,0) products per the q178/q199
+    * convention), and SE is one sqrt of the assembled double.
+    *
+    * Scale shape: one (type, user)-keyed rollup of the event stream →
+    * a |types|-keyed rollup joined back broadcast → a second
+    * |types|-keyed moment rollup. Shuffles carry (type, user)
+    * aggregates, never events; G per type is user-catalog-bounded.
+    */
+  def jackknifeSe(s: SparkSession, d: String): DataFrame = {
+    val Dec = DataTypes.createDecimalType(28, 6)
+    val Dec19 = DataTypes.createDecimalType(19, 0)
+    val perUser = events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("nu"), sum(col("value").cast(Dec)).as("su"))
+    val totals = perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("g"), sum(col("nu")).as("n_events"),
+        sum(col("su")).as("s_total"))
+    val theta = (col("s_total") - col("su")).cast("double") /
+      (col("n_events") - col("nu")).cast("double")
+    val thetas = perUser.join(broadcast(totals), Seq("event_type"))
+      .filter(col("n_events") > col("nu")) // delete-one must leave data
+      .select(col("event_type"), col("g"), col("n_events"), col("s_total"),
+        floor(theta * 1e6 + 0.5).cast("long").as("tu"))
+    thetas.groupBy(col("event_type"))
+      .agg(max(col("g")).as("n_users"), max(col("n_events")).as("n_events"),
+        max(col("s_total")).as("s_total"),
+        count(lit(1)).as("gk"),
+        sum(col("tu").cast(Dec19)).as("st"),
+        sum(col("tu").cast(Dec19) * col("tu").cast(Dec19)).as("qt"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        round(col("s_total").cast("double")
+          / col("n_events").cast("double"), 6).as("mean_value"),
+        when(col("gk") > 1,
+          round(sqrt(
+            (col("gk") - 1).cast("double") / col("gk").cast("double")
+              * (col("qt").cast("double")
+                - col("st").cast("double") * col("st").cast("double")
+                  / col("gk").cast("double"))
+              / 1e12), 6)).as("jk_se"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_jackknife_se"  -> jackknifeSe _,
     "q181_streaks" -> activityStreaks _,
     "q136_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
     "q137_mad_outliers"   -> madOutliers _,
@@ -181,6 +236,37 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q208_jackknife_se" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS nu,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS su
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS g,
+        |    CAST(sum(nu) AS BIGINT) AS n_events,
+        |    CAST(sum(su) AS DECIMAL(28,6)) AS s_total
+        |  FROM pu GROUP BY 1),
+        |th AS (
+        |  SELECT pu.event_type, tot.g, tot.n_events, tot.s_total,
+        |    CAST(floor(CAST(tot.s_total - pu.su AS DOUBLE)
+        |               / CAST(tot.n_events - pu.nu AS DOUBLE)
+        |               * 1000000 + 0.5) AS BIGINT) AS tu
+        |  FROM pu JOIN tot ON tot.event_type = pu.event_type
+        |  WHERE tot.n_events > pu.nu)
+        |SELECT event_type, max(n_events) AS n_events, max(g) AS n_users,
+        |  round(CAST(max(s_total) AS DOUBLE)
+        |        / CAST(max(n_events) AS DOUBLE), 6) AS mean_value,
+        |  CASE WHEN count(*) > 1 THEN
+        |    round(sqrt(
+        |      CAST(count(*) - 1 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      * (CAST(sum(CAST(tu AS DECIMAL(19,0)) * CAST(tu AS DECIMAL(19,0)))
+        |           AS DOUBLE)
+        |         - CAST(sum(CAST(tu AS DECIMAL(19,0))) AS DOUBLE)
+        |           * CAST(sum(CAST(tu AS DECIMAL(19,0))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE))
+        |      / 1e12), 6)
+        |  END AS jk_se
+        |FROM th GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q181_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

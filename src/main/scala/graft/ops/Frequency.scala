@@ -219,7 +219,66 @@ object Frequency {
       .orderBy(col("lang"))
   }
 
+  /** q205: Zipf's-law slope per language — OLS fit of ln(freq) on
+    * ln(rank) over each language's top-200 token ranks (freq DESC,
+    * word ASC tie-break). Natural corpora sit near slope −1; a corpus
+    * whose slope drifts (template spam flattens it, tiny vocab
+    * steepens it) fails the distributional health check a
+    * training-data pipeline runs per language shard.
+    *
+    * Determinism: both logs quantize to integer micro-nats
+    * (⌊ln·10⁶ + ½⌋ — the q129 discipline; a cross-engine 1-ulp ln
+    * difference only matters on an exact rounding boundary), the five
+    * OLS moments are exact DECIMAL sums of DECIMAL(19,0) products
+    * (q178/q199 convention), and slope/intercept are double assembly
+    * from identical decimals. Moment magnitudes stay < 2⁶³ (safe
+    * exact DECIMAL→DOUBLE) up to ln(freq)·10⁶ ≈ 3·10⁷, i.e. any
+    * physically possible corpus.
+    *
+    * Scale shape: the corpus collapses to the (lang, word) count
+    * table in one map-side-combined shuffle; the rank window runs on
+    * that vocabulary-bounded table (per-language keys), and the fit
+    * is a |languages|-row rollup. Token text never shuffles twice.
+    */
+  def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    val Dec19 = DataTypes.createDecimalType(19, 0)
+    def d19(c: org.apache.spark.sql.Column) = c.cast(Dec19)
+    val counts = documents(s, d)
+      .select(col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("freq").desc, col("word"))
+    val m = counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 200)
+      .select(col("lang"),
+        floor(log(col("rk").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("x"),
+        floor(log(col("freq").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("y"))
+    val a = m.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(d19(col("x"))).as("sx"),
+        sum(d19(col("y"))).as("sy"),
+        sum(d19(col("x")) * d19(col("y"))).as("sxy"),
+        sum(d19(col("x")) * d19(col("x"))).as("sxx"))
+    val numer = (d19(col("n_ranks")) * d19(col("sxy"))
+      - d19(col("sx")) * d19(col("sy"))).cast("double")
+    val denom = (d19(col("n_ranks")) * d19(col("sxx"))
+      - d19(col("sx")) * d19(col("sx"))).cast("double")
+    val slope = numer / denom
+    a.select(col("lang"), col("n_ranks"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / (col("n_ranks").cast("double") * 1e6), 6).as("intercept"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_zipf_slope"     -> zipfSlope _,
     "q167_gini"           -> giniBySource _,
     "q170_hhi"            -> hhiByLang _,
     "q106_heavy_hitters"  -> heavyHitters _,
@@ -229,6 +288,38 @@ object Frequency {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q205_zipf_slope" ->
+      """WITH t AS (
+        |  SELECT lang, lower(unnest(regexp_split_to_array(text, '\s+'))) AS word
+        |  FROM documents),
+        |c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+        |      FROM t WHERE len(word) > 0 GROUP BY 1, 2),
+        |r AS (SELECT lang, word, freq,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY freq DESC, word) AS rk
+        |      FROM c),
+        |m AS (SELECT lang,
+        |        CAST(floor(ln(rk) * 1000000 + 0.5) AS BIGINT) AS x,
+        |        CAST(floor(ln(freq) * 1000000 + 0.5) AS BIGINT) AS y
+        |      FROM r WHERE rk <= 200),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
+        |        CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sy,
+        |        CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |          AS DECIMAL(19,0)) AS sxy,
+        |        CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |          AS DECIMAL(19,0)) AS sxx
+        |      FROM m GROUP BY 1)
+        |SELECT lang, n_ranks,
+        |  round(CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxy - sx * sy AS DOUBLE)
+        |        / CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxx - sx * sx AS DOUBLE),
+        |    6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |         - (CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxy - sx * sy AS DOUBLE)
+        |            / CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxx - sx * sx AS DOUBLE))
+        |           * CAST(sx AS DOUBLE))
+        |        / (CAST(n_ranks AS DOUBLE) * 1000000), 6) AS intercept
+        |FROM a ORDER BY lang""".stripMargin,
     "q167_gini" ->
       """WITH t AS (
         |  SELECT source, doc_id,

@@ -450,6 +450,61 @@ object Similarity {
           .as("centroid_norm2"))
       .orderBy(col("label"))
 
+  /** q206: simplified (centroid-based) silhouette per label — for each
+    * vector, a = euclidean distance to its OWN label centroid, b = the
+    * minimum distance to any OTHER label's centroid, s = (b−a)/max(a,b);
+    * reported as the per-label mean. The cluster-quality score
+    * (Hruschka et al.'s simplified silhouette) a labeling pipeline
+    * checks before trusting label-confined operations like SemDeDup
+    * (q141) — s near 1 = tight, separated classes; near 0 = overlap.
+    *
+    * Determinism: coordinates quantize once to integer micro-units
+    * (the q161 discipline). With per-(label, dim) exact sums S1 and
+    * counts n, each squared distance is
+    *   Σ_d (xu_d·n − S1_d)² / (n²·10¹²)
+    * whose numerator terms are BIGINT diffs squared exactly in
+    * DECIMAL(19,0)→(38,0) (|xu·n − S1| < 10¹⁹ holds to ~10¹² vectors
+    * per label); sqrt and the (b−a)/max ratio are double assembly
+    * from identical integers, and each s quantizes back to micro-units
+    * before the per-label mean so the final average is order-free.
+    *
+    * Scale shape: one narrow posexplode → a (label, dim)-keyed
+    * rollup (|labels|·dim rows, broadcast forever) → the corpus
+    * expands ×|labels| through the broadcast dim join (the k-means
+    * assignment shape, q112) → one (vec, label)-keyed rollup + one
+    * label-keyed rollup. No window, no self-join.
+    */
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    val Dec19 = org.apache.spark.sql.types.DataTypes.createDecimalType(19, 0)
+    val ex = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("xu"))
+    val cents = ex.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(count(lit(1)).as("cn"), sum(col("xu")).as("s1"))
+    val diff = (col("xu") * col("cn") - col("s1")).cast(Dec19)
+    val dists = ex.join(broadcast(cents), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(max(col("cn")).as("cn"), sum(diff * diff).as("num"))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (sqrt(col("num").cast("double"))
+          / (col("cn").cast("double") * 1e6)).as("dist"))
+    val perVec = dists.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+      .select(col("label"),
+        floor(when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)) * 1e6 + 0.5).cast("long").as("su"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("su")).as("ssu"))
+      .select(col("label"), col("n_vecs"),
+        round(col("ssu").cast("double")
+          / (col("n_vecs").cast("double") * 1e6), 6).as("mean_silhouette"))
+      .orderBy(col("label"))
+  }
+
   /** Contrastive hard-negative mining (q165): for each query vector,
     * the single most-similar SAME-label vector (the positive) and the
     * `kNeg` most-similar DIFFERENT-label vectors (the hard negatives)
@@ -547,6 +602,7 @@ object Similarity {
     "q109_int8_quantize"  -> int8Quantize _,
     "q155_quant_recall"   -> ((s: SparkSession, d: String) => quantRecall(s, d)),
     "q161_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
+    "q206_silhouette"     -> silhouette _,
     "q165_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "q38_top_similar_pairs" -> ((s: SparkSession, d: String) => topSimilarPairs(s, d)),
     "q30_knn_brute"       -> knnBrute _,
@@ -616,6 +672,45 @@ object Similarity {
         |UNION ALL
         |SELECT * FROM n
         |ORDER BY query_id, role, rank""".stripMargin,
+    "q206_silhouette" ->
+      """WITH t AS (
+        |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS dim,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, label, dim,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xu
+        |  FROM t),
+        |c AS (
+        |  SELECT label AS clabel, dim, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(xu) AS BIGINT) AS s1
+        |  FROM u GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT u.vec_id, u.label, c.clabel, max(c.cn) AS cn,
+        |    CAST(sum(CAST(u.xu * c.cn - c.s1 AS DECIMAL(19,0))
+        |             * CAST(u.xu * c.cn - c.s1 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS num
+        |  FROM u JOIN c ON c.dim = u.dim
+        |  GROUP BY 1, 2, 3),
+        |dist AS (
+        |  SELECT vec_id, label, clabel,
+        |    sqrt(CAST(num AS DOUBLE)) / (CAST(cn AS DOUBLE) * 1000000) AS dist
+        |  FROM dd),
+        |pv AS (
+        |  SELECT vec_id, label,
+        |    max(CASE WHEN clabel = label THEN dist END) AS a,
+        |    min(CASE WHEN clabel <> label THEN dist END) AS b
+        |  FROM dist GROUP BY 1, 2),
+        |su AS (
+        |  SELECT label,
+        |    CAST(floor((CASE WHEN greatest(a, b) > 0
+        |                     THEN (b - a) / greatest(a, b) ELSE 0 END)
+        |               * 1000000 + 0.5) AS BIGINT) AS su
+        |  FROM pv)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(sum(su) AS DOUBLE)
+        |        / (CAST(count(*) AS DOUBLE) * 1000000), 6) AS mean_silhouette
+        |FROM su GROUP BY label ORDER BY label""".stripMargin,
     "q161_label_centroids" ->
       """WITH t AS (
         |  SELECT label, unnest(range(1, len(embedding) + 1)) AS d,

@@ -102,6 +102,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q207: language-ID classifier evaluation — per-language support /
+    * predicted / true-positive counts and precision/recall/F1 for the
+    * q25 stopword-voting classifier against the labeled `lang` column.
+    * The standard model-eval rollup a data pipeline runs before
+    * trusting a cheap classifier to route a corpus.
+    *
+    * Determinism: pure integer confusion counts; each metric is one
+    * double division from identical integers (NULL when the
+    * denominator is 0, same CASE on both engines).
+    *
+    * Scale shape: the q25 scorer is a narrow per-row pass; the three
+    * rollups all key on the ≤|languages| label alphabet, so every
+    * join/agg after the scan is alphabet-bounded (the three count
+    * tables are ≤|languages| rows each, forever).
+    */
+  def langIdEval(s: SparkSession, d: String): DataFrame = {
+    val preds = langId(s, d)
+    val support = preds.groupBy(col("labeled_lang").as("lang"))
+      .agg(count(lit(1)).as("support"))
+    val predicted = preds.groupBy(col("predicted_lang").as("lang"))
+      .agg(count(lit(1)).as("predicted"))
+    val tp = preds.filter(col("labeled_lang") === col("predicted_lang"))
+      .groupBy(col("labeled_lang").as("lang"))
+      .agg(count(lit(1)).as("tp"))
+    val p = col("tp").cast("double") / col("predicted").cast("double")
+    val r = col("tp").cast("double") / col("support").cast("double")
+    // full-outer joins can't broadcast-build; these are ≤|languages|-row
+    // tables so the shuffled full-outer is bytes-trivial at any scale
+    support
+      .join(predicted, Seq("lang"), "full_outer")
+      .join(tp, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("lang"), col("support"), col("predicted"), col("tp"),
+        when(col("predicted") > 0, round(p, 6)).as("precision"),
+        when(col("support") > 0, round(r, 6)).as("recall"),
+        when(col("predicted") > 0 && col("support") > 0 && col("tp") > 0,
+          round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+      .orderBy(col("lang"))
+  }
+
   /** TF-IDF: the most characteristic term per document (tf × ln(N/df),
     * ties broken alphabetically). Exercises the two-level aggregation +
     * join + window composition of a real feature pipeline.
@@ -509,6 +552,7 @@ object TextAnalysis {
     "q23_fingerprint"  -> fingerprints _,
     "q24_ngram_freq"   -> ngramFreq _,
     "q25_lang_id"      -> langId _,
+    "q207_langid_eval" -> langIdEval _,
     "q103_bm25"        -> ((s: SparkSession, d: String) => bm25(s, d)),
     "q104_textrank"    -> ((s: SparkSession, d: String) => textRank(s, d)),
     "q175_rrf_fusion"  -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
@@ -959,6 +1003,51 @@ object TextAnalysis {
         |SELECT doc_id, labeled_lang, lang AS predicted_lang
         |FROM ranked WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "q207_langid_eval" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, labeled_lang, (s).lang AS lang, (s).score AS score
+        |  FROM t, UNNEST([
+        |    struct_pack(lang := 'en', score := len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))),
+        |    struct_pack(lang := 'de', score := len(list_filter(toks, x -> list_contains(['der','die','das','und'], x)))),
+        |    struct_pack(lang := 'es', score := len(list_filter(toks, x -> list_contains(['el','la','de','y'], x)))),
+        |    struct_pack(lang := 'fr', score := len(list_filter(toks, x -> list_contains(['le','la','de','et'], x)))),
+        |    struct_pack(lang := 'zh', score := len(list_filter(toks, x -> list_contains(['的','是','了','在'], x))))
+        |  ]) AS u(s)),
+        |ranked AS (
+        |  SELECT doc_id, labeled_lang, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+        |  FROM scores),
+        |preds AS (
+        |  SELECT doc_id, labeled_lang, lang AS predicted_lang
+        |  FROM ranked WHERE rn = 1),
+        |sup AS (SELECT labeled_lang AS lang, CAST(count(*) AS BIGINT) AS support
+        |        FROM preds GROUP BY 1),
+        |prd AS (SELECT predicted_lang AS lang, CAST(count(*) AS BIGINT) AS predicted
+        |        FROM preds GROUP BY 1),
+        |tpc AS (SELECT labeled_lang AS lang, CAST(count(*) AS BIGINT) AS tp
+        |        FROM preds WHERE labeled_lang = predicted_lang GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(sup.lang, prd.lang, tpc.lang) AS lang,
+        |    COALESCE(support, 0) AS support,
+        |    COALESCE(predicted, 0) AS predicted,
+        |    COALESCE(tp, 0) AS tp
+        |  FROM sup
+        |  FULL OUTER JOIN prd ON prd.lang = sup.lang
+        |  FULL OUTER JOIN tpc ON tpc.lang = COALESCE(sup.lang, prd.lang))
+        |SELECT lang, support, predicted, tp,
+        |  CASE WHEN predicted > 0
+        |    THEN round(CAST(tp AS DOUBLE) / predicted, 6) END AS precision,
+        |  CASE WHEN support > 0
+        |    THEN round(CAST(tp AS DOUBLE) / support, 6) END AS recall,
+        |  CASE WHEN predicted > 0 AND support > 0 AND tp > 0
+        |    THEN round(2.0 * (CAST(tp AS DOUBLE) / predicted) * (CAST(tp AS DOUBLE) / support)
+        |               / ((CAST(tp AS DOUBLE) / predicted) + (CAST(tp AS DOUBLE) / support)), 6)
+        |  END AS f1
+        |FROM j ORDER BY lang""".stripMargin,
     "q39_token_estimate" ->
       """WITH t AS (
         |  SELECT doc_id,

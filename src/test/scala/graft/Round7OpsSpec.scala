@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Behavior, Frequency, Similarity, TextAnalysis}
+
+/** Semantics invariants for the round-7 widening (q205-q208) beyond
+  * the DuckDB hash gate: distribution-law signs, metric bounds, and
+  * cross-query consistency with the primitives they build on.
+  */
+class Round7OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q205: Zipf slope is negative and finite for every language") {
+    val rows = Frequency.zipfSlope(spark, sf).collect()
+    assert(rows.length == 5) // the 5 fixture languages
+    rows.foreach { r =>
+      val slope = r.getAs[Double]("slope")
+      val n = r.getAs[Long]("n_ranks")
+      assert(n >= 2, s"${r.getAs[String]("lang")}: need >=2 ranks to fit")
+      // frequencies are non-increasing in rank, so the fit must tilt
+      // down; and ln-ln slopes of real text live in a narrow band
+      assert(slope < 0 && slope > -10, s"${r.getAs[String]("lang")}: $slope")
+      assert(!slope.isNaN && !slope.isInfinite)
+    }
+  }
+
+  test("q206: silhouette is bounded in [-1, 1] and covers every vector") {
+    val rows = Similarity.silhouette(spark, sf).collect()
+    val total = graft.util.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 && s <= 1.0, s"label ${r.getAs[Int]("label")}: $s")
+    }
+  }
+
+  test("q207: confusion counts are conservative and consistent with q25") {
+    val rows = TextAnalysis.langIdEval(spark, sf).collect()
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("support")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("predicted")).sum == nDocs)
+    rows.foreach { r =>
+      val (sup, prd, tp) = (r.getAs[Long]("support"),
+        r.getAs[Long]("predicted"), r.getAs[Long]("tp"))
+      assert(tp <= math.min(sup, prd))
+      Option(r.getAs[java.lang.Double]("precision")).foreach(p =>
+        assert(p >= 0 && p <= 1))
+      Option(r.getAs[java.lang.Double]("recall")).foreach(rc =>
+        assert(rc >= 0 && rc <= 1))
+    }
+    // tp per language must agree with a direct q25 recount
+    val direct = TextAnalysis.langId(spark, sf).collect()
+      .filter(r => r.getAs[String]("labeled_lang") == r.getAs[String]("predicted_lang"))
+      .groupBy(_.getAs[String]("labeled_lang")).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") == direct.getOrElse(r.getAs[String]("lang"), 0L))
+    }
+  }
+
+  test("q208: jackknife SE is non-negative and the mean matches a direct mean") {
+    import org.apache.spark.sql.functions._
+    val rows = Behavior.jackknifeSe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val direct = graft.util.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg((sum(col("value").cast(Dec)).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("m")).toMap
+    rows.foreach { r =>
+      val se = r.getAs[java.lang.Double]("jk_se")
+      assert(se != null && se >= 0.0)
+      val m = direct(r.getAs[String]("event_type"))
+      assert(math.abs(r.getAs[Double]("mean_value") - m) < 1e-6)
+    }
+  }
+}
