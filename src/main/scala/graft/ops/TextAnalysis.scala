@@ -145,6 +145,99 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken 2003,
+    * the MOSS algorithm): 3-word-gram 60-bit hashes (the md5-prefix
+    * convention of q27's shingles), sliding window of w = 4
+    * consecutive gram hashes, RIGHTMOST-minimum selected per window.
+    * Winnowing guarantees any shared run of ≥ w + k − 1 tokens yields
+    * at least one shared fingerprint, at expected density 2/(w+1) —
+    * the position-robust document fingerprint (q23 is the whole-doc
+    * hash; this survives edits).
+    *
+    * The rightmost-min rule is made total-order-exact by comparing
+    * `%015x(hash)|%07d(9999999 − pos)` strings: lexicographic min =
+    * (smallest hash, largest position) — both engines agree on ASCII
+    * string order, no float or struct-comparison semantics involved.
+    * Windows are the full ones (pos + w − 1 ≤ n_grams) plus the
+    * degenerate whole-doc window when a doc has fewer than w grams.
+    * Positions cap at 10⁷ grams/doc (the giant-record guard tier).
+    *
+    * Scale shape: narrow gram hashing → ONE doc-keyed sort window
+    * (positions are doc-bounded) → distinct rollup. Selected rows are
+    * ~2/(w+1)·grams, shuffling 8-byte hashes, never text.
+    */
+  private def winnowSelected(s: SparkSession, d: String, w: Int = 4): DataFrame = {
+    val grams = documents(s, d)
+      .withColumn("ws", toks)
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |                      element_at(ws, i + 2)))""".stripMargin))
+          .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+    val byDocAll = Window.partitionBy(col("doc_id"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("skey",
+        format_string("%015x|%07d", col("h"), lit(9999999L) - col("pos")))
+      .withColumn("n_grams", count(lit(1)).over(byDocAll))
+      .withColumn("mkey", min(col("skey")).over(frame))
+      .filter(col("pos") + (w - 1) <= col("n_grams") || col("pos") === 1)
+      .select(col("doc_id"), col("n_grams"), col("mkey"))
+      .distinct()
+      .select(col("doc_id"), col("n_grams"),
+        conv(substring(col("mkey"), 1, 15), 16, 10).cast("long").as("fp"))
+  }
+
+  /** q209: per-document winnowing profile — selected-fingerprint count
+    * and density (the 2/(w+1) law is spec-pinned in Round7OpsSpec).
+    */
+  def winnowProfile(s: SparkSession, d: String): DataFrame =
+    winnowSelected(s, d)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"), count(lit(1)).as("n_fp"))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+        round(col("n_fp").cast("double") / col("n_grams").cast("double"), 4)
+          .as("density"))
+      .orderBy(col("doc_id"))
+
+  /** q210: cross-document shared-fingerprint detection (the MOSS
+    * report): top-10 document pairs by count of shared DISTINCT
+    * winnowed hashes, with similarity = shared / min(|fp_a|, |fp_b|).
+    *
+    * Scale shape: the pair join keys on winnowed hashes with a
+    * document-frequency cap (df ≤ 20 — boilerplate fingerprints carry
+    * no plagiarism signal and would dominate the fan-out; the q119 df
+    * discipline), so candidate pairs are bounded by df²-per-hash, not
+    * corpus². The distinct fingerprint relation is computed once and
+    * cached for its three consumers.
+    */
+  def winnowPairs(s: SparkSession, d: String,
+      dfCap: Int = 20, topN: Int = 10): DataFrame = {
+    val sel = graft.util.CacheRegistry.register(
+      winnowSelected(s, d).select(col("doc_id"), col("fp")).distinct().cache())
+    val rareFp = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val rare = sel.join(rareFp.select(col("fp")), Seq("fp"))
+    val nfp = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    rare.as("a")
+      .join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nfp.select(col("doc_id").as("doc_a"), col("nfp").as("nfa")), Seq("doc_a"))
+      .join(nfp.select(col("doc_id").as("doc_b"), col("nfp").as("nfb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double")
+          / least(col("nfa"), col("nfb")).cast("double"), 4).as("sim"))
+      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+      .limit(topN)
+  }
+
   /** TF-IDF: the most characteristic term per document (tf × ln(N/df),
     * ties broken alphabetically). Exercises the two-level aggregation +
     * join + window composition of a real feature pipeline.
@@ -553,6 +646,8 @@ object TextAnalysis {
     "q24_ngram_freq"   -> ngramFreq _,
     "q25_lang_id"      -> langId _,
     "q207_langid_eval" -> langIdEval _,
+    "q209_winnow_profile" -> winnowProfile _,
+    "q210_winnow_pairs" -> ((s: SparkSession, d: String) => winnowPairs(s, d)),
     "q103_bm25"        -> ((s: SparkSession, d: String) => bm25(s, d)),
     "q104_textrank"    -> ((s: SparkSession, d: String) => textRank(s, d)),
     "q175_rrf_fusion"  -> ((s: SparkSession, d: String) => rrfFusion(s, d)),
@@ -654,7 +749,65 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** Shared winnowing-selection CTE chain (q209/q210): gram hashes →
+    * rightmost-min string keys → full-window minima → distinct
+    * selected fingerprints. Constants (k=3, w=4, 15-hex-digit hash,
+    * 9999999 position complement) must stay in lockstep with
+    * winnowSelected above.
+    */
+  private val WinnowCtes =
+    """ws AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+      |       FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+      |             1, 15))::BIGINT AS h
+      |  FROM ws, UNNEST(range(1, len(ws) - 1)) AS t(i)
+      |  WHERE len(ws) >= 3),
+      |k AS (SELECT doc_id, pos,
+      |        printf('%015x|%07d', h, 9999999 - pos) AS skey
+      |      FROM g),
+      |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      |       FROM g GROUP BY 1),
+      |win AS (SELECT doc_id, pos, skey,
+      |         min(skey) OVER (PARTITION BY doc_id ORDER BY pos
+      |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+      |           AS mkey
+      |       FROM k),
+      |sel AS (
+      |  SELECT DISTINCT win.doc_id, ng.n_grams, mkey
+      |  FROM win JOIN ng ON ng.doc_id = win.doc_id
+      |  WHERE pos + 3 <= ng.n_grams OR pos = 1),
+      |fps AS (SELECT doc_id, n_grams,
+      |         ('0x' || substr(mkey, 1, 15))::BIGINT AS fp
+      |       FROM sel)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q209_winnow_profile" ->
+      s"""WITH $WinnowCtes
+         |SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_fp,
+         |  round(CAST(count(*) AS DOUBLE) / n_grams, 4) AS density
+         |FROM fps GROUP BY doc_id, n_grams
+         |ORDER BY doc_id""".stripMargin,
+    "q210_winnow_pairs" ->
+      s"""WITH $WinnowCtes,
+         |dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |rfp AS (SELECT fp FROM dfp GROUP BY fp HAVING count(*) <= 20),
+         |rare AS (SELECT dfp.doc_id, dfp.fp FROM dfp JOIN rfp ON rfp.fp = dfp.fp),
+         |nfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+         |        FROM dfp GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(count(*) AS BIGINT) AS shared
+         |      FROM rare a JOIN rare b
+         |        ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared,
+         |  round(CAST(shared AS DOUBLE) / least(na.nfp, nb.nfp), 4) AS sim
+         |FROM p
+         |JOIN nfp na ON na.doc_id = doc_a
+         |JOIN nfp nb ON nb.doc_id = doc_b
+         |ORDER BY shared DESC, doc_a, doc_b
+         |LIMIT 10""".stripMargin,
     "q188_rank_corr" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws

@@ -59,6 +59,30 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q209: winnowing density respects the [1/w, 1] selection law") {
+    val rows = TextAnalysis.winnowProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, fp) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_fp"))
+      val windows = math.max(1L, n - 4 + 1)
+      assert(fp >= 1, s"doc ${r.getAs[Long]("doc_id")}: no fingerprint")
+      assert(fp <= n)
+      // each selected (hash, pos) is the min of at most w = 4 windows
+      assert(fp * 4 >= windows,
+        s"doc ${r.getAs[Long]("doc_id")}: $fp fp for $windows windows")
+    }
+  }
+
+  test("q210: shared fingerprints are bounded by the smaller profile") {
+    val rows = TextAnalysis.winnowPairs(spark, sf).collect()
+    assert(rows.nonEmpty) // the fixture contains near-duplicate docs
+    rows.foreach { r =>
+      val sim = r.getAs[Double]("sim")
+      assert(sim > 0 && sim <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
   test("q208: jackknife SE is non-negative and the mean matches a direct mean") {
     import org.apache.spark.sql.functions._
     val rows = Behavior.jackknifeSe(spark, sf).collect()
