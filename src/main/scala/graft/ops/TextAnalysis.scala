@@ -238,6 +238,77 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** q211: Heaps'-law vocabulary-growth fit — V(n) ≈ K·n^β over the
+    * doc_id-ordered corpus prefix: after each document, n = cumulative
+    * tokens seen and V = cumulative distinct words seen; the fit is
+    * OLS of ln V on ln n (English corpora: β ≈ 0.4-0.6). The
+    * companion diagnostic to q205's Zipf slope: together they pin
+    * whether a corpus's growth statistics look like natural text.
+    *
+    * Cumulative V never re-scans prefixes: each word contributes to
+    * exactly its FIRST document (one word-keyed min rollup), so V(d)
+    * is the running sum of per-doc new-word counts. Both running sums
+    * use the q101/q163 two-pass prefix scan — range partition on
+    * doc_id, per-partition totals to the driver (O(partitions) rows),
+    * exclusive offsets broadcast back — never a single-partition
+    * window over the corpus.
+    *
+    * Determinism: logs quantize to integer micro-nats (q205), moments
+    * are exact DECIMAL sums of DECIMAL(19,0) products, and the OLS
+    * assembly converts each exact moment to double once (the q199
+    * convention) in an identical expression tree on both engines.
+    */
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Dec19 = org.apache.spark.sql.types.DataTypes.createDecimalType(19, 0)
+    val docs = documents(s, d)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"),
+          w => length(w) > 0).as("wsl"))
+    val counts = docs.select(col("doc_id"), size(col("wsl")).cast("long").as("nt"))
+    val firstOcc = docs.select(col("doc_id"), explode(col("wsl")).as("word"))
+      .groupBy(col("word")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("nw"))
+    val base = counts.join(firstOcc, counts("doc_id") === firstOcc("fd"), "left")
+      .select(col("doc_id"), col("nt"), coalesce(col("nw"), lit(0L)).as("nw"))
+    val ranged = graft.util.CacheRegistry.register(
+      base.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id")).cache())
+    val partSums = ranged.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("nt")).as("t"), sum(col("nw")).as("v"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nParts = ranged.rdd.getNumPartitions
+    val offT = new Array[Long](nParts)
+    val offV = new Array[Long](nParts)
+    var at = 0L; var av = 0L
+    (0 until nParts).foreach { i =>
+      offT(i) = at; offV(i) = av
+      val (t, v) = partSums.getOrElse(i, (0L, 0L)); at += t; av += v
+    }
+    val bc = s.sparkContext.broadcast((offT, offV))
+    val cum = ranged.as[(Long, Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var t = bc.value._1(pid); var v = bc.value._2(pid)
+      it.map { case (_, nt, nw) => t += nt; v += nw; (t, v) }
+    }.toDF("t", "v").filter(col("t") >= 1 && col("v") >= 1)
+    def d19(c: org.apache.spark.sql.Column) = c.cast(Dec19)
+    val m = cum.select(
+      floor(log(col("t").cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+      floor(log(col("v").cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+    val a = m.agg(count(lit(1)).as("n_docs"),
+      sum(d19(col("x"))).as("sx"),
+      sum(d19(col("y"))).as("sy"),
+      sum(d19(col("x")) * d19(col("y"))).as("sxy"),
+      sum(d19(col("x")) * d19(col("x"))).as("sxx"))
+    def dd(c: String) = col(c).cast("double")
+    val slope = (dd("n_docs") * dd("sxy") - dd("sx") * dd("sy")) /
+      (dd("n_docs") * dd("sxx") - dd("sx") * dd("sx"))
+    a.select(col("n_docs"),
+      round(slope, 6).as("beta"),
+      round((dd("sy") - slope * dd("sx")) / (dd("n_docs") * 1e6), 6)
+        .as("ln_k"))
+  }
+
   /** TF-IDF: the most characteristic term per document (tf × ln(N/df),
     * ties broken alphabetically). Exercises the two-level aggregation +
     * join + window composition of a real feature pipeline.
@@ -647,6 +718,7 @@ object TextAnalysis {
     "q25_lang_id"      -> langId _,
     "q207_langid_eval" -> langIdEval _,
     "q209_winnow_profile" -> winnowProfile _,
+    "q211_heaps_law"   -> heapsLaw _,
     "q210_winnow_pairs" -> ((s: SparkSession, d: String) => winnowPairs(s, d)),
     "q103_bm25"        -> ((s: SparkSession, d: String) => bm25(s, d)),
     "q104_textrank"    -> ((s: SparkSession, d: String) => textRank(s, d)),
@@ -783,6 +855,53 @@ object TextAnalysis {
       |       FROM sel)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q211_heaps_law" ->
+      """WITH dw AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS wsl
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, CAST(len(wsl) AS BIGINT) AS nt FROM dw),
+        |fo AS (
+        |  SELECT word, min(doc_id) AS fd
+        |  FROM (SELECT doc_id, unnest(wsl) AS word FROM dw)
+        |  GROUP BY 1),
+        |nwt AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nw
+        |        FROM fo GROUP BY 1),
+        |base AS (
+        |  SELECT cnt.doc_id, cnt.nt, COALESCE(nwt.nw, 0) AS nw
+        |  FROM cnt LEFT JOIN nwt ON nwt.doc_id = cnt.doc_id),
+        |cum AS (
+        |  SELECT
+        |    sum(nt) OVER (ORDER BY doc_id
+        |                  ROWS UNBOUNDED PRECEDING) AS t,
+        |    sum(nw) OVER (ORDER BY doc_id
+        |                  ROWS UNBOUNDED PRECEDING) AS v
+        |  FROM base),
+        |m AS (
+        |  SELECT CAST(floor(ln(t) * 1000000 + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(ln(v) * 1000000 + 0.5) AS BIGINT) AS y
+        |  FROM cum WHERE t >= 1 AND v >= 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    sum(CAST(x AS DECIMAL(19,0))) AS sx,
+        |    sum(CAST(y AS DECIMAL(19,0))) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+        |    sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
+        |  FROM m)
+        |SELECT n_docs,
+        |  round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
+        |  round((CAST(sy AS DOUBLE)
+        |         - ((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |           * CAST(sx AS DOUBLE))
+        |        / (CAST(n_docs AS DOUBLE) * 1000000), 6) AS ln_k
+        |FROM a""".stripMargin,
     "q209_winnow_profile" ->
       s"""WITH $WinnowCtes
          |SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_fp,

@@ -56,7 +56,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q188_rank_corr", // ≤20-row rank windows + 1-row pair counts
       "q190_fold_balance", // 1-row corpus-total aggregate
       "q191_neg_sampling", // 1-row normalizing-total aggregate
-      "q192_psi_drift") // 10-row bucket window + 1-row bounds
+      "q192_psi_drift", // 10-row bucket window + 1-row bounds
+      "q211_heaps_law") // 1-row OLS moment aggregate (partials map-side)
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark

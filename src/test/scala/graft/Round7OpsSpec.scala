@@ -73,6 +73,17 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q211: Heaps fit covers every doc; beta in [0, 1) for a saturating vocab") {
+    val r = TextAnalysis.heapsLaw(spark, sf).collect().head
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    val beta = r.getAs[Double]("beta")
+    // sublinear vocabulary growth: 0 <= beta < 1 always; the tiny
+    // synthetic vocab saturates, so beta sits near 0
+    assert(beta >= 0.0 && beta < 1.0, s"beta=$beta")
+    assert(r.getAs[Double]("ln_k") > 0.0) // V(1) >= 1 forces a positive K
+  }
+
   test("q210: shared fingerprints are bounded by the smaller profile") {
     val rows = TextAnalysis.winnowPairs(spark, sf).collect()
     assert(rows.nonEmpty) // the fixture contains near-duplicate docs
