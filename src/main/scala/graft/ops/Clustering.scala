@@ -529,12 +529,26 @@ object Clustering {
     * inverted-file contract that makes ANN serving viable at 100 TB.
     */
   def ivfProbe(s: SparkSession, d: String): DataFrame = {
-    val cells = s.table(ensureIvfIndex(s, d))
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfProbeOn(s, d, ensureIvfIndex(s, d), qs)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The probe body against an ALREADY-BUILT cell table, for an
+    * arbitrary (query_id, qe) relation — shared by the q203 batch
+    * probe and the q212 streaming serving path (which must NOT
+    * re-ensure the index from foreachBatch's cloned micro-batch
+    * session: the memo is session-keyed, so the clone would rebuild;
+    * the table NAME is the cross-session handle instead).
+    */
+  private[graft] def ivfProbeOn(s: SparkSession, d: String,
+      idxTable: String, qs: DataFrame): DataFrame = {
+    val cells = s.table(idxTable)
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    val qs = e.filter(col("vec_id") % 100 === 7)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cent_id"))
     val probes = graft.util.CacheRegistry.register(
@@ -560,8 +574,42 @@ object Clustering {
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
   }
+
+  /** q212: streaming ANN SERVING — query vectors arrive as a stream
+    * and each micro-batch probes the PERSISTED IVF index (q203's
+    * table, built exactly once BEFORE the stream starts; the
+    * `indexBuilds` counter proves no batch rebuilds it). The online
+    * half of the index lifecycle: build once per corpus version,
+    * serve continuously.
+    *
+    * Gated by the same oracle as q203/q52 (streamed probes must equal
+    * the direct batch computation, arrival order free). Scale shape:
+    * per batch, the plan is the q203 probe — broadcast
+    * centroids/queries, bucket-pruned index scan, candidate-only
+    * rerank; state-free (append mode, no watermark), so serving cost
+    * scales with query rate, not corpus size.
+    */
+  def streamIvfServe(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val idx = ensureIvfIndex(s, d) // build ONCE, outside the stream
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val out = graft.util.TmpDirs.scratch("stream-ivf-serve")
+      val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
+        .filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val q = src.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            ivfProbeOn(batch.sparkSession, d, idx, batch)
+              .write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("query_id"), col("rank"))
+    }
 
   private def dist2Col(v: Column, c: Column): Column =
     aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
@@ -860,6 +908,7 @@ object Clustering {
     "q150_cc_star"       -> ccStar _,
     "q52_ivf_ann"        -> ivfAnn _,
     "q203_ivf_probe"     -> ivfProbe _,
+    "q212_stream_ivf_serve" -> streamIvfServe _,
     "q204_pq_probe"      -> ((s: SparkSession, d: String) => pqProbe(s, d)),
     "q53_embed_neardup"  -> embedNearDup _,
     "q112_kmeans"        -> ((s: SparkSession, d: String) => kmeans(s, d)),
@@ -1135,6 +1184,9 @@ object Clustering {
     "q52_ivf_ann" -> ivfAnnSql,
     // q203 probes the PERSISTED cell table; same oracle as q52
     "q203_ivf_probe" -> ivfAnnSql,
+    // q212 streams the SAME query set through the persisted index, so
+    // its flags must reproduce the direct q52/q203 computation exactly
+    "q212_stream_ivf_serve" -> ivfAnnSql,
     "q53_embed_neardup" ->
       s"""WITH pairs AS (
         |  SELECT x.vec_id AS a, y.vec_id AS b,

@@ -36,6 +36,18 @@ class AnnIndexSpec extends AnyFunSuite {
       s"the corpus-wide assignment argmax must NOT run at probe time:\n$plan")
   }
 
+  test("q212 streamed serving equals the batch probe and never rebuilds per batch") {
+    Clustering.ensureIvfIndex(spark, sf)
+    val builds = Clustering.indexBuilds.get()
+    val served = Clustering.streamIvfServe(spark, sf).collect().toSeq
+    assert(Clustering.indexBuilds.get() == builds,
+      "a micro-batch must probe the persisted index, not rebuild it " +
+        "(the memo is session-keyed; the table name is the handle)")
+    val batch = Clustering.ivfProbe(spark, sf).collect().toSeq
+    assert(served.nonEmpty)
+    assert(served == batch)
+  }
+
   test("PQ probe equals the direct q114 computation and never re-encodes the corpus") {
     Clustering.ensurePqIndex(spark, sf)
     val builds = Clustering.indexBuilds.get()
