@@ -166,7 +166,20 @@ object TextAnalysis {
     * (positions are doc-bounded) → distinct rollup. Selected rows are
     * ~2/(w+1)·grams, shuffling 8-byte hashes, never text.
     */
-  private def winnowSelected(s: SparkSession, d: String, w: Int = 4): DataFrame = {
+  /** winnowSelected memoized + cache()d per (session, dir): q209 and
+    * q210 both start from the same selection pass (and q210 consumes
+    * it three times — df filter, both join sides) — the q124-q128
+    * gram-table sharing discipline.
+    */
+  private val winnowMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(winnowMemo)
+
+  private def winnowSelected(s: SparkSession, d: String): DataFrame =
+    winnowMemo.computeIfAbsent((s, d), _ =>
+      graft.util.CacheRegistry.register(winnowSelectedUncached(s, d).cache()))
+
+  private def winnowSelectedUncached(s: SparkSession, d: String, w: Int = 4): DataFrame = {
     val grams = documents(s, d)
       .withColumn("ws", toks)
       .filter(size(col("ws")) >= 3)

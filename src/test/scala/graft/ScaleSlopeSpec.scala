@@ -21,7 +21,9 @@ class ScaleSlopeSpec extends AnyFunSuite {
     "q173_stream_join", "q174_assoc_rules", "q112_kmeans",
     "q130_pagerank", "q150_cc_star", "q155_quant_recall",
     "q154_stream_sessions", "q124_substring_runs", "q114_pq_ann",
-    "q119_pmi")
+    "q119_pmi",
+    // r7 additions to the expensive set (bench.json r7 top-10)
+    "q104_textrank", "q201_stream_neardup", "q210_winnow_pairs")
 
   /** Total shuffle bytes written by every stage `body` runs. The
     * listener bus is async, so after the action we poll until the
