@@ -462,9 +462,11 @@ object Similarity {
     * (the q161 discipline). With per-(label, dim) exact sums S1 and
     * counts n, each squared distance is
     *   Σ_d (xu_d·n − S1_d)² / (n²·10¹²)
-    * whose numerator terms are BIGINT diffs squared exactly in
-    * DECIMAL(19,0)→(38,0) (|xu·n − S1| < 10¹⁹ holds to ~10¹² vectors
-    * per label); sqrt and the (b−a)/max ratio are double assembly
+    * whose numerator terms are computed in DECIMAL (lifted BEFORE the
+    * xu·n product — no silent int64 wrap window) and squared exactly
+    * in DECIMAL(19,0)→(38,0); |xu·n − S1| < 10¹⁹ holds to ~10¹²
+    * unit-scale vectors per label, and past that bound both engines
+    * fail loudly. sqrt and the (b−a)/max ratio are double assembly
     * from identical integers, and each s quantizes back to micro-units
     * before the per-label mean so the final average is order-free.
     *
@@ -483,7 +485,11 @@ object Similarity {
         floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("xu"))
     val cents = ex.groupBy(col("label").as("clabel"), col("dim"))
       .agg(count(lit(1)).as("cn"), sum(col("xu")).as("s1"))
-    val diff = (col("xu") * col("cn") - col("s1")).cast(Dec19)
+    // the q170 discipline: lift to decimal BEFORE the product so the
+    // xu·n intermediate can never wrap int64 silently — beyond the
+    // DECIMAL(19,0) bound both engines fail loudly instead of diverging
+    val diff = (col("xu").cast(Dec19) * col("cn").cast(Dec19)
+      - col("s1").cast(Dec19)).cast(Dec19)
     val dists = ex.join(broadcast(cents), Seq("dim"))
       .groupBy(col("vec_id"), col("label"), col("clabel"))
       .agg(max(col("cn")).as("cn"), sum(diff * diff).as("num"))
@@ -687,8 +693,10 @@ object Similarity {
         |  FROM u GROUP BY 1, 2),
         |dd AS (
         |  SELECT u.vec_id, u.label, c.clabel, max(c.cn) AS cn,
-        |    CAST(sum(CAST(u.xu * c.cn - c.s1 AS DECIMAL(19,0))
-        |             * CAST(u.xu * c.cn - c.s1 AS DECIMAL(19,0)))
+        |    CAST(sum(CAST(CAST(u.xu AS DECIMAL(19,0)) * CAST(c.cn AS DECIMAL(19,0))
+        |               - CAST(c.s1 AS DECIMAL(19,0)) AS DECIMAL(19,0))
+        |             * CAST(CAST(u.xu AS DECIMAL(19,0)) * CAST(c.cn AS DECIMAL(19,0))
+        |               - CAST(c.s1 AS DECIMAL(19,0)) AS DECIMAL(19,0)))
         |      AS DECIMAL(38,0)) AS num
         |  FROM u JOIN c ON c.dim = u.dim
         |  GROUP BY 1, 2, 3),
