@@ -270,10 +270,13 @@ object Frequency {
     val denom = (d19(col("n_ranks")) * d19(col("sxx"))
       - d19(col("sx")) * d19(col("sx"))).cast("double")
     val slope = numer / denom
+    // NULL (not NaN/inf — the engines disagree on double x/0) when a
+    // language has a single rank and the fit is undefined
     a.select(col("lang"), col("n_ranks"),
-      round(slope, 6).as("slope"),
-      round((col("sy").cast("double") - slope * col("sx").cast("double"))
-        / (col("n_ranks").cast("double") * 1e6), 6).as("intercept"))
+      when(denom =!= 0, round(slope, 6)).as("slope"),
+      when(denom =!= 0,
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / (col("n_ranks").cast("double") * 1e6), 6)).as("intercept"))
       .orderBy(col("lang"))
   }
 
@@ -311,14 +314,16 @@ object Frequency {
         |          AS DECIMAL(19,0)) AS sxx
         |      FROM m GROUP BY 1)
         |SELECT lang, n_ranks,
-        |  round(CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxy - sx * sy AS DOUBLE)
-        |        / CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxx - sx * sx AS DOUBLE),
-        |    6) AS slope,
-        |  round((CAST(sy AS DOUBLE)
-        |         - (CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxy - sx * sy AS DOUBLE)
-        |            / CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxx - sx * sx AS DOUBLE))
-        |           * CAST(sx AS DOUBLE))
-        |        / (CAST(n_ranks AS DOUBLE) * 1000000), 6) AS intercept
+        |  CASE WHEN CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxx - sx * sx AS DOUBLE) <> 0 THEN
+        |    round(CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxy - sx * sy AS DOUBLE)
+        |          / CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxx - sx * sx AS DOUBLE),
+        |      6) END AS slope,
+        |  CASE WHEN CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxx - sx * sx AS DOUBLE) <> 0 THEN
+        |    round((CAST(sy AS DOUBLE)
+        |           - (CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxy - sx * sy AS DOUBLE)
+        |              / CAST(CAST(n_ranks AS DECIMAL(19,0)) * sxx - sx * sx AS DOUBLE))
+        |             * CAST(sx AS DOUBLE))
+        |          / (CAST(n_ranks AS DOUBLE) * 1000000), 6) END AS intercept
         |FROM a ORDER BY lang""".stripMargin,
     "q167_gini" ->
       """WITH t AS (

@@ -314,11 +314,14 @@ object TextAnalysis {
       sum(d19(col("x")) * d19(col("y"))).as("sxy"),
       sum(d19(col("x")) * d19(col("x"))).as("sxx"))
     def dd(c: String) = col(c).cast("double")
-    val slope = (dd("n_docs") * dd("sxy") - dd("sx") * dd("sy")) /
-      (dd("n_docs") * dd("sxx") - dd("sx") * dd("sx"))
+    val denom = dd("n_docs") * dd("sxx") - dd("sx") * dd("sx")
+    val slope = (dd("n_docs") * dd("sxy") - dd("sx") * dd("sy")) / denom
+    // NULL (not NaN/inf — the engines disagree on double x/0) for a
+    // degenerate single-point fit
     a.select(col("n_docs"),
-      round(slope, 6).as("beta"),
-      round((dd("sy") - slope * dd("sx")) / (dd("n_docs") * 1e6), 6)
+      when(denom =!= 0, round(slope, 6)).as("beta"),
+      when(denom =!= 0,
+        round((dd("sy") - slope * dd("sx")) / (dd("n_docs") * 1e6), 6))
         .as("ln_k"))
   }
 
@@ -903,17 +906,21 @@ object TextAnalysis {
         |    sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
         |  FROM m)
         |SELECT n_docs,
-        |  round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |        / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
-        |  round((CAST(sy AS DOUBLE)
-        |         - ((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |            / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-        |           * CAST(sx AS DOUBLE))
-        |        / (CAST(n_docs AS DOUBLE) * 1000000), 6) AS ln_k
+        |  CASE WHEN CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+        |    round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS beta,
+        |  CASE WHEN CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+        |    round((CAST(sy AS DOUBLE)
+        |           - ((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |              / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |             * CAST(sx AS DOUBLE))
+        |          / (CAST(n_docs AS DOUBLE) * 1000000), 6) END AS ln_k
         |FROM a""".stripMargin,
     "q209_winnow_profile" ->
       s"""WITH $WinnowCtes
