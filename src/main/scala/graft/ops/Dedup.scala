@@ -173,9 +173,10 @@ object Dedup {
           val sa = shingleSet(ta).toSet
           val sb = shingleSet(tb).toSet
           val common = sa.count(sb.contains)
-          (a, b, common.toDouble / (sa.size + sb.size - common))
+          (a, b, common.toLong, sa.size.toLong, sb.size.toLong,
+            common.toDouble / (sa.size + sb.size - common))
         }
-        .toDF("a", "b", "jac")
+        .toDF("a", "b", "common", "za", "zb", "jac")
         .cache()
     })
 
@@ -191,6 +192,65 @@ object Dedup {
       .filter(col("jac") >= 0.5)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a"), col("b"))
+
+  /** q213: CONTAINMENT similarity on the LSH candidates —
+    * C(A,B) = |A∩B| / min(|A|, |B|) (Broder's containment), with the
+    * inclusion direction. Symmetric Jaccard under-scores a short doc
+    * embedded inside a long one (|A∩B|/|A∪B| is diluted by the long
+    * side), so a dedup pass keyed on q28 alone misses quote/excerpt
+    * duplication; containment is the statistic that catches it.
+    * Same O(candidates) verification shape as q28 — the shared
+    * scoredPairs cache means the shingle-set pass is paid once across
+    * q28/q213/q214.
+    */
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val c = col("common").cast("double") /
+      least(col("za"), col("zb")).cast("double")
+    scoredPairs(s, d)
+      .filter(c >= 0.6)
+      .select(col("a"), col("b"), col("za"), col("zb"),
+        round(c, 4).as("containment"),
+        when(col("za") < col("zb"), lit("a_in_b"))
+          .when(col("zb") < col("za"), lit("b_in_a"))
+          .otherwise(lit("equal_size")).as("direction"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** q214: MinHash estimator CALIBRATION audit — per candidate pair,
+    * the sketch estimate (agreeing signature positions / 16) against
+    * the exact Jaccard, bucketed by exact similarity (width 0.2). The
+    * sketch-quality check that says whether 16 hashes are enough for
+    * the corpus's similarity profile (E[est] = jac; spread shrinks as
+    * 1/√k) — the q84-style "audit the approximation against ground
+    * truth" discipline applied to the dedup sketch itself.
+    *
+    * Determinism: agreement counts are integers; jac is the identical
+    * double on both engines; est−jac quantizes to micro-units before
+    * the per-bucket mean so averages are order-free.
+    */
+  def minhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(documents(s, d))
+    val pe = scoredPairs(s, d)
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), Seq("b"))
+      .select(col("jac"),
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          b => b)).cast("long").as("agree"))
+    pe.groupBy(floor(col("jac") * 5).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("agree")).as("agree_total"),
+        sum(floor(col("jac") * 1e6 + 0.5).cast("long")).as("jac_u"),
+        sum(floor(abs(col("agree").cast("double") / 16 - col("jac")) * 1e6 + 0.5)
+          .cast("long")).as("err_u"))
+      .select(col("bucket"), col("n_pairs"),
+        round(col("agree_total").cast("double")
+          / (col("n_pairs").cast("double") * 16), 4).as("mean_est"),
+        round(col("jac_u").cast("double")
+          / (col("n_pairs").cast("double") * 1e6), 4).as("mean_jac"),
+        round(col("err_u").cast("double")
+          / (col("n_pairs").cast("double") * 1e6), 4).as("mean_abs_err"))
+      .orderBy(col("bucket"))
+  }
 
   /** Corpus-level MinHash sketch per language through the custom typed
     * `Aggregator` (graft.functions.MinHashAgg): shingle base hashes
@@ -413,6 +473,8 @@ object Dedup {
     "q26_dedup_exact"   -> exactDedup _,
     "q27_minhash_lsh"   -> minhashPairs _,
     "q28_jaccard_pairs" -> jaccardPairs _,
+    "q213_containment"  -> containmentPairs _,
+    "q214_minhash_calibration" -> minhashCalibration _,
     "q29_simhash"       -> simhash _,
     "q57_minhash_agg"   -> minhashAggByLang _,
   )
@@ -530,6 +592,35 @@ object Dedup {
         |FROM jaccard
         |WHERE jac >= 0.5
         |ORDER BY a, b""".stripMargin,
+    "q213_containment" ->
+      s"""WITH $PairsCtes
+        |SELECT a, b, za, zb,
+        |  round(CAST(common AS DOUBLE) / least(za, zb), 4) AS containment,
+        |  CASE WHEN za < zb THEN 'a_in_b'
+        |       WHEN zb < za THEN 'b_in_a'
+        |       ELSE 'equal_size' END AS direction
+        |FROM jaccard
+        |WHERE CAST(common AS DOUBLE) / least(za, zb) >= 0.6
+        |ORDER BY a, b""".stripMargin,
+    "q214_minhash_calibration" ->
+      s"""WITH $PairsCtes,
+        |pe AS (
+        |  SELECT j.jac,
+        |    CAST(len(list_filter(range(1, 17),
+        |      k -> sa.sig[k] = sb.sig[k])) AS BIGINT) AS agree
+        |  FROM jaccard j
+        |  JOIN sig sa ON sa.doc_id = j.a
+        |  JOIN sig sb ON sb.doc_id = j.b)
+        |SELECT CAST(floor(jac * 5) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(agree) AS DOUBLE)
+        |        / (CAST(count(*) AS DOUBLE) * 16), 4) AS mean_est,
+        |  round(CAST(sum(CAST(floor(jac * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / (CAST(count(*) AS DOUBLE) * 1000000), 4) AS mean_jac,
+        |  round(CAST(sum(CAST(floor(abs(CAST(agree AS DOUBLE) / 16 - jac)
+        |                            * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / (CAST(count(*) AS DOUBLE) * 1000000), 4) AS mean_abs_err
+        |FROM pe GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q57_minhash_agg" ->
       """WITH ws AS (SELECT lang, regexp_split_to_array(text, '\s+') AS ws FROM documents),
         |sh AS (SELECT lang,

@@ -29,10 +29,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the documented surface") {
-    assert(SparkEntry.queries.size == 212)
+    assert(SparkEntry.queries.size == 214)
     // every query — including the four approximate ones, which emit
     // deterministic bound-check gate rows — has a DuckDB oracle
-    assert(SparkEntry.oracleSql.size == 212)
+    assert(SparkEntry.oracleSql.size == 214)
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 }

@@ -94,6 +94,40 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q213: containment dominates Jaccard on every candidate pair") {
+    import graft.ops.Dedup
+    val cont = Dedup.containmentPairs(spark, sf).collect()
+    assert(cont.nonEmpty)
+    val jac = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    cont.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c > 0 && c <= 1.0)
+      // C = common/min >= J = common/union, so every q28 pair scoring
+      // >= 0.6 must appear here with containment >= its jaccard
+      jac.get((r.getAs[Long]("a"), r.getAs[Long]("b")))
+        .foreach(j => assert(c >= j - 1e-9, s"containment $c < jaccard $j"))
+    }
+    val contKeys = cont.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    jac.filter(_._2 >= 0.6).keys.foreach(k =>
+      assert(contKeys.contains(k), s"pair $k with jaccard >= 0.6 missing"))
+  }
+
+  test("q214: calibration means are exact-bucket-consistent and bounded") {
+    import graft.ops.Dedup
+    val rows = Dedup.minhashCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, jac) = (r.getAs[Double]("mean_est"), r.getAs[Double]("mean_jac"))
+      assert(est >= 0 && est <= 1.0)
+      assert(jac >= 0 && jac <= 1.0)
+      val bucket = r.getAs[Long]("bucket")
+      assert(jac >= bucket * 0.2 - 1e-4 && jac < (bucket + 1) * 0.2 + 1e-4)
+      assert(r.getAs[Double]("mean_abs_err") >= 0)
+    }
+  }
+
   test("q208: jackknife SE is non-negative and the mean matches a direct mean") {
     import org.apache.spark.sql.functions._
     val rows = Behavior.jackknifeSe(spark, sf).collect()
