@@ -179,8 +179,16 @@ object TextAnalysis {
     winnowMemo.computeIfAbsent((s, d), _ =>
       graft.util.CacheRegistry.register(winnowSelectedUncached(s, d).cache()))
 
-  private def winnowSelectedUncached(s: SparkSession, d: String, w: Int = 4): DataFrame = {
-    val grams = documents(s, d)
+  private def winnowSelectedUncached(s: SparkSession, d: String): DataFrame =
+    winnowSelectedOn(documents(s, d))
+
+  /** Selection over an arbitrary (doc_id, text) relation — exposed for
+    * the Round7OpsSpec edit-robustness law (the winnowing guarantee:
+    * any shared run of ≥ w + k − 1 tokens yields a shared fingerprint,
+    * provable only with constructed inputs).
+    */
+  private[graft] def winnowSelectedOn(docs: DataFrame, w: Int = 4): DataFrame = {
+    val grams = docs
       .withColumn("ws", toks)
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),

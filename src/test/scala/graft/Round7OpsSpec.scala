@@ -84,6 +84,24 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("ln_k") > 0.0) // V(1) >= 1 forces a positive K
   }
 
+  test("winnowing guarantee: a shared >= w+k-1 token run always yields a shared fingerprint") {
+    import spark.implicits._
+    // two docs sharing an 8-token run (>= w + k - 1 = 6) embedded in
+    // otherwise-different text, including a leading edit (the case
+    // whole-doc hashing q23 cannot survive)
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"nine eight seven inserted $run ten eleven")
+    ).toDF("doc_id", "text")
+    val sel = graft.ops.TextAnalysis.winnowSelectedOn(docs)
+      .select($"doc_id", $"fp").collect()
+    val fp1 = sel.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
+    val fp2 = sel.filter(_.getLong(0) == 2L).map(_.getLong(1)).toSet
+    assert((fp1 & fp2).nonEmpty,
+      "the shared run must surface at least one common fingerprint")
+  }
+
   test("q210: shared fingerprints are bounded by the smaller profile") {
     val rows = TextAnalysis.winnowPairs(spark, sf).collect()
     assert(rows.nonEmpty) // the fixture contains near-duplicate docs
