@@ -487,11 +487,19 @@ object Clustering {
   }
 
   /** (vec_id, cell) for the whole corpus — q52's assignment stage. */
-  private def ivfAssignment(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") % 50 === 0)
+  private def ivfAssignment(s: SparkSession, d: String): DataFrame =
+    ivfAssignmentFor(s, d, embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** Assignment for an arbitrary vector subset against the CORPUS
+    * centroids (centroids are fixed at index-creation time — the
+    * invariant that makes incremental maintenance sound: a new batch
+    * is assigned with the same broadcast table the base build used).
+    */
+  private def ivfAssignmentFor(s: SparkSession, d: String,
+      sub: DataFrame): DataFrame = {
+    val cents = embeddings(s, d).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    e.crossJoin(broadcast(cents))
+    sub.crossJoin(broadcast(cents))
       .withColumn("cos", cosine(col("embedding"), col("ce")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"),
@@ -574,6 +582,48 @@ object Clustering {
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** q215: INCREMENTAL IVF index maintenance — the base index is built
+    * from half the corpus, then the other half arrives as an
+    * append-only batch: only the NEW vectors are assigned (against the
+    * same frozen centroid table — the invariant that keeps incremental
+    * updates sound) and INSERTed into the bucketed table; no existing
+    * row is touched, no rebuild. Gated by the same oracle as
+    * q52/q203: probing the incrementally-maintained index must be
+    * indistinguishable from probing a from-scratch build.
+    *
+    * Scale shape: maintenance cost is one narrow assignment pass over
+    * the NEW batch + a bucketed append — O(batch), never O(corpus).
+    * Together with q203 (build once / probe many) and q212 (streamed
+    * probes) this completes the index lifecycle: build → serve →
+    * incrementally grow.
+    */
+  private val ivfIncrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(ivfIncrMemo)
+
+  private[graft] def ensureIvfIncremental(s: SparkSession, d: String): String =
+    ivfIncrMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_ivf_incr_", d)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      recreateBucketed(s, name,
+        ivfAssignmentFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 0)),
+        "cell")
+      // the "new data arrives" half: assign ONLY the batch, append into
+      // the same bucket layout (bucket spec must match the base build)
+      ivfAssignmentFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 1))
+        .write.mode("append").format("parquet")
+        .bucketBy(8, "cell").sortBy("cell").saveAsTable(name)
+      name
+    })
+
+  def ivfIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfProbeOn(s, d, ensureIvfIncremental(s, d), qs)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** q212: streaming ANN SERVING — query vectors arrive as a stream
@@ -909,6 +959,7 @@ object Clustering {
     "q52_ivf_ann"        -> ivfAnn _,
     "q203_ivf_probe"     -> ivfProbe _,
     "q212_stream_ivf_serve" -> streamIvfServe _,
+    "q215_ivf_incremental"  -> ivfIncremental _,
     "q204_pq_probe"      -> ((s: SparkSession, d: String) => pqProbe(s, d)),
     "q53_embed_neardup"  -> embedNearDup _,
     "q112_kmeans"        -> ((s: SparkSession, d: String) => kmeans(s, d)),
@@ -1187,6 +1238,9 @@ object Clustering {
     // q212 streams the SAME query set through the persisted index, so
     // its flags must reproduce the direct q52/q203 computation exactly
     "q212_stream_ivf_serve" -> ivfAnnSql,
+    // q215 probes the incrementally-grown index; must be
+    // indistinguishable from a from-scratch build
+    "q215_ivf_incremental" -> ivfAnnSql,
     "q53_embed_neardup" ->
       s"""WITH pairs AS (
         |  SELECT x.vec_id AS a, y.vec_id AS b,

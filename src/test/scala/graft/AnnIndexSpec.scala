@@ -48,6 +48,18 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served == batch)
   }
 
+  test("q215 incrementally-grown index serves identically to a from-scratch build") {
+    val incr = Clustering.ivfIncremental(spark, sf).collect().toSeq
+    val full = Clustering.ivfProbe(spark, sf).collect().toSeq
+    assert(incr.nonEmpty)
+    assert(incr == full,
+      "append-only maintenance must be indistinguishable from a rebuild")
+    // repeated ensures must not re-append (duplicated rows would break
+    // the probe) — the memo is the idempotency guard
+    val again = Clustering.ivfIncremental(spark, sf).collect().toSeq
+    assert(again == full)
+  }
+
   test("PQ probe equals the direct q114 computation and never re-encodes the corpus") {
     Clustering.ensurePqIndex(spark, sf)
     val builds = Clustering.indexBuilds.get()

@@ -17,6 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private val allowedBnlj = Set("q30_knn_brute", "q31_ann_lsh", "q52_ivf_ann",
     "q203_ivf_probe", // q52's broadcast centroid table for probe-cell resolution
+    "q215_ivf_incremental", // same broadcast centroid table (probe + batch assignment)
     "q106_heavy_hitters", "q112_kmeans", "q119_pmi",
     "q115_rolling_distinct", // broadcast 1-row day-bounds range filter
     "q129_perplexity", // broadcast 1-row vocabulary-size scalar
