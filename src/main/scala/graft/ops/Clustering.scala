@@ -626,6 +626,34 @@ object Clustering {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q216: incremental PQ code-table maintenance — the PQ mirror of
+    * q215: base codes built from half the corpus, the other half
+    * encoded as an arriving batch against the SAME frozen codebook and
+    * appended into the bucketed layout; probing the grown table is
+    * oracle-proven identical to a from-scratch build (q114/q204
+    * oracle). O(batch) maintenance, both persisted ANN families now
+    * complete the build → serve → grow lifecycle.
+    */
+  private val pqIncrMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(pqIncrMemo)
+
+  private[graft] def ensurePqIncremental(s: SparkSession, d: String): String =
+    pqIncrMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_pq_incr_", d)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      recreateBucketed(s, name,
+        pqCodesFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 0)), "vec_id")
+      pqCodesFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 1))
+        .write.mode("append").format("parquet")
+        .bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(name)
+      name
+    })
+
+  def pqIncremental(s: SparkSession, d: String): DataFrame =
+    pqProbeOn(s, d, ensurePqIncremental(s, d))
+
   /** q212: streaming ANN SERVING — query vectors arrive as a stream
     * and each micro-batch probes the PERSISTED IVF index (q203's
     * table, built exactly once BEFORE the stream starts; the
@@ -676,13 +704,24 @@ object Clustering {
 
   /** (vec_id, m, code) for the whole corpus — q114's encode stage. */
   private def pqCodes(s: SparkSession, d: String, m: Int = 8, sub: Int = 8,
-      nCent: Int = 16): DataFrame = {
-    val e = embeddings(s, d)
+      nCent: Int = 16): DataFrame =
+    pqCodesFor(s, d,
+      embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")),
+      m, sub, nCent)
+
+  /** Encode an arbitrary vector subset against the CORPUS codebook
+    * (the codebook is frozen at index-creation time — same invariant
+    * as the IVF centroids, and what makes q216's incremental append
+    * sound).
+    */
+  private def pqCodesFor(s: SparkSession, d: String, subset: DataFrame,
+      m: Int = 8, sub: Int = 8, nCent: Int = 16): DataFrame = {
+    val full = embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val sv = subvectors(e, m, sub)
-    val cb = sv.filter(col("vec_id") < nCent)
+    val cb = subvectors(full, m, sub).filter(col("vec_id") < nCent)
       .select(col("vec_id").cast("int").as("cid"), col("m"), col("sv").as("csv"))
-    sv.join(broadcast(cb), Seq("m"))
+    subvectors(subset, m, sub).join(broadcast(cb), Seq("m"))
       .withColumn("dist_r", round(dist2Col(col("sv"), col("csv")), 6))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("dist_r"), col("cid"))).as("mm"))
@@ -713,8 +752,16 @@ object Clustering {
     * read for the top-k rerank rows.
     */
   def pqProbe(s: SparkSession, d: String, m: Int = 8, sub: Int = 8,
+      nCent: Int = 16, nQuery: Int = 5, topK: Int = 3): DataFrame =
+    pqProbeOn(s, d, ensurePqIndex(s, d), m, sub, nCent, nQuery, topK)
+
+  /** The ADC probe body against an ALREADY-BUILT code table — shared
+    * by the q204 persisted probe and the q216 incrementally-grown one.
+    */
+  private[graft] def pqProbeOn(s: SparkSession, d: String, codesTable: String,
+      m: Int = 8, sub: Int = 8,
       nCent: Int = 16, nQuery: Int = 5, topK: Int = 3): DataFrame = {
-    val codes = s.table(ensurePqIndex(s, d))
+    val codes = s.table(codesTable)
     val e = embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val sv = subvectors(e, m, sub)
@@ -960,6 +1007,7 @@ object Clustering {
     "q203_ivf_probe"     -> ivfProbe _,
     "q212_stream_ivf_serve" -> streamIvfServe _,
     "q215_ivf_incremental"  -> ivfIncremental _,
+    "q216_pq_incremental"   -> ((s: SparkSession, d: String) => pqIncremental(s, d)),
     "q204_pq_probe"      -> ((s: SparkSession, d: String) => pqProbe(s, d)),
     "q53_embed_neardup"  -> embedNearDup _,
     "q112_kmeans"        -> ((s: SparkSession, d: String) => kmeans(s, d)),
@@ -1241,6 +1289,7 @@ object Clustering {
     // q215 probes the incrementally-grown index; must be
     // indistinguishable from a from-scratch build
     "q215_ivf_incremental" -> ivfAnnSql,
+    "q216_pq_incremental" -> pqAnnSql,
     "q53_embed_neardup" ->
       s"""WITH pairs AS (
         |  SELECT x.vec_id AS a, y.vec_id AS b,

@@ -73,6 +73,16 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(probe2 == direct)
   }
 
+  test("q216 incrementally-grown PQ codes serve identically to a from-scratch build") {
+    val incr = Clustering.pqIncremental(spark, sf).collect().toSeq
+    val full = Clustering.pqProbe(spark, sf).collect().toSeq
+    assert(incr.nonEmpty)
+    assert(incr == full,
+      "append-only code maintenance must be indistinguishable from a rebuild")
+    val again = Clustering.pqIncremental(spark, sf).collect().toSeq
+    assert(again == full) // memo idempotency: no double-append
+  }
+
   test("PQ probe plan reads the code table; only query subvectors touch the codebook") {
     Clustering.ensurePqIndex(spark, sf)
     val df = Clustering.pqProbe(spark, sf)
