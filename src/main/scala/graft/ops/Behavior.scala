@@ -226,7 +226,113 @@ object Behavior {
       .orderBy(col("event_type"))
   }
 
+  /** q217: Kaplan-Meier life table over user lifetimes. Each user's
+    * lifetime is the whole-hour span between their first and last
+    * event; a user whose last event predates the corpus horizon by
+    * more than 12 h is an observed churn (event), anyone still active
+    * at the horizon is right-censored — the standard survival-analysis
+    * framing of retention. Per distinct lifetime t the table reports
+    * the at-risk count, events, censorings, the discrete hazard d/n,
+    * and the Kaplan-Meier survivor estimate S(t) = Π_{t'≤t} (1−d/n).
+    *
+    * Determinism: counts are exact integers end to end; each ratio
+    * (n−d)/n is ONE double division (IEEE-identical on both engines),
+    * and S(t) is a strictly LEFT-TO-RIGHT fold over the t-ordered
+    * ratio list — Spark `aggregate` and DuckDB `list_reduce` both fold
+    * sequentially, so every intermediate double product is
+    * bit-identical (no order-dependent float aggregation anywhere; a
+    * windowed PRODUCT would instead combine in segment-tree order).
+    *
+    * Scale shape: the corpus-sized work is one user-keyed min/max
+    * rollup; the life table itself is bounded by distinct lifetime
+    * hours (calendar-bounded — ≤ 87,600 rows even for a 10-year
+    * corpus), so collapsing it to one array row is driver-free
+    * constant-size work. The O(|t|²) prefix folds are arithmetic on
+    * that bounded array; a decade-scale deployment would precompute
+    * the at-risk prefix with an integer window sum and keep only the
+    * O(|t|²) product folds (or move S(t) to log-space window sums at
+    * reduced determinism).
+    */
+  def kaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val horizon = ev.agg(max(col("us")).as("max_us"))
+    val life = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("f"), max(col("us")).as("l"))
+    val lt = life.crossJoin(broadcast(horizon))
+      .select(expr("(l - f) div 3600000000").as("t"),
+        (col("l") <= col("max_us") - lit(43200000000L)).as("ch"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("ch"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("ch"), 0L).otherwise(1L)).as("c"))
+    val packed = lt
+      .agg(array_sort(collect_list(struct(col("t"), col("d"), col("c")))).as("a"))
+      .withColumn("total", aggregate(
+        transform(col("a"), x => x.getField("d") + x.getField("c")),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("ns", transform(sequence(lit(1), size(col("a"))), j =>
+        col("total") - aggregate(slice(col("a"), lit(1), j - 1), lit(0L),
+          (acc, x) => acc + x.getField("d") + x.getField("c"))))
+      .withColumn("rs", transform(sequence(lit(1), size(col("a"))), j =>
+        (element_at(col("ns"), j) - element_at(col("a"), j).getField("d"))
+          .cast("double") / element_at(col("ns"), j).cast("double")))
+      .withColumn("kms", transform(sequence(lit(1), size(col("a"))), j =>
+        aggregate(slice(col("rs"), lit(1), j), lit(1.0d), (p, x) => p * x)))
+    packed
+      .select(posexplode(arrays_zip(col("a"), col("ns"), col("kms"))))
+      .select(col("col.a.t").as("t"),
+        col("col.ns").as("n_at_risk"),
+        col("col.a.d").as("churned"),
+        col("col.a.c").as("censored"),
+        round(col("col.a.d").cast("double") / col("col.ns").cast("double"), 6)
+          .as("hazard"),
+        round(col("col.kms"), 6).as("km_survival"))
+      .orderBy(col("t"))
+  }
+
+  /** q218: frequent 3-event sequential patterns — for every ordered
+    * trigram (a, b, c) of ADJACENT events in a user's full history,
+    * the occurrence count, the user support (how many distinct users
+    * exhibit it), and the median wall-clock µs span from a to c. The
+    * session-agnostic complement to q116's within-session Markov
+    * transitions: this is the "what journeys actually happen" mining
+    * cut, q116 is the one-step chain model.
+    *
+    * Determinism: lag windows are totally ordered by (us, event_id);
+    * counts are integers; the only float is the exact interpolated
+    * median over integer µs spans (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the q42-proven pairing). The median stays in µs
+    * — every value is k or k+0.5 µs, exactly representable in double,
+    * so no rounding enters at all (a /1e6-then-round would land the
+    * .5 µs midpoints exactly on the round boundary).
+    *
+    * Scale shape: one user-keyed window pass (the same shuffle the
+    * whole per-user family rides), then a groupBy on the trigram key —
+    * output is bounded by |types|³, not the corpus. count(DISTINCT
+    * user_id) expands to the standard two-level aggregate; the
+    * percentile needs the per-trigram span multiset, which is the
+    * grouping Spark already performs.
+    */
+  def seqPatterns(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("b", lag(col("event_type"), 1).over(w))
+      .withColumn("a", lag(col("event_type"), 2).over(w))
+      .withColumn("aus", lag(col("us"), 2).over(w))
+      .filter(col("a").isNotNull)
+      .select(col("a"), col("b"), col("event_type").as("c"),
+        col("user_id"), (col("us") - col("aus")).as("span"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("percentile(span, 0.5)").as("med_span_us"))
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_kaplan_meier"  -> kaplanMeier _,
+    "q218_seq_patterns"  -> seqPatterns _,
     "q208_jackknife_se"  -> jackknifeSe _,
     "q181_streaks" -> activityStreaks _,
     "q136_sequence_match" -> ((s: SparkSession, d: String) => sequenceMatch(s, d)),
@@ -236,6 +342,58 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q217_kaplan_meier" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |life AS (SELECT user_id, min(us) AS f, max(us) AS l FROM ev GROUP BY 1),
+        |mx AS (SELECT max(us) AS max_us FROM ev),
+        |u AS (SELECT (l - f) // 3600000000 AS t,
+        |             l <= max_us - 43200000000 AS ch FROM life CROSS JOIN mx),
+        |lt AS (SELECT t,
+        |         CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN ch THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |       FROM u GROUP BY 1),
+        |p AS (SELECT list(struct_pack(t := t, d := d, c := c) ORDER BY t) AS a
+        |      FROM lt),
+        |w1 AS (SELECT a,
+        |  CAST(list_sum([a[j].d + a[j].c for j in range(1, len(a)+1)]) AS BIGINT)
+        |    AS total FROM p),
+        |w2 AS (SELECT a,
+        |  [ total - CAST(coalesce(
+        |      list_sum([a[x].d + a[x].c for x in range(1, j)]), 0) AS BIGINT)
+        |    for j in range(1, len(a)+1) ] AS ns FROM w1),
+        |w3 AS (SELECT a, ns,
+        |  [ CAST(ns[j] - a[j].d AS DOUBLE) / CAST(ns[j] AS DOUBLE)
+        |    for j in range(1, len(a)+1) ] AS rs FROM w2),
+        |w4 AS (SELECT a, ns,
+        |  [ list_reduce(rs[1:j], (p2, x) -> p2 * x)
+        |    for j in range(1, len(a)+1) ] AS kms FROM w3)
+        |SELECT a[j].t AS t, CAST(ns[j] AS BIGINT) AS n_at_risk,
+        |  a[j].d AS churned, a[j].c AS censored,
+        |  round(CAST(a[j].d AS DOUBLE) / CAST(ns[j] AS DOUBLE), 6) AS hazard,
+        |  round(kms[j], 6) AS km_survival
+        |FROM w4, unnest(range(1, len(a)+1)) t2(j)
+        |ORDER BY t""".stripMargin,
+    "q218_seq_patterns" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, event_type AS c,
+        |    lag(event_type, 1) OVER w AS b,
+        |    lag(event_type, 2) OVER w AS a,
+        |    us, lag(us, 2) OVER w AS aus
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |p AS (
+        |  SELECT a, b, c, user_id, us - aus AS span
+        |  FROM t WHERE a IS NOT NULL)
+        |SELECT a, b, c, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  quantile_cont(CAST(span AS DOUBLE), 0.5) AS med_span_us
+        |FROM p GROUP BY 1, 2, 3
+        |ORDER BY a, b, c""".stripMargin,
     "q208_jackknife_se" ->
       """WITH pu AS (
         |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS nu,

@@ -296,7 +296,56 @@ object Graph {
       .limit(topK)
   }
 
+  /** q220: degree assortativity of the co-purchase graph — the Pearson
+    * correlation of endpoint degrees over the (symmetrized) edge list.
+    * Positive r: hubs link to hubs (social-network-like); negative:
+    * hubs link to leaves (technological/dependency-like). The one
+    * scalar that summarizes whether the dup/co-occurrence graph has
+    * hub-and-spoke or community structure — it decides whether salting
+    * or star-alternation is the right CC strategy downstream.
+    *
+    * Determinism: degrees are exact integers; all five moments are
+    * exact (DECIMAL(19,0) values, DECIMAL(38,0) products — the
+    * q178/q199 convention); r leaves the exact domain only in the
+    * final double assembly, identical on both engines.
+    *
+    * Scale shape: the edge build is the bounded basket self-join every
+    * graph query here shares; then one degree aggregation, two
+    * broadcast-able degree joins (degree table = node catalog ≪
+    * edges; AQE falls back to shuffled joins past the threshold), and
+    * ONE corpus-wide moment aggregation to a single row. Nothing
+    * quadratic, no iteration.
+    */
+  def assortativity(s: SparkSession, d: String, minSupport: Long = 2L): DataFrame = {
+    val Dec19 = org.apache.spark.sql.types.DataTypes.createDecimalType(19, 0)
+    val e = copurchaseEdges(s, d, minSupport)
+    val adj = e.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(e.select(col("v").as("s"), col("u").as("t")))
+    val deg = adj.groupBy(col("s").as("n")).agg(count(lit(1)).as("deg"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val xy = adj
+      .join(deg.select(col("n").as("s"), col("deg").as("x")), Seq("s"))
+      .join(deg.select(col("n").as("t"), col("deg").as("y")), Seq("t"))
+      .select(col("x").cast(Dec19).as("x"), col("y").cast(Dec19).as("y"))
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val r = (nD * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double")) /
+      sqrt((nD * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double")) *
+        (nD * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")))
+    m.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), (col("n") / 2).cast("long").as("n_edges"),
+        round(r, 6).as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_assortativity" -> ((s: SparkSession, d: String) => assortativity(s, d)),
     "q174_assoc_rules" -> ((s: SparkSession, d: String) => assocRules(s, d)),
     "q126_triangles" -> ((s: SparkSession, d: String) => triangleParts(s, d)),
     "q130_pagerank"  -> ((s: SparkSession, d: String) => pageRank(s, d)),
@@ -304,6 +353,36 @@ object Graph {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q220_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT s AS n, CAST(count(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |xy AS (SELECT CAST(ds.deg AS DECIMAL(19,0)) AS x,
+        |              CAST(dt.deg AS DECIMAL(19,0)) AS y
+        |       FROM adj JOIN deg ds ON ds.n = adj.s
+        |                JOIN deg dt ON dt.n = adj.t),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+        |        CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+        |        CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+        |        CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+        |        CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+        |      FROM xy)
+        |SELECT nn.n_nodes, CAST(m.n // 2 AS BIGINT) AS n_edges,
+        |  round((CAST(m.n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(m.n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(m.n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS assortativity
+        |FROM m CROSS JOIN nn""".stripMargin,
     "q174_assoc_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem),

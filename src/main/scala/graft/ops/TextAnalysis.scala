@@ -723,7 +723,51 @@ object TextAnalysis {
           .as("eff_vocab"))
       .orderBy(col("lang"))
 
+  /** q219: FORCAST readability per language. The corpus has no
+    * sentence punctuation (Flesch/FK are undefined on it), so the
+    * right classical formula is FORCAST — the one readability grade
+    * built WITHOUT a sentence count, designed for non-prose text:
+    * grade = 20 − (monosyllabic words per 150 words)/10. Syllables are
+    * approximated by vowel-group runs ([aeiouy]+), the standard
+    * heuristic. Per language: doc/word/syllable/monosyllable totals
+    * (exact integers), syllables-per-word, monosyllable share, and the
+    * FORCAST grade computed from the aggregated totals.
+    *
+    * Determinism: every per-doc count is an integer from one regex
+    * pass; language totals are integer sums; each reported metric is
+    * one double expression over those exact totals, rounded per-row —
+    * no float accumulates anywhere.
+    *
+    * Scale shape: one narrow projection per doc (regex + HOF filter
+    * inside codegen, no explode — the per-word loop runs inside the
+    * row), then a |langs|-keyed aggregation. Shuffle carries 4
+    * integers per doc.
+    */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), "\\s+")
+    val syll = (w: org.apache.spark.sql.Column) =>
+      size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
+    documents(s, d)
+      .select(col("lang"),
+        size(words).cast("long").as("w"),
+        aggregate(transform(words, syll), lit(0L), (a, x) => a + x).as("sy"),
+        size(filter(words, w => syll(w) === 1)).cast("long").as("mono"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("sy")).as("n_syllables"), sum(col("mono")).as("n_mono"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_syllables"),
+        col("n_mono"),
+        round(col("n_syllables").cast("double") /
+          col("n_words").cast("double"), 6).as("syll_per_word"),
+        round(col("n_mono").cast("double") /
+          col("n_words").cast("double"), 6).as("mono_share"),
+        round(lit(20.0) - (lit(150.0) * col("n_mono").cast("double") /
+          col("n_words").cast("double")) / lit(10.0), 6).as("forcast_grade"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_readability" -> readability _,
     "q160_lexical_diversity" -> lexicalDiversity _,
     "q163_quantile_norm" -> quantileNormalize _,
     "q72_redact"         -> redact _,
@@ -879,6 +923,30 @@ object TextAnalysis {
       |       FROM sel)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q219_readability" ->
+      """WITH perdoc AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS w,
+        |    CAST(list_sum([len(regexp_extract_all(x, '[aeiouy]+'))
+        |      for x in regexp_split_to_array(text, '\s+')]) AS BIGINT) AS sy,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(regexp_extract_all(x, '[aeiouy]+')) = 1)) AS BIGINT)
+        |      AS mono
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS n_words,
+        |    CAST(sum(sy) AS BIGINT) AS n_syllables,
+        |    CAST(sum(mono) AS BIGINT) AS n_mono
+        |  FROM perdoc GROUP BY 1)
+        |SELECT lang, n_docs, n_words, n_syllables, n_mono,
+        |  round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        |    AS syll_per_word,
+        |  round(CAST(n_mono AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        |    AS mono_share,
+        |  round(20.0 - (150.0 * CAST(n_mono AS DOUBLE)
+        |    / CAST(n_words AS DOUBLE)) / 10.0, 6) AS forcast_grade
+        |FROM agg ORDER BY lang""".stripMargin,
     "q211_heaps_law" ->
       """WITH dw AS (
         |  SELECT doc_id,

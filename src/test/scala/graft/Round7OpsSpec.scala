@@ -163,4 +163,72 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("mean_value") - m) < 1e-6)
     }
   }
+
+  test("q217: KM life table conserves users; S(t) is non-increasing from 1") {
+    val rows = Behavior.kaplanMeier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalUsers = graft.util.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    // every user leaves the risk set exactly once
+    assert(rows.map(r => r.getAs[Long]("churned") + r.getAs[Long]("censored"))
+      .sum == totalUsers)
+    // first at-risk count is the full population
+    assert(rows.head.getAs[Long]("n_at_risk") == totalUsers)
+    // at-risk decreases by exactly the previous row's exits
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getAs[Long]("n_at_risk") == p.getAs[Long]("n_at_risk")
+        - p.getAs[Long]("churned") - p.getAs[Long]("censored"))
+    case _ => () }
+    // survivor curve: starts <= 1, never increases, only drops on churn
+    var prev = 1.0
+    rows.foreach { r =>
+      val km = r.getAs[Double]("km_survival")
+      assert(km <= prev + 1e-9)
+      if (r.getAs[Long]("churned") == 0L) assert(math.abs(km - prev) < 1e-9)
+      prev = km
+    }
+  }
+
+  test("q218: trigram patterns are conservative over the event stream") {
+    val rows = Behavior.seqPatterns(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.util.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val perUser = ev.groupBy("user_id").count().collect()
+      .map(_.getAs[Long]("count"))
+    // total trigram occurrences = sum over users of max(n_u - 2, 0)
+    val expected = perUser.map(n => math.max(n - 2, 0L)).sum
+    assert(rows.map(_.getAs[Long]("n_occ")).sum == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_occ"))
+      assert(r.getAs[Double]("med_span_us") > 0.0)
+    }
+    assert(nEvents >= expected)
+  }
+
+  test("q219: readability counts are conservative; FORCAST grade bounded") {
+    val rows = TextAnalysis.readability(spark, sf).collect()
+    assert(rows.length == 5)
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val (w, sy, mono) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_syllables"), r.getAs[Long]("n_mono"))
+      assert(mono <= w, "monosyllables are a subset of words")
+      assert(sy >= mono, "every mono word has exactly one vowel group")
+      // grade = 20 - 15*mono_share: bounded [5, 20] since share in [0,1]
+      val g = r.getAs[Double]("forcast_grade")
+      assert(g >= 5.0 - 1e-9 && g <= 20.0 + 1e-9)
+      assert(math.abs(g - (20.0 - 15.0 * mono.toDouble / w)) < 1e-5)
+    }
+  }
+
+  test("q220: assortativity is a correlation in [-1, 1] over the q130 graph") {
+    val r = graft.ops.Graph.assortativity(spark, sf).collect()
+    assert(r.length == 1)
+    val a = r(0).getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+    assert(r(0).getAs[Long]("n_edges") > 0)
+    assert(r(0).getAs[Long]("n_nodes") > 0)
+  }
 }
