@@ -479,7 +479,17 @@ object EventAnalytics {
     * two aggregations, all on the user-keyed sort; probabilities are
     * exact integer ratios so the oracle parity is rounding-only.
     */
-  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+  def markovTransitions(s: SparkSession, d: String): DataFrame =
+    sessionTransitionCounts(s, d)
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
+      .orderBy(col("from_type"), col("to_type"))
+
+  /** Within-session (from_type, to_type, n) transition counts — the
+    * shared front half of q116 (chain probabilities) and q221
+    * (stationary distribution).
+    */
+  private[graft] def sessionTransitionCounts(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val ev = events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -490,17 +500,109 @@ object EventAnalytics {
       .withColumn("sess", sum(col("new_sess")).over(
         Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val trans = ev
+    ev
       .withColumn("from_type", lag(col("event_type"), 1).over(
         Window.partitionBy(col("user_id"), col("sess"))
           .orderBy(col("us"), col("event_id"))))
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    trans
-      .withColumn("p", round(col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
-      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** q221: stationary distribution of the q116 session-transition
+    * chain by power iteration, in EXACT integer arithmetic (the q130
+    * PageRank discipline): transition probabilities quantize to 1e-6
+    * units (n·10⁶ div rowtotal — bounded by 10⁶ regardless of corpus
+    * size, so every p·pr product stays ≤ 10¹⁸ < 2⁶³ at ANY scale),
+    * the distribution lives in 1e-12 units, and each iteration floors
+    * per term: p′_j = Σᵢ (pᵢ·prᵢⱼ) div 10⁶. Bit-identical on both
+    * engines at any parallelism; mass shaved by the floors (and by
+    * sink states with no outgoing transitions) stays in the
+    * algorithm's definition.
+    *
+    * The ITERATION runs driver-side over the collected |types|²
+    * transition matrix — the q180/q200-adjudicated shape: the
+    * corpus-sized work (the session windows + transition count) is
+    * fully distributed; what reaches the driver is the event-type
+    * catalog squared (25 numbers here; an event taxonomy is
+    * hundreds at most), and 12 scheduler rounds over a 25-number
+    * frame would be pure overhead. The oracle unrolls the identical
+    * integer recurrence as 12 SQL CTEs.
+    */
+  def markovStationary(s: SparkSession, d: String, iters: Int = 12): DataFrame = {
+    import s.implicits._
+    val counts = sessionTransitionCounts(s, d).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n")))
+    val states = (counts.map(_._1) ++ counts.map(_._2)).distinct.sorted
+    val k = states.length
+    val idx = states.zipWithIndex.toMap
+    val rowTot = new Array[Long](k)
+    counts.foreach { case (f, _, n) => rowTot(idx(f)) += n }
+    val pr = Array.ofDim[Long](k, k)
+    counts.foreach { case (f, t, n) =>
+      pr(idx(f))(idx(t)) = n * 1000000L / rowTot(idx(f)) }
+    var p = Array.fill(k)(1000000000000L / k)
+    var it = 0
+    while (it < iters) {
+      val p2 = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        var j = 0
+        while (j < k) { p2(j) += p(i) * pr(i)(j) / 1000000L; j += 1 }
+        i += 1
+      }
+      p = p2
+      it += 1
+    }
+    states.zip(p).toSeq.toDF("state", "p_e12").orderBy(col("state"))
+  }
+
+  /** Unrolled integer power-iteration oracle for q221 (mechanically
+    * generated so the SQL provably matches the Scala recurrence).
+    */
+  private[graft] def stationaryOracle(iters: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lg IS NULL OR us - lg > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS lg FROM e)),
+        |s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g),
+        |t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id, sess
+        |      ORDER BY us, event_id) AS from_type
+        |  FROM s),
+        |tc AS (
+        |  SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |states AS (SELECT DISTINCT from_type AS st FROM tc
+        |           UNION SELECT DISTINCT to_type FROM tc),
+        |rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |       FROM tc GROUP BY 1),
+        |pr AS (SELECT tc.from_type, tc.to_type, (tc.n * 1000000) // rt.tot AS pr
+        |       FROM tc JOIN rt USING (from_type)),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+        |r0 AS (SELECT st, 1000000000000 // k AS p FROM states CROSS JOIN kk)"""
+        .stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (SELECT pr.to_type AS st,
+         |  CAST(sum((r${i - 1}.p * pr.pr) // 1000000) AS BIGINT) AS p
+         |  FROM pr JOIN r${i - 1} ON pr.from_type = r${i - 1}.st GROUP BY 1),
+         |r$i AS (SELECT states.st, coalesce(c$i.p, 0) AS p
+         |  FROM states LEFT JOIN c$i ON states.st = c$i.st)""".stripMargin
+    }
+    base + ",\n" + iterCtes.mkString(",\n") +
+      s"\nSELECT st AS state, CAST(p AS BIGINT) AS p_e12 FROM r$iters ORDER BY state"
   }
 
   /** Per-event-type linear trend of `value` over time — grouped OLS
@@ -1000,6 +1102,46 @@ object EventAnalytics {
       s.read.parquet(out).orderBy(col("hour_start"), col("event_type"))
     }
 
+  /** q222: streaming hourly leaderboard — the real-time "top event
+    * types this hour" serving table: windowed streaming counts
+    * (complete mode, 2 h watermark) with the per-window top-3 ranking
+    * applied to each emitted result inside foreachBatch, so every
+    * trigger publishes a fresh, fully-ranked leaderboard (the
+    * dashboard-serving topology; q196 publishes the raw windows).
+    * Final AvailableNow state is gated against the batch oracle.
+    *
+    * Scale shape: the streaming agg keys on (window, type) — state is
+    * the live window set, not events; the rank runs over the
+    * |windows|×|types| RESULT table per trigger, which is
+    * catalog-sized. Rank ties break by event_type.
+    */
+  def streamLeaderboard(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val path = s"$d/events.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-leaderboard")
+      val q = graft.util.Tables.normalizeTs(
+          s.readStream.schema(s.read.parquet(path).schema)
+            .parquet(s"$d/events.parquet*"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+          col("event_type"), col("n"))
+        .writeStream
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val wR = Window.partitionBy(col("hour_start"))
+            .orderBy(col("n").desc, col("event_type"))
+          batch.withColumn("rnk", row_number().over(wR).cast("long"))
+            .filter(col("rnk") <= 3)
+            .write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("hour_start"), col("rnk"))
+    }
+
   /** q202: stream-static enrichment join through the driver gate — the
     * day-one streaming op the r6 verdict flagged missing: events stream
     * in and each is enriched against the static customer⨝nation
@@ -1078,6 +1220,7 @@ object EventAnalytics {
     "q202_stream_enrich"   -> streamEnrich _,
     "q199_burstiness"      -> burstiness _,
     "q196_stream_windows"  -> streamHourly _,
+    "q222_stream_leaderboard" -> streamLeaderboard _,
     "q194_geo_mean"        -> geoMean _,
     "q193_stream_custom_state" -> streamUserStats _,
     "q189_spearman"        -> spearman _,
@@ -1088,6 +1231,7 @@ object EventAnalytics {
     "q166_winsorize"       -> winsorize _,
     "q172_ab_lift"         -> abLift _,
     "q116_markov"          -> markovTransitions _,
+    "q221_markov_stationary" -> ((s: SparkSession, d: String) => markovStationary(s, d)),
     "q117_value_trend"     -> valueTrend _,
     "q118_time_weighted"   -> timeWeightedAvg _,
     "q113_attribution"     -> attribution _,
@@ -1112,6 +1256,20 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q221_markov_stationary" -> stationaryOracle(12),
+    "q222_stream_leaderboard" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
+        |      AS hour_start,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY hour_start
+        |      ORDER BY n DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT hour_start, event_type, n, CAST(rn AS BIGINT) AS rnk
+        |FROM r WHERE rn <= 3
+        |ORDER BY hour_start, rnk""".stripMargin,
     "q202_stream_enrich" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment, n.n_name, e.value
         |FROM events e

@@ -194,6 +194,55 @@ object Multimodal {
   /** One 64-bit aHash as two 32-bit halves (keeps every downstream
     * band/xor in non-negative BIGINT range on both engines).
     */
+  final case class ZcrWindow(doc_id: Long, win: Long, n_crossings: Long,
+      n_pos: Long)
+
+  /** q223: zero-crossing rate per audio frame — with q140's RMS the
+    * standard two-feature voiced/unvoiced front-end (high ZCR + low
+    * energy = fricative/noise, low ZCR + high energy = voiced). Same
+    * int16 decode of the payload body, same 16-sample framing; per
+    * frame: sign changes between consecutive samples (sign boundary
+    * at < 0, so 0 counts positive — fixed and documented, both
+    * engines apply the identical rule) and the count of non-negative
+    * samples. All integer.
+    *
+    * Scale shape: identical to q140 — one compiled narrow
+    * mapPartitions (the pandas-UDF batch shape), no shuffle before
+    * the presentation sort; emitted rows are 32 bytes per frame
+    * independent of payload size.
+    */
+  def audioZcr(s: SparkSession, d: String, winLen: Int = 16): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          val body = payload.length - 4
+          val nWin = body / 2 / winLen
+          (0 until nWin).iterator.map { w =>
+            var crossings = 0L
+            var nPos = 0L
+            var prevNeg = false
+            var k = 0
+            while (k < winLen) {
+              val i = 4 + 2 * (w * winLen + k)
+              val v = ((payload(i) & 0xff) << 8 | (payload(i + 1) & 0xff)) - 32768
+              val neg = v < 0
+              if (k > 0 && neg != prevNeg) crossings += 1
+              if (!neg) nPos += 1
+              prevNeg = neg
+              k += 1
+            }
+            ZcrWindow(id, w.toLong, crossings, nPos)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("win"))
+  }
+
   final case class AHash(doc_id: Long, lo: Long, hi: Long)
 
   def phashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
@@ -250,7 +299,80 @@ object Multimodal {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q224: difference-hash (dHash) image near-dup — the gradient
+    * complement to q148's aHash: the stub rasterizer samples a 9×8
+    * grid (72 pixels) and bit r·8+c records whether pixel (r,c) is
+    * darker than its right neighbor, so the 64-bit hash captures
+    * horizontal gradients and is invariant to global brightness
+    * shifts (which flip many aHash bits at once — the reason real
+    * dedup pipelines run both). Candidates via the same 4×16-bit
+    * pigeonhole banding (Hamming ≤ 3 ⇒ one band exact), verified by
+    * bit_count on candidates only. The planted perturbation rewrites
+    * the LAST character (q148 plants the first) so the two detectors
+    * are proven on independent edits.
+    *
+    * Scale shape: identical to q148 — compiled narrow hash loop, then
+    * the only wide op ships (doc_id, 16-bit band) pairs; never
+    * all-pairs.
+    */
+  def dhashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val img = documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val planted = img.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 1)"), lit("X"))
+          .as("text"))
+    val hashes = img.unionAll(planted)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = bytes.length
+          val px = new Array[Long](72)
+          var i = 0
+          while (i < 72) {
+            px(i) = (bytes(((i.toLong * n) / 72).toInt) & 0xff).toLong
+            i += 1
+          }
+          var lo = 0L; var hi = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              val bit = r * 8 + c
+              if (px(r * 9 + c) < px(r * 9 + c + 1)) {
+                if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+              }
+              c += 1
+            }
+            r += 1
+          }
+          AHash(id, lo, hi)
+        }
+      }.toDF()
+    val bands = hashes.select(col("doc_id"), col("lo"), col("hi"),
+        posexplode(array(
+          col("lo") % 65536, expr("lo div 65536"),
+          col("hi") % 65536, expr("hi div 65536"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("a.lo").as("alo"), col("a.hi").as("ahi"),
+        col("b.doc_id").as("b"), col("b.lo").as("blo"), col("b.hi").as("bhi"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(expr("alo ^ blo")) + bit_count(expr("ahi ^ bhi")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_audio_zcr"   -> ((s: SparkSession, d: String) => audioZcr(s, d)),
+    "q224_dhash_neardup" -> ((s: SparkSession, d: String) => dhashNearDup(s, d)),
     "q33_media_meta"   -> mediaMeta _,
     "q34_frame_sample" -> frameSample _,
     "q56_media_resize" -> ((s: SparkSession, d: String) => mediaResize(s, d)),
@@ -259,6 +381,70 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q223_audio_zcr" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT doc_id, text,
+        |        unnest(range(0, (n // 2) // 16)) AS win
+        |      FROM a),
+        |s AS (SELECT doc_id, text, win, unnest(range(0, 16)) AS k FROM w),
+        |v AS (
+        |  SELECT doc_id, win, k,
+        |    ascii(substring(text, CAST(2 * (win * 16 + k) + 1 AS INT), 1)) * 256
+        |      + ascii(substring(text, CAST(2 * (win * 16 + k) + 2 AS INT), 1))
+        |      - 32768 AS v
+        |  FROM s),
+        |g AS (SELECT doc_id, win, list(v ORDER BY k) AS vs
+        |      FROM v GROUP BY 1, 2)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        |  CAST(list_sum([CASE WHEN (vs[k] < 0) <> (vs[k+1] < 0)
+        |      THEN 1 ELSE 0 END for k in range(1, len(vs))]) AS BIGINT)
+        |    AS n_crossings,
+        |  CAST(list_sum([CASE WHEN vs[k] >= 0 THEN 1 ELSE 0 END
+        |      for k in range(1, len(vs)+1)]) AS BIGINT) AS n_pos
+        |FROM g
+        |ORDER BY doc_id, win""".stripMargin,
+    "q224_dhash_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000,
+        |    substring(text, 1, length(text) - 1) || 'X'
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+        |px AS (
+        |  SELECT doc_id,
+        |    [CAST(ascii(substring(text,
+        |       CAST((i * octet_length(encode(text))) // 72 + 1 AS INT), 1)) AS BIGINT)
+        |     for i in range(0, 72)] AS p
+        |  FROM img),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN p[(b // 8) * 9 + (b % 8) + 1]
+        |          < p[(b // 8) * 9 + (b % 8) + 2]
+        |        THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)])
+        |      AS BIGINT) AS lo,
+        |    CAST(list_sum([CASE WHEN p[(b // 8) * 9 + (b % 8) + 1]
+        |          < p[(b // 8) * 9 + (b % 8) + 2]
+        |        THEN (1::BIGINT << (b - 32)) ELSE 0 END for b in range(32, 64)])
+        |      AS BIGINT) AS hi
+        |  FROM px),
+        |bands AS (
+        |  SELECT doc_id, lo, hi, b AS band,
+        |    CASE b WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+        |           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bv
+        |  FROM h, unnest(range(0, 4)) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a, a.lo AS alo, a.hi AS ahi,
+        |    b.doc_id AS b, b.lo AS blo, b.hi AS bhi
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT a, b,
+        |  CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT)
+        |    AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+        |ORDER BY a, b""".stripMargin,
     "q148_phash_neardup" ->
       """WITH img AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0

@@ -288,6 +288,48 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("a"), col("b"))
       .limit(k)
 
+  /** q226: leave-one-out k-NN label evaluation — the standard "how
+    * separable are the classes under this embedding" probe run before
+    * any model training: every vector is classified by the majority
+    * label of its 5 nearest neighbors (cosine, itself excluded) and
+    * the report is per-label accuracy. Majority ties break to the
+    * smaller label, neighbor ties to the smaller vec_id — fully
+    * deterministic.
+    *
+    * Scale shape: neighbor scoring rides the same distributed
+    * block-pair sweep as q38 (task memory = two blocks, never a
+    * driver collect). Exact LOO eval is inherently O(n²) in the EVAL
+    * SET size — it is an evaluation op for a sampled probe set, not a
+    * corpus op; at 100 TB the same vote/accuracy tail runs unchanged
+    * over ANN candidates (q203's persisted IVF index) instead of the
+    * exact pair sweep. Votes/accuracy are one keyed window + two
+    * keyed aggregations over (vec, neighbor) pairs.
+    */
+  def knnLabelEval(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val pairs = pairsAboveBlocked(s, d, -1.1) // keep all pairs: cos ≥ -1
+    val sym = pairs.select(col("a").as("v"), col("b").as("nb"), col("cos"))
+      .unionAll(pairs.select(col("b").as("v"), col("a").as("nb"), col("cos")))
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    val wN = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("nb"))
+    val votes = sym.withColumn("rn", row_number().over(wN))
+      .filter(col("rn") <= k)
+      .join(lab.select(col("vec_id").as("nb"), col("label").as("nb_label")),
+        Seq("nb"))
+      .groupBy(col("v"), col("nb_label")).agg(count(lit(1)).as("cnt"))
+    val wV = Window.partitionBy(col("v")).orderBy(col("cnt").desc, col("nb_label"))
+    val pred = votes.withColumn("rn", row_number().over(wV))
+      .filter(col("rn") === 1)
+      .select(col("v"), col("nb_label").as("pred"))
+    pred.join(lab.select(col("vec_id").as("v"), col("label")), Seq("v"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("accuracy"))
+      .orderBy(col("label"))
+  }
+
   /** Deterministic driver gate for the approximate ANN (q31): one row
     * per query vector asserting the corpus-level recall@5 of the LSH
     * answer vs the exact brute-force answer meets the DECLARED floor
@@ -611,6 +653,7 @@ object Similarity {
     "q206_silhouette"     -> silhouette _,
     "q165_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "q38_top_similar_pairs" -> ((s: SparkSession, d: String) => topSimilarPairs(s, d)),
+    "q226_knn_label_eval" -> ((s: SparkSession, d: String) => knnLabelEval(s, d)),
     "q30_knn_brute"       -> knnBrute _,
     "q31_ann_lsh"         -> annLshGate _,
     "q32_embedding_stats" -> embeddingStats _,
@@ -852,6 +895,36 @@ object Similarity {
         |FROM pairs
         |ORDER BY round(cos, 4) DESC, a, b
         |LIMIT 20""".stripMargin,
+    "q226_knn_label_eval" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+        |pairs AS (
+        |  SELECT x.vec_id AS v, y.vec_id AS nb, y.label AS nb_label,
+        |    list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(x.embedding) + 1)])
+        |    / (sqrt(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)
+        |                      for i in range(1, len(x.embedding) + 1)]))
+        |       * sqrt(list_sum([CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)
+        |                        for i in range(1, len(y.embedding) + 1)]))) AS cos
+        |  FROM e x JOIN e y ON x.vec_id <> y.vec_id),
+        |top AS (
+        |  SELECT v, nb_label,
+        |    row_number() OVER (PARTITION BY v ORDER BY cos DESC, nb) AS rn
+        |  FROM pairs),
+        |votes AS (
+        |  SELECT v, nb_label, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM top WHERE rn <= 5 GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT v, nb_label AS pred FROM (
+        |    SELECT v, nb_label,
+        |      row_number() OVER (PARTITION BY v ORDER BY cnt DESC, nb_label) AS rn
+        |    FROM votes) WHERE rn = 1)
+        |SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN pred.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(sum(CASE WHEN pred.pred = e.label THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        |FROM pred JOIN e ON e.vec_id = pred.v
+        |GROUP BY 1 ORDER BY label""".stripMargin,
     "q30_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 10),

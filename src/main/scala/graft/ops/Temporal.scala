@@ -398,7 +398,45 @@ object Temporal {
         round(expr("percentile(gap_us, 0.9)") / 1e6, 3).as("p90_s"),
         round(expr("percentile(gap_us, 0.99)") / 1e6, 3).as("p99_s"))
 
+  /** q225: seasonal profile + residual outliers — the value stream
+    * decomposed against its (day-of-week × hour-of-day) grid: each
+    * event's residual is its deviation from its cell's mean, and the
+    * report is the 20 largest absolute residuals (the "anomalous even
+    * AFTER accounting for seasonality" cut that a raw z-score like
+    * q121 misses when the metric has a daily/weekly cycle).
+    *
+    * Determinism: cell keys are pure integer arithmetic on epoch-µs
+    * (no engine dayofweek()/hour() semantics — Spark's Sunday=1 vs
+    * DuckDB's Sunday=0 never enters); cell sums ride DECIMAL(28,6);
+    * the residual is one double expression per row; top-20 ordering
+    * ties broken by event_id.
+    *
+    * Scale shape: one (dow, hod)-keyed aggregation (≤ 168 cells —
+    * broadcast forever), a broadcast join back, and
+    * TakeOrderedAndProject for the top-20 (per-partition heads, no
+    * global sort). The grid is fixed-size at any corpus scale.
+    */
+  def seasonalProfile(s: SparkSession, d: String, topK: Int = 20): DataFrame = {
+    val Dec = DataTypes.createDecimalType(28, 6)
+    val ev = events(s, d)
+      .select(col("event_id"), col("value"), expr("unix_micros(ts)").as("us"))
+      .withColumn("dow_key", expr("(us div 86400000000) % 7"))
+      .withColumn("hod", expr("(us % 86400000000) div 3600000000"))
+    val cells = ev.groupBy(col("dow_key"), col("hod"))
+      .agg(count(lit(1)).as("n_cell"), sum(col("value").cast(Dec)).as("sv"))
+    ev.join(broadcast(cells), Seq("dow_key", "hod"))
+      .withColumn("cell_mean",
+        col("sv").cast("double") / col("n_cell").cast("double"))
+      .withColumn("dev", abs(col("value") - col("cell_mean")))
+      .orderBy(col("dev").desc, col("event_id"))
+      .limit(topK)
+      .select(col("event_id"), col("dow_key"), col("hod"), col("n_cell"),
+        round(col("cell_mean"), 6).as("cell_mean"), col("value"),
+        round(col("dev"), 6).as("abs_dev"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_seasonal_outliers" -> ((s: SparkSession, d: String) => seasonalProfile(s, d)),
     "q185_conversion_lag" -> conversionLag _,
     "q178_theil_sen"    -> theilSen _,
     "q168_concurrency"  -> sessionConcurrency _,
@@ -412,6 +450,29 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q225_seasonal_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, value,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |k AS (
+        |  SELECT event_id, value,
+        |    (us // 86400000000) % 7 AS dow_key,
+        |    (us % 86400000000) // 3600000000 AS hod
+        |  FROM ev),
+        |cells AS (
+        |  SELECT dow_key, hod, CAST(count(*) AS BIGINT) AS n_cell,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS sv
+        |  FROM k GROUP BY 1, 2),
+        |j AS (
+        |  SELECT k.event_id, k.dow_key, k.hod, cells.n_cell,
+        |    CAST(sv AS DOUBLE) / CAST(n_cell AS DOUBLE) AS cell_mean,
+        |    k.value,
+        |    abs(k.value - CAST(sv AS DOUBLE) / CAST(n_cell AS DOUBLE)) AS dev
+        |  FROM k JOIN cells USING (dow_key, hod))
+        |SELECT event_id, dow_key, hod, n_cell,
+        |  round(cell_mean, 6) AS cell_mean, value, round(dev, 6) AS abs_dev
+        |FROM j ORDER BY dev DESC, event_id LIMIT 20""".stripMargin,
     "q185_conversion_lag" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts_us,

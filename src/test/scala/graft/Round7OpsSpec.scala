@@ -231,4 +231,77 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("n_edges") > 0)
     assert(r(0).getAs[Long]("n_nodes") > 0)
   }
+
+  test("q221: stationary distribution conserves mass up to floor leakage") {
+    val rows = graft.ops.EventAnalytics.markovStationary(spark, sf).collect()
+    assert(rows.length == 5)
+    val total = rows.map(_.getAs[Long]("p_e12")).sum
+    // each of the 12 iterations floors <= k^2 + k unit-divisions of mass
+    // away (per-term div 1e6 + the pr-row quantization <= k per 1e6)
+    assert(total <= 1000000000000L)
+    assert(total >= 1000000000000L - 12L * 5 * 5 * 2000000L,
+      s"floor leakage too large: $total")
+    rows.foreach(r => assert(r.getAs[Long]("p_e12") >= 0))
+  }
+
+  test("q222: leaderboard ranks are contiguous from 1 and at most 3 per hour") {
+    val rows = graft.ops.EventAnalytics.streamLeaderboard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("hour_start")).foreach { case (h, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rnk")).sorted
+      assert(ranks.length <= 3, s"$h has ${ranks.length} rows")
+      assert(ranks.sameElements(1L to ranks.length), s"$h ranks: ${ranks.toList}")
+      // counts non-increasing in rank
+      val byRank = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("n"))
+      assert(byRank.sameElements(byRank.sorted.reverse))
+    }
+  }
+
+  test("q223: ZCR frames align 1:1 with q140's RMS frames; bounds hold") {
+    val zcr = graft.ops.Multimodal.audioZcr(spark, sf).collect()
+    val rms = graft.ops.Multimodal.audioWindows(spark, sf).collect()
+    assert(zcr.length == rms.length && zcr.nonEmpty)
+    assert(zcr.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("win"))).toSet
+      == rms.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("win"))).toSet)
+    zcr.foreach { r =>
+      assert(r.getAs[Long]("n_crossings") >= 0 && r.getAs[Long]("n_crossings") <= 15)
+      assert(r.getAs[Long]("n_pos") >= 0 && r.getAs[Long]("n_pos") <= 16)
+    }
+  }
+
+  test("q224: dHash catches every planted last-char re-encode") {
+    val pairs = graft.ops.Multimodal.dhashNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val planted = graft.util.Tables.documents(spark, sf)
+      .filter("doc_id % 3 = 0 AND doc_id % 5 = 0")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    // a last-char rewrite flips at most the final-gradient bits; the
+    // planted pair must survive the Hamming <= 3 verify
+    planted.foreach { id =>
+      assert(pairs.contains((id, id + 1000000000L)),
+        s"planted pair for doc $id not detected")
+    }
+  }
+
+  test("q225: seasonal outliers are the true top-20 by residual") {
+    val rows = graft.ops.Temporal.seasonalProfile(spark, sf).collect()
+    assert(rows.length == 20 ||
+      rows.length == graft.util.Tables.events(spark, sf).count().toInt)
+    val devs = rows.map(_.getAs[Double]("abs_dev"))
+    assert(devs.sameElements(devs.sorted.reverse), "devs non-increasing")
+    rows.foreach(r => assert(r.getAs[Long]("n_cell") >= 1))
+  }
+
+  test("q226: LOO kNN accuracy is bounded and covers every vector") {
+    val rows = graft.ops.Similarity.knnLabelEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.util.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_vecs"))
+    }
+  }
 }
