@@ -310,7 +310,54 @@ object Audit {
       .orderBy(col("bucket"))
   }
 
+  /** q230: incremental materialized-view refresh — the warehouse
+    * maintenance loop: a (month × status) count/revenue rollup is
+    * materialized from the "already ingested" 80% of orders (written
+    * to parquet — a real table, not a cached plan), then the
+    * remaining 20% arrives as a delta and the view is refreshed by
+    * MERGING the delta's partial aggregate into the stored table —
+    * never rescanning the base. The gate proves merged == full
+    * recompute (the oracle aggregates everything directly), which is
+    * THE correctness contract of incremental view maintenance;
+    * count/sum are self-mergeable, which is why the MV stores them
+    * (an avg-storing MV could not refresh this way).
+    *
+    * Determinism: revenue rides DECIMAL(28,6) in the stored view, the
+    * delta aggregate, and the merge — the merge is exact decimal
+    * addition, so incremental and full recompute agree to the bit.
+    *
+    * Scale shape: refresh cost is agg(delta) + a |view| merge —
+    * independent of base-corpus size. The stored MV is
+    * (months × statuses) rows; at warehouse scale the same merge runs
+    * per partition-key and the base is NEVER rescanned, which is the
+    * entire point.
+    */
+  def mvRefresh(s: SparkSession, d: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val dir = graft.util.TmpDirs.scratch("mv-refresh")
+    val o = orders(s, d).select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").cast(Dec).as("price"),
+      col("o_orderkey"))
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("month"), col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+    // initial build: the already-ingested 80%
+    rollup(o.filter(col("o_orderkey") % 5 =!= 0))
+      .write.mode("overwrite").parquet(s"$dir/mv")
+    // refresh: aggregate ONLY the delta, merge into the stored view
+    val delta = rollup(o.filter(col("o_orderkey") % 5 === 0))
+    s.read.parquet(s"$dir/mv").unionByName(delta)
+      .groupBy(col("month"), col("status"))
+      .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+      .select(col("month"), col("status"), col("n"),
+        round(col("rev"), 2).cast("double").as("revenue"))
+      .orderBy(col("month"), col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_mv_refresh" -> mvRefresh _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -322,6 +369,15 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q230_mv_refresh" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY month, status""".stripMargin,
     "q192_psi_drift" ->
       """WITH o AS (
         |  SELECT o_orderkey,

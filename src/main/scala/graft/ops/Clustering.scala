@@ -998,7 +998,39 @@ object Clustering {
     pcaSummaryL(s, g2, powerIterateL(g2, PcaIters))
   }
 
+  /** q228: canonical-document selection — the resolution step that
+    * turns q51's dup clusters into an actual deduped corpus: per
+    * cluster, KEEP the representative with the most tokens (ties to
+    * the smaller doc_id) and count what gets dropped. This is the
+    * "which copy survives" policy every dedup pipeline must encode;
+    * token count is the usual keep-the-longest heuristic (the longest
+    * near-dup is most often the superset page).
+    *
+    * Determinism: the keep choice is a pure integer (n_tokens,
+    * doc_id) argmax inside each cluster.
+    *
+    * Scale shape: rides q51's clustering (near-dup edges are a
+    * vanishing fraction of the corpus); the selection adds one
+    * cluster-keyed window over cluster members only — documents
+    * outside any cluster never enter.
+    */
+  def canonicalDocs(s: SparkSession, d: String): DataFrame = {
+    val clusters = dupClusters(s, d)
+    val nt = documents(s, d).select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("nt"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("nt").desc, col("doc_id"))
+    clusters.join(nt, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc"),
+        col("nt").as("keep_tokens"), col("cluster_size"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
     "q200_pca_deflate" -> pca2 _,
     "q51_dup_clusters"   -> dupClusters _,
@@ -1267,6 +1299,29 @@ object Clustering {
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM labeled
         |ORDER BY doc_id""".stripMargin,
+    "q228_canonical_docs" ->
+      s"""WITH RECURSIVE ${Dedup.PairsCtes},
+        |jp AS (SELECT a, b FROM jaccard WHERE jac >= 0.5),
+        |und AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b, a FROM jp),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM und
+        |  UNION
+        |  SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r),
+        |labeled AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |            FROM reach GROUP BY id),
+        |sel AS (
+        |  SELECT l.cluster_id, l.doc_id,
+        |    CAST(len(regexp_split_to_array(dd.text, '\\s+')) AS BIGINT) AS nt,
+        |    count(*) OVER (PARTITION BY l.cluster_id) AS sz
+        |  FROM labeled l JOIN documents dd ON dd.doc_id = l.doc_id),
+        |rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY nt DESC, doc_id) AS rn
+        |  FROM sel)
+        |SELECT cluster_id, doc_id AS keep_doc, nt AS keep_tokens,
+        |  CAST(sz AS BIGINT) AS cluster_size, CAST(sz - 1 AS BIGINT) AS n_dropped
+        |FROM rr WHERE rn = 1
+        |ORDER BY cluster_id""".stripMargin,
     "q51_dup_clusters" ->
       s"""WITH RECURSIVE ${Dedup.PairsCtes},
         |jp AS (SELECT a, b FROM jaccard WHERE jac >= 0.5),

@@ -344,7 +344,72 @@ object Graph {
         round(r, 6).as("assortativity"))
   }
 
+  /** q227: k-core extraction (k=3) by iterative peeling — nodes with
+    * in-subgraph degree < k are removed until the remainder is the
+    * 3-core, the standard "dense kernel" cut (spam/community cores;
+    * for dedup graphs, the clusters that survive aggressive
+    * pruning). Runs a FIXED 8 peel rounds on both engines — the gate
+    * pins bounded-round semantics, and GraphAuditSpec proves the
+    * fixture reaches the fixpoint by round 7, so the result IS the
+    * true 3-core here. A production run loops to fixpoint with the
+    * same per-round shape plus a convergence witness (the q150
+    * discipline); peel rounds needed are bounded by the degeneracy
+    * ordering depth, ≪ |V|.
+    *
+    * Scale shape: per round, TWO semi-join-shaped joins of the cached
+    * adjacency against the (shrinking) alive set and one keyed count
+    * — all equi-joins; the alive set only shrinks, and
+    * localCheckpoint truncates the per-round lineage exactly as
+    * q130/q150 do.
+    */
+  def kCore(s: SparkSession, d: String, k: Int = 3, rounds: Int = 8,
+      minSupport: Long = 2L): DataFrame = {
+    val e = graft.util.CacheRegistry.register(
+      copurchaseEdges(s, d, minSupport).cache())
+    val adj = e.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(e.select(col("v").as("s"), col("u").as("t")))
+    var alive = adj.select(col("s").as("n")).distinct()
+    var deg: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      deg = adj
+        .join(alive.select(col("n").as("s")), Seq("s"))
+        .join(alive.select(col("n").as("t")), Seq("t"))
+        .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      alive = deg.filter(col("deg") >= k).select(col("s").as("n"))
+        .localCheckpoint()
+      r += 1
+    }
+    deg.filter(col("deg") >= k)
+      .select(col("s").as("p_key"), col("deg"))
+      .orderBy(col("p_key"))
+  }
+
+  /** Mechanically generated bounded-round peel oracle for q227 — the
+    * identical recurrence as SQL CTEs, so both engines provably run
+    * the same 8 rounds.
+    */
+  private[graft] def kcoreOracle(k: Int, rounds: Int): String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p < b.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+        |a0 AS (SELECT DISTINCT s AS n FROM adj)""".stripMargin
+    val iterCtes = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT adj.s, CAST(count(*) AS BIGINT) AS deg FROM adj
+         |  JOIN a${i - 1} x ON adj.s = x.n JOIN a${i - 1} y ON adj.t = y.n
+         |  GROUP BY 1),
+         |a$i AS (SELECT s AS n FROM d$i WHERE deg >= $k)""".stripMargin
+    }
+    base + ",\n" + iterCtes.mkString(",\n") +
+      s"\nSELECT s AS p_key, deg FROM d$rounds WHERE deg >= $k ORDER BY p_key"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_kcore" -> ((s: SparkSession, d: String) => kCore(s, d)),
     "q220_assortativity" -> ((s: SparkSession, d: String) => assortativity(s, d)),
     "q174_assoc_rules" -> ((s: SparkSession, d: String) => assocRules(s, d)),
     "q126_triangles" -> ((s: SparkSession, d: String) => triangleParts(s, d)),
@@ -353,6 +418,7 @@ object Graph {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q227_kcore" -> kcoreOracle(3, 8),
     "q220_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem),

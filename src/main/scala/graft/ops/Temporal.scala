@@ -435,7 +435,61 @@ object Temporal {
         round(col("dev"), 6).as("abs_dev"))
   }
 
+  /** q229: pairwise cross-correlation of event-type activity — the
+    * hourly count series of every type pair, Pearson-correlated over
+    * the COMPLETE observed-hour grid (absent (hour, type) cells count
+    * 0 — without the fill, a sparse type would correlate only on its
+    * own active hours and the estimate would bias high). "Do errors
+    * spike with clicks" is the first question asked of any event
+    * taxonomy.
+    *
+    * Determinism: counts and the zero-filled grid are exact integers;
+    * moments use the DECIMAL(19,0)→(38,0) product convention; r is
+    * one double assembly per pair, rounded.
+    *
+    * Scale shape: one (hour, type)-keyed count of the corpus, then
+    * everything runs on the |hours|×|types| grid (calendar × catalog
+    * — bounded at any corpus size): the grid build is a broadcast
+    * cross join of two tiny dims, the pair join is hour-keyed over
+    * grid rows, and the moment rollup keys on the |types|² pair set.
+    */
+  def typeCrossCorr(s: SparkSession, d: String): DataFrame = {
+    val Dec19 = DataTypes.createDecimalType(19, 0)
+    val ev = events(s, d)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"), col("event_type"))
+    val cnt = ev.groupBy(col("hr"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val hours = ev.select(col("hr")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val filled = hours.crossJoin(broadcast(types))
+      .join(cnt, Seq("hr", "event_type"), "left")
+      .select(col("hr"), col("event_type"),
+        coalesce(col("c"), lit(0L)).cast(Dec19).as("c"))
+    val pairs = filled.as("x").join(filled.as("y"),
+        col("x.hr") === col("y.hr") &&
+          col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("a"), col("y.event_type").as("b"),
+        col("x.c").as("xc"), col("y.c").as("yc"))
+    val m = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+        sum(col("xc") * col("yc")).as("sxy"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("yc") * col("yc")).as("syy"))
+    val nD = col("n").cast("double")
+    val r = (nD * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double")) /
+      sqrt((nD * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double")) *
+        (nD * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")))
+    m.select(col("a"), col("b"), col("n").as("n_hours"),
+        round(r, 6).as("corr"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_type_xcorr" -> typeCrossCorr _,
     "q225_seasonal_outliers" -> ((s: SparkSession, d: String) => seasonalProfile(s, d)),
     "q185_conversion_lag" -> conversionLag _,
     "q178_theil_sen"    -> theilSen _,
@@ -450,6 +504,41 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q229_type_xcorr" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(date_trunc('microseconds', ts)) // 3600000000 AS hr,
+        |    event_type
+        |  FROM events),
+        |cnt AS (SELECT hr, event_type, CAST(count(*) AS BIGINT) AS c
+        |        FROM ev GROUP BY 1, 2),
+        |hours AS (SELECT DISTINCT hr FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |filled AS (
+        |  SELECT h.hr, t.event_type,
+        |    CAST(coalesce(cnt.c, 0) AS DECIMAL(19,0)) AS c
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN cnt ON cnt.hr = h.hr AND cnt.event_type = t.event_type),
+        |pairs AS (
+        |  SELECT x.event_type AS a, y.event_type AS b, x.c AS xc, y.c AS yc
+        |  FROM filled x JOIN filled y
+        |    ON x.hr = y.hr AND x.event_type < y.event_type),
+        |m AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xc) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(yc) AS DECIMAL(38,0)) AS sy,
+        |    CAST(sum(xc * yc) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(sum(xc * xc) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(sum(yc * yc) AS DECIMAL(38,0)) AS syy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT a, b, n AS n_hours,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+        |FROM m
+        |ORDER BY a, b""".stripMargin,
     "q225_seasonal_outliers" ->
       """WITH ev AS (
         |  SELECT event_id, value,

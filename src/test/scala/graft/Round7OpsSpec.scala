@@ -293,6 +293,59 @@ class Round7OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_cell") >= 1))
   }
 
+  test("q227: bounded-round peel reaches the fixpoint (true 3-core)") {
+    val r7 = graft.ops.Graph.kCore(spark, sf, rounds = 7).collect()
+      .map(r => (r.getAs[Long]("p_key"), r.getAs[Long]("deg"))).toSet
+    val r8 = graft.ops.Graph.kCore(spark, sf, rounds = 8).collect()
+      .map(r => (r.getAs[Long]("p_key"), r.getAs[Long]("deg"))).toSet
+    assert(r8 == r7, "peel must converge by round 7 on the fixture")
+    assert(r8.nonEmpty)
+    r8.foreach { case (_, deg) => assert(deg >= 3) }
+  }
+
+  test("q228: canonical selection is consistent with q51's clusters") {
+    val keep = graft.ops.Clustering.canonicalDocs(spark, sf).collect()
+    val clusters = graft.ops.Clustering.dupClusters(spark, sf).collect()
+    if (clusters.nonEmpty) {
+      val byCluster = clusters.groupBy(_.getAs[Long]("cluster_id"))
+      assert(keep.length == byCluster.size, "one keeper per cluster")
+      keep.foreach { k =>
+        val cid = k.getAs[Long]("cluster_id")
+        val members = byCluster(cid).map(_.getAs[Long]("doc_id")).toSet
+        assert(members.contains(k.getAs[Long]("keep_doc")))
+        assert(k.getAs[Long]("n_dropped") == members.size - 1)
+      }
+    }
+  }
+
+  test("q229: cross-correlations are bounded and share one hour grid") {
+    val rows = graft.ops.Temporal.typeCrossCorr(spark, sf).collect()
+    assert(rows.length == 10) // C(5,2) type pairs
+    val hourCounts = rows.map(_.getAs[Long]("n_hours")).toSet
+    assert(hourCounts.size == 1, "every pair sees the same filled grid")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q230: incremental MV refresh equals full recompute") {
+    import org.apache.spark.sql.functions._
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val merged = graft.ops.Audit.mvRefresh(spark, sf).collect()
+      .map(r => (r.getAs[String]("month"), r.getAs[String]("status"),
+        r.getAs[Long]("n"), r.getAs[Double]("revenue"))).toSet
+    val full = graft.util.Tables.orders(spark, sf)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast(Dec)), 2).cast("double").as("revenue"))
+      .collect()
+      .map(r => (r.getAs[String]("month"), r.getAs[String]("status"),
+        r.getAs[Long]("n"), r.getAs[Double]("revenue"))).toSet
+    assert(merged == full)
+  }
+
   test("q226: LOO kNN accuracy is bounded and covers every vector") {
     val rows = graft.ops.Similarity.knnLabelEval(spark, sf).collect()
     assert(rows.nonEmpty)
