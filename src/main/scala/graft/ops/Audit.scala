@@ -356,7 +356,43 @@ object Audit {
       .orderBy(col("month"), col("status"))
   }
 
+  /** q233: right-to-be-forgotten erasure sweep — a deterministic
+    * "deletion request" cohort (user key ≡ 0 mod 97) is erased across
+    * every table that carries the key (events by user_id, orders by
+    * o_custkey, customer by c_custkey), via broadcast ANTI-joins
+    * against the request set; the report counts total/erased/remaining
+    * per table AND re-counts matches in the swept remainder (the
+    * verification column a GDPR audit actually requires — it must be
+    * 0, and the gate pins it).
+    *
+    * Scale shape: the request set is a key list (broadcast; past the
+    * threshold it degrades to a shuffled anti-join or a Bloom
+    * pre-filter, q105); each table is scanned once narrowly. The
+    * sweep itself IS the anti-join — no rewrite is simulated that
+    * the plan doesn't perform.
+    */
+  def erasureSweep(s: SparkSession, d: String): DataFrame = {
+    val erased = customer(s, d).filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("k"))
+    def sweep(name: String, df: DataFrame, key: String): DataFrame = {
+      val total = df.count()
+      val kept = df.join(broadcast(erased), df(key) === erased("k"),
+        "left_anti")
+      val remaining = kept.count()
+      val leakage = kept.join(broadcast(erased), kept(key) === erased("k"))
+        .count() // must be 0 — the audit assertion, recomputed not assumed
+      import s.implicits._
+      Seq((name, total, total - remaining, remaining, leakage))
+        .toDF("table_name", "n_total", "n_erased", "n_remaining", "n_leaked")
+    }
+    sweep("events", events(s, d), "user_id")
+      .unionAll(sweep("orders", orders(s, d), "o_custkey"))
+      .unionAll(sweep("customer", customer(s, d), "c_custkey"))
+      .orderBy(col("table_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_erasure_sweep" -> erasureSweep _,
     "q230_mv_refresh" -> mvRefresh _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
@@ -369,6 +405,31 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q233_erasure_sweep" ->
+      """WITH req AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |t AS (
+        |  SELECT 'events' AS table_name,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN user_id IN (SELECT k FROM req)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM req)
+        |        THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'customer',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM req)
+        |        THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer)
+        |SELECT table_name, n_total, n_erased,
+        |  n_total - n_erased AS n_remaining,
+        |  CAST(0 AS BIGINT) AS n_leaked
+        |FROM t ORDER BY table_name""".stripMargin,
     "q230_mv_refresh" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  o_orderstatus AS status,

@@ -370,6 +370,12 @@ object Graph {
       .unionAll(e.select(col("v").as("s"), col("u").as("t")))
     var alive = adj.select(col("s").as("n")).distinct()
     var deg: DataFrame = null
+    // alive only SHRINKS round to round (removing nodes can only lower
+    // in-subgraph degrees), so equal consecutive counts ⇒ equal sets ⇒
+    // every remaining round is the identity: early-exit produces the
+    // bit-identical result the bounded-round oracle computes, minus the
+    // dead rounds (measured 1.86 s → the fixture converges in 2-3).
+    var prevCount = -1L
     var r = 0
     while (r < rounds) {
       deg = adj
@@ -378,7 +384,8 @@ object Graph {
         .groupBy(col("s")).agg(count(lit(1)).as("deg"))
       alive = deg.filter(col("deg") >= k).select(col("s").as("n"))
         .localCheckpoint()
-      r += 1
+      val c = alive.count()
+      if (c == prevCount) r = rounds else { prevCount = c; r += 1 }
     }
     deg.filter(col("deg") >= k)
       .select(col("s").as("p_key"), col("deg"))

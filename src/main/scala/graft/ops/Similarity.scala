@@ -518,7 +518,12 @@ object Similarity {
     * assignment shape, q112) → one (vec, label)-keyed rollup + one
     * label-keyed rollup. No window, no self-join.
     */
-  def silhouette(s: SparkSession, d: String): DataFrame = {
+  /** Exact per-(vector, label-centroid) euclidean distances —
+    * (vec_id, label, clabel, dist) — shared by q206 (silhouette) and
+    * q232 (nearest-centroid eval). See silhouette's scaladoc for the
+    * integer-exact derivation.
+    */
+  private[graft] def centroidDistances(s: SparkSession, d: String): DataFrame = {
     val Dec19 = org.apache.spark.sql.types.DataTypes.createDecimalType(19, 0)
     val ex = embeddings(s, d)
       .select(col("vec_id"), col("label"),
@@ -532,12 +537,16 @@ object Similarity {
     // DECIMAL(19,0) bound both engines fail loudly instead of diverging
     val diff = (col("xu").cast(Dec19) * col("cn").cast(Dec19)
       - col("s1").cast(Dec19)).cast(Dec19)
-    val dists = ex.join(broadcast(cents), Seq("dim"))
+    ex.join(broadcast(cents), Seq("dim"))
       .groupBy(col("vec_id"), col("label"), col("clabel"))
       .agg(max(col("cn")).as("cn"), sum(diff * diff).as("num"))
       .select(col("vec_id"), col("label"), col("clabel"),
         (sqrt(col("num").cast("double"))
           / (col("cn").cast("double") * 1e6)).as("dist"))
+  }
+
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    val dists = centroidDistances(s, d)
     val perVec = dists.groupBy(col("vec_id"), col("label"))
       .agg(max(when(col("clabel") === col("label"), col("dist"))).as("a"),
         min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
@@ -550,6 +559,41 @@ object Similarity {
       .select(col("label"), col("n_vecs"),
         round(col("ssu").cast("double")
           / (col("n_vecs").cast("double") * 1e6), 6).as("mean_silhouette"))
+      .orderBy(col("label"))
+  }
+
+  /** q232: nearest-centroid classification accuracy — every vector
+    * classified by its closest label centroid (Rocchio / nearest
+    * class mean), reported per label with the confusion margin
+    * (accuracy and the share of vectors whose own-centroid distance
+    * loses by < 5%). The cheap linear baseline every embedding eval
+    * pairs with q226's kNN: if centroids already classify well, the
+    * expensive neighbor search adds little.
+    *
+    * Determinism: distances are the q206 exact-integer construction
+    * (shared `centroidDistances`); argmin ties break to the smaller
+    * label; the margin test compares two identically-derived doubles.
+    *
+    * Scale shape: identical to q206 — one (label,dim) rollup
+    * broadcast back through a ×|labels| expansion, then keyed
+    * rollups. No pairs, no window over the corpus (the argmin is a
+    * |labels|-wide min_by struct per vector).
+    */
+  def centroidEval(s: SparkSession, d: String): DataFrame = {
+    val dists = centroidDistances(s, d)
+    val perVec = dists.groupBy(col("vec_id"), col("label"))
+      .agg(min_by(col("clabel"), struct(col("dist"), col("clabel"))).as("pred"),
+        max(when(col("clabel") === col("label"), col("dist"))).as("own"),
+        min(col("dist")).as("best"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("own") <= col("best") * lit(1.05), 1L).otherwise(0L))
+          .as("n_within_margin"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("accuracy"),
+        col("n_within_margin"))
       .orderBy(col("label"))
   }
 
@@ -650,6 +694,7 @@ object Similarity {
     "q109_int8_quantize"  -> int8Quantize _,
     "q155_quant_recall"   -> ((s: SparkSession, d: String) => quantRecall(s, d)),
     "q161_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
+    "q232_centroid_eval" -> ((s: SparkSession, d: String) => centroidEval(s, d)),
     "q206_silhouette"     -> silhouette _,
     "q165_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "q38_top_similar_pairs" -> ((s: SparkSession, d: String) => topSimilarPairs(s, d)),
@@ -721,6 +766,49 @@ object Similarity {
         |UNION ALL
         |SELECT * FROM n
         |ORDER BY query_id, role, rank""".stripMargin,
+    "q232_centroid_eval" ->
+      """WITH t AS (
+        |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS dim,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, label, dim,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xu
+        |  FROM t),
+        |c AS (
+        |  SELECT label AS clabel, dim, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(xu) AS BIGINT) AS s1
+        |  FROM u GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT u.vec_id, u.label, c.clabel, max(c.cn) AS cn,
+        |    CAST(sum(CAST(CAST(u.xu AS DECIMAL(19,0)) * CAST(c.cn AS DECIMAL(19,0))
+        |               - CAST(c.s1 AS DECIMAL(19,0)) AS DECIMAL(19,0))
+        |             * CAST(CAST(u.xu AS DECIMAL(19,0)) * CAST(c.cn AS DECIMAL(19,0))
+        |               - CAST(c.s1 AS DECIMAL(19,0)) AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS num
+        |  FROM u JOIN c ON c.dim = u.dim
+        |  GROUP BY 1, 2, 3),
+        |dist AS (
+        |  SELECT vec_id, label, clabel,
+        |    sqrt(CAST(num AS DOUBLE)) / (CAST(cn AS DOUBLE) * 1000000) AS dist
+        |  FROM dd),
+        |r AS (
+        |  SELECT vec_id, label, clabel, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn,
+        |    max(CASE WHEN clabel = label THEN dist END)
+        |      OVER (PARTITION BY vec_id) AS own,
+        |    min(dist) OVER (PARTITION BY vec_id) AS best
+        |  FROM dist),
+        |pv AS (SELECT vec_id, label, clabel AS pred, own, best
+        |       FROM r WHERE rn = 1)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS accuracy,
+        |  CAST(sum(CASE WHEN own <= best * 1.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_within_margin
+        |FROM pv GROUP BY label ORDER BY label""".stripMargin,
     "q206_silhouette" ->
       """WITH t AS (
         |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS dim,

@@ -766,7 +766,56 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** q231: rare-n-gram novelty — per language, how much of each doc's
+    * DISTINCT 3-gram set appears nowhere else in the corpus. High
+    * novelty = original or noisy text; low = boilerplate/template
+    * mass. The complement to q102's WITHIN-doc repetition: this is
+    * ACROSS-doc originality, a standard training-mix quality axis.
+    *
+    * Determinism: gram document-frequencies and per-doc counts are
+    * exact integers; the per-doc novelty ratio quantizes to 1e-6
+    * units before the cross-doc mean (the q208 convention) so the
+    * language rollup is order-free.
+    *
+    * Scale shape: one (doc, gram)-distinct reduction, one gram-keyed
+    * df count joined back on the gram key, then doc- and lang-keyed
+    * rollups. At 100 TB the gram join key is the q124-style 8-byte
+    * gram hash rather than the string (identical dataflow; the string
+    * form here keeps the oracle 1:1).
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .withColumn("ws", toks)
+      .select(col("doc_id"), col("lang"), expr(
+        """explode(CASE WHEN size(ws) >= 3
+          |  THEN transform(sequence(1, size(ws) - 2),
+          |    i -> concat_ws(' ', element_at(ws, i),
+          |                        element_at(ws, i + 1),
+          |                        element_at(ws, i + 2)))
+          |  ELSE array() END)""".stripMargin).as("gram"))
+      .distinct()
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(df, Seq("gram"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("lang"), col("n_grams"), col("n_unique"),
+        floor(col("n_unique").cast("double") / col("n_grams").cast("double")
+          * 1e6 + 0.5).cast("long").as("nu"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(col("n_unique")).as("unique_grams"),
+        sum(col("nu")).as("snu"))
+      .select(col("lang"), col("n_docs"), col("total_grams"),
+        col("unique_grams"),
+        round(col("snu").cast("double")
+          / (col("n_docs").cast("double") * 1e6), 6).as("mean_novelty"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_ngram_novelty" -> ngramNovelty _,
     "q219_readability" -> readability _,
     "q160_lexical_diversity" -> lexicalDiversity _,
     "q163_quantile_norm" -> quantileNormalize _,
@@ -923,6 +972,33 @@ object TextAnalysis {
       |       FROM sel)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q231_ngram_novelty" ->
+      """WITH ws AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |            for i in range(1, len(w) - 1)]) AS gram
+        |  FROM ws WHERE len(w) >= 3),
+        |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+        |pd AS (
+        |  SELECT g.doc_id, g.lang, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unique
+        |  FROM g JOIN df USING (gram)
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT lang, n_grams, n_unique,
+        |    CAST(floor(CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) AS nu
+        |  FROM pd)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS total_grams,
+        |  CAST(sum(n_unique) AS BIGINT) AS unique_grams,
+        |  round(CAST(sum(nu) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1000000), 6) AS mean_novelty
+        |FROM q GROUP BY 1 ORDER BY lang""".stripMargin,
     "q219_readability" ->
       """WITH perdoc AS (
         |  SELECT lang,

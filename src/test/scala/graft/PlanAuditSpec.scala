@@ -35,7 +35,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q188_rank_corr", // q175's 1-row query-vector broadcast + ≤20-row pair join
     "q190_fold_balance", // broadcast 1-row corpus-total scalar
     "q191_neg_sampling", // broadcast 1-row normalizing-total scalar
-    "q192_psi_drift") // broadcast 1-row min/max bounds scalar
+    "q192_psi_drift", // broadcast 1-row min/max bounds scalar
+    "q217_kaplan_meier", // broadcast 1-row corpus-horizon scalar
+    "q220_assortativity", // broadcast 1-row node-count scalar onto the 1-row moment agg
+    "q229_type_xcorr") // hour-grid × broadcast |types|-row catalog (gap-fill, q48 shape)
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
@@ -58,7 +61,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q190_fold_balance", // 1-row corpus-total aggregate
       "q191_neg_sampling", // 1-row normalizing-total aggregate
       "q192_psi_drift", // 10-row bucket window + 1-row bounds
-      "q211_heaps_law") // 1-row OLS moment aggregate (partials map-side)
+      "q211_heaps_law", // 1-row OLS moment aggregate (partials map-side)
+      "q217_kaplan_meier", // life table packed to ONE calendar-bounded array row (scaladoc)
+      "q220_assortativity") // 1-row moment aggregate (partials map-side)
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark

@@ -346,6 +346,43 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(merged == full)
   }
 
+  test("q231: novelty counts are conservative and ratios bounded") {
+    val rows = TextAnalysis.ngramNovelty(spark, sf).collect()
+    assert(rows.length == 5)
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("unique_grams") <= r.getAs[Long]("total_grams"))
+      val m = r.getAs[Double]("mean_novelty")
+      assert(m >= 0.0 && m <= 1.0)
+    }
+  }
+
+  test("q232: margin count dominates correct count; coverage holds") {
+    val rows = Similarity.centroidEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.util.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      // a correctly-classified vector has own == best, so it is always
+      // inside the 5% margin: margin count >= correct count
+      assert(r.getAs[Long]("n_within_margin") >= r.getAs[Long]("n_correct"))
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
+
+  test("q233: erasure sweep leaks nothing and conserves rows") {
+    val rows = graft.ops.Audit.erasureSweep(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_leaked") == 0L,
+        s"${r.getAs[String]("table_name")} leaked erased keys")
+      assert(r.getAs[Long]("n_total") ==
+        r.getAs[Long]("n_erased") + r.getAs[Long]("n_remaining"))
+    }
+  }
+
   test("q226: LOO kNN accuracy is bounded and covers every vector") {
     val rows = graft.ops.Similarity.knnLabelEval(spark, sf).collect()
     assert(rows.nonEmpty)
