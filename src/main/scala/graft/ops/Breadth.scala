@@ -342,6 +342,53 @@ object Breadth {
       .orderBy(col("event_type"))
   }
 
+  /** q240: KLL quantile sketch as STREAMING state — the per-type
+    * p50/p90 monitor every ingest pipeline hangs on its metrics
+    * stream: the sketch aggregates inside the streaming groupBy
+    * (sketch buffers ARE the state-store rows; micro-batch merges
+    * ride KLL's mergeability, which is also why the bounds survive
+    * arbitrary batch boundaries), and the final AvailableNow estimate
+    * passes the q88 deterministic RANK gate against the batch corpus
+    * (KLL values are randomized; its contract is rank error, ±4% ≈ 6σ
+    * here).
+    *
+    * Scale shape: streaming state is one ~KB sketch per (type ×
+    * shuffle partition); the gate join broadcasts the |types|-row
+    * estimate table. An unbounded run emits the same estimates per
+    * trigger instead of once.
+    */
+  def streamKllGate(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val path = s"$d/events.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-kll")
+      val q = s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(s"$d/events.parquet*")
+        .groupBy(col("event_type"))
+        .agg(kll_sketch_agg_double(col("value")).as("sk"))
+        .select(col("event_type"),
+          kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("kll_p50"),
+          kll_sketch_get_quantile_double(col("sk"), lit(0.9)).as("kll_p90"))
+        .writeStream
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      val est = s.read.parquet(out)
+      events(s, d)
+        .join(broadcast(est), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          avg(when(col("value") <= col("kll_p50"), 1.0).otherwise(0.0)).as("r50"),
+          avg(when(col("value") <= col("kll_p90"), 1.0).otherwise(0.0)).as("r90"))
+        .select(col("event_type"), col("n"),
+          (abs(col("r50") - lit(0.5)) <= lit(0.04)).as("p50_rank_ok"),
+          (abs(col("r90") - lit(0.9)) <= lit(0.04)).as("p90_rank_ok"))
+        .orderBy(col("event_type"))
+    }
+
   /** Semi-structured access through the VARIANT type (binary
     * semi-structured encoding, typed path extraction) — the Spark-4
     * answer to schemaless JSON columns at scale: parse once, then
@@ -589,6 +636,7 @@ object Breadth {
     "q85_variant_props"     -> variantProps _,
     "q86_xml_roundtrip"     -> xmlRoundTrip _,
     "q88_kll_quantiles"     -> kllQuantiles _,
+    "q240_stream_kll"       -> streamKllGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -673,6 +721,13 @@ object Breadth {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q88_kll_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // q240 streams the sketch but answers to the same rank contract
+    "q240_stream_kll" ->
       """SELECT event_type, count(*) AS n,
         |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
         |FROM events

@@ -193,6 +193,31 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("a"), col("b"))
 
+  /** q234: cross-language duplicate detection — LSH-verified near-dup
+    * pairs whose two documents carry DIFFERENT language labels. In a
+    * multilingual corpus these are mislabeled copies, boilerplate that
+    * ignores language, or translation artifacts — exactly the rows a
+    * per-language dedup pass (which partitions by lang first) would
+    * never compare, so they need this dedicated cross-partition cut.
+    * Reported at the relaxed 0.3 floor: cross-language near-dups of
+    * interest sit below the same-language 0.5 dedup bar.
+    *
+    * Scale shape: rides the shared scoredPairs candidates (shingle
+    * pass paid once across q28/q213/q214/q234); the language join is
+    * two probes into the doc-catalog dimension.
+    */
+  def crossLangDups(s: SparkSession, d: String, minJac: Double = 0.3): DataFrame = {
+    val langs = documents(s, d).select(col("doc_id"), col("lang"))
+    scoredPairs(s, d)
+      .filter(col("jac") >= minJac)
+      .join(langs.select(col("doc_id").as("a"), col("lang").as("lang_a")), Seq("a"))
+      .join(langs.select(col("doc_id").as("b"), col("lang").as("lang_b")), Seq("b"))
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select(col("a"), col("b"), col("lang_a"), col("lang_b"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** q213: CONTAINMENT similarity on the LSH candidates —
     * C(A,B) = |A∩B| / min(|A|, |B|) (Broder's containment), with the
     * inclusion direction. Symmetric Jaccard under-scores a short doc
@@ -474,6 +499,7 @@ object Dedup {
     "q27_minhash_lsh"   -> minhashPairs _,
     "q28_jaccard_pairs" -> jaccardPairs _,
     "q213_containment"  -> containmentPairs _,
+    "q234_crosslang_dups" -> ((s: SparkSession, d: String) => crossLangDups(s, d)),
     "q214_minhash_calibration" -> minhashCalibration _,
     "q29_simhash"       -> simhash _,
     "q57_minhash_agg"   -> minhashAggByLang _,
@@ -529,6 +555,15 @@ object Dedup {
       |  FROM sig, range(0, 8) t(b))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q234_crosslang_dups" ->
+      s"""WITH $PairsCtes
+        |SELECT j.a, j.b, d1.lang AS lang_a, d2.lang AS lang_b,
+        |  round(j.jac, 4) AS jaccard
+        |FROM jaccard j
+        |JOIN documents d1 ON d1.doc_id = j.a
+        |JOIN documents d2 ON d2.doc_id = j.b
+        |WHERE j.jac >= 0.3 AND d1.lang <> d2.lang
+        |ORDER BY j.a, j.b""".stripMargin,
     "q201_stream_neardup" ->
       s"""WITH $ShinglesCte,
         |$SignatureCte,

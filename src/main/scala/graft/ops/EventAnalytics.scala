@@ -509,6 +509,95 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** q237: transition dwell times — for each within-session
+    * (from_type → to_type) transition, how long users linger before
+    * making it: median and p90 of the gap in µs. The timing layer on
+    * top of q116's transition PROBABILITIES — "view→purchase happens
+    * 12% of the time" (q116) vs "and takes 40 s when it does" (this).
+    *
+    * Determinism: gaps are exact integer µs; the two exact
+    * interpolated percentiles are the q42-proven Spark `percentile` ≡
+    * DuckDB `quantile_cont` pairing (interpolation arithmetic over
+    * ≤ 2⁵³ integers is IEEE-identical).
+    *
+    * Scale shape: the same ONE user-keyed window shuffle as q116,
+    * then a |types|²-keyed percentile rollup.
+    */
+  def transitionDwell(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("us"), col("event_id"))
+    ev
+      .withColumn("from_type", lag(col("event_type"), 1).over(wSess))
+      .withColumn("dwell", col("us") - lag(col("us"), 1).over(wSess))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(dwell, 0.5)").as("med_dwell_us"),
+        expr("percentile(dwell, 0.9)").as("p90_dwell_us"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** q238: linear multi-touch attribution decay curve — every
+    * purchase's value is split EQUALLY across that user's clicks in
+    * the preceding 7 days, and the report buckets the credited value
+    * by click→purchase lag in whole days. Where q113 answers
+    * "which click gets the credit" (last-touch), this answers "how
+    * does influence decay with distance" — the curve that justifies
+    * (or kills) the 7-day attribution window itself.
+    *
+    * Determinism: the per-click credit value/n quantizes to integer
+    * micro-units per credit row (one double division of a raw value
+    * by an integer, identical on both engines) and the day buckets
+    * are integer µs arithmetic; sums are then order-free integers.
+    *
+    * Scale shape: purchases join clicks per user with a bounded
+    * ±7-day day-bucket band (the q45 range-join discipline: the
+    * purchase side replicates to its 8 candidate day buckets, the
+    * join is a (user, day)-keyed equi-join, and the residual range
+    * predicate filters in-task) — never an inequality NLJ. The
+    * per-purchase click count rides a window over the matched pairs.
+    */
+  def multiTouchDecay(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      col("value"), unix_micros(col("ts")).as("us"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"), col("day").as("pday"),
+        col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"), col("day").as("cday"))
+    // replicate each purchase to its 8 candidate click-day buckets
+    val banded = purchases
+      .select(col("user_id"), col("pus"), col("value"),
+        explode(sequence(col("pday") - 7, col("pday"))).as("cday"))
+    val matched = banded.join(clicks, Seq("user_id", "cday"))
+      .filter(col("cus") <= col("pus") &&
+        col("cus") > col("pus") - lit(7 * dayUs))
+    val wP = Window.partitionBy(col("user_id"), col("pus"))
+    matched
+      .withColumn("n_touch", count(lit(1)).over(wP))
+      .select(expr("(pus - cus) div 86400000000").as("lag_days"),
+        floor(col("value") / col("n_touch").cast("double") * 1e6 + 0.5)
+          .cast("long").as("credit_u"))
+      .groupBy(col("lag_days"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit_u")).as("credit_units"))
+      .select(col("lag_days"), col("n_credits"),
+        round(col("credit_units").cast("double") / 1e6, 4).as("credited_value"))
+      .orderBy(col("lag_days"))
+  }
+
   /** q221: stationary distribution of the q116 session-transition
     * chain by power iteration, in EXACT integer arithmetic (the q130
     * PageRank discipline): transition probabilities quantize to 1e-6
@@ -1232,6 +1321,8 @@ object EventAnalytics {
     "q172_ab_lift"         -> abLift _,
     "q116_markov"          -> markovTransitions _,
     "q221_markov_stationary" -> ((s: SparkSession, d: String) => markovStationary(s, d)),
+    "q237_transition_dwell" -> transitionDwell _,
+    "q238_multitouch_decay" -> multiTouchDecay _,
     "q117_value_trend"     -> valueTrend _,
     "q118_time_weighted"   -> timeWeightedAvg _,
     "q113_attribution"     -> attribution _,
@@ -1257,6 +1348,62 @@ object EventAnalytics {
 
   val oracleSql: Map[String, String] = Map(
     "q221_markov_stationary" -> stationaryOracle(12),
+    "q237_transition_dwell" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lg IS NULL OR us - lg > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS lg FROM e)),
+        |s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g),
+        |t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER w AS from_type,
+        |    us - lag(us) OVER w AS dwell
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id, sess ORDER BY us, event_id))
+        |SELECT from_type, event_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  quantile_cont(CAST(dwell AS DOUBLE), 0.5) AS med_dwell_us,
+        |  quantile_cont(CAST(dwell AS DOUBLE), 0.9) AS p90_dwell_us
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q238_multitouch_decay" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us,
+        |    epoch_us(date_trunc('microseconds', ts)) // 86400000000 AS day
+        |  FROM events),
+        |p AS (SELECT user_id, us AS pus, day AS pday, value
+        |      FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, us AS cus, day AS cday
+        |      FROM ev WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.user_id, p.pus, p.value, c.cus
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.cday BETWEEN p.pday - 7 AND p.pday
+        |    AND c.cus <= p.pus AND c.cus > p.pus - 604800000000),
+        |n AS (
+        |  SELECT *, count(*) OVER (PARTITION BY user_id, pus) AS n_touch
+        |  FROM m),
+        |cr AS (
+        |  SELECT (pus - cus) // 86400000000 AS lag_days,
+        |    CAST(floor(value / CAST(n_touch AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS credit_u
+        |  FROM n)
+        |SELECT lag_days, CAST(count(*) AS BIGINT) AS n_credits,
+        |  round(CAST(sum(credit_u) AS DOUBLE) / 1000000, 4)
+        |    AS credited_value
+        |FROM cr GROUP BY 1
+        |ORDER BY lag_days""".stripMargin,
     "q222_stream_leaderboard" ->
       """WITH c AS (
         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')

@@ -597,6 +597,50 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** q239: binary (sign-bit) quantization recall — the most extreme
+    * embedding compression: one bit per dimension (64 bits ≈ 8 bytes
+    * per vector, a 32× cut over float32), ranked by Hamming distance;
+    * reported as recall@5 against the exact cosine top-5 (q30) plus
+    * the mean Hamming of the binary winners. Completes the
+    * quantization-eval ladder int8 (q109/q155) → PQ (q114) → binary:
+    * the memory/recall frontier a 100 TB vector corpus is tuned on.
+    *
+    * Determinism: the sign test (x ≥ 0) and the Hamming sum are exact
+    * integers; ranking ties break by vec_id; recall and the mean are
+    * divisions of small integers by 5.
+    *
+    * Scale shape: the q30 shape — broadcast 10 queries, corpus
+    * streams once; the Hamming fold runs inside codegen (zip_with +
+    * aggregate HOFs). At index scale the binary codes become the
+    * stored representation and the scan reads 8 bytes/vector.
+    */
+  def binaryQuantRecall(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ham = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", expr(
+        """aggregate(zip_with(qe, embedding,
+          |  (x, y) -> IF((x >= 0F) != (y >= 0F), 1, 0)),
+          |  0, (a, v) -> a + v)""".stripMargin).cast("long"))
+    val wB = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val top5b = ham.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+    val exact = knnBrute(s, d)
+      .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+    top5b.join(broadcast(exact),
+        col("query_id") === col("eq") && col("vec_id") === col("en"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("en").isNotNull, 1L).otherwise(0L)).as("hits"),
+        sum(col("hamming")).as("sh"))
+      .select(col("query_id"),
+        round(col("hits").cast("double") / 5.0, 4).as("recall_at_5"),
+        round(col("sh").cast("double") / 5.0, 4).as("mean_hamming_top5"))
+      .orderBy(col("query_id"))
+  }
+
   /** Contrastive hard-negative mining (q165): for each query vector,
     * the single most-similar SAME-label vector (the positive) and the
     * `kNeg` most-similar DIFFERENT-label vectors (the hard negatives)
@@ -695,6 +739,7 @@ object Similarity {
     "q155_quant_recall"   -> ((s: SparkSession, d: String) => quantRecall(s, d)),
     "q161_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(s, d)),
     "q232_centroid_eval" -> ((s: SparkSession, d: String) => centroidEval(s, d)),
+    "q239_binary_quant" -> binaryQuantRecall _,
     "q206_silhouette"     -> silhouette _,
     "q165_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "q38_top_similar_pairs" -> ((s: SparkSession, d: String) => topSimilarPairs(s, d)),
@@ -766,6 +811,48 @@ object Similarity {
         |UNION ALL
         |SELECT * FROM n
         |ORDER BY query_id, role, rank""".stripMargin,
+    "q239_binary_quant" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |h AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(list_sum([CASE WHEN (qe[i] >= 0) <> (embedding[i] >= 0)
+        |        THEN 1 ELSE 0 END for i in range(1, len(qe) + 1)]) AS BIGINT)
+        |      AS hamming
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        |rb AS (
+        |  SELECT query_id, vec_id, hamming,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, vec_id) AS rn
+        |  FROM h),
+        |tb AS (SELECT query_id, vec_id, hamming FROM rb WHERE rn <= 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum([CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |              for i in range(1, len(qe) + 1)])
+        |    / (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |                      for i in range(1, len(qe) + 1)]))
+        |       * sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |                        for i in range(1, len(embedding) + 1)]))) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        |re AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, vec_id) AS rank
+        |    FROM scored) WHERE rank <= 5),
+        |agg AS (SELECT query_id, CAST(sum(hamming) AS BIGINT) AS sh
+        |        FROM tb GROUP BY 1),
+        |hits AS (
+        |  SELECT tb.query_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM tb JOIN re ON re.query_id = tb.query_id
+        |    AND re.vec_id = tb.vec_id
+        |  GROUP BY 1)
+        |SELECT agg.query_id,
+        |  round(CAST(coalesce(hits.n, 0) AS DOUBLE) / 5.0, 4) AS recall_at_5,
+        |  round(CAST(agg.sh AS DOUBLE) / 5.0, 4) AS mean_hamming_top5
+        |FROM agg LEFT JOIN hits USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     "q232_centroid_eval" ->
       """WITH t AS (
         |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS dim,

@@ -970,7 +970,92 @@ object TrainingData {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q235: dedup impact report — the two-stage dedup pipeline (exact
+    * fingerprint dedup, then greedy near-dup removal among the exact
+    * survivors) accounted per language: docs and tokens going in,
+    * dropped at each stage, and surviving. This is the shrinkage
+    * dashboard every corpus build publishes before/after dedup.
+    *
+    * Policy: exact stage keeps the smallest doc_id per md5; the near
+    * stage drops any SURVIVOR that has a smaller-id verified near-dup
+    * (jac ≥ 0.5) among survivors — the greedy min-id rule (q53's
+    * canonical convention; q228 implements the cluster-exact
+    * alternative). Both stages are pure integer/hash decisions.
+    *
+    * Scale shape: exact stage is the q26 16-byte-fingerprint shuffle;
+    * the near stage rides the shared scoredPairs candidates. The
+    * report is a |langs|-keyed rollup.
+    */
+  def dedupImpact(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"),
+      md5(col("text")).as("fp"),
+      size(split(col("text"), "\\s+")).cast("long").as("nt"))
+    val keepExact = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep"))
+    val marked = docs.join(keepExact, Seq("fp"))
+      .withColumn("exact_drop", col("doc_id") =!= col("keep"))
+    val survivors = marked.filter(!col("exact_drop"))
+      .select(col("doc_id"))
+    val edges = Dedup.scoredPairs(s, d).filter(col("jac") >= 0.5)
+      .select(col("a"), col("b"))
+      .join(survivors.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+      .join(survivors.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+    val nearDrop = edges.select(col("b").as("doc_id")).distinct()
+      .withColumn("near_drop", lit(true))
+    marked.join(nearDrop, Seq("doc_id"), "left")
+      .select(col("lang"), col("nt"), col("exact_drop"),
+        (!col("exact_drop") && coalesce(col("near_drop"), lit(false)))
+          .as("near_dropped"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("exact_drop"), 1L).otherwise(0L)).as("n_exact_dropped"),
+        sum(when(col("near_dropped"), 1L).otherwise(0L)).as("n_near_dropped"),
+        sum(col("nt")).as("tokens_total"),
+        sum(when(!col("exact_drop") && !col("near_dropped"), col("nt"))
+          .otherwise(0L)).as("tokens_kept"))
+      .withColumn("n_final",
+        col("n_docs") - col("n_exact_dropped") - col("n_near_dropped"))
+      .orderBy(col("lang"))
+  }
+
+  /** q236: leakage-free grouped split — fold assignment where every
+    * near-dup CLUSTER lands wholly in one fold: the group key is the
+    * q51 cluster label for clustered docs (its min member id) and the
+    * doc itself otherwise, and the fold is the q71 md5-bucket of the
+    * group key. Splitting by raw doc hash leaks near-identical
+    * train/test pairs (the q157 decontamination problem at split
+    * time); hashing the GROUP key makes leakage structurally
+    * impossible — the report recomputes distinct folds per cluster
+    * and pins the maximum at 1.
+    *
+    * Scale shape: q51's clustering + one broadcast-joinable
+    * (doc → cluster) map; fold assignment is a pure projection; the
+    * report is a fold-keyed rollup.
+    */
+  def groupedSplit(s: SparkSession, d: String, folds: Int = 5): DataFrame = {
+    val clusters = Clustering.dupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val withGroup = documents(s, d).select(col("doc_id"), col("lang"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("fold", pmod(
+        conv(substring(md5(col("group_key").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(folds)))
+    val span = withGroup.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("fold")).as("nf"))
+      .agg(coalesce(max(col("nf")), lit(0L)).as("max_folds_per_cluster"))
+    withGroup.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"),
+        countDistinct(col("group_key")).as("n_groups"))
+      .crossJoin(broadcast(span))
+      .orderBy(col("fold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_dedup_impact" -> dedupImpact _,
+    "q236_grouped_split" -> ((s: SparkSession, d: String) => groupedSplit(s, d)),
     "q197_boilerplate"  -> ((s: SparkSession, d: String) => boilerplateDensity(s, d)),
     "q198_js_divergence" -> jsDivergence _,
     "q190_fold_balance" -> ((s: SparkSession, d: String) => foldBalance(s, d)),
@@ -1071,6 +1156,65 @@ object TrainingData {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q235_dedup_impact" ->
+      s"""WITH ${Dedup.PairsCtes},
+        |docs AS (SELECT doc_id, lang, md5(text) AS fp,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |ke AS (SELECT fp, min(doc_id) AS keep FROM docs GROUP BY 1),
+        |m AS (SELECT docs.*, docs.doc_id <> ke.keep AS exact_drop
+        |      FROM docs JOIN ke USING (fp)),
+        |surv AS (SELECT doc_id FROM m WHERE NOT exact_drop),
+        |ed AS (SELECT j.a, j.b FROM jaccard j
+        |       WHERE j.jac >= 0.5
+        |         AND j.a IN (SELECT doc_id FROM surv)
+        |         AND j.b IN (SELECT doc_id FROM surv)),
+        |nd AS (SELECT DISTINCT b AS doc_id FROM ed),
+        |fin AS (SELECT m.lang, m.nt, m.exact_drop,
+        |          (NOT m.exact_drop AND nd.doc_id IS NOT NULL) AS near_dropped
+        |        FROM m LEFT JOIN nd ON nd.doc_id = m.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN exact_drop THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact_dropped,
+        |  CAST(sum(CASE WHEN near_dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_near_dropped,
+        |  CAST(sum(nt) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN NOT exact_drop AND NOT near_dropped
+        |      THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |  CAST(count(*)
+        |    - sum(CASE WHEN exact_drop THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN near_dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_final
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
+    "q236_grouped_split" ->
+      s"""WITH RECURSIVE ${Dedup.PairsCtes},
+        |jp AS (SELECT a, b FROM jaccard WHERE jac >= 0.5),
+        |und AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b, a FROM jp),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM und
+        |  UNION
+        |  SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r),
+        |labeled AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |            FROM reach GROUP BY id),
+        |wg AS (SELECT d.doc_id, d.lang, l.cluster_id,
+        |         coalesce(l.cluster_id, d.doc_id) AS group_key
+        |       FROM documents d LEFT JOIN labeled l ON l.doc_id = d.doc_id),
+        |f AS (SELECT *,
+        |        ('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 15))::BIGINT
+        |          % 5 AS fold
+        |      FROM wg),
+        |span AS (SELECT CAST(coalesce(max(nf), 0) AS BIGINT)
+        |    AS max_folds_per_cluster
+        |  FROM (SELECT cluster_id, count(DISTINCT fold) AS nf
+        |        FROM f WHERE cluster_id IS NOT NULL GROUP BY 1))
+        |SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clustered,
+        |  CAST(count(DISTINCT group_key) AS BIGINT) AS n_groups,
+        |  span.max_folds_per_cluster
+        |FROM f CROSS JOIN span
+        |GROUP BY fold, span.max_folds_per_cluster
+        |ORDER BY fold""".stripMargin,
     "q197_boilerplate" ->
       """WITH ws AS (
         |  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS ws

@@ -383,6 +383,89 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q234: cross-lang pairs genuinely cross languages above the floor") {
+    val rows = graft.ops.Dedup.crossLangDups(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_a") != r.getAs[String]("lang_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.3)
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+    }
+  }
+
+  test("q235: dedup impact conserves docs and tokens per language") {
+    val rows = graft.ops.TrainingData.dedupImpact(spark, sf).collect()
+    assert(rows.length == 5)
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == r.getAs[Long]("n_exact_dropped")
+        + r.getAs[Long]("n_near_dropped") + r.getAs[Long]("n_final"))
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_total"))
+    }
+  }
+
+  test("q236: no dup cluster ever spans folds") {
+    val rows = graft.ops.TrainingData.groupedSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.util.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_folds_per_cluster") <= 1L,
+        "a near-dup cluster was split across folds - leakage")
+      assert(r.getAs[Long]("fold") >= 0 && r.getAs[Long]("fold") < 5)
+    }
+  }
+
+  test("q237: dwell rows mirror q116's transition set; p90 >= median") {
+    val dwell = graft.ops.EventAnalytics.transitionDwell(spark, sf).collect()
+    val trans = graft.ops.EventAnalytics.markovTransitions(spark, sf).collect()
+    assert(dwell.map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+      r.getAs[Long]("n"))).toSet ==
+      trans.map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n"))).toSet)
+    dwell.foreach { r =>
+      assert(r.getAs[Double]("p90_dwell_us") >= r.getAs[Double]("med_dwell_us"))
+      assert(r.getAs[Double]("med_dwell_us") >= 0.0)
+    }
+  }
+
+  test("q238: credit never exceeds attributable purchase value") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.EventAnalytics.multiTouchDecay(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag_days")
+      assert(lag >= 0 && lag <= 7)
+      assert(r.getAs[Double]("credited_value") >= 0.0)
+    }
+    val totalCredit = rows.map(_.getAs[Double]("credited_value")).sum
+    val purchaseTotal = graft.util.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    // each purchase's credits sum to its value (or 0 with no clicks)
+    assert(totalCredit <= purchaseTotal + 1.0)
+  }
+
+  test("q239: binary quantization metrics are bounded") {
+    val rows = Similarity.binaryQuantRecall(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_5")
+      assert(rec >= 0.0 && rec <= 1.0)
+      val mh = r.getAs[Double]("mean_hamming_top5")
+      assert(mh >= 0.0 && mh <= 64.0)
+    }
+  }
+
+  test("q240: streaming KLL estimates pass the rank gate") {
+    val rows = graft.ops.Breadth.streamKllGate(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_rank_ok"), r.toString)
+      assert(r.getAs[Boolean]("p90_rank_ok"), r.toString)
+    }
+  }
+
   test("q226: LOO kNN accuracy is bounded and covers every vector") {
     val rows = graft.ops.Similarity.knnLabelEval(spark, sf).collect()
     assert(rows.nonEmpty)
