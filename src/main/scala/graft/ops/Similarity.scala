@@ -305,10 +305,98 @@ object Similarity {
     * exact pair sweep. Votes/accuracy are one keyed window + two
     * keyed aggregations over (vec, neighbor) pairs.
     */
+  /** Per-vector top-k over the block-pair sweep with PARTIAL top-k
+    * selection inside each block task: every (i, j) task emits, for
+    * each of its vectors, only that vector's k best neighbors within
+    * the paired block (total order (cos DESC, vec_id) — the same one
+    * the global rank uses, so the global top-k is provably contained
+    * in the union of the per-block top-ks: partial/final top-k, the
+    * q87 TopKPerGroup contract applied to the pair stream). The
+    * exchange after the sweep carries ≤ k·n·blocks rows instead of
+    * the 2·n² raw pair rows — the difference between a quadratic and
+    * a near-linear shuffle for exact kNN (ScaleSlopeSpec pins it).
+    */
+  private[graft] def knnBlocked(s: SparkSession, d: String, k: Int,
+      blockRows: Int = 4096): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val nBlocks = math.max(1, math.ceil(e.count().toDouble / blockRows).toInt)
+    val packed = e
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)).cast("int"))
+      .groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vecs"))
+      .as[(Int, Array[(Long, Array[Float])])]
+    val replicated = packed.flatMap { case (i, vecs) =>
+      (0 until nBlocks).iterator.map { j =>
+        (math.min(i, j), math.max(i, j), i, vecs)
+      }
+    }
+    def norms(vs: Array[(Long, Array[Float])]): Array[Double] =
+      vs.map { case (_, v) =>
+        var n = 0.0; var kk = 0
+        while (kk < v.length) { n += v(kk).toDouble * v(kk).toDouble; kk += 1 }
+        math.sqrt(n)
+      }
+    def score(a: Array[Float], b: Array[Float], na: Double, nb: Double): Double = {
+      var dot = 0.0; var kk = 0
+      val n = math.min(a.length, b.length)
+      while (kk < n) { dot += a(kk).toDouble * b(kk).toDouble; kk += 1 }
+      dot / (na * nb)
+    }
+    // bounded insertion keeping top-k by (cos DESC, id ASC)
+    def insert(top: Array[(Long, Double)], used: Int, id: Long, c: Double): Int = {
+      var lo = 0
+      while (lo < used && (top(lo)._2 > c ||
+        (top(lo)._2 == c && top(lo)._1 < id))) lo += 1
+      if (lo >= top.length) return used
+      val upto = math.min(used, top.length - 1)
+      var m = upto
+      while (m > lo) { top(m) = top(m - 1); m -= 1 }
+      top(lo) = (id, c)
+      math.min(used + 1, top.length)
+    }
+    replicated
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Array[(Long, Array[Float])])]) =>
+        val (lo, hi) = key
+        val blocks = it.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        def sweep(qs: Array[(Long, Array[Float])], nq: Array[Double],
+            cs: Array[(Long, Array[Float])], nc: Array[Double]): Unit = {
+          var qi = 0
+          while (qi < qs.length) {
+            val top = new Array[(Long, Double)](k)
+            var used = 0
+            var ci = 0
+            while (ci < cs.length) {
+              if (cs(ci)._1 != qs(qi)._1) {
+                val c = score(qs(qi)._2, cs(ci)._2, nq(qi), nc(ci))
+                used = insert(top, used, cs(ci)._1, c)
+              }
+              ci += 1
+            }
+            var t = 0
+            while (t < used) { out += ((qs(qi)._1, top(t)._1, top(t)._2)); t += 1 }
+            qi += 1
+          }
+        }
+        if (lo == hi) {
+          val vs = blocks.head._4
+          val ns = norms(vs)
+          sweep(vs, ns, vs, ns)
+        } else {
+          val va = blocks.find(_._3 == lo).get._4
+          val vb = blocks.find(_._3 == hi).get._4
+          val na = norms(va); val nb = norms(vb)
+          sweep(va, na, vb, nb)
+          sweep(vb, nb, va, na)
+        }
+        out.iterator
+      }.toDF("v", "nb", "cos")
+  }
+
   def knnLabelEval(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val pairs = pairsAboveBlocked(s, d, -1.1) // keep all pairs: cos ≥ -1
-    val sym = pairs.select(col("a").as("v"), col("b").as("nb"), col("cos"))
-      .unionAll(pairs.select(col("b").as("v"), col("a").as("nb"), col("cos")))
+    val sym = knnBlocked(s, d, k) // per-block partial top-k, same total order
     val lab = embeddings(s, d).select(col("vec_id"), col("label"))
     val wN = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("nb"))
     val votes = sym.withColumn("rn", row_number().over(wN))

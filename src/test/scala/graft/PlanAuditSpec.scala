@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q192_psi_drift", // broadcast 1-row min/max bounds scalar
     "q217_kaplan_meier", // broadcast 1-row corpus-horizon scalar
     "q220_assortativity", // broadcast 1-row node-count scalar onto the 1-row moment agg
-    "q229_type_xcorr") // hour-grid × broadcast |types|-row catalog (gap-fill, q48 shape)
+    "q229_type_xcorr", // hour-grid × broadcast |types|-row catalog (gap-fill, q48 shape)
+    "q236_grouped_split", // broadcast 1-row cluster-span audit scalar
+    "q239_binary_quant") // q30's broadcast 10-query =!= join (Hamming branch)
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
@@ -63,7 +65,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q192_psi_drift", // 10-row bucket window + 1-row bounds
       "q211_heaps_law", // 1-row OLS moment aggregate (partials map-side)
       "q217_kaplan_meier", // life table packed to ONE calendar-bounded array row (scaladoc)
-      "q220_assortativity") // 1-row moment aggregate (partials map-side)
+      "q220_assortativity", // 1-row moment aggregate (partials map-side)
+      "q236_grouped_split") // 1-row max-folds-per-cluster audit aggregate
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark

@@ -29,10 +29,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the documented surface") {
-    assert(SparkEntry.queries.size == 216)
-    // every query — including the four approximate ones, which emit
+    assert(SparkEntry.queries.size == 240)
+    // every query — including the approximate ones, which emit
     // deterministic bound-check gate rows — has a DuckDB oracle
-    assert(SparkEntry.oracleSql.size == 216)
+    assert(SparkEntry.oracleSql.size == 240)
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 }

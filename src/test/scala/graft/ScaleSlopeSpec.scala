@@ -23,7 +23,11 @@ class ScaleSlopeSpec extends AnyFunSuite {
     "q154_stream_sessions", "q124_substring_runs", "q114_pq_ann",
     "q119_pmi",
     // r7 additions to the expensive set (bench.json r7 top-10)
-    "q104_textrank", "q201_stream_neardup", "q210_winnow_pairs")
+    "q104_textrank", "q201_stream_neardup", "q210_winnow_pairs",
+    // r7 wave-2: the two most expensive new queries — q226's exact
+    // LOO pair sweep (quadratic COMPUTE by definition, but its shuffle
+    // must stay block-bounded) and q227's peel rounds
+    "q226_knn_label_eval", "q227_kcore")
 
   /** Total shuffle bytes written by every stage `body` runs. The
     * listener bus is async, so after the action we poll until the
