@@ -29,8 +29,25 @@ object Transform {
 
   private val Uint32Max = 4294967295L
 
-  /** All 16 output columns + a validity predicate over LogEntry input. */
-  def apply(entries: DataFrame): DataFrame = {
+  /** All 16 output columns + a validity predicate over LogEntry input
+    * (T5: invalid records dropped).
+    */
+  def apply(entries: DataFrame): DataFrame =
+    withReason(entries)
+      .filter(col("drop_reason") === "ok")
+      .drop("drop_reason")
+
+  /** The same transform WITHOUT the T5 drop: every record keeps a
+    * `drop_reason` column ('ok' | 'short_filename' | 'bad_hour' |
+    * 'no_time_match' | 'bad_time') — the dead-letter-queue view of the
+    * pipeline. The reasons REFINE the reference's single validity
+    * predicate (reason == 'ok' ⇔ the T5 `valid`, proven by `apply`
+    * being the filtered composition): an out-of-range hour surfaces as
+    * 'bad_hour' even though the reference only observes it as the
+    * timestamp parse failing. Invalid rows carry NULL EventDate /
+    * EventTime and whatever else still parsed.
+    */
+  def withReason(entries: DataFrame): DataFrame = {
     val fn = col("Timestamp")
     // BOM strip is TrimPrefix (leading only) — transform.go:29
     val lt = regexp_replace(col("LogTimestamp"), "^\uFEFF", "")
@@ -65,13 +82,20 @@ object Transform {
     val duration = when(durNum.isNotNull && durNum <= Uint32Max,
       durNum.cast("long")).otherwise(lit(0L))
 
-    val valid: Column = length(fn) >= 8 && hourInt.isNotNull &&
-      mm =!= "" && eventTime.isNotNull
+    // decomposition of the T5 `valid` predicate (length(fn) >= 8 &&
+    // hourInt.isNotNull && mm =!= "" && eventTime.isNotNull) into
+    // first-failure reasons; 'ok' ⇔ valid because each arm only
+    // refines the conjunct order
+    val reason: Column =
+      when(length(fn) < 8, "short_filename")
+        .when(hourInt.isNull || hourInt < 0 || hourInt > 23, "bad_hour")
+        .when(mm === "", "no_time_match")
+        .when(eventTime.isNull, "bad_time")
+        .otherwise("ok")
 
     entries
       .withColumn("__event_time", eventTime)
-      .withColumn("__valid", valid)
-      .filter(col("__valid"))
+      .withColumn("drop_reason", reason)
       .select(
         to_date(col("__event_time")).as("EventDate"),
         col("__event_time").as("EventTime"),
@@ -88,6 +112,7 @@ object Transform {
         col("Rows"),
         col("RowsAffected"),
         col("Context"),
-        col("ProcessName"))
+        col("ProcessName"),
+        col("drop_reason"))
   }
 }

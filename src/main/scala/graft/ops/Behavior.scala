@@ -330,7 +330,65 @@ object Behavior {
       .orderBy(col("a"), col("b"), col("c"))
   }
 
+  /** q242: Poisson-bootstrap standard error of the per-type mean —
+    * the one-pass distributed bootstrap (Chamandy et al.): instead of
+    * resampling rows (impossible without a corpus-wide shuffle per
+    * replica), each row gets an independent Poisson(1) weight per
+    * replica, and the B weighted means' spread estimates the sampling
+    * error. Pairs with q208: jackknife is cluster-robust, bootstrap
+    * is the general-purpose one — both with ZERO random state.
+    *
+    * Determinism: the Poisson draw is a fixed quantile table over the
+    * 52-bit integer md5-hash of (event_id, replica) — truncated at
+    * w = 5 (residual mass 6e-4, documented); weights, weighted sums
+    * (decimal), and replica means quantized to 1e-6 units are exact,
+    * so the cross-replica moments are order-free integers (the q208
+    * convention end to end).
+    *
+    * Scale shape: one narrow ×B explode (3 small columns), one
+    * (type, replica)-keyed rollup, one |types|-keyed moment rollup.
+    * B = 10 multiplies the scan projection, never the corpus width.
+    */
+  def poissonBootstrap(s: SparkSession, d: String, b: Int = 10): DataFrame = {
+    val Dec19 = DataTypes.createDecimalType(19, 0)
+    // floor(CDF_k(Poisson(1)) * 16^13), k = 0..4; >= last ⇒ w = 5
+    val t = Seq(1656781714176974L, 3313563428353948L, 4141954285442435L,
+      4418084571138597L, 4487117142562638L)
+    val ev = events(s, d).select(col("event_type"), col("event_id"),
+      floor(col("value") * 1e6 + 0.5).cast("long").as("vu"))
+    val reps = ev.withColumn("r", explode(sequence(lit(1), lit(b))))
+      .withColumn("u", conv(substring(md5(concat_ws("|",
+        lit("pb"), col("event_id"), col("r"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("w",
+        when(col("u") < t(0), 0L).when(col("u") < t(1), 1L)
+          .when(col("u") < t(2), 2L).when(col("u") < t(3), 3L)
+          .when(col("u") < t(4), 4L).otherwise(5L))
+    val perRep = reps.groupBy(col("event_type"), col("r"))
+      .agg(sum(col("w") * col("vu").cast(Dec19)).as("swv"),
+        sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("event_type"),
+        floor(col("swv").cast("double") / col("sw").cast("double") + 0.5)
+          .cast("long").as("mr"))
+    val point = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vu").cast(Dec19)).as("sv"))
+    perRep.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("bb"), sum(col("mr").cast(Dec19)).as("sm"),
+        sum(col("mr").cast(Dec19) * col("mr").cast(Dec19)).as("qm"))
+      .join(point, Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        round(col("sv").cast("double")
+          / (col("n_events").cast("double") * 1e6), 6).as("mean_value"),
+        when(col("bb") > 1, round(sqrt(
+          (col("bb").cast("double") * col("qm").cast("double")
+            - col("sm").cast("double") * col("sm").cast("double"))
+            / (col("bb").cast("double") * (col("bb") - 1).cast("double")))
+          / 1e6, 6)).as("boot_se"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_poisson_bootstrap" -> ((s: SparkSession, d: String) => poissonBootstrap(s, d)),
     "q217_kaplan_meier"  -> kaplanMeier _,
     "q218_seq_patterns"  -> seqPatterns _,
     "q208_jackknife_se"  -> jackknifeSe _,
@@ -342,6 +400,58 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q242_poisson_bootstrap" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vu
+        |  FROM events),
+        |reps AS (
+        |  SELECT event_type, event_id, vu, r,
+        |    ('0x' || substr(md5('pb|' || CAST(event_id AS VARCHAR)
+        |       || '|' || CAST(r AS VARCHAR)), 1, 13))::BIGINT AS u
+        |  FROM ev, unnest(range(1, 11)) t(r)),
+        |ww AS (
+        |  SELECT event_type, r, vu,
+        |    CASE WHEN u < 1656781714176974 THEN 0
+        |         WHEN u < 3313563428353948 THEN 1
+        |         WHEN u < 4141954285442435 THEN 2
+        |         WHEN u < 4418084571138597 THEN 3
+        |         WHEN u < 4487117142562638 THEN 4
+        |         ELSE 5 END AS w
+        |  FROM reps),
+        |pr AS (
+        |  SELECT event_type, r,
+        |    CAST(sum(CAST(w AS DECIMAL(19,0)) * CAST(vu AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS swv,
+        |    CAST(sum(w) AS BIGINT) AS sw
+        |  FROM ww GROUP BY 1, 2),
+        |mr AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) + 0.5)
+        |      AS BIGINT) AS mr
+        |  FROM pr WHERE sw > 0),
+        |mom AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS bb,
+        |    CAST(sum(CAST(mr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sm,
+        |    CAST(sum(CAST(mr AS DECIMAL(19,0)) * CAST(mr AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS qm
+        |  FROM mr GROUP BY 1),
+        |pt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(vu AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sv
+        |  FROM ev GROUP BY 1)
+        |SELECT pt.event_type, pt.n_events,
+        |  round(CAST(sv AS DOUBLE)
+        |    / (CAST(n_events AS DOUBLE) * 1000000), 6) AS mean_value,
+        |  CASE WHEN bb > 1 THEN
+        |    round(sqrt(
+        |      (CAST(bb AS DOUBLE) * CAST(qm AS DOUBLE)
+        |        - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+        |      / (CAST(bb AS DOUBLE) * CAST(bb - 1 AS DOUBLE)))
+        |      / 1000000, 6)
+        |  END AS boot_se
+        |FROM mom JOIN pt USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q217_kaplan_meier" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us

@@ -1029,7 +1029,122 @@ object Clustering {
       .orderBy(col("cluster_id"))
   }
 
+  /** q241: IVF nprobe sweep — recall@3 of the q52 IVF search at
+    * nprobe ∈ {1, 2, 4} against the exact top-3, per query. THE
+    * tuning curve every IVF deployment reads before fixing its
+    * latency/recall point: one cell is cheapest, the recall cost of
+    * that choice is exactly what this reports. Cell assignment is
+    * computed once and shared across the sweep (cached), queries and
+    * centroids broadcast; the exact baseline is the q30 shape.
+    *
+    * Determinism: identical cosine expression everywhere, (cos DESC,
+    * id) tie-breaks, integer hit counts; recall is n_hits/3.
+    *
+    * Scale shape: the sweep multiplies only the PROBE side (cells
+    * read per query) — the corpus-side assignment stays one pass;
+    * candidates per (query, nprobe) are cell-bounded. Monotonicity
+    * (recall non-decreasing in nprobe) is spec-pinned.
+    */
+  def nprobeSweep(s: SparkSession, d: String,
+      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val assign = graft.util.CacheRegistry.register(ivfAssignment(s, d).cache())
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cent_id"))
+    val probeRank = graft.util.CacheRegistry.register(
+      qs.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("rn", row_number().over(wProbe))
+        .select(col("query_id"), col("cent_id").as("cell"), col("rn"))
+        .cache())
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = graft.util.CacheRegistry.register(
+      broadcast(qs).join(e, col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 3)
+        .select(col("query_id").as("xq"), col("vec_id").as("xv"))
+        .cache())
+    probes.map { np =>
+      val pcells = probeRank.filter(col("rn") <= np)
+        .select(col("query_id"), col("cell"))
+      val ranked = assign.join(broadcast(pcells), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .join(e, Seq("vec_id"))
+        .withColumn("cos", cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("vec_id"))
+      ranked.join(broadcast(exact),
+          ranked("query_id") === exact("xq") && ranked("vec_id") === exact("xv"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(sum(when(col("xv").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("query_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / 3.0, 4).as("recall_at_3"))
+    }.reduce(_ unionAll _).orderBy(col("nprobe"), col("query_id"))
+  }
+
+  /** Mechanically generated sweep oracle — the ivfAnnSql construction
+    * per nprobe, unioned, against the shared exact baseline.
+    */
+  private def nprobeSweepSql(probes: Seq[Int]): String = {
+    val base =
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id % 50 = 0),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+        |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id % 100 = 7),
+        |prk AS (
+        |  SELECT q.query_id, c.cent_id AS cell,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY ${cosSql("q.qe", "c.ce")} DESC, c.cent_id) AS rn
+        |  FROM qs q CROSS JOIN cents c),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rk
+        |    FROM qs q JOIN e ON e.vec_id <> q.query_id) WHERE rk <= 3)"""
+        .stripMargin
+    val per = probes.map { np =>
+      s"""r$np AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT p.query_id, a.vec_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, a.vec_id) AS rk
+         |    FROM (SELECT query_id, cell FROM prk WHERE rn <= $np) p
+         |    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |    JOIN qs q ON q.query_id = p.query_id
+         |    JOIN e ON e.vec_id = a.vec_id) WHERE rk <= 3),
+         |h$np AS (
+         |  SELECT $np AS nprobe, r$np.query_id,
+         |    CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits
+         |  FROM r$np LEFT JOIN exact x
+         |    ON x.query_id = r$np.query_id AND x.vec_id = r$np.vec_id
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val union = probes.map(np =>
+      s"SELECT CAST(nprobe AS BIGINT) AS nprobe, query_id, n_hits, " +
+        s"round(CAST(n_hits AS DOUBLE) / 3.0, 4) AS recall_at_3 FROM h$np")
+      .mkString("\nUNION ALL\n")
+    base + ",\n" + per.mkString(",\n") + "\n" + union +
+      "\nORDER BY nprobe, query_id"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
     "q200_pca_deflate" -> pca2 _,
@@ -1236,6 +1351,7 @@ object Clustering {
       |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q241_nprobe_sweep" -> nprobeSweepSql(Seq(1, 2, 4)),
     "q180_pca_power" -> pcaOracle,
     "q200_pca_deflate" -> pca2Oracle,
     "q114_pq_ann" -> pqAnnSql,

@@ -152,10 +152,77 @@ object PumpOps {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** q244: pump dead-letter accounting — the same pipeline over a
+    * deliberately-corrupted fixture set (every event_id ≡ 0 mod 17
+    * record gets minutes "99" → timestamp parse fails; an extra
+    * hour-"25" file carries copies of the user_id ≡ 3 mod 7 events →
+    * filename hour out of range), classified by
+    * `Transform.withReason` instead of silently dropped (the T5
+    * widening every production pump eventually needs: the reference
+    * drops malformed rows with no trace, clickhouse.go:90-95). The
+    * oracle recomputes each reason's expected count straight from
+    * `events`, so record assembly THROUGH the corruptions is
+    * hash-checked — a torn assembly would shift counts.
+    *
+    * Scale shape: identical to q40 (narrow per-file tasks); the DLQ
+    * view adds one |reasons|-keyed rollup.
+    */
+  def pumpDlq(s: SparkSession, d: String): DataFrame = {
+    val dir = corruptFixtureDir(s, d)
+    val entries = LogPump.parseRecords(
+      graft.ingest.RecordAssembler.readBatch(s, Seq(dir), "*.log")).toDF()
+    graft.etl.Transform.withReason(entries)
+      .groupBy(col("drop_reason"))
+      .agg(count(lit(1)).as("n_records"))
+      .orderBy(col("drop_reason"))
+  }
+
+  /** Corrupted fixture set for q244 (separate memo — q40/q91 keep
+    * their clean files): minute-mangled records preserve the record
+    * boundary shape (99:99. still matches the assembler's start
+    * pattern) so assembly is exercised, only the transform rejects.
+    */
+  private val corruptCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(corruptCache)
+  private def corruptFixtureDir(s: SparkSession, d: String): String =
+    corruptCache.computeIfAbsent((s, d), _ => {
+      // corrupt by regex on the record itself, keyed by the rendered
+      // event id after the '-' separator
+      val corrupted = rendered(s, d)
+        .withColumn("eid",
+          regexp_extract(col("record"), "^[0-9]{2}:[0-9]{2}\\.[0-9]{6}-([0-9]+),", 1)
+            .cast("long"))
+        .select(col("fname"),
+          when(pmod(col("eid"), lit(17)) === 0,
+            regexp_replace(col("record"), "^([0-9]{2}):[0-9]{2}\\.", "$1:99."))
+            .otherwise(col("record")).as("record"))
+      val extraRecords = rendered(s, d)
+        .withColumn("eid",
+          regexp_extract(col("record"), "^[0-9]{2}:[0-9]{2}\\.[0-9]{6}-([0-9]+),", 1)
+            .cast("long"))
+        .join(events(s, d).filter(pmod(col("user_id"), lit(7)) === 3)
+          .select(col("event_id").as("eid"),
+            concat(date_format(col("ts"), "yyMMdd"), lit("25.log")).as("f25")),
+          Seq("eid"))
+        .select(col("f25").as("fname"), col("record"))
+      val perFile = corrupted.unionAll(extraRecords)
+        .groupBy(col("fname"))
+        .agg(concat_ws("\n", collect_list(col("record"))).as("content"))
+        .collect()
+      val dir = java.nio.file.Paths.get(graft.util.TmpDirs.scratch(
+        "pump-dlq-fixtures-" + Integer.toHexString(d.hashCode)))
+      perFile.foreach { r =>
+        Files.writeString(dir.resolve(r.getString(0)), r.getString(1) + "\n")
+      }
+      dir.toString
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pump_roundtrip" -> pumpRoundTrip _,
     "q91_dsv2_roundtrip" -> dsv2RoundTrip _,
     "q76_latest_wins"    -> latestWins _,
+    "q244_pump_dlq"      -> pumpDlq _,
     "q77_partition_prune" -> partitionPrune _)
 
   val oracleSql: Map[String, String] = Map(
@@ -177,7 +244,25 @@ object PumpOps {
         |GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
     "q91_dsv2_roundtrip" -> PumpOracle,
-    "q40_pump_roundtrip" -> PumpOracle)
+    "q40_pump_roundtrip" -> PumpOracle,
+    "q244_pump_dlq" ->
+      """WITH base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS badt
+        |  FROM events),
+        |extra AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS badh
+        |  FROM events WHERE user_id % 7 = 3),
+        |rows_ AS (
+        |  SELECT 'bad_time' AS drop_reason, badt AS n_records FROM base
+        |  UNION ALL
+        |  SELECT 'bad_hour', badh FROM extra
+        |  UNION ALL
+        |  SELECT 'ok', total - badt FROM base)
+        |SELECT drop_reason, n_records FROM rows_
+        |WHERE n_records > 0
+        |ORDER BY drop_reason""".stripMargin)
 
   /** Shared oracle: q40 (wholetext assembly) and q91 (DSv2 connector)
     * must both reproduce this projection of `events` exactly.

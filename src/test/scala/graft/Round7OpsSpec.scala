@@ -466,6 +466,49 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q241: recall is monotone non-decreasing in nprobe") {
+    val rows = graft.ops.Clustering.nprobeSweep(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rs) =>
+      val byProbe = rs.sortBy(_.getAs[Long]("nprobe"))
+        .map(_.getAs[Long]("n_hits"))
+      assert(byProbe.sameElements(byProbe.sorted),
+        s"query $q: hits ${byProbe.toList} not monotone in nprobe")
+      rs.foreach(r => assert(r.getAs[Double]("recall_at_3") <= 1.0))
+    }
+  }
+
+  test("q242: bootstrap SE is non-negative and the mean matches a direct mean") {
+    import org.apache.spark.sql.functions._
+    val rows = Behavior.poissonBootstrap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val direct = graft.util.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg((sum(floor(col("value") * 1e6 + 0.5).cast("long")).cast("double") /
+        (count(lit(1)).cast("double") * 1e6)).as("m"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("m")).toMap
+    rows.foreach { r =>
+      Option(r.getAs[java.lang.Double]("boot_se")).foreach(se => assert(se >= 0.0))
+      assert(math.abs(r.getAs[Double]("mean_value")
+        - direct(r.getAs[String]("event_type"))) < 1e-5)
+    }
+  }
+
+  test("q244: DLQ accounting conserves the record stream") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.PumpOps.pumpDlq(spark, sf).collect()
+      .map(r => r.getAs[String]("drop_reason") -> r.getAs[Long]("n_records")).toMap
+    assert(rows.keySet.subsetOf(Set("ok", "bad_time", "bad_hour")))
+    val ev = graft.util.Tables.events(spark, sf)
+    val n = ev.count()
+    val badT = ev.filter(col("event_id") % 17 === 0).count()
+    val badH = ev.filter(col("user_id") % 7 === 3).count()
+    assert(rows.getOrElse("ok", 0L) == n - badT)
+    assert(rows.getOrElse("bad_time", 0L) == badT)
+    assert(rows.getOrElse("bad_hour", 0L) == badH)
+  }
+
   test("q226: LOO kNN accuracy is bounded and covers every vector") {
     val rows = graft.ops.Similarity.knnLabelEval(spark, sf).collect()
     assert(rows.nonEmpty)
