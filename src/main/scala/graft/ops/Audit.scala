@@ -391,9 +391,67 @@ object Audit {
       .orderBy(col("table_name"))
   }
 
+  /** q243: STREAMING incremental view maintenance — q230's refresh
+    * loop run continuously: the order feed is re-sharded into 4 files
+    * and streamed one file per trigger; every micro-batch aggregates
+    * ONLY its delta and merges it into the stored (versioned) view,
+    * so after 4 triggers the view has been incrementally assembled 4
+    * times without ever rescanning history. Versioned table swaps
+    * (mv_v0 → mv_v1 → …) stand in for a transactional table format's
+    * commit — the read side always sees a complete version, never a
+    * half-written one. The gate proves the final version equals the
+    * full recompute (the IVM contract, now under micro-batch
+    * composition: merge(merge(merge(a,b),c),d) == full — which is
+    * exactly the self-mergeability the decimal count/sum pair
+    * guarantees).
+    *
+    * Scale shape: per trigger, agg(delta) + a |view|-sized merge —
+    * independent of accumulated history size; streaming state is
+    * NONE (the view itself is the state, stored columnar).
+    */
+  def streamMvRefresh(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+      val dir = graft.util.TmpDirs.scratch("stream-mv")
+      val src = s"$dir/src"
+      val o = orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(Dec).as("price"))
+      o.repartition(4).write.mode("overwrite").parquet(src)
+      def rollup(df: DataFrame): DataFrame =
+        df.groupBy(col("month"), col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+      rollup(o.limit(0)).write.mode("overwrite").parquet(s"$dir/mv_v0")
+      val ver = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val v = ver.get()
+          val cur = s.read.parquet(s"$dir/mv_v$v")
+          cur.unionByName(rollup(batch))
+            .groupBy(col("month"), col("status"))
+            .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+            .write.mode("overwrite").parquet(s"$dir/mv_v${v + 1}")
+          ver.incrementAndGet()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$dir/mv_v${ver.get()}")
+        .select(col("month"), col("status"), col("n"),
+          round(col("rev"), 2).cast("double").as("revenue"))
+        .orderBy(col("month"), col("status"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_erasure_sweep" -> erasureSweep _,
     "q230_mv_refresh" -> mvRefresh _,
+    "q243_stream_mv" -> streamMvRefresh _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -405,6 +463,16 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q243 must equal the same full recompute as q230 — shared oracle
+    "q243_stream_mv" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY month, status""".stripMargin,
     "q233_erasure_sweep" ->
       """WITH req AS (
         |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

@@ -707,10 +707,12 @@ object Similarity {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val ham = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
-      .withColumn("hamming", expr(
-        """aggregate(zip_with(qe, embedding,
-          |  (x, y) -> IF((x >= 0F) != (y >= 0F), 1, 0)),
-          |  0, (a, v) -> a + v)""".stripMargin).cast("long"))
+      // codegen'd kernel (graft.functions.SignHamming) — the HOF
+      // zip_with/aggregate form runs interpreted lambdas per element;
+      // integer-exact either way (SimilaritySpec proves ≡), so the
+      // oracle is unchanged
+      .withColumn("hamming", graft.functions.SignHamming.signHamming(
+        col("qe"), col("embedding")))
     val wB = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("vec_id"))
     val top5b = ham.withColumn("rn", row_number().over(wB))

@@ -62,4 +62,36 @@ class CosineSimilaritySpec extends AnyFunSuite {
     val expected = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
     assert(e.eval(null).asInstanceOf[Double] === expected)
   }
+
+  test("sign_hamming: identical to the HOF fold, inside codegen") {
+    import graft.functions.SignHamming.signHamming
+    val hof = expr(
+      """CAST(aggregate(zip_with(a, b,
+        |  (x, y) -> IF((x >= 0F) != (y >= 0F), 1, 0)),
+        |  0, (acc, v) -> acc + v) AS BIGINT)""".stripMargin)
+    val df = pairs.select(signHamming(col("a"), col("b")).as("fast"),
+      hof.as("slow"))
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+    val planDf = pairs.select(signHamming(col("a"), col("b")).as("h"))
+    planDf.collect() // materialize so AQE finalizes the physical plan
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("sign_hamming") && l.contains("*(")), plan)
+  }
+
+  test("sign_hamming: interpreted eval + SQL registration") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.SignHamming(
+      Literal.create(Array(1.0f, -2.0f, 0.0f, -0.5f)),
+      Literal.create(Array(-1.0f, -2.0f, 0.5f, 0.5f)))
+    // dims 0 (+ vs -) and 3 (- vs +) differ; dim 2 is 0 >= 0 vs 0.5 >= 0
+    assert(e.eval(null).asInstanceOf[Long] == 2L)
+    graft.functions.SignHamming.register(spark)
+    graft.util.Tables.embeddings(spark, sf).createOrReplaceTempView("emb2")
+    val n = spark.sql(
+      """SELECT vec_id, sign_hamming(embedding, embedding) AS self
+        |FROM emb2 WHERE vec_id < 5""".stripMargin).collect()
+    assert(n.length == 5)
+    n.foreach(r => assert(r.getAs[Long]("self") == 0L))
+  }
 }
