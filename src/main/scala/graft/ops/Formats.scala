@@ -86,12 +86,60 @@ object Formats {
       .orderBy(col("status"))
   }
 
+  /** q247: small-file compaction — the lake-maintenance loop every
+    * streaming ingest accumulates toward: the event table lands as 64
+    * fragment files (what per-trigger micro-batch writes produce),
+    * compaction rewrites them into 4 right-sized files, and the
+    * report proves (a) the file count collapsed and (b) NOT ONE ROW
+    * moved semantically (row count and an exact decimal value sum per
+    * stage). File counts are structural facts read back from the
+    * filesystem listing, not assumptions.
+    *
+    * Scale shape: compaction is one repartition-by-nothing rewrite —
+    * shuffle bytes = table bytes, the price paid ONCE to stop paying
+    * per-query open/seek costs forever; at warehouse scale it runs
+    * per partition with target-size-driven file counts (the q54
+    * coalesce note, promoted to an operator).
+    */
+  def compaction(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.util.TmpDirs.scratch("compaction")
+    val src = events(s, d).select(col("event_id"), col("event_type"),
+      col("value").cast(Dec).as("v"))
+    src.repartition(64).write.mode("overwrite").parquet(s"$dir/fragmented")
+    s.read.parquet(s"$dir/fragmented")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/compacted")
+    def stageStats(name: String, path: String): DataFrame = {
+      val files = new java.io.File(path).listFiles()
+        .count(f => f.getName.endsWith(".parquet")).toLong
+      s.read.parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("v")), 2).cast("double").as("sum_value"))
+        .select(lit(name).as("stage"), lit(files).as("n_files"),
+          col("n_rows"), col("sum_value"))
+    }
+    stageStats("1_fragmented", s"$dir/fragmented")
+      .unionAll(stageStats("2_compacted", s"$dir/compacted"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_schema_evolution" -> schemaEvolution _,
     "q54_sink_roundtrip" -> sinkRoundTrip _,
+    "q247_compaction" -> compaction _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q247_compaction" ->
+      """WITH agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |      AS sum_value
+        |  FROM events)
+        |SELECT s.stage, s.n_files, agg.n_rows, agg.sum_value
+        |FROM agg, (VALUES ('1_fragmented', CAST(64 AS BIGINT)),
+        |                  ('2_compacted', CAST(4 AS BIGINT))) s(stage, n_files)
+        |ORDER BY s.stage""".stripMargin,
     "q183_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'UNKNOWN'
         |            ELSE o_orderstatus END AS status,

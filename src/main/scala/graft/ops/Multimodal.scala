@@ -370,7 +370,60 @@ object Multimodal {
       .orderBy(col("a"), col("b"))
   }
 
+  final case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long,
+      max_diff: Long)
+
+  /** q249: scene-change detection over the video shard — the
+    * frame-sampling stage (q34) extended to CONSECUTIVE-frame
+    * comparison: each video yields n_chars%8+1 frames of 16 sampled
+    * "pixels" (byte j of frame k at position (k·16+j)·body/(16·F) —
+    * always in bounds, deterministic), the inter-frame difference is
+    * the L1 distance over the 16 samples, and a cut fires above 500.
+    * The shot-segmentation primitive a video-corpus build runs before
+    * per-shot dedup/captioning; the stub sampler drops into a real
+    * decoder unchanged (the Multimodal contract).
+    *
+    * All integer arithmetic — the oracle replays the identical
+    * positions via ascii() (corpus is ASCII, the q140 assumption).
+    *
+    * Scale shape: one compiled narrow mapPartitions; 32 bytes out per
+    * video regardless of payload size.
+    */
+  def sceneCuts(s: SparkSession, d: String, threshold: Long = 500L): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("payload"), col("n_chars"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload, nChars) =>
+          val body = payload.length - 4
+          val f = (nChars % 8 + 1).toInt
+          def sample(k: Int, j: Int): Int =
+            payload(4 + (((k * 16 + j).toLong * body) / (16L * f)).toInt) & 0xff
+          var cuts = 0L
+          var maxDiff = 0L
+          var k = 1
+          while (k < f) {
+            var diff = 0L
+            var j = 0
+            while (j < 16) {
+              diff += math.abs(sample(k, j) - sample(k - 1, j))
+              j += 1
+            }
+            if (diff > threshold) cuts += 1
+            if (diff > maxDiff) maxDiff = diff
+            k += 1
+          }
+          SceneCuts(id, f.toLong, cuts, maxDiff)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_scene_cuts"  -> ((s: SparkSession, d: String) => sceneCuts(s, d)),
     "q223_audio_zcr"   -> ((s: SparkSession, d: String) => audioZcr(s, d)),
     "q224_dhash_neardup" -> ((s: SparkSession, d: String) => dhashNearDup(s, d)),
     "q33_media_meta"   -> mediaMeta _,
@@ -381,6 +434,29 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q249_scene_cuts" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS body,
+        |    CAST(n_chars % 8 + 1 AS BIGINT) AS f
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id, f, k,
+        |    [ascii(substring(text,
+        |       CAST(((k * 16 + j) * body) // (16 * f) + 1 AS INT), 1))
+        |     for j in range(0, 16)] AS px
+        |  FROM v, unnest(range(0, CAST(f AS BIGINT))) t(k)),
+        |d AS (
+        |  SELECT a.doc_id, a.f,
+        |    CAST(list_sum([abs(a.px[j] - b.px[j])
+        |      for j in range(1, 17)]) AS BIGINT) AS diff
+        |  FROM fr a JOIN fr b ON b.doc_id = a.doc_id AND b.k = a.k - 1)
+        |SELECT v.doc_id, v.f AS n_frames,
+        |  CAST(coalesce(sum(CASE WHEN d.diff > 500 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(max(d.diff), 0) AS BIGINT) AS max_diff
+        |FROM v LEFT JOIN d ON d.doc_id = v.doc_id
+        |GROUP BY v.doc_id, v.f
+        |ORDER BY v.doc_id""".stripMargin,
     "q223_audio_zcr" ->
       """WITH a AS (
         |  SELECT doc_id, text, length(text) AS n

@@ -218,11 +218,49 @@ object PumpOps {
       dir.toString
     })
 
+  /** q245: the q244 dead-letter accounting through the STREAMING
+    * techlog DSv2 source — the corrupt fixtures are tailed by the
+    * MicroBatchStream (record-aligned admission and all), every
+    * micro-batch classifies its records with `Transform.withReason`,
+    * and the per-batch reason counts append to the DLQ ledger; the
+    * final rollup must equal the batch q244 accounting exactly
+    * (same oracle). This is the production pump shape: malformed
+    * records become an observable, queryable stream instead of
+    * silent drops.
+    *
+    * Scale shape: per batch, a narrow classify + a |reasons|-keyed
+    * count; the ledger grows by ≤ |reasons| rows per trigger.
+    */
+  def streamDlq(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val dir = corruptFixtureDir(s, d)
+      val out = graft.util.TmpDirs.scratch("stream-dlq-out")
+      val q = s.readStream.format("techlog")
+        .option("idleAdmitMs", "0").load(dir)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.etl.Transform.withReason(batch)
+            .groupBy(col("drop_reason"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("drop_reason"))
+        .agg(sum(col("n")).as("n_records"))
+        .orderBy(col("drop_reason"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_pump_roundtrip" -> pumpRoundTrip _,
     "q91_dsv2_roundtrip" -> dsv2RoundTrip _,
     "q76_latest_wins"    -> latestWins _,
     "q244_pump_dlq"      -> pumpDlq _,
+    "q245_stream_dlq"    -> streamDlq _,
     "q77_partition_prune" -> partitionPrune _)
 
   val oracleSql: Map[String, String] = Map(
@@ -245,7 +283,14 @@ object PumpOps {
         |ORDER BY day, event_type""".stripMargin,
     "q91_dsv2_roundtrip" -> PumpOracle,
     "q40_pump_roundtrip" -> PumpOracle,
-    "q244_pump_dlq" ->
+    "q245_stream_dlq" -> DlqOracle,
+    "q244_pump_dlq" -> DlqOracle)
+
+  /** Shared DLQ oracle: the batch (q244) and streaming (q245) pumps
+    * must produce the identical reason accounting over the corrupt
+    * fixtures.
+    */
+  private lazy val DlqOracle =
       """WITH base AS (
         |  SELECT CAST(count(*) AS BIGINT) AS total,
         |    CAST(sum(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END)
@@ -262,7 +307,7 @@ object PumpOps {
         |  SELECT 'ok', total - badt FROM base)
         |SELECT drop_reason, n_records FROM rows_
         |WHERE n_records > 0
-        |ORDER BY drop_reason""".stripMargin)
+        |ORDER BY drop_reason""".stripMargin
 
   /** Shared oracle: q40 (wholetext assembly) and q91 (DSv2 connector)
     * must both reproduce this projection of `events` exactly.

@@ -160,7 +160,28 @@ object SqlSuite {
         ||> ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** q246: GROUP BY ALL — the analyst-SQL sugar both engines now
+    * share (Spark 3.4+ / DuckDB): every non-aggregate select item
+    * becomes a grouping key, so wide rollups stop repeating their
+    * column lists (and stop silently mis-grouping when an edit adds a
+    * dimension to SELECT but not GROUP BY — the bug class this sugar
+    * exists to kill). Resolution happens in the parser; the plan is
+    * the ordinary hash aggregate.
+    */
+  def groupByAll(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_gba")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem_gba
+        |GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_group_by_all" -> groupByAll _,
     "q195_pipe_sql"  -> pipeSql _,
     "q184_param_sql" -> paramSql _,
     "q94_recursive_cte" -> recursiveCte _,
@@ -172,6 +193,14 @@ object SqlSuite {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q246_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q195_pipe_sql" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)

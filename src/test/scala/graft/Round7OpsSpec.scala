@@ -509,6 +509,51 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows.getOrElse("bad_hour", 0L) == badH)
   }
 
+  test("q245: streaming DLQ accounting equals the batch q244 accounting") {
+    val stream = graft.ops.PumpOps.streamDlq(spark, sf).collect()
+      .map(r => r.getAs[String]("drop_reason") -> r.getAs[Long]("n_records")).toMap
+    val batch = graft.ops.PumpOps.pumpDlq(spark, sf).collect()
+      .map(r => r.getAs[String]("drop_reason") -> r.getAs[Long]("n_records")).toMap
+    assert(stream == batch)
+  }
+
+  test("q246: GROUP BY ALL equals the explicit grouping") {
+    import org.apache.spark.sql.functions._
+    val sugar = graft.ops.SqlSuite.groupByAll(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+    val explicit = graft.util.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(sugar == explicit)
+  }
+
+  test("q247: compaction conserves rows and collapses the file count") {
+    val rows = graft.ops.Formats.compaction(spark, sf).collect()
+    assert(rows.length == 2)
+    val frag = rows.find(_.getAs[String]("stage") == "1_fragmented").get
+    val comp = rows.find(_.getAs[String]("stage") == "2_compacted").get
+    assert(frag.getAs[Long]("n_files") == 64 && comp.getAs[Long]("n_files") == 4)
+    assert(frag.getAs[Long]("n_rows") == comp.getAs[Long]("n_rows"))
+    assert(frag.getAs[Double]("sum_value") == comp.getAs[Double]("sum_value"))
+  }
+
+  test("q249: scene-cut counts are frame-bounded; frame count matches q34's rule") {
+    val rows = graft.ops.Multimodal.sceneCuts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val expected = graft.util.Tables.documents(spark, sf)
+      .filter("doc_id % 3 = 2").selectExpr("doc_id", "n_chars % 8 + 1 AS f")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (id, f, cuts) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_cuts"))
+      assert(f == expected(id))
+      assert(cuts <= math.max(f - 1, 0))
+      assert(r.getAs[Long]("max_diff") >= 0)
+    }
+  }
+
   test("q226: LOO kNN accuracy is bounded and covers every vector") {
     val rows = graft.ops.Similarity.knnLabelEval(spark, sf).collect()
     assert(rows.nonEmpty)
