@@ -448,7 +448,52 @@ object Audit {
         .orderBy(col("month"), col("status"))
     }
 
+  /** q250: STREAMING erasure propagation — q233's deletion-request
+    * cohort enforced on the live event stream: every micro-batch
+    * anti-joins the broadcast request set, erased and kept rows are
+    * ledgered separately, and the final accounting must equal the
+    * batch sweep (shared invariant with q233's events row). The
+    * compliance requirement q233 satisfies for data at rest, applied
+    * to data in motion — both halves of an actual GDPR pipeline.
+    *
+    * Scale shape: the q202 stream-static broadcast discipline with
+    * an anti-join — shuffle-free per micro-batch; the ledger grows
+    * by 2 rows per trigger.
+    */
+  def streamErasure(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val path = s"$d/events.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-erasure")
+      val erased = customer(s, d).filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("k")).cache()
+      erased.count() // materialize once, before the stream starts
+      val q = s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(s"$d/events.parquet*")
+        .select(col("event_id"), col("user_id"))
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val kept = batch.join(broadcast(erased),
+            batch("user_id") === erased("k"), "left_anti")
+          val nKept = kept.count()
+          val nAll = batch.count()
+          import s.implicits._
+          Seq(("erased", nAll - nKept), ("kept", nKept))
+            .toDF("disposition", "n").write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      erased.unpersist()
+      s.read.parquet(out)
+        .groupBy(col("disposition"))
+        .agg(sum(col("n")).as("n_events"))
+        .orderBy(col("disposition"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_stream_erasure" -> streamErasure _,
     "q233_erasure_sweep" -> erasureSweep _,
     "q230_mv_refresh" -> mvRefresh _,
     "q243_stream_mv" -> streamMvRefresh _,
@@ -463,6 +508,18 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q250_stream_erasure" ->
+      """WITH req AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN user_id IN (SELECT k FROM req)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS er
+        |  FROM events)
+        |SELECT 'erased' AS disposition, er AS n_events FROM c
+        |UNION ALL
+        |SELECT 'kept', total - er FROM c
+        |ORDER BY disposition""".stripMargin,
     // q243 must equal the same full recompute as q230 — shared oracle
     "q243_stream_mv" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -814,7 +814,43 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** q248: keyword-in-context (KWIC) concordance — every occurrence
+    * of the query term with its ±2-word window, rolled up to the
+    * most frequent contexts. The corpus-linguistics primitive behind
+    * "how is this term actually used" audits (sense disambiguation,
+    * template detection around a keyword); on a training corpus it
+    * surfaces the boilerplate frames a term lives in.
+    *
+    * Scale shape: one posexplode → ONE (doc)-keyed window pass wires
+    * the neighbors (the per-doc sort every positional-text op
+    * shares) → the filter to the term keeps only its occurrences →
+    * a context-keyed count. Window width is fixed (±2), so row width
+    * is bounded; the wide stage carries term occurrences only.
+    */
+  def kwic(s: SparkSession, d: String, term: String = "key",
+      topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    documents(s, d)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos"), col("word"),
+        lag(col("word"), 2).over(w).as("m2"),
+        lag(col("word"), 1).over(w).as("m1"),
+        lead(col("word"), 1).over(w).as("p1"),
+        lead(col("word"), 2).over(w).as("p2"))
+      .filter(col("word") === term)
+      .select(concat_ws(" ",
+        coalesce(col("m2"), lit("^")), coalesce(col("m1"), lit("^")),
+        col("word"),
+        coalesce(col("p1"), lit("$")), coalesce(col("p2"), lit("$")))
+        .as("context"))
+      .groupBy(col("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("context"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_kwic" -> ((s: SparkSession, d: String) => kwic(s, d)),
     "q231_ngram_novelty" -> ngramNovelty _,
     "q219_readability" -> readability _,
     "q160_lexical_diversity" -> lexicalDiversity _,
@@ -972,6 +1008,24 @@ object TextAnalysis {
       |       FROM sel)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q248_kwic" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word,
+        |    generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS pos
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, pos, word,
+        |    lag(word, 2) OVER w AS m2, lag(word, 1) OVER w AS m1,
+        |    lead(word, 1) OVER w AS p1, lead(word, 2) OVER w AS p2
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |c AS (
+        |  SELECT coalesce(m2, '^') || ' ' || coalesce(m1, '^') || ' ' || word
+        |    || ' ' || coalesce(p1, '$') || ' ' || coalesce(p2, '$') AS context
+        |  FROM n WHERE word = 'key')
+        |SELECT context, CAST(count(*) AS BIGINT) AS n
+        |FROM c GROUP BY 1
+        |ORDER BY n DESC, context
+        |LIMIT 20""".stripMargin,
     "q231_ngram_novelty" ->
       """WITH ws AS (
         |  SELECT doc_id, lang, regexp_split_to_array(text, '\s+') AS w

@@ -554,6 +554,27 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q248: KWIC occurrence total matches a direct term count") {
+    import org.apache.spark.sql.functions._
+    // at sf0.001 the full context list fits inside topK, so the
+    // reported counts must sum to the raw term frequency
+    val rows = TextAnalysis.kwic(spark, sf, "key", topK = 100000).collect()
+    val direct = graft.util.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") === "key").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == direct)
+    rows.foreach(r => assert(r.getAs[String]("context").split(" ")(2) == "key"))
+  }
+
+  test("q250: streaming erasure accounting equals the batch sweep") {
+    val stream = graft.ops.Audit.streamErasure(spark, sf).collect()
+      .map(r => r.getAs[String]("disposition") -> r.getAs[Long]("n_events")).toMap
+    val batch = graft.ops.Audit.erasureSweep(spark, sf).collect()
+      .find(_.getAs[String]("table_name") == "events").get
+    assert(stream("erased") == batch.getAs[Long]("n_erased"))
+    assert(stream("kept") == batch.getAs[Long]("n_remaining"))
+  }
+
   test("q226: LOO kNN accuracy is bounded and covers every vector") {
     val rows = graft.ops.Similarity.knnLabelEval(spark, sf).collect()
     assert(rows.nonEmpty)
