@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.FoldSelfCosine())
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK())
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -60,4 +60,52 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("RewriteWindowTopK plans the row_number idiom as the bounded-heap exec") {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val df = s.range(1000)
+        .select((col("id") % 7).as("g"), (col("id") * 37 % 101).as("v"),
+          col("id"))
+      def idiom(d: org.apache.spark.sql.DataFrame) = d
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") <= 3)
+        .select(col("g"), col("v"), col("id"))
+      val rewritten = idiom(df)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), plan)
+      assert(!plan.contains("Window"), plan)
+      // row-identical to the un-rewritten window form
+      s.conf.set("spark.graft.rewriteWindowTopK", "false")
+      val reference = idiom(df)
+      assert(!reference.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = reference.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+      s.conf.set("spark.graft.rewriteWindowTopK", "true")
+      // guard: keeping rn in the output must PREVENT the rewrite
+      val keepsRn = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") <= 3)
+        .select(col("g"), col("rn"))
+      assert(!keepsRn.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      // guard: a float partition key must prevent the rewrite
+      val floatKey = df.select(col("g").cast("double").as("g"), col("v"), col("id"))
+      assert(!idiom(floatKey).queryExecution.executedPlan.toString
+        .contains("TopKPerGroup"))
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
 }
