@@ -598,6 +598,45 @@ object EventAnalytics {
       .orderBy(col("lag_days"))
   }
 
+  /** q252: event debouncing — telemetry streams double-fire (retry
+    * storms, UI jitter): per (user, type), maximal bursts of events
+    * whose consecutive gaps are ≤ 1 s collapse to their head event
+    * (gaps-and-islands, the q181 island key on raw gaps), and the
+    * report counts kept vs suppressed per type plus the worst burst.
+    * The dedup-adjacent op q159/q182 (exact-key dedup) cannot
+    * express: these are DISTINCT events that are semantically one.
+    *
+    * Determinism: integer µs gaps, integer island arithmetic; the
+    * kept-share is one division of exact integers.
+    *
+    * Scale shape: one (user, type)-keyed window (the per-user family
+    * shuffle), then a |types|-keyed rollup over island heads.
+    */
+  def debounce(s: SparkSession, d: String, windowUs: Long = 1000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("head",
+        when(col("gap").isNull || col("gap") > windowUs, 1L).otherwise(0L))
+      .withColumn("island", sum(col("head")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("event_type"), col("user_id"), col("island"))
+      .agg(count(lit(1)).as("burst_len"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("burst_len")).as("n_events"),
+        count(lit(1)).as("n_kept"),
+        max(col("burst_len")).as("max_burst"))
+      .select(col("event_type"), col("n_events"), col("n_kept"),
+        (col("n_events") - col("n_kept")).as("n_suppressed"),
+        col("max_burst"),
+        round(col("n_kept").cast("double") / col("n_events").cast("double"), 6)
+          .as("kept_share"))
+      .orderBy(col("event_type"))
+  }
+
   /** q221: stationary distribution of the q116 session-transition
     * chain by power iteration, in EXACT integer arithmetic (the q130
     * PageRank discipline): transition probabilities quantize to 1e-6
@@ -1323,6 +1362,7 @@ object EventAnalytics {
     "q221_markov_stationary" -> ((s: SparkSession, d: String) => markovStationary(s, d)),
     "q237_transition_dwell" -> transitionDwell _,
     "q238_multitouch_decay" -> multiTouchDecay _,
+    "q252_debounce" -> ((s: SparkSession, d: String) => debounce(s, d)),
     "q117_value_trend"     -> valueTrend _,
     "q118_time_weighted"   -> timeWeightedAvg _,
     "q113_attribution"     -> attribution _,
@@ -1348,6 +1388,33 @@ object EventAnalytics {
 
   val oracleSql: Map[String, String] = Map(
     "q221_markov_stationary" -> stationaryOracle(12),
+    "q252_debounce" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lg IS NULL OR us - lg > 1000000
+        |                 THEN 1 ELSE 0 END AS head
+        |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id, event_type
+        |          ORDER BY us, event_id) AS lg FROM e)),
+        |i AS (
+        |  SELECT *, sum(head) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g),
+        |b AS (
+        |  SELECT event_type, user_id, island,
+        |    CAST(count(*) AS BIGINT) AS burst_len
+        |  FROM i GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(sum(burst_len) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(burst_len) - count(*) AS BIGINT) AS n_suppressed,
+        |  CAST(max(burst_len) AS BIGINT) AS max_burst,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(burst_len) AS DOUBLE), 6)
+        |    AS kept_share
+        |FROM b GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     "q237_transition_dwell" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

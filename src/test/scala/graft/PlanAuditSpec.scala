@@ -68,7 +68,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q217_kaplan_meier", // life table packed to ONE calendar-bounded array row (scaladoc)
       "q220_assortativity", // 1-row moment aggregate (partials map-side)
       "q236_grouped_split", // 1-row max-folds-per-cluster audit aggregate
-      "q247_compaction") // two 1-row per-stage conservation aggregates
+      "q247_compaction", // two 1-row per-stage conservation aggregates
+      "q251_skew_report") // 1-row diagnosis aggregate over the distinct-key table
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark

@@ -575,6 +575,31 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(stream("kept") == batch.getAs[Long]("n_remaining"))
   }
 
+  test("q251: skew report is self-consistent with the raw histogram") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.Skew.joinSkewReport(spark, sf).collect()(0)
+    val li = graft.util.Tables.lineitem(spark, sf)
+    assert(r.getAs[Long]("n_rows") == li.count())
+    assert(r.getAs[Long]("n_keys") == li.select("l_orderkey").distinct().count())
+    assert(r.getAs[Long]("max_rows") >= 1)
+    assert(r.getAs[Double]("skew_factor") >= 1.0)
+    assert(r.getAs[Double]("p99") >= r.getAs[Double]("p50"))
+  }
+
+  test("q252: debounce conserves events; suppression is burst-consistent") {
+    val rows = graft.ops.EventAnalytics.debounce(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.util.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_suppressed")
+        == r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("max_burst") >= 1)
+      val share = r.getAs[Double]("kept_share")
+      assert(share > 0.0 && share <= 1.0)
+    }
+  }
+
   test("q226: LOO kNN accuracy is bounded and covers every vector") {
     val rows = graft.ops.Similarity.knnLabelEval(spark, sf).collect()
     assert(rows.nonEmpty)
