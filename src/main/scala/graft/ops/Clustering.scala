@@ -1143,7 +1143,79 @@ object Clustering {
       "\nORDER BY nprobe, query_id"
   }
 
+  /** Sign-bit code table (vec_id, lo, hi): 16 bytes per vector — the
+    * 32×-compressed stored representation of the q239 binary tier.
+    */
+  private def signCodes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var lo = 0L; var hi = 0L
+          var i = 0
+          val n = math.min(v.length, 64)
+          while (i < n) {
+            if (v(i) >= 0f) { if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32) }
+            i += 1
+          }
+          (id, lo, hi)
+        }
+      }.toDF("vec_id", "lo", "hi")
+  }
+
+  private val binMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(binMemo)
+  private[graft] def ensureBinaryIndex(s: SparkSession, d: String): String =
+    binMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_bin_codes_", d)
+      recreateBucketed(s, name, signCodes(s, d), "vec_id")
+      name
+    })
+
+  /** q253: persisted binary index probe — the q239 sign-bit search
+    * served from a STORED 16-byte-per-vector code table (the third
+    * persisted index family after IVF q203/q215 and PQ q204/q216):
+    * the Hamming ranking reads ONLY the code table (bit_count over
+    * two xors, pure codegen bit ops — float vectors never enter the
+    * scan), and the result must equal q239's from-floats computation
+    * exactly (shared oracle). Exact-baseline recall still reads the
+    * 10 query embeddings — that is the EVAL, not the serving path.
+    *
+    * Scale shape: the serving scan is 16 B/vector — a 100 TB float
+    * corpus becomes a ~3 TB code sweep, the brute-force-is-feasible
+    * regime that makes binary codes the first-stage filter in front
+    * of exact rerank.
+    */
+  def binaryIndexProbe(s: SparkSession, d: String): DataFrame = {
+    val codes = s.table(ensureBinaryIndex(s, d))
+    val q = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+        col("hi").as("qhi"))
+    val ham = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(expr("lo ^ qlo")) + bit_count(expr("hi ^ qhi"))).cast("long"))
+    val wB = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val top5b = ham.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+    val exact = Similarity.knnBrute(s, d)
+      .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+    top5b.join(broadcast(exact),
+        col("query_id") === col("eq") && col("vec_id") === col("en"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("en").isNotNull, 1L).otherwise(0L)).as("hits"),
+        sum(col("hamming")).as("sh"))
+      .select(col("query_id"),
+        round(col("hits").cast("double") / 5.0, 4).as("recall_at_5"),
+        round(col("sh").cast("double") / 5.0, 4).as("mean_hamming_top5"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_binary_index" -> binaryIndexProbe _,
     "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
@@ -1351,6 +1423,9 @@ object Clustering {
       |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q253 serves the SAME binary search from the persisted code
+    // table — it must be indistinguishable from q239's from-floats run
+    "q253_binary_index" -> Similarity.oracleSql("q239_binary_quant"),
     "q241_nprobe_sweep" -> nprobeSweepSql(Seq(1, 2, 4)),
     "q180_pca_power" -> pcaOracle,
     "q200_pca_deflate" -> pca2Oracle,

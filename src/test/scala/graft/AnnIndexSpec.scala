@@ -83,6 +83,25 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(again == full) // memo idempotency: no double-append
   }
 
+  test("q253 binary probe serves from the persisted code table, equal to q239") {
+    val fromIndex = Clustering.binaryIndexProbe(spark, sf).collect().toSeq
+    val builds = Clustering.indexBuilds.get()
+    val fromFloats = graft.ops.Similarity.binaryQuantRecall(spark, sf).collect().toSeq
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex == fromFloats,
+      "the stored 16-byte codes must reproduce the from-floats search exactly")
+    // repeat probes reuse the memoized table — no rebuild
+    val again = Clustering.binaryIndexProbe(spark, sf)
+    val rows2 = again.collect().toSeq
+    assert(rows2 == fromFloats)
+    assert(Clustering.indexBuilds.get() == builds, "probe must not rebuild")
+    // the Hamming ranking subtree reads the code table; the only
+    // embeddings access is the 10-query exact-recall EVAL side
+    val plan = again.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bin_codes_"),
+      s"probe must scan the persisted code table:\n$plan")
+  }
+
   test("PQ probe plan reads the code table; only query subvectors touch the codebook") {
     Clustering.ensurePqIndex(spark, sf)
     val df = Clustering.pqProbe(spark, sf)
