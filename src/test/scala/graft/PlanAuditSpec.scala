@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q229_type_xcorr", // hour-grid × broadcast |types|-row catalog (gap-fill, q48 shape)
     "q236_grouped_split", // broadcast 1-row cluster-span audit scalar
     "q239_binary_quant", // q30's broadcast 10-query =!= join (Hamming branch)
-    "q241_nprobe_sweep") // q52's broadcast centroid table + q30's broadcast query joins
+    "q241_nprobe_sweep", // q52's broadcast centroid table + q30's broadcast query joins
+    "q253_binary_index") // q30's broadcast 10-query =!= join over the 16-byte code table
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
