@@ -1098,19 +1098,19 @@ object Clustering {
     val base =
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id % 50 = 0),
-        |assign AS (
+        |assign AS MATERIALIZED (
         |  SELECT vec_id, cell FROM (
         |    SELECT e.vec_id, c.cent_id AS cell,
         |      row_number() OVER (PARTITION BY e.vec_id
         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
         |    FROM e CROSS JOIN cents c) WHERE rn = 1),
         |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id % 100 = 7),
-        |prk AS (
+        |prk AS MATERIALIZED (
         |  SELECT q.query_id, c.cent_id AS cell,
         |    row_number() OVER (PARTITION BY q.query_id
         |      ORDER BY ${cosSql("q.qe", "c.ce")} DESC, c.cent_id) AS rn
         |  FROM qs q CROSS JOIN cents c),
-        |exact AS (
+        |exact AS MATERIALIZED (
         |  SELECT query_id, vec_id FROM (
         |    SELECT q.query_id, e.vec_id,
         |      row_number() OVER (PARTITION BY q.query_id

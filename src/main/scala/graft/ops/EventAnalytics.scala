@@ -710,14 +710,15 @@ object EventAnalytics {
         |    lag(event_type) OVER (PARTITION BY user_id, sess
         |      ORDER BY us, event_id) AS from_type
         |  FROM s),
-        |tc AS (
+        |tc AS MATERIALIZED (
         |  SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n
         |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
-        |states AS (SELECT DISTINCT from_type AS st FROM tc
+        |states AS MATERIALIZED (SELECT DISTINCT from_type AS st FROM tc
         |           UNION SELECT DISTINCT to_type FROM tc),
         |rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
         |       FROM tc GROUP BY 1),
-        |pr AS (SELECT tc.from_type, tc.to_type, (tc.n * 1000000) // rt.tot AS pr
+        |pr AS MATERIALIZED (
+        |       SELECT tc.from_type, tc.to_type, (tc.n * 1000000) // rt.tot AS pr
         |       FROM tc JOIN rt USING (from_type)),
         |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
         |r0 AS (SELECT st, 1000000000000 // k AS p FROM states CROSS JOIN kk)"""

@@ -394,22 +394,28 @@ object Graph {
 
   /** Mechanically generated bounded-round peel oracle for q227 — the
     * identical recurrence as SQL CTEs, so both engines provably run
-    * the same 8 rounds.
+    * the same 8 rounds. Every alive-set CTE is MATERIALIZED: each
+    * a$i is referenced TWICE by the next round's degree join, and
+    * DuckDB inlines non-materialized CTEs per reference — 2^rounds
+    * recomputation that exhausts temp space at sf0.1 (the q200
+    * oracle's lesson, reapplied).
     */
   private[graft] def kcoreOracle(k: Int, rounds: Int): String = {
     val base =
-      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem),
-        |e AS (SELECT a.p AS u, b.p AS v FROM li a
+        |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM li a
         |      JOIN li b ON a.o = b.o AND a.p < b.p
         |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |adj AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
-        |a0 AS (SELECT DISTINCT s AS n FROM adj)""".stripMargin
+        |adj AS MATERIALIZED (SELECT u AS s, v AS t FROM e
+        |      UNION ALL SELECT v, u FROM e),
+        |a0 AS MATERIALIZED (SELECT DISTINCT s AS n FROM adj)""".stripMargin
     val iterCtes = (1 to rounds).map { i =>
-      s"""d$i AS (SELECT adj.s, CAST(count(*) AS BIGINT) AS deg FROM adj
+      s"""d$i AS MATERIALIZED (
+         |  SELECT adj.s, CAST(count(*) AS BIGINT) AS deg FROM adj
          |  JOIN a${i - 1} x ON adj.s = x.n JOIN a${i - 1} y ON adj.t = y.n
          |  GROUP BY 1),
-         |a$i AS (SELECT s AS n FROM d$i WHERE deg >= $k)""".stripMargin
+         |a$i AS MATERIALIZED (SELECT s AS n FROM d$i WHERE deg >= $k)""".stripMargin
     }
     base + ",\n" + iterCtes.mkString(",\n") +
       s"\nSELECT s AS p_key, deg FROM d$rounds WHERE deg >= $k ORDER BY p_key"

@@ -149,22 +149,57 @@ object Temporal {
     * round(...,4) on knife-edge values across core counts; decimal
     * addition is exact and order-free, and 1e-6 term quantization is
     * noise against the 1e-4 report rounding.
+    *
+    * The decay weights (1-α)^k do NOT come from libm `pow` — JVM and
+    * DuckDB `pow` are each within 1 ulp but not identical, and at
+    * sf0.1 three users landed a term exactly on the 1e-6 quantization
+    * boundary (34.1535 vs 34.1536 after the final round). Instead the
+    * weights are an EXACT 12-dp decimal chain, w_k = round(w_{k-1}·
+    * (1-α), 12), built once (driver-side here, a recursive CTE in the
+    * oracle — identical by construction) and dead at k≈95 where the
+    * chain hits 0 — so the table is ~100 entries at ANY corpus size
+    * and rows older than that take weight 0 exactly, on both engines.
     */
   def ewmaSmooth(s: SparkSession, d: String, alpha: Double = 0.3): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wAll = Window.partitionBy(col("user_id"))
-    val decay = lit(1.0 - alpha)
+    // exact decimal weight chain: platform-free, underflows to 0
+    val decayBd = java.math.BigDecimal.valueOf(1.0 - alpha)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    val weights = scala.collection.mutable.ArrayBuffer(
+      java.math.BigDecimal.ONE.setScale(12))
+    while (weights.last.signum > 0 && weights.size < 200)
+      weights += weights.last.multiply(decayBd)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    val wArr = array(weights.map(w => lit(w.doubleValue)).toSeq: _*)
+    val kFirst = col("n") - 1
+    val kRest = col("n") - col("rn")
+    def weight(k: org.apache.spark.sql.Column) =
+      when(k < weights.size, element_at(wArr, (k + 1).cast("int")))
+        .otherwise(lit(0.0))
+    val Dec19 = DataTypes.createDecimalType(19, 0)
+    val term = when(col("rn") === 1, weight(kFirst) * col("value"))
+      .otherwise(lit(alpha) * weight(kRest) * col("value"))
     events(s, d)
       .select(col("user_id"), col("value"),
         row_number().over(wOrd).as("rn"),
         count(lit(1)).over(wAll).as("n"))
+      // explicit floor(x·1e6 + ½) micro-unit quantization (the
+      // q117/q194 discipline): the earlier CAST(term AS DECIMAL)
+      // left the half-way rule to each engine's double→decimal
+      // conversion, which disagreed on one knife-edge row at sf0.1
+      .select(col("user_id"), col("n"),
+        floor(term * 1e6 + 0.5).cast("long").as("tu"))
       .groupBy(col("user_id"))
       .agg(max(col("n")).as("n_events"),
-        round(sum(
-          when(col("rn") === 1, pow(decay, col("n") - 1) * col("value"))
-            .otherwise(lit(alpha) * pow(decay, col("n") - col("rn")) * col("value"))
-            .cast(Dec)).cast("double"), 4)
-          .as("ewma"))
+        sum(col("tu").cast(Dec19)).as("su"))
+      // report in exact 1e-4 units assembled BY INTEGER ARITHMETIC
+      // (values are non-negative, so +50 div 100 is round-half-up);
+      // the final double is the same integer divided by 1e4 on both
+      // engines — no engine round() ever touches a knife edge
+      .select(col("user_id"), col("n_events"),
+        ((col("su") + 50).cast(Dec19) / 100).cast("long").cast("double")
+          ./(lit(1e4)).as("ewma"))
       .orderBy(col("user_id"))
   }
 
@@ -722,16 +757,29 @@ object Temporal {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     "q107_ewma" ->
-      """WITH e AS (
+      """WITH RECURSIVE e AS (
         |  SELECT user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
         |    count(*) OVER (PARTITION BY user_id) AS n
-        |  FROM events)
-        |SELECT user_id, max(n) AS n_events,
-        |  round(CAST(sum(CAST(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value
-        |                 ELSE 0.3 * power(0.7, n - rn) * value END
-        |             AS DECIMAL(28,6))) AS DOUBLE), 4) AS ewma
-        |FROM e
+        |  FROM events),
+        |w0(k, wt) AS (
+        |  SELECT 0, CAST(1 AS DECIMAL(14,12))
+        |  UNION ALL
+        |  SELECT k + 1, CAST(round(wt * 0.7, 12) AS DECIMAL(14,12))
+        |  FROM w0 WHERE wt > 0 AND k < 200),
+        |t AS (
+        |  SELECT e.user_id, e.n,
+        |    CAST(floor((CASE WHEN e.rn = 1
+        |         THEN coalesce(CAST(w1.wt AS DOUBLE), 0) * e.value
+        |         ELSE 0.3 * coalesce(CAST(w2.wt AS DOUBLE), 0) * e.value
+        |    END) * 1000000 + 0.5) AS BIGINT) AS tu
+        |  FROM e
+        |  LEFT JOIN w0 w1 ON w1.k = e.n - 1 AND e.rn = 1
+        |  LEFT JOIN w0 w2 ON w2.k = e.n - e.rn AND e.rn <> 1)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST((CAST(sum(tu) AS BIGINT) + 50) // 100 AS DOUBLE) / 10000
+        |    AS ewma
+        |FROM t
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     "q44_asof_join" ->
