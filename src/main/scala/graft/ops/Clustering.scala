@@ -467,8 +467,7 @@ object Clustering {
     * survives — CTAS refuses a non-empty managed location), then
     * (re)create `name` from `df` bucketed+sorted by `bucketCol`.
     */
-  private def recreateBucketed(s: SparkSession, name: String,
-      df: DataFrame, bucketCol: String): Unit = {
+  private def dropAndCleanLocation(s: SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val whPath =
@@ -481,8 +480,26 @@ object Clustering {
         .sortBy(_.getNameCount)(Ordering[Int].reverse)
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  private def recreateBucketed(s: SparkSession, name: String,
+      df: DataFrame, bucketCol: String): Unit = {
+    dropAndCleanLocation(s, name)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(8, bucketCol).sortBy(bucketCol).saveAsTable(name)
+    indexBuilds.incrementAndGet()
+  }
+
+  /** Partition-directory index layout (the q254-q256 erasure tables):
+    * one directory per partition value, so a DELETE is a rewrite of
+    * ONLY the directories that contain erased keys — the file-level
+    * selectivity the sweep spec asserts on.
+    */
+  private def recreatePartitioned(s: SparkSession, name: String,
+      df: DataFrame, partCol: String): Unit = {
+    dropAndCleanLocation(s, name)
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partCol).saveAsTable(name)
     indexBuilds.incrementAndGet()
   }
 
@@ -760,14 +777,15 @@ object Clustering {
     */
   private[graft] def pqProbeOn(s: SparkSession, d: String, codesTable: String,
       m: Int = 8, sub: Int = 8,
-      nCent: Int = 16, nQuery: Int = 5, topK: Int = 3): DataFrame = {
+      nCent: Int = 16, nQuery: Int = 5, topK: Int = 3,
+      qMin: Int = 0): DataFrame = {
     val codes = s.table(codesTable)
     val e = embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val sv = subvectors(e, m, sub)
     val cb = sv.filter(col("vec_id") < nCent)
       .select(col("vec_id").cast("int").as("cid"), col("m"), col("sv").as("csv"))
-    val lut = sv.filter(col("vec_id") < nQuery)
+    val lut = sv.filter(col("vec_id") >= qMin && col("vec_id") < nQuery)
       .join(broadcast(cb), Seq("m"))
       .withColumn("ld", round(dist2Col(col("sv"), col("csv")), 6))
       .select(col("vec_id").as("qid"), col("m"), col("cid"), col("ld"))
@@ -1152,9 +1170,18 @@ object Clustering {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) =>
+          // The stored code is exactly two 64-bit words; q253 shares
+          // q239's oracle, which folds the FULL vector. A dim > 64
+          // would silently truncate the persisted index into a
+          // different (weaker) ranking than the oracle — fail loudly
+          // instead (widening to ceil(dim/64) words is the upgrade
+          // path if the fixture dim ever grows).
+          require(v.length <= 64,
+            s"signCodes: embedding dim ${v.length} exceeds the 64-bit " +
+              "(lo, hi) code capacity; widen the code table before use")
           var lo = 0L; var hi = 0L
           var i = 0
-          val n = math.min(v.length, 64)
+          val n = v.length
           while (i < n) {
             if (v(i) >= 0f) { if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32) }
             i += 1
@@ -1188,9 +1215,15 @@ object Clustering {
     * regime that makes binary codes the first-stage filter in front
     * of exact rerank.
     */
-  def binaryIndexProbe(s: SparkSession, d: String): DataFrame = {
-    val codes = s.table(ensureBinaryIndex(s, d))
-    val q = codes.filter(col("vec_id") < 10)
+  /** Top-k Hamming ranking against an ALREADY-BUILT sign-bit code
+    * table — shared by the q253 persisted probe and the q256 swept
+    * (post-erasure) one. The ranking scan reads ONLY the 16-byte code
+    * rows; queries are whichever code rows satisfy `qPred`.
+    */
+  private[graft] def binaryTopOn(s: SparkSession, codesTable: String,
+      qPred: Column, topK: Int = 5): DataFrame = {
+    val codes = s.table(codesTable)
+    val q = codes.filter(qPred)
       .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
         col("hi").as("qhi"))
     val ham = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -1198,9 +1231,15 @@ object Clustering {
         (bit_count(expr("lo ^ qlo")) + bit_count(expr("hi ^ qhi"))).cast("long"))
     val wB = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("vec_id"))
-    val top5b = ham.withColumn("rn", row_number().over(wB))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("vec_id"), col("hamming"))
+    ham.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("rn").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("hamming"))
+  }
+
+  def binaryIndexProbe(s: SparkSession, d: String): DataFrame = {
+    val top5b = binaryTopOn(s, ensureBinaryIndex(s, d), col("vec_id") < 10)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"), col("hamming"))
     val exact = Similarity.knnBrute(s, d)
       .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
     top5b.join(broadcast(exact),
@@ -1214,8 +1253,148 @@ object Clustering {
       .orderBy(col("query_id"))
   }
 
+  // ---- q254-q256: GDPR erasure propagated into the persisted ANN
+  // indexes — the lifecycle's missing verb after build (q203/q204/
+  // q253), serve (q212), and grow (q215/q216). The q233 deletion
+  // cohort on the vector table (vec_id ≡ 0 mod 97, the same key
+  // discipline as the customer sweep) must stop being SERVED: each
+  // index family is laid out as a PARTITIONED table (IVF: one
+  // directory per cell — the classic inverted-list file layout; code
+  // tables: pmod(vec_id, 8) partition groups), and the sweep is a
+  // broadcast anti-join rewrite of ONLY the partitions that contain an
+  // erased key — never a rebuild (no re-assignment, no re-encode, no
+  // vector reads), never a touch of clean partitions (the spec
+  // asserts untouched files byte-for-byte).
+  //
+  // Scale shape: delete cost is O(affected inverted lists), the
+  // tombstone-free rewrite a columnar store actually performs; the
+  // model parameters (centroids, codebook) are frozen artifacts with
+  // their own lifecycle — erasing a member's ROWS from the index is
+  // the serving guarantee GDPR requires, and it is exactly what
+  // "rebuild from the swept corpus under the same frozen model"
+  // produces, which is how the gate proves the sweep complete.
+
+  /** Partition rewrites performed by sweeps — lets specs PROVE the
+    * delete was partition-selective, not a table rewrite.
+    */
+  private[graft] val sweepPartitionsRewritten =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The deletion-request cohort on the vector table (q233's key
+    * discipline): vec_id ≡ 0 mod 97, as a broadcastable key list.
+    */
+  private[graft] def erasedVecIds(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("k"))
+
+  /** Delete every index row whose `keyCol` is in `cohort` by
+    * rewriting ONLY the partitions that contain one: (1) find the
+    * affected partition values (a bounded driver list — ≤ |cells| /
+    * |partition groups|); (2) anti-join those partitions' rows
+    * against the broadcast cohort into a scratch dir (Spark refuses
+    * INSERT OVERWRITE reading from the target table, and at scale the
+    * kept rows must be materialized once, not recomputed per
+    * partition); (3) statically INSERT OVERWRITE each affected
+    * partition from the scratch copy — static, not dynamic, so a
+    * partition whose every row was erased still gets emptied.
+    */
+  private[graft] def sweepIndexPartitions(s: SparkSession, table: String,
+      keyCol: String, partCol: String, cohort: DataFrame): Unit = {
+    val t = s.table(table)
+    val affected = t.join(broadcast(cohort), t(keyCol) === cohort("k"))
+      .select(col(partCol)).distinct().collect().map(_.getLong(0)).sorted
+    if (affected.nonEmpty) {
+      val dataCols = t.columns.filterNot(_ == partCol)
+      val scratch = graft.util.TmpDirs.scratch(s"sweep_$table")
+      val hit = t.filter(col(partCol).isin(affected: _*))
+      hit.join(broadcast(cohort), hit(keyCol) === cohort("k"), "left_anti")
+        .write.mode("overwrite").parquet(scratch)
+      val keptView = s"kept_$table"
+      s.read.parquet(scratch).createOrReplaceTempView(keptView)
+      affected.foreach { pv =>
+        s.sql(s"INSERT OVERWRITE TABLE $table PARTITION ($partCol=$pv) " +
+          s"SELECT ${dataCols.mkString(", ")} FROM $keptView WHERE $partCol = $pv")
+      }
+      sweepPartitionsRewritten.addAndGet(affected.length)
+    }
+  }
+
+  /** Build the three erasure-capable index tables (pre-sweep). */
+  private[graft] def buildEraseIndexes(s: SparkSession, d: String)
+      : (String, String, String) = {
+    val ivf = tableNameFor("graft_ivf_swept_", d)
+    recreatePartitioned(s, ivf, ivfAssignment(s, d), "cell")
+    val pq = tableNameFor("graft_pq_swept_", d)
+    recreatePartitioned(s, pq,
+      pqCodes(s, d).withColumn("pg", pmod(col("vec_id"), lit(8))), "pg")
+    val bin = tableNameFor("graft_bin_swept_", d)
+    recreatePartitioned(s, bin,
+      signCodes(s, d).withColumn("pg", pmod(col("vec_id"), lit(8))), "pg")
+    (ivf, pq, bin)
+  }
+
+  /** Propagate the deletion cohort into all three families. */
+  private[graft] def sweepEraseIndexes(s: SparkSession, d: String,
+      tables: (String, String, String)): Unit = {
+    val cohort = erasedVecIds(s, d)
+    sweepIndexPartitions(s, tables._1, "vec_id", "cell", cohort)
+    sweepIndexPartitions(s, tables._2, "vec_id", "pg", cohort)
+    sweepIndexPartitions(s, tables._3, "vec_id", "pg", cohort)
+  }
+
+  private val sweptMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String, String)]()
+  graft.util.CacheRegistry.registerMemo(sweptMemo)
+
+  private[graft] def ensureSweptIndexes(s: SparkSession, d: String)
+      : (String, String, String) =
+    sweptMemo.computeIfAbsent((s, d), _ => {
+      val t = buildEraseIndexes(s, d)
+      sweepEraseIndexes(s, d, t)
+      t
+    })
+
+  /** q254: IVF probe against the SWEPT inverted lists — q203's search
+    * (same queries, nprobe=2, top-3) after the deletion cohort was
+    * anti-join-deleted from the cell table. Gated by the q52 oracle
+    * recomputed over the swept corpus (frozen centroids): serving
+    * from the swept index must be indistinguishable from an index
+    * rebuilt from a corpus that never contained the erased vectors.
+    */
+  def ivfErasureProbe(s: SparkSession, d: String): DataFrame = {
+    val (ivf, _, _) = ensureSweptIndexes(s, d)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfProbeOn(s, d, ivf, qs).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q255: ADC probe against the SWEPT PQ code table (erased codes
+    * deleted partition-locally; codebook frozen). Queries are vec_id
+    * 1-5 — vec 0 is itself in the deletion cohort, and an erased
+    * member's embedding must not be used as a probe either.
+    */
+  def pqErasureProbe(s: SparkSession, d: String): DataFrame = {
+    val (_, pq, _) = ensureSweptIndexes(s, d)
+    pqProbeOn(s, d, pq, nQuery = 6, qMin = 1)
+  }
+
+  /** q256: Hamming top-5 from the SWEPT sign-bit code table (queries
+    * vec_id 1-9, cohort-free). Oracle recomputes the sign mismatch
+    * count from the float vectors over the swept corpus — proving the
+    * swept 16-byte rows still encode exactly the right survivors.
+    */
+  def binaryErasureProbe(s: SparkSession, d: String): DataFrame = {
+    val (_, _, bin) = ensureSweptIndexes(s, d)
+    binaryTopOn(s, bin, col("vec_id") >= 1 && col("vec_id") < 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q253_binary_index" -> binaryIndexProbe _,
+    "q254_ivf_erasure" -> ivfErasureProbe _,
+    "q255_pq_erasure" -> pqErasureProbe _,
+    "q256_binary_erasure" -> binaryErasureProbe _,
     "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
@@ -1390,8 +1569,13 @@ object Clustering {
       |WHERE r.rn <= 3
       |ORDER BY query_id, rank""".stripMargin
 
-  /** q52's full pipeline SQL — shared with q203 for the same reason. */
-  private def ivfAnnSql: String =
+  /** q52's full pipeline SQL — shared with q203 for the same reason.
+    * `keptPred` restricts the INDEXED corpus (q254's erasure: the
+    * deletion cohort never enters the assign set, while centroids and
+    * queries stay on the frozen/full definitions).
+    */
+  private def ivfAnnSql: String = ivfAnnSqlFor("TRUE")
+  private def ivfAnnSqlFor(keptPred: String): String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
       |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id % 50 = 0),
       |assign AS (
@@ -1399,7 +1583,7 @@ object Clustering {
       |    SELECT e.vec_id, c.cent_id AS cell,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
-      |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+      |    FROM e CROSS JOIN cents c) WHERE rn = 1 AND ($keptPred)),
       |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id % 100 = 7),
       |probes AS (
       |  SELECT query_id, cell FROM (

@@ -668,8 +668,13 @@ object EventAnalytics {
     val rowTot = new Array[Long](k)
     counts.foreach { case (f, _, n) => rowTot(idx(f)) += n }
     val pr = Array.ofDim[Long](k, k)
+    // BigInt for the prob construction: n·10⁶ overflows a Long once a
+    // single transition count passes ~9.2e12, and the "bounded at ANY
+    // corpus size" claim below must cover this step too, not just the
+    // p·pr products. Driver-side over |types|² entries, so the BigInt
+    // cost is nil; the quotient itself is ≤ 10⁶ and fits trivially.
     counts.foreach { case (f, t, n) =>
-      pr(idx(f))(idx(t)) = n * 1000000L / rowTot(idx(f)) }
+      pr(idx(f))(idx(t)) = (BigInt(n) * 1000000 / rowTot(idx(f))).toLong }
     var p = Array.fill(k)(1000000000000L / k)
     var it = 0
     while (it < iters) {

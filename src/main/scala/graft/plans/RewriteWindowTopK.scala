@@ -3,7 +3,6 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** Domain optimizer rule (extension tier (c)): rewrites the universal
   * top-k-per-group SQL idiom
@@ -26,9 +25,12 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   *    downstream can observe the rank values themselves (row_number
   *    on a non-total ORDER BY is tie-arbitrary in BOTH forms, so the
   *    nondeterminism class is unchanged);
-  *  - every PARTITION BY key is a plain attribute, none of them
-  *    float/double (the exec groups by raw row bytes and opts out of
-  *    -0.0/NaN normalization — same guard as the public builder);
+  *  - every PARTITION BY key is a plain attribute whose type contains
+  *    no float/double ANYWHERE — top-level or nested in a struct /
+  *    array / map (the exec groups by raw row bytes and opts out of
+  *    -0.0/NaN normalization, so a nested double would split one
+  *    logical group on byte patterns; same coverage as Catalyst's
+  *    NormalizeFloatingNumbers.needNormalize);
   *  - k ≥ 1 and the partition list is non-empty (a global top-k is
   *    TakeOrderedAndProject's job, which Spark already plans).
   *
@@ -46,7 +48,7 @@ case class RewriteWindowTopK() extends Rule[LogicalPlan] {
               part, order, child, _)))
           if part.nonEmpty &&
             part.forall(p => p.isInstanceOf[Attribute] &&
-              p.dataType != DoubleType && p.dataType != FloatType) &&
+              !TopKPerGroupExec.containsFloat(p.dataType)) &&
             projList.forall(!_.references.contains(alias.toAttribute)) &&
             kFromCond(cond, alias.toAttribute).exists(_ >= 1) =>
         val k = kFromCond(cond, alias.toAttribute).get

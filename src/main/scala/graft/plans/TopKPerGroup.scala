@@ -145,6 +145,23 @@ case class TopKPerGroupExec(
 object TopKPerGroupExec {
   /** Retained-bytes cap per task (see TopKPerGroupExec scaladoc). */
   val MaxRetainedKey = "spark.graft.topKPerGroup.maxRetainedBytesPerTask"
+
+  /** True iff the type contains float/double ANYWHERE — top-level or
+    * nested in struct/array/map (DataType.existsRecursively is
+    * private[spark], so the walk is spelled out; same coverage as
+    * Catalyst's NormalizeFloatingNumbers.needNormalize).
+    */
+  def containsFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | FloatType    => true
+      case ArrayType(et, _)          => containsFloat(et)
+      case MapType(kt, vt, _)        => containsFloat(kt) || containsFloat(vt)
+      case StructType(fields)        => fields.exists(f => containsFloat(f.dataType))
+      case udt: UserDefinedType[_]   => containsFloat(udt.sqlType)
+      case _                         => false
+    }
+  }
 }
 
 /** User-facing constructor (names → resolved attributes against the
@@ -161,16 +178,16 @@ object TopKPerGroup {
     if (!exp.extraStrategies.contains(TopKStrategy))
       exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
     val analyzed = df.queryExecution.analyzed
-    // float/double group keys are rejected: the exec groups by raw row
+    // group keys CONTAINING float/double anywhere (top-level or nested
+    // in struct/array/map) are rejected: the exec groups by raw row
     // bytes and Catalyst's NormalizeFloatingNumbers rule does not
     // cover custom nodes, so -0.0 vs 0.0 (and NaN payloads) would
     // split one logical group where the window form would not
     groupCols.foreach { c =>
       val dt = analyzed.output.find(_.name == c).map(_.dataType)
-      if (dt.exists(d => d == org.apache.spark.sql.types.DoubleType ||
-          d == org.apache.spark.sql.types.FloatType))
+      if (dt.exists(TopKPerGroupExec.containsFloat))
         throw new IllegalArgumentException(
-          s"TopKPerGroup: floating-point group column $c is unsupported " +
+          s"TopKPerGroup: group column $c contains floating-point data " +
             "(un-normalized -0.0/NaN byte patterns would split groups); " +
             "cast to a decimal/string key or use the window form")
     }

@@ -103,6 +103,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val floatKey = df.select(col("g").cast("double").as("g"), col("v"), col("id"))
       assert(!idiom(floatKey).queryExecution.executedPlan.toString
         .contains("TopKPerGroup"))
+      // guard: a key whose type merely CONTAINS a float (struct /
+      // array element) must also prevent the rewrite — the exec
+      // groups on raw bytes, so a nested -0.0/NaN would split groups
+      val nestedStruct = df.select(
+        struct(col("g"), col("g").cast("double").as("f")).as("g"),
+        col("v"), col("id"))
+      assert(!idiom(nestedStruct).queryExecution.executedPlan.toString
+        .contains("TopKPerGroup"))
+      val nestedArray = df.select(
+        array(col("g").cast("float")).as("g"), col("v"), col("id"))
+      assert(!idiom(nestedArray).queryExecution.executedPlan.toString
+        .contains("TopKPerGroup"))
+      // …while a float elsewhere in the ROW (not in the key) is fine
+      val floatPayload = df.select(col("g"), col("v"),
+        col("id").cast("double").as("id"))
+      assert(idiom(floatPayload).queryExecution.executedPlan.toString
+        .contains("TopKPerGroup"))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
