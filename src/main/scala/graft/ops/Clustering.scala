@@ -516,12 +516,19 @@ object Clustering {
       sub: DataFrame): DataFrame = {
     val cents = embeddings(s, d).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    ivfAssignAgainst(sub, cents)
+  }
+
+  /** Nearest-centroid assignment of `sub` against an ARBITRARY
+    * centroid table — the q259 staleness audit assigns the same rows
+    * against frozen vs refreshed centroids.
+    */
+  private def ivfAssignAgainst(sub: DataFrame, cents: DataFrame): DataFrame =
     sub.crossJoin(broadcast(cents))
       .withColumn("cos", cosine(col("embedding"), col("ce")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"),
         struct(col("cos"), (-col("cent_id")).as("neg_id"))).as("cell"))
-  }
 
   private val ivfMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
@@ -706,6 +713,148 @@ object Clustering {
       s.read.parquet(out).orderBy(col("query_id"), col("rank"))
     }
 
+  // ---- q259: index STALENESS audit + rebuild trigger --------------
+  //
+  // The q215 incremental-growth invariant (freeze the centroids,
+  // assign new batches against them) is sound only while new data
+  // looks like the data the centroids were trained on. This audit
+  // plants a DISTRIBUTION SHIFT — the arriving half of the corpus is
+  // mapped by v′ = −reverse(v), exact in float arithmetic on both
+  // engines — grows the index incrementally under the frozen
+  // centroids, rebuilds it with a same-k centroid set re-drawn from
+  // the full drifted corpus, and measures recall@3 of both against
+  // the exact answer for drifted queries. The emitted decision row is the
+  // rebuild trigger a production index-maintenance job acts on:
+  // rebuild when the refreshed index recovers ≥ 2 of the |Q|·3
+  // neighbor hits the grown one lost (an exact integer comparison —
+  // no float thresholds cross the gate).
+  //
+  // Scale shape: both candidate indexes are bucketed tables built via
+  // the same O(corpus) assignment pass the real builds use; the audit
+  // itself probes nprobe·|Q| cells and reranks candidates only —
+  // the recall sweep costs two q203 probes plus one q30-style exact
+  // baseline over |Q| broadcast queries, not a corpus re-embedding.
+
+  /** The drifted corpus: even vec_ids unchanged (the "base" the
+    * centroids were trained on), odd vec_ids mapped by v′ = −reverse(v)
+    * — an exact isometry in float arithmetic on both engines that
+    * relocates the arriving batch to a region the frozen centroids
+    * resolve poorly (coherent transforms like plain negation keep the
+    * batch in 1-2 cells, which nprobe=2 still covers — measured, not
+    * assumed: the negation variant does NOT degrade recall on the
+    * fixture; the reversal does).
+    */
+  private def driftCorpus(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      when(col("vec_id") % 2 === 1,
+        transform(reverse(col("embedding")), x => -x))
+        .otherwise(col("embedding")).as("embedding"))
+
+  /** The frozen centroid set: every 50th id — all even, i.e. drawn
+    * entirely from the pre-drift base (what a real frozen codebook
+    * is).
+    */
+  private def frozenCents(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+
+  /** The refreshed centroid set: SAME k, re-drawn evenly from the
+    * full corpus — half land in the drifted batch (odd ids ≡ 25 mod
+    * 100), which is exactly what re-sampling a codebook after the
+    * distribution moved buys. Same k keeps the comparison fair: a
+    * bigger k would change nprobe coverage, not staleness.
+    */
+  private def refreshedCents(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") % 100 === 0 || col("vec_id") % 100 === 25)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+
+  private val driftMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+  graft.util.CacheRegistry.registerMemo(driftMemo)
+
+  /** Build the two candidate indexes: GROWN = base build + drifted
+    * batch appended under frozen centroids (exactly q215's
+    * maintenance path); REBUILT = from-scratch assignment with the
+    * refreshed same-k centroid set (half of it drawn from the drifted
+    * batch).
+    */
+  private[graft] def ensureDriftIndexes(s: SparkSession, d: String)
+      : (String, String) =
+    driftMemo.computeIfAbsent((s, d), _ => {
+      val corpus = driftCorpus(s, d)
+      val centsA = frozenCents(corpus)
+      val grown = tableNameFor("graft_ivf_grown_", d)
+      recreateBucketed(s, grown,
+        ivfAssignAgainst(corpus.filter(col("vec_id") % 2 === 0), centsA),
+        "cell")
+      ivfAssignAgainst(corpus.filter(col("vec_id") % 2 === 1), centsA)
+        .write.mode("append").format("parquet")
+        .bucketBy(8, "cell").sortBy("cell").saveAsTable(grown)
+      val rebuilt = tableNameFor("graft_ivf_rebuilt_", d)
+      recreateBucketed(s, rebuilt,
+        ivfAssignAgainst(corpus, refreshedCents(corpus)), "cell")
+      (grown, rebuilt)
+    })
+
+  /** q259: per-query recall@3 of the grown vs rebuilt index for
+    * drifted queries (vec_id ≡ 51 mod 100 — all in the negated
+    * batch), plus the integer rebuild trigger on every row.
+    */
+  def indexStaleness(s: SparkSession, d: String): DataFrame = {
+    val (grown, rebuilt) = ensureDriftIndexes(s, d)
+    val corpus = graft.util.CacheRegistry.register(driftCorpus(s, d).cache())
+    val qs = corpus.filter(col("vec_id") % 100 === 51)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = graft.util.CacheRegistry.register(
+      broadcast(qs).join(corpus, col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 3)
+        .select(col("query_id").as("xq"), col("vec_id").as("xv"))
+        .cache())
+    // each index is probed with ITS OWN centroids (the grown index
+    // only has the frozen set — that asymmetry IS the staleness)
+    def hitsOf(idxTable: String, cents: DataFrame): DataFrame = {
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cent_id"))
+      val probes = qs.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col("qe"), col("ce")))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("query_id"), col("cent_id").as("cell"))
+      val ranked = s.table(idxTable).join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .join(corpus, Seq("vec_id"))
+        .withColumn("cos", cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("vec_id"))
+      ranked.join(broadcast(exact),
+          ranked("query_id") === exact("xq") && ranked("vec_id") === exact("xv"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(sum(when(col("xv").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+    }
+    val hA = hitsOf(grown, frozenCents(corpus))
+      .withColumnRenamed("n_hits", "hits_grown")
+    val hB = hitsOf(rebuilt, refreshedCents(corpus))
+      .withColumnRenamed("n_hits", "hits_rebuilt")
+    val joined = hA.join(hB, Seq("query_id"))
+    val trig = joined.agg(
+      sum(col("hits_rebuilt")).as("tb"), sum(col("hits_grown")).as("ta"))
+      .select(when(col("tb") - col("ta") >= 2, 1L).otherwise(0L)
+        .as("rebuild_trigger"))
+    joined.crossJoin(broadcast(trig))
+      .select(col("query_id"), col("hits_grown"), col("hits_rebuilt"),
+        round(col("hits_grown").cast("double") / 3.0, 4).as("recall_grown"),
+        round(col("hits_rebuilt").cast("double") / 3.0, 4).as("recall_rebuilt"),
+        col("rebuild_trigger"))
+      .orderBy(col("query_id"))
+  }
+
   private def dist2Col(v: Column, c: Column): Column =
     aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
       lit(0.0), (a, x) => a + x)
@@ -779,13 +928,28 @@ object Clustering {
       m: Int = 8, sub: Int = 8,
       nCent: Int = 16, nQuery: Int = 5, topK: Int = 3,
       qMin: Int = 0): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    pqProbeForQueries(s, d, codesTable,
+      e.filter(col("vec_id") >= qMin && col("vec_id") < nQuery),
+      m, sub, nCent, topK)
+  }
+
+  /** The ADC probe for an ARBITRARY (vec_id, v) query relation — the
+    * seam the q257 streaming serving path feeds each micro-batch
+    * through (same reason ivfProbeOn exists for q212: the memo is
+    * session-keyed, the table NAME is the cross-session handle).
+    */
+  private[graft] def pqProbeForQueries(s: SparkSession, d: String,
+      codesTable: String, qdf: DataFrame, m: Int = 8, sub: Int = 8,
+      nCent: Int = 16, topK: Int = 3): DataFrame = {
     val codes = s.table(codesTable)
     val e = embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val sv = subvectors(e, m, sub)
     val cb = sv.filter(col("vec_id") < nCent)
       .select(col("vec_id").cast("int").as("cid"), col("m"), col("sv").as("csv"))
-    val lut = sv.filter(col("vec_id") >= qMin && col("vec_id") < nQuery)
+    val lut = subvectors(qdf, m, sub)
       .join(broadcast(cb), Seq("m"))
       .withColumn("ld", round(dist2Col(col("sv"), col("csv")), 6))
       .select(col("vec_id").as("qid"), col("m"), col("cid"), col("ld"))
@@ -1164,10 +1328,16 @@ object Clustering {
   /** Sign-bit code table (vec_id, lo, hi): 16 bytes per vector — the
     * 32×-compressed stored representation of the q239 binary tier.
     */
-  private def signCodes(s: SparkSession, d: String): DataFrame = {
+  private def signCodes(s: SparkSession, d: String): DataFrame =
+    signCodesOf(s, embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** Sign-bit encode for an arbitrary (vec_id, embedding) relation —
+    * shared by the corpus build and the q258 per-micro-batch query
+    * encode.
+    */
+  private[graft] def signCodesOf(s: SparkSession, df: DataFrame): DataFrame = {
     import s.implicits._
-    embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+    df.as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) =>
           // The stored code is exactly two 64-bit words; q253 shares
@@ -1223,9 +1393,19 @@ object Clustering {
   private[graft] def binaryTopOn(s: SparkSession, codesTable: String,
       qPred: Column, topK: Int = 5): DataFrame = {
     val codes = s.table(codesTable)
-    val q = codes.filter(qPred)
-      .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
-        col("hi").as("qhi"))
+    binaryTopForQueries(s, codesTable,
+      codes.filter(qPred).select(col("vec_id").as("query_id"),
+        col("lo").as("qlo"), col("hi").as("qhi")), topK)
+  }
+
+  /** The Hamming ranking for an ARBITRARY (query_id, qlo, qhi) query
+    * relation — the q258 streaming seam: arriving float queries are
+    * sign-encoded per micro-batch (query-side encode is the cheap
+    * half) and ranked against the stored code table.
+    */
+  private[graft] def binaryTopForQueries(s: SparkSession, codesTable: String,
+      q: DataFrame, topK: Int = 5): DataFrame = {
+    val codes = s.table(codesTable)
     val ham = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("hamming",
         (bit_count(expr("lo ^ qlo")) + bit_count(expr("hi ^ qhi"))).cast("long"))
@@ -1342,6 +1522,37 @@ object Clustering {
     sweepIndexPartitions(s, tables._3, "vec_id", "pg", cohort)
   }
 
+  /** On-disk location of a managed table — lets the erasure spec
+    * assert, file by file, that the sweep never touched a clean
+    * partition directory.
+    */
+  private[graft] def tableLocation(s: SparkSession, name: String)
+      : java.nio.file.Path = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      if (wh.contains(":/")) java.nio.file.Paths.get(new java.net.URI(wh))
+      else java.nio.file.Paths.get(wh)
+    whPath.resolve(name)
+  }
+
+  /** From-scratch index contents over the swept corpus under the SAME
+    * frozen model (centroids/codebook) — the comparison target the
+    * erasure spec proves each sweep equivalent to.
+    */
+  private[graft] def rebuiltSweptContents(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val keep = col("vec_id") % 97 =!= 0
+    val ivf = ivfAssignmentFor(s, d,
+      embeddings(s, d).select(col("vec_id"), col("embedding")).filter(keep))
+    val pq = pqCodesFor(s, d,
+      embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .filter(keep))
+    val bin = signCodes(s, d).filter(keep)
+    (ivf, pq, bin)
+  }
+
   private val sweptMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, String, String)]()
   graft.util.CacheRegistry.registerMemo(sweptMemo)
@@ -1390,11 +1601,83 @@ object Clustering {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q257: streaming ANN serving for the PQ family — q212's pattern
+    * (ops/Clustering.scala streamIvfServe) applied to the q204 code
+    * table: query vectors arrive as a stream and every micro-batch
+    * runs the ADC probe against the code table built ONCE before the
+    * stream starts (`indexBuilds` pinned by AnnIndexSpec; the table
+    * name, not the session-keyed memo, is the handle foreachBatch's
+    * cloned session probes through). Gated by the q114/q204 oracle:
+    * streamed probes must equal the direct batch computation,
+    * arrival order free.
+    *
+    * Scale shape: per batch, the corpus-touching work is the q204
+    * probe — a linear scan of 8-byte code rows against a broadcast
+    * per-batch LUT; state-free append stream, so serving cost scales
+    * with query rate, not corpus size.
+    */
+  def streamPqServe(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val idx = ensurePqIndex(s, d) // build ONCE, outside the stream
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val out = graft.util.TmpDirs.scratch("stream-pq-serve")
+      val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val q = src.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            pqProbeForQueries(batch.sparkSession, d, idx, batch)
+              .write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("query_id"), col("rank"))
+    }
+
+  /** q258: streaming ANN serving for the binary family — arriving
+    * float queries are sign-encoded per micro-batch (the cheap query
+    * half of the asymmetry) and Hamming-ranked against the PERSISTED
+    * 16-byte code table (q253's, built once; `indexBuilds` pinned).
+    * Gated by a from-floats oracle: the streamed top-5 must equal the
+    * direct sign-mismatch computation over the corpus.
+    */
+  def streamBinaryServe(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val idx = ensureBinaryIndex(s, d) // build ONCE, outside the stream
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val out = graft.util.TmpDirs.scratch("stream-bin-serve")
+      val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val q = src.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val qc = signCodesOf(batch.sparkSession, batch)
+              .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+                col("hi").as("qhi"))
+            binaryTopForQueries(batch.sparkSession, idx, qc)
+              .write.mode("append").parquet(out)
+          }
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("query_id"), col("rank"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q253_binary_index" -> binaryIndexProbe _,
     "q254_ivf_erasure" -> ivfErasureProbe _,
     "q255_pq_erasure" -> pqErasureProbe _,
     "q256_binary_erasure" -> binaryErasureProbe _,
+    "q257_stream_pq_serve" -> streamPqServe _,
+    "q258_stream_binary_serve" -> streamBinaryServe _,
+    "q259_index_staleness" -> indexStaleness _,
     "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
@@ -1527,9 +1810,13 @@ object Clustering {
 
   /** q114's full pipeline SQL — shared with q204: the persisted code
     * table + probe must reproduce the direct computation exactly.
+    * `keptPred` restricts the INDEXED code rows (q255's erasure);
+    * `qPred` picks the probe queries (q255 skips vec 0 — itself in
+    * the deletion cohort). Codebook stays frozen on the full corpus.
     */
-  private def pqAnnSql: String =
-    """WITH e AS (
+  private def pqAnnSql: String = pqAnnSqlFor("TRUE", "vec_id < 5")
+  private def pqAnnSqlFor(keptPred: String, qPred: String): String =
+    s"""WITH e AS (
       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
       |  FROM embeddings),
       |sv AS (
@@ -1548,9 +1835,9 @@ object Clustering {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
       |        ORDER BY dist_r, cid) AS rn
       |    FROM sc)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1 AND ($keptPred)),
       |lut AS (
-      |  SELECT vec_id AS qid, m, cid, dist_r AS ld FROM sc WHERE vec_id < 5),
+      |  SELECT vec_id AS qid, m, cid, dist_r AS ld FROM sc WHERE $qPred),
       |adc AS (
       |  SELECT l.qid, co.vec_id, round(sum(l.ld), 4) AS adc
       |  FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.code
@@ -1567,6 +1854,104 @@ object Clustering {
       |JOIN e q ON q.vec_id = r.qid
       |JOIN e n ON n.vec_id = r.vec_id
       |WHERE r.rn <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** One q259 index variant as a CTE chain, mechanically generated so
+    * the SQL provably matches the engine recurrence: centroids by
+    * `centPred` over the DRIFTED corpus, full nearest-centroid
+    * assignment (the grown index's base+append under frozen centroids
+    * is row-for-row identical to assigning every row against them),
+    * nprobe=2 probe, top-3 rerank, per-query hit count vs exact.
+    */
+  private def stalenessVariantCtes(tag: String, centPred: String): String =
+    s"""cents_$tag AS (
+       |  SELECT vec_id AS cent_id, embedding AS ce FROM e
+       |  WHERE $centPred),
+       |assign_$tag AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents_$tag c) WHERE rn = 1),
+       |probes_$tag AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.qe", "c.ce")} DESC, c.cent_id) AS rn
+       |    FROM qs q CROSS JOIN cents_$tag c) WHERE rn <= 2),
+       |ranked_$tag AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT p.query_id, a.vec_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, a.vec_id) AS rk
+       |    FROM probes_$tag p
+       |    JOIN assign_$tag a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |    JOIN qs q ON q.query_id = p.query_id
+       |    JOIN e ON e.vec_id = a.vec_id) WHERE rk <= 3),
+       |hits_$tag AS (
+       |  SELECT r.query_id,
+       |    CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM ranked_$tag r LEFT JOIN exact x
+       |    ON x.query_id = r.query_id AND x.vec_id = r.vec_id
+       |  GROUP BY 1)""".stripMargin
+
+  private def indexStalenessSql: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+       |e AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 2 = 1
+       |         THEN [-embedding[65 - i] for i in range(1, 65)]
+       |         ELSE embedding END AS embedding
+       |  FROM e0),
+       |qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM e
+       |  WHERE vec_id % 100 = 51),
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rk
+       |    FROM qs q JOIN e ON e.vec_id <> q.query_id) WHERE rk <= 3),
+       |${stalenessVariantCtes("a", "vec_id % 50 = 0")},
+       |${stalenessVariantCtes("b", "vec_id % 100 = 0 OR vec_id % 100 = 25")},
+       |j AS (
+       |  SELECT a.query_id, a.n_hits AS ha, b.n_hits AS hb
+       |  FROM hits_a a JOIN hits_b b USING (query_id)),
+       |tot AS (SELECT CAST(sum(hb) - sum(ha) AS BIGINT) AS dh FROM j)
+       |SELECT j.query_id, j.ha AS hits_grown, j.hb AS hits_rebuilt,
+       |  round(CAST(j.ha AS DOUBLE) / 3.0, 4) AS recall_grown,
+       |  round(CAST(j.hb AS DOUBLE) / 3.0, 4) AS recall_rebuilt,
+       |  CAST(CASE WHEN t.dh >= 2 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS rebuild_trigger
+       |FROM j CROSS JOIN tot t
+       |ORDER BY j.query_id""".stripMargin
+
+  /** Sign-bit Hamming top-5 recomputed FROM THE FLOAT VECTORS (the
+    * mismatch count of `>= 0` predicates ≡ popcount of the XOR'd code
+    * words) — gates the q256 swept and q258 streamed binary serving:
+    * the stored/streamed 16-byte codes must encode exactly this.
+    */
+  private def binHamSql(keptPred: String, qPred: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |kept AS (SELECT vec_id, embedding FROM e WHERE $keptPred),
+      |qs AS (
+      |  SELECT vec_id AS query_id, embedding AS qe FROM kept
+      |  WHERE $qPred),
+      |ham AS (
+      |  SELECT q.query_id, n.vec_id,
+      |    CAST(list_sum([CASE WHEN (q.qe[i] >= 0) <> (n.embedding[i] >= 0)
+      |                        THEN 1 ELSE 0 END
+      |                   for i in range(1, 65)]) AS BIGINT) AS hamming
+      |  FROM qs q JOIN kept n ON n.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, hamming,
+      |    row_number() OVER (PARTITION BY query_id
+      |        ORDER BY hamming, vec_id) AS rn
+      |  FROM ham)
+      |SELECT query_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
+      |  hamming
+      |FROM ranked WHERE rn <= 5
       |ORDER BY query_id, rank""".stripMargin
 
   /** q52's full pipeline SQL — shared with q203 for the same reason.
@@ -1610,6 +1995,21 @@ object Clustering {
     // q253 serves the SAME binary search from the persisted code
     // table — it must be indistinguishable from q239's from-floats run
     "q253_binary_index" -> Similarity.oracleSql("q239_binary_quant"),
+    // q254-q256: the swept indexes must serve exactly what an index
+    // rebuilt from the swept corpus (same frozen centroids/codebook)
+    // would — the oracle recomputes each pipeline with the deletion
+    // cohort excluded from the indexed rows
+    "q254_ivf_erasure" -> ivfAnnSqlFor("vec_id % 97 <> 0"),
+    "q255_pq_erasure" ->
+      pqAnnSqlFor("vec_id % 97 <> 0", "vec_id >= 1 AND vec_id < 6"),
+    "q256_binary_erasure" ->
+      binHamSql("vec_id % 97 <> 0", "vec_id >= 1 AND vec_id < 10"),
+    // q257/q258: streamed probes must equal the direct batch
+    // computation (q257 shares q114/q204's oracle; q258 is gated by
+    // the from-floats sign-mismatch recompute)
+    "q257_stream_pq_serve" -> pqAnnSql,
+    "q258_stream_binary_serve" -> binHamSql("TRUE", "vec_id < 10"),
+    "q259_index_staleness" -> indexStalenessSql,
     "q241_nprobe_sweep" -> nprobeSweepSql(Seq(1, 2, 4)),
     "q180_pca_power" -> pcaOracle,
     "q200_pca_deflate" -> pca2Oracle,

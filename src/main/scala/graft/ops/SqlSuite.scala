@@ -180,7 +180,44 @@ object SqlSuite {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** q260: SQL session variables + dynamic SQL — the remaining
+    * modern-SQL entry points a migrating warehouse user hits after
+    * q184 (parameterized SQL + IDENTIFIER), q195 (pipe syntax) and
+    * q246 (GROUP BY ALL): DECLARE VARIABLE, SET VARIABLE from a
+    * scalar subquery (itself resolving the table through
+    * IDENTIFIER(var)), the query TEXT held in a variable, and
+    * EXECUTE IMMEDIATE … USING binding the threshold variable into
+    * a parameter marker. The oracle literalizes the variable chain:
+    * the threshold subquery inlines as a scalar subquery, which is
+    * exactly what the variable indirection evaluates to.
+    *
+    * Scale shape: variables are session-scoped scalars resolved at
+    * analysis time — the executed plan is the plain filtered
+    * aggregate (threshold subquery as a broadcast scalar), so the
+    * front-end sugar costs nothing at runtime.
+    */
+  def sessionVars(s: SparkSession, d: String): DataFrame = {
+    graft.util.Tables.lineitem(s, d).createOrReplaceTempView("li_vars")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_tbl STRING")
+    s.sql("SET VARIABLE graft_tbl = 'li_vars'")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_minq BIGINT")
+    s.sql("SET VARIABLE graft_minq = " +
+      "(SELECT CAST(max(l_quantity) AS BIGINT) - 5 FROM IDENTIFIER(graft_tbl))")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_qtext STRING")
+    s.sql(
+      """SET VARIABLE graft_qtext =
+        |  'SELECT l_returnflag, count(*) AS n,
+        |     CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |       AS sum_qty
+        |   FROM IDENTIFIER(graft_tbl)
+        |   WHERE l_quantity >= ?
+        |   GROUP BY l_returnflag
+        |   ORDER BY l_returnflag'""".stripMargin)
+    s.sql("EXECUTE IMMEDIATE graft_qtext USING graft_minq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_session_vars" -> sessionVars _,
     "q246_group_by_all" -> groupByAll _,
     "q195_pipe_sql"  -> pipeSql _,
     "q184_param_sql" -> paramSql _,
@@ -193,6 +230,17 @@ object SqlSuite {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the variable chain literalized: graft_minq's defining subquery
+    // inlined where the parameter marker bound it
+    "q260_session_vars" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity >=
+        |  (SELECT CAST(max(l_quantity) AS BIGINT) - 5 FROM lineitem)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q246_group_by_all" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -116,4 +116,126 @@ class AnnIndexSpec extends AnyFunSuite {
       s"the corpus encode argmin must NOT run at probe time:\n$optimized")
     assert(!plan.contains("graft_ivf_cells_"), "wrong index")
   }
+
+  test("q257 streamed PQ serving equals the batch probe and never rebuilds per batch") {
+    Clustering.ensurePqIndex(spark, sf)
+    val builds = Clustering.indexBuilds.get()
+    val served = Clustering.streamPqServe(spark, sf).collect().toSeq
+    assert(Clustering.indexBuilds.get() == builds,
+      "a micro-batch must probe the persisted code table, not rebuild it")
+    val batch = Clustering.pqProbe(spark, sf).collect().toSeq
+    assert(served.nonEmpty)
+    assert(served == batch)
+  }
+
+  test("q258 streamed binary serving reuses the persisted code table per batch") {
+    Clustering.ensureBinaryIndex(spark, sf)
+    val builds = Clustering.indexBuilds.get()
+    val served = Clustering.streamBinaryServe(spark, sf).collect().toSeq
+    assert(Clustering.indexBuilds.get() == builds,
+      "a micro-batch must rank against the persisted code table, not rebuild it")
+    assert(served.nonEmpty)
+    // the streamed ranking equals the batch ranking read from the
+    // same table (arrival order free)
+    import org.apache.spark.sql.functions.col
+    val batch = Clustering.binaryTopOn(spark,
+        Clustering.ensureBinaryIndex(spark, sf), col("vec_id") < 10)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(served == batch)
+  }
+
+  test("q259 staleness audit: grown recall below rebuilt, trigger fires on the planted drift") {
+    val rows = Clustering.indexStaleness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recall is an AGGREGATE property of an IVF index — a single query
+    // can get lucky under the stale centroids, so the contract (and
+    // the trigger) is on the summed hit counts, pinned strictly below
+    assert(rows.map(_.getAs[Long]("hits_grown")).sum <
+      rows.map(_.getAs[Long]("hits_rebuilt")).sum,
+      "the refreshed index must recover recall the grown one lost")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rebuild_trigger") == 1L,
+        "the planted drift must fire the rebuild trigger")
+    }
+    // the audit serves from the two persisted tables; re-running must
+    // not rebuild either
+    val builds = Clustering.indexBuilds.get()
+    val again = Clustering.indexStaleness(spark, sf).collect()
+    assert(Clustering.indexBuilds.get() == builds)
+    assert(again.map(_.toString).toSeq == rows.map(_.toString).toSeq)
+  }
+
+  test("q254-q256 erasure sweep rewrites ONLY affected partitions and equals a rebuild") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    // build fresh (bypassing the memo) so we can snapshot files
+    // between build and sweep
+    val tables @ (ivf, pq, bin) = Clustering.buildEraseIndexes(spark, sf)
+    val erased = Clustering.erasedVecIds(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(erased.nonEmpty)
+    // expected affected partitions, read from the PRE-sweep tables
+    def affectedOf(table: String, partCol: String): Set[Long] =
+      spark.table(table).filter(col("vec_id").isin(erased.toSeq: _*))
+        .select(col(partCol)).distinct().collect().map(_.getLong(0)).toSet
+    val affected = Map(
+      ivf -> affectedOf(ivf, "cell"),
+      pq -> affectedOf(pq, "pg"),
+      bin -> affectedOf(bin, "pg"))
+    def snapshot(table: String): Map[String, (Long, Long)] = {
+      val loc = Clustering.tableLocation(spark, table)
+      java.nio.file.Files.walk(loc).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (loc.relativize(p).toString,
+          (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+            java.nio.file.Files.size(p))))
+        .toMap
+    }
+    val before = tables.productIterator.map(_.toString)
+      .map(t => t -> snapshot(t)).toMap
+    val rewrittenBefore = Clustering.sweepPartitionsRewritten.get()
+
+    Clustering.sweepEraseIndexes(spark, sf, tables)
+
+    // 1. partition selectivity: the sweep rewrote exactly the affected
+    //    partitions, and at least one partition per family was spared
+    assert(Clustering.sweepPartitionsRewritten.get() - rewrittenBefore ==
+      affected.values.map(_.size).sum)
+    for ((table, parts) <- affected) {
+      val partCol = if (table == ivf) "cell" else "pg"
+      val all = spark.table(table).select(col(partCol)).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert((all -- parts).nonEmpty,
+        s"$table: cohort hit every partition — selectivity not demonstrated")
+      val after = snapshot(table)
+      for ((path, meta) <- before(table)) {
+        val clean = !parts.exists(pv => path.startsWith(s"$partCol=$pv/"))
+        if (clean && path.endsWith(".parquet"))
+          assert(after.get(path).contains(meta),
+            s"$table: clean partition file $path was touched by the sweep")
+      }
+    }
+    // 2. zero erased ids anywhere: in the swept tables and in every
+    //    family's served probe results
+    for (table <- Seq(ivf, pq, bin))
+      assert(spark.table(table)
+        .filter(col("vec_id").isin(erased.toSeq: _*)).count() == 0,
+        s"$table still serves erased vectors")
+    val probeNeighbors =
+      Clustering.ivfErasureProbe(spark, sf).select(col("neighbor_id")).collect() ++
+        Clustering.pqErasureProbe(spark, sf).select(col("neighbor_id")).collect() ++
+        Clustering.binaryErasureProbe(spark, sf).select(col("neighbor_id")).collect()
+    assert(probeNeighbors.nonEmpty)
+    assert(!probeNeighbors.exists(r => erased.contains(r.getLong(0))),
+      "an erased vector was served from a swept index")
+    // 3. swept index == index rebuilt from the swept corpus under the
+    //    same frozen model, row for row, per family
+    val (rIvf, rPq, rBin) = Clustering.rebuiltSweptContents(spark, sf)
+    assert(spark.table(ivf).select("vec_id", "cell").collect().toSet ==
+      rIvf.collect().toSet)
+    assert(spark.table(pq).select("vec_id", "m", "code").collect().toSet ==
+      rPq.collect().toSet)
+    assert(spark.table(bin).select("vec_id", "lo", "hi").collect().toSet ==
+      rBin.collect().toSet)
+  }
 }

@@ -42,7 +42,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q236_grouped_split", // broadcast 1-row cluster-span audit scalar
     "q239_binary_quant", // q30's broadcast 10-query =!= join (Hamming branch)
     "q241_nprobe_sweep", // q52's broadcast centroid table + q30's broadcast query joins
-    "q253_binary_index") // q30's broadcast 10-query =!= join over the 16-byte code table
+    "q253_binary_index", // q30's broadcast 10-query =!= join over the 16-byte code table
+    "q254_ivf_erasure", // q203's broadcast centroid table, swept-index serving
+    "q259_index_staleness", // two broadcast centroid tables + q30's broadcast query joins (recall audit)
+    "q256_binary_erasure") // q253's broadcast 9-query =!= join over the swept code table
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
@@ -70,7 +73,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q220_assortativity", // 1-row moment aggregate (partials map-side)
       "q236_grouped_split", // 1-row max-folds-per-cluster audit aggregate
       "q247_compaction", // two 1-row per-stage conservation aggregates
-      "q251_skew_report") // 1-row diagnosis aggregate over the distinct-key table
+      "q251_skew_report", // 1-row diagnosis aggregate over the distinct-key table
+      "q259_index_staleness") // 1-row rebuild-trigger aggregate over |Q| hit counts
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark
