@@ -492,7 +492,73 @@ object Audit {
         .orderBy(col("disposition"))
     }
 
+  /** q262: the corpus GOVERNANCE CARD — one per-(lang, source) rollup
+    * composing the release diagnostics the suite already computes,
+    * each read from its memo-CACHED per-doc stage (no recompute,
+    * plan-pinned by Round8OpsSpec):
+    *  - quality verdicts (q62's stage, `TextAnalysis.docQuality`);
+    *  - dedup shrinkage (q235's marking stage,
+    *    `TrainingData.dedupMarks`, itself riding the memoized
+    *    `Dedup.scoredPairs` MinHash work);
+    *  - eval contamination (q90's detection stage,
+    *    `TrainingData.contaminatedIds`);
+    *  - rare-3-gram novelty (q231's per-doc stage,
+    *    `TextAnalysis.docNovelty`);
+    *  - token concentration (each source's share of its language's
+    *    tokens in exact 1e-6 units — the q170 axis, read off the
+    *    same token counts the dedup stage already carries).
+    * This is the one-stop artifact a dataset release ships: every
+    * number traceable to a gated query, proven here to COMPOSE.
+    *
+    * Determinism: counts are integers; mean novelty sums pre-quantized
+    * 1e-6 units (q208 convention); the share is BIGINT division
+    * (tokens·10⁶ div lang-total — at fixture scale exact; at 10¹³+
+    * tokens drop to 1e4 units to stay in range).
+    *
+    * Scale shape: the expensive stages (MinHash pairs, gram-hash
+    * sweep, 3-gram df) are computed ONCE per session across their
+    * whole query family — the card adds three doc-keyed joins (the
+    * contaminated-id set broadcasts; at 100 TB the per-doc stages
+    * would fold into one documents scan) and a catalog-sized rollup:
+    * |langs|·|sources| rows out.
+    */
+  def governanceCard(s: SparkSession, d: String): DataFrame = {
+    val marks = TrainingData.dedupMarks(s, d)
+    val quality = TextAnalysis.docQuality(s, d)
+      .select(col("doc_id"), col("verdict"))
+    val novelty = TextAnalysis.docNovelty(s, d)
+      .select(col("doc_id"), col("nu"))
+    val contam = TrainingData.contaminatedIds(s, d)
+    val perDoc = marks.join(quality, Seq("doc_id"))
+      .join(novelty, Seq("doc_id"), "left")
+      .join(broadcast(contam), col("doc_id") === col("cid"), "left")
+    val grouped = perDoc.groupBy(col("lang"), col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("tokens_total"),
+      sum(when(col("verdict") === "keep", 1L).otherwise(0L))
+        .as("n_quality_keep"),
+      sum(when(col("exact_drop"), 1L).otherwise(0L)).as("n_exact_dropped"),
+      sum(when(col("near_dropped"), 1L).otherwise(0L)).as("n_near_dropped"),
+      sum(when(col("doc_id") % 97 =!= 0, 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("cid").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+      sum(when(col("nu").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+      sum(coalesce(col("nu"), lit(0L))).as("snu"))
+    val langTot = grouped.groupBy(col("lang"))
+      .agg(sum(col("tokens_total")).as("lang_tokens"))
+    grouped.join(broadcast(langTot), Seq("lang"))
+      .select(col("lang"), col("source"), col("n_docs"), col("tokens_total"),
+        col("n_quality_keep"), col("n_exact_dropped"), col("n_near_dropped"),
+        col("n_train"), col("n_contaminated"), col("n_scored"),
+        when(col("n_scored") > 0,
+          round(col("snu").cast("double")
+            / (col("n_scored").cast("double") * 1e6), 6))
+          .otherwise(0.0).as("mean_novelty"),
+        expr("tokens_total * 1000000L div lang_tokens").as("token_share_e6"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_governance_card" -> governanceCard _,
     "q250_stream_erasure" -> streamErasure _,
     "q233_erasure_sweep" -> erasureSweep _,
     "q230_mv_refresh" -> mvRefresh _,
@@ -508,6 +574,108 @@ object Audit {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q262: the component oracles' per-doc CTEs (q235 dedup marks,
+    // q62 verdicts, q231 per-doc novelty, q90 contamination) composed
+    // into the one per-(lang, source) rollup
+    "q262_governance_card" ->
+      s"""WITH ${graft.ops.Dedup.PairsCtes},
+        |gdocs AS (SELECT doc_id, lang, source, md5(text) AS fp,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |gke AS (SELECT fp, min(doc_id) AS keep FROM gdocs GROUP BY 1),
+        |gm AS (SELECT gdocs.*, gdocs.doc_id <> gke.keep AS exact_drop
+        |       FROM gdocs JOIN gke USING (fp)),
+        |gsurv AS (SELECT doc_id FROM gm WHERE NOT exact_drop),
+        |ged AS (SELECT j.a, j.b FROM jaccard j
+        |        WHERE j.jac >= 0.5
+        |          AND j.a IN (SELECT doc_id FROM gsurv)
+        |          AND j.b IN (SELECT doc_id FROM gsurv)),
+        |gnd AS (SELECT DISTINCT b AS doc_id FROM ged),
+        |gfin AS (SELECT gm.doc_id, gm.lang, gm.source, gm.nt, gm.exact_drop,
+        |           (NOT gm.exact_drop AND gnd.doc_id IS NOT NULL) AS near_dropped
+        |         FROM gm LEFT JOIN gnd ON gnd.doc_id = gm.doc_id),
+        |qt AS (
+        |  SELECT doc_id, n_chars, regexp_split_to_array(text, '\\s+') AS toks
+        |  FROM documents),
+        |qv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 5 THEN 'too_short'
+        |         WHEN n_chars > 20000 THEN 'too_long'
+        |         WHEN len(list_filter(toks, x -> x = 'the' OR x = 'a')) * 20
+        |              < len(toks) THEN 'low_stopword'
+        |         ELSE 'keep' END AS verdict
+        |  FROM qt),
+        |nws AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+        |  FROM documents),
+        |ng AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |            for i in range(1, len(w) - 1)]) AS gram
+        |  FROM nws WHERE len(w) >= 3),
+        |ndf AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM ng GROUP BY 1),
+        |npd AS (
+        |  SELECT ng.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN ndf.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unique
+        |  FROM ng JOIN ndf USING (gram)
+        |  GROUP BY 1),
+        |nnu AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) AS nu
+        |  FROM npd),
+        |cws AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+        |cg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 5
+        |      THEN list_distinct([array_to_string(ws[i:i+4], ' ')
+        |                          for i in range(1, len(ws) - 3)])
+        |      ELSE [] END AS gs
+        |  FROM cws),
+        |cgh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(gg), 1, 15))::BIGINT AS g
+        |  FROM cg, UNNEST(gs) t(gg)),
+        |cev AS (SELECT DISTINCT g FROM cgh WHERE doc_id % 97 = 0),
+        |cids AS (
+        |  SELECT DISTINCT doc_id FROM cgh
+        |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM cev)),
+        |grouped AS (
+        |  SELECT f.lang, f.source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(f.nt) AS BIGINT) AS tokens_total,
+        |    CAST(sum(CASE WHEN qv.verdict = 'keep' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_quality_keep,
+        |    CAST(sum(CASE WHEN f.exact_drop THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_exact_dropped,
+        |    CAST(sum(CASE WHEN f.near_dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_near_dropped,
+        |    CAST(sum(CASE WHEN f.doc_id % 97 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_contaminated,
+        |    CAST(sum(CASE WHEN n.nu IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_scored,
+        |    CAST(sum(coalesce(n.nu, 0)) AS BIGINT) AS snu
+        |  FROM gfin f
+        |  JOIN qv ON qv.doc_id = f.doc_id
+        |  LEFT JOIN nnu n ON n.doc_id = f.doc_id
+        |  LEFT JOIN cids c ON c.doc_id = f.doc_id
+        |  GROUP BY 1, 2),
+        |lt AS (SELECT lang, CAST(sum(tokens_total) AS BIGINT) AS lang_tokens
+        |       FROM grouped GROUP BY 1)
+        |SELECT g.lang, g.source, g.n_docs, g.tokens_total, g.n_quality_keep,
+        |  g.n_exact_dropped, g.n_near_dropped, g.n_train, g.n_contaminated,
+        |  g.n_scored,
+        |  CASE WHEN g.n_scored > 0
+        |    THEN round(CAST(g.snu AS DOUBLE)
+        |           / (CAST(g.n_scored AS DOUBLE) * 1000000), 6)
+        |    ELSE 0.0 END AS mean_novelty,
+        |  CAST(g.tokens_total * 1000000 // lt.lang_tokens AS BIGINT)
+        |    AS token_share_e6
+        |FROM grouped g JOIN lt USING (lang)
+        |ORDER BY g.lang, g.source""".stripMargin,
     "q250_stream_erasure" ->
       """WITH req AS (
         |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

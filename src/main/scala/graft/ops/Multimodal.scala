@@ -245,6 +245,167 @@ object Multimodal {
 
   final case class AHash(doc_id: Long, lo: Long, hi: Long)
 
+  /** The three 64-bit perceptual hashes as pure byte-array functions —
+    * shared by the q148/q224/q261 pipelines and the Round8OpsSpec
+    * detector-comparison audit (which evaluates all three on the SAME
+    * planted edit).
+    */
+  private[graft] def rasterOf(bytes: Array[Byte], nPx: Int): Array[Long] = {
+    val n = bytes.length
+    Array.tabulate(nPx)(i => (bytes(((i.toLong * n) / nPx).toInt) & 0xff).toLong)
+  }
+
+  private[graft] def aHash64(bytes: Array[Byte]): (Long, Long) = {
+    val px = rasterOf(bytes, 64)
+    val mean = px.sum / 64
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < 32) { if (px(i) > mean) lo |= 1L << i; i += 1 }
+    while (i < 64) { if (px(i) > mean) hi |= 1L << (i - 32); i += 1 }
+    (lo, hi)
+  }
+
+  private[graft] def dHash64(bytes: Array[Byte]): (Long, Long) = {
+    val px = rasterOf(bytes, 72)
+    var lo = 0L; var hi = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val bit = r * 8 + c
+        if (px(r * 9 + c) < px(r * 9 + c + 1)) {
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (lo, hi)
+  }
+
+  /** Integer 8×8 DCT-II basis, cosines quantized to 1/1024 units —
+    * the SAME array generates the oracle's inlined constant lists, so
+    * the two engines cannot drift.
+    */
+  private[graft] val DctC: Array[Array[Long]] =
+    Array.tabulate(8, 8)((u, x) =>
+      math.round(1024.0 * math.cos(math.Pi * (2 * x + 1) * u / 16.0)))
+
+  /** DCT-based pHash: 8×8 raster → integer DCT-II (all products exact
+    * in BIGINT: |F| ≤ 64·127·1024² < 2⁶³) → bit i (= u·8+v, DC
+    * excluded) set when coefficient i exceeds the exact median (32nd
+    * smallest) of the 63 AC coefficients. Bit 0 is always clear, so
+    * the hash is 63 informative bits in the same (lo, hi) carriage as
+    * q148/q224.
+    */
+  private[graft] def pHashDct64(bytes: Array[Byte]): (Long, Long) = {
+    val px = rasterOf(bytes, 64)
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 8) {
+          val cu = DctC(u)(x)
+          var y = 0
+          while (y < 8) { acc += px(x * 8 + y) * cu * DctC(v)(y); y += 1 }
+          x += 1
+        }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Long](63)
+    System.arraycopy(f, 1, ac, 0, 63)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var lo = 0L; var hi = 0L
+    var i = 1
+    while (i < 32) { if (f(i) > med) lo |= 1L << i; i += 1 }
+    while (i < 64) { if (f(i) > med) hi |= 1L << (i - 32); i += 1 }
+    (lo, hi)
+  }
+
+  /** The q261 planted edit: XOR 4 on every byte in [32, 124) — the
+    * low-amplitude value noise a lossy re-encode leaves behind. A
+    * per-byte VALUE map, so it commutes with raster sampling: both
+    * engines apply it to the sampled pixels, never rebuilding the
+    * string. Range-capped so every edited byte stays ASCII (one UTF-8
+    * byte — raster positions unchanged).
+    */
+  private[graft] def xor4(bytes: Array[Byte]): Array[Byte] =
+    bytes.map { b =>
+      val v = b & 0xff
+      if (v >= 32 && v < 124) (v ^ 4).toByte else b
+    }
+
+  /** The shared band-then-verify tail of q148/q224/q261: 4×16-bit
+    * pigeonhole bands (Hamming ≤ 3 ⇒ at least one band exactly
+    * equal), candidates from band-keyed equi-self-joins, exact
+    * bit_count verify on candidates only — never all-pairs.
+    */
+  private def bandedNearDups(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashes.select(col("doc_id"), col("lo"), col("hi"),
+        posexplode(array(
+          col("lo") % 65536, expr("lo div 65536"),
+          col("hi") % 65536, expr("hi div 65536"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("a.lo").as("alo"), col("a.hi").as("ahi"),
+        col("b.doc_id").as("b"), col("b.lo").as("blo"), col("b.hi").as("bhi"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(expr("alo ^ blo")) + bit_count(expr("ahi ^ bhi")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** q261: DCT pHash near-dup — the third perceptual hash, completing
+    * the triple: q148's aHash thresholds pixels against the global
+    * mean, q224's dHash records horizontal gradients, and this one
+    * thresholds the 63 AC coefficients of an integer 8×8 DCT-II
+    * against their exact median, so each bit aggregates ALL 64 pixels
+    * weighted by a frequency basis. That averaging is what survives
+    * low-amplitude per-pixel noise (the planted XOR-4 re-encode
+    * artifact): a ±4 value wiggle flips aHash bits near the mean and
+    * dHash bits between close neighbors, but moves low-frequency DCT
+    * coefficients by at most 64·4·1024² ≪ the coefficient spread.
+    * Measured on the fixture (Round8OpsSpec pins it): pairs exist
+    * that pHash catches at Hamming ≤ 3 while BOTH gradient hashes
+    * sit above threshold. (Uniform brightness shifts, by contrast,
+    * are absorbed by all three hashes' self-normalization — the DCT's
+    * edge is noise robustness, not brightness.)
+    *
+    * Scale shape: identical to q148/q224 — one compiled narrow hash
+    * loop (4096 integer multiply-adds per doc), then the only wide op
+    * ships (doc_id, 16-bit band) pairs through [[bandedNearDups]].
+    */
+  def dctPhashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val img = documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val hashes = img.as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (lo, hi) = pHashDct64(bytes)
+          val self = AHash(id, lo, hi)
+          if (id % 5 == 0) {
+            val (plo, phi) = pHashDct64(xor4(bytes))
+            Iterator(self, AHash(id + 2000000000L, plo, phi))
+          } else Iterator(self)
+        }
+      }.toDF()
+    bandedNearDups(hashes, maxHamming)
+  }
+
   def phashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     import s.implicits._
     val img = documents(s, d).filter(col("doc_id") % 3 === 0)
@@ -263,40 +424,12 @@ object Multimodal {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val n = bytes.length
-          val px = new Array[Long](64)
-          var sum = 0L
-          var i = 0
-          while (i < 64) {
-            val p = (bytes(((i.toLong * n) / 64).toInt) & 0xff).toLong
-            px(i) = p; sum += p; i += 1
-          }
-          val mean = sum / 64
-          var lo = 0L; var hi = 0L
-          i = 0
-          while (i < 32) { if (px(i) > mean) lo |= 1L << i; i += 1 }
-          while (i < 64) { if (px(i) > mean) hi |= 1L << (i - 32); i += 1 }
+          val (lo, hi) = aHash64(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           AHash(id, lo, hi)
         }
       }.toDF()
-    val bands = hashes.select(col("doc_id"), col("lo"), col("hi"),
-        posexplode(array(
-          col("lo") % 65536, expr("lo div 65536"),
-          col("hi") % 65536, expr("hi div 65536"))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("a.lo").as("alo"), col("a.hi").as("ahi"),
-        col("b.doc_id").as("b"), col("b.lo").as("blo"), col("b.hi").as("bhi"))
-      .distinct()
-    cand
-      .withColumn("hamming",
-        bit_count(expr("alo ^ blo")) + bit_count(expr("ahi ^ bhi")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
-      .orderBy(col("a"), col("b"))
+    bandedNearDups(hashes, maxHamming)
   }
 
   /** q224: difference-hash (dHash) image near-dup — the gradient
@@ -327,47 +460,12 @@ object Multimodal {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val n = bytes.length
-          val px = new Array[Long](72)
-          var i = 0
-          while (i < 72) {
-            px(i) = (bytes(((i.toLong * n) / 72).toInt) & 0xff).toLong
-            i += 1
-          }
-          var lo = 0L; var hi = 0L
-          var r = 0
-          while (r < 8) {
-            var c = 0
-            while (c < 8) {
-              val bit = r * 8 + c
-              if (px(r * 9 + c) < px(r * 9 + c + 1)) {
-                if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
-              }
-              c += 1
-            }
-            r += 1
-          }
+          val (lo, hi) = dHash64(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           AHash(id, lo, hi)
         }
       }.toDF()
-    val bands = hashes.select(col("doc_id"), col("lo"), col("hi"),
-        posexplode(array(
-          col("lo") % 65536, expr("lo div 65536"),
-          col("hi") % 65536, expr("hi div 65536"))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("a.lo").as("alo"), col("a.hi").as("ahi"),
-        col("b.doc_id").as("b"), col("b.lo").as("blo"), col("b.hi").as("bhi"))
-      .distinct()
-    cand
-      .withColumn("hamming",
-        bit_count(expr("alo ^ blo")) + bit_count(expr("ahi ^ bhi")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
-      .orderBy(col("a"), col("b"))
+    bandedNearDups(hashes, maxHamming)
   }
 
   final case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long,
@@ -431,9 +529,77 @@ object Multimodal {
     "q56_media_resize" -> ((s: SparkSession, d: String) => mediaResize(s, d)),
     "q140_audio_windows" -> ((s: SparkSession, d: String) => audioWindows(s, d)),
     "q148_phash_neardup" -> ((s: SparkSession, d: String) => phashNearDup(s, d)),
+    "q261_dct_phash" -> ((s: SparkSession, d: String) => dctPhashNearDup(s, d)),
   )
 
+  /** q261 oracle, mechanically generated from the SAME DctC table the
+    * engine uses: per coefficient i (= u·8+v), the 64 constant
+    * products C[u][x]·C[v][y] are inlined as a literal list, so the
+    * SQL provably computes the identical integer DCT.
+    */
+  private def dctPhashSql: String = {
+    val coefExprs = (0 until 64).map { i =>
+      val u = i / 8; val v = i % 8
+      val consts = (0 until 64).map { j =>
+        val x = j / 8; val y = j % 8
+        (DctC(u)(x) * DctC(v)(y)).toString
+      }.mkString(", ")
+      s"CAST(list_sum([px[j] * ([$consts])[j] for j in range(1, 65)]) AS BIGINT)"
+    }.mkString(",\n        |    ").stripMargin
+    s"""WITH img AS (
+      |  SELECT doc_id, text, FALSE AS planted
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000000, text, TRUE
+      |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+      |px0 AS (
+      |  SELECT doc_id, planted,
+      |    [CAST(ascii(substring(text,
+      |       CAST((i * octet_length(encode(text))) // 64 + 1 AS INT), 1)) AS BIGINT)
+      |     for i in range(0, 64)] AS p0
+      |  FROM img),
+      |pxt AS (
+      |  SELECT doc_id,
+      |    CASE WHEN planted
+      |      THEN [CASE WHEN b BETWEEN 32 AND 123 THEN xor(b, 4) ELSE b END
+      |            for b in p0]
+      |      ELSE p0 END AS px
+      |  FROM px0),
+      |coefs AS (
+      |  SELECT doc_id, [
+      |    $coefExprs] AS f
+      |  FROM pxt),
+      |h AS (
+      |  SELECT doc_id, f, (list_sort(f[2:64]))[32] AS med FROM coefs),
+      |hb AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([CASE WHEN f[i + 1] > med THEN (1::BIGINT << i)
+      |                        ELSE 0 END for i in range(1, 32)])
+      |      AS BIGINT) AS lo,
+      |    CAST(list_sum([CASE WHEN f[i + 1] > med THEN (1::BIGINT << (i - 32))
+      |                        ELSE 0 END for i in range(32, 64)])
+      |      AS BIGINT) AS hi
+      |  FROM h),
+      |bands AS (
+      |  SELECT doc_id, lo, hi, b AS band,
+      |    CASE b WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+      |           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bv
+      |  FROM hb, unnest(range(0, 4)) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a, a.lo AS alo, a.hi AS ahi,
+      |    b.doc_id AS b, b.lo AS blo, b.hi AS bhi
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT a, b,
+      |  CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT)
+      |    AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+      |ORDER BY a, b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q261_dct_phash" -> dctPhashSql,
     "q249_scene_cuts" ->
       """WITH v AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS body,

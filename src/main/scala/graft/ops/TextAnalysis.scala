@@ -521,17 +521,31 @@ object TextAnalysis {
     * decisions with a reason code — the shape a corpus-cleaning job
     * materializes. All thresholds integer/ratio-exact.
     */
-  def qualityFilter(s: SparkSession, d: String): DataFrame = {
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t === "the" || t === "a"))
-    documents(s, d)
-      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
-        when(nTok < 5, "too_short")
-          .when(col("n_chars") > 20000, "too_long")
-          .when(nStop * 20 < nTok, "low_stopword") // ratio < 0.05, exact ints
-          .otherwise("keep").as("verdict"))
+  /** Per-doc quality verdicts (q62's projection) as a memo-CACHED
+    * stage shared by q62 and the q262 governance card — computed once
+    * per (session, sf dir), plan-pinned by Round8OpsSpec.
+    */
+  private val qualityCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(qualityCache)
+  private[ops] def docQuality(s: SparkSession, d: String): DataFrame =
+    qualityCache.computeIfAbsent((s, d), _ => graft.util.CacheRegistry.register {
+      val nTok = size(toks)
+      val nStop = size(filter(toks, t => t === "the" || t === "a"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          nTok.cast("long").as("n_tokens"),
+          when(nTok < 5, "too_short")
+            .when(col("n_chars") > 20000, "too_long")
+            .when(nStop * 20 < nTok, "low_stopword") // ratio < 0.05, exact ints
+            .otherwise("keep").as("verdict"))
+        .cache()
+    })
+
+  def qualityFilter(s: SparkSession, d: String): DataFrame =
+    docQuality(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("verdict"))
       .orderBy(col("doc_id"))
-  }
 
   /** Relative quality gate, CCNet-style: instead of q62's absolute
     * thresholds, each language keeps the head of ITS OWN quality
@@ -783,25 +797,39 @@ object TextAnalysis {
     * gram hash rather than the string (identical dataflow; the string
     * form here keeps the oracle 1:1).
     */
+  /** Per-doc rare-3-gram novelty (q231's per-doc stage, source kept)
+    * as a memo-CACHED stage shared by q231 and the q262 governance
+    * card.
+    */
+  private val noveltyCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(noveltyCache)
+  private[ops] def docNovelty(s: SparkSession, d: String): DataFrame =
+    noveltyCache.computeIfAbsent((s, d), _ => graft.util.CacheRegistry.register {
+      val grams = documents(s, d)
+        .withColumn("ws", toks)
+        .select(col("doc_id"), col("lang"), col("source"), expr(
+          """explode(CASE WHEN size(ws) >= 3
+            |  THEN transform(sequence(1, size(ws) - 2),
+            |    i -> concat_ws(' ', element_at(ws, i),
+            |                        element_at(ws, i + 1),
+            |                        element_at(ws, i + 2)))
+            |  ELSE array() END)""".stripMargin).as("gram"))
+        .distinct()
+      val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      grams.join(df, Seq("gram"))
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_grams"), col("n_unique"),
+          floor(col("n_unique").cast("double") / col("n_grams").cast("double")
+            * 1e6 + 0.5).cast("long").as("nu"))
+        .cache()
+    })
+
   def ngramNovelty(s: SparkSession, d: String): DataFrame = {
-    val grams = documents(s, d)
-      .withColumn("ws", toks)
-      .select(col("doc_id"), col("lang"), expr(
-        """explode(CASE WHEN size(ws) >= 3
-          |  THEN transform(sequence(1, size(ws) - 2),
-          |    i -> concat_ws(' ', element_at(ws, i),
-          |                        element_at(ws, i + 1),
-          |                        element_at(ws, i + 2)))
-          |  ELSE array() END)""".stripMargin).as("gram"))
-      .distinct()
-    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val perDoc = grams.join(df, Seq("gram"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .select(col("lang"), col("n_grams"), col("n_unique"),
-        floor(col("n_unique").cast("double") / col("n_grams").cast("double")
-          * 1e6 + 0.5).cast("long").as("nu"))
+    val perDoc = docNovelty(s, d)
     perDoc.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_grams")).as("total_grams"),

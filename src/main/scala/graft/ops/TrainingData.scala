@@ -86,13 +86,26 @@ object TrainingData {
     * shares ANY distinct word-5-gram with any eval doc. Eval grams
     * broadcast; the verdict is a semi-join on the 8-byte gram hash.
     */
+  /** Contaminated train-doc ids (q90's detection stage) as a
+    * memo-CACHED frame shared by q90 and the q262 governance card —
+    * the gram-hash sweep runs once per (session, sf dir).
+    */
+  private val contamCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(contamCache)
+  private[ops] def contaminatedIds(s: SparkSession, d: String): DataFrame =
+    contamCache.computeIfAbsent((s, d), _ => graft.util.CacheRegistry.register {
+      val grams = gramHashes(s, d)
+      val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalGrams), Seq("g"), "left_semi")
+        .select(col("doc_id").as("cid")).distinct()
+        .cache()
+    })
+
   def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val grams = gramHashes(s, d)
-    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
-      .select(col("g")).distinct()
-    val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
-      .select(col("doc_id").as("cid")).distinct()
+    val contaminated = contaminatedIds(s, d)
     documents(s, d).filter(col("doc_id") % 97 =!= 0)
       .join(contaminated, col("doc_id") === col("cid"), "left")
       .groupBy(col("lang"))
@@ -986,25 +999,40 @@ object TrainingData {
     * the near stage rides the shared scoredPairs candidates. The
     * report is a |langs|-keyed rollup.
     */
+  /** Per-doc dedup verdicts (q235's marking stage, source kept) as a
+    * memo-CACHED frame shared by q235 and the q262 governance card.
+    * Rides the memoized Dedup.scoredPairs — the MinHash/shingle work
+    * is computed once per (session, sf dir) across the whole family.
+    */
+  private val dedupMarksCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(dedupMarksCache)
+  private[ops] def dedupMarks(s: SparkSession, d: String): DataFrame =
+    dedupMarksCache.computeIfAbsent((s, d), _ => graft.util.CacheRegistry.register {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text")).as("fp"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      val keepExact = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep"))
+      val marked = docs.join(keepExact, Seq("fp"))
+        .withColumn("exact_drop", col("doc_id") =!= col("keep"))
+      val survivors = marked.filter(!col("exact_drop"))
+        .select(col("doc_id"))
+      val edges = Dedup.scoredPairs(s, d).filter(col("jac") >= 0.5)
+        .select(col("a"), col("b"))
+        .join(survivors.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+        .join(survivors.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      val nearDrop = edges.select(col("b").as("doc_id")).distinct()
+        .withColumn("near_drop", lit(true))
+      marked.join(nearDrop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("source"), col("nt"),
+          col("exact_drop"),
+          (!col("exact_drop") && coalesce(col("near_drop"), lit(false)))
+            .as("near_dropped"))
+        .cache()
+    })
+
   def dedupImpact(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("lang"),
-      md5(col("text")).as("fp"),
-      size(split(col("text"), "\\s+")).cast("long").as("nt"))
-    val keepExact = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep"))
-    val marked = docs.join(keepExact, Seq("fp"))
-      .withColumn("exact_drop", col("doc_id") =!= col("keep"))
-    val survivors = marked.filter(!col("exact_drop"))
-      .select(col("doc_id"))
-    val edges = Dedup.scoredPairs(s, d).filter(col("jac") >= 0.5)
-      .select(col("a"), col("b"))
-      .join(survivors.select(col("doc_id").as("a")), Seq("a"), "left_semi")
-      .join(survivors.select(col("doc_id").as("b")), Seq("b"), "left_semi")
-    val nearDrop = edges.select(col("b").as("doc_id")).distinct()
-      .withColumn("near_drop", lit(true))
-    marked.join(nearDrop, Seq("doc_id"), "left")
-      .select(col("lang"), col("nt"), col("exact_drop"),
-        (!col("exact_drop") && coalesce(col("near_drop"), lit(false)))
-          .as("near_dropped"))
+    dedupMarks(s, d)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("exact_drop"), 1L).otherwise(0L)).as("n_exact_dropped"),

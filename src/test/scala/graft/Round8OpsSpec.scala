@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.SqlSuite
+import graft.ops.{Audit, Multimodal, SqlSuite, TextAnalysis, TrainingData}
 
 /** Semantics invariants for the round-8 widening beyond the DuckDB
   * hash gate.
@@ -10,6 +10,87 @@ import graft.ops.SqlSuite
 class Round8OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
+
+  test("q262: the governance card reads the components' CACHED stages and agrees with them") {
+    import org.apache.spark.sql.functions.col
+    // run the component queries first — their per-doc stages land in
+    // the memo-caches the card must then REUSE, not recompute
+    val q62 = TextAnalysis.qualityFilter(spark, sf).collect()
+    val q235 = TrainingData.dedupImpact(spark, sf).collect()
+    val q90 = TrainingData.decontaminate(spark, sf).collect()
+    val q231 = TextAnalysis.ngramNovelty(spark, sf).collect()
+    val card = Audit.governanceCard(spark, sf)
+    val plan = card.queryExecution.executedPlan.toString
+    val scans = "InMemoryTableScan".r.findAllMatchIn(plan).length
+    assert(scans >= 4,
+      s"the card must read all four cached component stages, saw $scans:\n" +
+        plan.take(2000))
+    // cross-query consistency: the card rolled up to lang must equal
+    // the component outputs (same stages => same numbers)
+    val rows = card.collect()
+    def byLang(f: org.apache.spark.sql.Row => Long): Map[String, Long] =
+      rows.groupBy(_.getAs[String]("lang"))
+        .map { case (l, rs) => l -> rs.map(f).sum }
+    assert(byLang(_.getAs[Long]("n_exact_dropped")) ==
+      q235.map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_exact_dropped")).toMap)
+    assert(byLang(_.getAs[Long]("n_near_dropped")) ==
+      q235.map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_near_dropped")).toMap)
+    assert(byLang(_.getAs[Long]("n_contaminated")) ==
+      q90.map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_contaminated")).toMap)
+    assert(byLang(_.getAs[Long]("n_quality_keep")).values.sum ==
+      q62.count(_.getAs[String]("verdict") == "keep"))
+    assert(byLang(_.getAs[Long]("n_scored")).values.sum ==
+      q231.map(_.getAs[Long]("n_docs")).sum)
+    // token shares within a language sum to ~1e6 (integer floors)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      val tot = rs.map(_.getAs[Long]("token_share_e6")).sum
+      assert(tot <= 1000000L && tot > 1000000L - rs.length,
+        s"$l: shares sum to $tot")
+    }
+  }
+
+  test("q261: DCT pHash catches planted noise edits BOTH gradient hashes miss") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // evaluate ALL THREE detectors on the SAME planted edit per doc
+    var caughtOnlyByDct = 0
+    docs.foreach { case (_, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val edited = Multimodal.xor4(bytes)
+      val a = ham(Multimodal.aHash64(bytes), Multimodal.aHash64(edited))
+      val g = ham(Multimodal.dHash64(bytes), Multimodal.dHash64(edited))
+      val p = ham(Multimodal.pHashDct64(bytes), Multimodal.pHashDct64(edited))
+      if (p <= 3 && a > 3 && g > 3) caughtOnlyByDct += 1
+    }
+    assert(caughtOnlyByDct > 0,
+      "the planted XOR-4 noise must produce at least one pair only the " +
+        "DCT hash detects (the reason the triple exists)")
+    // pigeonhole completeness: the banded pipeline finds EXACTLY the
+    // pairs a brute-force all-pairs Hamming scan finds at <= 3
+    val banded = Multimodal.dctPhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = graft.util.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hashes = all.flatMap { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val base = Seq(id -> Multimodal.pHashDct64(bytes))
+      if (id % 5 == 0) base :+ (id + 2000000000L) -> Multimodal.pHashDct64(Multimodal.xor4(bytes))
+      else base
+    }
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && ham(ha, hb) <= 3
+    } yield (ia, ib, ham(ha, hb).toLong)).toSet
+    assert(banded == brute,
+      "4x16-bit banding must be pigeonhole-complete at Hamming <= 3")
+  }
 
   test("q260: session variables bind live values and EXECUTE IMMEDIATE honors rebinding") {
     val out = SqlSuite.sessionVars(spark, sf).collect()
