@@ -573,12 +573,12 @@ object Audit {
     "q146_k_anonymity"     -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
   )
 
-  val oracleSql: Map[String, String] = Map(
-    // q262: the component oracles' per-doc CTEs (q235 dedup marks,
-    // q62 verdicts, q231 per-doc novelty, q90 contamination) composed
-    // into the one per-(lang, source) rollup
-    "q262_governance_card" ->
-      s"""WITH ${graft.ops.Dedup.PairsCtes},
+  /** The per-doc governance CTE chain (q235 dedup marks + q62
+    * verdicts + q231 per-doc novelty + q90 contamination) shared by
+    * the q262 card and the q264 release-export oracles.
+    */
+  private[ops] def governancePerDocCtes: String =
+      s"""${graft.ops.Dedup.PairsCtes},
         |gdocs AS (SELECT doc_id, lang, source, md5(text) AS fp,
         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS nt
         |  FROM documents),
@@ -640,7 +640,14 @@ object Audit {
         |cev AS (SELECT DISTINCT g FROM cgh WHERE doc_id % 97 = 0),
         |cids AS (
         |  SELECT DISTINCT doc_id FROM cgh
-        |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM cev)),
+        |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM cev))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    // q262: the component oracles' per-doc CTEs (q235 dedup marks,
+    // q62 verdicts, q231 per-doc novelty, q90 contamination) composed
+    // into the one per-(lang, source) rollup
+    "q262_governance_card" ->
+      s"""WITH $governancePerDocCtes,
         |grouped AS (
         |  SELECT f.lang, f.source,
         |    CAST(count(*) AS BIGINT) AS n_docs,

@@ -1601,6 +1601,43 @@ object Clustering {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q263: post-erasure index COMPACTION — the maintenance verb that
+    * closes the lifecycle loop: the q254 sweep heals correctness but
+    * fragments the affected inverted-list directories (each static
+    * INSERT OVERWRITE writes task-count files); compaction rewrites
+    * the swept table one file per cell directory (repartition on the
+    * partition key — every cell's rows land in exactly one task), and
+    * serving from the compacted index must STILL equal the
+    * rebuilt-from-swept-corpus computation (same oracle as q254).
+    * Round8OpsSpec pins the structural facts: ≤ 1 data file per cell
+    * directory afterward, row set identical to the swept table.
+    *
+    * Scale shape: one shuffle of the INDEX table (16 B rows — not the
+    * corpus), paid once per maintenance cycle to keep probe open/seek
+    * costs flat; at warehouse scale it runs only on the partitions
+    * the sweep actually touched.
+    */
+  private val compactMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(compactMemo)
+
+  private[graft] def ensureCompactedSweptIvf(s: SparkSession, d: String): String =
+    compactMemo.computeIfAbsent((s, d), _ => {
+      val (ivf, _, _) = ensureSweptIndexes(s, d)
+      val name = tableNameFor("graft_ivf_compact_", d)
+      recreatePartitioned(s, name,
+        s.table(ivf).repartition(col("cell")), "cell")
+      name
+    })
+
+  def ivfCompactedProbe(s: SparkSession, d: String): DataFrame = {
+    val compacted = ensureCompactedSweptIvf(s, d)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfProbeOn(s, d, compacted, qs).orderBy(col("query_id"), col("rank"))
+  }
+
   /** q257: streaming ANN serving for the PQ family — q212's pattern
     * (ops/Clustering.scala streamIvfServe) applied to the q204 code
     * table: query vectors arrive as a stream and every micro-batch
@@ -1678,6 +1715,7 @@ object Clustering {
     "q257_stream_pq_serve" -> streamPqServe _,
     "q258_stream_binary_serve" -> streamBinaryServe _,
     "q259_index_staleness" -> indexStaleness _,
+    "q263_index_compaction" -> ivfCompactedProbe _,
     "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
@@ -2010,6 +2048,9 @@ object Clustering {
     "q257_stream_pq_serve" -> pqAnnSql,
     "q258_stream_binary_serve" -> binHamSql("TRUE", "vec_id < 10"),
     "q259_index_staleness" -> indexStalenessSql,
+    // q263 serves the COMPACTED swept index — same oracle as q254:
+    // compaction must be invisible to serving
+    "q263_index_compaction" -> ivfAnnSqlFor("vec_id % 97 <> 0"),
     "q241_nprobe_sweep" -> nprobeSweepSql(Seq(1, 2, 4)),
     "q180_pca_power" -> pcaOracle,
     "q200_pca_deflate" -> pca2Oracle,

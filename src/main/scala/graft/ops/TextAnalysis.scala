@@ -528,7 +528,7 @@ object TextAnalysis {
   private val qualityCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   graft.util.CacheRegistry.registerMemo(qualityCache)
-  private[ops] def docQuality(s: SparkSession, d: String): DataFrame =
+  private[graft] def docQuality(s: SparkSession, d: String): DataFrame =
     qualityCache.computeIfAbsent((s, d), _ => graft.util.CacheRegistry.register {
       val nTok = size(toks)
       val nStop = size(filter(toks, t => t === "the" || t === "a"))
@@ -804,7 +804,7 @@ object TextAnalysis {
   private val noveltyCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   graft.util.CacheRegistry.registerMemo(noveltyCache)
-  private[ops] def docNovelty(s: SparkSession, d: String): DataFrame =
+  private[graft] def docNovelty(s: SparkSession, d: String): DataFrame =
     noveltyCache.computeIfAbsent((s, d), _ => graft.util.CacheRegistry.register {
       val grams = documents(s, d)
         .withColumn("ws", toks)

@@ -93,7 +93,7 @@ object TrainingData {
   private val contamCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   graft.util.CacheRegistry.registerMemo(contamCache)
-  private[ops] def contaminatedIds(s: SparkSession, d: String): DataFrame =
+  private[graft] def contaminatedIds(s: SparkSession, d: String): DataFrame =
     contamCache.computeIfAbsent((s, d), _ => graft.util.CacheRegistry.register {
       val grams = gramHashes(s, d)
       val evalGrams = grams.filter(col("doc_id") % 97 === 0)
@@ -1007,7 +1007,7 @@ object TrainingData {
   private val dedupMarksCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   graft.util.CacheRegistry.registerMemo(dedupMarksCache)
-  private[ops] def dedupMarks(s: SparkSession, d: String): DataFrame =
+  private[graft] def dedupMarks(s: SparkSession, d: String): DataFrame =
     dedupMarksCache.computeIfAbsent((s, d), _ => graft.util.CacheRegistry.register {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("source"),
         md5(col("text")).as("fp"),
@@ -1030,6 +1030,43 @@ object TrainingData {
             .as("near_dropped"))
         .cache()
     })
+
+  /** q264: the RELEASE EXPORT — the materialization counterpart of
+    * the q262 governance card: the documents that survive EVERY gate
+    * (q62 quality verdict `keep`, q235 exact + near dedup, q90 eval
+    * decontamination, eval split excluded), written out in the
+    * release layout (one directory per lang, files sorted by doc_id)
+    * and read back for the gate. This is the corpus build's final
+    * verb: the other queries DIAGNOSE; this one SHIPS.
+    *
+    * Every filter reads the same memo-cached per-doc stage its
+    * diagnostic query uses — the export can never disagree with the
+    * card (Round8OpsSpec pins count equality per (lang, source)).
+    *
+    * Scale shape: three doc-keyed joins over cached stages (the
+    * contaminated-id set anti-broadcasts), one repartition-by-lang
+    * write — the single full shuffle a release write pays anyway to
+    * get its layout; partition dirs and in-file ordering come free
+    * with it.
+    */
+  def releaseExport(s: SparkSession, d: String): DataFrame = {
+    val marks = dedupMarks(s, d)
+    val quality = TextAnalysis.docQuality(s, d)
+      .select(col("doc_id"), col("verdict"))
+    val contam = contaminatedIds(s, d)
+    val kept = marks.join(quality, Seq("doc_id"))
+      .join(broadcast(contam), col("doc_id") === col("cid"), "left_anti")
+      .filter(col("verdict") === "keep" && !col("exact_drop") &&
+        !col("near_dropped") && col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("nt").as("n_tokens"))
+    val out = graft.util.TmpDirs.scratch("release-export")
+    kept.repartition(col("lang")).sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   def dedupImpact(s: SparkSession, d: String): DataFrame = {
     dedupMarks(s, d)
@@ -1083,6 +1120,7 @@ object TrainingData {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q235_dedup_impact" -> dedupImpact _,
+    "q264_release_export" -> releaseExport _,
     "q236_grouped_split" -> ((s: SparkSession, d: String) => groupedSplit(s, d)),
     "q197_boilerplate"  -> ((s: SparkSession, d: String) => boilerplateDensity(s, d)),
     "q198_js_divergence" -> jsDivergence _,
@@ -1184,6 +1222,16 @@ object TrainingData {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // q264: the kept set under every gate — the governance CTE chain
+    // (shared with q262's oracle) filtered to the survivors
+    "q264_release_export" ->
+      s"""WITH ${Audit.governancePerDocCtes}
+        |SELECT f.doc_id, f.lang, f.source, f.nt AS n_tokens
+        |FROM gfin f JOIN qv ON qv.doc_id = f.doc_id
+        |WHERE qv.verdict = 'keep' AND NOT f.exact_drop
+        |  AND NOT f.near_dropped AND f.doc_id % 97 <> 0
+        |  AND f.doc_id NOT IN (SELECT doc_id FROM cids)
+        |ORDER BY f.doc_id""".stripMargin,
     "q235_dedup_impact" ->
       s"""WITH ${Dedup.PairsCtes},
         |docs AS (SELECT doc_id, lang, md5(text) AS fp,

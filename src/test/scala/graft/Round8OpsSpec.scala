@@ -92,6 +92,55 @@ class Round8OpsSpec extends AnyFunSuite {
       "4x16-bit banding must be pigeonhole-complete at Hamming <= 3")
   }
 
+  test("q263: compaction leaves one file per cell directory and moves no row") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val compacted = graft.ops.Clustering.ensureCompactedSweptIvf(spark, sf)
+    val (swept, _, _) = graft.ops.Clustering.ensureSweptIndexes(spark, sf)
+    // structural: each cell directory holds at most ONE data file
+    val loc = graft.ops.Clustering.tableLocation(spark, compacted)
+    val perDir = java.nio.file.Files.walk(loc).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent.getFileName.toString)
+    assert(perDir.nonEmpty)
+    perDir.foreach { case (dir, files) =>
+      assert(dir.startsWith("cell="), dir)
+      assert(files.size == 1, s"$dir has ${files.size} files after compaction")
+    }
+    // semantic: not one row moved
+    val a = spark.table(swept).select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = spark.table(compacted).select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("q264: every exported doc passes every gate its diagnostic query applies") {
+    import org.apache.spark.sql.functions.col
+    val export = graft.ops.TrainingData.releaseExport(spark, sf).collect()
+    assert(export.nonEmpty)
+    val ids = export.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.forall(_ % 97 != 0), "eval-split docs must not ship")
+    val contaminated = graft.ops.TrainingData.contaminatedIds(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(contaminated).isEmpty, "contaminated docs must not ship")
+    val badVerdicts = graft.ops.TextAnalysis.docQuality(spark, sf)
+      .filter(col("verdict") =!= "keep")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.intersect(badVerdicts).isEmpty, "non-keep docs must not ship")
+    val dropped = graft.ops.TrainingData.dedupMarks(spark, sf)
+      .filter(col("exact_drop") || col("near_dropped"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.intersect(dropped).isEmpty, "dedup-dropped docs must not ship")
+    // and nothing eligible was LEFT BEHIND: the four gate sets fully
+    // explain the complement
+    val all = graft.util.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val excluded = all.filter(id => id % 97 == 0 || contaminated(id) ||
+      badVerdicts(id) || dropped(id))
+    assert(ids == all -- excluded, "export must be exactly the survivors")
+  }
+
   test("q260: session variables bind live values and EXECUTE IMMEDIATE honors rebinding") {
     val out = SqlSuite.sessionVars(spark, sf).collect()
     assert(out.nonEmpty)
