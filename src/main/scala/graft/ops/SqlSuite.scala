@@ -216,7 +216,75 @@ object SqlSuite {
     s.sql("EXECUTE IMMEDIATE graft_qtext USING graft_minq")
   }
 
+  /** q265: the VARIANT type — Spark 4's open semi-structured column
+    * (the ingestion shape for JSON event payloads whose schema you
+    * don't control): rows serialize to JSON, parse into VARIANT
+    * (`parse_json`), and every downstream read is a typed
+    * `variant_get` path extraction — including a nested object and
+    * an array index — with `try_variant_get` proving the miss path
+    * (a wrong path yields NULL, not an error). The aggregation runs
+    * entirely over extracted fields; the oracle computes the same
+    * rollup from the relational columns directly, so the gate proves
+    * the VARIANT round-trip is lossless.
+    *
+    * Scale shape: VARIANT stores a parsed binary form, so path
+    * extraction is a field probe, not a per-row JSON re-parse; the
+    * rollup is an ordinary |statuses|-group aggregate. Doubles
+    * round-trip shortest-form JSON exactly; sums ride DECIMAL(28,6)
+    * per the engine-wide convention.
+    */
+  def variantJson(s: SparkSession, d: String): DataFrame = {
+    graft.util.Tables.orders(s, d).createOrReplaceTempView("ord_var")
+    s.sql(
+      """WITH v AS (
+        |  SELECT parse_json(to_json(named_struct(
+        |    'k', o_orderkey,
+        |    'info', named_struct('status', o_orderstatus, 'amt', o_totalprice),
+        |    'tags', array(o_orderpriority, 'fixed')))) AS payload
+        |  FROM ord_var),
+        |x AS (
+        |  SELECT
+        |    variant_get(payload, '$.info.status', 'string') AS status,
+        |    variant_get(payload, '$.tags[0]', 'string') AS priority,
+        |    CAST(variant_get(payload, '$.info.amt', 'double')
+        |      AS DECIMAL(28,6)) AS amt,
+        |    variant_get(payload, '$.k', 'long') AS k,
+        |    try_variant_get(payload, '$.no.such.path', 'string') AS missing
+        |  FROM v)
+        |SELECT status, priority, count(*) AS n,
+        |  CAST(round(sum(amt), 2) AS DOUBLE) AS sum_amt,
+        |  max(k) AS max_key,
+        |  CAST(count(missing) AS BIGINT) AS n_missing
+        |FROM x
+        |GROUP BY status, priority
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** q266: ORDER BY ALL + lateral column aliases — the last two
+    * analyst-SQL sugars on the migration checklist after q246 (GROUP
+    * BY ALL), q195 (pipe syntax), q184/q260 (parameters/variables):
+    * `n_twice` is a LATERAL alias reading the aggregate alias `n`
+    * from the same SELECT list (no subquery wrap), and ORDER BY ALL
+    * sorts by every output column left-to-right. The oracle spells
+    * both out (explicit expression, explicit column list), proving
+    * the sugar's semantics rather than assuming DuckDB's identical
+    * shorthand.
+    */
+  def orderByAll(s: SparkSession, d: String): DataFrame = {
+    graft.util.Tables.lineitem(s, d).createOrReplaceTempView("li_oba")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(n * 2 AS BIGINT) AS n_twice
+        |FROM li_oba
+        |GROUP BY 1, 2
+        |ORDER BY ALL""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_order_by_all" -> orderByAll _,
+    "q265_variant_json" -> variantJson _,
     "q260_session_vars" -> sessionVars _,
     "q246_group_by_all" -> groupByAll _,
     "q195_pipe_sql"  -> pipeSql _,
@@ -230,6 +298,28 @@ object SqlSuite {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q265: the same rollup from the relational columns directly —
+    // equality proves the VARIANT round-trip lost nothing
+    "q265_variant_json" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_amt,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(0 AS BIGINT) AS n_missing
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY status, priority""".stripMargin,
+    // q266: sugar spelled out — lateral alias expanded, ORDER BY ALL
+    // as the explicit left-to-right column list
+    "q266_order_by_all" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(count(*) * 2 AS BIGINT) AS n_twice
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     // the variable chain literalized: graft_minq's defining subquery
     // inlined where the parameter marker bound it
     "q260_session_vars" ->
