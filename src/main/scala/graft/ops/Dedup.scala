@@ -489,7 +489,67 @@ object Dedup {
       s.read.parquet(out).orderBy(col("doc_id"))
     }
 
+  /** q267: bounded edit-distance SELF-JOIN (PassJoin partition
+    * scheme, Li/Deng/Feng's segment lemma): every pair of 24-char
+    * document title prefixes within Levenshtein distance k=2, without
+    * ever forming all pairs. Partition each title into k+1=3 contiguous
+    * segments: if ed(x, y) ≤ k, then y contains at least one of x's
+    * segments EXACTLY, displaced by at most k positions — so
+    * candidates come from an equi-join of (segment-index, 8-gram)
+    * keys: the indexed side emits its 3 exact segments, the probe
+    * side its substrings at each segment position ± k (≤ 15 keys per
+    * doc, a constant), and `levenshtein` verifies candidates only.
+    * The fuzzy-match primitive behind title/record linkage that
+    * n-gram Jaccard (q28) is too coarse for.
+    *
+    * A deterministic typo'd variant (chars 3 and 15 substituted) of
+    * every 7th title is planted — the catch-the-typo case the
+    * operator exists for. The oracle is the BRUTE-FORCE all-pairs
+    * scan, so the gate doubles as a completeness proof of the
+    * partition scheme at every fixture sf.
+    *
+    * Scale shape: the only wide op ships (segment-index, 8-gram)
+    * keys — constant fan-out per doc, never all-pairs; the verify
+    * touches candidates only (the q27/q28 band-then-verify shape,
+    * with a provably complete banding).
+    */
+  def editDistanceJoin(s: SparkSession, d: String, k: Int = 2): DataFrame = {
+    require(k == 2, "segment layout below is derived for k = 2")
+    val base = documents(s, d).filter(length(col("text")) >= 24)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+    val planted = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 3000000000L).as("doc_id"),
+        concat(substring(col("title"), 1, 2), lit("z"),
+          substring(col("title"), 4, 11), lit("q"),
+          substring(col("title"), 16, 9)).as("title"))
+    val titles = graft.util.CacheRegistry.register(
+      base.unionAll(planted).cache())
+    val segs = titles.select(col("doc_id"), col("title"),
+        explode(array((0 until 3).map(i =>
+          struct(lit(i).as("i"),
+            substring(col("title"), i * 8 + 1, 8).as("sg"))): _*)).as("e"))
+      .select(col("doc_id"), col("title"), col("e.i").as("i"),
+        col("e.sg").as("sg"))
+    val probeKeys = for {
+      i <- 0 until 3; dl <- -k to k
+      p = i * 8 + 1 + dl; if p >= 1 && p + 7 <= 24
+    } yield struct(lit(i).as("i"), substring(col("title"), p, 8).as("sg"))
+    val probes = titles.select(col("doc_id").as("b_id"),
+        col("title").as("tb"), explode(array(probeKeys: _*)).as("e"))
+      .select(col("b_id"), col("tb"), col("e.i").as("i"), col("e.sg").as("sg"))
+    segs.join(probes, Seq("i", "sg"))
+      .filter(col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a"), col("b_id").as("b"),
+        col("title").as("ta"), col("tb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("a"), col("b"), col("dist"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_edit_distance_join" -> ((s: SparkSession, d: String) => editDistanceJoin(s, d)),
     "q201_stream_neardup" -> streamNearDup _,
     "q182_stream_dedup_wm" -> streamDedupWatermark _,
     "q159_stream_dedup"   -> streamDedup _,
@@ -555,6 +615,23 @@ object Dedup {
       |  FROM sig, range(0, 8) t(b))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q267: BRUTE-FORCE all-pairs levenshtein — deliberately not the
+    // partition scheme, so the gate is also a completeness proof
+    "q267_edit_distance_join" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, substring(text, 1, 24) AS title
+        |  FROM documents WHERE length(text) >= 24),
+        |tp AS (
+        |  SELECT doc_id + 3000000000 AS doc_id,
+        |    substring(title, 1, 2) || 'z' || substring(title, 4, 11)
+        |      || 'q' || substring(title, 16, 9) AS title
+        |  FROM t0 WHERE doc_id % 7 = 0),
+        |t AS (SELECT * FROM t0 UNION ALL SELECT * FROM tp)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 2
+        |ORDER BY a, b""".stripMargin,
     "q234_crosslang_dups" ->
       s"""WITH $PairsCtes
         |SELECT j.a, j.b, d1.lang AS lang_a, d2.lang AS lang_b,

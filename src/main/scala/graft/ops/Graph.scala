@@ -421,7 +421,76 @@ object Graph {
       s"\nSELECT s AS p_key, deg FROM d$rounds WHERE deg >= $k ORDER BY p_key"
   }
 
+  /** q268: synchronous LABEL PROPAGATION (Raghavan et al. 2007) over
+    * the co-purchase graph — community detection by iterated neighbor
+    * majority, the cheap complement to connected components (q51
+    * merges everything reachable; LPA splits dense regions into
+    * communities). Fully deterministic: every node starts labeled
+    * with its own id, and each round every node adopts the most
+    * frequent label among its NEIGHBORS (its own label excluded),
+    * ties broken toward the SMALLEST label — integer argmax via
+    * max_by(label, (count, −label)), the q52 assignment discipline.
+    * Four synchronous rounds, the oracle unrolled from the same
+    * recurrence by a Scala helper (q130's convention).
+    *
+    * Scale shape: per round, ONE shuffle — adjacency ⋈ labels on the
+    * neighbor key, then a (node, label)-keyed count and a node-keyed
+    * argmax; the label table is 16 B/row. localCheckpoint truncates
+    * the iterate's lineage (the q130 Pregel lesson).
+    */
+  def labelPropagation(s: SparkSession, d: String, minSupport: Long = 2L,
+      iters: Int = 4): DataFrame = {
+    val e = graft.util.CacheRegistry.register(
+      copurchaseEdges(s, d, minSupport).cache())
+    val adj = graft.util.CacheRegistry.register(
+      e.select(col("u").as("s"), col("v").as("t"))
+        .unionAll(e.select(col("v").as("s"), col("u").as("t")))
+        .cache())
+    var labels = adj.select(col("s").as("n")).distinct()
+      .withColumn("lb", col("n"))
+    (1 to iters).foreach { _ =>
+      labels = adj.join(labels, adj("t") === labels("n"))
+        .groupBy(col("s"), col("lb")).agg(count(lit(1)).as("c"))
+        .groupBy(col("s"))
+        .agg(max_by(col("lb"),
+          struct(col("c"), (-col("lb")).as("neg"))).as("lb"))
+        .select(col("s").as("n"), col("lb"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("lb")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lb"))
+      .select(col("n").as("p_key"), col("lb").as("community"),
+        col("community_size"))
+      .orderBy(col("p_key"))
+  }
+
+  /** One unrolled LPA round (the SQL provably matches the Scala
+    * recurrence — generated from the same structure).
+    */
+  private def lpaRoundCte(t: Int): String =
+    s"""g$t AS (SELECT adj.s, l${t - 1}.lb, CAST(count(*) AS BIGINT) AS c
+       |       FROM adj JOIN l${t - 1} ON adj.t = l${t - 1}.n GROUP BY 1, 2),
+       |l$t AS (SELECT s AS n, lb FROM (
+       |         SELECT s, lb, row_number() OVER (PARTITION BY s
+       |             ORDER BY c DESC, lb) AS rn
+       |         FROM g$t) WHERE rn = 1)""".stripMargin
+
+  private def lpaSql(iters: Int): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT a.p AS u, b.p AS v FROM li a
+       |      JOIN li b ON a.o = b.o AND a.p < b.p
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |adj AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+       |l0 AS (SELECT DISTINCT s AS n, s AS lb FROM adj),
+       |${(1 to iters).map(lpaRoundCte).mkString(",\n")}
+       |SELECT n AS p_key, lb AS community,
+       |  CAST(count(*) OVER (PARTITION BY lb) AS BIGINT) AS community_size
+       |FROM l$iters
+       |ORDER BY p_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_label_propagation" ->
+      ((s: SparkSession, d: String) => labelPropagation(s, d)),
     "q227_kcore" -> ((s: SparkSession, d: String) => kCore(s, d)),
     "q220_assortativity" -> ((s: SparkSession, d: String) => assortativity(s, d)),
     "q174_assoc_rules" -> ((s: SparkSession, d: String) => assocRules(s, d)),
@@ -431,6 +500,7 @@ object Graph {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q268_label_propagation" -> lpaSql(4),
     "q227_kcore" -> kcoreOracle(3, 8),
     "q220_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

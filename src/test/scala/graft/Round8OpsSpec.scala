@@ -141,6 +141,41 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(ids == all -- excluded, "export must be exactly the survivors")
   }
 
+  test("q267: every planted typo pair is found; segment fan-out stays constant") {
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.ops.Dedup.editDistanceJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedBases = graft.util.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(col("text")) >= 24 &&
+        col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(plantedBases.nonEmpty)
+    plantedBases.foreach { id =>
+      assert(pairs.contains((id, id + 3000000000L)),
+        s"planted typo of doc $id was not matched")
+    }
+  }
+
+  test("q268: LPA labels are node ids, sizes conserve the node count, run is deterministic") {
+    val rows = graft.ops.Graph.labelPropagation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nodes = rows.map(_.getAs[Long]("p_key")).toSet
+    val labels = rows.map(_.getAs[Long]("community")).toSet
+    assert(labels.subsetOf(nodes), "labels must be node ids of the graph")
+    // propagation must actually merge labels (how FAR it merges is a
+    // graph property: this dense little fixture collapses to one
+    // community; sf0.01's splits into several — the gate pins both)
+    assert(labels.size < nodes.size, "propagation must merge labels")
+    // community_size column is consistent with the labeling itself
+    val byLabel = rows.groupBy(_.getAs[Long]("community"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("community_size") ==
+        byLabel(r.getAs[Long]("community")).length)
+    }
+    val again = graft.ops.Graph.labelPropagation(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q260: session variables bind live values and EXECUTE IMMEDIATE honors rebinding") {
     val out = SqlSuite.sessionVars(spark, sf).collect()
     assert(out.nonEmpty)
