@@ -523,7 +523,61 @@ object Temporal {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q269: BITEMPORAL point-in-time query — the two-axis temporal
+    * model (valid time: when a fact was true; transaction time: when
+    * the warehouse learned it) that SCD2 (q144's CDC merge) collapses
+    * to one axis. A deterministic correction feed is synthesized from
+    * orders: every order's original version is recorded at its order
+    * date; every 13th order receives a RETROACTIVE price correction
+    * (+100.00, same valid_from) transacted 30 days later. The same
+    * valid-time question — "total believed price per status, as
+    * valid at end of time" — is then answered AS OF two transaction
+    * cutoffs: at the early cutoff late-arriving corrections are
+    * invisible (and orders not yet placed don't exist); at the late
+    * cutoff every correction has landed. Believed version = the
+    * max-(tx, version) row among versions with tx ≤ cutoff — one
+    * window per cutoff, the reproducible-reporting primitive an
+    * audited warehouse must answer ("what did we report THEN?").
+    *
+    * Determinism: prices ride DECIMAL(18,2) (+100.00 exact);
+    * timestamps never leave the plan (labels out).
+    *
+    * Scale shape: per cutoff, one (order)-keyed window over the
+    * version table (versions ≈ rows + corrections, never rows ×
+    * time) and a |statuses|-group rollup; the two cutoffs share one
+    * version-table scan via unionAll of filtered branches.
+    */
+  def bitemporal(s: SparkSession, d: String): DataFrame = {
+    val Dec = DataTypes.createDecimalType(18, 2)
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderdate"), col("o_totalprice").cast(Dec).as("price"))
+    val v1 = o.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderdate").as("tx"), lit(1L).as("version"), col("price"))
+    val v2 = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("tx"),
+        lit(2L).as("version"),
+        (col("price") + lit(100.00).cast(Dec)).as("price"))
+    val versions = v1.unionAll(v2)
+    def asOf(label: String, cutoff: String): DataFrame = {
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("tx").desc, col("version").desc)
+      versions.filter(col("tx") <= lit(cutoff).cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("price")), 2).cast("double").as("sum_price"))
+        .select(lit(label).as("as_of"), col("o_orderstatus"),
+          col("n_orders"), col("sum_price"))
+    }
+    asOf("1_early_1998", "1998-01-01 00:00:00")
+      .unionAll(asOf("2_late_2002", "2002-01-01 00:00:00"))
+      .orderBy(col("as_of"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_bitemporal" -> bitemporal _,
     "q229_type_xcorr" -> typeCrossCorr _,
     "q225_seasonal_outliers" -> ((s: SparkSession, d: String) => seasonalProfile(s, d)),
     "q185_conversion_lag" -> conversionLag _,
@@ -539,6 +593,30 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q269_bitemporal" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderdate AS tx,
+        |    1 AS version, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_orderdate + INTERVAL 30 DAY,
+        |    2, CAST(o_totalprice AS DECIMAL(18,2)) + 100.00
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |pick AS (
+        |  SELECT c.label, c.cutoff, v.*,
+        |    row_number() OVER (PARTITION BY c.label, v.o_orderkey
+        |        ORDER BY v.tx DESC, v.version DESC) AS rn
+        |  FROM (VALUES ('1_early_1998', TIMESTAMP '1998-01-01'),
+        |               ('2_late_2002', TIMESTAMP '2002-01-01'))
+        |       c(label, cutoff)
+        |  JOIN v ON v.tx <= c.cutoff)
+        |SELECT label AS as_of, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(round(sum(price), 2) AS DOUBLE) AS sum_price
+        |FROM pick WHERE rn = 1
+        |GROUP BY 1, 2
+        |ORDER BY as_of, o_orderstatus""".stripMargin,
     "q229_type_xcorr" ->
       """WITH ev AS (
         |  SELECT epoch_us(date_trunc('microseconds', ts)) // 3600000000 AS hr,

@@ -27,7 +27,13 @@ class ScaleSlopeSpec extends AnyFunSuite {
     // r7 wave-2: the two most expensive new queries — q226's exact
     // LOO pair sweep (quadratic COMPUTE by definition, but its shuffle
     // must stay block-bounded) and q227's peel rounds
-    "q226_knn_label_eval", "q227_kcore")
+    "q226_knn_label_eval", "q227_kcore",
+    // r8: the heaviest new queries — LPA's per-round label shuffles,
+    // the PassJoin segment fan-out (constant keys/doc — a quadratic
+    // candidate blowup would show immediately), and the governance
+    // card's composed per-doc stages
+    "q268_label_propagation", "q267_edit_distance_join",
+    "q262_governance_card")
 
   /** Total shuffle bytes written by every stage `body` runs. The
     * listener bus is async, so after the action we poll until the
