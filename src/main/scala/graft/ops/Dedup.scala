@@ -489,6 +489,44 @@ object Dedup {
       s.read.parquet(out).orderBy(col("doc_id"))
     }
 
+  /** q270: streaming INCREMENTAL edit-distance dedup — q201's
+    * continuous-ingest pattern applied to the q267 fuzzy matcher:
+    * titles stream in, each is flagged `is_fuzzy_dup` iff some PRIOR
+    * (smaller-id) title verifies within Levenshtein 2, against
+    * per-segment-key state (graft.streaming.DedupStreams
+    * SegmentMatchProcessor) that persists across micro-batches — new
+    * data is fuzzy-deduplicated against everything already admitted
+    * WITHOUT rescanning it. Candidates come from the same PassJoin
+    * keys as batch (shared lemma, spec'd by the q267 property test);
+    * the verify runs in-state on the stored 24-byte titles. Gated by
+    * the arrival-order-free batch form: EXISTS a smaller-id title at
+    * lev ≤ 2.
+    *
+    * Scale shape: shuffle carries (segment-key, doc_id, 24-char
+    * title) rows — the constant q267 fan-out; state ≈ 40 B per
+    * (key, doc) incidence in RocksDB, TTL-boundable.
+    */
+  def streamFuzzyDedup(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val path = s"$d/documents.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-fuzzydedup")
+      val src = s.readStream.schema(s.read.parquet(path).schema)
+        .parquet(s"$d/documents.parquet*")
+        .select(col("doc_id"), col("text"))
+      val q = graft.streaming.DedupStreams.fuzzyFlags(src).toDF()
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("doc_id"))
+            .agg(max(col("dup")).as("is_fuzzy_dup"))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("doc_id"))
+    }
+
   /** q267: bounded edit-distance SELF-JOIN (PassJoin partition
     * scheme, Li/Deng/Feng's segment lemma): every pair of 24-char
     * document title prefixes within Levenshtein distance k=2, without
@@ -550,6 +588,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q267_edit_distance_join" -> ((s: SparkSession, d: String) => editDistanceJoin(s, d)),
+    "q270_stream_fuzzy_dedup" -> streamFuzzyDedup _,
     "q201_stream_neardup" -> streamNearDup _,
     "q182_stream_dedup_wm" -> streamDedupWatermark _,
     "q159_stream_dedup"   -> streamDedup _,
@@ -615,6 +654,16 @@ object Dedup {
       |  FROM sig, range(0, 8) t(b))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q270: the arrival-order-free batch form of the streamed flag
+    "q270_stream_fuzzy_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, substring(text, 1, 24) AS title
+        |  FROM documents WHERE length(text) >= 24)
+        |SELECT t.doc_id,
+        |  EXISTS (SELECT 1 FROM t p
+        |          WHERE p.doc_id < t.doc_id
+        |            AND levenshtein(p.title, t.title) <= 2) AS is_fuzzy_dup
+        |FROM t ORDER BY doc_id""".stripMargin,
     // q267: BRUTE-FORCE all-pairs levenshtein — deliberately not the
     // partition scheme, so the gate is also a completeness proof
     "q267_edit_distance_join" ->

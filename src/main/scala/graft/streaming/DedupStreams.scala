@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One band-membership vote: `dup` is true iff some PRIOR doc (smaller
   * doc_id, seen in this or an earlier micro-batch) shares this LSH band.
@@ -46,6 +46,74 @@ class BandMinIdProcessor
   }
 }
 
+/** One segment-key vote for q270: `dup` is true iff some PRIOR doc
+  * (smaller doc_id) sharing this PassJoin segment key verified within
+  * Levenshtein distance 2.
+  */
+final case class FuzzyFlag(doc_id: Long, dup: Boolean)
+
+/** Per-segment-key state for incremental edit-distance dedup (q270):
+  * each (segment-index : 8-gram) group keeps the docs that ever
+  * carried the key — (doc_id, 24-char title, role bitmask 1=exact
+  * segment, 2=shifted probe window) — and every incoming doc is
+  * verified (bounded Levenshtein, candidates only) against the prior
+  * entries whose role complements its own (the PassJoin lemma needs
+  * an EXACT segment on one side and a ±k-shifted window on the
+  * other; probe windows at shift 0 cover the exact-exact case).
+  * In-batch rows sweep in doc_id order, so a batch holding both ends
+  * of a pair resolves exactly like the batch operator (q201's
+  * contract).
+  *
+  * Scale shape: state is ~40 B per (key, doc) incidence — ≤ 18 keys
+  * per doc, the constant PassJoin fan-out; the stored payload IS the
+  * 24-byte title (what the verify needs), so no corpus rescan ever
+  * happens. RocksDB-backed, TTL-boundable like the band state.
+  */
+class SegmentMatchProcessor
+    extends StatefulProcessor[String, (String, Long, String, Int), FuzzyFlag] {
+  @transient private var entries: ListState[(Long, String, Int)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    entries = getHandle.getListState[(Long, String, Int)]("entries",
+      Encoders.product[(Long, String, Int)], TTLConfig.NONE)
+
+  /** Bounded Levenshtein — full DP is fine at 24 chars. */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    var j = 1
+    while (j <= b.length) {
+      var prev = dp(0); dp(0) = j
+      var i = 1
+      while (i <= a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+        i += 1
+      }
+      j += 1
+    }
+    dp(a.length)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long, String, Int)],
+      timers: TimerValues): Iterator[FuzzyFlag] = {
+    val incoming = rows.toArray.sortBy(_._2)
+    val stored = scala.collection.mutable.ArrayBuffer.from(entries.get())
+    val out = incoming.map { case (_, id, title, roles) =>
+      val dup = stored.exists { case (pid, ptitle, proles) =>
+        pid < id &&
+          (((roles & 1) != 0 && (proles & 2) != 0) ||
+            ((roles & 2) != 0 && (proles & 1) != 0)) &&
+          lev(title, ptitle) <= 2
+      }
+      stored += ((id, title, roles))
+      entries.appendValue((id, title, roles))
+      FuzzyFlag(id, dup)
+    }
+    out.iterator
+  }
+}
+
 /** Streaming incremental near-dup dedup — the continuous-ingest form of
   * the batch MinHash+LSH family (graft.ops.Dedup q27/q28): documents
   * stream in, each is flagged `is_near_dup` iff it shares an LSH band
@@ -82,6 +150,44 @@ object DedupStreams {
       .as[(String, Long)]
       .groupByKey(_._1)
       .transformWithState(new BandMinIdProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** (doc_id, text) stream → per-(doc, segment-key) fuzzy-dup votes
+    * (q270): the q267 PassJoin key generation as a stateless stage
+    * (exact segments role 1, ±2-shifted probe windows role 2, OR'd
+    * per key), then per-key verified-prior state in
+    * transformWithState. Docs shorter than 24 chars have no title,
+    * hence no keys, hence no votes — the q267 domain.
+    */
+  def fuzzyFlags(docs: DataFrame): Dataset[FuzzyFlag] = {
+    val s = docs.sparkSession
+    forceRocksDb(s)
+    import s.implicits._
+    docs.filter(length(col("text")) >= 24)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val roles = scala.collection.mutable.LinkedHashMap[(Int, String), Int]()
+        var i = 0
+        while (i < 3) {
+          val g = t.substring(i * 8, i * 8 + 8)
+          roles((i, g)) = roles.getOrElse((i, g), 0) | 1
+          var dl = -2
+          while (dl <= 2) {
+            val p = i * 8 + dl
+            if (p >= 0 && p + 8 <= 24) {
+              val pg = t.substring(p, p + 8)
+              roles((i, pg)) = roles.getOrElse((i, pg), 0) | 2
+            }
+            dl += 1
+          }
+          i += 1
+        }
+        roles.iterator.map { case ((si, g), r) => (s"$si:$g", id, t, r) }
+      }
+      .groupByKey(_._1)
+      .transformWithState(new SegmentMatchProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 }

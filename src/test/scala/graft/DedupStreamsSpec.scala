@@ -43,6 +43,40 @@ class DedupStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("q270: a late fuzzy dup (typo'd title) is caught against segment state; unrelated and over-edited titles are not") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val in = MemoryStream[Doc]
+    val q = DedupStreams.fuzzyFlags(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ds_fuzzy").start()
+    try {
+      val base = "the quick brown fox jump" // exactly 24 chars
+      in.addData(
+        Doc(1, base + " over the lazy dog"),
+        Doc(2, "completely different txt and then some more"))
+      q.processAllAvailable()
+      // batch 2: doc 3 is doc 1's title with TWO typos (lev = 2 —
+      // must be caught against state from batch 1); doc 4 has THREE
+      // typos vs doc 1 and FOUR vs doc 3 — over threshold, no flag
+      in.addData(
+        Doc(3, "thz quick brown fox jumq and more tail text"),
+        Doc(4, "tha quicc browz fox jump trailing words here"))
+      q.processAllAvailable()
+      val flags = spark.table("ds_fuzzy")
+        .groupBy(col("doc_id")).agg(max(col("dup")).as("d"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(flags == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("an in-batch near-dup pair resolves by doc_id order, like the batch operator") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -156,6 +156,63 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q267 property: the segment scheme is complete for ANY 24-char pair at lev <= 2") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // mirrors of the query's key generation (3 exact segments of 8;
+    // probes at each segment position shifted +-2 within bounds)
+    def segKeys(t: String): Set[(Int, String)] =
+      (0 until 3).map(i => (i, t.slice(i * 8, i * 8 + 8))).toSet
+    def probeKeys(t: String): Set[(Int, String)] =
+      (for {
+        i <- 0 until 3; dl <- -2 to 2
+        p = i * 8 + dl; if p >= 0 && p + 8 <= 24
+      } yield (i, t.slice(p, p + 8))).toSet
+    def candidate(x: String, y: String): Boolean =
+      segKeys(x).intersect(probeKeys(y)).nonEmpty ||
+        segKeys(y).intersect(probeKeys(x)).nonEmpty
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    // small alphabet so segments collide in interesting ways
+    val base = Gen.listOfN(24, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val edit: Gen[String => String] = for {
+      op <- Gen.oneOf(0, 1, 2) // sub, ins, del
+      pos <- Gen.chooseNum(0, 23)
+      ch <- Gen.oneOf('a', 'b', 'c', 'z')
+    } yield (t: String) => op match {
+      case 0 => t.updated(math.min(pos, t.length - 1), ch)
+      case 1 => t.take(pos) + ch + t.drop(pos)
+      case 2 => if (t.length > 1) t.take(pos.min(t.length - 1)) +
+        t.drop(pos.min(t.length - 1) + 1) else t
+    }
+    val pairGen = for {
+      x <- base
+      e1 <- edit; e2 <- edit
+      n <- Gen.oneOf(0, 1, 2)
+      y = Seq(e1, e2).take(n).foldLeft(x)((t, f) => f(t))
+    } yield (x, y)
+    val prop = Prop.forAll(pairGen) { case (x, y) =>
+      // the query's corpus only holds 24-char titles; the lemma claim
+      // is only made (and only needed) there
+      if (x.length == 24 && y.length == 24 && lev(x, y) <= 2)
+        candidate(x, y)
+      else true
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q268: LPA labels are node ids, sizes conserve the node count, run is deterministic") {
     val rows = graft.ops.Graph.labelPropagation(spark, sf).collect()
     assert(rows.nonEmpty)
