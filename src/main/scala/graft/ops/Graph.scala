@@ -29,25 +29,43 @@ import graft.util.Tables._
   */
 object Graph {
 
-  /** Distinct (order, part) incidence — the bipartite basket table. */
+  /** Distinct (order, part) incidence — the bipartite basket table,
+    * memo-CACHED per (session, sf dir): every graph query shares ONE
+    * build instead of re-running the distinct per query (what a
+    * production pipeline does by materializing the basket table).
+    */
+  private val incMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(incMemo)
   private def incidence(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
+    incMemo.computeIfAbsent((s, d), _ => graft.util.CacheRegistry.register(
+      lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .cache()))
 
   /** Co-purchase edges: unordered part pairs sharing ≥ `minSupport`
-    * orders. u < v by part key, one row per edge.
+    * orders. u < v by part key, one row per edge. Memo-CACHED per
+    * (session, sf dir, minSupport) — the basket self-join is the
+    * graph family's shared expensive stage (q126/q130/q133/q174/
+    * q220/q227/q268 all ride it), so it runs once per session.
     */
+  private val edgeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(edgeMemo)
   private def copurchaseEdges(s: SparkSession, d: String,
-      minSupport: Long): DataFrame = {
-    val li = incidence(s, d)
-    li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minSupport)
-      .select(col("u"), col("v"))
-  }
+      minSupport: Long): DataFrame =
+    edgeMemo.computeIfAbsent((s, d, minSupport), _ =>
+      graft.util.CacheRegistry.register {
+        val li = incidence(s, d)
+        li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= minSupport)
+          .select(col("u"), col("v"))
+          .cache()
+      })
 
   /** Top parts by triangle participation in the co-purchase graph:
     * (part, n_triangles), n_triangles desc then part asc, top 10.
@@ -55,10 +73,9 @@ object Graph {
     */
   def triangleParts(s: SparkSession, d: String, minSupport: Long = 2L,
       topK: Int = 10): DataFrame =
-    // cache the edge list: it feeds the degree count AND the
-    // orientation join — uncached, the basket self-join reruns 3×
-    triangleCounts(graft.util.CacheRegistry.register(
-        copurchaseEdges(s, d, minSupport).cache()))
+    // the memoized edge cache feeds the degree count AND the
+    // orientation join — uncached, the basket self-join would rerun 3×
+    triangleCounts(copurchaseEdges(s, d, minSupport))
       .orderBy(col("n_triangles").desc, col("p_key"))
       .limit(topK)
 
@@ -364,8 +381,7 @@ object Graph {
     */
   def kCore(s: SparkSession, d: String, k: Int = 3, rounds: Int = 8,
       minSupport: Long = 2L): DataFrame = {
-    val e = graft.util.CacheRegistry.register(
-      copurchaseEdges(s, d, minSupport).cache())
+    val e = copurchaseEdges(s, d, minSupport)
     val adj = e.select(col("u").as("s"), col("v").as("t"))
       .unionAll(e.select(col("v").as("s"), col("u").as("t")))
     var alive = adj.select(col("s").as("n")).distinct()
@@ -440,8 +456,7 @@ object Graph {
     */
   def labelPropagation(s: SparkSession, d: String, minSupport: Long = 2L,
       iters: Int = 4): DataFrame = {
-    val e = graft.util.CacheRegistry.register(
-      copurchaseEdges(s, d, minSupport).cache())
+    val e = copurchaseEdges(s, d, minSupport)
     val adj = graft.util.CacheRegistry.register(
       e.select(col("u").as("s"), col("v").as("t"))
         .unionAll(e.select(col("v").as("s"), col("u").as("t")))
