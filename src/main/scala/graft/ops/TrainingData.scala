@@ -1031,6 +1031,65 @@ object TrainingData {
         .cache()
     })
 
+  /** q271: systematic PPS (probability-proportional-to-size) document
+    * sampling — k=50 draws with inclusion probability proportional to
+    * token count, the sampling design a training-mix builder uses
+    * when "sample documents uniformly" would under-weight long
+    * documents' tokens. Fully deterministic: the systematic start is
+    * the midpoint u = step/2 (no RNG — a seeded variant would pass u
+    * in), the k sample points are u + m·step over the doc_id-ordered
+    * token axis, and a document's multiplicity is the number of
+    * points its cumulative-token interval covers — so Σ mult = k
+    * exactly, and any document longer than `step` tokens is selected
+    * with certainty (both spec-pinned). All integer arithmetic.
+    *
+    * Scale shape: the cumulative axis comes from the q101/q211
+    * two-pass prefix scan — range partition on doc_id, per-partition
+    * totals to the driver (O(partitions) control rows), exclusive
+    * offsets broadcast back into a compiled per-partition pass —
+    * never a single-partition window over the corpus. The oracle
+    * spells the same interval-counting arithmetic over a window
+    * cumsum.
+    */
+  def ppsSample(s: SparkSession, d: String, k: Long = 50L): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d).select(col("doc_id"), col("lang"),
+      col("source"),
+      size(split(col("text"), "\\s+")).cast("long").as("nt"))
+    val ranged = graft.util.CacheRegistry.register(
+      base.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id")).cache())
+    val partSums = ranged.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("nt")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = ranged.rdd.getNumPartitions
+    val off = new Array[Long](nParts)
+    var acc = 0L
+    (0 until nParts).foreach { i =>
+      off(i) = acc; acc += partSums.getOrElse(i, 0L)
+    }
+    val step = acc / k
+    val u = step / 2
+    require(step > 0, s"corpus has fewer tokens than k=$k")
+    val bc = s.sparkContext.broadcast(off)
+    val kk = k
+    ranged.as[(Long, String, String, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var c = bc.value(pid)
+        def cnt(x: Long): Long =
+          if (x < u) 0L else math.min(kk, (x - u) / step + 1)
+        it.map { case (id, lang, source, nt) =>
+          val c0 = c
+          c += nt
+          (id, lang, source, nt, cnt(c) - cnt(c0))
+        }
+      }
+      .toDF("doc_id", "lang", "source", "n_tokens", "mult")
+      .filter(col("mult") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** q264: the RELEASE EXPORT — the materialization counterpart of
     * the q262 governance card: the documents that survive EVERY gate
     * (q62 quality verdict `keep`, q235 exact + near dedup, q90 eval
@@ -1121,6 +1180,7 @@ object TrainingData {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q235_dedup_impact" -> dedupImpact _,
     "q264_release_export" -> releaseExport _,
+    "q271_pps_sample" -> ((s: SparkSession, d: String) => ppsSample(s, d)),
     "q236_grouped_split" -> ((s: SparkSession, d: String) => groupedSplit(s, d)),
     "q197_boilerplate"  -> ((s: SparkSession, d: String) => boilerplateDensity(s, d)),
     "q198_js_divergence" -> jsDivergence _,
@@ -1222,6 +1282,31 @@ object TrainingData {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // q271: the same interval-counting arithmetic over a window
+    // cumsum (the oracle may single-partition; the engine must not)
+    "q271_pps_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci
+        |  FROM t),
+        |p AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t),
+        |s AS (SELECT total // 50 AS step, (total // 50) // 2 AS u FROM p),
+        |m AS (
+        |  SELECT c.doc_id, c.lang, c.source, c.n_tokens,
+        |    (CASE WHEN c.ci < s.u THEN 0
+        |          ELSE least(50, (c.ci - s.u) // s.step + 1) END)
+        |    - (CASE WHEN c.ci - c.n_tokens < s.u THEN 0
+        |            ELSE least(50, (c.ci - c.n_tokens - s.u) // s.step + 1) END)
+        |      AS mult
+        |  FROM c CROSS JOIN s)
+        |SELECT doc_id, lang, source, n_tokens, CAST(mult AS BIGINT) AS mult
+        |FROM m WHERE mult > 0
+        |ORDER BY doc_id""".stripMargin,
     // q264: the kept set under every gate — the governance CTE chain
     // (shared with q262's oracle) filtered to the survivors
     "q264_release_export" ->

@@ -233,6 +233,32 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q271: PPS sample places exactly k draws and always selects over-step documents") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.ops.TrainingData.ppsSample(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("mult")).sum == 50L,
+      "systematic PPS must place exactly k sample points")
+    val base = graft.util.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), "\\s+"))
+          .cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = base.map(_._2).sum
+    val step = total / 50
+    val selected = rows.map(_.getAs[Long]("doc_id")).toSet
+    base.filter(_._2 > step).foreach { case (id, nt) =>
+      assert(selected.contains(id),
+        s"doc $id with $nt tokens (> step $step) must be certain-selected")
+    }
+    // inclusion is token-proportional: multiplicity never exceeds
+    // ceil(nt / step) + 1 interval crossings
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("mult") <= nt / step + 1)
+    }
+  }
+
   test("q260: session variables bind live values and EXECUTE IMMEDIATE honors rebinding") {
     val out = SqlSuite.sessionVars(spark, sf).collect()
     assert(out.nonEmpty)
