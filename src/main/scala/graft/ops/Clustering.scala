@@ -960,8 +960,11 @@ object Clustering {
       .agg(round(sum(col("ld")), 4).as("adc"))
       .filter(col("vec_id") =!= col("qid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    // Rerank qv comes from qdf itself (NOT re-read from the corpus):
+    // the seam advertises an arbitrary (vec_id, v) query relation, so a
+    // non-corpus query id must still rerank rather than silently drop.
     adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
-      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(qdf.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
       .join(e.select(col("vec_id"), col("v").as("nv")), Seq("vec_id"))
       .select(col("qid").as("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"), col("adc"),
@@ -1479,7 +1482,7 @@ object Clustering {
     * partition whose every row was erased still gets emptied.
     */
   private[graft] def sweepIndexPartitions(s: SparkSession, table: String,
-      keyCol: String, partCol: String, cohort: DataFrame): Unit = {
+      keyCol: String, partCol: String, cohort: DataFrame): Array[Long] = {
     val t = s.table(table)
     val affected = t.join(broadcast(cohort), t(keyCol) === cohort("k"))
       .select(col(partCol)).distinct().collect().map(_.getLong(0)).sorted
@@ -1497,7 +1500,33 @@ object Clustering {
       }
       sweepPartitionsRewritten.addAndGet(affected.length)
     }
+    affected
   }
+
+  /** Compact the given partition directories of `table` to ONE data
+    * file each, IN PLACE (no new table, no build-counter bump): stage
+    * the affected partitions' rows once (Spark refuses INSERT
+    * OVERWRITE reading from the target table), then statically
+    * INSERT OVERWRITE each partition with a single-task select. Cost
+    * is O(affected partitions) of 16-byte index rows — the
+    * maintenance-cycle shape, never a table rewrite.
+    */
+  private[graft] def compactPartitionsInPlace(s: SparkSession, table: String,
+      partCol: String, parts: Seq[Long]): Unit =
+    if (parts.nonEmpty) {
+      val t = s.table(table)
+      val dataCols = t.columns.filterNot(_ == partCol)
+      val scratch = graft.util.TmpDirs.scratch(s"compact_$table")
+      t.filter(col(partCol).isin(parts: _*))
+        .write.mode("overwrite").parquet(scratch)
+      val srcView = s"compact_src_$table"
+      s.read.parquet(scratch).createOrReplaceTempView(srcView)
+      parts.foreach { pv =>
+        s.sql(s"INSERT OVERWRITE TABLE $table PARTITION ($partCol=$pv) " +
+          s"SELECT /*+ REPARTITION(1) */ ${dataCols.mkString(", ")} " +
+          s"FROM $srcView WHERE $partCol = $pv")
+      }
+    }
 
   /** Build the three erasure-capable index tables (pre-sweep). */
   private[graft] def buildEraseIndexes(s: SparkSession, d: String)
@@ -1638,6 +1667,112 @@ object Clustering {
     ivfProbeOn(s, d, compacted, qs).orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- q272: the WHOLE index lifecycle chained on ONE table --------
+  //
+  // q203/q215/q254/q263 each prove one verb (build, grow, erase,
+  // compact) on its own table instance; production indexes experience
+  // them IN SEQUENCE on the same table, which is exactly where layout
+  // assumptions collide (the bucketed grow layout vs the partitioned
+  // erase layout). This chain runs base build → incremental append →
+  // erasure sweep → in-place compaction on a single partitioned
+  // table, then serves batch AND streamed probes from it. The gate
+  // oracle recomputes the probe from (base ∪ appended) \ erased under
+  // the frozen centroids — the same target as q254, because base ∪
+  // appended is the full corpus — so a pass proves no verb corrupted
+  // another verb's rows.
+  //
+  // Scale shape per verb is unchanged from its standalone proof:
+  // build one corpus pass, grow O(batch), erase O(affected inverted
+  // lists), compact O(swept partitions, one task each); only the
+  // LAYOUT is unified (partition-directory per cell — the erase verb
+  // dictates it, and grow appends new directories/files without
+  // touching existing ones).
+
+  /** Base build: the even half of the corpus, assigned against the
+    * full-corpus frozen centroids, laid out one directory per cell.
+    * The ONLY step that counts as a build (`indexBuilds` +1).
+    */
+  private[graft] def lifecycleBaseBuild(s: SparkSession, d: String,
+      name: String): Unit = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    recreatePartitioned(s, name,
+      ivfAssignmentFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 0)),
+      "cell")
+  }
+
+  /** Grow: assign ONLY the arriving odd half against the same frozen
+    * centroids and append into the partitioned layout — O(batch), no
+    * existing file touched (appends add files, never rewrite).
+    */
+  private[graft] def lifecycleGrow(s: SparkSession, d: String,
+      name: String): Unit = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    ivfAssignmentFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      .write.mode("append").format("parquet")
+      .partitionBy("cell").saveAsTable(name)
+  }
+
+  /** Erase the q233 cohort (vec_id ≡ 0 mod 97) by rewriting only the
+    * affected cell directories; returns them for the compaction step.
+    */
+  private[graft] def lifecycleErase(s: SparkSession, d: String,
+      name: String): Array[Long] =
+    sweepIndexPartitions(s, name, "vec_id", "cell", erasedVecIds(s, d))
+
+  private val lifeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(lifeMemo)
+
+  /** Run the full chain once per (session, sf dir); returns the ONE
+    * table name every verb ran against.
+    */
+  private[graft] def ensureLifecycleIvf(s: SparkSession, d: String): String =
+    lifeMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_ivf_life_", d)
+      lifecycleBaseBuild(s, d, name)
+      lifecycleGrow(s, d, name)
+      val swept = lifecycleErase(s, d, name)
+      compactPartitionsInPlace(s, name, "cell", swept.toSeq)
+      name
+    })
+
+  /** q272: batch probe of the chained-lifecycle table (q203's search:
+    * same queries, nprobe = 2, top-3). Gated by the q254 oracle —
+    * rebuild-from-(base ∪ appended) \ erased under frozen centroids.
+    */
+  def ivfLifecycleProbe(s: SparkSession, d: String): DataFrame = {
+    val life = ensureLifecycleIvf(s, d)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfProbeOn(s, d, life, qs).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The streamed serve of the SAME lifecycle table (q212's per-micro-
+    * batch pattern) — AnnIndexSpec pins streamed == batch == oracle,
+    * completing "serve" as the chain's final verb on both paths.
+    */
+  private[graft] def streamLifecycleServe(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val idx = ensureLifecycleIvf(s, d) // chain runs ONCE, outside the stream
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val out = graft.util.TmpDirs.scratch("stream-life-serve")
+      val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
+        .filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val q = src.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            ivfProbeOn(batch.sparkSession, d, idx, batch)
+              .write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("query_id"), col("rank"))
+    }
+
   /** q257: streaming ANN serving for the PQ family — q212's pattern
     * (ops/Clustering.scala streamIvfServe) applied to the q204 code
     * table: query vectors arrive as a stream and every micro-batch
@@ -1716,6 +1851,7 @@ object Clustering {
     "q258_stream_binary_serve" -> streamBinaryServe _,
     "q259_index_staleness" -> indexStaleness _,
     "q263_index_compaction" -> ivfCompactedProbe _,
+    "q272_ivf_lifecycle" -> ivfLifecycleProbe _,
     "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
@@ -2051,6 +2187,10 @@ object Clustering {
     // q263 serves the COMPACTED swept index — same oracle as q254:
     // compaction must be invisible to serving
     "q263_index_compaction" -> ivfAnnSqlFor("vec_id % 97 <> 0"),
+    // q272 chains build → grow → erase → compact on ONE table; since
+    // base ∪ appended is the full corpus, the rebuild target is the
+    // same as q254's — any verb corrupting another's rows breaks it
+    "q272_ivf_lifecycle" -> ivfAnnSqlFor("vec_id % 97 <> 0"),
     "q241_nprobe_sweep" -> nprobeSweepSql(Seq(1, 2, 4)),
     "q180_pca_power" -> pcaOracle,
     "q200_pca_deflate" -> pca2Oracle,

@@ -67,10 +67,25 @@ final case class FuzzyFlag(doc_id: Long, dup: Boolean)
   * Scale shape: state is ~40 B per (key, doc) incidence — ≤ 18 keys
   * per doc, the constant PassJoin fan-out; the stored payload IS the
   * 24-byte title (what the verify needs), so no corpus rescan ever
-  * happens. RocksDB-backed, TTL-boundable like the band state.
+  * happens. RocksDB-backed. Hot keys are BOUNDED: each key retains at
+  * most [[SegmentMatchProcessor.MaxEntriesPerKey]] entries, keeping
+  * the SMALLEST doc_ids — deterministic (retention depends on ids,
+  * never on arrival timing, unlike a processing-time TTL), and it
+  * caps both state size and the per-row verify scan at O(cap).
+  *
+  * Completeness trade-off, documented: once a key holds `cap` entries,
+  * later (larger-id) incidences on that key are not stored, so a
+  * future doc whose ONLY shared key is a saturated one can miss a
+  * match against a dropped entry. The cap (1024) is > 5× the densest
+  * key observed at the largest fixture (195 incidences at sf0.1), so
+  * fixture results are provably unaffected; under continuous 100 TB
+  * ingest it trades tail-completeness on pathological shared-prefix
+  * keys for bounded state — the same trade a TTL makes, minus the
+  * nondeterminism.
   */
 class SegmentMatchProcessor
     extends StatefulProcessor[String, (String, Long, String, Int), FuzzyFlag] {
+  import SegmentMatchProcessor.MaxEntriesPerKey
   @transient private var entries: ListState[(Long, String, Int)] = _
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     entries = getHandle.getListState[(Long, String, Int)]("entries",
@@ -99,6 +114,7 @@ class SegmentMatchProcessor
       timers: TimerValues): Iterator[FuzzyFlag] = {
     val incoming = rows.toArray.sortBy(_._2)
     val stored = scala.collection.mutable.ArrayBuffer.from(entries.get())
+    val before = stored.length
     val out = incoming.map { case (_, id, title, roles) =>
       val dup = stored.exists { case (pid, ptitle, proles) =>
         pid < id &&
@@ -107,11 +123,26 @@ class SegmentMatchProcessor
           lev(title, ptitle) <= 2
       }
       stored += ((id, title, roles))
-      entries.appendValue((id, title, roles))
       FuzzyFlag(id, dup)
+    }
+    // Persist with smallest-id retention: under the cap, append only
+    // the new incidences (cheap path); over it, rewrite the list as
+    // the `cap` smallest ids — bounded state, deterministic retention.
+    if (stored.length <= MaxEntriesPerKey) {
+      if (stored.length > before)
+        entries.appendList(stored.drop(before).toArray)
+    } else {
+      entries.put(stored.sortBy(_._1).take(MaxEntriesPerKey).toArray)
     }
     out.iterator
   }
+}
+
+object SegmentMatchProcessor {
+  /** Per-key state cap — > 5× the densest fixture key (195 at sf0.1);
+    * see the class scaladoc for the completeness trade-off.
+    */
+  val MaxEntriesPerKey = 1024
 }
 
 /** Streaming incremental near-dup dedup — the continuous-ingest form of

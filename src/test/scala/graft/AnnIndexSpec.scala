@@ -238,4 +238,68 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(spark.table(bin).select("vec_id", "lo", "hi").collect().toSet ==
       rBin.collect().toSet)
   }
+
+  test("q272: build → grow → erase → compact chain on ONE table, builds once, streamed == batch") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    def snapshot(table: String): Map[String, (Long, Long)] = {
+      val loc = Clustering.tableLocation(spark, table)
+      java.nio.file.Files.walk(loc).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (loc.relativize(p).toString,
+          (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+            java.nio.file.Files.size(p))))
+        .toMap
+    }
+    // stepwise on a spec-owned table name for the file-level claims
+    val name = "graft_ivf_life_spec"
+    Clustering.lifecycleBaseBuild(spark, sf, name)
+    Clustering.lifecycleGrow(spark, sf, name)
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(spark.table(name).count() == total,
+      "after grow the one table must index the FULL corpus")
+    val afterGrow = snapshot(name)
+    val swept = Clustering.lifecycleErase(spark, sf, name)
+    assert(swept.nonEmpty)
+    Clustering.compactPartitionsInPlace(spark, name, "cell", swept.toSeq)
+    val afterCompact = snapshot(name)
+    // clean partitions byte-for-byte untouched through erase AND compact
+    val allCells = spark.table(name).select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((allCells -- swept).nonEmpty, "cohort hit every cell — no selectivity")
+    for ((path, meta) <- afterGrow) {
+      val clean = !swept.exists(pv => path.startsWith(s"cell=$pv/"))
+      if (clean && path.endsWith(".parquet"))
+        assert(afterCompact.get(path).contains(meta),
+          s"clean partition file $path was touched by erase/compact")
+    }
+    // every swept cell directory compacted to exactly ONE data file
+    for (pv <- swept) {
+      val files = afterCompact.keys
+        .filter(p => p.startsWith(s"cell=$pv/") && p.endsWith(".parquet"))
+      assert(files.size == 1,
+        s"cell=$pv holds ${files.size} data files after compaction")
+    }
+    // contents == rebuilt from (base ∪ appended) \ erased, frozen model
+    val (rIvf, _, _) = Clustering.rebuiltSweptContents(spark, sf)
+    assert(spark.table(name).select("vec_id", "cell").collect().toSet ==
+      rIvf.collect().toSet)
+    // the canonical memoized chain: exactly ONE build across all four
+    // verbs, and the streamed serve neither rebuilds nor diverges
+    val b0 = Clustering.indexBuilds.get()
+    val batch = Clustering.ivfLifecycleProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(Clustering.indexBuilds.get() - b0 == 1,
+      "the chain must count as exactly one index build")
+    assert(batch.nonEmpty)
+    val erased = Clustering.erasedVecIds(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(!batch.exists(t => erased.contains(t._3)),
+      "an erased vector was served from the lifecycle table")
+    val streamed = Clustering.streamLifecycleServe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(Clustering.indexBuilds.get() - b0 == 1,
+      "streamed serving must reuse the chained table, not rebuild")
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }

@@ -105,6 +105,58 @@ class DedupStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("segment state is capped per key with smallest-id retention; flags still correct") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val cap = graft.streaming.SegmentMatchProcessor.MaxEntriesPerKey
+    // cap+76 titles sharing segment 0 ("prefix##") but pairwise lev 8
+    // beyond it: suffix = one char repeated 8 + another repeated 8, a
+    // distinct (c1, c2) combo per doc — any two differ in a whole block
+    val chars = ('a' to 'z') ++ ('A' to 'Z')
+    val docs = (1 to cap + 76).map { i =>
+      val c1 = chars((i - 1) / chars.length); val c2 = chars((i - 1) % chars.length)
+      Doc(i.toLong, "prefix##" + c1.toString * 8 + c2.toString * 8 + " tail")
+    }
+    val ckpt = graft.util.TmpDirs.scratch("fuzzy-cap-ckpt")
+    val in = MemoryStream[Doc]
+    val q = DedupStreams.fuzzyFlags(in.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("ds_cap").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val flags = spark.table("ds_cap")
+        .groupBy(col("doc_id")).agg(max(col("dup")).as("d"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(flags.size == docs.size && flags.values.forall(!_),
+        "pairwise lev-8 titles must not flag")
+      // the hot (segment-0) key must hold EXACTLY the cap smallest ids
+      val state = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "entries").load()
+      val perKey = state.selectExpr("key.value AS k", "list_element.*")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), max(col("_1")).as("maxId"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val hot = perKey.filter(_._2 > 1)
+      assert(hot.nonEmpty, "the shared segment key must exist in state")
+      hot.foreach { case (k, n, maxId) =>
+        assert(n <= cap, s"key $k holds $n entries > cap $cap")
+        if (n == cap)
+          assert(maxId == cap.toLong,
+            s"saturated key $k must retain the $cap SMALLEST ids (max was $maxId)")
+      }
+      assert(hot.exists(_._2 == cap), "one key must be saturated at the cap")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("q201 streamed flags match the batch q27 composition on the fixture corpus") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.ops.Dedup.streamNearDup(spark, sf)

@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q253_binary_index", // q30's broadcast 10-query =!= join over the 16-byte code table
     "q254_ivf_erasure", // q203's broadcast centroid table, swept-index serving
     "q263_index_compaction", // same probe shape over the compacted swept index
+    "q272_ivf_lifecycle", // same probe shape over the chained-lifecycle table
     "q259_index_staleness", // two broadcast centroid tables + q30's broadcast query joins (recall audit)
     "q256_binary_erasure") // q253's broadcast 9-query =!= join over the swept code table
   private val allowedSinglePartition =

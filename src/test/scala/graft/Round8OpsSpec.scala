@@ -167,8 +167,14 @@ class Round8OpsSpec extends AnyFunSuite {
         i <- 0 until 3; dl <- -2 to 2
         p = i * 8 + dl; if p >= 0 && p + 8 <= 24
       } yield (i, t.slice(p, p + 8))).toSet
+    // The query implements ONE direction: exact segments of the
+    // smaller-id doc joined to probe windows of the larger-id doc
+    // (the doc_id < b_id filter). The property has no ids, so it must
+    // prove that single direction for EITHER possible assignment —
+    // assert both directions individually (AND, not OR), so a
+    // regression in the one-directional scheme is caught.
     def candidate(x: String, y: String): Boolean =
-      segKeys(x).intersect(probeKeys(y)).nonEmpty ||
+      segKeys(x).intersect(probeKeys(y)).nonEmpty &&
         segKeys(y).intersect(probeKeys(x)).nonEmpty
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1)(i => i)
