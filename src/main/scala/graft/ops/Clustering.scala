@@ -576,8 +576,15 @@ object Clustering {
     * the table NAME is the cross-session handle instead).
     */
   private[graft] def ivfProbeOn(s: SparkSession, d: String,
-      idxTable: String, qs: DataFrame): DataFrame = {
-    val cells = s.table(idxTable)
+      idxTable: String, qs: DataFrame): DataFrame =
+    ivfProbeOnCells(s, d, s.table(idxTable), qs)
+
+  /** Same probe over an arbitrary (vec_id, cell) relation — the seam
+    * the q273 merge-on-read path feeds its tombstone-merged view
+    * through (index table ⟕-anti tombstones, resolved at serve time).
+    */
+  private[graft] def ivfProbeOnCells(s: SparkSession, d: String,
+      cells: DataFrame, qs: DataFrame): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
@@ -1773,6 +1780,81 @@ object Clustering {
       s.read.parquet(out).orderBy(col("query_id"), col("rank"))
     }
 
+  // ---- q273: MERGE-ON-READ erasure (deletion vectors) --------------
+  //
+  // q254's copy-on-write sweep is the heavy delete: correct, but it
+  // rewrites every affected inverted-list directory up front. The
+  // lakehouse pairs it with a LIGHT delete — write the erased KEYS as
+  // a tombstone (deletion-vector) table, O(cohort) bytes, touching
+  // ZERO index files — and resolves the delete at SERVE time with a
+  // broadcast anti-join (the q250 discipline). The debt is repaid at
+  // the next maintenance cycle: fold-in rewrites the affected
+  // partitions (exactly the q254 sweep), compacts them (q263's verb),
+  // and truncates the tombstones. The gate proves the MoR-served
+  // probe equals the rebuild-from-survivors target — the same oracle
+  // as q254, so DV-served == CoW-swept == rebuilt; the spec makes the
+  // latency/amplification trade MEASURABLE (tombstone bytes vs
+  // affected-partition bytes) and pins that the light delete touched
+  // no index file.
+
+  private val dvMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+  graft.util.CacheRegistry.registerMemo(dvMemo)
+
+  /** Full-corpus partitioned IVF table + its tombstone table holding
+    * ONLY the deletion cohort's keys (the O(cohort)-byte delete).
+    */
+  private[graft] def ensureDvIvf(s: SparkSession, d: String)
+      : (String, String) =
+    dvMemo.computeIfAbsent((s, d), _ => {
+      val ivf = tableNameFor("graft_ivf_mor_", d)
+      recreatePartitioned(s, ivf, ivfAssignment(s, d), "cell")
+      val dv = tableNameFor("graft_ivf_dv_", d)
+      dropAndCleanLocation(s, dv)
+      erasedVecIds(s, d).coalesce(1)
+        .write.format("parquet").saveAsTable(dv)
+      (ivf, dv)
+    })
+
+  /** Serve-time merge: the index rows minus the broadcast tombstone
+    * set. At 100 TB the tombstone side stays cohort-sized (requests
+    * since the last fold-in), so the anti-join is a broadcast hash
+    * probe added to the scan — no shuffle, no rewrite.
+    */
+  private[graft] def dvMergedCells(s: SparkSession, ivf: String,
+      dv: String): DataFrame = {
+    val t = s.table(ivf)
+    val tomb = s.table(dv)
+    t.join(broadcast(tomb), t("vec_id") === tomb("k"), "left_anti")
+  }
+
+  /** Fold the tombstones into the data files — the deferred heavy
+    * half, run at the maintenance cycle: rewrite ONLY the affected
+    * partitions (q254's sweep), compact them to one file each
+    * (q263's verb), then truncate the now-redundant tombstone table.
+    */
+  private[graft] def dvFoldIn(s: SparkSession, d: String, ivf: String,
+      dv: String): Array[Long] = {
+    val cohort = s.table(dv)
+    val swept = sweepIndexPartitions(s, ivf, "vec_id", "cell", cohort)
+    compactPartitionsInPlace(s, ivf, "cell", swept.toSeq)
+    s.sql(s"TRUNCATE TABLE $dv")
+    swept
+  }
+
+  /** q273: the q203 probe served through the MERGE-ON-READ view
+    * (index ⟕-anti tombstones) BEFORE any fold-in — proving the light
+    * delete already stops serving the cohort. Same oracle as q254.
+    */
+  def ivfDvProbe(s: SparkSession, d: String): DataFrame = {
+    val (ivf, dv) = ensureDvIvf(s, d)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfProbeOnCells(s, d, dvMergedCells(s, ivf, dv), qs)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q257: streaming ANN serving for the PQ family — q212's pattern
     * (ops/Clustering.scala streamIvfServe) applied to the q204 code
     * table: query vectors arrive as a stream and every micro-batch
@@ -1852,6 +1934,7 @@ object Clustering {
     "q259_index_staleness" -> indexStaleness _,
     "q263_index_compaction" -> ivfCompactedProbe _,
     "q272_ivf_lifecycle" -> ivfLifecycleProbe _,
+    "q273_ivf_dv_erasure" -> ivfDvProbe _,
     "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
@@ -2191,6 +2274,10 @@ object Clustering {
     // base ∪ appended is the full corpus, the rebuild target is the
     // same as q254's — any verb corrupting another's rows breaks it
     "q272_ivf_lifecycle" -> ivfAnnSqlFor("vec_id % 97 <> 0"),
+    // q273 serves through the tombstone anti-join WITHOUT any file
+    // rewrite — the light delete must be indistinguishable from the
+    // heavy one (q254) and from the rebuild, hence the shared oracle
+    "q273_ivf_dv_erasure" -> ivfAnnSqlFor("vec_id % 97 <> 0"),
     "q241_nprobe_sweep" -> nprobeSweepSql(Seq(1, 2, 4)),
     "q180_pca_power" -> pcaOracle,
     "q200_pca_deflate" -> pca2Oracle,

@@ -302,4 +302,67 @@ class AnnIndexSpec extends AnyFunSuite {
       "streamed serving must reuse the chained table, not rebuild")
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("q273: DV delete writes O(cohort) bytes touching no index file; fold-in repays the debt") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    def snapshot(table: String): Map[String, (Long, Long)] = {
+      val loc = Clustering.tableLocation(spark, table)
+      java.nio.file.Files.walk(loc).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (loc.relativize(p).toString,
+          (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+            java.nio.file.Files.size(p))))
+        .toMap
+    }
+    val (ivf, dv) = Clustering.ensureDvIvf(spark, sf)
+    val erased = Clustering.erasedVecIds(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(erased.nonEmpty)
+    // --- the amplification trade, measured -------------------------
+    // light delete: total bytes of the tombstone table
+    val dvBytes = snapshot(dv).values.map(_._2).sum
+    // heavy delete: the bytes the q254 CoW sweep must rewrite — the
+    // affected partitions' data files in the SAME index layout
+    val affected = spark.table(ivf)
+      .filter(col("vec_id").isin(erased.toSeq: _*))
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    val ivfSnap = snapshot(ivf)
+    val cowBytes = ivfSnap.collect {
+      case (path, (_, sz))
+          if affected.exists(pv => path.startsWith(s"cell=$pv/")) &&
+            path.endsWith(".parquet") => sz
+    }.sum
+    assert(dvBytes > 0 && cowBytes > dvBytes,
+      s"DV delete ($dvBytes B) must be lighter than the CoW rewrite ($cowBytes B)")
+    // the light delete touched ZERO index files: serve the probe, then
+    // re-snapshot — the index table must be byte-for-byte unchanged
+    val dvServed = Clustering.ivfDvProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dvServed.nonEmpty)
+    assert(!dvServed.exists(t => erased.contains(t._3)),
+      "a tombstoned vector was served through the MoR view")
+    assert(snapshot(ivf) == ivfSnap, "the DV delete touched an index file")
+    // DV-served == CoW-swept (q254) — the two delete paths agree
+    val cowServed = Clustering.ivfErasureProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dvServed.toSeq == cowServed.toSeq)
+    // --- fold-in: physical rows gone, tombstones drained, serving
+    // unchanged, swept dirs compacted to one file ------------------
+    val swept = Clustering.dvFoldIn(spark, sf, ivf, dv)
+    assert(swept.toSet == affected)
+    assert(spark.table(ivf)
+      .filter(col("vec_id").isin(erased.toSeq: _*)).count() == 0,
+      "fold-in left physically deleted rows behind")
+    assert(spark.table(dv).count() == 0, "fold-in must drain the tombstones")
+    for (pv <- swept) {
+      val files = snapshot(ivf).keys
+        .filter(p => p.startsWith(s"cell=$pv/") && p.endsWith(".parquet"))
+      assert(files.size == 1, s"cell=$pv not compacted at fold-in")
+    }
+    val postFold = Clustering.ivfDvProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(postFold.toSeq == dvServed.toSeq,
+      "fold-in changed what the index serves")
+  }
 }
