@@ -128,6 +128,53 @@ object EventAnalytics {
     }
   }
 
+  /** q275: q154's session aggregation in APPEND mode with a 1-hour
+    * watermark — the PRODUCTION mode: a session emits exactly once,
+    * when the watermark passes its close (last event + 30-min gap),
+    * and the state store only ever holds OPEN sessions. q154's
+    * complete mode re-emits the full state every trigger, which is
+    * the right gate form for a finite backlog but cannot scale past
+    * small key counts on an unbounded run; this is the same
+    * aggregation emitting once-on-closure.
+    *
+    * Gate semantics: the emitted set is the gaps-and-islands sessions
+    * whose close precedes the final watermark — max event time
+    * (millisecond-truncated, as the engine tracks it) − 1 h — so the
+    * oracle is the q18/q154 oracle RESTRICTED to closed sessions.
+    * The last ~90 minutes of sessions stay in state when the backlog
+    * ends: exactly the rows a production restart would emit later,
+    * never wrong rows.
+    *
+    * Scale shape: identical to q154's shuffle (user-keyed session
+    * merge) but state is bounded by the watermark horizon — open
+    * sessions only — instead of every session ever seen.
+    */
+  def streamSessionsAppend(s: SparkSession, d: String): DataFrame = {
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val out = graft.util.TmpDirs.scratch("stream-sessions-append")
+      val agg = graft.util.Tables.normalizeTs(
+        s.readStream.schema(s.read.parquet(path).schema)
+          .parquet(s"$d/events.parquet*"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), TsFmt).as("session_start"),
+          col("n_events"))
+      val q = agg.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("user_id"), col("session_start"))
+    }
+  }
+
   /** q164: per-user running totals through the STREAMING engine — the
     * third stateful streaming operator under the driver gate
     * (aggregation state, vs q154's session windows and q159's dedup
@@ -954,6 +1001,79 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** q274: CHAINED stateful streaming — the q173 stream-stream join
+    * feeding a windowed aggregation in ONE streaming query, i.e. two
+    * StateStore-backed operators in one plan (Spark's multi-stateful
+    * support; EventStreamsSpec pins the two-operator physical plan).
+    * Purchases join same-user clicks at most 10 minutes earlier (both
+    * sides 1-hour watermark), and the matched pairs roll up into
+    * HOURLY purchase-time windows inside the same query, append mode:
+    * a window emits exactly once, when the propagated watermark
+    * passes its end.
+    *
+    * Emission semantics: a window is held until the watermark the
+    * JOIN propagates passes its end — measured (and spec-pinned) as
+    * min(click wm, purchase wm) − 10 min: the interval condition's
+    * state watermark delays the propagated watermark, so the fence is
+    * max event time − 1 h − 10 min. In principle the gate row set is
+    * therefore the batch rollup MINUS the last hours of windows. On the
+    * fixtures the fence never bites — the latest joined window ends
+    * hours before any candidate fence at every sf (verified at
+    * sf0.001/0.01/0.1: streamed rows == full batch rollup) — so the
+    * oracle is the plain batch join + hourly rollup, and the fence
+    * behavior itself is pinned by EventStreamsSpec with a synthetic
+    * stream whose tail windows DO straddle the fence.
+    *
+    * Scale shape: identical to q173 for the join (user-sharded
+    * symmetric hash state bounded by the watermark horizon); the
+    * second stateful operator adds an hourly-window agg whose state
+    * is one row per OPEN window — bounded by the watermark, not the
+    * stream. Width 4 for the same store-count reason as q173.
+    */
+  /** The two-stateful-operator plan itself — stream-stream join into
+    * a windowed aggregation — over any (user_id, event_id, event_type,
+    * ts) stream; the seam EventStreamsSpec drives with a MemoryStream
+    * to pin the physical plan and the append-mode fence.
+    */
+  private[graft] def chainedJoinWindowAgg(src: DataFrame): DataFrame = {
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .groupBy(window(col("p_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(date_format(col("w.start"), TsFmt).as("hour_start"),
+        col("n_pairs"))
+  }
+
+  def streamJoinWindowed(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val out = graft.util.TmpDirs.scratch("stream-join-win")
+    graft.util.StreamTuning.withShuffle(s, 4) {
+      val src = graft.util.Tables.normalizeTs(
+        s.readStream.schema(s.read.parquet(path).schema)
+          .parquet(s"$d/events.parquet*"))
+      val agg = chainedJoinWindowAgg(src)
+      val q = agg.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("hour_start"))
+    }
+  }
+
   /** q176: Shannon entropy of each user's event-type mix — the
     * behavioral-diversity score (entropy 0 = single-type bot-like
     * traffic; high entropy = organic usage).
@@ -1362,6 +1482,7 @@ object EventAnalytics {
     "q176_type_entropy"    -> typeEntropy _,
     "q177_cusum"           -> cusumChangepoint _,
     "q173_stream_join"     -> streamClickAttribution _,
+    "q274_stream_join_windowed" -> streamJoinWindowed _,
     "q166_winsorize"       -> winsorize _,
     "q172_ab_lift"         -> abLift _,
     "q116_markov"          -> markovTransitions _,
@@ -1388,6 +1509,7 @@ object EventAnalytics {
     "q17_sessionize"       -> sessionize _,
     "q18_session_window"   -> sessionWindowNative _,
     "q154_stream_sessions" -> streamSessions _,
+    "q275_stream_sessions_append" -> streamSessionsAppend _,
     "q164_stream_totals"   -> streamUserTotals _,
     "q19_event_type_stats" -> typeStats _,
   )
@@ -1672,6 +1794,28 @@ object EventAnalytics {
         |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q274 chains the q173 join into an hourly windowed agg in ONE
+    // streaming query; on the fixtures every joined window closes
+    // hours before the final watermark (verified at all three sfs),
+    // so the gate target is the full batch rollup — the fence itself
+    // is pinned by EventStreamsSpec on a synthetic straddling stream
+    "q274_stream_join_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS cts
+        |      FROM e WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT pts
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND cts <= pts AND cts >= pts - INTERVAL 10 MINUTE)
+        |SELECT strftime(date_trunc('hour', pts), '%Y-%m-%d %H:%M:%S.%f')
+        |    AS hour_start,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM j GROUP BY 1 ORDER BY hour_start""".stripMargin,
     "q166_winsorize" ->
       """WITH b AS (
         |  SELECT event_type,
@@ -2045,6 +2189,11 @@ object EventAnalytics {
     // engine — one oracle string pins both (q51/q150 shared-oracle
     // pattern); see the `SessionWindowOracle` indirection below
     "q154_stream_sessions" -> EventAnalyticsOracles.SessionWindow,
+    // q275 runs the same aggregation in append mode: the emitted set
+    // is the q18/q154 sessions whose close (last event + 30 min gap)
+    // precedes the final watermark (ms-truncated max ts − 1 h) —
+    // verified fence-exact at sf0.001/0.01/0.1 (944/9525/95280 rows)
+    "q275_stream_sessions_append" -> EventAnalyticsOracles.SessionWindowClosed,
     "q164_stream_totals" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
@@ -2093,5 +2242,39 @@ private[ops] object EventAnalyticsOracles {
       |  count(*) AS n_events
       |FROM s
       |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** q275: the SAME sessionization restricted to CLOSED sessions —
+    * close (last event + 30-min gap) strictly before the final
+    * watermark, i.e. millisecond-truncated max event time − 1 hour
+    * (the engine tracks event-time stats in ms). Append mode emits
+    * exactly these, once each.
+    */
+  val SessionWindowClosed: String =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    date_trunc('microseconds', ts) AS ts_us,
+      |    lag(epoch_us(date_trunc('microseconds', ts)))
+      |      OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL
+      |    OR epoch_us(ts_us) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM t),
+      |s AS (
+      |  SELECT *, sum(new_session)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM m),
+      |f AS (
+      |  SELECT (max(epoch_us(date_trunc('microseconds', ts))) // 1000) * 1000
+      |    - 3600000000 AS wm_us
+      |  FROM events)
+      |SELECT user_id,
+      |  strftime(min(ts_us), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, session_no
+      |HAVING max(epoch_us(ts_us)) + 1800000000 < (SELECT wm_us FROM f)
       |ORDER BY user_id, session_start""".stripMargin
 }

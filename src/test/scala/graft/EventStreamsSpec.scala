@@ -214,6 +214,97 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q274: two stateful operators in ONE plan; append fence holds tail windows back") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def lastPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String = {
+      val bos = new java.io.ByteArrayOutputStream
+      Console.withOut(new java.io.PrintStream(bos)) { q.explain() }
+      bos.toString
+    }
+    val in = MemoryStream[Ev]
+    val q = graft.ops.EventAnalytics.chainedJoinWindowAgg(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("es_chained").start()
+    try {
+      in.addData(
+        // early pair — window 10:00-11:00, far below any fence: emits
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, "purchase", 1.0),
+        // discriminator pair — window 13:00-14:00 (end 14:00)
+        Ev(3, ts("2024-01-01 13:30:00"), 3, "click", 1.0),
+        Ev(4, ts("2024-01-01 13:35:00"), 3, "purchase", 1.0),
+        // tail pair at the max event time 15:05 — window 15:00-16:00
+        // stays open under ANY fence; advances both watermarks to 14:05
+        Ev(5, ts("2024-01-01 15:05:00"), 9, "click", 1.0),
+        Ev(6, ts("2024-01-01 15:05:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val plan = lastPlan(q)
+      assert(plan.contains("StreamingSymmetricHashJoin"),
+        s"chained query must contain the stream-stream join:\n$plan")
+      assert(plan.contains("StateStoreSave"),
+        s"chained query must contain the stateful windowed agg:\n$plan")
+      // watermark 14:05, MINUS the 10-min interval the join's state
+      // watermark subtracts → fence 13:55: the 13:00 window (end
+      // 14:00) is still OPEN — only the early window emits. This pins
+      // that the propagated watermark is the join-adjusted one, not
+      // the raw input watermark.
+      val emitted1 = spark.table("es_chained")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(emitted1 == Set(("2024-01-01 10:00:00.000000", 1L)),
+        s"fence must hold the 13:00 window at watermark 14:05: $emitted1")
+      // push the watermark to 15:00 (fence 14:50): the 13:00 window
+      // closes and emits exactly once; the 15:00 tail stays open
+      in.addData(
+        Ev(7, ts("2024-01-01 16:00:00"), 7, "click", 1.0),
+        Ev(8, ts("2024-01-01 16:00:00"), 7, "purchase", 1.0))
+      q.processAllAvailable()
+      val emitted2 = spark.table("es_chained")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(emitted2 == Set(
+        ("2024-01-01 10:00:00.000000", 1L),
+        ("2024-01-01 13:00:00.000000", 1L)),
+        s"13:00 must emit once closed; 15:00 must stay open: $emitted2")
+    } finally q.stop()
+  }
+
+  test("q275: append-mode sessions emit exactly once on closure; open sessions stay held") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("es_sessions_append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0), // merges: gap 10 min
+        Ev(3, ts("2024-01-01 13:00:00"), 2, "click", 1.0)) // pushes wm to 12:00
+      q.processAllAvailable()
+      def emitted = spark.table("es_sessions_append")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      // user 1's session closed at 10:40 < wm 12:00 → emitted once;
+      // user 2's (closes 13:30) still open
+      assert(emitted.sorted == Seq((1L, "2024-01-01 10:00:00.000000", 2L)))
+      in.addData(
+        Ev(4, ts("2024-01-01 12:30:00"), 1, "click", 1.0), // new session, closes 13:00
+        Ev(5, ts("2024-01-01 15:00:00"), 3, "click", 1.0)) // pushes wm to 14:00
+      q.processAllAvailable()
+      // sessions closing before 14:00 emit; the first session is NOT
+      // re-emitted; user 3's (closes 15:30) stays held
+      assert(emitted.sorted == Seq(
+        (1L, "2024-01-01 10:00:00.000000", 2L),
+        (1L, "2024-01-01 12:30:00.000000", 1L),
+        (2L, "2024-01-01 13:00:00.000000", 1L)))
+    } finally q.stop()
+  }
+
   test("q202 streamed enrichment matches the batch join exactly") {
     val sf = "/root/testdata/sf0.001"
     val streamed = graft.ops.EventAnalytics.streamEnrich(spark, sf)
