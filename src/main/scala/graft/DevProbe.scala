@@ -12,8 +12,33 @@ object DevProbe {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = ops.EventAnalytics.streamSessionsAppend(spark, d)
-    println("ROWS " + r.count())
+    println("scripting.enabled = " +
+      spark.conf.getOption("spark.sql.scripting.enabled"))
+    graft.util.Tables.lineitem(spark, d).createOrReplaceTempView("li_script")
+    val r = spark.sql(
+      """BEGIN
+        |  DECLARE thr BIGINT DEFAULT 10;
+        |  DECLARE err_flag BIGINT DEFAULT 0;
+        |  BEGIN
+        |    DECLARE EXIT HANDLER FOR SQLEXCEPTION
+        |    BEGIN
+        |      SET err_flag = 1;
+        |    END;
+        |    SELECT 1 DIV 0;
+        |  END;
+        |  WHILE (SELECT count(*) FROM li_script WHERE l_quantity >= thr)
+        |      > (SELECT count(*) DIV 4 FROM li_script) DO
+        |    SET thr = thr + 5;
+        |  END WHILE;
+        |  IF thr > 100 THEN
+        |    SET thr = 100;
+        |  END IF;
+        |  SELECT l_returnflag, thr AS thr_used, err_flag,
+        |    count(*) AS n
+        |  FROM li_script WHERE l_quantity >= thr
+        |  GROUP BY l_returnflag ORDER BY l_returnflag;
+        |END""".stripMargin)
+    r.show(20, false)
     spark.stop()
   }
 }

@@ -216,6 +216,60 @@ object SqlSuite {
     s.sql("EXECUTE IMMEDIATE graft_qtext USING graft_minq")
   }
 
+  /** q276: SQL SCRIPTING (SQL/PSM compound statements) — the last
+    * modern-SQL front-end block after q184/q195/q246/q260/q265/q266:
+    * one `spark.sql` call executes a BEGIN…END script exercising
+    * block-scoped DECLARE, a NESTED compound with an EXIT HANDLER FOR
+    * SQLEXCEPTION (fed a guaranteed ANSI error — 1 DIV 0 — so the
+    * handler provably fires and sets `err_flag`, and execution
+    * provably CONTINUES after the nested block), a DATA-DEPENDENT
+    * WHILE loop (raise the quantity threshold in steps of 5 until at
+    * most a quarter of lineitem qualifies), an IF cap, and a final
+    * SELECT whose result is the script's return value.
+    *
+    * The oracle literalizes the control flow: the WHILE fixed point
+    * is the minimum of the arithmetic grid 10+5k whose count clears
+    * the bound (provably identical to the loop exit on an integer
+    * grid), the IF cap is LEAST(thr, 100), and the handler flag is
+    * the constant 1 — so the gate pins loop convergence, handler
+    * firing, AND post-handler continuation, not just the final
+    * aggregate.
+    *
+    * Scale shape: each loop iteration is one count(*) aggregate over
+    * the pushed-down quantity predicate (the loop runs a bounded
+    * ~6 iterations on any data — quantity is 1..50); the script
+    * machinery itself is driver-side control flow around ordinary
+    * Catalyst plans, costing nothing at executor scale.
+    */
+  def sqlScripting(s: SparkSession, d: String): DataFrame = {
+    graft.util.Tables.lineitem(s, d).createOrReplaceTempView("li_script")
+    s.sql(
+      """BEGIN
+        |  DECLARE thr BIGINT DEFAULT 10;
+        |  DECLARE err_flag BIGINT DEFAULT 0;
+        |  BEGIN
+        |    DECLARE EXIT HANDLER FOR SQLEXCEPTION
+        |    BEGIN
+        |      SET err_flag = 1;
+        |    END;
+        |    SELECT 1 DIV 0;
+        |  END;
+        |  WHILE (SELECT count(*) FROM li_script WHERE l_quantity >= thr)
+        |      > (SELECT count(*) DIV 4 FROM li_script) DO
+        |    SET thr = thr + 5;
+        |  END WHILE;
+        |  IF thr > 100 THEN
+        |    SET thr = 100;
+        |  END IF;
+        |  SELECT l_returnflag, thr AS thr_used, err_flag,
+        |    count(*) AS n,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM li_script WHERE l_quantity >= thr
+        |  GROUP BY l_returnflag ORDER BY l_returnflag;
+        |END""".stripMargin)
+  }
+
   /** q265: the VARIANT type — Spark 4's open semi-structured column
     * (the ingestion shape for JSON event payloads whose schema you
     * don't control): rows serialize to JSON, parse into VARIANT
@@ -286,6 +340,7 @@ object SqlSuite {
     "q266_order_by_all" -> orderByAll _,
     "q265_variant_json" -> variantJson _,
     "q260_session_vars" -> sessionVars _,
+    "q276_sql_scripting" -> sqlScripting _,
     "q246_group_by_all" -> groupByAll _,
     "q195_pipe_sql"  -> pipeSql _,
     "q184_param_sql" -> paramSql _,
@@ -329,6 +384,29 @@ object SqlSuite {
         |FROM lineitem
         |WHERE l_quantity >=
         |  (SELECT CAST(max(l_quantity) AS BIGINT) - 5 FROM lineitem)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // the script's control flow literalized: the WHILE fixed point is
+    // the minimum of the 10+5k grid whose count clears total DIV 4
+    // (identical to the loop exit on an integer grid), the IF cap is
+    // LEAST(thr, 100), and the fired handler is the constant 1
+    "q276_sql_scripting" ->
+      """WITH grid AS (
+        |  SELECT 10 + 5 * g AS thr FROM generate_series(0, 30) t(g)),
+        |lim AS (SELECT count(*) // 4 AS lim FROM lineitem),
+        |pick AS (
+        |  SELECT CAST(least(min(thr), 100) AS BIGINT) AS thr
+        |  FROM grid
+        |  WHERE (SELECT count(*) FROM lineitem WHERE l_quantity >= thr)
+        |    <= (SELECT lim FROM lim))
+        |SELECT l_returnflag,
+        |  (SELECT thr FROM pick) AS thr_used,
+        |  CAST(1 AS BIGINT) AS err_flag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity >= (SELECT thr FROM pick)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q246_group_by_all" ->
