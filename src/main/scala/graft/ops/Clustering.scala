@@ -866,6 +866,120 @@ object Clustering {
     aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
       lit(0.0), (a, x) => a + x)
 
+  // ---- q277/q278: staleness audits for the PQ and binary families --
+  //
+  // q259 prices the rebuild decision for IVF; the PQ codebook and the
+  // binary thresholds go stale the same way. The planted shift here
+  // is the EMBEDDING-MODEL-VERSION drift a production pipeline
+  // actually hits: the arriving half (odd vec_ids) comes from a "v2
+  // model" whose outputs sit +10 away per coordinate (exact in double
+  // arithmetic on both engines). Each family is audited with ITS OWN
+  // production health metric — not recall, which on isotropic
+  // fixtures cannot separate codebooks (measured: recall@3 moves ≤ 1
+  // hit under this drift, while the metrics below move 3-4 orders of
+  // magnitude):
+  //  * PQ (q277): QUANTIZATION DISTORTION — the k-means inertia of
+  //    each subvector against its nearest codeword, in exact integer
+  //    micro-units. The frozen (base-trained) codebook distorts the
+  //    arrived half ~6500× worse than a refreshed same-k codebook
+  //    (measured at all three fixture sfs); the trigger is the
+  //    integer comparison sum_frozen ≥ 2·sum_refreshed on that half.
+  //  * binary (q278): BIT BALANCE — a sign quantizer is healthy when
+  //    each dimension splits the population ~50/50. Thresholds are
+  //    per-dim means (micro-unit integers); under the frozen
+  //    base-trained thresholds the drifted half saturates every bit
+  //    to 1 (global imbalance ≈ n/2), while refreshed thresholds
+  //    rebalance to ~0. The trigger is again integer arithmetic.
+
+  /** The model-version drift corpus: even ids unchanged (the base the
+    * models were trained on), odd ids shifted +10 per coordinate, as
+    * doubles.
+    */
+  private def shiftCorpus(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v0"))
+      .select(col("vec_id"),
+        when(col("vec_id") % 2 === 1,
+          transform(col("v0"), x => x + lit(10.0)))
+          .otherwise(col("v0")).as("v"))
+
+  /** q277: PQ codebook staleness — per-half quantization distortion
+    * under the frozen (16 even ids < 32) vs refreshed (same k, half
+    * drawn from the drifted batch: ids ≡ 0,1 mod 8, < 64) codebook,
+    * with the integer rebuild trigger on the arrived half.
+    */
+  def pqStaleness(s: SparkSession, d: String): DataFrame = {
+    val sv = graft.util.CacheRegistry.register(
+      subvectors(shiftCorpus(s, d), 8, 8).cache())
+    def bestOf(cbPred: Column, name: String): DataFrame = {
+      val cb = sv.filter(cbPred)
+        .select(col("vec_id").cast("int").as("cid"), col("m"),
+          col("sv").as("csv"))
+      sv.join(broadcast(cb), Seq("m"))
+        .withColumn("d_us",
+          round(round(dist2Col(col("sv"), col("csv")), 6) * 1e6).cast("long"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("d_us")).as(name))
+    }
+    val a = bestOf(col("vec_id") % 2 === 0 && col("vec_id") < 32, "da")
+    val b = bestOf(
+      (pmod(col("vec_id"), lit(8)) === 0 || pmod(col("vec_id"), lit(8)) === 1)
+        && col("vec_id") < 64, "db")
+    val halves = a.join(b, Seq("vec_id", "m"))
+      .groupBy((col("vec_id") % 2).as("half"))
+      .agg(count(lit(1)).as("n_subvecs"),
+        sum(col("da")).as("dist_frozen_us"),
+        sum(col("db")).as("dist_refreshed_us"))
+    val trig = halves.filter(col("half") === 1)
+      .select(when(col("dist_frozen_us") >= lit(2) * col("dist_refreshed_us"), 1L)
+        .otherwise(0L).as("rebuild_trigger"))
+    halves.crossJoin(broadcast(trig))
+      .select(col("half"), col("n_subvecs"), col("dist_frozen_us"),
+        col("dist_refreshed_us"), col("rebuild_trigger"))
+      .orderBy(col("half"))
+  }
+
+  /** q278: binary-threshold staleness — per-dimension bit occupancy
+    * under frozen (base-half means) vs refreshed (full-corpus means)
+    * thresholds, all in exact micro-unit integers, with the global
+    * imbalance trigger.
+    */
+  def binaryStaleness(s: SparkSession, d: String): DataFrame = {
+    val x = graft.util.CacheRegistry.register(
+      shiftCorpus(s, d)
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("j0", "xv")))
+        .select(col("vec_id"), (col("j0") + 1).cast("long").as("j"),
+          floor(col("xv") * 1e6 + 0.5).cast("long").as("x_us"))
+        .cache())
+    def muOf(pred: Column): DataFrame =
+      x.filter(pred).groupBy(col("j"))
+        .agg(floor(sum(col("x_us")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("mu"))
+    val muA = muOf(col("vec_id") % 2 === 0)
+      .withColumnRenamed("mu", "mu_a")
+    val muB = muOf(lit(true)).withColumnRenamed("mu", "mu_b")
+    val bits = x.join(broadcast(muA), Seq("j")).join(broadcast(muB), Seq("j"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x_us") >= col("mu_a"), 1L).otherwise(0L))
+          .as("ones_frozen"),
+        sum(when(col("x_us") >= col("mu_b"), 1L).otherwise(0L))
+          .as("ones_refreshed"))
+      .withColumn("imb_frozen", abs(lit(2) * col("ones_frozen") - col("n")))
+      .withColumn("imb_refreshed",
+        abs(lit(2) * col("ones_refreshed") - col("n")))
+    val trig = bits.agg(sum(col("imb_frozen")).as("fa"),
+        sum(col("imb_refreshed")).as("fb"),
+        sum(col("n")).as("nn"))
+      .select(when(col("fa") >= lit(2) * col("fb") && lit(4) * col("fa") >= col("nn"),
+        1L).otherwise(0L).as("rebuild_trigger"))
+    bits.crossJoin(broadcast(trig))
+      .select(col("j"), col("n"), col("ones_frozen"), col("ones_refreshed"),
+        col("imb_frozen"), col("imb_refreshed"), col("rebuild_trigger"))
+      .orderBy(col("j"))
+  }
+
   /** (vec_id, m, sv) subvector expansion shared by q114 and the q204
     * index/probe split.
     */
@@ -1935,6 +2049,8 @@ object Clustering {
     "q263_index_compaction" -> ivfCompactedProbe _,
     "q272_ivf_lifecycle" -> ivfLifecycleProbe _,
     "q273_ivf_dv_erasure" -> ivfDvProbe _,
+    "q277_pq_staleness" -> pqStaleness _,
+    "q278_binary_staleness" -> binaryStaleness _,
     "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
@@ -2153,6 +2269,95 @@ object Clustering {
        |    ON x.query_id = r.query_id AND x.vec_id = r.vec_id
        |  GROUP BY 1)""".stripMargin
 
+  /** One q277 codebook variant: nearest-codeword distortion per
+    * (vec, m) in exact micro-units, codebook rows by `cbPred` over
+    * the shifted corpus.
+    */
+  private def pqStaleVariantCtes(tag: String, cbPred: String): String =
+    s"""cb_$tag AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, cm.m, sv AS csv
+       |  FROM sv cm WHERE $cbPred),
+       |best_$tag AS (
+       |  SELECT s.vec_id, s.m,
+       |    min(CAST(round(round(list_sum(
+       |      [(s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i])
+       |       for i in range(1, 9)]), 6) * 1e6) AS BIGINT)) AS d_us
+       |  FROM sv s JOIN cb_$tag c ON c.m = s.m
+       |  GROUP BY s.vec_id, s.m)""".stripMargin
+
+  private def pqStalenessSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v0
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 2 = 1 THEN [x + 10 for x in v0]
+       |         ELSE v0 END AS v
+       |  FROM e0),
+       |sv AS (
+       |  SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS sv
+       |  FROM e, range(0, 8) r(m)),
+       |${pqStaleVariantCtes("a", "vec_id % 2 = 0 AND vec_id < 32")},
+       |${pqStaleVariantCtes("b",
+        "(vec_id % 8 = 0 OR vec_id % 8 = 1) AND vec_id < 64")},
+       |halves AS (
+       |  SELECT a.vec_id % 2 AS half, CAST(count(*) AS BIGINT) AS n_subvecs,
+       |    CAST(sum(a.d_us) AS BIGINT) AS dist_frozen_us,
+       |    CAST(sum(b.d_us) AS BIGINT) AS dist_refreshed_us
+       |  FROM best_a a JOIN best_b b ON a.vec_id = b.vec_id AND a.m = b.m
+       |  GROUP BY 1),
+       |trig AS (
+       |  SELECT CAST(CASE WHEN dist_frozen_us >= 2 * dist_refreshed_us
+       |    THEN 1 ELSE 0 END AS BIGINT) AS rebuild_trigger
+       |  FROM halves WHERE half = 1)
+       |SELECT h.half, h.n_subvecs, h.dist_frozen_us, h.dist_refreshed_us,
+       |  t.rebuild_trigger
+       |FROM halves h CROSS JOIN trig t
+       |ORDER BY h.half""".stripMargin
+
+  private def binaryStalenessSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v0
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 2 = 1 THEN [x + 10 for x in v0]
+       |         ELSE v0 END AS v
+       |  FROM e0),
+       |x AS (
+       |  SELECT vec_id, j, CAST(floor(v[j] * 1e6 + 0.5) AS BIGINT) AS x_us
+       |  FROM e, range(1, 65) r(j)),
+       |mu_a AS (
+       |  SELECT j, CAST(floor(CAST(sum(x_us) AS DOUBLE) / count(*) + 0.5)
+       |    AS BIGINT) AS mu
+       |  FROM x WHERE vec_id % 2 = 0 GROUP BY j),
+       |mu_b AS (
+       |  SELECT j, CAST(floor(CAST(sum(x_us) AS DOUBLE) / count(*) + 0.5)
+       |    AS BIGINT) AS mu
+       |  FROM x GROUP BY j),
+       |bits AS (
+       |  SELECT x.j, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN x.x_us >= a.mu THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ones_frozen,
+       |    CAST(sum(CASE WHEN x.x_us >= b.mu THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ones_refreshed
+       |  FROM x JOIN mu_a a ON a.j = x.j JOIN mu_b b ON b.j = x.j
+       |  GROUP BY x.j),
+       |imb AS (
+       |  SELECT j, n, ones_frozen, ones_refreshed,
+       |    abs(2 * ones_frozen - n) AS imb_frozen,
+       |    abs(2 * ones_refreshed - n) AS imb_refreshed
+       |  FROM bits),
+       |trig AS (
+       |  SELECT CAST(CASE WHEN sum(imb_frozen) >= 2 * sum(imb_refreshed)
+       |      AND 4 * sum(imb_frozen) >= sum(n)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS rebuild_trigger
+       |  FROM imb)
+       |SELECT i.j, i.n, i.ones_frozen, i.ones_refreshed,
+       |  i.imb_frozen, i.imb_refreshed, t.rebuild_trigger
+       |FROM imb i CROSS JOIN trig t
+       |ORDER BY i.j""".stripMargin
+
   private def indexStalenessSql: String =
     s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
        |e AS (
@@ -2267,6 +2472,8 @@ object Clustering {
     "q257_stream_pq_serve" -> pqAnnSql,
     "q258_stream_binary_serve" -> binHamSql("TRUE", "vec_id < 10"),
     "q259_index_staleness" -> indexStalenessSql,
+    "q277_pq_staleness" -> pqStalenessSql,
+    "q278_binary_staleness" -> binaryStalenessSql,
     // q263 serves the COMPACTED swept index — same oracle as q254:
     // compaction must be invisible to serving
     "q263_index_compaction" -> ivfAnnSqlFor("vec_id % 97 <> 0"),

@@ -48,6 +48,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q272_ivf_lifecycle", // same probe shape over the chained-lifecycle table
     "q273_ivf_dv_erasure", // same probe shape through the tombstone anti-join
     "q259_index_staleness", // two broadcast centroid tables + q30's broadcast query joins (recall audit)
+    "q277_pq_staleness", // broadcast 1-row rebuild-trigger scalar onto the 2-row half table
+    "q278_binary_staleness", // broadcast 1-row rebuild-trigger scalar onto the 64-row dim table
     "q256_binary_erasure") // q253's broadcast 9-query =!= join over the swept code table
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
@@ -77,7 +79,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q236_grouped_split", // 1-row max-folds-per-cluster audit aggregate
       "q247_compaction", // two 1-row per-stage conservation aggregates
       "q251_skew_report", // 1-row diagnosis aggregate over the distinct-key table
-      "q259_index_staleness") // 1-row rebuild-trigger aggregate over |Q| hit counts
+      "q259_index_staleness", // 1-row rebuild-trigger aggregate over |Q| hit counts
+      "q278_binary_staleness") // 1-row rebuild-trigger aggregate over the 64-row dim table
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark

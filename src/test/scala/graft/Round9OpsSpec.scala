@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants behind the round-9 operators that the hash gate alone
+  * does not articulate: planted-effect separations and control-flow
+  * fixed points. Effect sizes were validated at ALL three fixture sfs
+  * before being pinned here (per the repo determinism conventions).
+  */
+class Round9OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q277: frozen codebook distorts the drifted half >= 100x; base half stays comparable") {
+    val rows = graft.ops.Clustering.pqStaleness(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 2)
+    val base = rows.find(_._1 == 0L).get
+    val arrived = rows.find(_._1 == 1L).get
+    // the drift is invisible on the base half (refreshed spends half
+    // its budget elsewhere, so frozen may even be better there)
+    assert(base._2 < 2 * base._3 && base._3 < 2 * base._2,
+      s"base-half distortion must be comparable: $base")
+    // ... and catastrophic on the arrived half (measured ~6500x at
+    // every fixture sf; 100x is the safe floor)
+    assert(arrived._2 >= 100 * arrived._3,
+      s"arrived-half frozen distortion must dominate: $arrived")
+    assert(rows.forall(_._4 == 1L), "rebuild trigger must fire")
+  }
+
+  test("q278: frozen thresholds saturate the drifted bits; refreshed rebalance to ~0") {
+    val rows = graft.ops.Clustering.binaryStaleness(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(rows.length == 64)
+    val n = rows.map(_._2).sum
+    val imbFrozen = rows.map(_._3).sum
+    val imbRefreshed = rows.map(_._4).sum
+    assert(imbFrozen * 4 >= n,
+      s"frozen thresholds must be globally imbalanced: $imbFrozen of $n")
+    assert(imbRefreshed * 50 <= n,
+      s"refreshed thresholds must rebalance: $imbRefreshed of $n")
+    assert(rows.forall(_._5 == 1L), "rebuild trigger must fire")
+  }
+
+  test("q276: the WHILE fixed point is the minimal grid threshold; the handler fired") {
+    val rows = graft.ops.SqlSuite.sqlScripting(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val thr = rows.head.getAs[Long]("thr_used")
+    assert(rows.forall(_.getAs[Long]("err_flag") == 1L),
+      "the EXIT handler must have fired and set err_flag")
+    assert((thr - 10) % 5 == 0, s"threshold $thr must sit on the 10+5k grid")
+    val li = graft.util.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("double").as("q")).cache()
+    val total = li.count()
+    def cnt(t: Long) = li.filter(col("q") >= t).count()
+    assert(cnt(thr) <= total / 4, "the loop exit condition must hold")
+    assert(thr == 10 || cnt(thr - 5) > total / 4,
+      "the threshold must be MINIMAL on the grid (one step back violates)")
+    li.unpersist()
+  }
+}
