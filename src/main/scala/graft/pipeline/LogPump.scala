@@ -131,7 +131,16 @@ object LogPump {
         val rs = check.executeQuery()
         try rs.next() finally rs.close()
       } finally check.close()
-      if (committed) false
+      if (committed) {
+        // a replayed-and-skipped batch must still EXECUTE the
+        // micro-batch plan: stateful operators upstream (the assembly
+        // state) have to commit their stores for this batch id —
+        // Spark 4 validates exactly that on restart — and the state
+        // must advance past the replay even though the sink write is
+        // skipped. Draining the rows does both without writing.
+        batch.foreach(_ => ())
+        false
+      }
       else {
         writeRoutedJdbc(batch, tableMap, defaultTable, url, props)
         val mark = conn.prepareStatement(

@@ -63,6 +63,65 @@ class PumpResumeSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("injected crash after sink write, before checkpoint commit: restart skips the replayed batch — zero dups, zero losses") {
+    val logs = Files.createTempDirectory("replay-logs")
+    val cp = Files.createTempDirectory("replay-cp").toString
+    val url = s"jdbc:derby:memory:replaydb${System.nanoTime()};create=true"
+    // two records: the first flushes on its boundary, the second is
+    // held in assembly state and flushes on the 200 ms idle timeout
+    Files.writeString(logs.resolve("25052607.log"),
+      "00:01.100000-1,CONN,3,Usr=a\n00:02.100000-2,CONN,3,Usr=b\n")
+    def rows(table: String) =
+      try spark.read.format("jdbc").option("url", url)
+        .option("dbtable", table).load()
+        .collect().map(_.getAs[String]("User")).toSeq
+      catch { case _: Throwable => Seq.empty[String] }
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def startQuery(inject: Boolean) = StreamingPump.pumpStream(spark,
+        logs.toString, idleFlush = java.time.Duration.ofMillis(200))
+      .select("EventDate", "EventTime", "EventType", "User", "SessionID",
+        "Duration")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val wrote = graft.pipeline.LogPump.idempotentJdbcBatch(
+          batch, id, Map.empty, "LOGS", url, pipelineId = cp)
+        // the injection point: the sink committed THIS batch, the
+        // checkpoint commit log has not yet recorded it — the exact
+        // window the reference handles by dropping the batch
+        // (batch.go:44-49) and we must handle by exactly-once replay
+        if (inject && wrote && !batch.isEmpty &&
+            injected.compareAndSet(false, true))
+          throw new RuntimeException("injected crash between sink and commit log")
+      }
+      .start()
+
+    val q1 = startQuery(inject = true)
+    // the query must DIE from the injected crash, with the batch's
+    // rows already in the sink
+    assert(eventually(90000)(q1.exception.isDefined),
+      "the injected crash must terminate the first run")
+    assert(injected.get())
+    val afterCrash = rows("LOGS")
+    assert(afterCrash.nonEmpty, "the crashed batch's sink write must persist")
+
+    // restart from the same checkpoint: the failed batch REPLAYS (its
+    // offsets were logged, its commit was not) and the marker table
+    // must skip it rather than double-append
+    val q2 = startQuery(inject = false)
+    try {
+      Files.writeString(logs.resolve("25052608.log"),
+        "00:03.100000-3,CONN,3,Usr=c\n")
+      assert(eventually(90000)(rows("LOGS").sorted == Seq("a", "b", "c")),
+        s"got ${rows("LOGS").sorted}")
+      Thread.sleep(1000) // further triggers must not re-append anything
+      val fin = rows("LOGS")
+      assert(fin.sorted == Seq("a", "b", "c"), s"got ${fin.sorted}")
+      assert(fin.distinct.size == fin.size, "zero duplicates required")
+    } finally q2.stop()
+  }
+
   test("hot config reload: TableMap changes apply at the next micro-batch (X1)") {
     val logs = Files.createTempDirectory("reload-logs")
     val cp = Files.createTempDirectory("reload-cp").toString
