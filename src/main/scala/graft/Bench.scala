@@ -96,7 +96,20 @@ object Bench {
         if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
       } catch { case _: Throwable => "unknown" }
     val gitSha = sh(Seq("git", "rev-parse", "--short", "HEAD"))
-    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "unknown")
+    // the round label is MANDATORY (r8 verdict: ad-hoc re-runs kept
+    // producing "unknown"-round artifacts): take the env override, or
+    // derive current round = (round in VERDICT.md, written at the END
+    // of the previous round) + 1; fail loudly if neither resolves.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").orElse {
+      try {
+        val head = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("VERDICT.md")).get(0)
+        "round (\\d+)".r.findFirstMatchIn(head)
+          .map(m => (m.group(1).toInt + 1).toString)
+      } catch { case _: Throwable => None }
+    }.getOrElse(throw new IllegalStateException(
+      "bench provenance.round unresolved: set SPARK_GRAFT_ROUND " +
+        "(no parsable VERDICT.md heading to derive it from)"))
     val stamp = java.time.Instant.now().toString
     val provJson =
       s"""{"round":"$round","git_sha":"$gitSha","timestamp":"$stamp"}"""
