@@ -1063,8 +1063,15 @@ object Clustering {
     */
   private[graft] def pqProbeForQueries(s: SparkSession, d: String,
       codesTable: String, qdf: DataFrame, m: Int = 8, sub: Int = 8,
+      nCent: Int = 16, topK: Int = 3): DataFrame =
+    pqProbeForQueriesOn(s, d, s.table(codesTable), qdf, m, sub, nCent, topK)
+
+  /** Same ADC probe over an arbitrary (vec_id, m, code) relation —
+    * the q279 merge-on-read seam (code table ⟕-anti tombstones).
+    */
+  private[graft] def pqProbeForQueriesOn(s: SparkSession, d: String,
+      codes: DataFrame, qdf: DataFrame, m: Int = 8, sub: Int = 8,
       nCent: Int = 16, topK: Int = 3): DataFrame = {
-    val codes = s.table(codesTable)
     val e = embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val sv = subvectors(e, m, sub)
@@ -1528,8 +1535,14 @@ object Clustering {
     * half) and ranked against the stored code table.
     */
   private[graft] def binaryTopForQueries(s: SparkSession, codesTable: String,
+      q: DataFrame, topK: Int = 5): DataFrame =
+    binaryTopForQueriesOn(s, s.table(codesTable), q, topK)
+
+  /** Same Hamming ranking over an arbitrary (vec_id, lo, hi) relation
+    * — the q280 merge-on-read seam.
+    */
+  private[graft] def binaryTopForQueriesOn(s: SparkSession, codes: DataFrame,
       q: DataFrame, topK: Int = 5): DataFrame = {
-    val codes = s.table(codesTable)
     val ham = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("hamming",
         (bit_count(expr("lo ^ qlo")) + bit_count(expr("hi ^ qhi"))).cast("long"))
@@ -1911,24 +1924,54 @@ object Clustering {
   // affected-partition bytes) and pins that the light delete touched
   // no index file.
 
+  /** Build one family's MoR pair: the full-corpus PARTITIONED index
+    * table plus its tombstone table holding ONLY the deletion
+    * cohort's keys (the O(cohort)-byte delete). One tombstone table
+    * per family (rather than one shared log) keeps each family's
+    * maintenance cycle — fold-in then truncate — independent; a
+    * production deployment materializes these per-index views from
+    * the shared deletion-request log.
+    */
+  private def ensureDvPair(
+      memo: java.util.concurrent.ConcurrentHashMap[
+        (SparkSession, String), (String, String)],
+      s: SparkSession, d: String, prefix: String,
+      contents: => DataFrame, partCol: String): (String, String) =
+    memo.computeIfAbsent((s, d), _ => {
+      val t = tableNameFor(s"graft_${prefix}_mor_", d)
+      recreatePartitioned(s, t, contents, partCol)
+      val dv = tableNameFor(s"graft_${prefix}_dv_", d)
+      dropAndCleanLocation(s, dv)
+      erasedVecIds(s, d).coalesce(1)
+        .write.format("parquet").saveAsTable(dv)
+      (t, dv)
+    })
+
   private val dvMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, String)]()
   graft.util.CacheRegistry.registerMemo(dvMemo)
 
-  /** Full-corpus partitioned IVF table + its tombstone table holding
-    * ONLY the deletion cohort's keys (the O(cohort)-byte delete).
-    */
   private[graft] def ensureDvIvf(s: SparkSession, d: String)
       : (String, String) =
-    dvMemo.computeIfAbsent((s, d), _ => {
-      val ivf = tableNameFor("graft_ivf_mor_", d)
-      recreatePartitioned(s, ivf, ivfAssignment(s, d), "cell")
-      val dv = tableNameFor("graft_ivf_dv_", d)
-      dropAndCleanLocation(s, dv)
-      erasedVecIds(s, d).coalesce(1)
-        .write.format("parquet").saveAsTable(dv)
-      (ivf, dv)
-    })
+    ensureDvPair(dvMemo, s, d, "ivf", ivfAssignment(s, d), "cell")
+
+  private val dvPqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+  graft.util.CacheRegistry.registerMemo(dvPqMemo)
+
+  private[graft] def ensureDvPq(s: SparkSession, d: String)
+      : (String, String) =
+    ensureDvPair(dvPqMemo, s, d, "pq",
+      pqCodes(s, d).withColumn("pg", pmod(col("vec_id"), lit(8))), "pg")
+
+  private val dvBinMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+  graft.util.CacheRegistry.registerMemo(dvBinMemo)
+
+  private[graft] def ensureDvBin(s: SparkSession, d: String)
+      : (String, String) =
+    ensureDvPair(dvBinMemo, s, d, "bin",
+      signCodes(s, d).withColumn("pg", pmod(col("vec_id"), lit(8))), "pg")
 
   /** Serve-time merge: the index rows minus the broadcast tombstone
     * set. At 100 TB the tombstone side stays cohort-sized (requests
@@ -1948,10 +1991,10 @@ object Clustering {
     * (q263's verb), then truncate the now-redundant tombstone table.
     */
   private[graft] def dvFoldIn(s: SparkSession, d: String, ivf: String,
-      dv: String): Array[Long] = {
+      dv: String, partCol: String = "cell"): Array[Long] = {
     val cohort = s.table(dv)
-    val swept = sweepIndexPartitions(s, ivf, "vec_id", "cell", cohort)
-    compactPartitionsInPlace(s, ivf, "cell", swept.toSeq)
+    val swept = sweepIndexPartitions(s, ivf, "vec_id", partCol, cohort)
+    compactPartitionsInPlace(s, ivf, partCol, swept.toSeq)
     s.sql(s"TRUNCATE TABLE $dv")
     swept
   }
@@ -1966,6 +2009,35 @@ object Clustering {
     val qs = e.filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     ivfProbeOnCells(s, d, dvMergedCells(s, ivf, dv), qs)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q279: the q204 ADC probe served through the PQ family's
+    * merge-on-read view (code table ⟕-anti tombstones; erased codes
+    * never ranked, zero files rewritten). Same oracle as q255 — the
+    * light and heavy deletes must be indistinguishable. Queries are
+    * vec_id 1-5 (vec 0 is in the cohort; an erased member must not
+    * probe either).
+    */
+  def pqDvProbe(s: SparkSession, d: String): DataFrame = {
+    val (pq, dv) = ensureDvPq(s, d)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    pqProbeForQueriesOn(s, d, dvMergedCells(s, pq, dv),
+      e.filter(col("vec_id") >= 1 && col("vec_id") < 6))
+  }
+
+  /** q280: Hamming top-5 through the binary family's merge-on-read
+    * view — queries vec_id 1-9 drawn from the MERGED view (cohort
+    * rows can neither serve nor probe). Same oracle as q256.
+    */
+  def binaryDvProbe(s: SparkSession, d: String): DataFrame = {
+    val (bin, dv) = ensureDvBin(s, d)
+    val merged = dvMergedCells(s, bin, dv)
+    binaryTopForQueriesOn(s, merged,
+      merged.filter(col("vec_id") >= 1 && col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+          col("hi").as("qhi")))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -2051,6 +2123,8 @@ object Clustering {
     "q273_ivf_dv_erasure" -> ivfDvProbe _,
     "q277_pq_staleness" -> pqStaleness _,
     "q278_binary_staleness" -> binaryStaleness _,
+    "q279_pq_dv_erasure" -> pqDvProbe _,
+    "q280_binary_dv_erasure" -> binaryDvProbe _,
     "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
@@ -2474,6 +2548,12 @@ object Clustering {
     "q259_index_staleness" -> indexStalenessSql,
     "q277_pq_staleness" -> pqStalenessSql,
     "q278_binary_staleness" -> binaryStalenessSql,
+    // q279/q280: the MoR views must serve exactly what the CoW sweeps
+    // (q255/q256) serve — all three erasure mechanisms share oracles
+    "q279_pq_dv_erasure" ->
+      pqAnnSqlFor("vec_id % 97 <> 0", "vec_id >= 1 AND vec_id < 6"),
+    "q280_binary_dv_erasure" ->
+      binHamSql("vec_id % 97 <> 0", "vec_id >= 1 AND vec_id < 10"),
     // q263 serves the COMPACTED swept index — same oracle as q254:
     // compaction must be invisible to serving
     "q263_index_compaction" -> ivfAnnSqlFor("vec_id % 97 <> 0"),

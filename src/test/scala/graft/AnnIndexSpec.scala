@@ -365,4 +365,31 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(postFold.toSeq == dvServed.toSeq,
       "fold-in changed what the index serves")
   }
+
+  test("q279/q280: MoR serves PQ and binary equal to their CoW sweeps; fold-in works per family") {
+    import org.apache.spark.sql.functions.col
+    val erased = Clustering.erasedVecIds(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // DV-served == CoW-swept for both code families
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSeq
+    val pqDv = rows(Clustering.pqDvProbe(spark, sf))
+    val pqCow = rows(Clustering.pqErasureProbe(spark, sf))
+    assert(pqDv.nonEmpty && pqDv == pqCow)
+    val binDv = rows(Clustering.binaryDvProbe(spark, sf))
+    val binCow = rows(Clustering.binaryErasureProbe(spark, sf))
+    assert(binDv.nonEmpty && binDv == binCow)
+    assert(!(pqDv ++ binDv).exists(t => erased.contains(t._3)))
+    // fold-in on the pg-partitioned layout: physical rows gone,
+    // tombstones drained, serving unchanged
+    val (pq, pqTomb) = Clustering.ensureDvPq(spark, sf)
+    val sweptPq = Clustering.dvFoldIn(spark, sf, pq, pqTomb, partCol = "pg")
+    assert(sweptPq.nonEmpty)
+    assert(spark.table(pq)
+      .filter(col("vec_id").isin(erased.toSeq: _*)).count() == 0)
+    assert(spark.table(pqTomb).count() == 0)
+    assert(rows(Clustering.pqDvProbe(spark, sf)) == pqDv,
+      "PQ fold-in changed what the index serves")
+  }
 }
