@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev harness: scratchpad (not part of the driver contract). Edit
   * freely; keep out of SparkEntry.
@@ -12,33 +13,17 @@ object DevProbe {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println("scripting.enabled = " +
-      spark.conf.getOption("spark.sql.scripting.enabled"))
-    graft.util.Tables.lineitem(spark, d).createOrReplaceTempView("li_script")
-    val r = spark.sql(
-      """BEGIN
-        |  DECLARE thr BIGINT DEFAULT 10;
-        |  DECLARE err_flag BIGINT DEFAULT 0;
-        |  BEGIN
-        |    DECLARE EXIT HANDLER FOR SQLEXCEPTION
-        |    BEGIN
-        |      SET err_flag = 1;
-        |    END;
-        |    SELECT 1 DIV 0;
-        |  END;
-        |  WHILE (SELECT count(*) FROM li_script WHERE l_quantity >= thr)
-        |      > (SELECT count(*) DIV 4 FROM li_script) DO
-        |    SET thr = thr + 5;
-        |  END WHILE;
-        |  IF thr > 100 THEN
-        |    SET thr = 100;
-        |  END IF;
-        |  SELECT l_returnflag, thr AS thr_used, err_flag,
-        |    count(*) AS n
-        |  FROM li_script WHERE l_quantity >= thr
-        |  GROUP BY l_returnflag ORDER BY l_returnflag;
-        |END""".stripMargin)
-    r.show(20, false)
+    val (zdir, ldir, (pLo, pHi, sLo, sHi)) =
+      ops.Formats.ensureZorderLayouts(spark, d)
+    def stats(dir: String): (Long, Long) = {
+      val st = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
+          min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
+      (st.filter(col("pmx") >= pLo && col("pmn") <= pHi &&
+        col("smx") >= sLo && col("smn") <= sHi).count(), st.count())
+    }
+    println(s"ZORDER ${stats(zdir)} LINEAR ${stats(ldir)}")
     spark.stop()
   }
 }

@@ -18,6 +18,81 @@ object Formats {
 
   private val Dec = DataTypes.createDecimalType(28, 6)
 
+  /** q281: Z-ORDER data layout — multi-dimensional clustering for
+    * min/max file skipping, the lakehouse layout verb (OPTIMIZE
+    * ZORDER BY) behind 2-D selective scans. Both keys are ranked into
+    * 10-bit buckets (bounds read once — a 1-row driver scalar, the
+    * q151 bounded-control-data discipline) and bit-interleaved into a
+    * Morton code; `repartitionByRange(z) + sortWithinPartitions(z)`
+    * writes files whose (partkey, suppkey) min/max boxes tile BOTH
+    * dimensions, so a wide-partkey × narrow-suppkey box prunes most
+    * files — a linear partkey sort cannot prune on suppkey at all
+    * (Round9OpsSpec measures the file-hit counts on both layouts and
+    * pins zorder < linear). The GATE reads the z-ordered layout back
+    * and runs the box rollup: layout re-organization must be
+    * lossless, with the box bounds derived from the same integer
+    * min/max arithmetic in both engines.
+    *
+    * Scale shape: one range shuffle on the 20-bit z key (the exact
+    * cost of any clustered rewrite), paid once per maintenance cycle;
+    * after it, every 2-D selective query prunes at file AND row-group
+    * granularity instead of scanning the full table — at 100 TB this
+    * is the difference between touching ~z-tiles-in-box and touching
+    * everything.
+    */
+  private val zorderMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String, (Long, Long, Long, Long))]()
+  graft.util.CacheRegistry.registerMemo(zorderMemo)
+
+  /** Write both layouts once per (session, sf dir); returns the two
+    * directories plus the (pLo, pHi, sLo, sHi) box bounds derived
+    * from the key min/max with pure integer arithmetic (mirrored by
+    * the oracle).
+    */
+  private[graft] def ensureZorderLayouts(s: SparkSession, d: String)
+      : (String, String, (Long, Long, Long, Long)) =
+    zorderMemo.computeIfAbsent((s, d), _ => {
+      val li = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_returnflag"))
+      val b = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).collect()(0)
+      val (pMin, pMax, sMin, sMax) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val rp = ((col("l_partkey") - pMin) * 1024L / (pMax - pMin + 1L))
+        .cast("long")
+      val rs = ((col("l_suppkey") - sMin) * 1024L / (sMax - sMin + 1L))
+        .cast("long")
+      val zBits = (0 until 10).map(i =>
+        s"(shiftleft(shiftright(rp, $i) & 1, ${2 * i + 1}) | " +
+          s"shiftleft(shiftright(rs, $i) & 1, ${2 * i}))")
+        .mkString(" | ")
+      val dir = graft.util.TmpDirs.scratch("zorder")
+      li.withColumn("rp", rp).withColumn("rs", rs)
+        .withColumn("z", expr(zBits))
+        .repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+        .drop("rp", "rs", "z")
+        .write.mode("overwrite").parquet(s"$dir/zorder")
+      // the linear straw man the spec compares pruning against
+      li.repartitionByRange(16, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").parquet(s"$dir/linear")
+      (s"$dir/zorder", s"$dir/linear",
+        (pMin + (pMax - pMin) / 20, pMin + 19 * (pMax - pMin) / 20,
+          sMin + (sMax - sMin) / 10, sMin + (sMax - sMin) / 5))
+    })
+
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val (zdir, _, (pLo, pHi, sLo, sHi)) = ensureZorderLayouts(s, d)
+    s.read.parquet(zdir)
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(Dec)), 2).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Write a deterministic lineitem slice to CSV/JSON/ORC, read each
     * back (explicit schema for the text formats — inference is a scan
     * you don't pay twice at scale), union with a format tag, aggregate.
@@ -127,9 +202,28 @@ object Formats {
     "q183_schema_evolution" -> schemaEvolution _,
     "q54_sink_roundtrip" -> sinkRoundTrip _,
     "q247_compaction" -> compaction _,
+    "q281_zorder_layout" -> zorderLayout _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the z-ordered layout must be lossless: the box rollup from the
+    // rewritten files equals the same rollup straight off lineitem,
+    // box bounds from the same integer min/max arithmetic
+    "q281_zorder_layout" ->
+      """WITH b AS (
+        |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        |    min(l_suppkey) AS smin, max(l_suppkey) AS smax
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem, b
+        |WHERE l_partkey BETWEEN pmin + (pmax - pmin) // 20
+        |                    AND pmin + 19 * (pmax - pmin) // 20
+        |  AND l_suppkey BETWEEN smin + (smax - smin) // 10
+        |                    AND smin + (smax - smin) // 5
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q247_compaction" ->
       """WITH agg AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -44,6 +44,43 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rows.forall(_._5 == 1L), "rebuild trigger must fire")
   }
 
+  test("q281: the z-order layout prunes the 2-D box to FEWER files than the linear sort") {
+    val (zdir, ldir, (pLo, pHi, sLo, sHi)) =
+      graft.ops.Formats.ensureZorderLayouts(spark, sf)
+    def stats(dir: String): (Long, Long) = {
+      val st = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
+          min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
+        .cache()
+      val total = st.count()
+      // a file survives min/max skipping iff its [min,max] box
+      // intersects the query box on BOTH dimensions — exactly the
+      // pruning predicate parquet file/row-group stats drive
+      val hit = st.filter(col("pmx") >= pLo && col("pmn") <= pHi &&
+        col("smx") >= sLo && col("smn") <= sHi).count()
+      st.unpersist()
+      (hit, total)
+    }
+    val (zHit, zTotal) = stats(zdir)
+    val (lHit, lTotal) = stats(ldir)
+    assert(zTotal == 16 && lTotal == 16)
+    // the linear partkey sort cannot prune on suppkey: the wide
+    // partkey box hits nearly every file; z-order tiles both dims
+    assert(zHit < lHit,
+      s"zorder must prune harder: zorder $zHit/16 vs linear $lHit/16")
+    assert(zHit * 2 <= lHit,
+      s"expected at least 2x fewer files hit: $zHit vs $lHit")
+    // and the layout is lossless: identical box rollups off both
+    def roll(dir: String) = spark.read.parquet(dir)
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(roll(zdir) == roll(ldir) && roll(zdir).nonEmpty)
+  }
+
   test("q276: the WHILE fixed point is the minimal grid threshold; the handler fired") {
     val rows = graft.ops.SqlSuite.sqlScripting(spark, sf).collect()
     assert(rows.nonEmpty)
