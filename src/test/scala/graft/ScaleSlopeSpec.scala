@@ -33,7 +33,12 @@ class ScaleSlopeSpec extends AnyFunSuite {
     // candidate blowup would show immediately), and the governance
     // card's composed per-doc stages
     "q268_label_propagation", "q267_edit_distance_join",
-    "q262_governance_card")
+    "q262_governance_card",
+    // r9: the heaviest new queries — the chained two-stateful-operator
+    // stream (join + windowed agg state), the append-mode session
+    // aggregation, and the PQ distortion audit's codebook sweep
+    "q274_stream_join_windowed", "q275_stream_sessions_append",
+    "q277_pq_staleness")
 
   /** Total shuffle bytes written by every stage `body` runs. The
     * listener bus is async, so after the action we poll until the
