@@ -2041,6 +2041,44 @@ object Clustering {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q282: streaming ANN serving THROUGH the merge-on-read view —
+    * the q212 per-micro-batch pattern with the q273 tombstone
+    * anti-join applied inside every probe: a deletion request takes
+    * effect on the SERVING path immediately after the O(cohort)
+    * tombstone write, with zero index files rewritten and no stream
+    * restart. Gated by the q254/q273 oracle (rebuild-from-survivors):
+    * streamed MoR probes must equal the batch computation over the
+    * corpus that never contained the erased vectors — the GDPR
+    * guarantee proven on the online path, not just the batch one.
+    *
+    * Scale shape: per batch, the q203 probe plan plus one broadcast
+    * hash anti-join of the cohort-sized tombstone table — serving
+    * cost still scales with query rate; the delete adds a constant
+    * broadcast probe until the next fold-in drains it.
+    */
+  def streamDvServe(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val (ivf, dv) = ensureDvIvf(s, d) // built ONCE, outside the stream
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val out = graft.util.TmpDirs.scratch("stream-dv-serve")
+      val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
+        .filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val q = src.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val ss = batch.sparkSession
+            ivfProbeOnCells(ss, d, dvMergedCells(ss, ivf, dv), batch)
+              .write.mode("append").parquet(out)
+          }
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("query_id"), col("rank"))
+    }
+
   /** q257: streaming ANN serving for the PQ family — q212's pattern
     * (ops/Clustering.scala streamIvfServe) applied to the q204 code
     * table: query vectors arrive as a stream and every micro-batch
@@ -2125,6 +2163,7 @@ object Clustering {
     "q278_binary_staleness" -> binaryStaleness _,
     "q279_pq_dv_erasure" -> pqDvProbe _,
     "q280_binary_dv_erasure" -> binaryDvProbe _,
+    "q282_stream_dv_serve" -> streamDvServe _,
     "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
@@ -2554,6 +2593,9 @@ object Clustering {
       pqAnnSqlFor("vec_id % 97 <> 0", "vec_id >= 1 AND vec_id < 6"),
     "q280_binary_dv_erasure" ->
       binHamSql("vec_id % 97 <> 0", "vec_id >= 1 AND vec_id < 10"),
+    // q282 serves the MoR view per micro-batch: streamed probes must
+    // equal the batch rebuild-from-survivors computation
+    "q282_stream_dv_serve" -> ivfAnnSqlFor("vec_id % 97 <> 0"),
     // q263 serves the COMPACTED swept index — same oracle as q254:
     // compaction must be invisible to serving
     "q263_index_compaction" -> ivfAnnSqlFor("vec_id % 97 <> 0"),

@@ -366,6 +366,18 @@ class AnnIndexSpec extends AnyFunSuite {
       "fold-in changed what the index serves")
   }
 
+  test("q282 streamed MoR serving equals the batch MoR probe and never rebuilds per batch") {
+    val batch = Clustering.ivfDvProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batch.nonEmpty)
+    val b0 = Clustering.indexBuilds.get()
+    val streamed = Clustering.streamDvServe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(Clustering.indexBuilds.get() == b0,
+      "streamed MoR serving must reuse the built index and tombstones")
+    assert(streamed == batch)
+  }
+
   test("q279/q280: MoR serves PQ and binary equal to their CoW sweeps; fold-in works per family") {
     import org.apache.spark.sql.functions.col
     val erased = Clustering.erasedVecIds(spark, sf)
