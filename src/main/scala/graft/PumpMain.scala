@@ -63,8 +63,9 @@ object PumpMain {
         .trigger(trigger)
       parquetOut match {
         case Some(out) =>
-          stream.foreachBatch { (batch: DataFrame, _: Long) =>
-            LogPump.writeRouted(batch, ch.TableMap, default, out)
+          stream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+            LogPump.writeRoutedExactlyOnce(batch, ch.TableMap, default, out,
+              batchId)
           }.start()
         case None =>
           val url = jdbcUrlOverride.getOrElse(jdbcUrl(cfg))

@@ -72,6 +72,30 @@ object LogPump {
         .parquet(s"$outDir/$t")
     }
 
+  /** K1 parquet sink with EXACTLY-ONCE micro-batch replay: each batch
+    * lands under its own `batch_id=N` partition directory written
+    * with OVERWRITE — a batch replayed after a sink-committed /
+    * checkpoint-failed restart rewrites the same directory with the
+    * same rows instead of double-appending, and a partially-written
+    * crash directory is healed by the same overwrite (strictly
+    * stronger than the JDBC marker path, whose partial-append window
+    * is documented). Readers list `outDir/<table>` as ordinary
+    * two-level partitioned parquet (batch_id, EventDate).
+    *
+    * Scale shape: identical bytes to `writeRouted` plus one partition
+    * level; the per-batch directory is also the natural retention /
+    * compaction unit (q247's verb folds small batch dirs later).
+    */
+  def writeRoutedExactlyOnce(rows: DataFrame, tableMap: Map[String, String],
+      defaultTable: String, outDir: String, batchId: Long): Unit =
+    foreachRoutedTable(rows, tableMap, defaultTable) { (t, df) =>
+      df.repartition(col("EventDate"))
+        .sortWithinPartitions(col("EventTime"))
+        .write.mode("overwrite")
+        .partitionBy("EventDate")
+        .parquet(s"$outDir/$t/batch_id=$batchId")
+    }
+
   /** K1 sink, JDBC form — the reference's actual sink shape (bulk
     * INSERT per routed table, clickhouse.go:63-128). A
     * `jdbc:clickhouse://host:8123/db` (or `jdbc:ch:`) URL takes the

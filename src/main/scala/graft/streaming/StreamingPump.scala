@@ -115,8 +115,9 @@ object StreamingPump {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        LogPump.writeRouted(batch, tableMap, defaultTable, outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        LogPump.writeRoutedExactlyOnce(batch, tableMap, defaultTable, outDir,
+          batchId)
       }
       .start()
 

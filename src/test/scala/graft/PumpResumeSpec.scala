@@ -122,6 +122,46 @@ class PumpResumeSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("parquet sink exactly-once: a replayed batch rewrites its own batch_id dir, never double-appends") {
+    val logs = Files.createTempDirectory("pqreplay-logs")
+    val cp = Files.createTempDirectory("pqreplay-cp").toString
+    val out = Files.createTempDirectory("pqreplay-out").toString
+    Files.writeString(logs.resolve("25052607.log"),
+      "00:01.100000-1,CONN,3,Usr=a\n00:02.100000-2,CONN,3,Usr=b\n")
+    def users(): Seq[String] =
+      try spark.read.parquet(s"$out/logs")
+        .select("User").collect().map(_.getString(0)).toSeq
+      catch { case _: Throwable => Seq.empty }
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def startQuery(inject: Boolean) = StreamingPump.pumpStream(spark,
+        logs.toString, idleFlush = java.time.Duration.ofMillis(200))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.pipeline.LogPump.writeRoutedExactlyOnce(
+          batch, Map.empty, "logs", out, id)
+        if (inject && !batch.isEmpty && injected.compareAndSet(false, true))
+          throw new RuntimeException("injected crash between sink and commit log")
+      }
+      .start()
+    val q1 = startQuery(inject = true)
+    assert(eventually(90000)(q1.exception.isDefined))
+    assert(injected.get())
+    assert(users().nonEmpty, "the crashed batch's parquet write must persist")
+    val q2 = startQuery(inject = false)
+    try {
+      Files.writeString(logs.resolve("25052608.log"),
+        "00:03.100000-3,CONN,3,Usr=c\n")
+      assert(eventually(90000)(users().sorted == Seq("a", "b", "c")),
+        s"got ${users().sorted}")
+      Thread.sleep(1000)
+      val fin = users()
+      assert(fin.sorted == Seq("a", "b", "c"), s"got ${fin.sorted}")
+      assert(fin.distinct.size == fin.size, "zero duplicates required")
+    } finally q2.stop()
+  }
+
   test("hot config reload: TableMap changes apply at the next micro-batch (X1)") {
     val logs = Files.createTempDirectory("reload-logs")
     val cp = Files.createTempDirectory("reload-cp").toString
