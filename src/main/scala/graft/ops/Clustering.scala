@@ -1907,6 +1907,74 @@ object Clustering {
       s.read.parquet(out).orderBy(col("query_id"), col("rank"))
     }
 
+  // ---- q283/q284: the one-table lifecycle for PQ and binary --------
+  //
+  // q272 chains the verbs on one IVF table; the code-table families
+  // experience the same sequence. Same proof shape: base build from
+  // the even half (encoded under the FULL-corpus frozen model — the
+  // codebook/threshold is a training artifact, not a per-batch one) →
+  // O(batch) append of the odd half → partition-selective erasure
+  // sweep → in-place compaction → probe, all on ONE pg-partitioned
+  // table, gated by the q255/q256 oracles (base ∪ appended = full
+  // corpus, so the target is rebuild-from-survivors).
+
+  private val pqLifeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(pqLifeMemo)
+
+  private[graft] def ensureLifecyclePq(s: SparkSession, d: String): String =
+    pqLifeMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_pq_life_", d)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      recreatePartitioned(s, name,
+        pqCodesFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 0))
+          .withColumn("pg", pmod(col("vec_id"), lit(8))), "pg")
+      pqCodesFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 1))
+        .withColumn("pg", pmod(col("vec_id"), lit(8)))
+        .write.mode("append").format("parquet")
+        .partitionBy("pg").saveAsTable(name)
+      val swept = sweepIndexPartitions(s, name, "vec_id", "pg",
+        erasedVecIds(s, d))
+      compactPartitionsInPlace(s, name, "pg", swept.toSeq)
+      name
+    })
+
+  /** q283: ADC probe of the chained-lifecycle PQ table (q255's query
+    * set; same oracle — rebuild-from-survivors under the frozen
+    * codebook).
+    */
+  def pqLifecycleProbe(s: SparkSession, d: String): DataFrame =
+    pqProbeOn(s, d, ensureLifecyclePq(s, d), nQuery = 6, qMin = 1)
+
+  private val binLifeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(binLifeMemo)
+
+  private[graft] def ensureLifecycleBin(s: SparkSession, d: String): String =
+    binLifeMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_bin_life_", d)
+      recreatePartitioned(s, name,
+        signCodes(s, d).filter(pmod(col("vec_id"), lit(2)) === 0)
+          .withColumn("pg", pmod(col("vec_id"), lit(8))), "pg")
+      signCodes(s, d).filter(pmod(col("vec_id"), lit(2)) === 1)
+        .withColumn("pg", pmod(col("vec_id"), lit(8)))
+        .write.mode("append").format("parquet")
+        .partitionBy("pg").saveAsTable(name)
+      val swept = sweepIndexPartitions(s, name, "vec_id", "pg",
+        erasedVecIds(s, d))
+      compactPartitionsInPlace(s, name, "pg", swept.toSeq)
+      name
+    })
+
+  /** q284: Hamming top-5 from the chained-lifecycle binary table
+    * (q256's query set and oracle).
+    */
+  def binaryLifecycleProbe(s: SparkSession, d: String): DataFrame =
+    binaryTopOn(s, ensureLifecycleBin(s, d),
+      col("vec_id") >= 1 && col("vec_id") < 10)
+      .orderBy(col("query_id"), col("rank"))
+
   // ---- q273: MERGE-ON-READ erasure (deletion vectors) --------------
   //
   // q254's copy-on-write sweep is the heavy delete: correct, but it
@@ -2164,6 +2232,8 @@ object Clustering {
     "q279_pq_dv_erasure" -> pqDvProbe _,
     "q280_binary_dv_erasure" -> binaryDvProbe _,
     "q282_stream_dv_serve" -> streamDvServe _,
+    "q283_pq_lifecycle" -> pqLifecycleProbe _,
+    "q284_binary_lifecycle" -> binaryLifecycleProbe _,
     "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
@@ -2596,6 +2666,12 @@ object Clustering {
     // q282 serves the MoR view per micro-batch: streamed probes must
     // equal the batch rebuild-from-survivors computation
     "q282_stream_dv_serve" -> ivfAnnSqlFor("vec_id % 97 <> 0"),
+    // q283/q284: the chained code-table lifecycles serve exactly the
+    // rebuild-from-survivors targets (the q255/q256 oracles)
+    "q283_pq_lifecycle" ->
+      pqAnnSqlFor("vec_id % 97 <> 0", "vec_id >= 1 AND vec_id < 6"),
+    "q284_binary_lifecycle" ->
+      binHamSql("vec_id % 97 <> 0", "vec_id >= 1 AND vec_id < 10"),
     // q263 serves the COMPACTED swept index — same oracle as q254:
     // compaction must be invisible to serving
     "q263_index_compaction" -> ivfAnnSqlFor("vec_id % 97 <> 0"),

@@ -366,6 +366,36 @@ class AnnIndexSpec extends AnyFunSuite {
       "fold-in changed what the index serves")
   }
 
+  test("q283/q284: code-table lifecycles chain on one table, build once, equal the rebuilt contents") {
+    import org.apache.spark.sql.functions.col
+    val b0 = Clustering.indexBuilds.get()
+    val pqTable = Clustering.ensureLifecyclePq(spark, sf)
+    assert(Clustering.indexBuilds.get() - b0 == 1,
+      "the PQ chain must count as exactly one build")
+    val binTable = Clustering.ensureLifecycleBin(spark, sf)
+    assert(Clustering.indexBuilds.get() - b0 == 2,
+      "the binary chain must count as exactly one build")
+    // contents == rebuilt from (base ∪ appended) \ erased, frozen model
+    val (_, rPq, rBin) = Clustering.rebuiltSweptContents(spark, sf)
+    assert(spark.table(pqTable).select("vec_id", "m", "code")
+      .collect().toSet == rPq.collect().toSet)
+    assert(spark.table(binTable).select("vec_id", "lo", "hi")
+      .collect().toSet == rBin.collect().toSet)
+    // probing the chained tables is indistinguishable from the CoW
+    // sweep probes (the gate proves == rebuild; this pins == q255/q256)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSeq
+    assert(rows(Clustering.pqLifecycleProbe(spark, sf)) ==
+      rows(Clustering.pqErasureProbe(spark, sf)))
+    assert(rows(Clustering.binaryLifecycleProbe(spark, sf)) ==
+      rows(Clustering.binaryErasureProbe(spark, sf)))
+    // erased ids physically gone from both chained tables
+    val erased = Clustering.erasedVecIds(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    for (t <- Seq(pqTable, binTable))
+      assert(spark.table(t).filter(col("vec_id").isin(erased: _*)).count() == 0)
+  }
+
   test("q282 streamed MoR serving equals the batch MoR probe and never rebuilds per batch") {
     val batch = Clustering.ivfDvProbe(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
