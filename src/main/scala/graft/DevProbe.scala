@@ -13,17 +13,17 @@ object DevProbe {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (zdir, ldir, (pLo, pHi, sLo, sHi)) =
-      ops.Formats.ensureZorderLayouts(spark, d)
-    def stats(dir: String): (Long, Long) = {
-      val st = spark.read.parquet(dir)
+    val (bdir, ddir, mdir, (pLo, pHi, sLo, sHi)) =
+      ops.Formats.ensureZorderMaintenance(spark, d)
+    def hits(dirs: String*): (Long, Long) = {
+      val st = spark.read.parquet(dirs: _*)
         .groupBy(input_file_name().as("f"))
         .agg(min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
           min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
       (st.filter(col("pmx") >= pLo && col("pmn") <= pHi &&
         col("smx") >= sLo && col("smn") <= sHi).count(), st.count())
     }
-    println(s"ZORDER ${stats(zdir)} LINEAR ${stats(ldir)}")
+    println(s"DELTA ${hits(ddir)} DEGRADED ${hits(bdir, ddir)} MERGED ${hits(mdir)}")
     spark.stop()
   }
 }

@@ -49,37 +49,55 @@ object Formats {
     * from the key min/max with pure integer arithmetic (mirrored by
     * the oracle).
     */
+  /** Morton-sort `df` on the 10-bit bucket ranks of (l_partkey,
+    * l_suppkey) under the given key bounds, into `parts` range
+    * partitions.
+    */
+  private def zSorted(df: DataFrame, pMin: Long, pMax: Long,
+      sMin: Long, sMax: Long, parts: Int): DataFrame = {
+    val rp = ((col("l_partkey") - pMin) * 1024L / (pMax - pMin + 1L))
+      .cast("long")
+    val rs = ((col("l_suppkey") - sMin) * 1024L / (sMax - sMin + 1L))
+      .cast("long")
+    val zBits = (0 until 10).map(i =>
+      s"(shiftleft(shiftright(rp, $i) & 1, ${2 * i + 1}) | " +
+        s"shiftleft(shiftright(rs, $i) & 1, ${2 * i}))")
+      .mkString(" | ")
+    df.withColumn("rp", rp).withColumn("rs", rs)
+      .withColumn("z", expr(zBits))
+      .repartitionByRange(parts, col("z")).sortWithinPartitions(col("z"))
+      .drop("rp", "rs", "z")
+  }
+
+  private def zKeyBounds(s: SparkSession, d: String)
+      : (Long, Long, Long, Long) = {
+    val b = lineitem(s, d).agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).collect()(0)
+    (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+  }
+
+  private def zBox(bounds: (Long, Long, Long, Long))
+      : (Long, Long, Long, Long) = {
+    val (pMin, pMax, sMin, sMax) = bounds
+    (pMin + (pMax - pMin) / 20, pMin + 19 * (pMax - pMin) / 20,
+      sMin + (sMax - sMin) / 10, sMin + (sMax - sMin) / 5)
+  }
+
   private[graft] def ensureZorderLayouts(s: SparkSession, d: String)
       : (String, String, (Long, Long, Long, Long)) =
     zorderMemo.computeIfAbsent((s, d), _ => {
       val li = lineitem(s, d)
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
           col("l_returnflag"))
-      val b = li.agg(min("l_partkey"), max("l_partkey"),
-        min("l_suppkey"), max("l_suppkey")).collect()(0)
-      val (pMin, pMax, sMin, sMax) =
-        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-      val rp = ((col("l_partkey") - pMin) * 1024L / (pMax - pMin + 1L))
-        .cast("long")
-      val rs = ((col("l_suppkey") - sMin) * 1024L / (sMax - sMin + 1L))
-        .cast("long")
-      val zBits = (0 until 10).map(i =>
-        s"(shiftleft(shiftright(rp, $i) & 1, ${2 * i + 1}) | " +
-          s"shiftleft(shiftright(rs, $i) & 1, ${2 * i}))")
-        .mkString(" | ")
+      val bounds @ (pMin, pMax, sMin, sMax) = zKeyBounds(s, d)
       val dir = graft.util.TmpDirs.scratch("zorder")
-      li.withColumn("rp", rp).withColumn("rs", rs)
-        .withColumn("z", expr(zBits))
-        .repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
-        .drop("rp", "rs", "z")
+      zSorted(li, pMin, pMax, sMin, sMax, 16)
         .write.mode("overwrite").parquet(s"$dir/zorder")
       // the linear straw man the spec compares pruning against
       li.repartitionByRange(16, col("l_partkey"))
         .sortWithinPartitions(col("l_partkey"))
         .write.mode("overwrite").parquet(s"$dir/linear")
-      (s"$dir/zorder", s"$dir/linear",
-        (pMin + (pMax - pMin) / 20, pMin + 19 * (pMax - pMin) / 20,
-          sMin + (sMax - sMin) / 10, sMin + (sMax - sMin) / 5))
+      (s"$dir/zorder", s"$dir/linear", zBox(bounds))
     })
 
   def zorderLayout(s: SparkSession, d: String): DataFrame = {
@@ -91,6 +109,70 @@ object Formats {
       .agg(count(lit(1)).as("n"),
         round(sum(col("l_quantity").cast(Dec)), 2).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag"))
+  }
+
+  // ---- q285: z-order layout MAINTENANCE -----------------------------
+  //
+  // q281 proves the clustered rewrite; production tables then take
+  // APPENDS that arrive in ingest order, not z order, and the layout
+  // degrades until the next maintenance pass re-clusters — the exact
+  // lifecycle the index family proves via grow → compact (q272). The
+  // three states on disk: base (z-ordered, even orderkeys) + delta
+  // (odd orderkeys, orderkey-clustered = zero pruning power on the
+  // box dims) → merged (one z-ordered rewrite of base ∪ delta). The
+  // gate runs the 2-D box rollup in BOTH degraded and re-clustered
+  // states — the layout states must be query-invisible — and the
+  // spec measures what degrades and what is restored: delta files
+  // are (nearly) all hit, the re-clustered table prunes like q281.
+
+  private val zmaintMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String, String, (Long, Long, Long, Long))]()
+  graft.util.CacheRegistry.registerMemo(zmaintMemo)
+
+  private[graft] def ensureZorderMaintenance(s: SparkSession, d: String)
+      : (String, String, String, (Long, Long, Long, Long)) =
+    zmaintMemo.computeIfAbsent((s, d), _ => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_returnflag"))
+      val bounds @ (pMin, pMax, sMin, sMax) = zKeyBounds(s, d)
+      val dir = graft.util.TmpDirs.scratch("zorder-maint")
+      zSorted(li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+          .drop("l_orderkey"), pMin, pMax, sMin, sMax, 16)
+        .write.mode("overwrite").parquet(s"$dir/base")
+      // the append: ingest-ordered (orderkey-clustered) — carries NO
+      // locality on the box dimensions, deterministically
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .drop("l_orderkey")
+        .write.mode("overwrite").parquet(s"$dir/delta")
+      // maintenance: one z-ordered rewrite of base ∪ delta
+      zSorted(s.read.parquet(s"$dir/base", s"$dir/delta"),
+          pMin, pMax, sMin, sMax, 16)
+        .write.mode("overwrite").parquet(s"$dir/merged")
+      (s"$dir/base", s"$dir/delta", s"$dir/merged", zBox(bounds))
+    })
+
+  /** q285: the 2-D box rollup in both layout-lifecycle states —
+    * degraded (base + ingest-ordered delta) and re-clustered. Both
+    * stages must produce the direct computation's rows: layout
+    * maintenance is query-invisible.
+    */
+  def zorderMaintenance(s: SparkSession, d: String): DataFrame = {
+    val (bdir, ddir, mdir, (pLo, pHi, sLo, sHi)) =
+      ensureZorderMaintenance(s, d)
+    def roll(df: DataFrame, stage: String) = df
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(Dec)), 2).cast("double").as("sum_qty"))
+      .withColumn("stage", lit(stage))
+    roll(s.read.parquet(bdir, ddir), "1_with_delta")
+      .unionAll(roll(s.read.parquet(mdir), "2_reclustered"))
+      .select(col("stage"), col("l_returnflag"), col("n"), col("sum_qty"))
+      .orderBy(col("stage"), col("l_returnflag"))
   }
 
   /** Write a deterministic lineitem slice to CSV/JSON/ORC, read each
@@ -203,9 +285,30 @@ object Formats {
     "q54_sink_roundtrip" -> sinkRoundTrip _,
     "q247_compaction" -> compaction _,
     "q281_zorder_layout" -> zorderLayout _,
+    "q285_zorder_maintenance" -> zorderMaintenance _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // both layout-lifecycle states must be query-invisible: each
+    // stage's box rollup equals the direct computation off lineitem
+    "q285_zorder_maintenance" ->
+      """WITH b AS (
+        |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        |    min(l_suppkey) AS smin, max(l_suppkey) AS smax
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM lineitem, b
+        |  WHERE l_partkey BETWEEN pmin + (pmax - pmin) // 20
+        |                      AND pmin + 19 * (pmax - pmin) // 20
+        |    AND l_suppkey BETWEEN smin + (smax - smin) // 10
+        |                      AND smin + (smax - smin) // 5
+        |  GROUP BY l_returnflag)
+        |SELECT s.stage, a.l_returnflag, a.n, a.sum_qty
+        |FROM agg a, (VALUES ('1_with_delta'), ('2_reclustered')) s(stage)
+        |ORDER BY s.stage, a.l_returnflag""".stripMargin,
     // the z-ordered layout must be lossless: the box rollup from the
     // rewritten files equals the same rollup straight off lineitem,
     // box bounds from the same integer min/max arithmetic

@@ -81,6 +81,33 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(roll(zdir) == roll(ldir) && roll(zdir).nonEmpty)
   }
 
+  test("q285: an ingest-ordered delta degrades pruning; the re-cluster restores it") {
+    val (bdir, ddir, mdir, (pLo, pHi, sLo, sHi)) =
+      graft.ops.Formats.ensureZorderMaintenance(spark, sf)
+    def hits(dirs: String*): (Long, Long) = {
+      val st = spark.read.parquet(dirs: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
+          min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
+        .cache()
+      val r = (st.filter(col("pmx") >= pLo && col("pmn") <= pHi &&
+        col("smx") >= sLo && col("smn") <= sHi).count(), st.count())
+      st.unpersist(); r
+    }
+    val (deltaHit, deltaTotal) = hits(ddir)
+    assert(deltaTotal == 4 && deltaHit >= 3,
+      s"ingest-ordered delta files must be (nearly) unprunable: $deltaHit/$deltaTotal")
+    val (degradedHit, degradedTotal) = hits(bdir, ddir)
+    val (mergedHit, mergedTotal) = hits(mdir)
+    assert(mergedTotal == 16)
+    assert(mergedHit < degradedHit,
+      s"re-clustering must restore pruning: merged $mergedHit/$mergedTotal " +
+        s"vs degraded $degradedHit/$degradedTotal")
+    // and the merged table prunes like q281's full-table z-order
+    assert(mergedHit * 2 <= mergedTotal,
+      s"re-clustered table must prune at least half its files: $mergedHit/16")
+  }
+
   test("q276: the WHILE fixed point is the minimal grid threshold; the handler fired") {
     val rows = graft.ops.SqlSuite.sqlScripting(spark, sf).collect()
     assert(rows.nonEmpty)
