@@ -1975,6 +1975,64 @@ object Clustering {
       col("vec_id") >= 1 && col("vec_id") < 10)
       .orderBy(col("query_id"), col("rank"))
 
+  // ---- q286: the PRODUCTION lifecycle — grow, then the LIGHT delete,
+  // then the maintenance cycle, one table throughout ------------------
+  //
+  // q272 chains the verbs with the copy-on-write delete; a production
+  // index takes the MERGE-ON-READ path first: build → grow →
+  // tombstone write (O(cohort), zero files touched) → serve through
+  // the anti-join → fold-in at the next maintenance cycle → serve
+  // from the healed files. The gate emits the probe in BOTH delete
+  // states tagged by stage; each stage must equal the
+  // rebuild-from-survivors target — the delete must be
+  // query-invisible from the moment the tombstone lands, through
+  // fold-in, forever.
+
+  private val prodLifeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+  graft.util.CacheRegistry.registerMemo(prodLifeMemo)
+
+  /** Build (even half) → grow (odd half, frozen centroids) →
+    * tombstone the q233 cohort. Returns (index table, tombstone
+    * table) in the MoR-serving state — fold-in is the caller's
+    * (gate's second stage's) move.
+    */
+  private[graft] def ensureProdLifecycle(s: SparkSession, d: String)
+      : (String, String) =
+    prodLifeMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_ivf_prod_", d)
+      lifecycleBaseBuild(s, d, name)
+      lifecycleGrow(s, d, name)
+      val dv = tableNameFor("graft_prod_dv_", d)
+      dropAndCleanLocation(s, dv)
+      erasedVecIds(s, d).coalesce(1)
+        .write.format("parquet").saveAsTable(dv)
+      (name, dv)
+    })
+
+  /** q286: the probe in both delete states on ONE table — stage 1
+    * through the tombstone anti-join (no file rewritten yet), stage 2
+    * after fold-in (tombstones drained into the files). Both stages
+    * share the q254 rebuild-from-survivors oracle rows.
+    */
+  def ivfProdLifecycle(s: SparkSession, d: String): DataFrame = {
+    val (ivf, dv) = ensureProdLifecycle(s, d)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val mor = ivfProbeOnCells(s, d, dvMergedCells(s, ivf, dv), qs)
+      .withColumn("stage", lit("1_mor_served"))
+    val morRows = mor.collect() // materialize BEFORE fold-in mutates the table
+    if (s.table(dv).count() > 0) dvFoldIn(s, d, ivf, dv)
+    val folded = ivfProbeOnCells(s, d, dvMergedCells(s, ivf, dv), qs)
+      .withColumn("stage", lit("2_folded_in"))
+    s.createDataFrame(java.util.Arrays.asList(morRows: _*), mor.schema)
+      .unionAll(folded)
+      .select(col("stage"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("stage"), col("query_id"), col("rank"))
+  }
+
   // ---- q273: MERGE-ON-READ erasure (deletion vectors) --------------
   //
   // q254's copy-on-write sweep is the heavy delete: correct, but it
@@ -2234,6 +2292,7 @@ object Clustering {
     "q282_stream_dv_serve" -> streamDvServe _,
     "q283_pq_lifecycle" -> pqLifecycleProbe _,
     "q284_binary_lifecycle" -> binaryLifecycleProbe _,
+    "q286_ivf_prod_lifecycle" -> ivfProdLifecycle _,
     "q241_nprobe_sweep" -> ((s: SparkSession, d: String) => nprobeSweep(s, d)),
     "q228_canonical_docs" -> canonicalDocs _,
     "q180_pca_power" -> pcaPower _,
@@ -2672,6 +2731,14 @@ object Clustering {
       pqAnnSqlFor("vec_id % 97 <> 0", "vec_id >= 1 AND vec_id < 6"),
     "q284_binary_lifecycle" ->
       binHamSql("vec_id % 97 <> 0", "vec_id >= 1 AND vec_id < 10"),
+    // q286: BOTH delete states (tombstone-served and folded-in) must
+    // equal the rebuild-from-survivors probe — stage-crossed rows
+    "q286_ivf_prod_lifecycle" ->
+      s"""WITH probe AS (
+         |${ivfAnnSqlFor("vec_id % 97 <> 0")})
+         |SELECT s.stage, p.query_id, p.rank, p.neighbor_id, p.cos_sim
+         |FROM probe p, (VALUES ('1_mor_served'), ('2_folded_in')) s(stage)
+         |ORDER BY s.stage, p.query_id, p.rank""".stripMargin,
     // q263 serves the COMPACTED swept index — same oracle as q254:
     // compaction must be invisible to serving
     "q263_index_compaction" -> ivfAnnSqlFor("vec_id % 97 <> 0"),

@@ -396,6 +396,50 @@ class AnnIndexSpec extends AnyFunSuite {
       assert(spark.table(t).filter(col("vec_id").isin(erased: _*)).count() == 0)
   }
 
+  test("q286: grow → light delete → fold-in on one table; the tombstone serve touches no file") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    def snapshot(table: String): Map[String, (Long, Long)] = {
+      val loc = Clustering.tableLocation(spark, table)
+      java.nio.file.Files.walk(loc).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (loc.relativize(p).toString,
+          (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+            java.nio.file.Files.size(p))))
+        .toMap
+    }
+    val b0 = Clustering.indexBuilds.get()
+    val (ivf, dv) = Clustering.ensureProdLifecycle(spark, sf)
+    assert(Clustering.indexBuilds.get() - b0 == 1,
+      "build + grow + tombstone must count as exactly one build")
+    val erased = Clustering.erasedVecIds(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // MoR state: erased rows still PHYSICALLY present, never served
+    assert(spark.table(ivf)
+      .filter(col("vec_id").isin(erased.toSeq: _*)).count() > 0,
+      "before fold-in the light delete must not have rewritten rows")
+    val pre = snapshot(ivf)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def probe() = Clustering.ivfProbeOnCells(spark, sf,
+        Clustering.dvMergedCells(spark, ivf, dv), qs)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val morServed = probe()
+    assert(morServed.nonEmpty &&
+      !morServed.exists(t => erased.contains(t._3)))
+    assert(snapshot(ivf) == pre, "the MoR serve touched an index file")
+    // the maintenance cycle heals the files and drains the tombstones
+    val swept = Clustering.dvFoldIn(spark, sf, ivf, dv)
+    assert(swept.nonEmpty)
+    assert(spark.table(ivf)
+      .filter(col("vec_id").isin(erased.toSeq: _*)).count() == 0)
+    assert(spark.table(dv).count() == 0)
+    assert(probe() == morServed, "fold-in changed what the index serves")
+  }
+
   test("q282 streamed MoR serving equals the batch MoR probe and never rebuilds per batch") {
     val batch = Clustering.ivfDvProbe(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

@@ -47,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q263_index_compaction", // same probe shape over the compacted swept index
     "q272_ivf_lifecycle", // same probe shape over the chained-lifecycle table
     "q273_ivf_dv_erasure", // same probe shape through the tombstone anti-join
+    "q286_ivf_prod_lifecycle", // same probe shape, both delete states + VALUES stage tags
     "q259_index_staleness", // two broadcast centroid tables + q30's broadcast query joins (recall audit)
     "q277_pq_staleness", // broadcast 1-row rebuild-trigger scalar onto the 2-row half table
     "q278_binary_staleness", // broadcast 1-row rebuild-trigger scalar onto the 64-row dim table
