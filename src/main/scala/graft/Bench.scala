@@ -17,9 +17,13 @@ object Bench {
     // Data caches don't carry over — Tables memoizes per (session,
     // DIR), so the timed pass still does its full scan at the target
     // sf; only JVM/codegen state is warm, as in any long-lived engine.
+    // the warm-up must reach EVERY query: the old 180 s cap cut off the
+    // name-sorted tail, so pass 1 still paid those queries' JIT+codegen
+    // (r9 artifact self-flagged noisy from exactly that). A generous
+    // bound remains as a hang backstop only.
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
-      val deadline = System.nanoTime() + 180L * 1000000000L // bounded warm-up
+      val deadline = System.nanoTime() + 900L * 1000000000L // hang backstop
       SparkEntry.queries.toSeq.sortBy(_._1).iterator
         .takeWhile(_ => System.nanoTime() < deadline)
         .foreach { case (_, fn) =>
@@ -97,19 +101,22 @@ object Bench {
       } catch { case _: Throwable => "unknown" }
     val gitSha = sh(Seq("git", "rev-parse", "--short", "HEAD"))
     // the round label is MANDATORY (r8 verdict: ad-hoc re-runs kept
-    // producing "unknown"-round artifacts): take the env override, or
-    // derive current round = (round in VERDICT.md, written at the END
-    // of the previous round) + 1; fail loudly if neither resolves.
+    // producing "unknown"-round artifacts). Provenance sources, in
+    // order: the env override, then the repo-root ROUND file (a single
+    // integer, updated at the start of each round). Parsing VERDICT.md
+    // prose is explicitly NOT a source any more (r9 verdict: it coupled
+    // bench provenance to a doc format the judge owns, and a re-run
+    // after the current round's verdict landed silently stamped
+    // round+1). Fail loudly if neither resolves.
     val round = sys.env.get("SPARK_GRAFT_ROUND").orElse {
       try {
-        val head = java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("VERDICT.md")).get(0)
-        "round (\\d+)".r.findFirstMatchIn(head)
-          .map(m => (m.group(1).toInt + 1).toString)
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("ROUND")).trim
+        if (txt.matches("\\d+")) Some(txt) else None
       } catch { case _: Throwable => None }
     }.getOrElse(throw new IllegalStateException(
-      "bench provenance.round unresolved: set SPARK_GRAFT_ROUND " +
-        "(no parsable VERDICT.md heading to derive it from)"))
+      "bench provenance.round unresolved: set SPARK_GRAFT_ROUND or " +
+        "write the round number to a repo-root ROUND file"))
     val stamp = java.time.Instant.now().toString
     val provJson =
       s"""{"round":"$round","git_sha":"$gitSha","timestamp":"$stamp"}"""

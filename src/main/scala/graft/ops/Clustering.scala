@@ -1645,21 +1645,26 @@ object Clustering {
     * is O(affected partitions) of 16-byte index rows — the
     * maintenance-cycle shape, never a table rewrite.
     */
+  private val compactSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def compactPartitionsInPlace(s: SparkSession, table: String,
       partCol: String, parts: Seq[Long]): Unit =
     if (parts.nonEmpty) {
       val t = s.table(table)
       val dataCols = t.columns.filterNot(_ == partCol)
-      val scratch = graft.util.TmpDirs.scratch(s"compact_$table")
+      // unique token per invocation: two concurrent compactions of the
+      // same table must not clobber each other's staged rows mid-INSERT
+      val token = compactSeq.incrementAndGet()
+      val scratch = graft.util.TmpDirs.scratch(s"compact_${table}_$token")
       t.filter(col(partCol).isin(parts: _*))
         .write.mode("overwrite").parquet(scratch)
-      val srcView = s"compact_src_$table"
+      val srcView = s"compact_src_${table}_$token"
       s.read.parquet(scratch).createOrReplaceTempView(srcView)
-      parts.foreach { pv =>
+      try parts.foreach { pv =>
         s.sql(s"INSERT OVERWRITE TABLE $table PARTITION ($partCol=$pv) " +
           s"SELECT /*+ REPARTITION(1) */ ${dataCols.mkString(", ")} " +
           s"FROM $srcView WHERE $partCol = $pv")
-      }
+      } finally s.catalog.dropTempView(srcView)
     }
 
   /** Build the three erasure-capable index tables (pre-sweep). */

@@ -55,10 +55,12 @@ object Formats {
     */
   private def zSorted(df: DataFrame, pMin: Long, pMax: Long,
       sMin: Long, sMax: Long, parts: Int): DataFrame = {
-    val rp = ((col("l_partkey") - pMin) * 1024L / (pMax - pMin + 1L))
-      .cast("long")
-    val rs = ((col("l_suppkey") - sMin) * 1024L / (sMax - sMin + 1L))
-      .cast("long")
+    // exact integer division (SQL `div`), not Column `/` (double):
+    // FP rounding on wide key ranges can round a near-1024 quotient UP
+    // to 1024, overflowing the 10-bit interleave (bit 10 unread) and
+    // aliasing the top rank onto 0 — silent locality loss
+    val rp = expr(s"((l_partkey - $pMin) * 1024) div ${pMax - pMin + 1}")
+    val rs = expr(s"((l_suppkey - $sMin) * 1024) div ${sMax - sMin + 1}")
     val zBits = (0 until 10).map(i =>
       s"(shiftleft(shiftright(rp, $i) & 1, ${2 * i + 1}) | " +
         s"shiftleft(shiftright(rs, $i) & 1, ${2 * i}))")

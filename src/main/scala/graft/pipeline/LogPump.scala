@@ -89,6 +89,20 @@ object LogPump {
   def writeRoutedExactlyOnce(rows: DataFrame, tableMap: Map[String, String],
       defaultTable: String, outDir: String, batchId: Long): Unit =
     foreachRoutedTable(rows, tableMap, defaultTable) { (t, df) =>
+      // layout-migration guard: a legacy writeRouted outDir has
+      // top-level EventDate= dirs; mixing them with batch_id= dirs
+      // makes Spark partition discovery fail later with "conflicting
+      // directory structures" at READ time — fail fast at WRITE time
+      // with an actionable message instead
+      val tableDir = new org.apache.hadoop.fs.Path(s"$outDir/$t")
+      val fs = tableDir.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(tableDir) &&
+          fs.listStatus(tableDir).exists(_.getPath.getName.startsWith("EventDate=")))
+        throw new IllegalStateException(
+          s"$outDir/$t holds the legacy single-level EventDate= layout; " +
+          "the exactly-once sink writes batch_id=N/EventDate=... dirs and " +
+          "the two cannot mix. Point the pump at a fresh outDir (or move " +
+          "the legacy data aside) when upgrading.")
       df.repartition(col("EventDate"))
         .sortWithinPartitions(col("EventTime"))
         .write.mode("overwrite")

@@ -168,11 +168,14 @@ object StreamingPump {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.config.PumpConfig.load(configPath).foreach(c => lastGood = c)
         val ch = lastGood.ClickHouse
         val default = if (ch.DefaultTable.isEmpty) "logs" else ch.DefaultTable
-        LogPump.writeRouted(batch, ch.TableMap, default, outDir)
+        // same exactly-once sink as start()/PumpMain: a batch replayed
+        // after a sink-write/checkpoint-commit crash overwrites its own
+        // batch_id=N dir instead of double-appending
+        LogPump.writeRoutedExactlyOnce(batch, ch.TableMap, default, outDir, batchId)
       }
       .start()
   }
