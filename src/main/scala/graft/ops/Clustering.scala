@@ -2027,11 +2027,16 @@ object Clustering {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val mor = ivfProbeOnCells(s, d, dvMergedCells(s, ivf, dv), qs)
       .withColumn("stage", lit("1_mor_served"))
-    val morRows = mor.collect() // materialize BEFORE fold-in mutates the table
+    // snapshot stage 1 BEFORE fold-in mutates the table — to a scratch
+    // parquet, not the driver: the probe output is |queries|×k rows,
+    // which grows with the corpus (the fixture query set is 1% of it)
+    val stage1Dir = graft.util.TmpDirs.scratch(
+      tableNameFor("prod_stage1_", d))
+    mor.write.mode("overwrite").parquet(stage1Dir)
     if (s.table(dv).count() > 0) dvFoldIn(s, d, ivf, dv)
     val folded = ivfProbeOnCells(s, d, dvMergedCells(s, ivf, dv), qs)
       .withColumn("stage", lit("2_folded_in"))
-    s.createDataFrame(java.util.Arrays.asList(morRows: _*), mor.schema)
+    s.read.schema(mor.schema).parquet(stage1Dir)
       .unionAll(folded)
       .select(col("stage"), col("query_id"), col("rank"),
         col("neighbor_id"), col("cos_sim"))

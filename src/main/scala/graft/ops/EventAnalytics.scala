@@ -1070,7 +1070,27 @@ object EventAnalytics {
         }
         .start()
       q.awaitTermination()
-      s.read.parquet(out).orderBy(col("hour_start"))
+      // make the append fence EXPLICIT in the gate: the oracle's
+      // validity rests on "the fence never bites on the fixtures"
+      // (every joined window closes before the propagated watermark's
+      // fence). Emit closed = window_end ≤ model-fence as a hashed
+      // column, where the model fence is min(click wm, purchase wm)
+      // − 10 min = min(max c_ts, max p_ts) − 70 min (the measured
+      // propagation, see scaladoc above) — a fixture regeneration
+      // with straddling tail windows now turns the gate red AT the
+      // open windows (closed=false + missing streamed rows) instead
+      // of silently. 1-row bounded aggregate, q281-bounds style.
+      val mm = graft.util.Tables.normalizeTs(s.read.parquet(path))
+        .agg(
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).as("mc"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("mp"))
+        .select(least(col("mc"), col("mp"))).collect()(0).getLong(0)
+      val fenceUs = mm - 4200000000L // 70 min in µs
+      s.read.parquet(out)
+        .withColumn("closed",
+          unix_micros(to_timestamp(col("hour_start"), TsFmt)) +
+            lit(3600000000L) <= lit(fenceUs))
+        .orderBy(col("hour_start"))
     }
   }
 
@@ -1808,14 +1828,20 @@ object EventAnalytics {
         |      FROM e WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, event_id AS click_id, ts AS cts
         |      FROM e WHERE event_type = 'click'),
+        |f AS (
+        |  SELECT least((SELECT max(epoch_us(cts)) FROM c),
+        |               (SELECT max(epoch_us(pts)) FROM p))
+        |    - 4200000000 AS fence_us),
         |j AS (
         |  SELECT pts
         |  FROM p JOIN c ON c.user_id = p.user_id
-        |    AND cts <= pts AND cts >= pts - INTERVAL 10 MINUTE)
-        |SELECT strftime(date_trunc('hour', pts), '%Y-%m-%d %H:%M:%S.%f')
-        |    AS hour_start,
-        |  CAST(count(*) AS BIGINT) AS n_pairs
-        |FROM j GROUP BY 1 ORDER BY hour_start""".stripMargin,
+        |    AND cts <= pts AND cts >= pts - INTERVAL 10 MINUTE),
+        |h AS (SELECT date_trunc('hour', pts) AS hs FROM j)
+        |SELECT strftime(hs, '%Y-%m-%d %H:%M:%S.%f') AS hour_start,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  (epoch_us(hs) + 3600000000 <= (SELECT fence_us FROM f))
+        |    AS closed
+        |FROM h GROUP BY hs ORDER BY hour_start""".stripMargin,
     "q166_winsorize" ->
       """WITH b AS (
         |  SELECT event_type,
