@@ -1094,6 +1094,108 @@ object EventAnalytics {
     }
   }
 
+  /** q287: CHECKPOINT-RESTART recovery for the chained stateful
+    * stream — the reference's single strongest guarantee (resume from
+    * persisted offsets, `storage/processedstore.go:4-7`, re-tail at
+    * `tail.go:79-85`) applied to the hardest state shape in the
+    * engine: q274's two-StateStore plan (stream-stream join feeding a
+    * windowed aggregation, append mode).
+    *
+    * The backlog is split into 5 chronological chunks (exact-percentile
+    * ts boundaries, so each micro-batch only ever advances the
+    * watermark — no chunk can late-drop another's rows) and streamed
+    * one file per trigger. Run 1 processes batches 0-1, then an
+    * INJECTED CRASH fires in batch 2 *after* the sink write but
+    * *before* the checkpoint commit — the worst replay window (sink
+    * committed, checkpoint not; the PumpResumeSpec discipline). Run 2
+    * restarts from the same checkpoint: Spark replays batch 2 from the
+    * offset log against the state committed by batch 1, and the
+    * exactly-once sink (per-batch `batch_id=N` overwrite dirs)
+    * replaces the orphaned write instead of double-appending. The gate
+    * is the union of both runs' emitted rows, raw (NOT re-aggregated,
+    * so any duplicated or lost window row breaks the row-count/hash
+    * match), against the same batch rollup + fence-flag oracle as
+    * q274: rows(run1 ∪ run2) == rows(single AvailableNow run) ==
+    * oracle, zero dups.
+    *
+    * Mid-backlog is enforced by construction, not timing: the require
+    * below pins that run 1 committed exactly batches {0, 1} — at
+    * least one committed trigger, strictly less than the full
+    * backlog — before run 2 starts.
+    *
+    * Scale shape: identical to q274 (user-sharded join state + one row
+    * per open window, both watermark-bounded); recovery cost is
+    * O(state at the last commit + one replayed batch), never a
+    * reprocess of the full history.
+    */
+  def streamRestartRecovery(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val split = graft.util.TmpDirs.scratch("restart-split")
+    val out = graft.util.TmpDirs.scratch("restart-out")
+    val ckpt = graft.util.TmpDirs.scratch("restart-ckpt")
+    val ev = graft.util.Tables.normalizeTs(s.read.parquet(path))
+    // exact-percentile chronological boundaries (1-row bounded agg)
+    val bs = ev.agg(expr(
+        "percentile(unix_micros(ts), array(0.2D, 0.4D, 0.6D, 0.8D))").as("b"))
+      .collect()(0).getSeq[Double](0)
+    val us = unix_micros(col("ts"))
+    (0 to 4).foreach { k =>
+      val lo = if (k == 0) lit(true) else us > lit(bs(k - 1))
+      val hi = if (k == 4) lit(true) else us <= lit(bs(k))
+      ev.filter(lo && hi).coalesce(1)
+        .write.mode("overwrite").parquet(s"$split/c$k")
+      // strictly increasing mod-times pin the file-source processing
+      // order to chunk order (FileStreamSource sorts by timestamp)
+      val base = System.currentTimeMillis() - 3600000L
+      new java.io.File(s"$split/c$k").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(base + k * 60000L))
+    }
+    val schema = s.read.parquet(s"$split/c0").schema
+    def src = graft.util.Tables.normalizeTs(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$split/c*"))
+    def writer(crashAt: Option[Long]) =
+      chainedJoinWindowAgg(src).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
+          if (crashAt.contains(id)) throw new RuntimeException(
+            "injected crash: sink committed, checkpoint not")
+        }
+    graft.util.StreamTuning.withShuffle(s, 4) {
+      val q1 = writer(crashAt = Some(2L)).start()
+      val crashed =
+        try { q1.awaitTermination(); false }
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException => true
+        }
+      require(crashed, "run 1 must die on the injected crash")
+      val committed = Option(new java.io.File(s"$ckpt/commits").list())
+        .getOrElse(Array.empty[String]).filter(_.forall(_.isDigit))
+        .map(_.toLong).sorted.toSeq
+      require(committed == Seq(0L, 1L),
+        s"run 1 must stop mid-backlog with exactly batches 0,1 committed; got $committed")
+      val q2 = writer(crashAt = None).start()
+      q2.awaitTermination()
+    }
+    // the q274 fence flag, over the same full event set (the chunks
+    // partition it exactly)
+    val mm = ev.agg(
+        max(when(col("event_type") === "click", us)).as("mc"),
+        max(when(col("event_type") === "purchase", us)).as("mp"))
+      .select(least(col("mc"), col("mp"))).collect()(0).getLong(0)
+    val fenceUs = mm - 4200000000L
+    s.read.parquet(out)
+      .select(col("hour_start"), col("n_pairs"))
+      .withColumn("closed",
+        unix_micros(to_timestamp(col("hour_start"), TsFmt)) +
+          lit(3600000000L) <= lit(fenceUs))
+      .orderBy(col("hour_start"))
+  }
+
   /** q176: Shannon entropy of each user's event-type mix — the
     * behavioral-diversity score (entropy 0 = single-type bot-like
     * traffic; high entropy = organic usage).
@@ -1503,6 +1605,7 @@ object EventAnalytics {
     "q177_cusum"           -> cusumChangepoint _,
     "q173_stream_join"     -> streamClickAttribution _,
     "q274_stream_join_windowed" -> streamJoinWindowed _,
+    "q287_stream_restart_recovery" -> streamRestartRecovery _,
     "q166_winsorize"       -> winsorize _,
     "q172_ab_lift"         -> abLift _,
     "q116_markov"          -> markovTransitions _,
@@ -1533,6 +1636,36 @@ object EventAnalytics {
     "q164_stream_totals"   -> streamUserTotals _,
     "q19_event_type_stats" -> typeStats _,
   )
+
+  /** Shared oracle for q274/q287: the batch click→purchase join +
+    * hourly rollup, with the append fence emitted as a hashed
+    * `closed` flag (fence = min side watermark − 10 min; see the
+    * q274 scaladoc — on the fixtures every window closes, and the
+    * flag pins that assumption in the hash).
+    */
+  private val chainedRollupSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    date_trunc('microseconds', ts) AS ts
+      |  FROM events),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+      |      FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS cts
+      |      FROM e WHERE event_type = 'click'),
+      |f AS (
+      |  SELECT least((SELECT max(epoch_us(cts)) FROM c),
+      |               (SELECT max(epoch_us(pts)) FROM p))
+      |    - 4200000000 AS fence_us),
+      |j AS (
+      |  SELECT pts
+      |  FROM p JOIN c ON c.user_id = p.user_id
+      |    AND cts <= pts AND cts >= pts - INTERVAL 10 MINUTE),
+      |h AS (SELECT date_trunc('hour', pts) AS hs FROM j)
+      |SELECT strftime(hs, '%Y-%m-%d %H:%M:%S.%f') AS hour_start,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  (epoch_us(hs) + 3600000000 <= (SELECT fence_us FROM f))
+      |    AS closed
+      |FROM h GROUP BY hs ORDER BY hour_start""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q221_markov_stationary" -> stationaryOracle(12),
@@ -1819,29 +1952,10 @@ object EventAnalytics {
     // hours before the final watermark (verified at all three sfs),
     // so the gate target is the full batch rollup — the fence itself
     // is pinned by EventStreamsSpec on a synthetic straddling stream
-    "q274_stream_join_windowed" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type,
-        |    date_trunc('microseconds', ts) AS ts
-        |  FROM events),
-        |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
-        |      FROM e WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, event_id AS click_id, ts AS cts
-        |      FROM e WHERE event_type = 'click'),
-        |f AS (
-        |  SELECT least((SELECT max(epoch_us(cts)) FROM c),
-        |               (SELECT max(epoch_us(pts)) FROM p))
-        |    - 4200000000 AS fence_us),
-        |j AS (
-        |  SELECT pts
-        |  FROM p JOIN c ON c.user_id = p.user_id
-        |    AND cts <= pts AND cts >= pts - INTERVAL 10 MINUTE),
-        |h AS (SELECT date_trunc('hour', pts) AS hs FROM j)
-        |SELECT strftime(hs, '%Y-%m-%d %H:%M:%S.%f') AS hour_start,
-        |  CAST(count(*) AS BIGINT) AS n_pairs,
-        |  (epoch_us(hs) + 3600000000 <= (SELECT fence_us FROM f))
-        |    AS closed
-        |FROM h GROUP BY hs ORDER BY hour_start""".stripMargin,
+    "q274_stream_join_windowed" -> chainedRollupSql,
+    // q287 streams the SAME rollup through a crash + checkpoint
+    // restart: recovery must be invisible in the result
+    "q287_stream_restart_recovery" -> chainedRollupSql,
     "q166_winsorize" ->
       """WITH b AS (
         |  SELECT event_type,
