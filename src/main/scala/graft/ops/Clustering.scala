@@ -2284,7 +2284,138 @@ object Clustering {
       s.read.parquet(out).orderBy(col("query_id"), col("rank"))
     }
 
+  // ---- q288/q291: FOLD-IN TRIGGER POLICY ---------------------------
+  //
+  // q273's merge-on-read debt is repaid when a test calls dvFoldIn;
+  // nothing DECIDES to. At 100 TB the serve-time anti-join grows with
+  // every deletion request until someone folds — so the maintenance
+  // decision must itself be a measured, gated computation (the q259
+  // rebuild-trigger discipline applied to delete debt): measure
+  // per-partition tombstone fraction, flag partitions over threshold,
+  // fold in EXACTLY the flagged ones, and leave the scattered
+  // below-threshold debt as tombstones (cheaper to anti-join than to
+  // rewrite). The deletion cohort here is the realistic skewed shape —
+  // a departing tenant whose keys concentrate in two partition groups
+  // (vec_id mod 16 ∈ {0,1} → pg 0-1 at ~50% of partition rows, every
+  // fixture sf) over a scattered background of individual requests
+  // (vec_id ≡ 2 mod 83, ≤1% everywhere) — so the 10% threshold
+  // provably fires for pg 0-1 and provably does NOT fire elsewhere.
+
+  /** The skewed deletion cohort: a tenant concentrated in pg 0-1 plus
+    * a scattered background of individual requests.
+    */
+  private[graft] def policyCohort(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .filter(col("vec_id") % 16 < 2 || col("vec_id") % 83 === 2)
+      .select(col("vec_id").as("k"))
+
+  private[graft] val FoldThresholdPct = 10L
+
+  private val polMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String, String)]()
+  graft.util.CacheRegistry.registerMemo(polMemo)
+
+  /** Build the policy fixture ONCE per (session, sf): the binary code
+    * table partitioned by pg, its tombstone table, the measured
+    * decision table — then EXECUTE the decision (sweep + compact only
+    * the flagged partitions, drain only their tombstones). Returns
+    * (index table, tombstone table, decision table) in the post-fold
+    * state; the decision table preserves the pre-fold measurements.
+    */
+  private[graft] def ensureFoldinPolicy(s: SparkSession, d: String)
+      : (String, String, String) =
+    polMemo.computeIfAbsent((s, d), _ => {
+      val bin = tableNameFor("graft_bin_pol_", d)
+      recreatePartitioned(s, bin,
+        signCodes(s, d).withColumn("pg", pmod(col("vec_id"), lit(8))), "pg")
+      val dv = tableNameFor("graft_bin_poldv_", d)
+      dropAndCleanLocation(s, dv)
+      policyCohort(s, d).coalesce(1)
+        .write.format("parquet").saveAsTable(dv)
+      // measure the debt: tombstone keys per partition / partition rows
+      // (one broadcast probe over the index — O(index) scan, O(#parts)
+      // output), integer percent so the threshold compare is exact
+      val t = s.table(bin)
+      val tomb = s.table(dv)
+      val dec = tableNameFor("graft_pol_dec_", d)
+      dropAndCleanLocation(s, dec)
+      t.join(broadcast(tomb), t("vec_id") === tomb("k"), "left_outer")
+        .groupBy(col("pg"))
+        .agg(count(lit(1)).as("n_rows"), count(col("k")).as("n_tomb"))
+        .withColumn("debt_pct", expr("(n_tomb * 100) div n_rows"))
+        .withColumn("fold", col("debt_pct") >= FoldThresholdPct)
+        .coalesce(1)
+        .write.format("parquet").saveAsTable(dec)
+      // execute the decision: fold in exactly the flagged partitions
+      val flagged = s.table(dec).filter(col("fold"))
+        .select(col("pg")).collect().map(_.getLong(0)).sorted // ≤ #partitions
+      if (flagged.nonEmpty) {
+        // stage the flagged partitions' tombstone keys BEFORE the sweep
+        // mutates the table (the sweep itself reads them)
+        val fkDir = graft.util.TmpDirs.scratch(
+          tableNameFor("pol_foldkeys_", d))
+        t.filter(col("pg").isin(flagged: _*))
+          .join(broadcast(tomb), t("vec_id") === tomb("k"))
+          .select(col("k")).write.mode("overwrite").parquet(fkDir)
+        val fk = s.read.parquet(fkDir)
+        sweepIndexPartitions(s, bin, "vec_id", "pg", fk)
+        compactPartitionsInPlace(s, bin, "pg", flagged.toSeq)
+        // drain ONLY the folded tombstones; the scattered debt stays
+        val keptDir = graft.util.TmpDirs.scratch(
+          tableNameFor("pol_keptdv_", d))
+        s.table(dv).join(broadcast(fk), Seq("k"), "left_anti")
+          .write.mode("overwrite").parquet(keptDir)
+        s.read.parquet(keptDir).coalesce(1)
+          .write.mode("overwrite").format("parquet").saveAsTable(dv)
+      }
+      (bin, dv, dec)
+    })
+
+  /** q288: the fold-in decision table with its post-fold accounting —
+    * per partition group: the pre-fold debt measurement, the decision,
+    * and the post-fold state (tombstones still pending, cohort rows
+    * still physically in the files). Flagged partitions must land at
+    * zero on both post columns; unflagged ones must keep their debt
+    * exactly (the fold touched nothing it didn't flag).
+    */
+  def foldinDecision(s: SparkSession, d: String): DataFrame = {
+    val (bin, dv, dec) = ensureFoldinPolicy(s, d)
+    val t = s.table(bin)
+    val postTomb = s.table(dv)
+      .groupBy(pmod(col("k"), lit(8)).as("pg"))
+      .agg(count(lit(1)).as("post_tomb"))
+    val postPhys = t.join(broadcast(policyCohort(s, d)),
+        t("vec_id") === col("k"))
+      .groupBy(col("pg")).agg(count(lit(1)).as("post_physical"))
+    s.table(dec)
+      .join(postTomb, Seq("pg"), "left_outer")
+      .join(postPhys, Seq("pg"), "left_outer")
+      .select(col("pg"), col("n_rows"), col("n_tomb"), col("debt_pct"),
+        col("fold"),
+        coalesce(col("post_tomb"), lit(0L)).as("post_tomb"),
+        coalesce(col("post_physical"), lit(0L)).as("post_physical"))
+      .orderBy(col("pg"))
+  }
+
+  /** q291: serving through the post-policy MoR view — the probe after
+    * a PARTIAL fold-in (flagged partitions rewritten, scattered debt
+    * still tombstoned) must equal the rebuild-from-survivors target
+    * for the FULL cohort: the policy may change where the delete is
+    * enforced (files vs anti-join), never what is served.
+    */
+  def foldinProbe(s: SparkSession, d: String): DataFrame = {
+    val (bin, dv, _) = ensureFoldinPolicy(s, d)
+    val merged = dvMergedCells(s, bin, dv)
+    binaryTopForQueriesOn(s, merged,
+      merged.filter(col("vec_id") >= 3 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+          col("hi").as("qhi")))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_foldin_policy" -> foldinDecision _,
+    "q291_foldin_probe" -> foldinProbe _,
     "q253_binary_index" -> binaryIndexProbe _,
     "q254_ivf_erasure" -> ivfErasureProbe _,
     "q255_pq_erasure" -> pqErasureProbe _,
@@ -2706,6 +2837,36 @@ object Clustering {
       |ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q288: the fold-in decision is pure integer arithmetic over the
+    // deterministic cohort, so the oracle literalizes it — including
+    // the post-fold accounting (flagged partitions land at zero debt,
+    // unflagged keep theirs exactly). fold=true rows exist at every
+    // fixture sf (the tenant half is ~50% of pg 0-1 by construction).
+    "q288_foldin_policy" ->
+      s"""WITH t AS (
+         |  SELECT vec_id, vec_id % 8 AS pg,
+         |    CASE WHEN vec_id % 16 IN (0, 1) OR vec_id % 83 = 2
+         |         THEN 1 ELSE 0 END AS tomb
+         |  FROM embeddings),
+         |g AS (
+         |  SELECT pg, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(tomb) AS BIGINT) AS n_tomb
+         |  FROM t GROUP BY pg)
+         |SELECT CAST(pg AS BIGINT) AS pg, n_rows, n_tomb,
+         |  CAST((n_tomb * 100) // n_rows AS BIGINT) AS debt_pct,
+         |  ((n_tomb * 100) // n_rows) >= $FoldThresholdPct AS fold,
+         |  CAST(CASE WHEN (n_tomb * 100) // n_rows >= $FoldThresholdPct
+         |       THEN 0 ELSE n_tomb END AS BIGINT) AS post_tomb,
+         |  CAST(CASE WHEN (n_tomb * 100) // n_rows >= $FoldThresholdPct
+         |       THEN 0 ELSE n_tomb END AS BIGINT) AS post_physical
+         |FROM g ORDER BY pg""".stripMargin,
+    // q291: the post-policy MoR view serves exactly the
+    // rebuild-from-survivors target for the FULL cohort — partial
+    // fold-in moves enforcement between files and anti-join, never
+    // changes what is served
+    "q291_foldin_probe" -> binHamSql(
+      "NOT (vec_id % 16 IN (0, 1) OR vec_id % 83 = 2)",
+      "vec_id >= 3 AND vec_id < 13"),
     // q253 serves the SAME binary search from the persisted code
     // table — it must be indistinguishable from q239's from-floats run
     "q253_binary_index" -> Similarity.oracleSql("q239_binary_quant"),

@@ -53,7 +53,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q278_binary_staleness", // broadcast 1-row rebuild-trigger scalar onto the 64-row dim table
     "q256_binary_erasure", // q253's broadcast 9-query =!= join over the swept code table
     "q280_binary_dv_erasure", // q256's broadcast 9-query =!= join through the tombstone anti-join
-    "q284_binary_lifecycle") // q256's broadcast 9-query =!= join over the chained-lifecycle code table
+    "q284_binary_lifecycle", // q256's broadcast 9-query =!= join over the chained-lifecycle code table
+    "q291_foldin_probe") // q256's broadcast 10-query =!= join through the post-policy MoR view
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",

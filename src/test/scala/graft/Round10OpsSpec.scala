@@ -25,4 +25,32 @@ class Round10OpsSpec extends AnyFunSuite {
     // the fence never bites on the fixtures — pinned, not assumed
     assert(recovered.forall(_._3))
   }
+
+  test("q288: the 10% threshold flags exactly pg 0-1, and the fold touches only them") {
+    val before = graft.ops.Clustering.sweepPartitionsRewritten.get()
+    val dec = graft.ops.Clustering.foldinDecision(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getLong(6)))
+    // the tenant half concentrates in pg 0-1 (~50%); scattered debt
+    // stays ≤1% — the decision is a property of the cohort shape, not
+    // the sf (validated at all three fixture sfs before pinning)
+    assert(dec.filter(_._5).map(_._1).toSeq == Seq(0L, 1L))
+    // the fold was partition-selective: exactly the 2 flagged
+    // partition dirs rewritten, no table rewrite
+    assert(graft.ops.Clustering.sweepPartitionsRewritten.get() - before == 2)
+    // flagged partitions land at zero on BOTH ledgers; unflagged keep
+    // their pre-fold debt exactly (tombstoned AND still in the files)
+    dec.foreach { case (pg, _, nTomb, _, fold, postTomb, postPhys) =>
+      if (fold) assert(postTomb == 0L && postPhys == 0L, s"pg=$pg")
+      else assert(postTomb == nTomb && postPhys == nTomb, s"pg=$pg")
+    }
+    // serving through the post-policy view still equals
+    // rebuild-from-survivors for the FULL cohort (the q291 gate);
+    // here pin the complementary negative: no cohort member is served
+    val (bin, dv, _) = graft.ops.Clustering.ensureFoldinPolicy(spark, sf)
+    val served = graft.ops.Clustering.dvMergedCells(spark, bin, dv)
+      .join(broadcast(graft.ops.Clustering.policyCohort(spark, sf)),
+        col("vec_id") === col("k"))
+    assert(served.count() == 0L)
+  }
 }
