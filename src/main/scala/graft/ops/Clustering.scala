@@ -1912,6 +1912,119 @@ object Clustering {
       s.read.parquet(out).orderBy(col("query_id"), col("rank"))
     }
 
+  // ---- q289: SERVE-WHILE-GROW — streaming index ingest -------------
+  //
+  // q215/q272 grow the index as a batch verb; a production index
+  // takes growth as a STREAM: new vectors arrive continuously, each
+  // micro-batch is assigned under the frozen centroids and appended
+  // O(batch) into the partitioned table (lifecycleGrow's write shape
+  // inside foreachBatch — appends add partition dirs/files, never
+  // rewrite), while a SECOND concurrent stream keeps serving probes
+  // against the same table. This is the one online lifecycle verb the
+  // batch chains don't exercise: the layout must admit readers DURING
+  // growth (append-only makes mid-growth scans see a valid prefix).
+  //
+  // Gate: the final probe after both streams drain equals q215's
+  // batch-grown oracle (base ∪ streamed arrivals = the full corpus
+  // under one frozen model). Mid-growth probe rows are written but
+  // NOT gated — their content depends on stream interleaving; the
+  // spec pins instead that the serve stream produced output, that
+  // exactly one build happened (`indexBuilds` delta 1 — streamed
+  // growth never rebuilds), and that the base files survived growth
+  // byte-for-byte.
+
+  private val swgMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+  graft.util.CacheRegistry.registerMemo(swgMemo)
+
+  /** Base-build data files (path → (size, mtime)) of the q289 table,
+    * captured before the grow stream starts — the spec's evidence
+    * that appends added files without touching existing ones.
+    */
+  private[graft] val swgBaseFiles = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[String, (Long, Long)]]()
+  graft.util.CacheRegistry.registerMemo(swgBaseFiles)
+
+  private[graft] def listDataFiles(root: java.nio.file.Path)
+      : Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val it = java.nio.file.Files.walk(root)
+    try it.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString -> (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toMap
+    finally it.close()
+  }
+
+  /** Build the base (even half) once, then run the grow stream (odd
+    * half, 4 one-file micro-batches) and the serve stream (probe
+    * queries, 3 one-file micro-batches) CONCURRENTLY. Returns
+    * (index table, mid-growth probe dir).
+    */
+  private[graft] def ensureServeWhileGrow(s: SparkSession, d: String)
+      : (String, String) =
+    swgMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_ivf_swg_", d)
+      lifecycleBaseBuild(s, d, name) // the ONLY build (+1)
+      // snapshot the base files so the spec can pin that streamed
+      // growth never rewrote one (size + mtime, byte-for-byte proxy)
+      swgBaseFiles.put((s, d), listDataFiles(tableLocation(s, name)))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // the arriving vectors, pre-split so growth spans micro-batches
+      val feed = graft.util.TmpDirs.scratch(tableNameFor("swg_feed_", d))
+      e.filter(pmod(col("vec_id"), lit(2)) === 1).repartition(4)
+        .write.mode("overwrite").parquet(feed)
+      // the probe workload, split so serving also spans batches
+      val qfeed = graft.util.TmpDirs.scratch(tableNameFor("swg_qfeed_", d))
+      e.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .repartition(3).write.mode("overwrite").parquet(qfeed)
+      val mid = graft.util.TmpDirs.scratch(tableNameFor("swg_mid_", d))
+      graft.util.StreamTuning.withShuffle(s, 8) {
+        val trig = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        val grow = s.readStream.schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .writeStream.outputMode("append")
+          .trigger(trig)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // lifecycleGrow's shape, per micro-batch: assign ONLY the
+            // batch under the frozen centroids, append partition dirs
+            ivfAssignmentFor(batch.sparkSession, d, batch)
+              .write.mode("append").format("parquet")
+              .partitionBy("cell").saveAsTable(name)
+          }
+          .start()
+        val serve = s.readStream.schema(s.read.parquet(qfeed).schema)
+          .option("maxFilesPerTrigger", 1).parquet(qfeed)
+          .writeStream.outputMode("append")
+          .trigger(trig)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!batch.isEmpty)
+              ivfProbeOn(batch.sparkSession, d, name, batch)
+                .withColumn("serve_batch", lit(id))
+                .write.mode("append").parquet(mid)
+          }
+          .start()
+        grow.awaitTermination()
+        serve.awaitTermination()
+      }
+      (name, mid)
+    })
+
+  /** q289: the post-growth probe of the stream-grown table — must
+    * equal the q215 batch-grown oracle (growth path must be
+    * result-invisible: batch append ≡ streamed append).
+    */
+  def streamIndexGrow(s: SparkSession, d: String): DataFrame = {
+    val (name, _) = ensureServeWhileGrow(s, d)
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfProbeOn(s, d, name, qs).orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- q283/q284: the one-table lifecycle for PQ and binary --------
   //
   // q272 chains the verbs on one IVF table; the code-table families
@@ -2415,6 +2528,7 @@ object Clustering {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q288_foldin_policy" -> foldinDecision _,
+    "q289_stream_index_grow" -> streamIndexGrow _,
     "q291_foldin_probe" -> foldinProbe _,
     "q253_binary_index" -> binaryIndexProbe _,
     "q254_ivf_erasure" -> ivfErasureProbe _,
@@ -2860,6 +2974,10 @@ object Clustering {
          |  CAST(CASE WHEN (n_tomb * 100) // n_rows >= $FoldThresholdPct
          |       THEN 0 ELSE n_tomb END AS BIGINT) AS post_physical
          |FROM g ORDER BY pg""".stripMargin,
+    // q289: the stream-grown table serves exactly what the
+    // batch-grown one does (q215's oracle: full corpus, frozen
+    // centroids) — the growth path is result-invisible
+    "q289_stream_index_grow" -> ivfAnnSql,
     // q291: the post-policy MoR view serves exactly the
     // rebuild-from-survivors target for the FULL cohort — partial
     // fold-in moves enforcement between files and anti-join, never

@@ -46,6 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q254_ivf_erasure", // q203's broadcast centroid table, swept-index serving
     "q263_index_compaction", // same probe shape over the compacted swept index
     "q272_ivf_lifecycle", // same probe shape over the chained-lifecycle table
+    "q289_stream_index_grow", // same probe shape over the stream-grown table
     "q273_ivf_dv_erasure", // same probe shape through the tombstone anti-join
     "q286_ivf_prod_lifecycle", // same probe shape, both delete states + VALUES stage tags
     "q259_index_staleness", // two broadcast centroid tables + q30's broadcast query joins (recall audit)

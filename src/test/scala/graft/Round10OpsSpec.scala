@@ -53,4 +53,28 @@ class Round10OpsSpec extends AnyFunSuite {
         col("vec_id") === col("k"))
     assert(served.count() == 0L)
   }
+
+  test("q289: serve-while-grow — one build, serving output during growth, base files untouched") {
+    val before = graft.ops.Clustering.indexBuilds.get()
+    val (_, mid) = graft.ops.Clustering.ensureServeWhileGrow(spark, sf)
+    // streamed growth is pure appends: exactly the one base build
+    assert(graft.ops.Clustering.indexBuilds.get() - before == 1)
+    // the concurrent serve stream produced probe rows (content not
+    // pinned — it reflects the nondeterministic growth prefix — but
+    // no served answer ever exceeds top-k)
+    val midRows = spark.read.parquet(mid)
+    assert(midRows.count() > 0)
+    assert(midRows.groupBy(col("serve_batch"), col("query_id"))
+      .count().filter(col("count") > 3).count() == 0)
+    // every base data file survived growth with size and mtime intact
+    val base = graft.ops.Clustering.swgBaseFiles.get((spark, sf))
+    assert(base.nonEmpty)
+    base.foreach { case (p, (size, mtime)) =>
+      val f = java.nio.file.Paths.get(p)
+      assert(java.nio.file.Files.isRegularFile(f), s"base file vanished: $p")
+      assert(java.nio.file.Files.size(f) == size, s"base file rewritten: $p")
+      assert(java.nio.file.Files.getLastModifiedTime(f).toMillis == mtime,
+        s"base file touched: $p")
+    }
+  }
 }
