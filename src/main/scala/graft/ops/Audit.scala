@@ -448,6 +448,87 @@ object Audit {
         .orderBy(col("month"), col("status"))
     }
 
+  /** q290: TIME-TRAVEL reads of the versioned materialized view —
+    * q243 materializes versioned view states (mv_v0 → mv_v1 → … per
+    * micro-batch commit); this adds the read surface every
+    * transactional table format exposes: "VERSION AS OF n" for EVERY
+    * stored version, each gated against a recompute at that version's
+    * cutoff (the q230 merged == full discipline applied per version,
+    * not just at HEAD).
+    *
+    * Determinism: q243's arrival shards come from repartition(4)
+    * (arbitrary but irrelevant there — only HEAD is gated). Here
+    * every intermediate version is gated, so arrival is pinned by
+    * construction: shard k = orders with o_orderkey ≡ k (mod 4),
+    * files mod-time-ordered so batch v ingests shard v, hence
+    * version v == rollup of o_orderkey % 4 < v — a cutoff the oracle
+    * literalizes. Revenue rides DECIMAL(28,6) through every merge, so
+    * version states are bit-exact under any merge composition.
+    *
+    * Scale shape: the write side is q243's (agg(delta) + |view|-sized
+    * merge per commit); the read side is a single-version parquet
+    * scan — time travel costs one directory resolution, never a log
+    * replay, and old versions are the retention/vacuum unit.
+    */
+  def mvTimeTravel(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+      val dir = graft.util.TmpDirs.scratch("mv-timetravel")
+      val o = orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(Dec).as("price"),
+        col("o_orderkey"))
+      // deterministic arrival: shard k = o_orderkey mod 4, ingested
+      // in shard order (mod-time-pinned, the q287 discipline)
+      val base = System.currentTimeMillis() - 3600000L
+      (0 to 3).foreach { k =>
+        o.filter(pmod(col("o_orderkey"), lit(4)) === k).drop("o_orderkey")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/c$k")
+        new java.io.File(s"$dir/src/c$k").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified(base + k * 60000L))
+      }
+      def rollup(df: DataFrame): DataFrame =
+        df.groupBy(col("month"), col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+      rollup(o.drop("o_orderkey").limit(0))
+        .write.mode("overwrite").parquet(s"$dir/mv_v0")
+      val ver = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = s.readStream.schema(s.read.parquet(s"$dir/src/c0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/src/c*")
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val v = ver.get()
+          val cur = s.read.parquet(s"$dir/mv_v$v")
+          cur.unionByName(rollup(batch))
+            .groupBy(col("month"), col("status"))
+            .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+            .write.mode("overwrite").parquet(s"$dir/mv_v${v + 1}")
+          ver.incrementAndGet()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      // the read surface: VERSION AS OF v, for every stored version
+      (0L to ver.get()).map(v => mvVersionAsOf(s, dir, v))
+        .reduce(_ unionByName _)
+        .orderBy(col("version"), col("month"), col("status"))
+    }
+
+  /** Read ONE stored version of the q290 view — the "SELECT … VERSION
+    * AS OF n" surface. A version is a complete committed state; the
+    * read never touches any other version's files.
+    */
+  private[graft] def mvVersionAsOf(s: SparkSession, dir: String,
+      v: Long): DataFrame =
+    s.read.parquet(s"$dir/mv_v$v")
+      .select(lit(v).as("version"), col("month"), col("status"), col("n"),
+        round(col("rev"), 2).cast("double").as("revenue"))
+
   /** q250: STREAMING erasure propagation — q233's deletion-request
     * cohort enforced on the live event stream: every micro-batch
     * anti-joins the broadcast request set, erased and kept rows are
@@ -563,6 +644,7 @@ object Audit {
     "q233_erasure_sweep" -> erasureSweep _,
     "q230_mv_refresh" -> mvRefresh _,
     "q243_stream_mv" -> streamMvRefresh _,
+    "q290_mv_time_travel" -> mvTimeTravel _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -705,6 +787,20 @@ object Audit {
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY month, status""".stripMargin,
+    // q290: every stored version must equal the recompute at its
+    // cutoff (version v == shards 0..v-1 == o_orderkey % 4 < v);
+    // version 0 is the empty committed state and contributes no rows
+    "q290_mv_time_travel" ->
+      """WITH v(version) AS (VALUES (0), (1), (2), (3), (4))
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        |  strftime(o_orderdate, '%Y-%m') AS month,
+        |  o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM v JOIN orders ON o_orderkey % 4 < v.version
+        |GROUP BY 1, 2, 3
+        |ORDER BY version, month, status""".stripMargin,
     "q233_erasure_sweep" ->
       """WITH req AS (
         |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

@@ -77,4 +77,24 @@ class Round10OpsSpec extends AnyFunSuite {
         s"base file touched: $p")
     }
   }
+
+  test("q290: HEAD version equals the q230 full view; versions grow monotonically") {
+    val tt = graft.ops.Audit.mvTimeTravel(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    // five committed states: the empty v0 plus one per arrival shard
+    assert(tt.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // HEAD (v4 = all shards) must be exactly the q230 full recompute
+    val head = tt.filter(_._1 == 4L).map(t => (t._2, t._3, t._4, t._5)).toSeq
+    val full = graft.ops.Audit.mvRefresh(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(head == full)
+    // a version never loses rows: per (month, status), n is
+    // non-decreasing across versions
+    tt.groupBy(t => (t._2, t._3)).foreach { case (_, rows) =>
+      val ns = rows.sortBy(_._1).map(_._4)
+      assert(ns.zip(ns.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
