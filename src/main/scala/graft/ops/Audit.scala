@@ -470,54 +470,153 @@ object Audit {
     * scan — time travel costs one directory resolution, never a log
     * replay, and old versions are the retention/vacuum unit.
     */
-  def mvTimeTravel(s: SparkSession, d: String): DataFrame =
-    graft.util.StreamTuning.withShuffle(s, 8) {
-      val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
-      val dir = graft.util.TmpDirs.scratch("mv-timetravel")
-      val o = orders(s, d).select(
-        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-        col("o_orderstatus").as("status"),
-        col("o_totalprice").cast(Dec).as("price"),
-        col("o_orderkey"))
-      // deterministic arrival: shard k = o_orderkey mod 4, ingested
-      // in shard order (mod-time-pinned, the q287 discipline)
-      val base = System.currentTimeMillis() - 3600000L
-      (0 to 3).foreach { k =>
-        o.filter(pmod(col("o_orderkey"), lit(4)) === k).drop("o_orderkey")
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/c$k")
-        new java.io.File(s"$dir/src/c$k").listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-          .foreach(_.setLastModified(base + k * 60000L))
-      }
-      def rollup(df: DataFrame): DataFrame =
-        df.groupBy(col("month"), col("status"))
-          .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
-      rollup(o.drop("o_orderkey").limit(0))
-        .write.mode("overwrite").parquet(s"$dir/mv_v0")
-      val ver = new java.util.concurrent.atomic.AtomicLong(0)
-      val q = s.readStream.schema(s.read.parquet(s"$dir/src/c0").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$dir/src/c*")
-        .writeStream
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val v = ver.get()
-          val cur = s.read.parquet(s"$dir/mv_v$v")
-          cur.unionByName(rollup(batch))
-            .groupBy(col("month"), col("status"))
-            .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
-            .write.mode("overwrite").parquet(s"$dir/mv_v${v + 1}")
-          ver.incrementAndGet()
-          ()
+  private val mvChainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), (String, Long)]()
+  graft.util.CacheRegistry.registerMemo(mvChainMemo)
+
+  /** Build one deterministic versioned-view chain per (session, sf,
+    * label): shard k = o_orderkey mod 4 ingested in mod-time order
+    * (the q287 discipline), one committed version per micro-batch —
+    * so version v provably equals the rollup over `o_orderkey % 4 <
+    * v`. Returns (chain dir, HEAD version). Distinct labels give
+    * q290/q293 (shared read-only chain) and q294 (which VACUUMS its
+    * chain) independent fixtures.
+    */
+  private[graft] def ensureMvChain(s: SparkSession, d: String,
+      label: String): (String, Long) =
+    mvChainMemo.computeIfAbsent((s, d, label), _ =>
+      graft.util.StreamTuning.withShuffle(s, 8) {
+        val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+        val dir = graft.util.TmpDirs.scratch(label)
+        val o = orders(s, d).select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(Dec).as("price"),
+          col("o_orderkey"))
+        val base = System.currentTimeMillis() - 3600000L
+        (0 to 3).foreach { k =>
+          o.filter(pmod(col("o_orderkey"), lit(4)) === k).drop("o_orderkey")
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/c$k")
+          new java.io.File(s"$dir/src/c$k").listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(_.setLastModified(base + k * 60000L))
         }
-        .start()
-      q.awaitTermination()
-      // the read surface: VERSION AS OF v, for every stored version
-      (0L to ver.get()).map(v => mvVersionAsOf(s, dir, v))
-        .reduce(_ unionByName _)
-        .orderBy(col("version"), col("month"), col("status"))
+        def rollup(df: DataFrame): DataFrame =
+          df.groupBy(col("month"), col("status"))
+            .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+        rollup(o.drop("o_orderkey").limit(0))
+          .write.mode("overwrite").parquet(s"$dir/mv_v0")
+        val ver = new java.util.concurrent.atomic.AtomicLong(0)
+        val q = s.readStream.schema(s.read.parquet(s"$dir/src/c0").schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$dir/src/c*")
+          .writeStream
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val v = ver.get()
+            val cur = s.read.parquet(s"$dir/mv_v$v")
+            cur.unionByName(rollup(batch))
+              .groupBy(col("month"), col("status"))
+              .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+              .write.mode("overwrite").parquet(s"$dir/mv_v${v + 1}")
+            ver.incrementAndGet()
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        (dir, ver.get())
+      })
+
+  def mvTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
+    // the read surface: VERSION AS OF v, for every stored version
+    (0L to maxV).map(v => mvVersionAsOf(s, dir, v))
+      .reduce(_ unionByName _)
+      .orderBy(col("version"), col("month"), col("status"))
+  }
+
+  /** q293: AS OF TIMESTAMP over the q290 chain — the time-based twin
+    * of the version read. Each version's commit stamp is its
+    * event-time high-water mark (max o_orderdate ingested so far —
+    * deterministic, unlike wall-clock commit times); a probe
+    * timestamp resolves to the LATEST version whose stamp is ≤ the
+    * probe, exactly the lakehouse timestamp-travel rule. Probes are
+    * the four stamps themselves plus one before-history date (which
+    * must resolve to the empty v0). The gate emits per probe the
+    * resolved version and that version's totals, all recomputed by
+    * the oracle from the shard cutoffs.
+    *
+    * Scale shape: stamp derivation is a 4-row rollup of per-shard
+    * maxima (never an orders expansion); resolution is a ≤5×4 join;
+    * the totals read one version dir each.
+    */
+  def mvAsOfTimestamp(s: SparkSession, d: String): DataFrame = {
+    val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
+    import s.implicits._
+    val shardMax = orders(s, d)
+      .groupBy(pmod(col("o_orderkey"), lit(4)).as("shard"))
+      .agg(max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("dmax"))
+    val vers = (1L to maxV).toDF("version")
+    val stamps = vers.join(shardMax, col("shard") < col("version"))
+      .groupBy(col("version")).agg(max(col("dmax")).as("stamp"))
+    val probes = stamps.select(col("stamp").as("probe_date")).distinct()
+      .unionByName(Seq("1990-01-01").toDF("probe_date"))
+    val resolved = probes
+      .join(stamps, col("stamp") <= col("probe_date"), "left_outer")
+      .groupBy(col("probe_date"))
+      .agg(coalesce(max(col("version")), lit(0L)).as("version"))
+    val totals = (0L to maxV).map { v =>
+      s.read.parquet(s"$dir/mv_v$v")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+          coalesce(round(sum(col("rev")), 2).cast("double"), lit(0.0))
+            .as("revenue_total"))
+        .select(lit(v).as("version"), col("n_rows"), col("revenue_total"))
+    }.reduce(_ unionByName _)
+    resolved.join(totals, Seq("version"))
+      .select(col("probe_date"), col("version"), col("n_rows"),
+        col("revenue_total"))
+      .orderBy(col("probe_date"))
+  }
+
+  /** q294: version RETENTION — the vacuum policy every versioned
+    * table needs once q290 exists: retain the newest 2 versions,
+    * VACUUM the rest (the dirs are actually deleted — old versions
+    * are the retention unit, which is the point of per-version
+    * directories). The gate measures availability off the filesystem
+    * and re-reads the surviving versions: HEAD must still equal the
+    * full recompute, vacuumed versions report (false, 0, 0) — and the
+    * oracle literalizes the policy outcome at every sf.
+    */
+  def mvRetention(s: SparkSession, d: String): DataFrame = {
+    val (dir, maxV) = ensureMvChain(s, d, "mv-retention")
+    val firstKept = maxV - 1L // retain the newest 2 versions
+    (0L until firstKept).foreach { v =>
+      val p = java.nio.file.Paths.get(s"$dir/mv_v$v")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
     }
+    import s.implicits._
+    (0L to maxV).map { v =>
+      val available = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/mv_v$v"))
+      if (available)
+        s.read.parquet(s"$dir/mv_v$v")
+          .agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+            coalesce(round(sum(col("rev")), 2).cast("double"), lit(0.0))
+              .as("revenue_total"))
+          .select(lit(v).as("version"), lit(true).as("available"),
+            col("n_rows"), col("revenue_total"))
+      else
+        Seq((v, false, 0L, 0.0))
+          .toDF("version", "available", "n_rows", "revenue_total")
+    }.reduce(_ unionByName _)
+      .orderBy(col("version"))
+  }
 
   /** Read ONE stored version of the q290 view — the "SELECT … VERSION
     * AS OF n" surface. A version is a complete committed state; the
@@ -645,6 +744,8 @@ object Audit {
     "q230_mv_refresh" -> mvRefresh _,
     "q243_stream_mv" -> streamMvRefresh _,
     "q290_mv_time_travel" -> mvTimeTravel _,
+    "q293_mv_asof_timestamp" -> mvAsOfTimestamp _,
+    "q294_mv_retention" -> mvRetention _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -801,6 +902,62 @@ object Audit {
         |FROM v JOIN orders ON o_orderkey % 4 < v.version
         |GROUP BY 1, 2, 3
         |ORDER BY version, month, status""".stripMargin,
+    // q293: timestamp travel — stamps are event-time high-water marks
+    // (max o_orderdate over ingested shards), probes resolve to the
+    // latest version with stamp ≤ probe; the before-history probe
+    // must land on the empty v0
+    "q293_mv_asof_timestamp" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 4 AS shard,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS ds,
+        |    o_totalprice
+        |  FROM orders),
+        |sm AS (SELECT shard, max(ds) AS dmax FROM o GROUP BY shard),
+        |v(version) AS (VALUES (1), (2), (3), (4)),
+        |st AS (
+        |  SELECT version, max(dmax) AS stamp
+        |  FROM v JOIN sm ON sm.shard < v.version GROUP BY version),
+        |probes AS (
+        |  SELECT DISTINCT stamp AS probe_date FROM st
+        |  UNION SELECT '1990-01-01'),
+        |res AS (
+        |  SELECT p.probe_date,
+        |    COALESCE((SELECT max(version) FROM st
+        |              WHERE stamp <= p.probe_date), 0) AS version
+        |  FROM probes p),
+        |tot AS (
+        |  SELECT vv.version,
+        |    CAST(count(o.shard) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(round(sum(CAST(o.o_totalprice
+        |      AS DECIMAL(28,6))), 2), 0) AS DOUBLE) AS revenue_total
+        |  FROM (VALUES (0), (1), (2), (3), (4)) vv(version)
+        |  LEFT JOIN o ON o.shard < vv.version
+        |  GROUP BY vv.version)
+        |SELECT res.probe_date, CAST(res.version AS BIGINT) AS version,
+        |  tot.n_rows, tot.revenue_total
+        |FROM res JOIN tot ON tot.version = res.version
+        |ORDER BY probe_date""".stripMargin,
+    // q294: retention keeps the newest 2 versions; vacuumed versions
+    // report unavailable with zeroed totals, survivors recompute at
+    // their cutoffs (HEAD == full)
+    "q294_mv_retention" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 4 AS shard, o_totalprice FROM orders),
+        |tot AS (
+        |  SELECT vv.version,
+        |    CAST(count(o.shard) AS BIGINT) AS n,
+        |    CAST(COALESCE(round(sum(CAST(o.o_totalprice
+        |      AS DECIMAL(28,6))), 2), 0) AS DOUBLE) AS rev
+        |  FROM (VALUES (0), (1), (2), (3), (4)) vv(version)
+        |  LEFT JOIN o ON o.shard < vv.version
+        |  GROUP BY vv.version)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  version >= 3 AS available,
+        |  CASE WHEN version >= 3 THEN n ELSE CAST(0 AS BIGINT) END
+        |    AS n_rows,
+        |  CASE WHEN version >= 3 THEN rev ELSE CAST(0 AS DOUBLE) END
+        |    AS revenue_total
+        |FROM tot ORDER BY version""".stripMargin,
     "q233_erasure_sweep" ->
       """WITH req AS (
         |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

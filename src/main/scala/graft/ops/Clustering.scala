@@ -2510,6 +2510,80 @@ object Clustering {
       .orderBy(col("pg"))
   }
 
+  // ---- q295: COMPACTION trigger policy ------------------------------
+  //
+  // q263 compacts when a test says so; the small-files decision is
+  // the third maintenance policy (after q288 delete debt and q292
+  // layout debt): MEASURE per-partition file counts, flag partitions
+  // at or over the threshold, compact exactly the flagged ones. The
+  // fixture plants a deterministic fragmentation gradient — partition
+  // group k is written as k+1 files — so the ≥4-files threshold flags
+  // exactly pg 3-7 at every sf, and the gate hashes the measured
+  // before/after counts, not assumed ones.
+
+  private[graft] val CompactFileThreshold = 4L
+
+  private val cpolMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(cpolMemo)
+
+  /** Build the fragmented fixture (pg k written as k+1 files), then
+    * MEASURE → flag → compact the flagged partitions in place →
+    * re-measure. Both measurements come off the scan
+    * (input_file_name), never off the planted gradient, and the full
+    * decision table is persisted before the gate reads it.
+    */
+  private[graft] def ensureCompactionPolicy(s: SparkSession, d: String)
+      : String =
+    cpolMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_bin_cpol_", d)
+      val codes = signCodes(s, d)
+        .withColumn("pg", pmod(col("vec_id"), lit(8)))
+      recreatePartitioned(s, name,
+        codes.filter(col("pg") === 0).repartition(1), "pg")
+      (1 to 7).foreach { k =>
+        codes.filter(col("pg") === k).repartition(k + 1)
+          .write.mode("append").format("parquet")
+          .partitionBy("pg").saveAsTable(name)
+      }
+      val before = measuredFileCounts(s, name)
+      val rows = s.table(name).groupBy(col("pg"))
+        .agg(count(lit(1)).as("n_rows"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val flagged = before.filter(_._2 >= CompactFileThreshold)
+        .map(_._1).sorted
+      compactPartitionsInPlace(s, name, "pg", flagged)
+      val after = measuredFileCounts(s, name).toMap
+      import s.implicits._
+      before.sortBy(_._1).map { case (pg, nf) =>
+        (pg, rows(pg), nf, nf >= CompactFileThreshold, after(pg))
+      }.toDF("pg", "n_rows", "n_files_before", "compact", "n_files_after")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${graft.util.TmpDirs.scratch(tableNameFor("cpol_dec_", d))}/dec")
+      name
+    })
+
+  /** Files per partition group, MEASURED off the scan
+    * (input_file_name), never assumed — ≤ #partitions output rows.
+    */
+  private def measuredFileCounts(s: SparkSession, name: String)
+      : Seq[(Long, Long)] =
+    s.table(name).select(col("pg"), input_file_name().as("f"))
+      .groupBy(col("pg")).agg(countDistinct(col("f")).as("nf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  /** q295: the compaction decision table — per partition group, the
+    * row count, the measured pre-compaction file count, the decision,
+    * and the measured post-compaction file count (flagged → 1,
+    * unflagged keep their fragmentation untouched).
+    */
+  def compactionPolicy(s: SparkSession, d: String): DataFrame = {
+    ensureCompactionPolicy(s, d)
+    s.read.parquet(
+        s"${graft.util.TmpDirs.path(tableNameFor("cpol_dec_", d))}/dec")
+      .orderBy(col("pg"))
+  }
+
   /** q291: serving through the post-policy MoR view — the probe after
     * a PARTIAL fold-in (flagged partitions rewritten, scattered debt
     * still tombstoned) must equal the rebuild-from-survivors target
@@ -2530,6 +2604,7 @@ object Clustering {
     "q288_foldin_policy" -> foldinDecision _,
     "q289_stream_index_grow" -> streamIndexGrow _,
     "q291_foldin_probe" -> foldinProbe _,
+    "q295_compaction_policy" -> compactionPolicy _,
     "q253_binary_index" -> binaryIndexProbe _,
     "q254_ivf_erasure" -> ivfErasureProbe _,
     "q255_pq_erasure" -> pqErasureProbe _,
@@ -2978,6 +3053,20 @@ object Clustering {
     // batch-grown one does (q215's oracle: full corpus, frozen
     // centroids) — the growth path is result-invisible
     "q289_stream_index_grow" -> ivfAnnSql,
+    // q295: the planted fragmentation gradient (pg k = k+1 files)
+    // makes the measured decision literal — the ≥4 threshold flags
+    // exactly pg 3-7, flagged partitions land at one file, unflagged
+    // keep their fragmentation
+    "q295_compaction_policy" ->
+      s"""WITH g AS (
+         |  SELECT vec_id % 8 AS pg, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM embeddings GROUP BY 1)
+         |SELECT CAST(pg AS BIGINT) AS pg, n_rows,
+         |  CAST(pg + 1 AS BIGINT) AS n_files_before,
+         |  pg + 1 >= $CompactFileThreshold AS compact,
+         |  CAST(CASE WHEN pg + 1 >= $CompactFileThreshold
+         |       THEN 1 ELSE pg + 1 END AS BIGINT) AS n_files_after
+         |FROM g ORDER BY pg""".stripMargin,
     // q291: the post-policy MoR view serves exactly the
     // rebuild-from-survivors target for the FULL cohort — partial
     // fold-in moves enforcement between files and anti-join, never

@@ -1101,26 +1101,26 @@ object EventAnalytics {
     * engine: q274's two-StateStore plan (stream-stream join feeding a
     * windowed aggregation, append mode).
     *
-    * The backlog is split into 5 chronological chunks (exact-percentile
+    * The backlog is split into 3 chronological chunks (exact-percentile
     * ts boundaries, so each micro-batch only ever advances the
     * watermark — no chunk can late-drop another's rows) and streamed
-    * one file per trigger. Run 1 processes batches 0-1, then an
-    * INJECTED CRASH fires in batch 2 *after* the sink write but
-    * *before* the checkpoint commit — the worst replay window (sink
-    * committed, checkpoint not; the PumpResumeSpec discipline). Run 2
-    * restarts from the same checkpoint: Spark replays batch 2 from the
-    * offset log against the state committed by batch 1, and the
-    * exactly-once sink (per-batch `batch_id=N` overwrite dirs)
-    * replaces the orphaned write instead of double-appending. The gate
-    * is the union of both runs' emitted rows, raw (NOT re-aggregated,
-    * so any duplicated or lost window row breaks the row-count/hash
-    * match), against the same batch rollup + fence-flag oracle as
-    * q274: rows(run1 ∪ run2) == rows(single AvailableNow run) ==
-    * oracle, zero dups.
+    * one file per trigger. Run 1 commits batch 0, then an INJECTED
+    * CRASH fires in batch 1 *after* the sink write but *before* the
+    * checkpoint commit — the worst replay window (sink committed,
+    * checkpoint not; the PumpResumeSpec discipline). Run 2 restarts
+    * from the same checkpoint: Spark replays batch 1 from the offset
+    * log against the state committed by batch 0, and the exactly-once
+    * sink (per-batch `batch_id=N` overwrite dirs) replaces the
+    * orphaned write instead of double-appending. The gate is the
+    * union of both runs' emitted rows, raw (NOT re-aggregated, so any
+    * duplicated or lost window row breaks the row-count/hash match),
+    * against the same batch rollup + fence-flag oracle as q274:
+    * rows(run1 ∪ run2) == rows(single AvailableNow run) == oracle,
+    * zero dups.
     *
     * Mid-backlog is enforced by construction, not timing: the require
-    * below pins that run 1 committed exactly batches {0, 1} — at
-    * least one committed trigger, strictly less than the full
+    * in crashRestartRun pins that run 1 committed exactly batch {0} —
+    * at least one committed trigger, strictly less than the full
     * backlog — before run 2 starts.
     *
     * Scale shape: identical to q274 (user-sharded join state + one row
@@ -1128,20 +1128,29 @@ object EventAnalytics {
     * O(state at the last commit + one replayed batch), never a
     * reprocess of the full history.
     */
-  def streamRestartRecovery(s: SparkSession, d: String): DataFrame = {
-    val path = s"$d/events.parquet"
-    val split = graft.util.TmpDirs.scratch("restart-split")
-    val out = graft.util.TmpDirs.scratch("restart-out")
-    val ckpt = graft.util.TmpDirs.scratch("restart-ckpt")
-    val ev = graft.util.Tables.normalizeTs(s.read.parquet(path))
+  /** Split the events table into `n` chronological one-file chunks
+    * (exact-percentile ts boundaries — every micro-batch only ever
+    * advances the watermark, so no chunk can late-drop another's
+    * rows), mod-time-ordered so the file source processes them in
+    * chunk order. Returns the chunk schema. n = 3 keeps the stateful
+    * trigger count (the dominant cost — each trigger commits every
+    * state store twice across crash + restart) at the minimum that
+    * still proves mid-backlog recovery: one committed batch, one
+    * crashed-and-replayed, one never-seen-by-run-1.
+    */
+  private def chronoSplit(s: SparkSession, d: String, split: String,
+      n: Int = 3): org.apache.spark.sql.types.StructType = {
+    val ev = graft.util.Tables.normalizeTs(
+      s.read.parquet(s"$d/events.parquet"))
     // exact-percentile chronological boundaries (1-row bounded agg)
+    val fr = (1 until n).map(i => s"${i.toDouble / n}D").mkString(", ")
     val bs = ev.agg(expr(
-        "percentile(unix_micros(ts), array(0.2D, 0.4D, 0.6D, 0.8D))").as("b"))
+        s"percentile(unix_micros(ts), array($fr))").as("b"))
       .collect()(0).getSeq[Double](0)
     val us = unix_micros(col("ts"))
-    (0 to 4).foreach { k =>
+    (0 until n).foreach { k =>
       val lo = if (k == 0) lit(true) else us > lit(bs(k - 1))
-      val hi = if (k == 4) lit(true) else us <= lit(bs(k))
+      val hi = if (k == n - 1) lit(true) else us <= lit(bs(k))
       ev.filter(lo && hi).coalesce(1)
         .write.mode("overwrite").parquet(s"$split/c$k")
       // strictly increasing mod-times pin the file-source processing
@@ -1151,22 +1160,31 @@ object EventAnalytics {
         .filter(_.getName.endsWith(".parquet"))
         .foreach(_.setLastModified(base + k * 60000L))
     }
-    val schema = s.read.parquet(s"$split/c0").schema
-    def src = graft.util.Tables.normalizeTs(
-      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(s"$split/c*"))
-    def writer(crashAt: Option[Long]) =
-      chainedJoinWindowAgg(src).writeStream
+    s.read.parquet(s"$split/c0").schema
+  }
+
+  /** Drive `agg` over the chunked backlog TWICE against one
+    * checkpoint: run 1 takes an injected crash in batch `crashAt`
+    * AFTER the sink write but BEFORE the checkpoint commit (the worst
+    * replay window); run 2 restarts, replays the orphaned batch into
+    * its own overwrite dir (exactly-once by layout) and drains the
+    * rest. Requires — by construction, not timing — that run 1
+    * committed exactly batches 0..crashAt-1.
+    */
+  private def crashRestartRun(s: SparkSession, agg: DataFrame, out: String,
+      ckpt: String, crashAt: Long, width: Int): Unit = {
+    def writer(crash: Boolean) =
+      agg.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
           batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
-          if (crashAt.contains(id)) throw new RuntimeException(
+          if (crash && id == crashAt) throw new RuntimeException(
             "injected crash: sink committed, checkpoint not")
         }
-    graft.util.StreamTuning.withShuffle(s, 4) {
-      val q1 = writer(crashAt = Some(2L)).start()
+    graft.util.StreamTuning.withShuffle(s, width) {
+      val q1 = writer(crash = true).start()
       val crashed =
         try { q1.awaitTermination(); false }
         catch {
@@ -1176,13 +1194,28 @@ object EventAnalytics {
       val committed = Option(new java.io.File(s"$ckpt/commits").list())
         .getOrElse(Array.empty[String]).filter(_.forall(_.isDigit))
         .map(_.toLong).sorted.toSeq
-      require(committed == Seq(0L, 1L),
-        s"run 1 must stop mid-backlog with exactly batches 0,1 committed; got $committed")
-      val q2 = writer(crashAt = None).start()
+      require(committed == (0L until crashAt),
+        s"run 1 must stop mid-backlog with exactly batches 0..${crashAt - 1} committed; got $committed")
+      val q2 = writer(crash = false).start()
       q2.awaitTermination()
     }
+  }
+
+  def streamRestartRecovery(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val split = graft.util.TmpDirs.scratch("restart-split")
+    val out = graft.util.TmpDirs.scratch("restart-out")
+    val ckpt = graft.util.TmpDirs.scratch("restart-ckpt")
+    val schema = chronoSplit(s, d, split)
+    val src = graft.util.Tables.normalizeTs(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$split/c*"))
+    crashRestartRun(s, chainedJoinWindowAgg(src), out, ckpt,
+      crashAt = 1L, width = 4)
     // the q274 fence flag, over the same full event set (the chunks
     // partition it exactly)
+    val ev = graft.util.Tables.normalizeTs(s.read.parquet(path))
+    val us = unix_micros(col("ts"))
     val mm = ev.agg(
         max(when(col("event_type") === "click", us)).as("mc"),
         max(when(col("event_type") === "purchase", us)).as("mp"))
@@ -1194,6 +1227,36 @@ object EventAnalytics {
         unix_micros(to_timestamp(col("hour_start"), TsFmt)) +
           lit(3600000000L) <= lit(fenceUs))
       .orderBy(col("hour_start"))
+  }
+
+  /** q296: checkpoint-restart recovery for the SESSION-WINDOW state
+    * shape — q287's crash/replay discipline applied to q275's
+    * append-mode sessionization (merging session state, the state
+    * shape a join+window chain does not cover). Same chunked backlog,
+    * same worst-window injected crash in the second batch, same
+    * exactly-once-by-layout sink; the union of both runs must hash
+    * equal to the q275 closed-sessions oracle — sessions that merge
+    * ACROSS the crash boundary (state restored from the last commit)
+    * must close identically to an uninterrupted run.
+    */
+  def streamSessionsRestart(s: SparkSession, d: String): DataFrame = {
+    val split = graft.util.TmpDirs.scratch("sess-restart-split")
+    val out = graft.util.TmpDirs.scratch("sess-restart-out")
+    val ckpt = graft.util.TmpDirs.scratch("sess-restart-ckpt")
+    val schema = chronoSplit(s, d, split)
+    val agg = graft.util.Tables.normalizeTs(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$split/c*"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), TsFmt).as("session_start"),
+        col("n_events"))
+    crashRestartRun(s, agg, out, ckpt, crashAt = 1L, width = 8)
+    s.read.parquet(out)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   /** q176: Shannon entropy of each user's event-type mix — the
@@ -1606,6 +1669,7 @@ object EventAnalytics {
     "q173_stream_join"     -> streamClickAttribution _,
     "q274_stream_join_windowed" -> streamJoinWindowed _,
     "q287_stream_restart_recovery" -> streamRestartRecovery _,
+    "q296_stream_sessions_restart" -> streamSessionsRestart _,
     "q166_winsorize"       -> winsorize _,
     "q172_ab_lift"         -> abLift _,
     "q116_markov"          -> markovTransitions _,
@@ -2334,6 +2398,9 @@ object EventAnalytics {
     // precedes the final watermark (ms-truncated max ts − 1 h) —
     // verified fence-exact at sf0.001/0.01/0.1 (944/9525/95280 rows)
     "q275_stream_sessions_append" -> EventAnalyticsOracles.SessionWindowClosed,
+    // q296 streams the SAME closed-session set through a crash +
+    // checkpoint restart: recovery must be invisible in the result
+    "q296_stream_sessions_restart" -> EventAnalyticsOracles.SessionWindowClosed,
     "q164_stream_totals" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)

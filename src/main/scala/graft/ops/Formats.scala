@@ -177,6 +177,83 @@ object Formats {
       .orderBy(col("stage"), col("l_returnflag"))
   }
 
+  // ---- q292: z-order RE-CLUSTER trigger policy ----------------------
+  //
+  // q285 measures layout degradation and repairs it when the test
+  // says so; nothing DECIDES to re-cluster — the q288 fold-in
+  // discipline applied to layout debt. The policy metric is the
+  // un-clustered fraction: delta rows × 100 div table rows, exact
+  // integer percent; re-cluster at ≥ 20%. Two maintenance cycles are
+  // exercised: a small ingest delta (orderkey ≡ 1 mod 10, ~16% of the
+  // stage-1 table — below threshold, decision KEEP, no rewrite
+  // executed) and then the remaining odd keys (~50% of the full
+  // table — decision RECLUSTER, one z-rewrite executed). Both
+  // fractions sit far from the threshold at every fixture sf, so the
+  // decisions are properties of the cohort shape, not the sf.
+
+  private val zpolMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(zpolMemo)
+
+  /** Build base + deltas, measure both cycles, EXECUTE the decisions
+    * (stage 1: keep; stage 2: one z-rewrite of everything). Returns
+    * the policy dir holding base/, delta1/, delta2/, decisions/ and —
+    * only because stage 2 fired — merged/.
+    */
+  private[graft] def ensureZorderPolicy(s: SparkSession, d: String): String =
+    zpolMemo.computeIfAbsent((s, d), _ => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_returnflag"))
+      val (pMin, pMax, sMin, sMax) = zKeyBounds(s, d)
+      val dir = graft.util.TmpDirs.scratch("zorder-policy")
+      zSorted(li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+          .drop("l_orderkey"), pMin, pMax, sMin, sMax, 16)
+        .write.mode("overwrite").parquet(s"$dir/base")
+      def ingestOrdered(df: DataFrame, parts: Int): DataFrame =
+        df.repartitionByRange(parts, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey")).drop("l_orderkey")
+      ingestOrdered(li.filter(pmod(col("l_orderkey"), lit(10)) === 1), 2)
+        .write.mode("overwrite").parquet(s"$dir/delta1")
+      ingestOrdered(li.filter(pmod(col("l_orderkey"), lit(2)) === 1 &&
+          pmod(col("l_orderkey"), lit(10)) =!= 1), 4)
+        .write.mode("overwrite").parquet(s"$dir/delta2")
+      // measure both maintenance cycles (1-row bounded aggregate)
+      val c = li.agg(
+        sum(when(pmod(col("l_orderkey"), lit(2)) === 0, 1L).otherwise(0L)).as("ne"),
+        sum(when(pmod(col("l_orderkey"), lit(10)) === 1, 1L).otherwise(0L)).as("nd1"),
+        sum(when(pmod(col("l_orderkey"), lit(2)) === 1, 1L).otherwise(0L)).as("nodd"),
+        count(lit(1)).as("nall")).collect()(0)
+      val (ne, nd1, nodd, nall) =
+        (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+      def cycle(stage: String, total: Long, delta: Long) = {
+        val pct = delta * 100L / total
+        (stage, total, delta, pct, pct >= 20L)
+      }
+      val dec = Seq(cycle("1_small_delta", ne + nd1, nd1),
+        cycle("2_large_delta", nall, nodd))
+      // EXECUTE the decisions: stage 1 keeps (its files must survive
+      // untouched — spec-pinned); stage 2 re-clusters everything
+      dec.filter(_._5).foreach { _ =>
+        zSorted(s.read.parquet(s"$dir/base", s"$dir/delta1", s"$dir/delta2"),
+            pMin, pMax, sMin, sMax, 16)
+          .write.mode("overwrite").parquet(s"$dir/merged")
+      }
+      import s.implicits._
+      dec.toDF("stage", "n_total", "n_delta", "delta_pct", "recluster")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/decisions")
+      dir
+    })
+
+  /** q292: the two re-cluster decisions with their measurements —
+    * pure integer arithmetic the oracle literalizes; the executed
+    * outcomes (kept files untouched, restored pruning) are
+    * spec-pinned, the decision itself is hash-gated.
+    */
+  def zorderPolicy(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensureZorderPolicy(s, d)}/decisions")
+      .orderBy(col("stage"))
+
   /** Write a deterministic lineitem slice to CSV/JSON/ORC, read each
     * back (explicit schema for the text formats — inference is a scan
     * you don't pay twice at scale), union with a format tag, aggregate.
@@ -288,9 +365,31 @@ object Formats {
     "q247_compaction" -> compaction _,
     "q281_zorder_layout" -> zorderLayout _,
     "q285_zorder_maintenance" -> zorderMaintenance _,
+    "q292_zorder_policy" -> zorderPolicy _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q292: the re-cluster decisions are exact integer arithmetic
+    // over deterministic cohorts — below threshold on the small
+    // delta, above on the large one, at every fixture sf
+    "q292_zorder_policy" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ne,
+        |    CAST(sum(CASE WHEN l_orderkey % 10 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nd1,
+        |    CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nodd,
+        |    CAST(count(*) AS BIGINT) AS nall
+        |  FROM lineitem)
+        |SELECT '1_small_delta' AS stage, ne + nd1 AS n_total,
+        |  nd1 AS n_delta, (nd1 * 100) // (ne + nd1) AS delta_pct,
+        |  (nd1 * 100) // (ne + nd1) >= 20 AS recluster FROM c
+        |UNION ALL
+        |SELECT '2_large_delta', nall, nodd, (nodd * 100) // nall,
+        |  (nodd * 100) // nall >= 20 FROM c
+        |ORDER BY stage""".stripMargin,
     // both layout-lifecycle states must be query-invisible: each
     // stage's box rollup equals the direct computation off lineitem
     "q285_zorder_maintenance" ->

@@ -29,6 +29,11 @@ object TmpDirs {
     p.toString
   }
 
+  /** The stable per-name path WITHOUT wiping it — for re-reading data
+    * a prior `scratch(name)` call produced in this process.
+    */
+  def path(name: String): String = root.resolve(name).toString
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())

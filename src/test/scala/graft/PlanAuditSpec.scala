@@ -55,7 +55,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q256_binary_erasure", // q253's broadcast 9-query =!= join over the swept code table
     "q280_binary_dv_erasure", // q256's broadcast 9-query =!= join through the tombstone anti-join
     "q284_binary_lifecycle", // q256's broadcast 9-query =!= join over the chained-lifecycle code table
-    "q291_foldin_probe") // q256's broadcast 10-query =!= join through the post-policy MoR view
+    "q291_foldin_probe", // q256's broadcast 10-query =!= join through the post-policy MoR view
+    "q293_mv_asof_timestamp") // broadcast ≤4-row shard-max/stamp catalogs in non-equi (<, <=) resolution joins
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
       "q106_heavy_hitters", "q119_pmi",
@@ -85,7 +86,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q247_compaction", // two 1-row per-stage conservation aggregates
       "q251_skew_report", // 1-row diagnosis aggregate over the distinct-key table
       "q259_index_staleness", // 1-row rebuild-trigger aggregate over |Q| hit counts
-      "q278_binary_staleness") // 1-row rebuild-trigger aggregate over the 64-row dim table
+      "q278_binary_staleness", // 1-row rebuild-trigger aggregate over the 64-row dim table
+      "q293_mv_asof_timestamp", // 1-row per-version totals over the (months×statuses)-row view states
+      "q294_mv_retention") // same 1-row per-version totals, post-vacuum survivors
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark

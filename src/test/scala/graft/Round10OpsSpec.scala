@@ -97,4 +97,67 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(ns.zip(ns.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("q292: small delta keeps, large delta re-clusters, and the executed rewrite restores pruning") {
+    val dec = graft.ops.Formats.zorderPolicy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    val small = dec.find(_._1 == "1_small_delta").get
+    val large = dec.find(_._1 == "2_large_delta").get
+    assert(!small._3 && small._2 < 20, s"small delta must keep: $small")
+    assert(large._3 && large._2 >= 20, s"large delta must fire: $large")
+    val dir = graft.ops.Formats.ensureZorderPolicy(spark, sf)
+    // the kept decision left the small delta in place, un-rewritten
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/delta1")))
+    // the fired decision produced the z-rewrite, and it prunes: the
+    // merged table's box scan touches at most half its files while
+    // the degraded union cannot prune the ingest-ordered deltas
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/merged")))
+    val (pLo, pHi, sLo, sHi) = {
+      val b = graft.util.Tables.lineitem(spark, sf)
+        .agg(min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).collect()(0)
+      val (pMin, pMax, sMin, sMax) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      (pMin + (pMax - pMin) / 20, pMin + 19 * (pMax - pMin) / 20,
+        sMin + (sMax - sMin) / 10, sMin + (sMax - sMin) / 5)
+    }
+    def hits(dirs: String*): (Long, Long) = {
+      val st = spark.read.parquet(dirs: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
+          min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
+        .cache()
+      val r = (st.filter(col("pmx") >= pLo && col("pmn") <= pHi &&
+        col("smx") >= sLo && col("smn") <= sHi).count(), st.count())
+      st.unpersist(); r
+    }
+    val (mergedHit, mergedTotal) = hits(s"$dir/merged")
+    assert(mergedTotal == 16 && mergedHit * 2 <= mergedTotal,
+      s"re-clustered table must prune at least half its files: $mergedHit/$mergedTotal")
+    val (degradedHit, _) = hits(s"$dir/base", s"$dir/delta1", s"$dir/delta2")
+    assert(mergedHit < degradedHit)
+  }
+
+  test("q295: the measured file-count threshold flags pg 3-7; compaction touches only them") {
+    val dec = graft.ops.Clustering.compactionPolicy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    assert(dec.map(_._1).toSeq == (0L to 7L))
+    dec.foreach { case (pg, before, compact, after) =>
+      assert(before == pg + 1, s"planted gradient must be measured: pg=$pg")
+      assert(compact == (before >= 4L))
+      assert(after == (if (compact) 1L else before),
+        s"pg=$pg: flagged must land at 1 file, unflagged keep $before")
+    }
+  }
+
+  test("q294: vacuum removes exactly the pre-retention versions; survivors read intact") {
+    val rows = graft.ops.Audit.mvRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L to 4L))
+    assert(rows.filter(_._2).map(_._1).toSeq == Seq(3L, 4L))
+    // vacuumed versions are zeroed; HEAD keeps the full order count
+    assert(rows.filter(!_._2).forall(_._3 == 0L))
+    val total = graft.util.Tables.orders(spark, sf).count()
+    assert(rows.find(_._1 == 4L).get._3 == total)
+  }
 }
