@@ -628,6 +628,41 @@ object Audit {
       .select(lit(v).as("version"), col("month"), col("status"), col("n"),
         round(col("rev"), 2).cast("double").as("revenue"))
 
+  /** q297: CHANGE DATA FEED over the versioned view — the third read
+    * surface of the chain after version travel (q290) and timestamp
+    * travel (q293): for every consecutive version pair, the rows that
+    * CHANGED and by how much (the delta a downstream consumer applies
+    * to stay in sync without re-reading the view). Computed by
+    * full-outer joining adjacent version states on the group key —
+    * never by re-reading base history — and gated against the oracle
+    * recomputing each delta from the arriving shard directly (the
+    * additivity of the count/sum pair is exactly what makes
+    * state-diff == arriving-delta).
+    *
+    * Scale shape: each delta is a |view|-sized join of two committed
+    * states; the feed is emitted per version pair, so a consumer at
+    * version m catches up to n by applying n−m view-sized deltas,
+    * independent of base size.
+    */
+  def mvChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
+    (1L to maxV).map { v =>
+      val prev = s.read.parquet(s"$dir/mv_v${v - 1}")
+        .select(col("month"), col("status"), col("n").as("pn"),
+          col("rev").as("prev"))
+      s.read.parquet(s"$dir/mv_v$v")
+        .join(prev, Seq("month", "status"), "full_outer")
+        .select(lit(v).as("version"), col("month"), col("status"),
+          (coalesce(col("n"), lit(0L)) - coalesce(col("pn"), lit(0L)))
+            .as("dn"),
+          round(coalesce(col("rev"), lit(0).cast("decimal(38,6)")) -
+            coalesce(col("prev"), lit(0).cast("decimal(38,6)")), 2)
+            .cast("double").as("drev"))
+        .filter(col("dn") =!= 0)
+    }.reduce(_ unionByName _)
+      .orderBy(col("version"), col("month"), col("status"))
+  }
+
   /** q250: STREAMING erasure propagation — q233's deletion-request
     * cohort enforced on the live event stream: every micro-batch
     * anti-joins the broadcast request set, erased and kept rows are
@@ -746,6 +781,7 @@ object Audit {
     "q290_mv_time_travel" -> mvTimeTravel _,
     "q293_mv_asof_timestamp" -> mvAsOfTimestamp _,
     "q294_mv_retention" -> mvRetention _,
+    "q297_mv_change_feed" -> mvChangeFeed _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -937,6 +973,21 @@ object Audit {
         |  tot.n_rows, tot.revenue_total
         |FROM res JOIN tot ON tot.version = res.version
         |ORDER BY probe_date""".stripMargin,
+    // q297: the state diff between adjacent versions must equal the
+    // arriving shard's own rollup — the additivity of count/sum is
+    // what makes the change feed recomputable from the delta alone
+    "q297_mv_change_feed" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 4 AS shard,
+        |    strftime(o_orderdate, '%Y-%m') AS month,
+        |    o_orderstatus AS status, o_totalprice
+        |  FROM orders)
+        |SELECT CAST(shard + 1 AS BIGINT) AS version, month, status,
+        |  CAST(count(*) AS BIGINT) AS dn,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS drev
+        |FROM o GROUP BY 1, 2, 3
+        |ORDER BY version, month, status""".stripMargin,
     // q294: retention keeps the newest 2 versions; vacuumed versions
     // report unavailable with zeroed totals, survivors recompute at
     // their cutoffs (HEAD == full)

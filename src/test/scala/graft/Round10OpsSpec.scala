@@ -160,4 +160,15 @@ class Round10OpsSpec extends AnyFunSuite {
     val total = graft.util.Tables.orders(spark, sf).count()
     assert(rows.find(_._1 == 4L).get._3 == total)
   }
+
+  test("q297: applying the change feed from v0 reconstructs HEAD (consumer catch-up)") {
+    val cdf = graft.ops.Audit.mvChangeFeed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val applied = cdf.groupBy(t => (t._2, t._3))
+      .map { case (k, rows) => (k, rows.map(_._4).sum) }
+    val head = graft.ops.Audit.mvRefresh(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(applied.toMap == head,
+      "sum of per-version deltas must equal the HEAD view")
+  }
 }
