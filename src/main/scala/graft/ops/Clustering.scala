@@ -1937,12 +1937,13 @@ object Clustering {
     (SparkSession, String), (String, String)]()
   graft.util.CacheRegistry.registerMemo(swgMemo)
 
-  /** Base-build data files (path → (size, mtime)) of the q289 table,
-    * captured before the grow stream starts — the spec's evidence
-    * that appends added files without touching existing ones.
+  /** Base-build data files (path → (size, mtime)) of each
+    * serve-while-grow table, captured before its grow stream starts —
+    * the spec's evidence that appends added files without touching
+    * existing ones. Keyed by (session, sf dir, family).
     */
   private[graft] val swgBaseFiles = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Map[String, (Long, Long)]]()
+    (SparkSession, String, String), Map[String, (Long, Long)]]()
   graft.util.CacheRegistry.registerMemo(swgBaseFiles)
 
   private[graft] def listDataFiles(root: java.nio.file.Path)
@@ -1963,54 +1964,76 @@ object Clustering {
     * queries, 3 one-file micro-batches) CONCURRENTLY. Returns
     * (index table, mid-growth probe dir).
     */
+  /** The generic serve-while-grow runner: build the base once
+    * (`baseBuild`, the ONLY build), snapshot its files, then run the
+    * grow stream (the odd half as raw vectors, 4 one-file batches,
+    * each encoded-and-appended by `append`) CONCURRENTLY with the
+    * serve stream (the probe workload, 3 one-file batches, each
+    * answered by `probe`). Returns (index table, mid-growth probe
+    * dir). All three persisted families share this verb — only the
+    * encode and probe seams differ.
+    */
+  private def serveWhileGrowRun(s: SparkSession, d: String, name: String,
+      family: String, baseBuild: () => Unit,
+      append: (SparkSession, DataFrame) => Unit,
+      probe: (SparkSession, DataFrame) => DataFrame): (String, String) = {
+    baseBuild() // the ONLY build (+1)
+    // snapshot the base files so the spec can pin that streamed
+    // growth never rewrote one (size + mtime, byte-for-byte proxy)
+    swgBaseFiles.put((s, d, family), listDataFiles(tableLocation(s, name)))
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // the arriving vectors, pre-split so growth spans micro-batches
+    val feed = graft.util.TmpDirs.scratch(tableNameFor(s"swg_feed_${family}_", d))
+    e.filter(pmod(col("vec_id"), lit(2)) === 1).repartition(4)
+      .write.mode("overwrite").parquet(feed)
+    // the probe workload, split so serving also spans batches
+    val qfeed = graft.util.TmpDirs.scratch(tableNameFor(s"swg_qfeed_${family}_", d))
+    e.filter(col("vec_id") % 100 === 7)
+      .repartition(3).write.mode("overwrite").parquet(qfeed)
+    val mid = graft.util.TmpDirs.scratch(tableNameFor(s"swg_mid_${family}_", d))
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val trig = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      val grow = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+        .writeStream.outputMode("append")
+        .trigger(trig)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // lifecycleGrow's shape, per micro-batch: encode ONLY the
+          // batch under the frozen model, append partition dirs
+          append(batch.sparkSession, batch)
+        }
+        .start()
+      val serve = s.readStream.schema(s.read.parquet(qfeed).schema)
+        .option("maxFilesPerTrigger", 1).parquet(qfeed)
+        .writeStream.outputMode("append")
+        .trigger(trig)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (!batch.isEmpty)
+            probe(batch.sparkSession, batch)
+              .withColumn("serve_batch", lit(id))
+              .write.mode("append").parquet(mid)
+        }
+        .start()
+      grow.awaitTermination()
+      serve.awaitTermination()
+    }
+    (name, mid)
+  }
+
   private[graft] def ensureServeWhileGrow(s: SparkSession, d: String)
       : (String, String) =
     swgMemo.computeIfAbsent((s, d), _ => {
       val name = tableNameFor("graft_ivf_swg_", d)
-      lifecycleBaseBuild(s, d, name) // the ONLY build (+1)
-      // snapshot the base files so the spec can pin that streamed
-      // growth never rewrote one (size + mtime, byte-for-byte proxy)
-      swgBaseFiles.put((s, d), listDataFiles(tableLocation(s, name)))
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // the arriving vectors, pre-split so growth spans micro-batches
-      val feed = graft.util.TmpDirs.scratch(tableNameFor("swg_feed_", d))
-      e.filter(pmod(col("vec_id"), lit(2)) === 1).repartition(4)
-        .write.mode("overwrite").parquet(feed)
-      // the probe workload, split so serving also spans batches
-      val qfeed = graft.util.TmpDirs.scratch(tableNameFor("swg_qfeed_", d))
-      e.filter(col("vec_id") % 100 === 7)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .repartition(3).write.mode("overwrite").parquet(qfeed)
-      val mid = graft.util.TmpDirs.scratch(tableNameFor("swg_mid_", d))
-      graft.util.StreamTuning.withShuffle(s, 8) {
-        val trig = org.apache.spark.sql.streaming.Trigger.AvailableNow()
-        val grow = s.readStream.schema(s.read.parquet(feed).schema)
-          .option("maxFilesPerTrigger", 1).parquet(feed)
-          .writeStream.outputMode("append")
-          .trigger(trig)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            // lifecycleGrow's shape, per micro-batch: assign ONLY the
-            // batch under the frozen centroids, append partition dirs
-            ivfAssignmentFor(batch.sparkSession, d, batch)
-              .write.mode("append").format("parquet")
-              .partitionBy("cell").saveAsTable(name)
-          }
-          .start()
-        val serve = s.readStream.schema(s.read.parquet(qfeed).schema)
-          .option("maxFilesPerTrigger", 1).parquet(qfeed)
-          .writeStream.outputMode("append")
-          .trigger(trig)
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            if (!batch.isEmpty)
-              ivfProbeOn(batch.sparkSession, d, name, batch)
-                .withColumn("serve_batch", lit(id))
-                .write.mode("append").parquet(mid)
-          }
-          .start()
-        grow.awaitTermination()
-        serve.awaitTermination()
-      }
-      (name, mid)
+      serveWhileGrowRun(s, d, name, "ivf",
+        baseBuild = () => lifecycleBaseBuild(s, d, name),
+        append = (ss, batch) =>
+          ivfAssignmentFor(ss, d, batch)
+            .write.mode("append").format("parquet")
+            .partitionBy("cell").saveAsTable(name),
+        probe = (ss, batch) =>
+          ivfProbeOn(ss, d, name,
+            batch.select(col("vec_id").as("query_id"),
+              col("embedding").as("qe"))))
     })
 
   /** q289: the post-growth probe of the stream-grown table — must
@@ -2023,6 +2046,77 @@ object Clustering {
     val qs = e.filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     ivfProbeOn(s, d, name, qs).orderBy(col("query_id"), col("rank"))
+  }
+
+  private def asPqQueries(batch: DataFrame): DataFrame =
+    batch.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+
+  private val swgPqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+  graft.util.CacheRegistry.registerMemo(swgPqMemo)
+
+  private[graft] def ensureServeWhileGrowPq(s: SparkSession, d: String)
+      : (String, String) =
+    swgPqMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_pq_swg_", d)
+      serveWhileGrowRun(s, d, name, "pq",
+        baseBuild = () => recreatePartitioned(s, name,
+          pqCodesFor(s, d, asPqQueries(
+              embeddings(s, d).filter(pmod(col("vec_id"), lit(2)) === 0)
+                .select(col("vec_id"), col("embedding"))))
+            .withColumn("pg", pmod(col("vec_id"), lit(8))), "pg"),
+        append = (ss, batch) =>
+          pqCodesFor(ss, d, asPqQueries(batch))
+            .withColumn("pg", pmod(col("vec_id"), lit(8)))
+            .write.mode("append").format("parquet")
+            .partitionBy("pg").saveAsTable(name),
+        probe = (ss, batch) =>
+          pqProbeForQueries(ss, d, name, asPqQueries(batch)))
+    })
+
+  /** q298: the PQ family's serve-while-grow — streamed O(batch)
+    * encode-and-append under the frozen codebook while the ADC probe
+    * stream serves; the final probe must equal the q204/q216 oracle
+    * (base ∪ streamed arrivals = the full corpus, one codebook).
+    */
+  def streamPqGrow(s: SparkSession, d: String): DataFrame = {
+    val (name, _) = ensureServeWhileGrowPq(s, d)
+    pqProbeOn(s, d, name)
+  }
+
+  private val swgBinMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+  graft.util.CacheRegistry.registerMemo(swgBinMemo)
+
+  private[graft] def ensureServeWhileGrowBin(s: SparkSession, d: String)
+      : (String, String) =
+    swgBinMemo.computeIfAbsent((s, d), _ => {
+      val name = tableNameFor("graft_bin_swg_", d)
+      serveWhileGrowRun(s, d, name, "bin",
+        baseBuild = () => recreatePartitioned(s, name,
+          signCodes(s, d).filter(pmod(col("vec_id"), lit(2)) === 0)
+            .withColumn("pg", pmod(col("vec_id"), lit(8))), "pg"),
+        append = (ss, batch) =>
+          signCodesOf(ss, batch.select(col("vec_id"), col("embedding")))
+            .withColumn("pg", pmod(col("vec_id"), lit(8)))
+            .write.mode("append").format("parquet")
+            .partitionBy("pg").saveAsTable(name),
+        probe = (ss, batch) =>
+          binaryTopForQueries(ss, name,
+            signCodesOf(ss, batch.select(col("vec_id"), col("embedding")))
+              .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+                col("hi").as("qhi"))))
+    })
+
+  /** q299: the binary family's serve-while-grow — streamed sign
+    * encode-and-append while Hamming probes serve; final probe must
+    * equal the q253/q258 from-floats oracle over the full corpus.
+    */
+  def streamBinaryGrow(s: SparkSession, d: String): DataFrame = {
+    val (name, _) = ensureServeWhileGrowBin(s, d)
+    binaryTopOn(s, name, col("vec_id") < 10)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   // ---- q283/q284: the one-table lifecycle for PQ and binary --------
@@ -2605,6 +2699,8 @@ object Clustering {
     "q289_stream_index_grow" -> streamIndexGrow _,
     "q291_foldin_probe" -> foldinProbe _,
     "q295_compaction_policy" -> compactionPolicy _,
+    "q298_stream_pq_grow" -> streamPqGrow _,
+    "q299_stream_binary_grow" -> streamBinaryGrow _,
     "q253_binary_index" -> binaryIndexProbe _,
     "q254_ivf_erasure" -> ivfErasureProbe _,
     "q255_pq_erasure" -> pqErasureProbe _,
@@ -3049,10 +3145,12 @@ object Clustering {
          |  CAST(CASE WHEN (n_tomb * 100) // n_rows >= $FoldThresholdPct
          |       THEN 0 ELSE n_tomb END AS BIGINT) AS post_physical
          |FROM g ORDER BY pg""".stripMargin,
-    // q289: the stream-grown table serves exactly what the
-    // batch-grown one does (q215's oracle: full corpus, frozen
-    // centroids) — the growth path is result-invisible
+    // q289/q298/q299: the stream-grown tables serve exactly what the
+    // batch-grown ones do (full corpus, frozen model) — the growth
+    // path is result-invisible in every family
     "q289_stream_index_grow" -> ivfAnnSql,
+    "q298_stream_pq_grow" -> pqAnnSql,
+    "q299_stream_binary_grow" -> binHamSql("TRUE", "vec_id < 10"),
     // q295: the planted fragmentation gradient (pg k = k+1 files)
     // makes the measured decision literal — the ≥4 threshold flags
     // exactly pg 3-7, flagged partitions land at one file, unflagged

@@ -67,7 +67,7 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(midRows.groupBy(col("serve_batch"), col("query_id"))
       .count().filter(col("count") > 3).count() == 0)
     // every base data file survived growth with size and mtime intact
-    val base = graft.ops.Clustering.swgBaseFiles.get((spark, sf))
+    val base = graft.ops.Clustering.swgBaseFiles.get((spark, sf, "ivf"))
     assert(base.nonEmpty)
     base.foreach { case (p, (size, mtime)) =>
       val f = java.nio.file.Paths.get(p)
@@ -159,6 +159,28 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.filter(!_._2).forall(_._3 == 0L))
     val total = graft.util.Tables.orders(spark, sf).count()
     assert(rows.find(_._1 == 4L).get._3 == total)
+  }
+
+  test("q298/q299: code-table serve-while-grow — one build each, serving during growth, base files untouched") {
+    Seq(("pq", () => graft.ops.Clustering.ensureServeWhileGrowPq(spark, sf)),
+      ("bin", () => graft.ops.Clustering.ensureServeWhileGrowBin(spark, sf)))
+      .foreach { case (family, ensure) =>
+        val before = graft.ops.Clustering.indexBuilds.get()
+        val (_, mid) = ensure()
+        assert(graft.ops.Clustering.indexBuilds.get() - before == 1,
+          s"$family: streamed growth must not rebuild")
+        assert(spark.read.parquet(mid).count() > 0,
+          s"$family: the concurrent serve stream must produce output")
+        val base = graft.ops.Clustering.swgBaseFiles.get((spark, sf, family))
+        assert(base.nonEmpty)
+        base.foreach { case (p, (size, mtime)) =>
+          val f = java.nio.file.Paths.get(p)
+          assert(java.nio.file.Files.isRegularFile(f) &&
+            java.nio.file.Files.size(f) == size &&
+            java.nio.file.Files.getLastModifiedTime(f).toMillis == mtime,
+            s"$family base file touched: $p")
+        }
+      }
   }
 
   test("q297: applying the change feed from v0 reconstructs HEAD (consumer catch-up)") {
