@@ -38,7 +38,12 @@ class ScaleSlopeSpec extends AnyFunSuite {
     // stream (join + windowed agg state), the append-mode session
     // aggregation, and the PQ distortion audit's codebook sweep
     "q274_stream_join_windowed", "q275_stream_sessions_append",
-    "q277_pq_staleness")
+    "q277_pq_staleness",
+    // r10: the heaviest new queries — the chunked crash/restart runs
+    // (twice the stateful triggers of their single-run counterparts)
+    // and the versioned-view chain (per-commit delta merges)
+    "q287_stream_restart_recovery", "q296_stream_sessions_restart",
+    "q290_mv_time_travel")
 
   /** Total shuffle bytes written by every stage `body` runs. The
     * listener bus is async, so after the action we poll until the
