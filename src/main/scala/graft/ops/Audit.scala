@@ -663,6 +663,272 @@ object Audit {
       .orderBy(col("version"), col("month"), col("status"))
   }
 
+  /** q301: the CHANGE-FEED CONSUMER — the online half of q297: the
+    * per-version deltas are materialized as a mod-time-ordered feed
+    * (exact decimals, not the display-rounded q297 projection — the
+    * accumulating consumer needs the additive form), and a STREAMING
+    * consumer applies them one micro-batch per delta to maintain a
+    * downstream REPLICA it never re-reads the base table for. The gate
+    * reads the replica version-for-version and must equal the q290
+    * oracle exactly — producer chain and consumer replica are
+    * indistinguishable at every commit, which is the CDC contract.
+    *
+    * Scale shape: each apply is a |view|-sized full-outer merge of the
+    * replica with an O(changed groups) delta; the consumer's cost to
+    * catch up from version m to n is n−m view-sized merges,
+    * independent of base history size.
+    */
+  def mvCdfReplica(s: SparkSession, d: String): DataFrame = {
+    val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
+    val Dec38 = "decimal(38,6)"
+    val feed = graft.util.TmpDirs.scratch("mv-cdf-feed")
+    val base = System.currentTimeMillis() - 3600000L
+    (1L to maxV).foreach { v =>
+      val prev = s.read.parquet(s"$dir/mv_v${v - 1}")
+        .select(col("month"), col("status"), col("n").as("pn"),
+          col("rev").as("prev"))
+      s.read.parquet(s"$dir/mv_v$v")
+        .join(prev, Seq("month", "status"), "full_outer")
+        .select(col("month"), col("status"),
+          (coalesce(col("n"), lit(0L)) - coalesce(col("pn"), lit(0L)))
+            .as("dn"),
+          (coalesce(col("rev"), lit(0).cast(Dec38)) -
+            coalesce(col("prev"), lit(0).cast(Dec38))).as("drev"))
+        .filter(col("dn") =!= 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$feed/v$v")
+      new java.io.File(s"$feed/v$v").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(base + v * 60000L))
+    }
+    val rep = graft.util.TmpDirs.scratch("mv-cdf-replica")
+    s.read.parquet(s"$dir/mv_v0").write.mode("overwrite").parquet(s"$rep/r0")
+    val ver = new java.util.concurrent.atomic.AtomicLong(0)
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val q = s.readStream.schema(s.read.parquet(s"$feed/v1").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$feed/v*")
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val v = ver.get()
+          val cur = s.read.parquet(s"$rep/r$v")
+            .select(col("month"), col("status"), col("n").as("cn"),
+              col("rev").as("crev"))
+          cur.join(batch, Seq("month", "status"), "full_outer")
+            .select(col("month"), col("status"),
+              (coalesce(col("cn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                .as("n"),
+              (coalesce(col("crev"), lit(0).cast(Dec38)) +
+                coalesce(col("drev"), lit(0).cast(Dec38))).as("rev"))
+            .write.mode("overwrite").parquet(s"$rep/r${v + 1}")
+          ver.incrementAndGet()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    require(ver.get() == maxV,
+      s"replica must apply all $maxV deltas; applied ${ver.get()}")
+    (0L to maxV).map(v =>
+      s.read.parquet(s"$rep/r$v")
+        .select(lit(v).as("version"), col("month"), col("status"), col("n"),
+          round(col("rev"), 2).cast("double").as("revenue")))
+      .reduce(_ unionByName _)
+      .orderBy(col("version"), col("month"), col("status"))
+  }
+
+  private val mvEvolveMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long)]()
+  graft.util.CacheRegistry.registerMemo(mvEvolveMemo)
+
+  /** The q302 fixture: the ensureMvChain ingest discipline, but the
+    * rollup EVOLVES mid-history — commits 3 and 4 add a new measure
+    * column (`mp`, the per-group max price) the first two versions
+    * never computed. No backfill: the old committed states are
+    * immutable, the merge fills the missing column with NULL
+    * (unionByName allowMissingColumns — the schema-evolution read
+    * rule), so the evolved measure provably covers ONLY rows that
+    * arrived after the evolution point.
+    */
+  private[graft] def ensureMvEvolveChain(s: SparkSession, d: String)
+      : (String, Long) =
+    mvEvolveMemo.computeIfAbsent((s, d), _ =>
+      graft.util.StreamTuning.withShuffle(s, 8) {
+        val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+        val dir = graft.util.TmpDirs.scratch("mv-evolve")
+        val o = orders(s, d).select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(Dec).as("price"),
+          col("o_orderkey"))
+        val base = System.currentTimeMillis() - 3600000L
+        (0 to 3).foreach { k =>
+          o.filter(pmod(col("o_orderkey"), lit(4)) === k).drop("o_orderkey")
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/c$k")
+          new java.io.File(s"$dir/src/c$k").listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(_.setLastModified(base + k * 60000L))
+        }
+        o.drop("o_orderkey").limit(0).groupBy(col("month"), col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+          .write.mode("overwrite").parquet(s"$dir/mv_v0")
+        val ver = new java.util.concurrent.atomic.AtomicLong(0)
+        val q = s.readStream.schema(s.read.parquet(s"$dir/src/c0").schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$dir/src/c*")
+          .writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val v = ver.get()
+            val evolved = v >= 2 // versions 3+ carry the new column
+            val cur = s.read.parquet(s"$dir/mv_v$v")
+            val delta =
+              if (evolved)
+                batch.groupBy(col("month"), col("status"))
+                  .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"),
+                    max(col("price")).as("mp"))
+              else
+                batch.groupBy(col("month"), col("status"))
+                  .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+            val u = cur.unionByName(delta, allowMissingColumns = true)
+            val merged =
+              if (evolved)
+                u.groupBy(col("month"), col("status"))
+                  .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"),
+                    max(col("mp")).as("mp"))
+              else
+                u.groupBy(col("month"), col("status"))
+                  .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+            merged.write.mode("overwrite").parquet(s"$dir/mv_v${v + 1}")
+            ver.incrementAndGet()
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        (dir, ver.get())
+      })
+
+  /** q302: SCHEMA EVOLUTION across the versioned view — a measure
+    * column added mid-history (commit 3 of 4), with the no-backfill
+    * semantics every lakehouse read applies: versions written before
+    * the evolution surface NULL (gated as the -1 sentinel), evolved
+    * versions carry the measure over EXACTLY the rows that arrived
+    * since the evolution point (v3 = shard 2, v4 = shards 2∪3) — the
+    * oracle literalizes both rules per version. The unified read uses
+    * unionByName/allowMissingColumns, never a rewrite of old commits.
+    *
+    * Scale shape: evolution costs nothing at write time (new commits
+    * just carry the wider schema) and an O(1) column fill at read
+    * time; old versions are byte-untouched.
+    */
+  def mvSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val (dir, maxV) = ensureMvEvolveChain(s, d)
+    val DecN = "decimal(28,6)"
+    (0L to maxV).map { v =>
+      val st = s.read.parquet(s"$dir/mv_v$v")
+      val withMp =
+        if (st.columns.contains("mp")) st
+        else st.withColumn("mp", lit(null).cast(DecN))
+      withMp.select(lit(v).as("version"), col("month"), col("status"),
+        col("n"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(coalesce(col("mp"), lit(-1).cast(DecN)), 2).cast("double")
+          .as("max_price_evolved"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("version"), col("month"), col("status"))
+  }
+
+  private val mvOccMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long, Seq[(Long, String, Long)])]()
+  graft.util.CacheRegistry.registerMemo(mvOccMemo)
+
+  /** The q303 fixture: OPTIMISTIC CONCURRENCY on the versioned view.
+    * Version directories are the commits; the commit protocol is a
+    * compare-and-swap on the expected HEAD version (the delta-lake /
+    * iceberg discipline). Two writers PREPARE their merges against the
+    * SAME base version; the first commit wins, the second's CAS must
+    * FAIL (base moved under it) and its retry re-merges only its own
+    * delta onto the new HEAD. Returns (dir, HEAD, commit ledger of
+    * (version, writer, attempts)).
+    */
+  private[graft] def ensureMvOccChain(s: SparkSession, d: String)
+      : (String, Long, Seq[(Long, String, Long)]) =
+    mvOccMemo.computeIfAbsent((s, d), _ =>
+      graft.util.StreamTuning.withShuffle(s, 8) {
+        val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+        val dir = graft.util.TmpDirs.scratch("mv-occ")
+        val o = orders(s, d).select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(Dec).as("price"),
+          col("o_orderkey"))
+        def rollup(df: DataFrame): DataFrame =
+          df.groupBy(col("month"), col("status"))
+            .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+        def shard(k: Int): DataFrame =
+          o.filter(pmod(col("o_orderkey"), lit(4)) === k).drop("o_orderkey")
+        def merged(curV: Long, delta: DataFrame): DataFrame =
+          s.read.parquet(s"$dir/mv_v$curV")
+            .unionByName(rollup(delta))
+            .groupBy(col("month"), col("status"))
+            .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+        rollup(o.drop("o_orderkey").limit(0))
+          .write.mode("overwrite").parquet(s"$dir/mv_v0")
+        val head = new java.util.concurrent.atomic.AtomicLong(0)
+        def commit(expected: Long, state: DataFrame): Boolean =
+          if (head.get() == expected) {
+            state.write.mode("overwrite").parquet(s"$dir/mv_v${expected + 1}")
+            head.incrementAndGet() == expected + 1
+          } else false
+        val ledger = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+        ledger += ((0L, "genesis", 0L))
+        require(commit(0L, merged(0L, shard(0))), "v1 commit must succeed")
+        ledger += ((1L, "init", 1L))
+        // both writers prepare against the SAME base — the conflict a
+        // serial schedule never produces
+        val prepA = merged(1L, shard(1))
+        val prepB = merged(1L, shard(2))
+        require(commit(1L, prepA), "writer A holds the expected base")
+        ledger += ((2L, "writer_a", 1L))
+        require(!commit(1L, prepB),
+          "writer B's optimistic commit must conflict (base moved)")
+        require(commit(2L, merged(2L, shard(2))), "writer B's rebase commits")
+        ledger += ((3L, "writer_b", 2L))
+        (dir, head.get(), ledger.toSeq)
+      })
+
+  /** q303: CONCURRENT COMMITS under optimistic concurrency — the gate
+    * reads the commit ledger (writer, attempt count) joined to each
+    * version's totals, and the oracle literalizes the required
+    * serialization: the conflicting writer's retry lands its delta
+    * exactly once (v3 == shards {0,1,2}), no version skips, no delta
+    * applies twice. A broken CAS (lost update or double apply) breaks
+    * the n_rows/revenue hash; a missing conflict breaks the attempts
+    * column.
+    *
+    * Scale shape: conflict detection is an O(1) version-token compare;
+    * the loser's retry costs one |view|-sized re-merge of ITS OWN
+    * delta — never a recompute of history (the arriving deltas are
+    * disjoint by construction here; overlapping-key deltas would
+    * re-merge identically since the merge is additive).
+    */
+  def mvConcurrentCommits(s: SparkSession, d: String): DataFrame = {
+    val (dir, head, ledger) = ensureMvOccChain(s, d)
+    import s.implicits._
+    val led = ledger.toDF("version", "writer", "attempts")
+    val totals = (0L to head).map { v =>
+      s.read.parquet(s"$dir/mv_v$v")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+          coalesce(round(sum(col("rev")), 2).cast("double"), lit(0.0))
+            .as("revenue_total"))
+        .select(lit(v).as("version"), col("n_rows"), col("revenue_total"))
+    }.reduce(_ unionByName _)
+    led.join(totals, Seq("version"))
+      .select(col("version"), col("writer"), col("attempts"),
+        col("n_rows"), col("revenue_total"))
+      .orderBy(col("version"))
+  }
+
   /** q250: STREAMING erasure propagation — q233's deletion-request
     * cohort enforced on the live event stream: every micro-batch
     * anti-joins the broadcast request set, erased and kept rows are
@@ -782,6 +1048,9 @@ object Audit {
     "q293_mv_asof_timestamp" -> mvAsOfTimestamp _,
     "q294_mv_retention" -> mvRetention _,
     "q297_mv_change_feed" -> mvChangeFeed _,
+    "q301_mv_cdf_replica" -> mvCdfReplica _,
+    "q302_mv_schema_evolution" -> mvSchemaEvolution _,
+    "q303_mv_concurrent_commits" -> mvConcurrentCommits _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -1009,6 +1278,62 @@ object Audit {
         |  CASE WHEN version >= 3 THEN rev ELSE CAST(0 AS DOUBLE) END
         |    AS revenue_total
         |FROM tot ORDER BY version""".stripMargin,
+    // q301: the consumer replica must be indistinguishable from the
+    // producer chain at every committed version — the q290 oracle
+    // verbatim (version v == shards 0..v-1)
+    "q301_mv_cdf_replica" ->
+      """WITH v(version) AS (VALUES (0), (1), (2), (3), (4))
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        |  strftime(o_orderdate, '%Y-%m') AS month,
+        |  o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM v JOIN orders ON o_orderkey % 4 < v.version
+        |GROUP BY 1, 2, 3
+        |ORDER BY version, month, status""".stripMargin,
+    // q302: schema evolution with no backfill — versions written
+    // before the evolution point (commit 3) surface the -1 sentinel;
+    // evolved versions carry max(price) over EXACTLY the rows that
+    // arrived since the evolution (shards ≥ 2, bounded by the cutoff)
+    "q302_mv_schema_evolution" ->
+      """WITH v(version) AS (VALUES (0), (1), (2), (3), (4)),
+        |o AS (SELECT o_orderkey % 4 AS shard,
+        |    strftime(o_orderdate, '%Y-%m') AS month,
+        |    o_orderstatus AS status, o_totalprice
+        |  FROM orders)
+        |SELECT CAST(v.version AS BIGINT) AS version, month, status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(round(COALESCE(max(CASE WHEN v.version >= 3 AND o.shard >= 2
+        |      THEN CAST(o_totalprice AS DECIMAL(28,6)) END), -1), 2)
+        |    AS DOUBLE) AS max_price_evolved
+        |FROM v JOIN o ON o.shard < v.version
+        |GROUP BY 1, 2, 3
+        |ORDER BY version, month, status""".stripMargin,
+    // q303: the serialization the optimistic-concurrency protocol must
+    // produce — the conflicting writer's retry lands its delta exactly
+    // once (version v == shards 0..v-1), and the ledger records the
+    // conflict (writer_b needs 2 attempts)
+    "q303_mv_concurrent_commits" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 4 AS shard, o_totalprice FROM orders),
+        |led(version, writer, attempts) AS (VALUES
+        |  (0, 'genesis', 0), (1, 'init', 1),
+        |  (2, 'writer_a', 1), (3, 'writer_b', 2)),
+        |tot AS (
+        |  SELECT l.version,
+        |    CAST(count(o.shard) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(round(sum(CAST(o.o_totalprice
+        |      AS DECIMAL(28,6))), 2), 0) AS DOUBLE) AS revenue_total
+        |  FROM led l LEFT JOIN o ON o.shard < l.version
+        |  GROUP BY l.version)
+        |SELECT CAST(l.version AS BIGINT) AS version, l.writer,
+        |  CAST(l.attempts AS BIGINT) AS attempts, t.n_rows,
+        |  t.revenue_total
+        |FROM led l JOIN tot t ON t.version = l.version
+        |ORDER BY version""".stripMargin,
     "q233_erasure_sweep" ->
       """WITH req AS (
         |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

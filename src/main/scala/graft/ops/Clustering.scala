@@ -2119,6 +2119,101 @@ object Clustering {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- q304/q305: CRASH-SAFE streaming index growth ----------------
+  //
+  // q289's grow stream appends with saveAsTable(append) — correct
+  // under clean runs, but a crash after the append and before the
+  // checkpoint commit would DOUBLE-append the batch on replay
+  // (at-least-once). This pair closes that gap with the q287
+  // discipline applied to the growth path itself: each micro-batch's
+  // assignments land in a batch-keyed overwrite directory
+  // (`gb=<batch+1>/cell=<c>/`), so a replayed batch overwrites its own
+  // orphaned write instead of duplicating it — exactly-once by
+  // layout. The injected crash fires in batch 1 AFTER the partition
+  // write, run 2 restarts from the same checkpoint and replays. Two
+  // gates: q304 probes the crash-replayed grown index (must equal the
+  // q215/q289 batch-grown oracle — the crash is result-invisible) and
+  // q305 audits the physical layout per growth batch (exact counts,
+  // distinct ids, id sums — a double-applied replay doubles a batch's
+  // rows, a lost batch zeroes them).
+
+  private val growRestartMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(growRestartMemo)
+
+  /** Build the base (even half) at `gb=0`, then drive the grow stream
+    * (odd residues mod 8, one file per residue, mod-time ordered so
+    * batch k ingests residue 2k+1) through the injected-crash/replay
+    * run. Returns the index root; the final layout is
+    * `gb=<0..4>/cell=<c>/` — a two-level partitioned parquet table
+    * whose growth batches are the exactly-once unit.
+    *
+    * Scale shape: growth stays O(batch) per trigger (assignment under
+    * the broadcast frozen centroids + a partitioned write of only the
+    * batch); recovery is O(one replayed batch) — the base and every
+    * committed batch are never re-read or rewritten.
+    */
+  private[graft] def ensureGrowRestart(s: SparkSession, d: String): String =
+    growRestartMemo.computeIfAbsent((s, d), _ => {
+      val loc = graft.util.TmpDirs.scratch(tableNameFor("ivf_growrestart_", d))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      ivfAssignmentFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 0))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$loc/gb=0")
+      val feed = graft.util.TmpDirs.scratch(
+        tableNameFor("ivf_growrestart_feed_", d))
+      val base = System.currentTimeMillis() - 3600000L
+      Seq(1, 3, 5, 7).zipWithIndex.foreach { case (r, k) =>
+        e.filter(pmod(col("vec_id"), lit(8)) === r).coalesce(1)
+          .write.mode("overwrite").parquet(s"$feed/c$k")
+        new java.io.File(s"$feed/c$k").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified(base + k * 60000L))
+      }
+      val ckpt = graft.util.TmpDirs.scratch(
+        tableNameFor("ivf_growrestart_ckpt_", d))
+      val src = s.readStream.schema(s.read.parquet(s"$feed/c0").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$feed/c*")
+      EventAnalytics.crashRestartDrive(s, src, ckpt, crashAt = 1L,
+        width = 8) { (batch, id) =>
+        ivfAssignmentFor(batch.sparkSession, d, batch)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$loc/gb=${id + 1}")
+      }
+      loc
+    })
+
+  /** q304: probe the crash-replayed stream-grown index — the crash
+    * must be result-invisible: base ∪ all growth batches = the full
+    * corpus under the frozen model, so the gate is the same oracle as
+    * the batch-grown (q215) and cleanly-stream-grown (q289) indexes.
+    */
+  def ivfGrowRestart(s: SparkSession, d: String): DataFrame = {
+    val loc = ensureGrowRestart(s, d)
+    val cells = s.read.parquet(loc)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfProbeOnCells(s, d, cells, qs).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q305: the physical growth-batch audit of the q304 table — per
+    * batch directory: exact row count, distinct vector count, and id
+    * sum, gated against the literalized feed split (batch k ==
+    * residue 2k+1 mod 8; gb=0 == the even base). A double-applied
+    * replay doubles n_vectors against n_distinct; a lost batch zeroes
+    * its row out of the oracle's literal.
+    */
+  def ivfGrowAudit(s: SparkSession, d: String): DataFrame = {
+    val loc = ensureGrowRestart(s, d)
+    s.read.parquet(loc)
+      .groupBy(col("gb").cast("long").as("grow_batch"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("vec_id")).as("n_distinct"),
+        sum(col("vec_id")).as("id_sum"))
+      .orderBy(col("grow_batch"))
+  }
+
   // ---- q283/q284: the one-table lifecycle for PQ and binary --------
   //
   // q272 chains the verbs on one IVF table; the code-table families
@@ -2697,6 +2792,8 @@ object Clustering {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q288_foldin_policy" -> foldinDecision _,
     "q289_stream_index_grow" -> streamIndexGrow _,
+    "q304_ivf_grow_restart" -> ivfGrowRestart _,
+    "q305_ivf_grow_audit" -> ivfGrowAudit _,
     "q291_foldin_probe" -> foldinProbe _,
     "q295_compaction_policy" -> compactionPolicy _,
     "q298_stream_pq_grow" -> streamPqGrow _,
@@ -3149,6 +3246,23 @@ object Clustering {
     // batch-grown ones do (full corpus, frozen model) — the growth
     // path is result-invisible in every family
     "q289_stream_index_grow" -> ivfAnnSql,
+    // q304: the crash-replayed grown index must be result-invisible —
+    // the same full-corpus oracle as the batch-grown q215/q289 forms
+    "q304_ivf_grow_restart" -> ivfAnnSql,
+    // q305: the growth-batch layout audit — batch k ingested residue
+    // 2k+1 (mod 8), gb=0 is the even base; exact counts/sums so a
+    // double-applied replay or a lost batch breaks the hash
+    "q305_ivf_grow_audit" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN vec_id % 2 = 0 THEN 0
+        |              ELSE ((vec_id % 8) + 1) // 2 END AS grow_batch,
+        |    vec_id
+        |  FROM embeddings)
+        |SELECT CAST(grow_batch AS BIGINT) AS grow_batch,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q298_stream_pq_grow" -> pqAnnSql,
     "q299_stream_binary_grow" -> binHamSql("TRUE", "vec_id < 10"),
     // q295: the planted fragmentation gradient (pg k = k+1 files)

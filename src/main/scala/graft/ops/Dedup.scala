@@ -527,6 +527,66 @@ object Dedup {
       s.read.parquet(out).orderBy(col("doc_id"))
     }
 
+  /** q300: checkpoint-restart recovery for the KEYED-CUSTOM-STATE
+    * shape — q287's injected-crash/replay discipline (reference
+    * guarantee: resume from persisted offsets, processedstore.go:4-7)
+    * applied to q201's transformWithState band-min-id state (RocksDB),
+    * the stateful shape the join+window (q287) and session-window
+    * (q296) proofs do not cover. The document backlog is split into 3
+    * doc_id-ordered chunks (the arrival contract the incremental flag
+    * semantics require: arrival order respects doc_id order across
+    * batches), streamed one file per trigger; run 1 commits batch 0
+    * and takes the injected crash in batch 1 AFTER the sink write but
+    * BEFORE the checkpoint commit (the worst replay window), run 2
+    * restarts from the same checkpoint against the band state
+    * committed by batch 0 and replays into its own overwrite dir
+    * (exactly-once by layout). Gate: the per-doc rollup of the union
+    * of both runs' votes — `is_near_dup` must equal the
+    * arrival-order-free batch statistic (the q201 oracle) and
+    * `n_votes` must equal the doc's exact band count (8): a
+    * double-applied replay doubles it, a lost batch zeroes its docs
+    * out of the domain.
+    *
+    * Scale shape: recovery cost is O(band state at the last commit +
+    * one replayed batch) — the 8-bytes-per-band RocksDB state restores
+    * from its changelog checkpoint, never by rescanning the admitted
+    * corpus.
+    */
+  def streamNearDupRestart(s: SparkSession, d: String): DataFrame = {
+    val split = graft.util.TmpDirs.scratch("neardup-restart-split")
+    val out = graft.util.TmpDirs.scratch("neardup-restart-out")
+    val ckpt = graft.util.TmpDirs.scratch("neardup-restart-ckpt")
+    val docs = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // exact-percentile doc_id boundaries (1-row bounded aggregate)
+    val bs = docs.agg(expr(
+        "percentile(doc_id, array(0.3333333333333333D, 0.6666666666666666D))")
+      .as("b")).collect()(0).getSeq[Double](0)
+    val base = System.currentTimeMillis() - 3600000L
+    (0 until 3).foreach { k =>
+      val lo = if (k == 0) lit(true) else col("doc_id") > lit(bs(k - 1))
+      val hi = if (k == 2) lit(true) else col("doc_id") <= lit(bs(k))
+      docs.filter(lo && hi).coalesce(1)
+        .write.mode("overwrite").parquet(s"$split/c$k")
+      // strictly increasing mod-times pin file-source order to chunks
+      new java.io.File(s"$split/c$k").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(base + k * 60000L))
+    }
+    val src = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$split/c*")
+    val flags = graft.streaming.DedupStreams.bandFlags(src).toDF()
+    EventAnalytics.crashRestartDrive(s, flags, ckpt, crashAt = 1L,
+      width = 8) { (batch, id) =>
+      batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
+    }
+    s.read.parquet(out)
+      .groupBy(col("doc_id"))
+      .agg(max(col("dup")).as("is_near_dup"),
+        count(lit(1)).as("n_votes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q267: bounded edit-distance SELF-JOIN (PassJoin partition
     * scheme, Li/Deng/Feng's segment lemma): every pair of 24-char
     * document title prefixes within Levenshtein distance k=2, without
@@ -589,6 +649,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q267_edit_distance_join" -> ((s: SparkSession, d: String) => editDistanceJoin(s, d)),
     "q270_stream_fuzzy_dedup" -> streamFuzzyDedup _,
+    "q300_stream_neardup_restart" -> streamNearDupRestart _,
     "q201_stream_neardup" -> streamNearDup _,
     "q182_stream_dedup_wm" -> streamDedupWatermark _,
     "q159_stream_dedup"   -> streamDedup _,
@@ -690,6 +751,23 @@ object Dedup {
         |JOIN documents d2 ON d2.doc_id = j.b
         |WHERE j.jac >= 0.3 AND d1.lang <> d2.lang
         |ORDER BY j.a, j.b""".stripMargin,
+    // q300: the same arrival-order-free statistic as q201, plus the
+    // exact per-doc vote count — the dup/loss detector for the
+    // crash/replay run (8 bands per doc; a double-applied replay
+    // doubles it, a lost batch removes its docs)
+    "q300_stream_neardup_restart" ->
+      s"""WITH $ShinglesCte,
+        |$SignatureCte,
+        |dup AS (SELECT DISTINCT y.doc_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band_no = y.band_no AND x.band = y.band
+        |   AND x.doc_id < y.doc_id),
+        |nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_votes
+        |  FROM bands GROUP BY doc_id)
+        |SELECT nv.doc_id, (dup.doc_id IS NOT NULL) AS is_near_dup,
+        |  nv.n_votes
+        |FROM nv LEFT JOIN dup ON dup.doc_id = nv.doc_id
+        |ORDER BY nv.doc_id""".stripMargin,
     "q201_stream_neardup" ->
       s"""WITH $ShinglesCte,
         |$SignatureCte,

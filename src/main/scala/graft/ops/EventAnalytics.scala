@@ -1172,14 +1172,30 @@ object EventAnalytics {
     * committed exactly batches 0..crashAt-1.
     */
   private def crashRestartRun(s: SparkSession, agg: DataFrame, out: String,
-      ckpt: String, crashAt: Long, width: Int): Unit = {
+      ckpt: String, crashAt: Long, width: Int): Unit =
+    crashRestartDrive(s, agg, ckpt, crashAt, width) { (batch, id) =>
+      batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
+    }
+
+  /** The generic crash/replay driver behind q287/q296 — shared with
+    * the q300 dedup-state and q304 index-growth restart proofs, whose
+    * sinks differ (raw batch dirs vs partitioned index appends) but
+    * whose discipline is identical: run 1 dies in batch `crashAt`
+    * after `sink` ran but before the checkpoint committed, run 2
+    * restarts from the same checkpoint and replays. `sink` MUST be
+    * exactly-once by layout (an overwrite dir keyed by the batch id)
+    * for the replay to be result-invisible.
+    */
+  private[graft] def crashRestartDrive(s: SparkSession, agg: DataFrame,
+      ckpt: String, crashAt: Long, width: Int)(
+      sink: (DataFrame, Long) => Unit): Unit = {
     def writer(crash: Boolean) =
       agg.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
+          sink(batch, id)
           if (crash && id == crashAt) throw new RuntimeException(
             "injected crash: sink committed, checkpoint not")
         }
