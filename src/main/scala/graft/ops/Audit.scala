@@ -678,10 +678,15 @@ object Audit {
     * catch up from version m to n is n−m view-sized merges,
     * independent of base history size.
     */
-  def mvCdfReplica(s: SparkSession, d: String): DataFrame = {
-    val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
+  /** Materialize the per-version CDF deltas of a chain as a
+    * mod-time-ordered feed (EXACT decimals — the accumulating
+    * consumer needs the additive form, not q297's display-rounded
+    * projection). Returns the feed dir.
+    */
+  private def buildCdfFeed(s: SparkSession, dir: String, maxV: Long,
+      name: String): String = {
     val Dec38 = "decimal(38,6)"
-    val feed = graft.util.TmpDirs.scratch("mv-cdf-feed")
+    val feed = graft.util.TmpDirs.scratch(name)
     val base = System.currentTimeMillis() - 3600000L
     (1L to maxV).foreach { v =>
       val prev = s.read.parquet(s"$dir/mv_v${v - 1}")
@@ -700,27 +705,59 @@ object Audit {
         .filter(_.getName.endsWith(".parquet"))
         .foreach(_.setLastModified(base + v * 60000L))
     }
+    feed
+  }
+
+  /** The replica-merge sink: the replica version IS the checkpointed
+    * batch id — a replayed batch re-merges the immutable r{id} and
+    * overwrites its own r{id+1}: exactly-once by layout, no
+    * driver-side version state to lose on restart (which is what
+    * makes the q309 crash/replay run gate-identical to q301's clean
+    * run).
+    */
+  private def replicaMerge(s: SparkSession, rep: String)
+      : (DataFrame, Long) => Unit = { (batch, id) =>
+    val Dec38 = "decimal(38,6)"
+    val cur = s.read.parquet(s"$rep/r$id")
+      .select(col("month"), col("status"), col("n").as("cn"),
+        col("rev").as("crev"))
+    cur.join(batch, Seq("month", "status"), "full_outer")
+      .select(col("month"), col("status"),
+        (coalesce(col("cn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("crev"), lit(0).cast(Dec38)) +
+          coalesce(col("drev"), lit(0).cast(Dec38))).as("rev"))
+      .write.mode("overwrite").parquet(s"$rep/r${id + 1}")
+  }
+
+  /** Read the replica chain version-for-version — the shared q301/
+    * q309 gate body (must equal the producer chain, i.e. the q290
+    * oracle).
+    */
+  private def replicaVersions(s: SparkSession, rep: String,
+      maxV: Long): DataFrame =
+    (0L to maxV).map(v =>
+      s.read.parquet(s"$rep/r$v")
+        .select(lit(v).as("version"), col("month"), col("status"), col("n"),
+          round(col("rev"), 2).cast("double").as("revenue")))
+      .reduce(_ unionByName _)
+      .orderBy(col("version"), col("month"), col("status"))
+
+  def mvCdfReplica(s: SparkSession, d: String): DataFrame = {
+    val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
+    val feed = buildCdfFeed(s, dir, maxV, "mv-cdf-feed")
     val rep = graft.util.TmpDirs.scratch("mv-cdf-replica")
     s.read.parquet(s"$dir/mv_v0").write.mode("overwrite").parquet(s"$rep/r0")
     val ver = new java.util.concurrent.atomic.AtomicLong(0)
+    val sink = replicaMerge(s, rep)
     graft.util.StreamTuning.withShuffle(s, 8) {
       val q = s.readStream.schema(s.read.parquet(s"$feed/v1").schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$feed/v*")
         .writeStream.outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val v = ver.get()
-          val cur = s.read.parquet(s"$rep/r$v")
-            .select(col("month"), col("status"), col("n").as("cn"),
-              col("rev").as("crev"))
-          cur.join(batch, Seq("month", "status"), "full_outer")
-            .select(col("month"), col("status"),
-              (coalesce(col("cn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-                .as("n"),
-              (coalesce(col("crev"), lit(0).cast(Dec38)) +
-                coalesce(col("drev"), lit(0).cast(Dec38))).as("rev"))
-            .write.mode("overwrite").parquet(s"$rep/r${v + 1}")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          sink(batch, id)
           ver.incrementAndGet()
           ()
         }
@@ -729,12 +766,35 @@ object Audit {
     }
     require(ver.get() == maxV,
       s"replica must apply all $maxV deltas; applied ${ver.get()}")
-    (0L to maxV).map(v =>
-      s.read.parquet(s"$rep/r$v")
-        .select(lit(v).as("version"), col("month"), col("status"), col("n"),
-          round(col("rev"), 2).cast("double").as("revenue")))
-      .reduce(_ unionByName _)
-      .orderBy(col("version"), col("month"), col("status"))
+    replicaVersions(s, rep, maxV)
+  }
+
+  /** q309: checkpoint-restart recovery for the CHANGE-FEED CONSUMER —
+    * the q287 injected-crash/replay discipline applied to the q301
+    * replica pipeline: run 1 applies delta 1, dies in delta 2 AFTER
+    * the replica write but BEFORE the checkpoint commit; run 2
+    * restarts from the same checkpoint and replays — the id-keyed
+    * replica layout makes the replay overwrite its own orphaned merge
+    * (r{id+1} recomputed from the immutable r{id}), so the recovered
+    * replica is gate-identical to the clean consumer and the producer
+    * chain (the q290 oracle). With q287/q296/q300 this closes
+    * recovery across every continuous pipeline the engine runs:
+    * stateful analytics, keyed dedup, and now CDC replication.
+    *
+    * Scale shape: recovery cost is one re-merged view-sized delta —
+    * never a feed replay from v0.
+    */
+  def mvCdfReplicaRestart(s: SparkSession, d: String): DataFrame = {
+    val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
+    val feed = buildCdfFeed(s, dir, maxV, "mv-cdf-feed-restart")
+    val rep = graft.util.TmpDirs.scratch("mv-cdf-replica-restart")
+    s.read.parquet(s"$dir/mv_v0").write.mode("overwrite").parquet(s"$rep/r0")
+    val ckpt = graft.util.TmpDirs.scratch("mv-cdf-replica-ckpt")
+    val src = s.readStream.schema(s.read.parquet(s"$feed/v1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/v*")
+    EventAnalytics.crashRestartDrive(s, src, ckpt, crashAt = 1L,
+      width = 8)(replicaMerge(s, rep))
+    replicaVersions(s, rep, maxV)
   }
 
   private val mvEvolveMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -1049,6 +1109,7 @@ object Audit {
     "q294_mv_retention" -> mvRetention _,
     "q297_mv_change_feed" -> mvChangeFeed _,
     "q301_mv_cdf_replica" -> mvCdfReplica _,
+    "q309_mv_cdf_restart" -> mvCdfReplicaRestart _,
     "q302_mv_schema_evolution" -> mvSchemaEvolution _,
     "q303_mv_concurrent_commits" -> mvConcurrentCommits _,
     "q192_psi_drift"       -> psiDrift _,
@@ -1282,6 +1343,19 @@ object Audit {
     // producer chain at every committed version — the q290 oracle
     // verbatim (version v == shards 0..v-1)
     "q301_mv_cdf_replica" ->
+      """WITH v(version) AS (VALUES (0), (1), (2), (3), (4))
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        |  strftime(o_orderdate, '%Y-%m') AS month,
+        |  o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM v JOIN orders ON o_orderkey % 4 < v.version
+        |GROUP BY 1, 2, 3
+        |ORDER BY version, month, status""".stripMargin,
+    // q309: the crash-replayed consumer must be gate-identical to the
+    // clean consumer and the producer chain — the q290 oracle again
+    "q309_mv_cdf_restart" ->
       """WITH v(version) AS (VALUES (0), (1), (2), (3), (4))
         |SELECT CAST(v.version AS BIGINT) AS version,
         |  strftime(o_orderdate, '%Y-%m') AS month,

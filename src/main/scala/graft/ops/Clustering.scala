@@ -2214,6 +2214,147 @@ object Clustering {
       .orderBy(col("grow_batch"))
   }
 
+  // ---- q306/q307: MANIFEST-VERSIONED snapshot isolation ------------
+  //
+  // q263/q272 compact IN PLACE (INSERT OVERWRITE of the affected
+  // partitions) — correct for a single writer, but a reader scanning
+  // the table DURING the rewrite has no isolation. The lakehouse
+  // answer is a MANIFEST: each snapshot is a small file listing its
+  // live data units; compaction is NON-DESTRUCTIVE (write a new
+  // compacted unit + a new manifest — the old snapshot's units stay
+  // on disk as the retention unit, the q294 discipline), so a reader
+  // pinned at snapshot v1 is isolated from the rewrite by
+  // construction. q306 gates both snapshots' logical contents
+  // (identical rows, 5 units vs 1); q307 gates the probe through the
+  // filesystem-resolved HEAD manifest against the standard oracle.
+
+  private val manifestMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(manifestMemo)
+
+  private def writeManifest(s: SparkSession, root: String, v: Long,
+      units: Seq[String]): Unit = {
+    import s.implicits._
+    units.toDF("unit").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/manifest/v$v")
+  }
+
+  /** Union-read one snapshot: resolve its manifest (an O(#units)
+    * driver list — the bounded control read every table format pays)
+    * and scan exactly the listed unit directories.
+    */
+  private[graft] def readManifestSnapshot(s: SparkSession, root: String,
+      v: Long): DataFrame = {
+    val units = s.read.parquet(s"$root/manifest/v$v")
+      .collect().map(_.getString(0)).sorted
+    units.map(u => s.read.parquet(s"$root/data/$u")).reduce(_ unionByName _)
+  }
+
+  /** Build the manifest-versioned IVF table: the even-half base plus
+    * one unit per odd residue (the q304 split) under snapshot v1,
+    * then a non-destructive compaction producing snapshot v2. Every
+    * byte of v1 survives the compaction — the spec pins it file by
+    * file, and reads of v1 AFTER v2 commits stay exact.
+    */
+  private[graft] def ensureManifestIndex(s: SparkSession, d: String): String =
+    manifestMemo.computeIfAbsent((s, d), _ => {
+      val root = graft.util.TmpDirs.scratch(tableNameFor("ivf_manifest_", d))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      ivfAssignmentFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 0))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/data/u0")
+      Seq(1, 3, 5, 7).zipWithIndex.foreach { case (r, k) =>
+        ivfAssignmentFor(s, d, e.filter(pmod(col("vec_id"), lit(8)) === r))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$root/data/u${k + 1}")
+      }
+      writeManifest(s, root, 1, (0 to 4).map(k => s"u$k"))
+      // non-destructive compaction: a NEW unit + a NEW manifest; the
+      // five v1 units stay byte-untouched on disk
+      readManifestSnapshot(s, root, 1).repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/data/compact1")
+      writeManifest(s, root, 2, Seq("compact1"))
+      root
+    })
+
+  /** q306: the snapshot ledger of the manifest-versioned table — both
+    * snapshots hold the identical logical contents (exact counts,
+    * distinct ids, id sums) while the physical unit count drops 5→1:
+    * compaction changed the layout and provably nothing else.
+    */
+  def manifestSnapshots(s: SparkSession, d: String): DataFrame = {
+    val root = ensureManifestIndex(s, d)
+    (1L to 2L).map { v =>
+      val units = s.read.parquet(s"$root/manifest/v$v").count()
+      readManifestSnapshot(s, root, v)
+        .agg(count(lit(1)).as("n_vectors"),
+          countDistinct(col("vec_id")).as("n_distinct"),
+          sum(col("vec_id")).as("id_sum"))
+        .select(lit(v).as("snapshot"), lit(units).as("n_units"),
+          col("n_vectors"), col("n_distinct"), col("id_sum"))
+    }.reduce(_ unionByName _).orderBy(col("snapshot"))
+  }
+
+  /** q307: the q203 probe through the HEAD manifest (resolved from
+    * the filesystem, not a constant) — serving through the
+    * manifest-versioned layout must equal the standard full-corpus
+    * oracle; the isolation claim (v1 == v2 probe-for-probe, v1 units
+    * byte-untouched) is spec-pinned.
+    */
+  def manifestProbe(s: SparkSession, d: String): DataFrame = {
+    val root = ensureManifestIndex(s, d)
+    val headV = new java.io.File(s"$root/manifest").list()
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).max
+    val cells = readManifestSnapshot(s, root, headV)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfProbeOnCells(s, d, cells, qs).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q308: the GDPR ERASURE CAPSTONE — one audit proving the deletion
+    * cohort (vec_id ≡ 0 mod 97, the q233 key discipline) is
+    * simultaneously absent from EVERY vector serving surface the
+    * engine maintains: the three copy-on-write-swept families
+    * (q254-q256) AND the three merge-on-read-served views
+    * (q273/q279/q280), with survivor counts and id-sums proving
+    * nothing beyond the cohort was lost anywhere. This is the
+    * compliance sign-off row a real erasure pipeline ends with — per
+    * surface, not per family, because the regulator's question is
+    * "is it gone from everything that can serve it".
+    *
+    * Scale shape: six aggregation-only scans of 8-byte ids (1-row
+    * map-side partials) + three broadcast tombstone anti-joins — one
+    * bounded pass per surface, no rewrite, no all-pairs anything.
+    */
+  def erasureEverywhere(s: SparkSession, d: String): DataFrame = {
+    val (ivfC, pqC, binC) = ensureSweptIndexes(s, d)
+    val (ivfM, dvI) = ensureDvIvf(s, d)
+    val (pqM, dvP) = ensureDvPq(s, d)
+    val (binM, dvB) = ensureDvBin(s, d)
+    // audit the KEY set (distinct vec_id): the families differ in
+    // physical rows per vector (PQ holds one code row per subspace),
+    // but the compliance question is about keys, not code rows
+    def audit(surface: String, df: DataFrame): DataFrame =
+      df.select(col("vec_id")).distinct()
+        .agg(count(lit(1)).as("n_keys"),
+          coalesce(sum(when(col("vec_id") % 97 === 0, 1L).otherwise(0L)),
+            lit(0L)).as("n_cohort_left"),
+          sum(col("vec_id")).as("id_sum"))
+        .select(lit(surface).as("surface"), col("n_keys"),
+          col("n_cohort_left"), col("id_sum"))
+    Seq(
+      audit("bin_cow", s.table(binC)),
+      audit("bin_mor", dvMergedCells(s, binM, dvB)),
+      audit("ivf_cow", s.table(ivfC)),
+      audit("ivf_mor", dvMergedCells(s, ivfM, dvI)),
+      audit("pq_cow", s.table(pqC)),
+      audit("pq_mor", dvMergedCells(s, pqM, dvP)))
+      .reduce(_ unionByName _)
+      .orderBy(col("surface"))
+  }
+
   // ---- q283/q284: the one-table lifecycle for PQ and binary --------
   //
   // q272 chains the verbs on one IVF table; the code-table families
@@ -2794,6 +2935,9 @@ object Clustering {
     "q289_stream_index_grow" -> streamIndexGrow _,
     "q304_ivf_grow_restart" -> ivfGrowRestart _,
     "q305_ivf_grow_audit" -> ivfGrowAudit _,
+    "q306_manifest_snapshots" -> manifestSnapshots _,
+    "q307_manifest_probe" -> manifestProbe _,
+    "q308_erasure_everywhere" -> erasureEverywhere _,
     "q291_foldin_probe" -> foldinProbe _,
     "q295_compaction_policy" -> compactionPolicy _,
     "q298_stream_pq_grow" -> streamPqGrow _,
@@ -3249,6 +3393,33 @@ object Clustering {
     // q304: the crash-replayed grown index must be result-invisible —
     // the same full-corpus oracle as the batch-grown q215/q289 forms
     "q304_ivf_grow_restart" -> ivfAnnSql,
+    // q306: both snapshots hold identical logical contents; only the
+    // unit count drops (5 → 1) across the non-destructive compaction
+    "q306_manifest_snapshots" ->
+      """WITH e AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(vec_id) AS BIGINT) AS sm
+        |  FROM embeddings)
+        |SELECT CAST(v.snapshot AS BIGINT) AS snapshot,
+        |  CAST(v.n_units AS BIGINT) AS n_units,
+        |  e.n AS n_vectors, e.n AS n_distinct, e.sm AS id_sum
+        |FROM (VALUES (1, 5), (2, 1)) v(snapshot, n_units), e
+        |ORDER BY snapshot""".stripMargin,
+    // q307: serving through the HEAD manifest == the standard
+    // full-corpus probe
+    "q307_manifest_probe" -> ivfAnnSql,
+    // q308: every serving surface holds exactly the survivors — same
+    // counts and id sums on all six, zero cohort members anywhere
+    "q308_erasure_everywhere" ->
+      """WITH sv AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(0 AS BIGINT) AS n_cohort_left,
+        |    CAST(sum(vec_id) AS BIGINT) AS id_sum
+        |  FROM embeddings WHERE vec_id % 97 <> 0)
+        |SELECT v.surface, sv.n_keys, sv.n_cohort_left, sv.id_sum
+        |FROM (VALUES ('bin_cow'), ('bin_mor'), ('ivf_cow'),
+        |  ('ivf_mor'), ('pq_cow'), ('pq_mor')) v(surface), sv
+        |ORDER BY surface""".stripMargin,
     // q305: the growth-batch layout audit — batch k ingested residue
     // 2k+1 (mod 8), gb=0 is the even base; exact counts/sums so a
     // double-applied replay or a lost batch breaks the hash

@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q291_foldin_probe", // q256's broadcast 10-query =!= join through the post-policy MoR view
     "q299_stream_binary_grow", // q256's broadcast =!= join over the stream-grown code table
     "q304_ivf_grow_restart", // q203's broadcast centroid table over the crash-replayed grown index
+    "q307_manifest_probe", // q203's broadcast centroid table over the manifest-resolved HEAD snapshot
     "q293_mv_asof_timestamp") // broadcast ≤4-row shard-max/stamp catalogs in non-equi (<, <=) resolution joins
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",
@@ -91,7 +92,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q278_binary_staleness", // 1-row rebuild-trigger aggregate over the 64-row dim table
       "q293_mv_asof_timestamp", // 1-row per-version totals over the (months×statuses)-row view states
       "q294_mv_retention", // same 1-row per-version totals, post-vacuum survivors
-      "q303_mv_concurrent_commits") // same 1-row per-version totals joined to the 4-row commit ledger
+      "q303_mv_concurrent_commits", // same 1-row per-version totals joined to the 4-row commit ledger
+      "q306_manifest_snapshots", // 1-row logical-contents aggregate per snapshot (2 snapshots)
+      "q308_erasure_everywhere") // six 1-row per-surface audit aggregates (count/sum of 8-byte ids)
 
   test("no registered query plans a cartesian product, unexpected BNLJ, or unexpected single-partition exchange") {
     val s = TestSpark.spark
