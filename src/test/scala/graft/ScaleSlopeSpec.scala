@@ -43,7 +43,13 @@ class ScaleSlopeSpec extends AnyFunSuite {
     // (twice the stateful triggers of their single-run counterparts)
     // and the versioned-view chain (per-commit delta merges)
     "q287_stream_restart_recovery", "q296_stream_sessions_restart",
-    "q290_mv_time_travel")
+    "q290_mv_time_travel",
+    // r10 waves 3-4: the crash/replay runs over keyed dedup state
+    // (2× q201's stateful triggers), the crash-safe growth run (5
+    // assignment batches + the replay), and the CDC consumer
+    // crash/replay (per-version view-sized merges, one re-merged)
+    "q300_stream_neardup_restart", "q304_ivf_grow_restart",
+    "q309_mv_cdf_restart")
 
   /** Total shuffle bytes written by every stage `body` runs. The
     * listener bus is async, so after the action we poll until the
