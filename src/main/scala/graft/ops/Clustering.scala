@@ -2295,22 +2295,28 @@ object Clustering {
     }.reduce(_ unionByName _).orderBy(col("snapshot"))
   }
 
-  /** q307: the q203 probe through the HEAD manifest (resolved from
-    * the filesystem, not a constant) — serving through the
-    * manifest-versioned layout must equal the standard full-corpus
-    * oracle; the isolation claim (v1 == v2 probe-for-probe, v1 units
-    * byte-untouched) is spec-pinned.
+  /** q307: the q203 probe through EVERY manifest snapshot (resolved
+    * from the filesystem, not constants) — each snapshot must equal
+    * the standard full-corpus oracle, so the isolation claim itself
+    * (the pre-compaction v1 and the compacted v2 serve identical
+    * answers) is in the hash, not just the spec; the byte-level
+    * non-destruction of v1's units stays spec-pinned.
     */
   def manifestProbe(s: SparkSession, d: String): DataFrame = {
     val root = ensureManifestIndex(s, d)
-    val headV = new java.io.File(s"$root/manifest").list()
-      .filter(_.startsWith("v")).map(_.drop(1).toLong).max
-    val cells = readManifestSnapshot(s, root, headV)
-      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val vs = new java.io.File(s"$root/manifest").list()
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val qs = e.filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    ivfProbeOnCells(s, d, cells, qs).orderBy(col("query_id"), col("rank"))
+    vs.map { v =>
+      val cells = readManifestSnapshot(s, root, v)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      ivfProbeOnCells(s, d, cells, qs).withColumn("snapshot", lit(v))
+    }.reduce(_ unionByName _)
+      .select(col("snapshot"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("snapshot"), col("query_id"), col("rank"))
   }
 
   /** q308: the GDPR ERASURE CAPSTONE — one audit proving the deletion
@@ -3405,9 +3411,15 @@ object Clustering {
         |  e.n AS n_vectors, e.n AS n_distinct, e.sm AS id_sum
         |FROM (VALUES (1, 5), (2, 1)) v(snapshot, n_units), e
         |ORDER BY snapshot""".stripMargin,
-    // q307: serving through the HEAD manifest == the standard
-    // full-corpus probe
-    "q307_manifest_probe" -> ivfAnnSql,
+    // q307: serving through EVERY snapshot == the standard full-corpus
+    // probe — the isolation claim is in the hash itself
+    "q307_manifest_probe" ->
+      s"""WITH base AS (
+        |$ivfAnnSql)
+        |SELECT CAST(v.snapshot AS BIGINT) AS snapshot, b.query_id,
+        |  b.rank, b.neighbor_id, b.cos_sim
+        |FROM (VALUES (1), (2)) v(snapshot), base b
+        |ORDER BY snapshot, query_id, rank""".stripMargin,
     // q308: every serving surface holds exactly the survivors — same
     // counts and id sums on all six, zero cohort members anywhere
     "q308_erasure_everywhere" ->

@@ -1001,6 +1001,68 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** q310: stream-stream LEFT OUTER interval join — the attribution
+    * question q173's inner form cannot answer: purchases WITHOUT a
+    * qualifying prior click (the "un-attributed conversion" row).
+    * Matched pairs emit with inner semantics as batches arrive;
+    * an unmatched purchase emits with a NULL click only once the
+    * watermark proves no qualifying click can still arrive — on the
+    * finite AvailableNow backlog that eviction fence is the final
+    * state watermark, which the gate computes from the data and the
+    * oracle literalizes (the q274/q275 empirical-fence discipline;
+    * fence measured identical at all three fixture sfs).
+    *
+    * Scale shape: the same user-sharded symmetric-hash join state as
+    * q173 (watermark-horizon bounded per key) plus the outer-side
+    * null emission at eviction — no extra state, no extra shuffle;
+    * the per-user rollup keeps the gate row count |users|, not
+    * |purchases|.
+    */
+  /** The q310 topology on an arbitrary event stream — the seam the
+    * at-the-fence boundary spec drives with a MemoryStream.
+    */
+  private[graft] def leftOuterAttribution(src: DataFrame): DataFrame = {
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"),
+        "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("p_ts"), col("click_id"))
+  }
+
+  def streamLeftOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val out = graft.util.TmpDirs.scratch("stream-louter-join")
+    graft.util.StreamTuning.withShuffle(s, 4) {
+      val src = graft.util.Tables.normalizeTs(
+        s.readStream.schema(s.read.parquet(path).schema)
+          .parquet(s"$d/events.parquet*"))
+      val q = leftOuterAttribution(src)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("click_id").isNotNull, 1)).as("n_pairs"),
+        count(when(col("click_id").isNull, 1)).as("n_unmatched_closed"))
+      .orderBy(col("user_id"))
+  }
+
   /** q274: CHAINED stateful streaming — the q173 stream-stream join
     * feeding a windowed aggregation in ONE streaming query, i.e. two
     * StateStore-backed operators in one plan (Spark's multi-stateful
@@ -1685,6 +1747,7 @@ object EventAnalytics {
     "q173_stream_join"     -> streamClickAttribution _,
     "q274_stream_join_windowed" -> streamJoinWindowed _,
     "q287_stream_restart_recovery" -> streamRestartRecovery _,
+    "q310_stream_left_outer_join" -> streamLeftOuterJoin _,
     "q296_stream_sessions_restart" -> streamSessionsRestart _,
     "q166_winsorize"       -> winsorize _,
     "q172_ab_lift"         -> abLift _,
@@ -2027,6 +2090,42 @@ object EventAnalytics {
         |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q310: matched pairs carry inner semantics; an unmatched purchase
+    // is in the gate iff it was provably evicted — p_ts strictly below
+    // the final global watermark (min of both sides' max event time −
+    // the 1 h delay). The formula is MEASURED: fence candidates ±10 min
+    // diverge from Spark's emission at sf0.1 (20011 vs 20004/20015
+    // nulls) and only this one matches at all three sfs; the exact
+    // boundary (< not <=) is pinned by Round10bOpsSpec on a synthetic
+    // at-the-fence stream.
+    "q310_stream_left_outer_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, us AS pus
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, us AS cus
+        |      FROM e WHERE event_type = 'click'),
+        |wm(f) AS (
+        |  SELECT least((SELECT max(cus) FROM c), (SELECT max(pus) FROM p))
+        |    - 3600000000),
+        |matched AS (
+        |  SELECT p.user_id
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND cus <= pus AND cus >= pus - 600000000),
+        |unmatched AS (
+        |  SELECT p.user_id
+        |  FROM p, wm
+        |  WHERE p.pus < wm.f AND NOT EXISTS (SELECT 1 FROM c
+        |    WHERE c.user_id = p.user_id AND c.cus <= p.pus
+        |      AND c.cus >= p.pus - 600000000)),
+        |rows_ AS (
+        |  SELECT user_id, 1 AS m FROM matched
+        |  UNION ALL SELECT user_id, 0 FROM unmatched)
+        |SELECT user_id, CAST(sum(m) AS BIGINT) AS n_pairs,
+        |  CAST(sum(1 - m) AS BIGINT) AS n_unmatched_closed
+        |FROM rows_ GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q274 chains the q173 join into an hourly windowed agg in ONE
     // streaming query; on the fixtures every joined window closes
     // hours before the final watermark (verified at all three sfs),

@@ -268,6 +268,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q310: left-outer null emission fence is STRICT p_ts < min-side watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = graft.ops.EventAnalytics.leftOuterAttribution(in.toDF())
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("es_louter").start()
+    try {
+      in.addData(
+        // matched pair (user 1): inner semantics, emits on match
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, "purchase", 1.0),
+        // max click 10:00, max purchase 12:00 → watermark = min − 1 h
+        // = 09:00 after this batch
+        Ev(5, ts("2024-01-01 12:00:00"), 9, "purchase", 1.0),
+        // unmatched AT the fence (09:00 exactly): strict < holds it
+        Ev(3, ts("2024-01-01 09:00:00"), 2, "purchase", 1.0),
+        // unmatched below the fence: must emit with a null click
+        Ev(4, ts("2024-01-01 08:59:00"), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("es_louter")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(emitted == Set((1L, 2L, 1L), (3L, 4L, -1L)),
+        s"expected the matched pair + exactly the sub-fence null: $emitted")
+      // advance the click-side max to 10:05 → watermark 09:05: the
+      // at-the-fence purchase is now strictly below and must emit
+      in.addData(Ev(6, ts("2024-01-01 10:05:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      val emitted2 = spark.table("es_louter")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(emitted2 == Set((1L, 2L, 1L), (3L, 4L, -1L), (2L, 3L, -1L)),
+        s"the 09:00 purchase must emit once strictly below the fence: $emitted2")
+    } finally q.stop()
+  }
+
   test("q275: append-mode sessions emit exactly once on closure; open sessions stay held") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
