@@ -797,6 +797,91 @@ object Audit {
     replicaVersions(s, rep, maxV)
   }
 
+  private val mvRetractMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long)]()
+  graft.util.CacheRegistry.registerMemo(mvRetractMemo)
+
+  /** The q311/q312 fixture: the standard 4-version chain plus a
+    * RETRACTION commit — version 5 applies late corrections as a
+    * NEGATIVE delta merge. The cancelled cohort is (a) every order
+    * with o_orderkey ≡ 0 mod 20 (broad partial retractions) PLUS (b)
+    * every order in the view's MINIMUM-count groups (so at every sf
+    * some groups are cancelled IN FULL — the tails differ per
+    * fixture: %20 alone never empties a group at any sf, measured).
+    * Counts and sums subtract exactly (decimal arithmetic), and a
+    * fully-cancelled group's n lands at exactly 0 and is filtered —
+    * the row-deletion case every IVM engine must handle. Returns
+    * (chain dir, HEAD version = 5).
+    */
+  private[graft] def ensureMvRetractChain(s: SparkSession, d: String)
+      : (String, Long) =
+    mvRetractMemo.computeIfAbsent((s, d), _ => {
+      val (dir0, maxV) = ensureMvChain(s, d, "mv-retract")
+      val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+      val v4 = s.read.parquet(s"$dir0/mv_v$maxV")
+      // the minimum-count groups, from the COMMITTED state (1-row min
+      // + a view-sized filter — never a re-read of ingest history)
+      val mn = v4.agg(min(col("n"))).collect()(0).getLong(0)
+      val dead = v4.filter(col("n") === mn)
+        .select(col("month"), col("status"), lit(1).as("dead"))
+      val o = orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(Dec).as("price"),
+        col("o_orderkey"))
+      val cancelled = o.join(broadcast(dead), Seq("month", "status"),
+          "left_outer")
+        .filter(col("dead").isNotNull ||
+          pmod(col("o_orderkey"), lit(20)) === 0)
+      val neg = cancelled.groupBy(col("month"), col("status"))
+        .agg((-count(lit(1))).as("n"), (-sum(col("price"))).as("rev"))
+      v4.unionByName(neg.select(col("month"), col("status"), col("n"),
+          col("rev").cast("decimal(38,6)")))
+        .groupBy(col("month"), col("status"))
+        .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+        .filter(col("n") =!= 0)
+        .write.mode("overwrite").parquet(s"$dir0/mv_v${maxV + 1}")
+      (dir0, maxV + 1)
+    })
+
+  /** q311: the RETRACTED view state — version 5 must equal a rollup
+    * over a corpus that never contained the cancelled orders, with
+    * fully-cancelled groups GONE (not zero-count rows). The negative
+    * merge is O(|correction|) work against the committed state;
+    * nothing re-reads ingest history.
+    */
+  def mvRetraction(s: SparkSession, d: String): DataFrame = {
+    val (dir, head) = ensureMvRetractChain(s, d)
+    s.read.parquet(s"$dir/mv_v$head")
+      .select(col("month"), col("status"), col("n"),
+        round(col("rev"), 2).cast("double").as("revenue"))
+      .orderBy(col("month"), col("status"))
+  }
+
+  /** q312: the RETRACTION through the change feed — the v4→v5 delta
+    * must equal the negative rollup of the cancelled cohort,
+    * including rows for groups that vanished (dn = −previous n). A
+    * CDC consumer that only handles positive deltas breaks exactly
+    * here; the spec pins that applying this delta to the q290-shape
+    * replica (dropping n == 0 groups) reproduces v5.
+    */
+  def mvRetractionFeed(s: SparkSession, d: String): DataFrame = {
+    val (dir, head) = ensureMvRetractChain(s, d)
+    val prev = s.read.parquet(s"$dir/mv_v${head - 1}")
+      .select(col("month"), col("status"), col("n").as("pn"),
+        col("rev").as("prev"))
+    s.read.parquet(s"$dir/mv_v$head")
+      .join(prev, Seq("month", "status"), "full_outer")
+      .select(col("month"), col("status"),
+        (coalesce(col("n"), lit(0L)) - coalesce(col("pn"), lit(0L)))
+          .as("dn"),
+        round(coalesce(col("rev"), lit(0).cast("decimal(38,6)")) -
+          coalesce(col("prev"), lit(0).cast("decimal(38,6)")), 2)
+          .cast("double").as("drev"))
+      .filter(col("dn") =!= 0)
+      .orderBy(col("month"), col("status"))
+  }
+
   private val mvEvolveMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, Long)]()
   graft.util.CacheRegistry.registerMemo(mvEvolveMemo)
@@ -1110,6 +1195,8 @@ object Audit {
     "q297_mv_change_feed" -> mvChangeFeed _,
     "q301_mv_cdf_replica" -> mvCdfReplica _,
     "q309_mv_cdf_restart" -> mvCdfReplicaRestart _,
+    "q311_mv_retraction" -> mvRetraction _,
+    "q312_mv_retraction_feed" -> mvRetractionFeed _,
     "q302_mv_schema_evolution" -> mvSchemaEvolution _,
     "q303_mv_concurrent_commits" -> mvConcurrentCommits _,
     "q192_psi_drift"       -> psiDrift _,
@@ -1366,6 +1453,41 @@ object Audit {
         |FROM v JOIN orders ON o_orderkey % 4 < v.version
         |GROUP BY 1, 2, 3
         |ORDER BY version, month, status""".stripMargin,
+    // q311: the retracted state == a rollup over a corpus that never
+    // contained the cancelled cohort (key ≡ 0 mod 20 ∪ the min-count
+    // groups); fully-cancelled groups are GONE, not zero-count rows
+    "q311_mv_retraction" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month,
+        |    o_orderstatus AS status, o_totalprice
+        |  FROM orders),
+        |g AS (SELECT month, status, count(*) AS c FROM o GROUP BY 1, 2),
+        |mn AS (SELECT min(c) AS m FROM g)
+        |SELECT o.month, o.status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM o JOIN g ON g.month = o.month AND g.status = o.status, mn
+        |WHERE o.o_orderkey % 20 <> 0 AND g.c <> mn.m
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // q312: the v4→v5 delta == the NEGATIVE rollup of the cancelled
+    // cohort (a vanished group's row is dn = −its previous n)
+    "q312_mv_retraction_feed" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month,
+        |    o_orderstatus AS status, o_totalprice
+        |  FROM orders),
+        |g AS (SELECT month, status, count(*) AS c FROM o GROUP BY 1, 2),
+        |mn AS (SELECT min(c) AS m FROM g)
+        |SELECT o.month, o.status,
+        |  CAST(-count(*) AS BIGINT) AS dn,
+        |  CAST(round(-sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+        |    AS drev
+        |FROM o JOIN g ON g.month = o.month AND g.status = o.status, mn
+        |WHERE o.o_orderkey % 20 = 0 OR g.c = mn.m
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // q302: schema evolution with no backfill — versions written
     // before the evolution point (commit 3) surface the -1 sentinel;
     // evolved versions carry max(price) over EXACTLY the rows that

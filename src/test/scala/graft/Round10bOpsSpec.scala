@@ -148,6 +148,28 @@ class Round10bOpsSpec extends AnyFunSuite {
     assert(commits == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("q311/q312: the retraction deletes groups, and applying the feed to v4 reproduces v5") {
+    val v5 = graft.ops.Audit.mvRetraction(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val feed = graft.ops.Audit.mvRetractionFeed(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val v4 = graft.util.Tables.orders(spark, sf)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // retraction only removes: no new groups, and some group is GONE
+    assert(v5.keySet.subsetOf(v4.keySet))
+    val vanished = v4.keySet -- v5.keySet
+    assert(vanished.nonEmpty, "the min-count groups must vanish in full")
+    // a vanished group's feed row retracts exactly its previous count
+    vanished.foreach(g => assert(feed(g) == -v4(g), s"group $g"))
+    // CDC apply: v4 + delta == v5 everywhere (absent == 0)
+    v4.foreach { case (g, n4) =>
+      assert(n4 + feed.getOrElse(g, 0L) == v5.getOrElse(g, 0L), s"group $g")
+    }
+  }
+
   test("q304/q305: crash-replayed streaming growth is exactly-once — no dup vectors, full corpus, layout clean") {
     // (crash-invisibility of the probe itself is proven by the q304
     // DuckDB gate: same full-corpus oracle as the batch-grown q215
