@@ -1018,10 +1018,11 @@ object EventAnalytics {
     * the per-user rollup keeps the gate row count |users|, not
     * |purchases|.
     */
-  /** The q310 topology on an arbitrary event stream — the seam the
-    * at-the-fence boundary spec drives with a MemoryStream.
+  /** The q310/q314 topology on an arbitrary event stream — the seam
+    * the at-the-fence boundary specs drive with a MemoryStream.
     */
-  private[graft] def leftOuterAttribution(src: DataFrame): DataFrame = {
+  private[graft] def outerAttribution(src: DataFrame,
+      joinType: String): DataFrame = {
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
@@ -1034,10 +1035,13 @@ object EventAnalytics {
         col("c_user") === col("p_user") &&
           col("c_ts") <= col("p_ts") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"),
-        "leftOuter")
-      .select(col("p_user").as("user_id"), col("purchase_id"),
-        col("p_ts"), col("click_id"))
+        joinType)
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("p_ts"), col("click_id"))
   }
+
+  private[graft] def leftOuterAttribution(src: DataFrame): DataFrame =
+    outerAttribution(src, "leftOuter")
 
   def streamLeftOuterJoin(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
@@ -1061,6 +1065,88 @@ object EventAnalytics {
       .agg(count(when(col("click_id").isNotNull, 1)).as("n_pairs"),
         count(when(col("click_id").isNull, 1)).as("n_unmatched_closed"))
       .orderBy(col("user_id"))
+  }
+
+  /** q314: stream-stream FULL OUTER interval join — both sides' null
+    * emission in one query, which exercises the PER-SIDE state
+    * watermarks: the purchase side evicts (and emits its nulls) at
+    * the q310 fence (p_ts < wm), while the click side must ALSO
+    * outlive the 10-minute interval a future purchase could reach
+    * back through, so its fence sits 10 minutes earlier (c_ts < wm −
+    * 10 min — measured: the symmetric candidate overcounts unmatched
+    * clicks at every sf, see the oracle comment). Gate: per-user
+    * counts of matched pairs and each side's closed unmatched rows.
+    *
+    * Scale shape: same symmetric-hash join state as q173/q310 — full
+    * outer adds no state, only emission at eviction on both sides.
+    */
+  def streamFullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val out = graft.util.TmpDirs.scratch("stream-fouter-join")
+    graft.util.StreamTuning.withShuffle(s, 4) {
+      val src = graft.util.Tables.normalizeTs(
+        s.readStream.schema(s.read.parquet(path).schema)
+          .parquet(s"$d/events.parquet*"))
+      val q = outerAttribution(src, "fullOuter")
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("purchase_id").isNotNull &&
+          col("click_id").isNotNull, 1)).as("n_pairs"),
+        count(when(col("click_id").isNull, 1)).as("n_unmatched_purchases"),
+        count(when(col("purchase_id").isNull, 1)).as("n_unmatched_clicks"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q313: STREAMING AS-OF JOIN through the driver gate — the
+    * unbounded form of q44 (purchase → the user's latest at-or-before
+    * click), driven over a chronologically-chunked backlog so arrival
+    * order respects event time (the append-only ingest contract the
+    * emit-once semantics require: a later-arriving earlier click is
+    * not retro-matched, and chronological chunks make that case
+    * impossible — so streamed == batch exactly). State is ONE tuple
+    * per user (the minimal as-of state: the latest click), purchases
+    * emit immediately with the current match; ties at the same
+    * microsecond resolve by the explicit (ts, kind, id) in-batch sort
+    * (clicks before purchases, ascending id — the last same-µs click
+    * wins), which the oracle literalizes.
+    *
+    * Scale shape: per-user O(1) state (8+8 bytes), no watermark
+    * needed for correctness (state never grows past one tuple/user);
+    * shuffle carries (user, id, type, ts) — the same bytes as the
+    * batch as-of's sort key.
+    */
+  def streamAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val split = graft.util.TmpDirs.scratch("asof-split")
+    val out = graft.util.TmpDirs.scratch("stream-asof")
+    val schema = chronoSplit(s, d, split)
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val src = graft.util.Tables.normalizeTs(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$split/c*"))
+      val q = graft.streaming.EventStreams.purchaseAsofClick(src).toDF()
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("gap_us"), lit(-1L)).as("gap_us"))
+      .orderBy(col("user_id"), col("purchase_id"))
   }
 
   /** q274: CHAINED stateful streaming — the q173 stream-stream join
@@ -1748,6 +1834,8 @@ object EventAnalytics {
     "q274_stream_join_windowed" -> streamJoinWindowed _,
     "q287_stream_restart_recovery" -> streamRestartRecovery _,
     "q310_stream_left_outer_join" -> streamLeftOuterJoin _,
+    "q313_stream_asof_join" -> streamAsofJoin _,
+    "q314_stream_full_outer_join" -> streamFullOuterJoin _,
     "q296_stream_sessions_restart" -> streamSessionsRestart _,
     "q166_winsorize"       -> winsorize _,
     "q172_ab_lift"         -> abLift _,
@@ -2126,6 +2214,70 @@ object EventAnalytics {
         |SELECT user_id, CAST(sum(m) AS BIGINT) AS n_pairs,
         |  CAST(sum(1 - m) AS BIGINT) AS n_unmatched_closed
         |FROM rows_ GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q314: PER-SIDE eviction fences, both measured at sf0.1 where the
+    // candidates diverge — purchases emit nulls below wm (20011; the
+    // q310 fence), clicks below wm − 10 min (19791 vs 19794 at wm and
+    // 19797 at wm + 10 min): the side a future row can reach back
+    // into through the interval keeps its state 10 minutes longer.
+    // Boundary strictness pinned by the synthetic at-the-fence stream.
+    "q314_stream_full_outer_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, us FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, us FROM e
+        |      WHERE event_type = 'click'),
+        |wm(f) AS (
+        |  SELECT least((SELECT max(us) FROM c), (SELECT max(us) FROM p))
+        |    - 3600000000),
+        |matched AS (
+        |  SELECT p.user_id
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.us <= p.us AND c.us >= p.us - 600000000),
+        |up AS (
+        |  SELECT p.user_id
+        |  FROM p, wm
+        |  WHERE p.us < wm.f AND NOT EXISTS (SELECT 1 FROM c
+        |    WHERE c.user_id = p.user_id AND c.us <= p.us
+        |      AND c.us >= p.us - 600000000)),
+        |ucl AS (
+        |  SELECT c.user_id
+        |  FROM c, wm
+        |  WHERE c.us < wm.f - 600000000 AND NOT EXISTS (SELECT 1 FROM p
+        |    WHERE p.user_id = c.user_id AND p.us >= c.us
+        |      AND p.us <= c.us + 600000000)),
+        |rows_ AS (
+        |  SELECT user_id, 1 AS m, 0 AS a, 0 AS b FROM matched
+        |  UNION ALL SELECT user_id, 0, 1, 0 FROM up
+        |  UNION ALL SELECT user_id, 0, 0, 1 FROM ucl)
+        |SELECT user_id, CAST(sum(m) AS BIGINT) AS n_pairs,
+        |  CAST(sum(a) AS BIGINT) AS n_unmatched_purchases,
+        |  CAST(sum(b) AS BIGINT) AS n_unmatched_clicks
+        |FROM rows_ GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q313: the streamed as-of must equal the batch as-of exactly
+    // (chronological arrival makes emit-once == retro-complete); the
+    // same-µs tie-break (last same-µs click by id wins, clicks before
+    // purchases) is literalized in the LATERAL's ORDER BY
+    "q313_stream_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, us FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, us FROM e
+        |      WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id AS purchase_id,
+        |  COALESCE(m.click_id, -1) AS click_id,
+        |  COALESCE(p.us - m.cus, -1) AS gap_us
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_id, c.us AS cus
+        |  FROM c
+        |  WHERE c.user_id = p.user_id AND c.us <= p.us
+        |  ORDER BY c.us DESC, c.event_id DESC LIMIT 1) m ON true
+        |ORDER BY user_id, purchase_id""".stripMargin,
     // q274 chains the q173 join into an hourly windowed agg in ONE
     // streaming query; on the fixtures every joined window closes
     // hours before the final watermark (verified at all three sfs),

@@ -305,6 +305,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q314: full-outer per-side fences — purchases evict at wm, clicks at wm - 10 min") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = graft.ops.EventAnalytics.outerAttribution(in.toDF(), "fullOuter")
+      .select(col("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("es_fouter").start()
+    try {
+      in.addData(
+        // matched pair (user 1)
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, "purchase", 1.0),
+        // max purchase 12:00 → wm = min(10:00, 12:00) − 1 h = 09:00
+        Ev(5, ts("2024-01-01 12:00:00"), 9, "purchase", 1.0),
+        // purchase-side boundary: AT 09:00 held, 08:59 emits
+        Ev(3, ts("2024-01-01 09:00:00"), 2, "purchase", 1.0),
+        Ev(4, ts("2024-01-01 08:59:00"), 3, "purchase", 1.0),
+        // click-side boundary (fence 08:50): AT held, 08:49 emits
+        Ev(6, ts("2024-01-01 08:50:00"), 11, "click", 1.0),
+        Ev(7, ts("2024-01-01 08:49:00"), 12, "click", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("es_fouter")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(emitted == Set((1L, 2L, 1L), (3L, 4L, -1L), (12L, -1L, 7L)),
+        s"expected the pair + one sub-fence null per side: $emitted")
+      // advance max click to 10:05 → wm 09:05: the 09:00 purchase and
+      // the 08:50 click are now strictly below their fences
+      in.addData(Ev(8, ts("2024-01-01 10:05:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      val emitted2 = spark.table("es_fouter")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(emitted2 == Set((1L, 2L, 1L), (3L, 4L, -1L), (12L, -1L, 7L),
+        (2L, 3L, -1L), (11L, -1L, 6L)),
+        s"both at-the-fence rows must emit once strictly below: $emitted2")
+    } finally q.stop()
+  }
+
   test("q275: append-mode sessions emit exactly once on closure; open sessions stay held") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
