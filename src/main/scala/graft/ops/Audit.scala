@@ -987,6 +987,35 @@ object Audit {
     (SparkSession, String), (String, Long, Seq[(Long, String, Long)])]()
   graft.util.CacheRegistry.registerMemo(mvOccMemo)
 
+  private val occStageSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The optimistic commit, the real protocol: STAGE the full state
+    * (the expensive part, done without holding anything), then CAS
+    * the version token, then PUBLISH by atomic directory rename — a
+    * loser pays its staging write but can never clobber the winner's
+    * commit, and the version directory appears atomically or not at
+    * all. Thread-safe by construction (the CAS is the only shared
+    * write); Round10bOpsSpec races two real threads through it.
+    */
+  private[graft] def occCommit(dir: String,
+      head: java.util.concurrent.atomic.AtomicLong,
+      expected: Long, state: DataFrame): Boolean = {
+    val staging = s"$dir/staging_${occStageSeq.incrementAndGet()}"
+    state.write.mode("overwrite").parquet(staging)
+    if (head.compareAndSet(expected, expected + 1)) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(s"$dir/mv_v${expected + 1}"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } else {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(staging))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      false
+    }
+  }
+
   /** The q303 fixture: OPTIMISTIC CONCURRENCY on the versioned view.
     * Version directories are the commits; the commit protocol is a
     * compare-and-swap on the expected HEAD version (the delta-lake /
@@ -1021,10 +1050,7 @@ object Audit {
           .write.mode("overwrite").parquet(s"$dir/mv_v0")
         val head = new java.util.concurrent.atomic.AtomicLong(0)
         def commit(expected: Long, state: DataFrame): Boolean =
-          if (head.get() == expected) {
-            state.write.mode("overwrite").parquet(s"$dir/mv_v${expected + 1}")
-            head.incrementAndGet() == expected + 1
-          } else false
+          occCommit(dir, head, expected, state)
         val ledger = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
         ledger += ((0L, "genesis", 0L))
         require(commit(0L, merged(0L, shard(0))), "v1 commit must succeed")

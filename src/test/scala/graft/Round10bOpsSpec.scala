@@ -148,6 +148,35 @@ class Round10bOpsSpec extends AnyFunSuite {
     assert(commits == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("q303 commit protocol: a genuine two-thread race elects exactly one winner") {
+    import spark.implicits._
+    val dir = graft.util.TmpDirs.scratch("occ-race")
+    Seq(("g", 1L)).toDF("k", "n").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/mv_v0")
+    val head = new java.util.concurrent.atomic.AtomicLong(0)
+    val ready = new java.util.concurrent.CountDownLatch(2)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = Seq("a", "b").map { w =>
+      new Thread(() => {
+        val state = Seq((w, 1L)).toDF("k", "n")
+        ready.countDown(); go.await()
+        if (graft.ops.Audit.occCommit(dir, head, 0L, state))
+          wins.incrementAndGet()
+        ()
+      })
+    }
+    threads.foreach(_.start()); ready.await(); go.countDown()
+    threads.foreach(_.join(120000))
+    // exactly one writer won the CAS; the version advanced once
+    assert(wins.get() == 1 && head.get() == 1L)
+    // the committed directory is complete and readable; the loser's
+    // staging left nothing behind
+    assert(spark.read.parquet(s"$dir/mv_v1").count() == 1L)
+    val stray = new java.io.File(dir).list().filter(_.startsWith("staging_"))
+    assert(stray.isEmpty, s"loser must clean its staging: ${stray.toSeq}")
+  }
+
   test("q311/q312: the retraction deletes groups, and applying the feed to v4 reproduces v5") {
     val v5 = graft.ops.Audit.mvRetraction(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
