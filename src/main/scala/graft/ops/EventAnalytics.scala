@@ -1107,6 +1107,74 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** q315: HOT DIMENSION REFRESH mid-stream — the pump's X1 config
+    * hot-reload discipline applied to a DATA dimension: the
+    * enrichment dim is RE-READ every micro-batch (no broadcast pinned
+    * across the run), so an updated dim takes effect on the very next
+    * batch with no stream restart. Driven deterministically: run 1
+    * drains exactly the first chronological chunk under dim v1
+    * (segment = custkey mod 3), the dim is overwritten to v2 (mod 5),
+    * and run 2 resumes from the same checkpoint to drain the rest —
+    * so chunk membership decides which dim version enriched each
+    * event, and the oracle literalizes that via the same exact
+    * percentile boundary the split used. Batches land in
+    * exactly-once `batch_id=N` overwrite dirs.
+    *
+    * Scale shape: the per-batch dim read is one broadcast-sized scan
+    * (the price of freshness — a production run amortizes it with a
+    * TTL cache); the stream side is never shuffled.
+    */
+  def streamDimRefresh(s: SparkSession, d: String): DataFrame = {
+    val stage = graft.util.TmpDirs.scratch("dimrefresh-stage")
+    val live = graft.util.TmpDirs.scratch("dimrefresh-live")
+    val out = graft.util.TmpDirs.scratch("dimrefresh-out")
+    val ckpt = graft.util.TmpDirs.scratch("dimrefresh-ckpt")
+    val dimDir = graft.util.TmpDirs.scratch("dimrefresh-dim")
+    val schema = chronoSplit(s, d, stage)
+    def dim(mod: Int) = customer(s, d)
+      .select(col("c_custkey").as("user_id"),
+        concat(lit("s"), pmod(col("c_custkey"), lit(mod))).as("segment"))
+    def reveal(k: Int): Unit =
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$stage/c$k"),
+        java.nio.file.Paths.get(s"$live/c$k"))
+    def drain(): Unit = graft.util.StreamTuning.withShuffle(s, 8) {
+      val q = graft.util.Tables.normalizeTs(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$live/c*"))
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val ss = batch.sparkSession
+          // the hot-reload seam: the dim is read fresh EVERY batch
+          val dimNow = ss.read.parquet(dimDir)
+          batch.join(broadcast(dimNow), Seq("user_id"))
+            .select(col("user_id"), col("event_id"), col("segment"))
+            .write.mode("overwrite").parquet(s"$out/batch_id=$id")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    dim(3).coalesce(1).write.mode("overwrite").parquet(dimDir)
+    reveal(0)
+    drain() // run 1: chunk 0 under dim v1
+    val committed = Option(new java.io.File(s"$ckpt/commits").list())
+      .getOrElse(Array.empty[String]).filter(_.forall(_.isDigit))
+      .map(_.toLong).sorted.toSeq
+    require(committed == Seq(0L),
+      s"run 1 must drain exactly the first chunk; committed $committed")
+    dim(5).coalesce(1).write.mode("overwrite").parquet(dimDir)
+    reveal(1); reveal(2)
+    drain() // run 2: the rest, resumed from the checkpoint, under v2
+    s.read.parquet(out)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id")).as("user_id_sum"))
+      .orderBy(col("segment"))
+  }
+
   /** q313: STREAMING AS-OF JOIN through the driver gate — the
     * unbounded form of q44 (purchase → the user's latest at-or-before
     * click), driven over a chronologically-chunked backlog so arrival
@@ -1836,6 +1904,7 @@ object EventAnalytics {
     "q310_stream_left_outer_join" -> streamLeftOuterJoin _,
     "q313_stream_asof_join" -> streamAsofJoin _,
     "q314_stream_full_outer_join" -> streamFullOuterJoin _,
+    "q315_stream_dim_refresh" -> streamDimRefresh _,
     "q296_stream_sessions_restart" -> streamSessionsRestart _,
     "q166_winsorize"       -> winsorize _,
     "q172_ab_lift"         -> abLift _,
@@ -2214,6 +2283,25 @@ object EventAnalytics {
         |SELECT user_id, CAST(sum(m) AS BIGINT) AS n_pairs,
         |  CAST(sum(1 - m) AS BIGINT) AS n_unmatched_closed
         |FROM rows_ GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q315: chunk membership (the same exact percentile boundary the
+    // split used — Spark percentile ≡ DuckDB quantile_cont) decides
+    // which dim version enriched each event: chunk 0 under v1 (mod
+    // 3), the rest under v2 (mod 5), no stream restart
+    "q315_stream_dim_refresh" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |b AS (SELECT quantile_cont(us, CAST(1 AS DOUBLE) / 3) AS b0 FROM e),
+        |j AS (
+        |  SELECT e.user_id,
+        |    CASE WHEN e.us <= b.b0
+        |      THEN 's' || CAST(c.c_custkey % 3 AS VARCHAR)
+        |      ELSE 's' || CAST(c.c_custkey % 5 AS VARCHAR) END AS segment
+        |  FROM e JOIN customer c ON c.c_custkey = e.user_id, b)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(user_id) AS BIGINT) AS user_id_sum
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // q314: PER-SIDE eviction fences, both measured at sf0.1 where the
     // candidates diverge — purchases emit nulls below wm (20011; the
     // q310 fence), clicks below wm − 10 min (19791 vs 19794 at wm and
