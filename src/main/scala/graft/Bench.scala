@@ -117,6 +117,22 @@ object Bench {
     }.getOrElse(throw new IllegalStateException(
       "bench provenance.round unresolved: set SPARK_GRAFT_ROUND or " +
         "write the round number to a repo-root ROUND file"))
+    // staleness cross-check: a ROUND file nobody bumped would silently
+    // stamp a NEW round's artifact with the previous round — the
+    // mislabeled-artifact class the r8 verdict flagged. BENCH_HISTORY
+    // records one artifact per completed round; a derived round BELOW
+    // its maximum is definitely stale (same-round re-runs are normal).
+    val recorded = Option(new java.io.File("BENCH_HISTORY").list())
+      .getOrElse(Array.empty[String])
+      .flatMap { n =>
+        val m = "bench_r(\\d+)\\.json".r.findFirstMatchIn(n)
+        m.map(_.group(1).toInt)
+      }
+    if (recorded.nonEmpty && round.toInt < recorded.max)
+      throw new IllegalStateException(
+        s"bench provenance.round $round is below the latest recorded " +
+          s"round ${recorded.max} (BENCH_HISTORY) — the ROUND file is " +
+          "stale; bump it or set SPARK_GRAFT_ROUND")
     val stamp = java.time.Instant.now().toString
     val provJson =
       s"""{"round":"$round","git_sha":"$gitSha","timestamp":"$stamp"}"""

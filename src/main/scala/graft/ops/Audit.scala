@@ -474,59 +474,70 @@ object Audit {
     (SparkSession, String, String), (String, Long)]()
   graft.util.CacheRegistry.registerMemo(mvChainMemo)
 
+  /** The shared chain driver: shard k = o_orderkey mod 4 ingested in
+    * mod-time order (OrderedFeed — the q287 discipline), one
+    * committed version per micro-batch, each new state =
+    * `mergeFor(current state, arriving batch, current version)`. The
+    * arrival-determinism contract lives HERE once; the plain (q290)
+    * and schema-evolving (q302) chains differ only in their merge.
+    * Returns the HEAD version.
+    */
+  private def buildVersionedChain(s: SparkSession, d: String, dir: String)(
+      mergeFor: (DataFrame, DataFrame, Long) => DataFrame): Long =
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+      val o = orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(Dec).as("price"),
+        col("o_orderkey"))
+      (0 to 3).foreach { k =>
+        graft.util.OrderedFeed.writeChunk(s"$dir/src/c$k", k,
+          o.filter(pmod(col("o_orderkey"), lit(4)) === k).drop("o_orderkey"))
+      }
+      o.drop("o_orderkey").limit(0).groupBy(col("month"), col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+        .write.mode("overwrite").parquet(s"$dir/mv_v0")
+      val ver = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = s.readStream.schema(s.read.parquet(s"$dir/src/c0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/src/c*")
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val v = ver.get()
+          mergeFor(s.read.parquet(s"$dir/mv_v$v"), batch, v)
+            .write.mode("overwrite").parquet(s"$dir/mv_v${v + 1}")
+          ver.incrementAndGet()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      ver.get()
+    }
+
+  private def chainRollup(df: DataFrame): DataFrame =
+    df.groupBy(col("month"), col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+
   /** Build one deterministic versioned-view chain per (session, sf,
-    * label): shard k = o_orderkey mod 4 ingested in mod-time order
-    * (the q287 discipline), one committed version per micro-batch —
-    * so version v provably equals the rollup over `o_orderkey % 4 <
-    * v`. Returns (chain dir, HEAD version). Distinct labels give
-    * q290/q293 (shared read-only chain) and q294 (which VACUUMS its
-    * chain) independent fixtures.
+    * label) — version v provably equals the rollup over `o_orderkey %
+    * 4 < v`. Returns (chain dir, HEAD version). Distinct labels give
+    * q290/q293 (shared read-only chain), q294 (which VACUUMS its
+    * chain), and q311 (which extends its chain) independent fixtures.
     */
   private[graft] def ensureMvChain(s: SparkSession, d: String,
       label: String): (String, Long) =
-    mvChainMemo.computeIfAbsent((s, d, label), _ =>
-      graft.util.StreamTuning.withShuffle(s, 8) {
-        val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
-        val dir = graft.util.TmpDirs.scratch(label)
-        val o = orders(s, d).select(
-          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-          col("o_orderstatus").as("status"),
-          col("o_totalprice").cast(Dec).as("price"),
-          col("o_orderkey"))
-        val base = System.currentTimeMillis() - 3600000L
-        (0 to 3).foreach { k =>
-          o.filter(pmod(col("o_orderkey"), lit(4)) === k).drop("o_orderkey")
-            .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/c$k")
-          new java.io.File(s"$dir/src/c$k").listFiles()
-            .filter(_.getName.endsWith(".parquet"))
-            .foreach(_.setLastModified(base + k * 60000L))
-        }
-        def rollup(df: DataFrame): DataFrame =
-          df.groupBy(col("month"), col("status"))
-            .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
-        rollup(o.drop("o_orderkey").limit(0))
-          .write.mode("overwrite").parquet(s"$dir/mv_v0")
-        val ver = new java.util.concurrent.atomic.AtomicLong(0)
-        val q = s.readStream.schema(s.read.parquet(s"$dir/src/c0").schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$dir/src/c*")
-          .writeStream
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val v = ver.get()
-            val cur = s.read.parquet(s"$dir/mv_v$v")
-            cur.unionByName(rollup(batch))
-              .groupBy(col("month"), col("status"))
-              .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
-              .write.mode("overwrite").parquet(s"$dir/mv_v${v + 1}")
-            ver.incrementAndGet()
-            ()
-          }
-          .start()
-        q.awaitTermination()
-        (dir, ver.get())
-      })
+    mvChainMemo.computeIfAbsent((s, d, label), _ => {
+      val dir = graft.util.TmpDirs.scratchFor(label, d)
+      val head = buildVersionedChain(s, d, dir) { (cur, batch, _) =>
+        cur.unionByName(chainRollup(batch))
+          .groupBy(col("month"), col("status"))
+          .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+      }
+      (dir, head)
+    })
 
   def mvTimeTravel(s: SparkSession, d: String): DataFrame = {
     val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
@@ -591,15 +602,7 @@ object Audit {
   def mvRetention(s: SparkSession, d: String): DataFrame = {
     val (dir, maxV) = ensureMvChain(s, d, "mv-retention")
     val firstKept = maxV - 1L // retain the newest 2 versions
-    (0L until firstKept).foreach { v =>
-      val p = java.nio.file.Paths.get(s"$dir/mv_v$v")
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).sorted(
-            java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
-    }
+    (0L until firstKept).foreach(v => deleteTree(s"$dir/mv_v$v"))
     import s.implicits._
     (0L to maxV).map { v =>
       val available = java.nio.file.Files.exists(
@@ -646,20 +649,10 @@ object Audit {
     */
   def mvChangeFeed(s: SparkSession, d: String): DataFrame = {
     val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
-    (1L to maxV).map { v =>
-      val prev = s.read.parquet(s"$dir/mv_v${v - 1}")
-        .select(col("month"), col("status"), col("n").as("pn"),
-          col("rev").as("prev"))
-      s.read.parquet(s"$dir/mv_v$v")
-        .join(prev, Seq("month", "status"), "full_outer")
+    (1L to maxV).map(v => versionDelta(s, dir, v)
         .select(lit(v).as("version"), col("month"), col("status"),
-          (coalesce(col("n"), lit(0L)) - coalesce(col("pn"), lit(0L)))
-            .as("dn"),
-          round(coalesce(col("rev"), lit(0).cast("decimal(38,6)")) -
-            coalesce(col("prev"), lit(0).cast("decimal(38,6)")), 2)
-            .cast("double").as("drev"))
-        .filter(col("dn") =!= 0)
-    }.reduce(_ unionByName _)
+          col("dn"), round(col("drev"), 2).cast("double").as("drev")))
+      .reduce(_ unionByName _)
       .orderBy(col("version"), col("month"), col("status"))
   }
 
@@ -683,28 +676,34 @@ object Audit {
     * consumer needs the additive form, not q297's display-rounded
     * projection). Returns the feed dir.
     */
+  /** The adjacent-version state diff in its EXACT-decimal additive
+    * form — the single definition of the CDF contract (join keys,
+    * coalesce-to-zero, vanished-group rows via the signed dn, dn != 0
+    * filter). The q297 producer applies a display-rounding projection
+    * on top; the q301/q309 consumer feeds and the q312 retraction
+    * feed accumulate the exact form.
+    */
+  private[graft] def versionDelta(s: SparkSession, dir: String,
+      v: Long): DataFrame = {
+    val Dec38 = "decimal(38,6)"
+    val prev = s.read.parquet(s"$dir/mv_v${v - 1}")
+      .select(col("month"), col("status"), col("n").as("pn"),
+        col("rev").as("prev"))
+    s.read.parquet(s"$dir/mv_v$v")
+      .join(prev, Seq("month", "status"), "full_outer")
+      .select(col("month"), col("status"),
+        (coalesce(col("n"), lit(0L)) - coalesce(col("pn"), lit(0L)))
+          .as("dn"),
+        (coalesce(col("rev"), lit(0).cast(Dec38)) -
+          coalesce(col("prev"), lit(0).cast(Dec38))).as("drev"))
+      .filter(col("dn") =!= 0)
+  }
+
   private def buildCdfFeed(s: SparkSession, dir: String, maxV: Long,
       name: String): String = {
-    val Dec38 = "decimal(38,6)"
     val feed = graft.util.TmpDirs.scratch(name)
-    val base = System.currentTimeMillis() - 3600000L
-    (1L to maxV).foreach { v =>
-      val prev = s.read.parquet(s"$dir/mv_v${v - 1}")
-        .select(col("month"), col("status"), col("n").as("pn"),
-          col("rev").as("prev"))
-      s.read.parquet(s"$dir/mv_v$v")
-        .join(prev, Seq("month", "status"), "full_outer")
-        .select(col("month"), col("status"),
-          (coalesce(col("n"), lit(0L)) - coalesce(col("pn"), lit(0L)))
-            .as("dn"),
-          (coalesce(col("rev"), lit(0).cast(Dec38)) -
-            coalesce(col("prev"), lit(0).cast(Dec38))).as("drev"))
-        .filter(col("dn") =!= 0)
-        .coalesce(1).write.mode("overwrite").parquet(s"$feed/v$v")
-      new java.io.File(s"$feed/v$v").listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(_.setLastModified(base + v * 60000L))
-    }
+    (1L to maxV).foreach(v => graft.util.OrderedFeed.writeChunk(
+      s"$feed/v$v", v.toInt, versionDelta(s, dir, v)))
     feed
   }
 
@@ -867,18 +866,9 @@ object Audit {
     */
   def mvRetractionFeed(s: SparkSession, d: String): DataFrame = {
     val (dir, head) = ensureMvRetractChain(s, d)
-    val prev = s.read.parquet(s"$dir/mv_v${head - 1}")
-      .select(col("month"), col("status"), col("n").as("pn"),
-        col("rev").as("prev"))
-    s.read.parquet(s"$dir/mv_v$head")
-      .join(prev, Seq("month", "status"), "full_outer")
-      .select(col("month"), col("status"),
-        (coalesce(col("n"), lit(0L)) - coalesce(col("pn"), lit(0L)))
-          .as("dn"),
-        round(coalesce(col("rev"), lit(0).cast("decimal(38,6)")) -
-          coalesce(col("prev"), lit(0).cast("decimal(38,6)")), 2)
-          .cast("double").as("drev"))
-      .filter(col("dn") =!= 0)
+    versionDelta(s, dir, head)
+      .select(col("month"), col("status"), col("dn"),
+        round(col("drev"), 2).cast("double").as("drev"))
       .orderBy(col("month"), col("status"))
   }
 
@@ -897,61 +887,27 @@ object Audit {
     */
   private[graft] def ensureMvEvolveChain(s: SparkSession, d: String)
       : (String, Long) =
-    mvEvolveMemo.computeIfAbsent((s, d), _ =>
-      graft.util.StreamTuning.withShuffle(s, 8) {
-        val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
-        val dir = graft.util.TmpDirs.scratch("mv-evolve")
-        val o = orders(s, d).select(
-          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-          col("o_orderstatus").as("status"),
-          col("o_totalprice").cast(Dec).as("price"),
-          col("o_orderkey"))
-        val base = System.currentTimeMillis() - 3600000L
-        (0 to 3).foreach { k =>
-          o.filter(pmod(col("o_orderkey"), lit(4)) === k).drop("o_orderkey")
-            .coalesce(1).write.mode("overwrite").parquet(s"$dir/src/c$k")
-          new java.io.File(s"$dir/src/c$k").listFiles()
-            .filter(_.getName.endsWith(".parquet"))
-            .foreach(_.setLastModified(base + k * 60000L))
-        }
-        o.drop("o_orderkey").limit(0).groupBy(col("month"), col("status"))
-          .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
-          .write.mode("overwrite").parquet(s"$dir/mv_v0")
-        val ver = new java.util.concurrent.atomic.AtomicLong(0)
-        val q = s.readStream.schema(s.read.parquet(s"$dir/src/c0").schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$dir/src/c*")
-          .writeStream.outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val v = ver.get()
-            val evolved = v >= 2 // versions 3+ carry the new column
-            val cur = s.read.parquet(s"$dir/mv_v$v")
-            val delta =
-              if (evolved)
-                batch.groupBy(col("month"), col("status"))
-                  .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"),
-                    max(col("price")).as("mp"))
-              else
-                batch.groupBy(col("month"), col("status"))
-                  .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
-            val u = cur.unionByName(delta, allowMissingColumns = true)
-            val merged =
-              if (evolved)
-                u.groupBy(col("month"), col("status"))
-                  .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"),
-                    max(col("mp")).as("mp"))
-              else
-                u.groupBy(col("month"), col("status"))
-                  .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
-            merged.write.mode("overwrite").parquet(s"$dir/mv_v${v + 1}")
-            ver.incrementAndGet()
-            ()
-          }
-          .start()
-        q.awaitTermination()
-        (dir, ver.get())
-      })
+    mvEvolveMemo.computeIfAbsent((s, d), _ => {
+      val dir = graft.util.TmpDirs.scratchFor("mv-evolve", d)
+      val head = buildVersionedChain(s, d, dir) { (cur, batch, v) =>
+        val evolved = v >= 2 // versions 3+ carry the new column
+        val delta =
+          if (evolved)
+            batch.groupBy(col("month"), col("status"))
+              .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"),
+                max(col("price")).as("mp"))
+          else chainRollup(batch)
+        val u = cur.unionByName(delta, allowMissingColumns = true)
+        if (evolved)
+          u.groupBy(col("month"), col("status"))
+            .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"),
+              max(col("mp")).as("mp"))
+        else
+          u.groupBy(col("month"), col("status"))
+            .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+      }
+      (dir, head)
+    })
 
   /** q302: SCHEMA EVOLUTION across the versioned view — a measure
     * column added mid-history (commit 3 of 4), with the no-backfill
@@ -1001,18 +957,31 @@ object Audit {
       head: java.util.concurrent.atomic.AtomicLong,
       expected: Long, state: DataFrame): Boolean = {
     val staging = s"$dir/staging_${occStageSeq.incrementAndGet()}"
-    state.write.mode("overwrite").parquet(staging)
-    if (head.compareAndSet(expected, expected + 1)) {
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(staging),
-        java.nio.file.Paths.get(s"$dir/mv_v${expected + 1}"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      true
-    } else {
-      java.nio.file.Files.walk(java.nio.file.Paths.get(staging))
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      false
+    var published = false
+    try {
+      state.write.mode("overwrite").parquet(staging)
+      if (head.compareAndSet(expected, expected + 1)) {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(staging),
+          java.nio.file.Paths.get(s"$dir/mv_v${expected + 1}"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        published = true
+      }
+      published
+    } finally if (!published) deleteTree(staging)
+  }
+
+  /** Recursive delete with the walk stream CLOSED (Files.walk holds
+    * directory handles open until then — a leak on every CAS loser
+    * and every vacuumed version otherwise).
+    */
+  private def deleteTree(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally st.close()
     }
   }
 
@@ -1030,7 +999,7 @@ object Audit {
     mvOccMemo.computeIfAbsent((s, d), _ =>
       graft.util.StreamTuning.withShuffle(s, 8) {
         val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
-        val dir = graft.util.TmpDirs.scratch("mv-occ")
+        val dir = graft.util.TmpDirs.scratchFor("mv-occ", d)
         val o = orders(s, d).select(
           date_format(col("o_orderdate"), "yyyy-MM").as("month"),
           col("o_orderstatus").as("status"),

@@ -2161,13 +2161,9 @@ object Clustering {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$loc/gb=0")
       val feed = graft.util.TmpDirs.scratch(
         tableNameFor("ivf_growrestart_feed_", d))
-      val base = System.currentTimeMillis() - 3600000L
       Seq(1, 3, 5, 7).zipWithIndex.foreach { case (r, k) =>
-        e.filter(pmod(col("vec_id"), lit(8)) === r).coalesce(1)
-          .write.mode("overwrite").parquet(s"$feed/c$k")
-        new java.io.File(s"$feed/c$k").listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-          .foreach(_.setLastModified(base + k * 60000L))
+        graft.util.OrderedFeed.writeChunk(s"$feed/c$k", k,
+          e.filter(pmod(col("vec_id"), lit(8)) === r))
       }
       val ckpt = graft.util.TmpDirs.scratch(
         tableNameFor("ivf_growrestart_ckpt_", d))

@@ -562,16 +562,11 @@ object Dedup {
     val bs = docs.agg(expr(
         "percentile(doc_id, array(0.3333333333333333D, 0.6666666666666666D))")
       .as("b")).collect()(0).getSeq[Double](0)
-    val base = System.currentTimeMillis() - 3600000L
     (0 until 3).foreach { k =>
       val lo = if (k == 0) lit(true) else col("doc_id") > lit(bs(k - 1))
       val hi = if (k == 2) lit(true) else col("doc_id") <= lit(bs(k))
-      docs.filter(lo && hi).coalesce(1)
-        .write.mode("overwrite").parquet(s"$split/c$k")
-      // strictly increasing mod-times pin file-source order to chunks
-      new java.io.File(s"$split/c$k").listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(_.setLastModified(base + k * 60000L))
+      graft.util.OrderedFeed.writeChunk(s"$split/c$k", k,
+        docs.filter(lo && hi))
     }
     val src = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$split/c*")

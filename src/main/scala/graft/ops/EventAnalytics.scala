@@ -1367,14 +1367,7 @@ object EventAnalytics {
     (0 until n).foreach { k =>
       val lo = if (k == 0) lit(true) else us > lit(bs(k - 1))
       val hi = if (k == n - 1) lit(true) else us <= lit(bs(k))
-      ev.filter(lo && hi).coalesce(1)
-        .write.mode("overwrite").parquet(s"$split/c$k")
-      // strictly increasing mod-times pin the file-source processing
-      // order to chunk order (FileStreamSource sorts by timestamp)
-      val base = System.currentTimeMillis() - 3600000L
-      new java.io.File(s"$split/c$k").listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(_.setLastModified(base + k * 60000L))
+      graft.util.OrderedFeed.writeChunk(s"$split/c$k", k, ev.filter(lo && hi))
     }
     s.read.parquet(s"$split/c0").schema
   }

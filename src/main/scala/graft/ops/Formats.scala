@@ -92,7 +92,7 @@ object Formats {
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
           col("l_returnflag"))
       val bounds @ (pMin, pMax, sMin, sMax) = zKeyBounds(s, d)
-      val dir = graft.util.TmpDirs.scratch("zorder")
+      val dir = graft.util.TmpDirs.scratchFor("zorder", d)
       zSorted(li, pMin, pMax, sMin, sMax, 16)
         .write.mode("overwrite").parquet(s"$dir/zorder")
       // the linear straw man the spec compares pruning against
@@ -138,7 +138,7 @@ object Formats {
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_returnflag"))
       val bounds @ (pMin, pMax, sMin, sMax) = zKeyBounds(s, d)
-      val dir = graft.util.TmpDirs.scratch("zorder-maint")
+      val dir = graft.util.TmpDirs.scratchFor("zorder-maint", d)
       zSorted(li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
           .drop("l_orderkey"), pMin, pMax, sMin, sMax, 16)
         .write.mode("overwrite").parquet(s"$dir/base")
@@ -206,7 +206,7 @@ object Formats {
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_returnflag"))
       val (pMin, pMax, sMin, sMax) = zKeyBounds(s, d)
-      val dir = graft.util.TmpDirs.scratch("zorder-policy")
+      val dir = graft.util.TmpDirs.scratchFor("zorder-policy", d)
       zSorted(li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
           .drop("l_orderkey"), pMin, pMax, sMin, sMax, 16)
         .write.mode("overwrite").parquet(s"$dir/base")

@@ -86,6 +86,17 @@ object LogPump {
     * level; the per-batch directory is also the natural retention /
     * compaction unit (q247's verb folds small batch dirs later).
     */
+  /** Table dirs already cleared by the layout-migration guard — the
+    * guard only matters on FIRST contact with a table dir, but it
+    * costs two filesystem metadata round-trips; on an object-store
+    * outDir with sub-second triggers that is a real per-trigger tax,
+    * so the verdict is memoized per (outDir, table) for the process
+    * lifetime (a legacy layout cannot appear later: only this sink
+    * writes there).
+    */
+  private val layoutChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def writeRoutedExactlyOnce(rows: DataFrame, tableMap: Map[String, String],
       defaultTable: String, outDir: String, batchId: Long): Unit =
     foreachRoutedTable(rows, tableMap, defaultTable) { (t, df) =>
@@ -93,16 +104,22 @@ object LogPump {
       // top-level EventDate= dirs; mixing them with batch_id= dirs
       // makes Spark partition discovery fail later with "conflicting
       // directory structures" at READ time — fail fast at WRITE time
-      // with an actionable message instead
-      val tableDir = new org.apache.hadoop.fs.Path(s"$outDir/$t")
-      val fs = tableDir.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      if (fs.exists(tableDir) &&
-          fs.listStatus(tableDir).exists(_.getPath.getName.startsWith("EventDate=")))
-        throw new IllegalStateException(
-          s"$outDir/$t holds the legacy single-level EventDate= layout; " +
-          "the exactly-once sink writes batch_id=N/EventDate=... dirs and " +
-          "the two cannot mix. Point the pump at a fresh outDir (or move " +
-          "the legacy data aside) when upgrading.")
+      // with an actionable message instead (checked once per table)
+      if (!layoutChecked.contains(s"$outDir/$t")) {
+        val tableDir = new org.apache.hadoop.fs.Path(s"$outDir/$t")
+        val fs = tableDir.getFileSystem(
+          df.sparkSession.sessionState.newHadoopConf())
+        if (fs.exists(tableDir) &&
+            fs.listStatus(tableDir).exists(_.getPath.getName.startsWith("EventDate=")))
+          throw new IllegalStateException(
+            s"$outDir/$t holds the legacy single-level EventDate= layout; " +
+            "the exactly-once sink writes batch_id=N/EventDate=... dirs and " +
+            "the two cannot mix. Point the pump at a fresh outDir (or move " +
+            "the legacy data aside) when upgrading.")
+        // memoize only a PASSED verdict — a caught-and-retried failure
+        // must re-check, not silently proceed
+        layoutChecked.add(s"$outDir/$t")
+      }
       df.repartition(col("EventDate"))
         .sortWithinPartitions(col("EventTime"))
         .write.mode("overwrite")

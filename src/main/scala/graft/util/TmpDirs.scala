@@ -34,6 +34,15 @@ object TmpDirs {
     */
   def path(name: String): String = root.resolve(name).toString
 
+  /** A scratch dir keyed by the sf dir — REQUIRED for any directory
+    * cached in a (session, sfDir)-keyed memo: an sf-agnostic name
+    * would let a run at a second sf wipe and rebuild the path out
+    * from under the first sf's still-live memo entry, silently
+    * serving wrong-scale data to later queries.
+    */
+  def scratchFor(name: String, sfDir: String): String =
+    scratch(name + "-" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
