@@ -133,6 +133,27 @@ object Bench {
         s"bench provenance.round $round is below the latest recorded " +
           s"round ${recorded.max} (BENCH_HISTORY) — the ROUND file is " +
           "stale; bump it or set SPARK_GRAFT_ROUND")
+    // equal-case secondary signal (r10 advice): a forgotten ROUND bump
+    // at the start of round N+1 yields round == recorded.max and slips
+    // past the check above. A same-round re-run normally reuses the
+    // same tree, so round == recorded.max with a DIFFERENT git SHA is
+    // suspicious — warn loudly (stderr) unless the round was asserted
+    // explicitly via SPARK_GRAFT_ROUND. Not fatal: re-benching at a
+    // moved HEAD for artifact freshness is a legitimate same-round flow.
+    if (recorded.nonEmpty && round.toInt == recorded.max &&
+        sys.env.get("SPARK_GRAFT_ROUND").isEmpty) {
+      val recSha = try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+          s"BENCH_HISTORY/bench_r${recorded.max}.json"))
+        "\"git_sha\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      } catch { case _: Throwable => None }
+      if (recSha.exists(r => r != gitSha && r != "unknown" && gitSha != "unknown"))
+        System.err.println(
+          s"WARNING: provenance.round $round equals the latest recorded " +
+            s"round but git SHA moved (${recSha.get} -> $gitSha) — if this " +
+            "is a NEW round, the ROUND file was not bumped; set " +
+            "SPARK_GRAFT_ROUND to silence this for a same-round re-run")
+    }
     val stamp = java.time.Instant.now().toString
     val provJson =
       s"""{"round":"$round","git_sha":"$gitSha","timestamp":"$stamp"}"""

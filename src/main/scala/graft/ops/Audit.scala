@@ -961,11 +961,23 @@ object Audit {
     try {
       state.write.mode("overwrite").parquet(staging)
       if (head.compareAndSet(expected, expected + 1)) {
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(staging),
-          java.nio.file.Paths.get(s"$dir/mv_v${expected + 1}"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        published = true
+        // The CAS elects the winner, but the commit is only real once
+        // the version directory exists: if the publish move throws,
+        // ROLL THE TOKEN BACK so the chain sees a failed commit, never
+        // a committed-but-missing version (the token must always point
+        // at a directory that exists).
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(staging),
+            java.nio.file.Paths.get(s"$dir/mv_v${expected + 1}"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          published = true
+        } catch {
+          case e: Throwable =>
+            require(head.compareAndSet(expected + 1, expected),
+              "token rollback raced a concurrent commit — chain corrupt")
+            throw e
+        }
       }
       published
     } finally if (!published) deleteTree(staging)

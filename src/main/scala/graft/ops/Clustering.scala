@@ -459,7 +459,7 @@ object Clustering {
     */
   private[graft] val indexBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def tableNameFor(prefix: String, d: String): String =
+  private[graft] def tableNameFor(prefix: String, d: String): String =
     (prefix + d.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
 
   /** Drop any same-session table, clear a stale on-disk location (the

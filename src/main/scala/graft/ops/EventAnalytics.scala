@@ -1054,8 +1054,10 @@ object EventAnalytics {
         .writeStream
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // exactly-once by layout: a replayed batch overwrites its own
+          // dir instead of double-appending (the q287/q304/q315 rule)
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
         }
         .start()
       q.awaitTermination()
@@ -1091,8 +1093,9 @@ object EventAnalytics {
         .writeStream
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // exactly-once by layout (q287/q304/q315 rule)
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
         }
         .start()
       q.awaitTermination()
@@ -1204,8 +1207,9 @@ object EventAnalytics {
       val q = graft.streaming.EventStreams.purchaseAsofClick(src).toDF()
         .writeStream.outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // exactly-once by layout (q287/q304/q315 rule)
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
         }
         .start()
       q.awaitTermination()

@@ -21,8 +21,18 @@ object OrderedFeed {
   def writeChunk(dir: String, k: Int, df: DataFrame,
       base: Long = System.currentTimeMillis() - 3600000L): Unit = {
     df.coalesce(1).write.mode("overwrite").parquet(dir)
-    new java.io.File(dir).listFiles()
+    // the mtime pin IS the ordering contract — fail loudly if the
+    // layout or the filesystem breaks it (setLastModified returns
+    // false instead of throwing; a silent no-op here would surface as
+    // nondeterministic stream arrival order far from the cause)
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".parquet"))
-      .foreach(_.setLastModified(base + k * 60000L))
+    require(files.length == 1,
+      s"writeChunk expects exactly one .parquet file in $dir after " +
+        s"coalesce(1); found ${files.length}")
+    require(files.head.setLastModified(base + k * 60000L),
+      s"setLastModified failed for ${files.head} — mtime pin (arrival " +
+        "order) would be nondeterministic")
   }
 }

@@ -222,9 +222,13 @@ class Round10bOpsSpec extends AnyFunSuite {
       .map(_.stripPrefix("gb=").toLong).sorted.toSeq
     assert(dirs == (0L to 4L))
     // all 3 post-crash batches are committed in the shared checkpoint
-    val commits = new java.io.File(
-      graft.util.TmpDirs.path(
-        "ivf_growrestart_ckpt__root_testdata_sf0_001") + "/commits")
+    // same sanitization rule as the fixture itself — no inline literal
+    // to drift (r10 advice)
+    val ckptDir = new java.io.File(graft.util.TmpDirs.path(
+      graft.ops.Clustering.tableNameFor("ivf_growrestart_ckpt_", sf)) +
+      "/commits")
+    assert(ckptDir.isDirectory, s"expected checkpoint commits at $ckptDir")
+    val commits = ckptDir
       .list().filter(_.forall(_.isDigit)).map(_.toLong).sorted.toSeq
     assert(commits == Seq(0L, 1L, 2L, 3L))
   }
