@@ -17,7 +17,7 @@ object SparkEntry {
       ops.Clustering.queries ++ ops.Formats.queries ++ ops.Skew.queries ++
       ops.SqlSuite.queries ++ ops.Breadth.queries ++ ops.TrainingData.queries ++
       ops.Frequency.queries ++ ops.Graph.queries ++ ops.Audit.queries ++
-      ops.Behavior.queries
+      ops.Behavior.queries ++ ops.GraphAnn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
       ops.Clustering.oracleSql ++ ops.Formats.oracleSql ++ ops.Skew.oracleSql ++
       ops.SqlSuite.oracleSql ++ ops.Breadth.oracleSql ++ ops.TrainingData.oracleSql ++
       ops.Frequency.oracleSql ++ ops.Graph.oracleSql ++ ops.Audit.oracleSql ++
-      ops.Behavior.oracleSql
+      ops.Behavior.oracleSql ++ ops.GraphAnn.oracleSql
 }

@@ -1081,6 +1081,176 @@ object Audit {
       .orderBy(col("version"))
   }
 
+  // ---- q320: MULTI-TABLE atomic commit ------------------------------
+  //
+  // q303's OCC protocol guards ONE directory per version — a view and
+  // its downstream replica each committing separately can tear (reader
+  // sees view v2 next to replica v1). The lakehouse answer composes
+  // the q303 token with the q306 manifest: stage BOTH tables' new
+  // states as independent data units (the expensive part, no
+  // coordination), CAS the shared version token, then publish ONE
+  // MANIFEST directory by atomic rename. The manifest names both
+  // tables' unit paths, and readers resolve BOTH tables through it —
+  // so the pair flips atomically or not at all; a loser's staged units
+  // are unreferenced orphans (deleted in finally), never a half-visible
+  // commit.
+
+  private val mvMultiMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long, Seq[(Long, String, Long)])]()
+  graft.util.CacheRegistry.registerMemo(mvMultiMemo)
+
+  private val multiStageSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The two-table optimistic commit primitive. Thread-safe like
+    * occCommit (the CAS is the only shared write; Round11OpsSpec races
+    * two real threads through it); the token rolls back if the
+    * manifest publish fails (the r10-advice occCommit rule).
+    */
+  private[graft] def occCommitMulti(s: SparkSession, dir: String,
+      head: java.util.concurrent.atomic.AtomicLong,
+      expected: Long, a: DataFrame, b: DataFrame): Boolean = {
+    import s.implicits._
+    val seq = multiStageSeq.incrementAndGet()
+    val (aUnit, bUnit) = (s"data/a_$seq", s"data/b_$seq")
+    val mStage = s"$dir/manifest_stage_$seq"
+    var published = false
+    try {
+      a.write.mode("overwrite").parquet(s"$dir/$aUnit")
+      b.write.mode("overwrite").parquet(s"$dir/$bUnit")
+      Seq((aUnit, bUnit)).toDF("a_unit", "b_unit").coalesce(1)
+        .write.mode("overwrite").parquet(mStage)
+      if (head.compareAndSet(expected, expected + 1)) {
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(mStage),
+            java.nio.file.Paths.get(s"$dir/manifest/v${expected + 1}"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          published = true
+        } catch {
+          case e: Throwable =>
+            require(head.compareAndSet(expected + 1, expected),
+              "token rollback raced a concurrent commit — chain corrupt")
+            throw e
+        }
+      }
+      published
+    } finally if (!published) {
+      deleteTree(mStage)
+      deleteTree(s"$dir/$aUnit")
+      deleteTree(s"$dir/$bUnit")
+    }
+  }
+
+  /** Resolve snapshot v through its manifest: (view state, replica
+    * state) — the ONLY read path, so a torn pair is unobservable by
+    * construction.
+    */
+  private[graft] def readMultiSnapshot(s: SparkSession, dir: String,
+      v: Long): (DataFrame, DataFrame) = {
+    val m = s.read.parquet(s"$dir/manifest/v$v").collect()(0)
+    (s.read.parquet(s"$dir/${m.getString(0)}"),
+      s.read.parquet(s"$dir/${m.getString(1)}"))
+  }
+
+  /** The q320 fixture: the q303 conflict schedule driven through the
+    * TWO-TABLE commit — table A is the (month, status) rollup view,
+    * table B its downstream status-level replica. Every commit (and
+    * the loser's rebase) restates BOTH tables from the same delta; the
+    * gate then proves A and B agree at EVERY version (equal exact
+    * totals — a torn commit would break one side at some version).
+    */
+  private[graft] def ensureMvMultiChain(s: SparkSession, d: String)
+      : (String, Long, Seq[(Long, String, Long)]) =
+    mvMultiMemo.computeIfAbsent((s, d), _ =>
+      graft.util.StreamTuning.withShuffle(s, 8) {
+        val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+        val dir = graft.util.TmpDirs.scratchFor("mv-multi", d)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$dir/manifest"))
+        val o = orders(s, d).select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(Dec).as("price"),
+          col("o_orderkey"))
+        def rollupA(df: DataFrame): DataFrame =
+          df.groupBy(col("month"), col("status"))
+            .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+        def rollupB(df: DataFrame): DataFrame =
+          df.groupBy(col("status"))
+            .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+        def shard(k: Int): DataFrame =
+          o.filter(pmod(col("o_orderkey"), lit(4)) === k).drop("o_orderkey")
+        def merged(curV: Long, delta: DataFrame): (DataFrame, DataFrame) = {
+          val (curA, curB) = readMultiSnapshot(s, dir, curV)
+          (curA.unionByName(rollupA(delta))
+             .groupBy(col("month"), col("status"))
+             .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev")),
+           curB.unionByName(rollupB(delta))
+             .groupBy(col("status"))
+             .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev")))
+        }
+        // genesis: both tables empty, published as manifest v0 directly
+        val empty = o.drop("o_orderkey").limit(0)
+        rollupA(empty).write.mode("overwrite").parquet(s"$dir/data/a_0")
+        rollupB(empty).write.mode("overwrite").parquet(s"$dir/data/b_0")
+        import s.implicits._
+        Seq(("data/a_0", "data/b_0")).toDF("a_unit", "b_unit").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/manifest/v0")
+        val head = new java.util.concurrent.atomic.AtomicLong(0)
+        def commit(expected: Long, ab: (DataFrame, DataFrame)): Boolean =
+          occCommitMulti(s, dir, head, expected, ab._1, ab._2)
+        val ledger = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+        ledger += ((0L, "genesis", 0L))
+        require(commit(0L, merged(0L, shard(0))), "v1 commit must succeed")
+        ledger += ((1L, "init", 1L))
+        // both writers prepare BOTH tables against the same base
+        val prepA = merged(1L, shard(1))
+        val prepB = merged(1L, shard(2))
+        require(commit(1L, prepA), "writer A holds the expected base")
+        ledger += ((2L, "writer_a", 1L))
+        require(!commit(1L, prepB),
+          "writer B's optimistic commit must conflict (base moved)")
+        require(commit(2L, merged(2L, shard(2))),
+          "writer B's rebase commits BOTH tables")
+        ledger += ((3L, "writer_b", 2L))
+        (dir, head.get(), ledger.toSeq)
+      })
+
+  /** q320: the multi-table commit gate — per version, the ledger row
+    * joined to BOTH tables' exact totals resolved through the ONE
+    * published manifest. The hash proves the q303 serialization AND
+    * cross-table consistency at every version: n_rows/revenue from the
+    * view must equal the replica's (identical shard prefix, exact
+    * decimal sums) — a torn or half-published commit breaks one side.
+    *
+    * Scale shape: conflict detection stays O(1) (one token compare);
+    * the commit adds one KB-sized manifest write + rename over q303;
+    * a loser's retry re-merges only its own delta into each table.
+    */
+  def mvMultiCommits(s: SparkSession, d: String): DataFrame = {
+    val (dir, head, ledger) = ensureMvMultiChain(s, d)
+    import s.implicits._
+    val led = ledger.toDF("version", "writer", "attempts")
+    // two 1-row aggregates per version = 8 bounded driver control
+    // rows (the q180 adjudication bound) — a crossJoin of the 1-row
+    // pairs would plan a cartesian for nothing
+    val totals = (0L to head).map { v =>
+      val (a, b) = readMultiSnapshot(s, dir, v)
+      def tot(df: DataFrame) = df
+        .agg(coalesce(sum(col("n")), lit(0L)),
+          coalesce(round(sum(col("rev")), 2).cast("double"), lit(0.0)))
+        .first()
+      val (ar, br) = (tot(a), tot(b))
+      (v, ar.getLong(0), ar.getDouble(1), br.getLong(0), br.getDouble(1))
+    }.toDF("version", "n_rows", "revenue_total", "b_n_rows",
+      "b_revenue_total")
+    led.join(totals, Seq("version"))
+      .select(col("version"), col("writer"), col("attempts"),
+        col("n_rows"), col("revenue_total"),
+        col("b_n_rows"), col("b_revenue_total"))
+      .orderBy(col("version"))
+  }
+
   /** q250: STREAMING erasure propagation — q233's deletion-request
     * cohort enforced on the live event stream: every micro-batch
     * anti-joins the broadcast request set, erased and kept rows are
@@ -1206,6 +1376,7 @@ object Audit {
     "q312_mv_retraction_feed" -> mvRetractionFeed _,
     "q302_mv_schema_evolution" -> mvSchemaEvolution _,
     "q303_mv_concurrent_commits" -> mvConcurrentCommits _,
+    "q320_mv_multi_commit" -> mvMultiCommits _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -1535,6 +1706,29 @@ object Audit {
         |SELECT CAST(l.version AS BIGINT) AS version, l.writer,
         |  CAST(l.attempts AS BIGINT) AS attempts, t.n_rows,
         |  t.revenue_total
+        |FROM led l JOIN tot t ON t.version = l.version
+        |ORDER BY version""".stripMargin,
+    // q320: the q303 schedule through the two-table manifest commit —
+    // the replica's totals are the SAME shard-prefix computation, so
+    // the oracle states them once and selects them twice; equality in
+    // the hash IS the cross-table atomicity witness
+    "q320_mv_multi_commit" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 4 AS shard, o_totalprice FROM orders),
+        |led(version, writer, attempts) AS (VALUES
+        |  (0, 'genesis', 0), (1, 'init', 1),
+        |  (2, 'writer_a', 1), (3, 'writer_b', 2)),
+        |tot AS (
+        |  SELECT l.version,
+        |    CAST(count(o.shard) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(round(sum(CAST(o.o_totalprice
+        |      AS DECIMAL(28,6))), 2), 0) AS DOUBLE) AS revenue_total
+        |  FROM led l LEFT JOIN o ON o.shard < l.version
+        |  GROUP BY l.version)
+        |SELECT CAST(l.version AS BIGINT) AS version, l.writer,
+        |  CAST(l.attempts AS BIGINT) AS attempts, t.n_rows,
+        |  t.revenue_total, t.n_rows AS b_n_rows,
+        |  t.revenue_total AS b_revenue_total
         |FROM led l JOIN tot t ON t.version = l.version
         |ORDER BY version""".stripMargin,
     "q233_erasure_sweep" ->

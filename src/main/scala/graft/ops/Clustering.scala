@@ -1973,10 +1973,22 @@ object Clustering {
     * dir). All three persisted families share this verb — only the
     * encode and probe seams differ.
     */
+  /** indexBuilds delta measured INSIDE each serve-while-grow run
+    * (base build through stream drain) — the order-robust form of the
+    * builds-once pin: the runner records its own delta at run time, so
+    * the spec reads a fact instead of racing other suites for
+    * first-caller status (sbt suite order is arbitrary and shifts with
+    * the suite set).
+    */
+  private[graft] val swgBuildDelta = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), Int]()
+  graft.util.CacheRegistry.registerMemo(swgBuildDelta)
+
   private def serveWhileGrowRun(s: SparkSession, d: String, name: String,
       family: String, baseBuild: () => Unit,
       append: (SparkSession, DataFrame) => Unit,
       probe: (SparkSession, DataFrame) => DataFrame): (String, String) = {
+    val buildsAtStart = indexBuilds.get()
     baseBuild() // the ONLY build (+1)
     // snapshot the base files so the spec can pin that streamed
     // growth never rewrote one (size + mtime, byte-for-byte proxy)
@@ -2017,6 +2029,7 @@ object Clustering {
       grow.awaitTermination()
       serve.awaitTermination()
     }
+    swgBuildDelta.put((s, d, family), indexBuilds.get() - buildsAtStart)
     (name, mid)
   }
 
@@ -2138,45 +2151,73 @@ object Clustering {
   // rows, a lost batch zeroes them).
 
   private val growRestartMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
+    (SparkSession, String, String), String]()
   graft.util.CacheRegistry.registerMemo(growRestartMemo)
 
-  /** Build the base (even half) at `gb=0`, then drive the grow stream
-    * (odd residues mod 8, one file per residue, mod-time ordered so
-    * batch k ingests residue 2k+1) through the injected-crash/replay
-    * run. Returns the index root; the final layout is
-    * `gb=<0..4>/cell=<c>/` — a two-level partitioned parquet table
-    * whose growth batches are the exactly-once unit.
+  /** The generic crash-safe growth runner, one per index family
+    * (prefix "ivf"/"pq"/"bin"): build the base (even half, `encode`d
+    * under the family's frozen model) at `gb=0`, then drive the grow
+    * stream (odd residues mod 8, one file per residue, mod-time
+    * ordered so batch k ingests residue 2k+1) through the
+    * injected-crash/replay run. Returns the index root; the final
+    * layout is `gb=<0..4>/<partCol>=<v>/` — a two-level partitioned
+    * parquet table whose growth batches are the exactly-once unit.
     *
-    * Scale shape: growth stays O(batch) per trigger (assignment under
-    * the broadcast frozen centroids + a partitioned write of only the
-    * batch); recovery is O(one replayed batch) — the base and every
-    * committed batch are never re-read or rewritten.
+    * Scale shape (every family): growth stays O(batch) per trigger
+    * (encode under the broadcast frozen model + a partitioned write of
+    * only the batch); recovery is O(one replayed batch) — the base and
+    * every committed batch are never re-read or rewritten, and a
+    * replayed batch overwrites its own orphaned `gb=` dir.
     */
-  private[graft] def ensureGrowRestart(s: SparkSession, d: String): String =
-    growRestartMemo.computeIfAbsent((s, d), _ => {
-      val loc = graft.util.TmpDirs.scratch(tableNameFor("ivf_growrestart_", d))
+  private def growRestartRun(s: SparkSession, d: String, prefix: String,
+      partCol: String,
+      encode: (SparkSession, DataFrame) => DataFrame): String =
+    growRestartMemo.computeIfAbsent((s, d, prefix), _ => {
+      val loc = graft.util.TmpDirs.scratch(
+        tableNameFor(s"${prefix}_growrestart_", d))
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      ivfAssignmentFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 0))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$loc/gb=0")
+      encode(s, e.filter(pmod(col("vec_id"), lit(2)) === 0))
+        .write.mode("overwrite").partitionBy(partCol).parquet(s"$loc/gb=0")
       val feed = graft.util.TmpDirs.scratch(
-        tableNameFor("ivf_growrestart_feed_", d))
+        tableNameFor(s"${prefix}_growrestart_feed_", d))
       Seq(1, 3, 5, 7).zipWithIndex.foreach { case (r, k) =>
         graft.util.OrderedFeed.writeChunk(s"$feed/c$k", k,
           e.filter(pmod(col("vec_id"), lit(8)) === r))
       }
       val ckpt = graft.util.TmpDirs.scratch(
-        tableNameFor("ivf_growrestart_ckpt_", d))
+        tableNameFor(s"${prefix}_growrestart_ckpt_", d))
       val src = s.readStream.schema(s.read.parquet(s"$feed/c0").schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$feed/c*")
       EventAnalytics.crashRestartDrive(s, src, ckpt, crashAt = 1L,
         width = 8) { (batch, id) =>
-        ivfAssignmentFor(batch.sparkSession, d, batch)
-          .write.mode("overwrite").partitionBy("cell")
+        encode(batch.sparkSession, batch)
+          .write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$loc/gb=${id + 1}")
       }
       loc
     })
+
+  private[graft] def ensureGrowRestart(s: SparkSession, d: String): String =
+    growRestartRun(s, d, "ivf", "cell",
+      (ss, batch) => ivfAssignmentFor(ss, d, batch))
+
+  /** PQ instantiation: encode each growth batch under the frozen
+    * corpus codebook; partition groups pmod(vec_id, 8) (the q298
+    * layout).
+    */
+  private[graft] def ensurePqGrowRestart(s: SparkSession, d: String): String =
+    growRestartRun(s, d, "pq", "pg",
+      (ss, batch) => pqCodesFor(ss, d, asPqQueries(batch))
+        .withColumn("pg", pmod(col("vec_id"), lit(8))))
+
+  /** Binary instantiation: sign-encode each growth batch (16-byte
+    * codes); same pmod(vec_id, 8) partition groups as q299.
+    */
+  private[graft] def ensureBinGrowRestart(s: SparkSession, d: String): String =
+    growRestartRun(s, d, "bin", "pg",
+      (ss, batch) => signCodesOf(ss,
+          batch.select(col("vec_id"), col("embedding")))
+        .withColumn("pg", pmod(col("vec_id"), lit(8))))
 
   /** q304: probe the crash-replayed stream-grown index — the crash
     * must be result-invisible: base ∪ all growth batches = the full
@@ -2208,6 +2249,37 @@ object Clustering {
         countDistinct(col("vec_id")).as("n_distinct"),
         sum(col("vec_id")).as("id_sum"))
       .orderBy(col("grow_batch"))
+  }
+
+  /** q318: ADC probe of the crash-replayed stream-grown PQ index —
+    * the recovery×family matrix cell q304 left open for PQ: the crash
+    * must be result-invisible, so the gate is the SAME oracle as the
+    * from-scratch (q114/q204) and cleanly-stream-grown (q298) code
+    * tables (base ∪ all growth batches = the full corpus under the
+    * one frozen codebook). Layout exactness (no dup/lost batch) is
+    * audited by Round11OpsSpec per growth batch.
+    */
+  def pqGrowRestart(s: SparkSession, d: String): DataFrame = {
+    val loc = ensurePqGrowRestart(s, d)
+    val codes = s.read.parquet(loc).select(col("vec_id"), col("m"), col("code"))
+    val e = embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    pqProbeForQueriesOn(s, d, codes, e.filter(col("vec_id") < 5))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q319: Hamming probe of the crash-replayed stream-grown binary
+    * index — the matrix's last open cell; same oracle as the
+    * from-scratch (q253) and cleanly-stream-grown (q299) code tables.
+    */
+  def binaryGrowRestart(s: SparkSession, d: String): DataFrame = {
+    val loc = ensureBinGrowRestart(s, d)
+    val codes = s.read.parquet(loc).select(col("vec_id"), col("lo"), col("hi"))
+    binaryTopForQueriesOn(s, codes,
+        codes.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+            col("hi").as("qhi")))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   // ---- q306/q307: MANIFEST-VERSIONED snapshot isolation ------------
@@ -2916,6 +2988,210 @@ object Clustering {
       .orderBy(col("pg"))
   }
 
+  // ---- q321: POLICY COMPACTION THROUGH THE MANIFEST -----------------
+  //
+  // q295 enforces the small-files policy IN PLACE (INSERT OVERWRITE of
+  // the flagged partitions) — correct for a single writer, but a
+  // reader scanning DURING the rewrite has no isolation (the exact gap
+  // the r10 verdict named). q321 routes the SAME policy through the
+  // q306 manifest protocol: the fragmented fixture lives as immutable
+  // data units (one unit per (pg, slice) — the planted k+1 gradient),
+  // the policy measures file counts off the MANIFEST-RESOLVED scan,
+  // and compaction writes ONE NEW unit per flagged pg plus a NEW
+  // manifest. No v1 byte is touched, so a reader pinned pre-policy
+  // survives the rewrite by construction — the gate carries v1's
+  // POST-compaction row counts, and the spec pins the v1 unit files
+  // size/mtime-identical across the policy run.
+
+  private val mpolMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(mpolMemo)
+
+  /** v1 data-unit files (path → (size, mtime)) captured when v1 is
+    * published, BEFORE the policy runs — the spec's byte-untouched
+    * evidence.
+    */
+  private[graft] val mpolV1Files = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[String, (Long, Long)]]()
+  graft.util.CacheRegistry.registerMemo(mpolV1Files)
+
+  private def measuredFileCountsOf(df: DataFrame): Map[Long, Long] =
+    df.select(col("pg"), input_file_name().as("f"))
+      .groupBy(col("pg")).agg(countDistinct(col("f")).as("nf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  private[graft] def ensureManifestPolicy(s: SparkSession, d: String): String =
+    mpolMemo.computeIfAbsent((s, d), _ => {
+      val root = graft.util.TmpDirs.scratchFor("bin_mpol", d)
+      val codes = signCodes(s, d).withColumn("pg", pmod(col("vec_id"), lit(8)))
+      // the planted gradient as IMMUTABLE units: pg k split into k+1
+      // single-file slices (slice j = rows with ⌊vec_id/8⌋ ≡ j mod k+1)
+      val units = (0 to 7).flatMap { k =>
+        (0 to k).map { j =>
+          val u = s"u${k}_$j"
+          codes.filter(col("pg") === k &&
+              pmod(shiftright(col("vec_id"), 3), lit(k + 1)) === j)
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/data/$u")
+          u
+        }
+      }
+      writeManifest(s, root, 1, units)
+      mpolV1Files.put((s, root),
+        listDataFiles(java.nio.file.Paths.get(s"$root/data")))
+      val v1 = readManifestSnapshot(s, root, 1)
+      val before = measuredFileCountsOf(v1)
+      val flagged = before.filter(_._2 >= CompactFileThreshold)
+        .keys.toSeq.sorted
+      // non-destructive compaction: ONE new unit per flagged pg,
+      // written from the manifest-resolved v1 read; v2 keeps the
+      // unflagged pgs' old units verbatim
+      flagged.foreach { pg =>
+        v1.filter(col("pg") === pg).coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/data/c$pg")
+      }
+      val v2units = units.filterNot(u =>
+        flagged.exists(pg => u.startsWith(s"u${pg}_"))) ++
+        flagged.map(pg => s"c$pg")
+      writeManifest(s, root, 2, v2units)
+      // decision table: measured before (v1), decision, measured after
+      // (v2), and v1's row counts RE-READ after v2 committed — the
+      // pinned reader's view, in the hash
+      val after = measuredFileCountsOf(readManifestSnapshot(s, root, 2))
+      val v1After = readManifestSnapshot(s, root, 1).groupBy(col("pg"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      import s.implicits._
+      before.keys.toSeq.sorted.map { pg =>
+        (pg, v1After(pg), before(pg), before(pg) >= CompactFileThreshold,
+          after(pg), v1After(pg))
+      }.toDF("pg", "n_rows", "n_files_before", "compact", "n_files_after",
+        "n_rows_v1_after")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${graft.util.TmpDirs.scratch(tableNameFor("mpol_dec_", d))}/dec")
+      root
+    })
+
+  /** q321: the manifest-routed compaction decision table — q295's
+    * policy semantics (measured counts, ≥4 threshold, flagged → 1
+    * file) with snapshot isolation: `n_rows_v1_after` is the pinned
+    * v1 reader's per-pg count taken AFTER v2 committed, equal to the
+    * original by construction because compaction wrote only NEW units
+    * and a NEW manifest.
+    */
+  def manifestPolicyCompaction(s: SparkSession, d: String): DataFrame = {
+    ensureManifestPolicy(s, d)
+    s.read.parquet(
+        s"${graft.util.TmpDirs.path(tableNameFor("mpol_dec_", d))}/dec")
+      .orderBy(col("pg"))
+  }
+
+  // ---- q322: MID-SERVE ERASURE on the serve-while-grow table --------
+  //
+  // q289/q298/q299 close grow+serve; q282's discipline (tombstones
+  // resolved at serve time, zero rebuilds) had only been proven on
+  // BATCH-built tables. Here a tombstone set lands BETWEEN serve
+  // triggers of the streamed q299 table: the serve stream reads the
+  // tombstone dir FRESH every micro-batch (the q315 hot-reload seam)
+  // and probes through the merge-on-read anti-join — so the erasure
+  // takes effect on the very next trigger with no stream restart and
+  // no index rewrite. Deterministic by the q315 two-run discipline:
+  // run 1 drains exactly the pre-tombstone query chunk, the cohort
+  // lands, run 2 resumes from the same checkpoint for the rest.
+
+  private val swgeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(swgeMemo)
+
+  /** indexBuilds delta across the q322 serve runs (0 = the erasure
+    * cost no rebuild) — recorded by the fixture itself, read by the
+    * spec (the swgBuildDelta order-robust pattern).
+    */
+  private[graft] val swgeServeBuilds = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Int]()
+  graft.util.CacheRegistry.registerMemo(swgeServeBuilds)
+
+  private[graft] def ensureSwgErasure(s: SparkSession, d: String): String =
+    swgeMemo.computeIfAbsent((s, d), _ => {
+      val (name, _) = ensureServeWhileGrowBin(s, d) // grown table, memoized
+      val buildsAtStart = indexBuilds.get()
+      val tableFiles = listDataFiles(tableLocation(s, name))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val stage = graft.util.TmpDirs.scratchFor("swge_stage", d)
+      val live = graft.util.TmpDirs.scratchFor("swge_live", d)
+      val out = graft.util.TmpDirs.scratchFor("swge_out", d)
+      val ckpt = graft.util.TmpDirs.scratchFor("swge_ckpt", d)
+      val tombDir = graft.util.TmpDirs.scratchFor("swge_tomb", d)
+      // two query chunks: the %100==7 eval set split by residue mod 200
+      graft.util.OrderedFeed.writeChunk(s"$stage/c0", 0,
+        e.filter(col("vec_id") % 200 === 7))
+      graft.util.OrderedFeed.writeChunk(s"$stage/c1", 1,
+        e.filter(col("vec_id") % 200 === 107))
+      def reveal(k: Int): Unit =
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$stage/c$k"),
+          java.nio.file.Paths.get(s"$live/c$k"))
+      // tombstones v0: empty cohort
+      e.filter(lit(false)).select(col("vec_id").as("k"))
+        .coalesce(1).write.mode("overwrite").parquet(tombDir)
+      def drain(): Unit = graft.util.StreamTuning.withShuffle(s, 8) {
+        val q = s.readStream.schema(s.read.parquet(s"$live/c0").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$live/c*")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val ss = batch.sparkSession
+            // the erasure seam: tombstones re-read EVERY batch, the
+            // probe runs through the merge-on-read anti-join — the
+            // table itself is never rewritten
+            val tombs = ss.read.parquet(tombDir)
+            val merged = ss.table(name).join(broadcast(tombs),
+              col("vec_id") === col("k"), "left_anti")
+            binaryTopForQueriesOn(ss, merged,
+                signCodesOf(ss, batch.select(col("vec_id"), col("embedding")))
+                  .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+                    col("hi").as("qhi")))
+              .write.mode("overwrite").parquet(s"$out/batch_id=$id")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      reveal(0)
+      drain() // run 1: chunk 0 served against the FULL table
+      val committed = Option(new java.io.File(s"$ckpt/commits").list())
+        .getOrElse(Array.empty[String]).filter(_.forall(_.isDigit))
+        .map(_.toLong).sorted.toSeq
+      require(committed == Seq(0L),
+        s"run 1 must drain exactly the first query chunk; got $committed")
+      // the deletion cohort lands between triggers
+      e.filter(col("vec_id") % 97 === 0).select(col("vec_id").as("k"))
+        .coalesce(1).write.mode("overwrite").parquet(tombDir)
+      reveal(1)
+      drain() // run 2: chunk 1 served through the tombstone anti-join
+      // the erasure's physical contract, enforced at fixture build:
+      // zero rebuilds and not one table byte touched
+      swgeServeBuilds.put((s, d), indexBuilds.get() - buildsAtStart)
+      val after = listDataFiles(tableLocation(s, name))
+      require(after == tableFiles,
+        "mid-serve erasure must not rewrite the index table")
+      out
+    })
+
+  /** q322: the two-phase serve ledger — phase 1 (pre-tombstone
+    * trigger) must equal the full-table Hamming search, phase 2 (next
+    * trigger) the swept-corpus search, with ZERO index writes between
+    * them: the delete took effect at serve time, on the very next
+    * micro-batch. Round11OpsSpec pins the physical side (no table
+    * rewrite, no rebuild, checkpoint continuity).
+    */
+  def swgErasureServe(s: SparkSession, d: String): DataFrame = {
+    val out = ensureSwgErasure(s, d)
+    s.read.parquet(out)
+      .select((col("batch_id") + 1).cast("long").as("phase"),
+        col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy(col("phase"), col("query_id"), col("rank"))
+  }
+
   /** q291: serving through the post-policy MoR view — the probe after
     * a PARTIAL fold-in (flagged partitions rewritten, scattered debt
     * still tombstoned) must equal the rebuild-from-survivors target
@@ -2937,11 +3213,15 @@ object Clustering {
     "q289_stream_index_grow" -> streamIndexGrow _,
     "q304_ivf_grow_restart" -> ivfGrowRestart _,
     "q305_ivf_grow_audit" -> ivfGrowAudit _,
+    "q318_pq_grow_restart" -> pqGrowRestart _,
+    "q319_binary_grow_restart" -> binaryGrowRestart _,
     "q306_manifest_snapshots" -> manifestSnapshots _,
     "q307_manifest_probe" -> manifestProbe _,
     "q308_erasure_everywhere" -> erasureEverywhere _,
     "q291_foldin_probe" -> foldinProbe _,
     "q295_compaction_policy" -> compactionPolicy _,
+    "q321_manifest_policy_compaction" -> manifestPolicyCompaction _,
+    "q322_swg_erasure_serve" -> swgErasureServe _,
     "q298_stream_pq_grow" -> streamPqGrow _,
     "q299_stream_binary_grow" -> streamBinaryGrow _,
     "q253_binary_index" -> binaryIndexProbe _,
@@ -3327,6 +3607,40 @@ object Clustering {
       |FROM ranked WHERE rn <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** The q322 two-phase form of binHamSql: one namespaced CTE chain
+    * per phase (kept/query predicates differ), unioned under a phase
+    * literal — phase 1 is the full-table search, phase 2 the
+    * swept-corpus one.
+    */
+  private def binHamPhasedSql(phases: Seq[(Long, String, String)]): String = {
+    val ctes = phases.zipWithIndex.map { case ((_, keptPred, qPred), i) =>
+      s"""kept$i AS (SELECT vec_id, embedding FROM e WHERE $keptPred),
+         |qs$i AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM kept$i
+         |  WHERE $qPred),
+         |ham$i AS (
+         |  SELECT q.query_id, n.vec_id,
+         |    CAST(list_sum([CASE WHEN (q.qe[i] >= 0) <> (n.embedding[i] >= 0)
+         |                        THEN 1 ELSE 0 END
+         |                   for i in range(1, 65)]) AS BIGINT) AS hamming
+         |  FROM qs$i q JOIN kept$i n ON n.vec_id <> q.query_id),
+         |ranked$i AS (
+         |  SELECT query_id, vec_id, hamming,
+         |    row_number() OVER (PARTITION BY query_id
+         |        ORDER BY hamming, vec_id) AS rn
+         |  FROM ham$i)""".stripMargin
+    }
+    val sels = phases.zipWithIndex.map { case ((ph, _, _), i) =>
+      s"""SELECT CAST($ph AS BIGINT) AS phase, query_id,
+         |  CAST(rn AS INT) AS rank, vec_id AS neighbor_id, hamming
+         |FROM ranked$i WHERE rn <= 5""".stripMargin
+    }
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings),\n" +
+      ctes.mkString(",\n") + "\n" +
+      sels.mkString("\nUNION ALL\n") +
+      "\nORDER BY phase, query_id, rank"
+  }
+
   /** q52's full pipeline SQL — shared with q203 for the same reason.
     * `keptPred` restricts the INDEXED corpus (q254's erasure: the
     * deletion cohort never enters the assign set, while centroids and
@@ -3395,6 +3709,10 @@ object Clustering {
     // q304: the crash-replayed grown index must be result-invisible —
     // the same full-corpus oracle as the batch-grown q215/q289 forms
     "q304_ivf_grow_restart" -> ivfAnnSql,
+    // q318/q319: crash-replayed growth must be result-invisible — the
+    // SAME oracles as the from-scratch and cleanly-grown forms
+    "q318_pq_grow_restart" -> pqAnnSql,
+    "q319_binary_grow_restart" -> binHamSql("TRUE", "vec_id < 10"),
     // q306: both snapshots hold identical logical contents; only the
     // unit count drops (5 → 1) across the non-destructive compaction
     "q306_manifest_snapshots" ->
@@ -3458,6 +3776,26 @@ object Clustering {
          |  CAST(CASE WHEN pg + 1 >= $CompactFileThreshold
          |       THEN 1 ELSE pg + 1 END AS BIGINT) AS n_files_after
          |FROM g ORDER BY pg""".stripMargin,
+    // q321: q295's decision literal through the manifest route, plus
+    // the pinned v1 reader's post-compaction count — equal to n_rows
+    // because compaction wrote only NEW units + a NEW manifest
+    "q321_manifest_policy_compaction" ->
+      s"""WITH g AS (
+         |  SELECT vec_id % 8 AS pg, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM embeddings GROUP BY 1)
+         |SELECT CAST(pg AS BIGINT) AS pg, n_rows,
+         |  CAST(pg + 1 AS BIGINT) AS n_files_before,
+         |  pg + 1 >= $CompactFileThreshold AS compact,
+         |  CAST(CASE WHEN pg + 1 >= $CompactFileThreshold
+         |       THEN 1 ELSE pg + 1 END AS BIGINT) AS n_files_after,
+         |  n_rows AS n_rows_v1_after
+         |FROM g ORDER BY pg""".stripMargin,
+    // q322: phase 1 (pre-tombstone trigger) = full-table search;
+    // phase 2 (the very next trigger) = swept-corpus search — the
+    // delete takes effect at serve time with zero index writes
+    "q322_swg_erasure_serve" -> binHamPhasedSql(Seq(
+      (1L, "TRUE", "vec_id % 200 = 7"),
+      (2L, "vec_id % 97 <> 0", "vec_id % 200 = 107"))),
     // q291: the post-policy MoR view serves exactly the
     // rebuild-from-survivors target for the FULL cohort — partial
     // fold-in moves enforcement between files and anti-join, never

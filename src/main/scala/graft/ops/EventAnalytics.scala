@@ -1020,6 +1020,18 @@ object EventAnalytics {
     */
   /** The q310/q314 topology on an arbitrary event stream — the seam
     * the at-the-fence boundary specs drive with a MemoryStream.
+    *
+    * Fence provenance (for when a Spark upgrade moves the oracle, not
+    * the engine): the measured per-side eviction fences come from
+    * `StreamingSymmetricHashJoinExec`'s state-removal predicates,
+    * computed by `StreamingSymmetricHashJoinHelper
+    * .getStateWatermarkPredicates` from THIS interval condition —
+    * purchase state evicts at p_ts < wm, click state at
+    * c_ts < wm − 10 min (the side a future row can reach back into
+    * through the interval holds state longer), with outer-null
+    * emission tied to eviction. If q310/q314 hashes break on a
+    * version bump with unchanged fixtures, diff those predicates
+    * first.
     */
   private[graft] def outerAttribution(src: DataFrame,
       joinType: String): DataFrame = {
@@ -1197,9 +1209,8 @@ object EventAnalytics {
     * batch as-of's sort key.
     */
   def streamAsofJoin(s: SparkSession, d: String): DataFrame = {
-    val split = graft.util.TmpDirs.scratch("asof-split")
     val out = graft.util.TmpDirs.scratch("stream-asof")
-    val schema = chronoSplit(s, d, split)
+    val (split, schema) = ensureChronoChunks(s, d)
     graft.util.StreamTuning.withShuffle(s, 8) {
       val src = graft.util.Tables.normalizeTs(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
@@ -1254,6 +1265,17 @@ object EventAnalytics {
     * a windowed aggregation — over any (user_id, event_id, event_type,
     * ts) stream; the seam EventStreamsSpec drives with a MemoryStream
     * to pin the physical plan and the append-mode fence.
+    *
+    * Fence provenance: the measured fence (min side wm − 10 min) is
+    * the watermark the JOIN propagates to the downstream agg —
+    * Spark 4's per-operator watermark propagation
+    * (`WatermarkPropagator`/`PropagateWatermarkSimulator` in
+    * IncrementalExecution) reduces the join's output watermark by the
+    * interval condition's state-watermark delta
+    * (`StreamingSymmetricHashJoinHelper.getStateWatermarkPredicates`),
+    * and the window emits when window_end ≤ that propagated value. If
+    * the q274/q287 hashes break on a Spark version bump with
+    * unchanged fixtures, diff that propagation first.
     */
   private[graft] def chainedJoinWindowAgg(src: DataFrame): DataFrame = {
     val clicks = src.filter(col("event_type") === "click")
@@ -1358,6 +1380,24 @@ object EventAnalytics {
     * still proves mid-backlog recovery: one committed batch, one
     * crashed-and-replayed, one never-seen-by-run-1.
     */
+  private val chronoMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (String, org.apache.spark.sql.types.StructType)]()
+  graft.util.CacheRegistry.registerMemo(chronoMemo)
+
+  /** The chronological event chunks, built ONCE per (session, sf, n)
+    * and shared READ-ONLY by every consumer that only streams from the
+    * dir (q287/q296/q313 — three percentile aggs + nine chunk writes
+    * per pass collapse into one). q315 must NOT use this: its
+    * stage→reveal flow MOVES the chunk dirs, so it builds its own
+    * consumable copy via chronoSplit.
+    */
+  private[graft] def ensureChronoChunks(s: SparkSession, d: String,
+      n: Int = 3): (String, org.apache.spark.sql.types.StructType) =
+    chronoMemo.computeIfAbsent((s, d, n), _ => {
+      val split = graft.util.TmpDirs.scratchFor(s"chrono-split-$n", d)
+      (split, chronoSplit(s, d, split, n))
+    })
+
   private def chronoSplit(s: SparkSession, d: String, split: String,
       n: Int = 3): org.apache.spark.sql.types.StructType = {
     val ev = graft.util.Tables.normalizeTs(
@@ -1432,10 +1472,9 @@ object EventAnalytics {
 
   def streamRestartRecovery(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
-    val split = graft.util.TmpDirs.scratch("restart-split")
     val out = graft.util.TmpDirs.scratch("restart-out")
     val ckpt = graft.util.TmpDirs.scratch("restart-ckpt")
-    val schema = chronoSplit(s, d, split)
+    val (split, schema) = ensureChronoChunks(s, d)
     val src = graft.util.Tables.normalizeTs(
       s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(s"$split/c*"))
@@ -1469,10 +1508,9 @@ object EventAnalytics {
     * must close identically to an uninterrupted run.
     */
   def streamSessionsRestart(s: SparkSession, d: String): DataFrame = {
-    val split = graft.util.TmpDirs.scratch("sess-restart-split")
     val out = graft.util.TmpDirs.scratch("sess-restart-out")
     val ckpt = graft.util.TmpDirs.scratch("sess-restart-ckpt")
-    val schema = chronoSplit(s, d, split)
+    val (split, schema) = ensureChronoChunks(s, d)
     val agg = graft.util.Tables.normalizeTs(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
           .parquet(s"$split/c*"))

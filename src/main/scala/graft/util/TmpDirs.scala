@@ -43,6 +43,13 @@ object TmpDirs {
   def scratchFor(name: String, sfDir: String): String =
     scratch(name + "-" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
 
+  /** The stable path `scratchFor(name, sfDir)` resolves to, WITHOUT
+    * wiping it — the sf-keyed twin of `path` (specs use it instead of
+    * re-deriving the sanitization rule inline).
+    */
+  def pathFor(name: String, sfDir: String): String =
+    path(name + "-" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())

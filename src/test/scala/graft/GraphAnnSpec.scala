@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.GraphAnn
+
+/** The graph-ANN (HNSW-family) invariants behind the q316/q317 recall
+  * gates: build-once lifecycle, graph-structure contracts (degree cap,
+  * layer nesting, entry level), and the recall/monotonicity margins
+  * the declared floors rest on.
+  */
+class GraphAnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q316/q317 share ONE persisted graph — probes never rebuild") {
+    // first touch may or may not build here (suite order is arbitrary;
+    // PlanAuditSpec also executes the registry) — so pin the DELTA
+    // around repeated probes, not the absolute counter
+    GraphAnn.hnswProbe(spark, sf).collect()
+    val builds = GraphAnn.hnswBuilds.get()
+    val p1 = GraphAnn.hnswProbe(spark, sf).collect().toSeq
+    val p2 = GraphAnn.hnswEfSweep(spark, sf).collect().toSeq
+    assert(GraphAnn.hnswBuilds.get() == builds,
+      "repeated probes must reuse the persisted graph")
+    assert(p1.nonEmpty && p2.size == 3)
+  }
+
+  test("graph structure: degree ≤ 2M, no self-loops, nested layers, max-level entry") {
+    val (loc, maxLevel, entry) = GraphAnn.ensureHnsw(spark, sf)
+    val edges = spark.read.parquet(loc)
+    // no self-loops anywhere
+    assert(edges.filter(col("src") === col("dst")).count() == 0)
+    // degree cap: symmetrized then distance-pruned to 2M = 24 per
+    // node (the HNSW neighbor-list cap — in-degree would otherwise be
+    // unbounded at hub nodes; measured 27 before the re-prune)
+    val maxDeg = edges.groupBy(col("layer"), col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg"))).collect()(0).getLong(0)
+    assert(maxDeg <= 24, s"degree $maxDeg exceeds the 2M cap")
+    // layer L endpoints all carry hash-level ≥ L (nested node sets),
+    // recomputed here independently from xxhash64
+    val lvl = graft.util.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("src"),
+        (0 until maxLevel).foldRight(lit(maxLevel)) { (k, els) =>
+          when(pmod(shiftright(xxhash64(col("vec_id")), k), lit(2)) === 1,
+            lit(k)).otherwise(els)
+        }.cast("long").as("lvl"))
+    val misplaced = edges.join(lvl, Seq("src"))
+      .filter(col("lvl") < col("layer")).count()
+    assert(misplaced == 0, s"$misplaced edges from nodes below their layer")
+    // the entry node sits at the top level
+    val entryLvl = lvl.filter(col("src") === entry)
+      .collect()(0).getLong(1)
+    assert(entryLvl == maxLevel,
+      s"entry $entry at level $entryLvl, expected $maxLevel")
+    assert(maxLevel >= 2)
+  }
+
+  test("recall margins and beam monotonicity (the q317 contract)") {
+    val r = GraphAnn.recalls(spark, sf)
+    // measured 0.20 / 0.80 / 1.00 at sf0.001 (M=12, hops=5); the spec
+    // pins ≥1.3× headroom over the declared floors so a Spark-version
+    // perturbation surfaces here before it reaches the oracle gate
+    assert(r(2) >= 0.15, s"ef=2 recall ${r(2)}")
+    assert(r(8) >= 0.60, s"ef=8 recall ${r(8)}")
+    assert(r(32) >= 0.90, s"ef=32 recall ${r(32)}")
+    assert(r(2) < r(8) && r(8) <= r(32), s"sweep not monotone: $r")
+    // the memo serves repeat reads (no second descent)
+    assert(GraphAnn.recalls(spark, sf) eq r)
+  }
+
+  test("beam search finds the entry's own neighborhood exactly (sanity anchor)") {
+    // a query that IS a corpus vector must rank itself first in the
+    // final beam (cos = 1 at the self node, reachable by construction
+    // since the beam starts scored and self is in every pool)
+    val e = graft.util.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val beam = GraphAnn.beamSweep(spark, sf, qs, Seq(8))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ef"), col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top1 = beam.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    val selfMisses = top1.filter(col("vec_id") =!= col("query_id")).count()
+    assert(selfMisses == 0,
+      s"$selfMisses queries whose beam never reached their own vector")
+  }
+}

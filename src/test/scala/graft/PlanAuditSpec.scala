@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q291_foldin_probe", // q256's broadcast 10-query =!= join through the post-policy MoR view
     "q299_stream_binary_grow", // q256's broadcast =!= join over the stream-grown code table
     "q304_ivf_grow_restart", // q203's broadcast centroid table over the crash-replayed grown index
+    "q319_binary_grow_restart", // q253's broadcast 10-query =!= join over the crash-replayed grown code table
     "q307_manifest_probe", // q203's broadcast centroid table over the manifest-resolved HEAD snapshot
     "q293_mv_asof_timestamp") // broadcast ≤4-row shard-max/stamp catalogs in non-equi (<, <=) resolution joins
   private val allowedSinglePartition =

@@ -21,7 +21,7 @@ class RegistrySpec extends AnyFunSuite {
       ops.Clustering.queries, ops.Formats.queries, ops.Skew.queries,
       ops.SqlSuite.queries, ops.Breadth.queries, ops.TrainingData.queries,
       ops.Frequency.queries, ops.Graph.queries, ops.Audit.queries,
-      ops.Behavior.queries)
+      ops.Behavior.queries, ops.GraphAnn.queries)
     val keys = all.flatMap(_.keys)
     val dupes = keys.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
@@ -29,10 +29,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the documented surface") {
-    assert(SparkEntry.queries.size == 315)
+    assert(SparkEntry.queries.size == 322)
     // every query — including the approximate ones, which emit
     // deterministic bound-check gate rows — has a DuckDB oracle
-    assert(SparkEntry.oracleSql.size == 315)
+    assert(SparkEntry.oracleSql.size == 322)
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 }
