@@ -71,6 +71,35 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(GraphAnn.recalls(spark, sf) eq r)
   }
 
+  test("q323 growth: base files untouched, layer 0 covers the full corpus, probes replay-stable") {
+    val (loc, _, _) = GraphAnn.ensureHnswGrown(spark, sf)
+    // growth appended files; every base file survived byte-identical
+    val base = GraphAnn.grownBaseFiles.get((spark, sf))
+    assert(base != null && base.nonEmpty)
+    val now = graft.ops.Clustering.listDataFiles(
+      java.nio.file.Paths.get(loc))
+    base.foreach { case (p, meta) =>
+      assert(now.get(p).contains(meta), s"base graph file touched: $p")
+    }
+    assert(now.size > base.size, "growth must have appended edge files")
+    // after both insert batches, layer 0 reaches every corpus vector
+    val covered = spark.read.parquet(loc)
+      .filter(col("layer") === 0).select(col("src")).distinct().count()
+    assert(covered == graft.util.Tables.embeddings(spark, sf).count())
+    // deterministic: repeated probes identical
+    val p1 = GraphAnn.hnswGrowProbe(spark, sf).collect().toSeq
+    val p2 = GraphAnn.hnswGrowProbe(spark, sf).collect().toSeq
+    assert(p1.nonEmpty && p1 == p2)
+    assert(p1.forall(_.getBoolean(1)), "grown-graph recall floor not met")
+  }
+
+  test("q324 erasure: no cohort member served, recall floor vs survivor baseline holds") {
+    val rows = GraphAnn.hnswErasureProbe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(1)), "a tombstoned vector was served")
+    assert(rows.forall(_.getBoolean(2)), "survivor recall floor not met")
+  }
+
   test("beam search finds the entry's own neighborhood exactly (sanity anchor)") {
     // a query that IS a corpus vector must rank itself first in the
     // final beam (cos = 1 at the self node, reachable by construction
