@@ -21,13 +21,15 @@ import graft.util.Tables._
   *    deterministic coin). `maxLevel ≈ log2(n) − 3`, so the TOP layer
   *    holds O(2³) ≈ a constant few dozen nodes at every corpus size —
   *    the property that makes the entry search O(1).
-  *  - **Edges** form a per-layer k-NN graph built SHARD-LOCALLY: each
-  *    node's candidate pool is the nodes sharing one of its top-2 IVF
-  *    cells (the q52 centroid table — frozen, broadcast), scored
-  *    exactly within the pool, top-M kept, then symmetrized (union of
-  *    both directions, degree ≤ 2M). Pair generation is an equi-join
-  *    on (layer, cell) — Σ|cell|² work per layer, the same
-  *    cell-confined bound SemDeDup (q141) rides; never all-pairs.
+  *  - **Edges** are built by BATCHED SELF-INSERTION (the algorithm's
+  *    native construction — see ensureHnsw): an exact seed graph on
+  *    the constant-sized top layer, the corpus attached in
+  *    deterministic batches via the shared beam descent, one closing
+  *    distance-prune to the 2M neighbor cap. (An alternative
+  *    shard-local pool construction — top-2 IVF cells, Σ|cell|² pair
+  *    work — lives in buildGraphInto and builds q323's base; the
+  *    insertion build was adopted for q316 after measuring +0.31
+  *    ef8-recall at sf0.1 over it.) Never all-pairs either way.
   *  - **Search** is the beam-descent loop as an iterative DataFrame
   *    computation (the q130/q133 frontier discipline, one
   *    localCheckpoint per hop): enter at the top layer's pinned entry
@@ -85,10 +87,11 @@ object GraphAnn {
 
   /** Declared recall@5 floors (vs the exact q30-shape top-5) for the
     * probe (q316, ef = 8) and the sweep points (q317). Measured at
-    * M=12/hops=5 across sf0.001-0.1: ef2 0.16-0.20, ef8 0.52-0.96,
-    * ef32 0.79-1.00 — every floor sits ≥1.5× under its worst
-    * measurement (the q31 honest-contract discipline; embeddings are
-    * near-random, so ANY sublinear candidate scheme trades recall).
+    * M=12/hops=5 on the self-insertion build across sf0.001-0.1:
+    * ef2 0.17-0.20, ef8 0.83-0.96, ef32 0.94-1.00 — every floor sits
+    * ≥1.7× under its worst measurement (the q31 honest-contract
+    * discipline; embeddings are near-random, so ANY sublinear
+    * candidate scheme trades recall).
     */
   private val ProbeFloor = 0.30
   private val SweepFloors = Seq(2 -> 0.10, 8 -> 0.30, 32 -> 0.50)
@@ -117,19 +120,83 @@ object GraphAnn {
     * `layer=L/` partitioned parquet of (src, dst) — a probe at layer L
     * prunes to exactly one partition directory.
     */
+  /** Insert batches used by the self-insertion base build. */
+  private val BuildBatches = 4
+
+  /** The q316 build, by BATCHED SELF-INSERTION — the algorithm's
+    * native construction, adopted after measuring it against the
+    * shard-pool build (q323's insert path scored 0.80 ef8-recall at
+    * sf0.1 where the pool build scored 0.52: beam-selected neighbors
+    * navigate better than cell-confined ones):
+    *
+    *  1. SEED: the top-layer node set (expected n/2^maxLevel ≈ a
+    *     bounded constant) gets an exact k-NN graph on every layer.
+    *  2. INSERT: the rest of the corpus attaches in `BuildBatches`
+    *     deterministic batches (vec_id mod 4, ascending) — each batch
+    *     beam-searches the graph built so far (one descent per batch)
+    *     and appends top-M edges per occupied layer, both directions.
+    *  3. PRUNE: one final pass re-caps every neighbor list at 2M by
+    *     distance (insert-time reverse edges make hub in-degree
+    *     unbounded otherwise) — the HNSW neighbor-list cap, applied
+    *     once at build close instead of per insert.
+    *
+    * Scale shape: each insert batch costs |batch|·ef·2M scored rows
+    * through the shared descent loop (linear in the batch, never a
+    * corpus rescan); the prune is one shuffle over ~n·2M edge rows.
+    */
   private[graft] def ensureHnsw(s: SparkSession, d: String): (String, Int, Long) =
     hnswMemo.computeIfAbsent((s, d), _ => {
+      val raw = graft.util.TmpDirs.scratchFor("hnsw_raw", d)
       val loc = graft.util.TmpDirs.scratchFor("hnsw_edges", d)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val n = e.count() // one bounded driver scalar (corpus cardinality)
       val maxLevel = maxLevelFor(n)
-      buildGraphInto(s, d, loc, e, maxLevel)
-      // entry point: the max-level node, ties to the smaller id — one
-      // 1-row driver read
-      val entryRow = e
-        .withColumn("lvl", levelOf(xxhash64(col("vec_id")), maxLevel))
-        .orderBy(col("lvl").desc, col("vec_id"))
+      val nodes = e.withColumn("lvl", levelOf(xxhash64(col("vec_id")), maxLevel))
+      val seed = nodes.filter(col("lvl") === maxLevel)
+      // seed graph: exact k-NN among the top-layer nodes, every layer
+      // (bounded: ~(n/2^maxLevel)² pairs per layer)
+      val sa = seed.select(col("vec_id").as("src"), col("embedding").as("se"))
+      val sb = seed.select(col("vec_id").as("dst"), col("embedding").as("de"))
+      val wSrc = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      val seedPairs = sa.crossJoin(broadcast(sb))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          cosine(col("se"), col("de")).as("cos"))
+        .withColumn("rn", row_number().over(wSrc))
+        .filter(col("rn") <= M)
+        .select(col("src"), col("dst"))
+      val seedEdges = seedPairs.unionByName(
+          seedPairs.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      (0 to maxLevel).map(layer =>
+          seedEdges.select(lit(layer).as("layer"), col("src"), col("dst")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("layer").parquet(raw)
+      // entry: the smallest-id seed node (present from step 1, so the
+      // descent root exists for every insert batch)
+      val entryRow = seed.orderBy(col("vec_id"))
         .select(col("vec_id")).limit(1).collect()(0).getLong(0)
+      (0 until BuildBatches).foreach { r =>
+        insertBatch(s, d, raw, maxLevel, entryRow,
+          nodes.filter(col("lvl") < maxLevel &&
+              pmod(col("vec_id"), lit(BuildBatches)) === r)
+            .select(col("vec_id"), col("embedding")))
+      }
+      // final prune: re-cap every (layer, src) list at 2M by distance
+      val edges = s.read.parquet(raw)
+        .join(e.select(col("vec_id").as("src"), col("embedding").as("se")),
+          Seq("src"))
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("de")),
+          Seq("dst"))
+        .select(col("layer"), col("src"), col("dst"),
+          cosine(col("se"), col("de")).as("cos"))
+      val wCap = Window.partitionBy(col("layer"), col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      edges.withColumn("rn", row_number().over(wCap))
+        .filter(col("rn") <= 2 * M)
+        .select(col("layer"), col("src"), col("dst"))
+        .write.mode("overwrite").partitionBy("layer").parquet(loc)
       hnswBuilds.incrementAndGet()
       (loc, maxLevel, entryRow)
     })
@@ -229,8 +296,7 @@ object GraphAnn {
     */
   private[graft] def beamSweepOn(s: SparkSession, d: String, loc: String,
       maxLevel: Int, entry: Long, qs: DataFrame,
-      efs: Seq[Int]): DataFrame = {
-    val hops = BaseHops
+      efs: Seq[Int], hops: Int = BaseHops): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val qCached = graft.util.CacheRegistry.register(qs.cache())
     def scored(cand: DataFrame): DataFrame =
@@ -428,6 +494,9 @@ object GraphAnn {
       maxLevel: Int, entry: Long, batch: DataFrame): Unit = {
     val qs = batch.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"))
+    // construction descents run the full serve-time hop count:
+    // trimming them to 3 was measured to cost 0.10 ef8-recall at
+    // sf0.1 for no wall-clock win (the build is one-time + memoized)
     val beam = beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(EfInsert))
       .filter(col("vec_id") =!= col("query_id"))
     val lvlOf = (c: Column) => levelOf(xxhash64(c), maxLevel)
@@ -455,10 +524,11 @@ object GraphAnn {
     * gate), with zero rebuilds and base files untouched (spec-pinned).
     * Measured recall@5 at ef=8 on the grown graph: 0.96/0.88/0.80 at
     * sf0.001/0.01/0.1 vs the 0.30 floor — HIGHER than the pool-built
-    * full graph at sf0.1 (0.52): beam-search insertion is the real
-    * HNSW construction, and its edges navigate better than the
-    * cell-confined build's. (Noted for a future round: building the
-    * whole base by batched self-insertion would close that gap.)
+    * base it grew from would score alone at sf0.1 (0.52): beam-search
+    * insertion is the real HNSW construction, and that measurement is
+    * why q316's full build now uses batched self-insertion too (this
+    * fixture keeps the pool-built base deliberately, to pin that
+    * growth lifts a weaker base rather than riding a strong one).
     */
   def hnswGrowProbe(s: SparkSession, d: String): DataFrame = {
     val (loc, maxLevel, entry) = ensureHnswGrown(s, d)

@@ -60,11 +60,12 @@ class GraphAnnSpec extends AnyFunSuite {
 
   test("recall margins and beam monotonicity (the q317 contract)") {
     val r = GraphAnn.recalls(spark, sf)
-    // measured 0.20 / 0.80 / 1.00 at sf0.001 (M=12, hops=5); the spec
-    // pins ≥1.3× headroom over the declared floors so a Spark-version
-    // perturbation surfaces here before it reaches the oracle gate
+    // measured 0.20 / 0.96 / 1.00 at sf0.001 (self-insertion build,
+    // M=12, hops=5); the spec pins real headroom over the declared
+    // floors so a Spark-version perturbation surfaces here before it
+    // reaches the oracle gate
     assert(r(2) >= 0.15, s"ef=2 recall ${r(2)}")
-    assert(r(8) >= 0.60, s"ef=8 recall ${r(8)}")
+    assert(r(8) >= 0.80, s"ef=8 recall ${r(8)}")
     assert(r(32) >= 0.90, s"ef=32 recall ${r(32)}")
     assert(r(2) < r(8) && r(8) <= r(32), s"sweep not monotone: $r")
     // the memo serves repeat reads (no second descent)
