@@ -594,11 +594,67 @@ object GraphAnn {
       .orderBy(col("query_id"))
   }
 
+  // ---- q325: STREAMED serving of the graph index --------------------
+  //
+  // The q212/q257/q258 discipline for the fourth family: probe
+  // queries arrive as a stream, each micro-batch runs the beam
+  // descent against the persisted graph (ensured ONCE outside the
+  // stream — the handle tuple is the cross-session seam, the same
+  // reason ivfProbeOn takes a table name), results land in
+  // batch-keyed exactly-once dirs. The descent is deterministic, so
+  // streamed serving must return EXACTLY the batch answer.
+
+  /** q325: gate rows per eval query — the streamed answer must equal
+    * the batch descent row-for-row (deterministic boolean, computed
+    * by two-way set difference) and hold the recall floor; oracle
+    * pins the row set + TRUE.
+    */
+  def hnswStreamServe(s: SparkSession, d: String): DataFrame = {
+    val (loc, maxLevel, entry) = ensureHnsw(s, d) // outside the stream
+    val out = graft.util.TmpDirs.scratch("hnsw-stream-serve")
+    graft.util.StreamTuning.withShuffle(s, 8) {
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
+        .filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val q = src.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (!batch.isEmpty) {
+            val ss = batch.sparkSession
+            beamTop5(beamSweepOn(ss, d, loc, maxLevel, entry, batch, Seq(8)))
+              .write.mode("overwrite").parquet(s"$out/batch_id=$id")
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val served = s.read.parquet(out)
+      .select(col("query_id"), col("vec_id"))
+    val qs = evalQueries(s, d)
+    val batchAns = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(8)))
+      .select(col("query_id"), col("vec_id"))
+    val diff = served.exceptAll(batchAns).count() +
+      batchAns.exceptAll(served).count()
+    val st = exactTop5(s, d, qs)
+      .join(served.withColumn("m", lit(1)), Seq("query_id", "vec_id"), "left")
+      .agg(sum(coalesce(col("m"), lit(0))).as("hits"), count(lit(1)).as("n"))
+      .first()
+    val met = st.getLong(0).toDouble / st.getLong(1) >= ProbeFloor
+    embeddings(s, d).select(col("vec_id").as("query_id"))
+      .filter(col("query_id") % 100 === 7)
+      .select(col("query_id"), lit(diff == 0L).as("equals_batch_probe"),
+        lit(met).as("recall_floor_met"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q316_hnsw_probe"       -> hnswProbe _,
     "q317_hnsw_ef_sweep"    -> hnswEfSweep _,
     "q323_hnsw_grow"        -> hnswGrowProbe _,
     "q324_hnsw_erasure"     -> hnswErasureProbe _,
+    "q325_hnsw_stream_serve" -> hnswStreamServe _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -618,6 +674,11 @@ object GraphAnn {
         |ORDER BY query_id""".stripMargin,
     "q324_hnsw_erasure" ->
       """SELECT vec_id AS query_id, TRUE AS no_tombstone_served,
+        |  TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 7
+        |ORDER BY query_id""".stripMargin,
+    "q325_hnsw_stream_serve" ->
+      """SELECT vec_id AS query_id, TRUE AS equals_batch_probe,
         |  TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id % 100 = 7
         |ORDER BY query_id""".stripMargin,

@@ -101,6 +101,17 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(2)), "survivor recall floor not met")
   }
 
+  test("q325 streamed serving equals the batch descent and never rebuilds per batch") {
+    GraphAnn.ensureHnsw(spark, sf)
+    val builds = GraphAnn.hnswBuilds.get()
+    val rows = GraphAnn.hnswStreamServe(spark, sf).collect()
+    assert(GraphAnn.hnswBuilds.get() == builds,
+      "a micro-batch must probe the persisted graph, not rebuild it")
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(1)), "streamed answer diverged from batch")
+    assert(rows.forall(_.getBoolean(2)), "streamed recall floor not met")
+  }
+
   test("beam search finds the entry's own neighborhood exactly (sanity anchor)") {
     // a query that IS a corpus vector must rank itself first in the
     // final beam (cos = 1 at the self node, reachable by construction
