@@ -296,7 +296,8 @@ object GraphAnn {
     */
   private[graft] def beamSweepOn(s: SparkSession, d: String, loc: String,
       maxLevel: Int, entry: Long, qs: DataFrame,
-      efs: Seq[Int], hops: Int = BaseHops): DataFrame = {
+      efs: Seq[Int], hops: Int = BaseHops,
+      edgeFilter: Column = lit(true)): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val qCached = graft.util.CacheRegistry.register(qs.cache())
     def scored(cand: DataFrame): DataFrame =
@@ -315,7 +316,8 @@ object GraphAnn {
       // broadcast is gate-scale — at 100 TB the edge table is bucketed
       // by src and this hop is a co-located equi-join instead
       val edges = s.read.parquet(loc)
-        .filter(col("layer") === layer).select(col("src"), col("dst"))
+        .filter(edgeFilter && col("layer") === layer)
+        .select(col("src"), col("dst"))
       val expanded = beam.join(broadcast(edges),
           beam("vec_id") === edges("src"))
         .select(col("ef"), col("query_id"), col("dst").as("vec_id"))
@@ -498,12 +500,20 @@ object GraphAnn {
     // trimming them to 3 was measured to cost 0.10 ef8-recall at
     // sf0.1 for no wall-clock win (the build is one-time + memoized)
     val beam = beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(EfInsert))
-      .filter(col("vec_id") =!= col("query_id"))
+    insertEdgesOf(beam, maxLevel)
+      .write.mode("append").partitionBy("layer").parquet(loc)
+  }
+
+  /** Top-M per occupied layer + reverse edges, from an insert-descent
+    * beam — shared by the batch insert and the q326 crash-safe
+    * streaming insert.
+    */
+  private def insertEdgesOf(beam: DataFrame, maxLevel: Int): DataFrame = {
     val lvlOf = (c: Column) => levelOf(xxhash64(c), maxLevel)
-    val cand = beam
+    val cand = beam.filter(col("vec_id") =!= col("query_id"))
       .withColumn("v_lvl", lvlOf(col("query_id")))
       .withColumn("c_lvl", lvlOf(col("vec_id")))
-    val newEdges = (0 to maxLevel).map { layer =>
+    (0 to maxLevel).map { layer =>
       val wIns = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       val kept = cand
@@ -516,7 +526,6 @@ object GraphAnn {
         .distinct()
         .select(lit(layer).as("layer"), col("src"), col("dst"))
     }.reduce(_ unionByName _)
-    newEdges.write.mode("append").partitionBy("layer").parquet(loc)
   }
 
   /** q323: probe the incrementally-grown graph — the growth must keep
@@ -649,12 +658,97 @@ object GraphAnn {
       .orderBy(col("query_id"))
   }
 
+  // ---- q326: CRASH-SAFE streaming growth of the graph index ---------
+  //
+  // The q304/q318/q319 recovery cell for the FOURTH family. The extra
+  // subtlety graphs add over code tables: an insert batch's output
+  // depends on the GRAPH IT SEARCHED, so a replayed batch that can see
+  // its own orphaned edges would compute a DIFFERENT edge set (its own
+  // reverse edges make batch siblings reachable) — replay would not be
+  // result-invisible. The fix is part of the layout: edges live under
+  // `gb=<batch+1>/layer=L/`, and batch k's descent reads ONLY
+  // `gb <= k` — so the replay searches exactly the graph the first run
+  // searched, recomputes the identical edges, and overwrites its own
+  // orphaned dir (exactly-once by layout, q287 discipline).
+
+  private val hnswGrMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Int, Long)]()
+  graft.util.CacheRegistry.registerMemo(hnswGrMemo)
+
+  private[graft] def ensureHnswGrowRestart(s: SparkSession, d: String)
+      : (String, Int, Long) =
+    hnswGrMemo.computeIfAbsent((s, d), _ => {
+      val loc = graft.util.TmpDirs.scratchFor("hnsw_growrestart", d)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val n = base.count()
+      val maxLevel = maxLevelFor(n)
+      buildGraphInto(s, d, s"$loc/gb=0", base, maxLevel)
+      val entry = base
+        .withColumn("lvl", levelOf(xxhash64(col("vec_id")), maxLevel))
+        .orderBy(col("lvl").desc, col("vec_id"))
+        .select(col("vec_id")).limit(1).collect()(0).getLong(0)
+      hnswBuilds.incrementAndGet()
+      val feed = graft.util.TmpDirs.scratchFor("hnsw_gr_feed", d)
+      Seq(1, 3, 5, 7).zipWithIndex.foreach { case (r, k) =>
+        graft.util.OrderedFeed.writeChunk(s"$feed/c$k", k,
+          e.filter(pmod(col("vec_id"), lit(8)) === r))
+      }
+      val ckpt = graft.util.TmpDirs.scratchFor("hnsw_gr_ckpt", d)
+      val src = s.readStream.schema(s.read.parquet(s"$feed/c0").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$feed/c*")
+      EventAnalytics.crashRestartDrive(s, src, ckpt, crashAt = 1L,
+        width = 8) { (batch, id) =>
+        val ss = batch.sparkSession
+        val qs = batch.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"))
+        // replay determinism: descend over gb <= id only (see header)
+        val beam = beamSweepOn(ss, d, loc, maxLevel, entry, qs,
+          Seq(EfInsert), edgeFilter = col("gb") <= id)
+        insertEdgesOf(beam, maxLevel)
+          .write.mode("overwrite").partitionBy("layer")
+          .parquet(s"$loc/gb=${id + 1}")
+      }
+      (loc, maxLevel, entry)
+    })
+
+  /** Test seam: recompute an insert batch's edges under a gb cap —
+    * GraphAnnSpec pins the stored replayed batch edge-equal to this.
+    */
+  private[graft] def insertEdgesForTest(s: SparkSession, d: String,
+      loc: String, maxLevel: Int, entry: Long, qs: DataFrame,
+      gbCap: Long): DataFrame =
+    insertEdgesOf(beamSweepOn(s, d, loc, maxLevel, entry, qs,
+      Seq(EfInsert), edgeFilter = col("gb") <= gbCap), maxLevel)
+
+  /** q326: probe the crash-replayed stream-grown graph — the crash
+    * must be result-invisible under the gb-capped descent, and the
+    * grown graph must hold the recall floor over the full corpus
+    * (q31 gate; the layout/commit facts are spec-pinned).
+    */
+  def hnswGrowRestart(s: SparkSession, d: String): DataFrame = {
+    val (loc, maxLevel, entry) = ensureHnswGrowRestart(s, d)
+    val qs = evalQueries(s, d)
+    val ann = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(8)))
+    val st = exactTop5(s, d, qs)
+      .join(ann.select(col("query_id"), col("vec_id"))
+        .withColumn("m", lit(1)), Seq("query_id", "vec_id"), "left")
+      .agg(sum(coalesce(col("m"), lit(0))).as("hits"), count(lit(1)).as("n"))
+      .first()
+    val met = st.getLong(0).toDouble / st.getLong(1) >= ProbeFloor
+    embeddings(s, d).select(col("vec_id").as("query_id"))
+      .filter(col("query_id") % 100 === 7)
+      .select(col("query_id"), lit(met).as("recall_floor_met"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q316_hnsw_probe"       -> hnswProbe _,
     "q317_hnsw_ef_sweep"    -> hnswEfSweep _,
     "q323_hnsw_grow"        -> hnswGrowProbe _,
     "q324_hnsw_erasure"     -> hnswErasureProbe _,
     "q325_hnsw_stream_serve" -> hnswStreamServe _,
+    "q326_hnsw_grow_restart" -> hnswGrowRestart _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -680,6 +774,10 @@ object GraphAnn {
     "q325_hnsw_stream_serve" ->
       """SELECT vec_id AS query_id, TRUE AS equals_batch_probe,
         |  TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 7
+        |ORDER BY query_id""".stripMargin,
+    "q326_hnsw_grow_restart" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id % 100 = 7
         |ORDER BY query_id""".stripMargin,
   )

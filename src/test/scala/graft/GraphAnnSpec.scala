@@ -112,6 +112,41 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(2)), "streamed recall floor not met")
   }
 
+  test("q326 crash-safe graph growth: clean gb layout, full coverage, replayed batch byte-equivalent to a fresh recompute") {
+    val (loc, maxLevel, entry) = GraphAnn.ensureHnswGrowRestart(spark, sf)
+    // gb=0 (base) + gb=1..4, all committed once
+    val dirs = new java.io.File(loc).list().filter(_.startsWith("gb="))
+      .map(_.stripPrefix("gb=").toLong).sorted.toSeq
+    assert(dirs == (0L to 4L))
+    val ckpt = new java.io.File(
+      graft.util.TmpDirs.pathFor("hnsw_gr_ckpt", sf) + "/commits")
+    assert(ckpt.isDirectory)
+    assert(ckpt.list().filter(_.forall(_.isDigit)).map(_.toLong)
+      .sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // layer 0 reaches every corpus vector after growth
+    val covered = spark.read.parquet(loc)
+      .filter(col("layer") === 0).select(col("src")).distinct().count()
+    assert(covered == graft.util.Tables.embeddings(spark, sf).count())
+    // the CRASH-REPLAYED batch (id 1 → gb=2, residue 3) must hold
+    // exactly the edges a fresh gb≤1-capped insert computes — the
+    // result-invisibility claim, pinned at edge granularity
+    val e = graft.util.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val qs = e.filter(pmod(col("vec_id"), lit(8)) === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val recomputed = GraphAnn.insertEdgesForTest(spark, sf, loc, maxLevel,
+      entry, qs, gbCap = 1L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val stored = spark.read.parquet(s"$loc/gb=2")
+      .select(col("layer"), col("src"), col("dst"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(stored == recomputed,
+      s"replayed batch diverged from its deterministic recompute " +
+        s"(${(stored -- recomputed).size} extra, ${(recomputed -- stored).size} missing)")
+  }
+
   test("beam search finds the entry's own neighborhood exactly (sanity anchor)") {
     // a query that IS a corpus vector must rank itself first in the
     // final beam (cos = 1 at the self node, reachable by construction
