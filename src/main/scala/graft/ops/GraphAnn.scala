@@ -539,16 +539,33 @@ object GraphAnn {
     * fixture keeps the pool-built base deliberately, to pin that
     * growth lifts a weaker base rather than riding a strong one).
     */
-  def hnswGrowProbe(s: SparkSession, d: String): DataFrame = {
-    val (loc, maxLevel, entry) = ensureHnswGrown(s, d)
-    val qs = evalQueries(s, d)
-    val ann = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(8)))
-    val st = exactTop5(s, d, qs)
-      .join(ann.select(col("query_id"), col("vec_id"))
-        .withColumn("m", lit(1)), Seq("query_id", "vec_id"), "left")
+  /** Per-(session, sf) memo for the heavyweight eval computations
+    * behind the q323-q326 gates (each costs a full descent — ~10
+    * frontier rounds): evals are deterministic, so recomputing them
+    * per gate call only re-measures Spark job latency (the recallMemo
+    * discipline; registered, so Verify/Bench passes clear them).
+    */
+  private val gateMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), Seq[Boolean]]()
+  graft.util.CacheRegistry.registerMemo(gateMemo)
+
+  /** Corpus recall@5 of `ann` vs `exact`, one action. */
+  private def recallMet(ann: DataFrame, exact: DataFrame): Boolean = {
+    val st = exact
+      .join(ann.withColumn("m", lit(1)), Seq("query_id", "vec_id"), "left")
       .agg(sum(coalesce(col("m"), lit(0))).as("hits"), count(lit(1)).as("n"))
       .first()
-    val met = st.getLong(0).toDouble / st.getLong(1) >= ProbeFloor
+    st.getLong(0).toDouble / st.getLong(1) >= ProbeFloor
+  }
+
+  def hnswGrowProbe(s: SparkSession, d: String): DataFrame = {
+    val met = gateMemo.computeIfAbsent((s, d, "grow"), _ => {
+      val (loc, maxLevel, entry) = ensureHnswGrown(s, d)
+      val qs = evalQueries(s, d)
+      val ann = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(8)))
+        .select(col("query_id"), col("vec_id"))
+      Seq(recallMet(ann, exactTop5(s, d, qs)))
+    }).head
     embeddings(s, d).select(col("vec_id").as("query_id"))
       .filter(col("query_id") % 100 === 7)
       .select(col("query_id"), lit(met).as("recall_floor_met"))
@@ -571,35 +588,33 @@ object GraphAnn {
     * booleans deterministic, oracle pins row set + TRUE.
     */
   def hnswErasureProbe(s: SparkSession, d: String): DataFrame = {
-    val qs = evalQueries(s, d)
-    val beam = beamSweep(s, d, qs, Seq(8)) // ghosts routable in-beam
-    val w = Window.partitionBy(col("ef"), col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    val served = beam
-      .filter(col("vec_id") =!= col("query_id") &&
-        col("vec_id") % 97 =!= 0) // the MoR filter at serve time
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("vec_id"))
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .filter(col("vec_id") % 97 =!= 0)
-    val wx = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    val exact = broadcast(qs).join(e, col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qe"), col("embedding")))
-      .withColumn("rk", row_number().over(wx))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("vec_id"))
-    val leaked = served.filter(col("vec_id") % 97 === 0).count()
-    val st = exact
-      .join(served.withColumn("m", lit(1)), Seq("query_id", "vec_id"), "left")
-      .agg(sum(coalesce(col("m"), lit(0))).as("hits"), count(lit(1)).as("n"))
-      .first()
-    val met = st.getLong(0).toDouble / st.getLong(1) >= ProbeFloor
+    val flags = gateMemo.computeIfAbsent((s, d, "erasure"), _ => {
+      val qs = evalQueries(s, d)
+      val beam = beamSweep(s, d, qs, Seq(8)) // ghosts routable in-beam
+      val w = Window.partitionBy(col("ef"), col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val served = beam
+        .filter(col("vec_id") =!= col("query_id") &&
+          col("vec_id") % 97 =!= 0) // the MoR filter at serve time
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id"))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 97 =!= 0)
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val exact = broadcast(qs).join(e, col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(wx))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id"))
+      val leaked = served.filter(col("vec_id") % 97 === 0).count()
+      Seq(leaked == 0L, recallMet(served, exact))
+    })
     embeddings(s, d).select(col("vec_id").as("query_id"))
       .filter(col("query_id") % 100 === 7)
-      .select(col("query_id"), lit(leaked == 0L).as("no_tombstone_served"),
-        lit(met).as("recall_floor_met"))
+      .select(col("query_id"), lit(flags(0)).as("no_tombstone_served"),
+        lit(flags(1)).as("recall_floor_met"))
       .orderBy(col("query_id"))
   }
 
@@ -619,6 +634,16 @@ object GraphAnn {
     * pins the row set + TRUE.
     */
   def hnswStreamServe(s: SparkSession, d: String): DataFrame = {
+    val flags = gateMemo.computeIfAbsent((s, d, "stream-serve"), _ =>
+      hnswStreamServeDrive(s, d))
+    embeddings(s, d).select(col("vec_id").as("query_id"))
+      .filter(col("query_id") % 100 === 7)
+      .select(col("query_id"), lit(flags(0)).as("equals_batch_probe"),
+        lit(flags(1)).as("recall_floor_met"))
+      .orderBy(col("query_id"))
+  }
+
+  private def hnswStreamServeDrive(s: SparkSession, d: String): Seq[Boolean] = {
     val (loc, maxLevel, entry) = ensureHnsw(s, d) // outside the stream
     val out = graft.util.TmpDirs.scratch("hnsw-stream-serve")
     graft.util.StreamTuning.withShuffle(s, 8) {
@@ -646,16 +671,7 @@ object GraphAnn {
       .select(col("query_id"), col("vec_id"))
     val diff = served.exceptAll(batchAns).count() +
       batchAns.exceptAll(served).count()
-    val st = exactTop5(s, d, qs)
-      .join(served.withColumn("m", lit(1)), Seq("query_id", "vec_id"), "left")
-      .agg(sum(coalesce(col("m"), lit(0))).as("hits"), count(lit(1)).as("n"))
-      .first()
-    val met = st.getLong(0).toDouble / st.getLong(1) >= ProbeFloor
-    embeddings(s, d).select(col("vec_id").as("query_id"))
-      .filter(col("query_id") % 100 === 7)
-      .select(col("query_id"), lit(diff == 0L).as("equals_batch_probe"),
-        lit(met).as("recall_floor_met"))
-      .orderBy(col("query_id"))
+    Seq(diff == 0L, recallMet(served, exactTop5(s, d, qs)))
   }
 
   // ---- q326: CRASH-SAFE streaming growth of the graph index ---------
@@ -727,15 +743,13 @@ object GraphAnn {
     * (q31 gate; the layout/commit facts are spec-pinned).
     */
   def hnswGrowRestart(s: SparkSession, d: String): DataFrame = {
-    val (loc, maxLevel, entry) = ensureHnswGrowRestart(s, d)
-    val qs = evalQueries(s, d)
-    val ann = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(8)))
-    val st = exactTop5(s, d, qs)
-      .join(ann.select(col("query_id"), col("vec_id"))
-        .withColumn("m", lit(1)), Seq("query_id", "vec_id"), "left")
-      .agg(sum(coalesce(col("m"), lit(0))).as("hits"), count(lit(1)).as("n"))
-      .first()
-    val met = st.getLong(0).toDouble / st.getLong(1) >= ProbeFloor
+    val met = gateMemo.computeIfAbsent((s, d, "grow-restart"), _ => {
+      val (loc, maxLevel, entry) = ensureHnswGrowRestart(s, d)
+      val qs = evalQueries(s, d)
+      val ann = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(8)))
+        .select(col("query_id"), col("vec_id"))
+      Seq(recallMet(ann, exactTop5(s, d, qs)))
+    }).head
     embeddings(s, d).select(col("vec_id").as("query_id"))
       .filter(col("query_id") % 100 === 7)
       .select(col("query_id"), lit(met).as("recall_floor_met"))
