@@ -44,6 +44,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // diagnostic: measured graph-gate recalls (the floor-tightening
+    // feedback loop — declared floors are re-checked against these
+    // each round, the ≥1.7×-under-worst discipline)
+    val rec = graft.ops.GraphAnn.gateRecalls
+    if (!rec.isEmpty) {
+      val items = new StringBuilder
+      rec.forEach((k, v) => items.append(s"\n[recall] ${k._1} ${k._2} = $v"))
+      System.err.println(items.toString)
+    }
     graft.util.CacheRegistry.clear() // release memoized/cached frames
     spark.stop()
   }

@@ -700,8 +700,8 @@ object Audit {
   }
 
   private def buildCdfFeed(s: SparkSession, dir: String, maxV: Long,
-      name: String): String = {
-    val feed = graft.util.TmpDirs.scratch(name)
+      name: String, d: String): String = {
+    val feed = graft.util.TmpDirs.scratchFor(name, d)
     (1L to maxV).foreach(v => graft.util.OrderedFeed.writeChunk(
       s"$feed/v$v", v.toInt, versionDelta(s, dir, v)))
     feed
@@ -742,29 +742,45 @@ object Audit {
       .reduce(_ unionByName _)
       .orderBy(col("version"), col("month"), col("status"))
 
-  def mvCdfReplica(s: SparkSession, d: String): DataFrame = {
-    val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
-    val feed = buildCdfFeed(s, dir, maxV, "mv-cdf-feed")
-    val rep = graft.util.TmpDirs.scratch("mv-cdf-replica")
-    s.read.parquet(s"$dir/mv_v0").write.mode("overwrite").parquet(s"$rep/r0")
-    val ver = new java.util.concurrent.atomic.AtomicLong(0)
-    val sink = replicaMerge(s, rep)
-    graft.util.StreamTuning.withShuffle(s, 8) {
-      val q = s.readStream.schema(s.read.parquet(s"$feed/v1").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$feed/v*")
-        .writeStream.outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          sink(batch, id)
-          ver.incrementAndGet()
-          ()
+  /** The q301 consumer drive, ONCE per (session, sf) — the replica
+    * chain is built state (the q287/q300 restart-family discipline);
+    * the gate re-reads its version dirs.
+    */
+  private val cdfReplicaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long)]()
+  graft.util.CacheRegistry.registerMemo(cdfReplicaMemo)
+
+  private def ensureCdfReplica(s: SparkSession, d: String): (String, Long) =
+    cdfReplicaMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("q301_cdf_replica_drive") {
+        val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
+        val feed = buildCdfFeed(s, dir, maxV, "mv-cdf-feed", d)
+        val rep = graft.util.TmpDirs.scratchFor("mv-cdf-replica", d)
+        s.read.parquet(s"$dir/mv_v0").write.mode("overwrite")
+          .parquet(s"$rep/r0")
+        val ver = new java.util.concurrent.atomic.AtomicLong(0)
+        val sink = replicaMerge(s, rep)
+        graft.util.StreamTuning.withShuffle(s, 8) {
+          val q = s.readStream.schema(s.read.parquet(s"$feed/v1").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$feed/v*")
+            .writeStream.outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              sink(batch, id)
+              ver.incrementAndGet()
+              ()
+            }
+            .start()
+          q.awaitTermination()
         }
-        .start()
-      q.awaitTermination()
-    }
-    require(ver.get() == maxV,
-      s"replica must apply all $maxV deltas; applied ${ver.get()}")
+        require(ver.get() == maxV,
+          s"replica must apply all $maxV deltas; applied ${ver.get()}")
+        (rep, maxV)
+      })
+
+  def mvCdfReplica(s: SparkSession, d: String): DataFrame = {
+    val (rep, maxV) = ensureCdfReplica(s, d)
     replicaVersions(s, rep, maxV)
   }
 
@@ -783,16 +799,29 @@ object Audit {
     * Scale shape: recovery cost is one re-merged view-sized delta —
     * never a feed replay from v0.
     */
+  private val cdfRestartMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long)]()
+  graft.util.CacheRegistry.registerMemo(cdfRestartMemo)
+
+  private def ensureCdfReplicaRestart(s: SparkSession, d: String)
+      : (String, Long) =
+    cdfRestartMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("q309_cdf_restart_drive") {
+        val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
+        val feed = buildCdfFeed(s, dir, maxV, "mv-cdf-feed-restart", d)
+        val rep = graft.util.TmpDirs.scratchFor("mv-cdf-replica-restart", d)
+        s.read.parquet(s"$dir/mv_v0").write.mode("overwrite")
+          .parquet(s"$rep/r0")
+        val ckpt = graft.util.TmpDirs.scratchFor("mv-cdf-replica-ckpt", d)
+        val src = s.readStream.schema(s.read.parquet(s"$feed/v1").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$feed/v*")
+        EventAnalytics.crashRestartDrive(s, src, ckpt, crashAt = 1L,
+          width = 8)(replicaMerge(s, rep))
+        (rep, maxV)
+      })
+
   def mvCdfReplicaRestart(s: SparkSession, d: String): DataFrame = {
-    val (dir, maxV) = ensureMvChain(s, d, "mv-timetravel")
-    val feed = buildCdfFeed(s, dir, maxV, "mv-cdf-feed-restart")
-    val rep = graft.util.TmpDirs.scratch("mv-cdf-replica-restart")
-    s.read.parquet(s"$dir/mv_v0").write.mode("overwrite").parquet(s"$rep/r0")
-    val ckpt = graft.util.TmpDirs.scratch("mv-cdf-replica-ckpt")
-    val src = s.readStream.schema(s.read.parquet(s"$feed/v1").schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$feed/v*")
-    EventAnalytics.crashRestartDrive(s, src, ckpt, crashAt = 1L,
-      width = 8)(replicaMerge(s, rep))
+    val (rep, maxV) = ensureCdfReplicaRestart(s, d)
     replicaVersions(s, rep, maxV)
   }
 
@@ -1008,8 +1037,8 @@ object Audit {
     */
   private[graft] def ensureMvOccChain(s: SparkSession, d: String)
       : (String, Long, Seq[(Long, String, Long)]) =
-    mvOccMemo.computeIfAbsent((s, d), _ =>
-      graft.util.StreamTuning.withShuffle(s, 8) {
+    mvOccMemo.computeIfAbsent((s, d), _ => graft.util.BuildCost
+      .record("mv_occ_chain")(graft.util.StreamTuning.withShuffle(s, 8) {
         val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
         val dir = graft.util.TmpDirs.scratchFor("mv-occ", d)
         val o = orders(s, d).select(
@@ -1047,7 +1076,7 @@ object Audit {
         require(commit(2L, merged(2L, shard(2))), "writer B's rebase commits")
         ledger += ((3L, "writer_b", 2L))
         (dir, head.get(), ledger.toSeq)
-      })
+      }))
 
   /** q303: CONCURRENT COMMITS under optimistic concurrency — the gate
     * reads the commit ledger (writer, attempt count) joined to each
@@ -1101,10 +1130,19 @@ object Audit {
 
   private val multiStageSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** The two-table optimistic commit primitive. Thread-safe like
-    * occCommit (the CAS is the only shared write; Round11OpsSpec races
-    * two real threads through it); the token rolls back if the
-    * manifest publish fails (the r10-advice occCommit rule).
+  /** The two-table optimistic commit primitive, MOVE-THEN-CAS: the
+    * atomic manifest rename IS the election (ATOMIC_MOVE onto an
+    * existing `manifest/vN` fails for the loser — the Delta-style
+    * put-if-absent), and the token merely RECORDS the winner after
+    * the publish. The r11-advice ordering fix: the CAS-then-move form
+    * needed a token ROLLBACK when the publish threw, and that
+    * rollback could itself race a concurrent commit, leaving the
+    * token pointing at a never-published version; here a failed
+    * publish never touches the token at all, so there is no state to
+    * unwind. The winner's CAS cannot fail: v(expected+1) is published
+    * exactly once (the move is exclusive) and every later commit
+    * needs the head this CAS sets. Thread-safe (Round11OpsSpec races
+    * two real threads through it).
     */
   private[graft] def occCommitMulti(s: SparkSession, dir: String,
       head: java.util.concurrent.atomic.AtomicLong,
@@ -1119,7 +1157,10 @@ object Audit {
       b.write.mode("overwrite").parquet(s"$dir/$bUnit")
       Seq((aUnit, bUnit)).toDF("a_unit", "b_unit").coalesce(1)
         .write.mode("overwrite").parquet(mStage)
-      if (head.compareAndSet(expected, expected + 1)) {
+      // a stale expected loses WITHOUT attempting the move: the target
+      // version may already be vacuumable history, and only the real
+      // head race should be decided by the rename
+      if (head.get() == expected) {
         try {
           java.nio.file.Files.move(
             java.nio.file.Paths.get(mStage),
@@ -1127,11 +1168,16 @@ object Audit {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           published = true
         } catch {
-          case e: Throwable =>
-            require(head.compareAndSet(expected + 1, expected),
-              "token rollback raced a concurrent commit — chain corrupt")
-            throw e
+          // lost the race at the rename: the winner already published
+          // this version — a clean conflict, token untouched
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
         }
+        if (published)
+          require(head.compareAndSet(expected, expected + 1),
+            "published manifest could not advance the token — " +
+              "a concurrent commit moved the head past an exclusive " +
+              "rename (chain corrupt)")
       }
       published
     } finally if (!published) {
@@ -1161,8 +1207,8 @@ object Audit {
     */
   private[graft] def ensureMvMultiChain(s: SparkSession, d: String)
       : (String, Long, Seq[(Long, String, Long)]) =
-    mvMultiMemo.computeIfAbsent((s, d), _ =>
-      graft.util.StreamTuning.withShuffle(s, 8) {
+    mvMultiMemo.computeIfAbsent((s, d), _ => graft.util.BuildCost
+      .record("mv_multi_chain")(graft.util.StreamTuning.withShuffle(s, 8) {
         val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
         val dir = graft.util.TmpDirs.scratchFor("mv-multi", d)
         java.nio.file.Files.createDirectories(
@@ -1214,7 +1260,7 @@ object Audit {
           "writer B's rebase commits BOTH tables")
         ledger += ((3L, "writer_b", 2L))
         (dir, head.get(), ledger.toSeq)
-      })
+      }))
 
   /** q320: the multi-table commit gate — per version, the ledger row
     * joined to BOTH tables' exact totals resolved through the ONE
@@ -1249,6 +1295,167 @@ object Audit {
         col("n_rows"), col("revenue_total"),
         col("b_n_rows"), col("b_revenue_total"))
       .orderBy(col("version"))
+  }
+
+  // ---- q331: N-TABLE atomic commit ----------------------------------
+  //
+  // q320 fixes the torn-pair hazard for a view + its replica; real
+  // commits span MORE surfaces — a view, its downstream replica, AND a
+  // derived index must flip together (the q308 erasure capstone
+  // touches six). The generalization is already latent in the
+  // manifest: it names unit paths, so let it carry an arbitrary
+  // table→unit MAP (one row per table) and the same move-then-CAS
+  // publish makes ANY number of tables one atom. Conflict detection
+  // stays O(1) and the commit cost stays one KB manifest rename —
+  // independent of N.
+
+  private val mvNMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long, Seq[(Long, String, Long)])]()
+  graft.util.CacheRegistry.registerMemo(mvNMemo)
+
+  private val nStageSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The N-table optimistic commit: stage every table's unit, then
+    * the q320 move-then-CAS publish of ONE manifest holding the full
+    * table→unit map. A loser's staged units are unreferenced orphans
+    * (deleted in finally); a failed publish never touches the token.
+    */
+  private[graft] def occCommitN(s: SparkSession, dir: String,
+      head: java.util.concurrent.atomic.AtomicLong,
+      expected: Long, tables: Seq[(String, DataFrame)]): Boolean = {
+    import s.implicits._
+    val seq = nStageSeq.incrementAndGet()
+    val units = tables.map { case (tbl, _) => tbl -> s"data/${tbl}_$seq" }
+    val mStage = s"$dir/manifest_stage_n$seq"
+    var published = false
+    try {
+      tables.foreach { case (tbl, df) =>
+        df.write.mode("overwrite")
+          .parquet(s"$dir/${units.toMap.apply(tbl)}")
+      }
+      units.toDF("tbl", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(mStage)
+      if (head.get() == expected) {
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(mStage),
+            java.nio.file.Paths.get(s"$dir/manifest/v${expected + 1}"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          published = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+        }
+        if (published)
+          require(head.compareAndSet(expected, expected + 1),
+            "published manifest could not advance the token — " +
+              "a concurrent commit moved the head past an exclusive " +
+              "rename (chain corrupt)")
+      }
+      published
+    } finally if (!published) {
+      deleteTree(mStage)
+      units.foreach { case (_, u) => deleteTree(s"$dir/$u") }
+    }
+  }
+
+  /** Resolve snapshot v: the manifest's full table→unit map — the
+    * ONLY read path, so no subset of the N tables can tear.
+    */
+  private[graft] def readNSnapshot(s: SparkSession, dir: String,
+      v: Long): Map[String, DataFrame] =
+    s.read.parquet(s"$dir/manifest/v$v").collect() // ≤ N bounded rows
+      .map(r => r.getString(0) ->
+        s.read.parquet(s"$dir/${r.getString(1)}")).toMap
+
+  /** The q331 fixture: the q303 conflict schedule through a THREE-
+    * table commit — the (month, status) view, its status-level
+    * replica, and a month-level index, all restated from the same
+    * delta at every commit.
+    */
+  private[graft] def ensureMvNChain(s: SparkSession, d: String)
+      : (String, Long, Seq[(Long, String, Long)]) =
+    mvNMemo.computeIfAbsent((s, d), _ => graft.util.BuildCost
+      .record("mv_ntable_chain")(graft.util.StreamTuning.withShuffle(s, 8) {
+        val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+        val dir = graft.util.TmpDirs.scratchFor("mv-ntable", d)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$dir/manifest"))
+        val o = orders(s, d).select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(Dec).as("price"),
+          col("o_orderkey"))
+        val groupings: Seq[(String, Seq[String])] = Seq(
+          "view" -> Seq("month", "status"),
+          "replica" -> Seq("status"),
+          "index" -> Seq("month"))
+        def rollup(df: DataFrame, keys: Seq[String]): DataFrame =
+          df.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+        def shard(k: Int): DataFrame =
+          o.filter(pmod(col("o_orderkey"), lit(4)) === k).drop("o_orderkey")
+        def merged(curV: Long, delta: DataFrame): Seq[(String, DataFrame)] = {
+          val cur = readNSnapshot(s, dir, curV)
+          groupings.map { case (tbl, keys) =>
+            tbl -> cur(tbl).unionByName(rollup(delta, keys))
+              .groupBy(keys.map(col): _*)
+              .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+          }
+        }
+        // genesis: all three tables empty, manifest v0 published direct
+        val empty = o.drop("o_orderkey").limit(0)
+        import s.implicits._
+        groupings.foreach { case (tbl, keys) =>
+          rollup(empty, keys).write.mode("overwrite")
+            .parquet(s"$dir/data/${tbl}_0")
+        }
+        groupings.map { case (tbl, _) => (tbl, s"data/${tbl}_0") }
+          .toDF("tbl", "unit").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/manifest/v0")
+        val head = new java.util.concurrent.atomic.AtomicLong(0)
+        def commit(expected: Long, ts: Seq[(String, DataFrame)]): Boolean =
+          occCommitN(s, dir, head, expected, ts)
+        val ledger = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+        ledger += ((0L, "genesis", 0L))
+        require(commit(0L, merged(0L, shard(0))), "v1 commit must succeed")
+        ledger += ((1L, "init", 1L))
+        val prepA = merged(1L, shard(1))
+        val prepB = merged(1L, shard(2))
+        require(commit(1L, prepA), "writer A holds the expected base")
+        ledger += ((2L, "writer_a", 1L))
+        require(!commit(1L, prepB),
+          "writer B's optimistic commit must conflict (base moved)")
+        require(commit(2L, merged(2L, shard(2))),
+          "writer B's rebase commits ALL tables")
+        ledger += ((3L, "writer_b", 2L))
+        (dir, head.get(), ledger.toSeq)
+      }))
+
+  /** q331: the N-table commit gate, long form — one row per (version,
+    * table) with the ledger and that table's exact totals resolved
+    * through the ONE manifest. All three tables aggregate the same
+    * shard prefix, so their totals must be identical at every version
+    * — the hash catches a torn subset at any N.
+    */
+  def mvNCommits(s: SparkSession, d: String): DataFrame = {
+    val (dir, head, ledger) = ensureMvNChain(s, d)
+    import s.implicits._
+    val led = ledger.toDF("version", "writer", "attempts")
+    // 3 one-row aggregates per version = 12 bounded driver control
+    // rows (the q180 adjudication bound)
+    val totals = (0L to head).flatMap { v =>
+      readNSnapshot(s, dir, v).toSeq.map { case (tbl, df) =>
+        val r = df.agg(coalesce(sum(col("n")), lit(0L)),
+          coalesce(round(sum(col("rev")), 2).cast("double"), lit(0.0)))
+          .first()
+        (v, tbl, r.getLong(0), r.getDouble(1))
+      }
+    }.toDF("version", "table_name", "n_rows", "revenue_total")
+    led.join(totals, Seq("version"))
+      .select(col("version"), col("writer"), col("attempts"),
+        col("table_name"), col("n_rows"), col("revenue_total"))
+      .orderBy(col("version"), col("table_name"))
   }
 
   /** q250: STREAMING erasure propagation — q233's deletion-request
@@ -1377,6 +1584,7 @@ object Audit {
     "q302_mv_schema_evolution" -> mvSchemaEvolution _,
     "q303_mv_concurrent_commits" -> mvConcurrentCommits _,
     "q320_mv_multi_commit" -> mvMultiCommits _,
+    "q331_mv_ntable_commit" -> mvNCommits _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -1731,6 +1939,31 @@ object Audit {
         |  t.revenue_total AS b_revenue_total
         |FROM led l JOIN tot t ON t.version = l.version
         |ORDER BY version""".stripMargin,
+    // q331: the q303 schedule through the N-table manifest commit (N=3
+    // here) — all three tables aggregate the same shard prefix, so one
+    // totals CTE cross-joined with the table names states the
+    // per-(version, table) expectation; identical totals at every
+    // version IS the N-way atomicity witness
+    "q331_mv_ntable_commit" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 4 AS shard, o_totalprice FROM orders),
+        |led(version, writer, attempts) AS (VALUES
+        |  (0, 'genesis', 0), (1, 'init', 1),
+        |  (2, 'writer_a', 1), (3, 'writer_b', 2)),
+        |tbls(table_name) AS (VALUES ('index'), ('replica'), ('view')),
+        |tot AS (
+        |  SELECT l.version,
+        |    CAST(count(o.shard) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(round(sum(CAST(o.o_totalprice
+        |      AS DECIMAL(28,6))), 2), 0) AS DOUBLE) AS revenue_total
+        |  FROM led l LEFT JOIN o ON o.shard < l.version
+        |  GROUP BY l.version)
+        |SELECT CAST(l.version AS BIGINT) AS version, l.writer,
+        |  CAST(l.attempts AS BIGINT) AS attempts, tb.table_name,
+        |  t.n_rows, t.revenue_total
+        |FROM led l JOIN tot t ON t.version = l.version
+        |CROSS JOIN tbls tb
+        |ORDER BY version, table_name""".stripMargin,
     "q233_erasure_sweep" ->
       """WITH req AS (
         |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

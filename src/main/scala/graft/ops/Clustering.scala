@@ -467,7 +467,7 @@ object Clustering {
     * survives — CTAS refuses a non-empty managed location), then
     * (re)create `name` from `df` bucketed+sorted by `bucketCol`.
     */
-  private def dropAndCleanLocation(s: SparkSession, name: String): Unit = {
+  private[graft] def dropAndCleanLocation(s: SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val whPath =
@@ -539,7 +539,8 @@ object Clustering {
     * rebuild (proven by the indexBuilds counter in AnnIndexSpec).
     */
   private[graft] def ensureIvfIndex(s: SparkSession, d: String): String =
-    ivfMemo.computeIfAbsent((s, d), _ => {
+    ivfMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("ivf_index") {
       val name = tableNameFor("graft_ivf_cells_", d)
       recreateBucketed(s, name, ivfAssignment(s, d), "cell")
       name
@@ -635,7 +636,8 @@ object Clustering {
   graft.util.CacheRegistry.registerMemo(ivfIncrMemo)
 
   private[graft] def ensureIvfIncremental(s: SparkSession, d: String): String =
-    ivfIncrMemo.computeIfAbsent((s, d), _ => {
+    ivfIncrMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("ivf_grown") {
       val name = tableNameFor("graft_ivf_incr_", d)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       recreateBucketed(s, name,
@@ -670,7 +672,8 @@ object Clustering {
   graft.util.CacheRegistry.registerMemo(pqIncrMemo)
 
   private[graft] def ensurePqIncremental(s: SparkSession, d: String): String =
-    pqIncrMemo.computeIfAbsent((s, d), _ => {
+    pqIncrMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("pq_grown") {
       val name = tableNameFor("graft_pq_incr_", d)
       val e = embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
@@ -787,7 +790,8 @@ object Clustering {
     */
   private[graft] def ensureDriftIndexes(s: SparkSession, d: String)
       : (String, String) =
-    driftMemo.computeIfAbsent((s, d), _ => {
+    driftMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("ivf_drift_indexes") {
       val corpus = driftCorpus(s, d)
       val centsA = frozenCents(corpus)
       val grown = tableNameFor("graft_ivf_grown_", d)
@@ -1020,7 +1024,8 @@ object Clustering {
   graft.util.CacheRegistry.registerMemo(pqMemo)
 
   private[graft] def ensurePqIndex(s: SparkSession, d: String): String =
-    pqMemo.computeIfAbsent((s, d), _ => {
+    pqMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("pq_index") {
       val name = tableNameFor("graft_pq_codes_", d)
       recreateBucketed(s, name, pqCodes(s, d), "vec_id")
       name
@@ -1150,7 +1155,8 @@ object Clustering {
   graft.util.CacheRegistry.registerMemo(gramMemo)
 
   private def gramAvg(s: SparkSession, d: String): DataFrame =
-    gramMemo.computeIfAbsent((s, d), _ => {
+    gramMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("gram_index") {
       import s.implicits._
       val e = embeddings(s, d).select(col("embedding"))
       val parts = e.as[Array[Float]].mapPartitions { it =>
@@ -1496,7 +1502,8 @@ object Clustering {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   graft.util.CacheRegistry.registerMemo(binMemo)
   private[graft] def ensureBinaryIndex(s: SparkSession, d: String): String =
-    binMemo.computeIfAbsent((s, d), _ => {
+    binMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("bin_index") {
       val name = tableNameFor("graft_bin_codes_", d)
       recreateBucketed(s, name, signCodes(s, d), "vec_id")
       name
@@ -1727,7 +1734,8 @@ object Clustering {
 
   private[graft] def ensureSweptIndexes(s: SparkSession, d: String)
       : (String, String, String) =
-    sweptMemo.computeIfAbsent((s, d), _ => {
+    sweptMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("erasure_swept") {
       val t = buildEraseIndexes(s, d)
       sweepEraseIndexes(s, d, t)
       t
@@ -1790,7 +1798,8 @@ object Clustering {
   graft.util.CacheRegistry.registerMemo(compactMemo)
 
   private[graft] def ensureCompactedSweptIvf(s: SparkSession, d: String): String =
-    compactMemo.computeIfAbsent((s, d), _ => {
+    compactMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("compacted") {
       val (ivf, _, _) = ensureSweptIndexes(s, d)
       val name = tableNameFor("graft_ivf_compact_", d)
       recreatePartitioned(s, name,
@@ -1866,7 +1875,8 @@ object Clustering {
     * table name every verb ran against.
     */
   private[graft] def ensureLifecycleIvf(s: SparkSession, d: String): String =
-    lifeMemo.computeIfAbsent((s, d), _ => {
+    lifeMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("ivf_lifecycle") {
       val name = tableNameFor("graft_ivf_life_", d)
       lifecycleBaseBuild(s, d, name)
       lifecycleGrow(s, d, name)
@@ -2035,7 +2045,8 @@ object Clustering {
 
   private[graft] def ensureServeWhileGrow(s: SparkSession, d: String)
       : (String, String) =
-    swgMemo.computeIfAbsent((s, d), _ => {
+    swgMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("swg_ivf") {
       val name = tableNameFor("graft_ivf_swg_", d)
       serveWhileGrowRun(s, d, name, "ivf",
         baseBuild = () => lifecycleBaseBuild(s, d, name),
@@ -2071,7 +2082,8 @@ object Clustering {
 
   private[graft] def ensureServeWhileGrowPq(s: SparkSession, d: String)
       : (String, String) =
-    swgPqMemo.computeIfAbsent((s, d), _ => {
+    swgPqMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("swg_pq") {
       val name = tableNameFor("graft_pq_swg_", d)
       serveWhileGrowRun(s, d, name, "pq",
         baseBuild = () => recreatePartitioned(s, name,
@@ -2104,7 +2116,8 @@ object Clustering {
 
   private[graft] def ensureServeWhileGrowBin(s: SparkSession, d: String)
       : (String, String) =
-    swgBinMemo.computeIfAbsent((s, d), _ => {
+    swgBinMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("swg_bin") {
       val name = tableNameFor("graft_bin_swg_", d)
       serveWhileGrowRun(s, d, name, "bin",
         baseBuild = () => recreatePartitioned(s, name,
@@ -2172,7 +2185,8 @@ object Clustering {
   private def growRestartRun(s: SparkSession, d: String, prefix: String,
       partCol: String,
       encode: (SparkSession, DataFrame) => DataFrame): String =
-    growRestartMemo.computeIfAbsent((s, d, prefix), _ => {
+    growRestartMemo.computeIfAbsent((s, d, prefix), _ =>
+      graft.util.BuildCost.record(s"grow_restart_$prefix") {
       val loc = graft.util.TmpDirs.scratch(
         tableNameFor(s"${prefix}_growrestart_", d))
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -2325,7 +2339,8 @@ object Clustering {
     * file, and reads of v1 AFTER v2 commits stay exact.
     */
   private[graft] def ensureManifestIndex(s: SparkSession, d: String): String =
-    manifestMemo.computeIfAbsent((s, d), _ => {
+    manifestMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("manifest_snapshots") {
       val root = graft.util.TmpDirs.scratch(tableNameFor("ivf_manifest_", d))
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       ivfAssignmentFor(s, d, e.filter(pmod(col("vec_id"), lit(2)) === 0))
@@ -2445,7 +2460,8 @@ object Clustering {
   graft.util.CacheRegistry.registerMemo(pqLifeMemo)
 
   private[graft] def ensureLifecyclePq(s: SparkSession, d: String): String =
-    pqLifeMemo.computeIfAbsent((s, d), _ => {
+    pqLifeMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("pq_lifecycle") {
       val name = tableNameFor("graft_pq_life_", d)
       val e = embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
@@ -2474,7 +2490,8 @@ object Clustering {
   graft.util.CacheRegistry.registerMemo(binLifeMemo)
 
   private[graft] def ensureLifecycleBin(s: SparkSession, d: String): String =
-    binLifeMemo.computeIfAbsent((s, d), _ => {
+    binLifeMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("bin_lifecycle") {
       val name = tableNameFor("graft_bin_life_", d)
       recreatePartitioned(s, name,
         signCodes(s, d).filter(pmod(col("vec_id"), lit(2)) === 0)
@@ -2521,7 +2538,8 @@ object Clustering {
     */
   private[graft] def ensureProdLifecycle(s: SparkSession, d: String)
       : (String, String) =
-    prodLifeMemo.computeIfAbsent((s, d), _ => {
+    prodLifeMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("prod_lifecycle") {
       val name = tableNameFor("graft_ivf_prod_", d)
       lifecycleBaseBuild(s, d, name)
       lifecycleGrow(s, d, name)
@@ -2841,7 +2859,8 @@ object Clustering {
     */
   private[graft] def ensureFoldinPolicy(s: SparkSession, d: String)
       : (String, String, String) =
-    polMemo.computeIfAbsent((s, d), _ => {
+    polMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("foldin_policy") {
       val bin = tableNameFor("graft_bin_pol_", d)
       recreatePartitioned(s, bin,
         signCodes(s, d).withColumn("pg", pmod(col("vec_id"), lit(8))), "pg")
@@ -2939,7 +2958,8 @@ object Clustering {
     */
   private[graft] def ensureCompactionPolicy(s: SparkSession, d: String)
       : String =
-    cpolMemo.computeIfAbsent((s, d), _ => {
+    cpolMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("compaction_policy") {
       val name = tableNameFor("graft_bin_cpol_", d)
       val codes = signCodes(s, d)
         .withColumn("pg", pmod(col("vec_id"), lit(8)))
@@ -3021,7 +3041,8 @@ object Clustering {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
 
   private[graft] def ensureManifestPolicy(s: SparkSession, d: String): String =
-    mpolMemo.computeIfAbsent((s, d), _ => {
+    mpolMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("manifest_policy") {
       val root = graft.util.TmpDirs.scratchFor("bin_mpol", d)
       val codes = signCodes(s, d).withColumn("pg", pmod(col("vec_id"), lit(8)))
       // the planted gradient as IMMUTABLE units: pg k split into k+1
@@ -3111,7 +3132,8 @@ object Clustering {
   graft.util.CacheRegistry.registerMemo(swgeServeBuilds)
 
   private[graft] def ensureSwgErasure(s: SparkSession, d: String): String =
-    swgeMemo.computeIfAbsent((s, d), _ => {
+    swgeMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("swg_erasure") {
       val (name, _) = ensureServeWhileGrowBin(s, d) // grown table, memoized
       val buildsAtStart = indexBuilds.get()
       val tableFiles = listDataFiles(tableLocation(s, name))
@@ -3121,11 +3143,17 @@ object Clustering {
       val out = graft.util.TmpDirs.scratchFor("swge_out", d)
       val ckpt = graft.util.TmpDirs.scratchFor("swge_ckpt", d)
       val tombDir = graft.util.TmpDirs.scratchFor("swge_tomb", d)
-      // two query chunks: the %100==7 eval set split by residue mod 200
+      // two query chunks: the %100==7 eval set split by residue mod 200.
+      // The phase-2 chunk EXCLUDES the deletion cohort at fixture build
+      // (first %200==107 ∩ %97==0 collision is vec_id 12707 — beyond
+      // every current fixture, but the invariant must hold by
+      // construction, not by corpus size: the oracle draws phase-2
+      // queries from the kept set, so a tombstoned query would diverge
+      // the gate at a larger corpus)
       graft.util.OrderedFeed.writeChunk(s"$stage/c0", 0,
         e.filter(col("vec_id") % 200 === 7))
       graft.util.OrderedFeed.writeChunk(s"$stage/c1", 1,
-        e.filter(col("vec_id") % 200 === 107))
+        e.filter(col("vec_id") % 200 === 107 && col("vec_id") % 97 =!= 0))
       def reveal(k: Int): Unit =
         java.nio.file.Files.move(
           java.nio.file.Paths.get(s"$stage/c$k"),

@@ -552,35 +552,49 @@ object Dedup {
     * from its changelog checkpoint, never by rescanning the admitted
     * corpus.
     */
-  def streamNearDupRestart(s: SparkSession, d: String): DataFrame = {
-    val split = graft.util.TmpDirs.scratch("neardup-restart-split")
-    val out = graft.util.TmpDirs.scratch("neardup-restart-out")
-    val ckpt = graft.util.TmpDirs.scratch("neardup-restart-ckpt")
-    val docs = s.read.parquet(s"$d/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    // exact-percentile doc_id boundaries (1-row bounded aggregate)
-    val bs = docs.agg(expr(
-        "percentile(doc_id, array(0.3333333333333333D, 0.6666666666666666D))")
-      .as("b")).collect()(0).getSeq[Double](0)
-    (0 until 3).foreach { k =>
-      val lo = if (k == 0) lit(true) else col("doc_id") > lit(bs(k - 1))
-      val hi = if (k == 2) lit(true) else col("doc_id") <= lit(bs(k))
-      graft.util.OrderedFeed.writeChunk(s"$split/c$k", k,
-        docs.filter(lo && hi))
-    }
-    val src = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$split/c*")
-    val flags = graft.streaming.DedupStreams.bandFlags(src).toDF()
-    EventAnalytics.crashRestartDrive(s, flags, ckpt, crashAt = 1L,
-      width = 8) { (batch, id) =>
-      batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
-    }
-    s.read.parquet(out)
+  /** The q300 crash/replay drive, ONCE per (session, sf) — the
+    * restart-family discipline (q287/q304): the fixture is built
+    * state, gates re-read the batch-keyed sink dirs, first-touch cost
+    * lands in the BuildCost ledger.
+    */
+  private val ndRestartMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.util.CacheRegistry.registerMemo(ndRestartMemo)
+
+  private def ensureNearDupRestart(s: SparkSession, d: String): String =
+    ndRestartMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("q300_neardup_restart_drive") {
+        val split = graft.util.TmpDirs.scratchFor("neardup-restart-split", d)
+        val out = graft.util.TmpDirs.scratchFor("neardup-restart-out", d)
+        val ckpt = graft.util.TmpDirs.scratchFor("neardup-restart-ckpt", d)
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        // exact-percentile doc_id boundaries (1-row bounded aggregate)
+        val bs = docs.agg(expr(
+            "percentile(doc_id, array(0.3333333333333333D, 0.6666666666666666D))")
+          .as("b")).collect()(0).getSeq[Double](0)
+        (0 until 3).foreach { k =>
+          val lo = if (k == 0) lit(true) else col("doc_id") > lit(bs(k - 1))
+          val hi = if (k == 2) lit(true) else col("doc_id") <= lit(bs(k))
+          graft.util.OrderedFeed.writeChunk(s"$split/c$k", k,
+            docs.filter(lo && hi))
+        }
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$split/c*")
+        val flags = graft.streaming.DedupStreams.bandFlags(src).toDF()
+        EventAnalytics.crashRestartDrive(s, flags, ckpt, crashAt = 1L,
+          width = 8) { (batch, id) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
+        }
+        out
+      })
+
+  def streamNearDupRestart(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureNearDupRestart(s, d))
       .groupBy(col("doc_id"))
       .agg(max(col("dup")).as("is_near_dup"),
         count(lit(1)).as("n_votes"))
       .orderBy(col("doc_id"))
-  }
 
   /** q267: bounded edit-distance SELF-JOIN (PassJoin partition
     * scheme, Li/Deng/Feng's segment lemma): every pair of 24-char

@@ -36,9 +36,11 @@ import graft.util.Tables._
   *    node, greedy (beam 1) through the upper layers, beam `ef` at
   *    the base layer; every hop is (beam ⋈ edges ⋈ vectors) —
   *    |queries| · ef · M candidate rows per hop, INDEPENDENT of the
-  *    corpus size. Edges broadcast at gate scale; at 100 TB the edge
-  *    table is bucketed by src and the hop becomes a co-located
-  *    equi-join, same plan shape.
+  *    corpus size. BOTH hop-join plans are shipped and the choice is
+  *    size-driven (beamSweepAuto/q330): broadcast under the
+  *    DescentBroadcastMaxBytes budget, else the edge table persisted
+  *    bucketed by src and the hop a co-located sort-merge equi-join
+  *    where only the beam shuffles.
   *
   * Approximate by design → the gate is the q31 contract pattern:
   * deterministic recall booleans against DECLARED floors (the search
@@ -87,14 +89,19 @@ object GraphAnn {
 
   /** Declared recall@5 floors (vs the exact q30-shape top-5) for the
     * probe (q316, ef = 8) and the sweep points (q317). Measured at
-    * M=12/hops=5 on the self-insertion build across sf0.001-0.1:
-    * ef2 0.17-0.20, ef8 0.83-0.96, ef32 0.94-1.00 — every floor sits
-    * ≥1.7× under its worst measurement (the q31 honest-contract
-    * discipline; embeddings are near-random, so ANY sublinear
-    * candidate scheme trades recall).
+    * M=12/hops=5 on the self-insertion build across sf0.001-0.1
+    * (gateRecalls, re-read each round): ef2 0.17-0.20, ef8 0.83-0.96,
+    * ef32 0.94-1.00; the shared-floor gates (grow 0.80-0.96, erasure
+    * 0.84-0.98, stream-serve 0.83-0.96, grow-restart 0.83-1.00) all
+    * bottom out at 0.80. Every floor sits ≥1.7× under its worst
+    * measurement (the q31 honest-contract discipline: tight enough
+    * that a real recall regression — a prune bug halving recall —
+    * fails the DRIVER gate, not just the spec's pinned margins;
+    * embeddings are near-random, so ANY sublinear candidate scheme
+    * trades recall). r12 tightening: 0.30 → 0.45 / 0.50 → 0.55.
     */
-  private val ProbeFloor = 0.30
-  private val SweepFloors = Seq(2 -> 0.10, 8 -> 0.30, 32 -> 0.50)
+  private val ProbeFloor = 0.45
+  private val SweepFloors = Seq(2 -> 0.10, 8 -> 0.45, 32 -> 0.55)
 
   /** Trailing-zero-bit level: the first set bit of the node hash,
     * capped at `maxLevel` — P(level ≥ L) = 2^−L, the HNSW geometric
@@ -145,7 +152,8 @@ object GraphAnn {
     * corpus rescan); the prune is one shuffle over ~n·2M edge rows.
     */
   private[graft] def ensureHnsw(s: SparkSession, d: String): (String, Int, Long) =
-    hnswMemo.computeIfAbsent((s, d), _ => {
+    hnswMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_base") {
       val raw = graft.util.TmpDirs.scratchFor("hnsw_raw", d)
       val loc = graft.util.TmpDirs.scratchFor("hnsw_edges", d)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -153,6 +161,16 @@ object GraphAnn {
       val maxLevel = maxLevelFor(n)
       val nodes = e.withColumn("lvl", levelOf(xxhash64(col("vec_id")), maxLevel))
       val seed = nodes.filter(col("lvl") === maxLevel)
+      // the top layer is hash-determined: P(empty) ≈ e^-8 per corpus,
+      // but a future fixture could hit it DETERMINISTICALLY — fail
+      // loudly here instead of an opaque IndexOutOfBounds at the entry
+      // pick below (seed graph and entry selection both assume it)
+      val entryRows = seed.orderBy(col("vec_id"))
+        .select(col("vec_id")).limit(1).collect()
+      require(entryRows.nonEmpty,
+        s"HNSW top layer $maxLevel holds no node for corpus $d " +
+          "(hash-determined) — lower maxLevelFor or reseed the levels")
+      val entryRow = entryRows(0).getLong(0)
       // seed graph: exact k-NN among the top-layer nodes, every layer
       // (bounded: ~(n/2^maxLevel)² pairs per layer)
       val sa = seed.select(col("vec_id").as("src"), col("embedding").as("se"))
@@ -175,8 +193,6 @@ object GraphAnn {
         .write.mode("overwrite").partitionBy("layer").parquet(raw)
       // entry: the smallest-id seed node (present from step 1, so the
       // descent root exists for every insert batch)
-      val entryRow = seed.orderBy(col("vec_id"))
-        .select(col("vec_id")).limit(1).collect()(0).getLong(0)
       (0 until BuildBatches).foreach { r =>
         insertBatch(s, d, raw, maxLevel, entryRow,
           nodes.filter(col("lvl") < maxLevel &&
@@ -297,8 +313,14 @@ object GraphAnn {
   private[graft] def beamSweepOn(s: SparkSession, d: String, loc: String,
       maxLevel: Int, entry: Long, qs: DataFrame,
       efs: Seq[Int], hops: Int = BaseHops,
-      edgeFilter: Column = lit(true)): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      edgeFilter: Column = lit(true),
+      corpusOpt: Option[DataFrame] = None,
+      bucketedTable: Option[String] = None): DataFrame = {
+    // corpusOpt: candidate scoring against an ALTERNATE vector
+    // relation (the q329 drift corpus, where arriving vectors differ
+    // from the stored table); default is the persisted table.
+    val e = corpusOpt.getOrElse(
+      embeddings(s, d).select(col("vec_id"), col("embedding")))
     val qCached = graft.util.CacheRegistry.register(qs.cache())
     def scored(cand: DataFrame): DataFrame =
       cand.join(e, Seq("vec_id"))
@@ -312,15 +334,27 @@ object GraphAnn {
     val wBeam = Window.partitionBy(col("ef"), col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     def step(layer: Int, base: Boolean): Unit = {
-      // edge scan prunes to the one layer=L partition directory;
-      // broadcast is gate-scale — at 100 TB the edge table is bucketed
-      // by src and this hop is a co-located equi-join instead
-      val edges = s.read.parquet(loc)
-        .filter(edgeFilter && col("layer") === layer)
-        .select(col("src"), col("dst"))
-      val expanded = beam.join(broadcast(edges),
-          beam("vec_id") === edges("src"))
-        .select(col("ef"), col("query_id"), col("dst").as("vec_id"))
+      // edge scan prunes to the one layer=L partition directory.
+      // Two hop-join strategies, size-driven through beamSweepAuto:
+      // broadcast for gate-/small-scale edge tables, and the 100 TB
+      // path — the edge table persisted BUCKETED BY src, so the hop
+      // is a sort-merge equi-join where only the (tiny) beam side
+      // shuffles and the edge side reads co-located buckets with no
+      // Exchange (plan-pinned by Round12OpsSpec).
+      val expanded = bucketedTable match {
+        case Some(t) =>
+          val edges = s.table(t)
+            .filter(edgeFilter && col("layer") === layer)
+            .select(col("src"), col("dst"))
+          beam.join(edges.hint("MERGE"), beam("vec_id") === edges("src"))
+            .select(col("ef"), col("query_id"), col("dst").as("vec_id"))
+        case None =>
+          val edges = s.read.parquet(loc)
+            .filter(edgeFilter && col("layer") === layer)
+            .select(col("src"), col("dst"))
+          beam.join(broadcast(edges), beam("vec_id") === edges("src"))
+            .select(col("ef"), col("query_id"), col("dst").as("vec_id"))
+      }
       val cands = scored(expanded).unionByName(beam)
         .groupBy(col("ef"), col("query_id"), col("vec_id"))
         .agg(max(col("cos")).as("cos"))
@@ -342,11 +376,19 @@ object GraphAnn {
     embeddings(s, d).filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
 
-  private def exactTop5(s: SparkSession, d: String, qs: DataFrame): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+  private def exactTop5(s: SparkSession, d: String, qs: DataFrame): DataFrame =
+    exactTop5On(qs,
+      embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** Exact top-5 of `qs` over an arbitrary corpus relation — the
+    * survivor-exact baselines (q324/q327) rank over the SWEPT corpus,
+    * not a post-filtered full-corpus top-5 (which would shrink the
+    * denominator instead of re-ranking).
+    */
+  private def exactTop5On(qs: DataFrame, corpus: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    broadcast(qs).join(e, col("vec_id") =!= col("query_id"))
+    broadcast(qs).join(corpus, col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qe"), col("embedding")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -387,8 +429,10 @@ object GraphAnn {
         .agg(sum(coalesce(col("m"), lit(0))).as("hits"),
           count(lit(1)).as("n"))
         .collect() // |efs| control rows
-      rows.map(r => r.getLong(0).toInt ->
+      val m = rows.map(r => r.getLong(0).toInt ->
         r.getLong(1).toDouble / r.getLong(2)).toMap
+      m.foreach { case (ef, r) => gateRecalls.put((d, s"sweep_ef$ef"), r) }
+      m
     })
 
   /** q316: HNSW build + beam probe at ef = 8 — one row per eval query
@@ -465,7 +509,8 @@ object GraphAnn {
     */
   private[graft] def ensureHnswGrown(s: SparkSession, d: String)
       : (String, Int, Long) =
-    grownMemo.computeIfAbsent((s, d), _ => {
+    grownMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_grown") {
       val loc = graft.util.TmpDirs.scratchFor("hnsw_grown", d)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
@@ -493,13 +538,15 @@ object GraphAnn {
     * scored rows — never a corpus rescan.
     */
   private def insertBatch(s: SparkSession, d: String, loc: String,
-      maxLevel: Int, entry: Long, batch: DataFrame): Unit = {
+      maxLevel: Int, entry: Long, batch: DataFrame,
+      corpusOpt: Option[DataFrame] = None): Unit = {
     val qs = batch.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"))
     // construction descents run the full serve-time hop count:
     // trimming them to 3 was measured to cost 0.10 ef8-recall at
     // sf0.1 for no wall-clock win (the build is one-time + memoized)
-    val beam = beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(EfInsert))
+    val beam = beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(EfInsert),
+      corpusOpt = corpusOpt)
     insertEdgesOf(beam, maxLevel)
       .write.mode("append").partitionBy("layer").parquet(loc)
   }
@@ -549,14 +596,30 @@ object GraphAnn {
     (SparkSession, String, String), Seq[Boolean]]()
   graft.util.CacheRegistry.registerMemo(gateMemo)
 
-  /** Corpus recall@5 of `ann` vs `exact`, one action. */
-  private def recallMet(ann: DataFrame, exact: DataFrame): Boolean = {
+  /** Measured gate recall values, RECORDED at evaluation time keyed
+    * (sfDir, gate) — the runner-records pattern: the floor-tightening
+    * discipline and specs read the recorded fact instead of paying a
+    * second descent to re-derive it. Deliberately NOT registered with
+    * CacheRegistry: the record is diagnostic state, not a fixture.
+    */
+  private[graft] val gateRecalls = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Double]()
+
+  /** Corpus recall@5 of `ann` vs `exact`, one action, recorded. */
+  private def recallOf(ann: DataFrame, exact: DataFrame,
+      d: String, gate: String): Double = {
     val st = exact
       .join(ann.withColumn("m", lit(1)), Seq("query_id", "vec_id"), "left")
       .agg(sum(coalesce(col("m"), lit(0))).as("hits"), count(lit(1)).as("n"))
       .first()
-    st.getLong(0).toDouble / st.getLong(1) >= ProbeFloor
+    val r = st.getLong(0).toDouble / st.getLong(1)
+    gateRecalls.put((d, gate), r)
+    r
   }
+
+  private def recallMet(ann: DataFrame, exact: DataFrame,
+      d: String, gate: String, floor: Double = ProbeFloor): Boolean =
+    recallOf(ann, exact, d, gate) >= floor
 
   def hnswGrowProbe(s: SparkSession, d: String): DataFrame = {
     val met = gateMemo.computeIfAbsent((s, d, "grow"), _ => {
@@ -564,7 +627,7 @@ object GraphAnn {
       val qs = evalQueries(s, d)
       val ann = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(8)))
         .select(col("query_id"), col("vec_id"))
-      Seq(recallMet(ann, exactTop5(s, d, qs)))
+      Seq(recallMet(ann, exactTop5(s, d, qs), d, "grow"))
     }).head
     embeddings(s, d).select(col("vec_id").as("query_id"))
       .filter(col("query_id") % 100 === 7)
@@ -579,42 +642,67 @@ object GraphAnn {
   // rewrites. Tombstoned nodes stay ROUTABLE (their edges still guide
   // the descent — the ghost-until-compaction trade every graph index
   // makes, because unlinking requires rewriting neighbors' lists) but
-  // are filtered from every served answer; fold-in follows the q288
-  // policy story when debt accumulates.
+  // are filtered from every served answer; accumulated ghost debt is
+  // REPAID by the q327/q328 measured fold-in policy.
 
   /** q324: the tombstone-aware probe — top-5 per query over the
-    * survivors only. Gate: the serve never returns a cohort member
-    * AND recall vs the survivor-exact baseline holds the floor; both
-    * booleans deterministic, oracle pins row set + TRUE.
+    * survivors only. The serve path is a merge-on-read ANTI-JOIN
+    * against the tombstone RELATION (the q322 seam), and the gate is
+    * falsifiable at every sf by construction (the r11-advice fix —
+    * the old form filtered by a predicate and then asserted its own
+    * filter):
+    *
+    *  - the descent runs with the eval queries AND the tombstoned
+    *    vectors themselves as queries, in ONE sweep. A tombstoned
+    *    vector tops its own RAW beam (cos = 1; self-reachability is
+    *    the spec's sanity anchor) — so a dropped anti-join GUARANTEES
+    *    a leak, and `ghosts_routable` (every ghost still reaches
+    *    itself raw) proves merge-on-read left the graph intact.
+    *  - the leak check re-derives the cohort from the PREDICATE,
+    *    independent of the tombstone table the serve consumed: a
+    *    mis-built (empty) tombstone relation also fails the gate.
     */
   def hnswErasureProbe(s: SparkSession, d: String): DataFrame = {
     val flags = gateMemo.computeIfAbsent((s, d, "erasure"), _ => {
       val qs = evalQueries(s, d)
-      val beam = beamSweep(s, d, qs, Seq(8)) // ghosts routable in-beam
+      val tomb = Clustering.erasedVecIds(s, d)
+      val ghostQs = embeddings(s, d).filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val nGhosts = ghostQs.count() // bounded driver scalar (cohort size)
+      // ONE descent for eval + ghost queries (the shared-sweep rule);
+      // dedup guards the (rare but arithmetically possible) overlap of
+      // the %100==7 eval set with the %97==0 cohort at larger corpora
+      val allQs = qs.unionByName(ghostQs).dropDuplicates("query_id")
+      val beam = beamSweep(s, d, allQs, Seq(8))
+      // ghosts routable raw: every tombstoned query still finds its own
+      // vector in the unfiltered beam — what the serve must then remove
+      val rawSelfHits = beam
+        .filter(col("query_id") % 97 === 0 &&
+          col("vec_id") === col("query_id")).count()
       val w = Window.partitionBy(col("ef"), col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      val served = beam
-        .filter(col("vec_id") =!= col("query_id") &&
-          col("vec_id") % 97 =!= 0) // the MoR filter at serve time
+      val raw = beam.filter(col("vec_id") =!= col("query_id"))
+      val served = raw
+        .join(broadcast(tomb), raw("vec_id") === tomb("k"), "left_anti")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("query_id"), col("vec_id"))
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-        .filter(col("vec_id") % 97 =!= 0)
-      val wx = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      val exact = broadcast(qs).join(e, col("vec_id") =!= col("query_id"))
-        .withColumn("cos", cosine(col("qe"), col("embedding")))
-        .withColumn("rk", row_number().over(wx))
-        .filter(col("rk") <= 5)
-        .select(col("query_id"), col("vec_id"))
+      // leak check by PREDICATE over everything served (eval + ghost
+      // queries): a dropped anti-join leaks each ghost's self-adjacent
+      // cohort rows here with certainty
       val leaked = served.filter(col("vec_id") % 97 === 0).count()
-      Seq(leaked == 0L, recallMet(served, exact))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val eSurv = e.join(broadcast(tomb), e("vec_id") === tomb("k"),
+        "left_anti")
+      val exact = exactTop5On(allQs, eSurv)
+      Seq(leaked == 0L, recallMet(served, exact, d, "erasure"),
+        rawSelfHits == nGhosts)
     })
     embeddings(s, d).select(col("vec_id").as("query_id"))
       .filter(col("query_id") % 100 === 7)
       .select(col("query_id"), lit(flags(0)).as("no_tombstone_served"),
-        lit(flags(1)).as("recall_floor_met"))
+        lit(flags(1)).as("recall_floor_met"),
+        lit(flags(2)).as("ghosts_routable"))
       .orderBy(col("query_id"))
   }
 
@@ -671,7 +759,7 @@ object GraphAnn {
       .select(col("query_id"), col("vec_id"))
     val diff = served.exceptAll(batchAns).count() +
       batchAns.exceptAll(served).count()
-    Seq(diff == 0L, recallMet(served, exactTop5(s, d, qs)))
+    Seq(diff == 0L, recallMet(served, exactTop5(s, d, qs), d, "stream-serve"))
   }
 
   // ---- q326: CRASH-SAFE streaming growth of the graph index ---------
@@ -693,7 +781,8 @@ object GraphAnn {
 
   private[graft] def ensureHnswGrowRestart(s: SparkSession, d: String)
       : (String, Int, Long) =
-    hnswGrMemo.computeIfAbsent((s, d), _ => {
+    hnswGrMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_growrestart") {
       val loc = graft.util.TmpDirs.scratchFor("hnsw_growrestart", d)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
@@ -748,11 +837,456 @@ object GraphAnn {
       val qs = evalQueries(s, d)
       val ann = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(8)))
         .select(col("query_id"), col("vec_id"))
-      Seq(recallMet(ann, exactTop5(s, d, qs)))
+      Seq(recallMet(ann, exactTop5(s, d, qs), d, "grow-restart"))
     }).head
     embeddings(s, d).select(col("vec_id").as("query_id"))
       .filter(col("query_id") % 100 === 7)
       .select(col("query_id"), lit(met).as("recall_floor_met"))
+      .orderBy(col("query_id"))
+  }
+
+  // ---- q327/q328: GHOST FOLD-IN POLICY on the graph index -----------
+  //
+  // q324's merge-on-read leaves tombstoned nodes ROUTABLE forever —
+  // their edges keep guiding descents, recall decays as ghosts crowd
+  // beams, and per-hop fan-out carries dead weight. Every other index
+  // family repays that debt through the q288 measured policy; this is
+  // the graph family's version, on the LAYER-partitioned edge table:
+  // MEASURE per-layer ghost-edge debt (edges incident to a tombstoned
+  // node / layer edges, integer percent), FLAG layers at or over the
+  // threshold, rewrite EXACTLY the flagged `layer=` partitions —
+  // dropping every ghost-incident edge and re-capping survivors at 2M
+  // (the rewrite also repays the growth overshoot debt q323
+  // documents: appended reverse edges push hubs past the cap until
+  // exactly this compaction) — and leave clean partitions physically
+  // untouched (byte-pinned by the spec).
+  //
+  // Planted decidability (the q288 discipline): an id-uniform cohort
+  // spreads ghost debt evenly over the layers (levels are hash-
+  // assigned), which would make the per-layer decision fire all-or-
+  // nothing — so the fixture's cohort correlates with the partition
+  // key BY CONSTRUCTION, exactly as q288's tenant (vec_id%16<2)
+  // correlates with its pg=pmod(vec_id,8) partitions: erased nodes
+  // are drawn from hash-levels 0 and 1 only (a quarter of the
+  // corpus). Layers 0-1 then provably exceed the threshold at every
+  // sf while layers ≥2 hold EXACTLY zero ghost edges (an edge at
+  // layer L needs both endpoints at level ≥ L) — the flag set is
+  // decidable with certainty, not by corpus luck.
+  //
+  // Scale shape: the debt measurement is one broadcast-cohort probe
+  // over the edge table (O(edges) scan, ≤ maxLevel+1 output rows);
+  // the fold rewrites O(flagged layers' edges) with one bounded
+  // re-prune shuffle each; clean layers cost zero bytes.
+
+  private[graft] val GhostThresholdPct = 10L
+
+  /** The planted deletion cohort: tenant keys confined to hash-levels
+    * 0-1 (see the header — the q288 planted-decidability discipline).
+    * Both arms require EVEN vec_ids, so the %100==7 eval queries can
+    * never be erased, at any corpus size.
+    */
+  private[graft] def foldCohortPred(id: Column, maxLevel: Int): Column = {
+    val lvl = levelOf(xxhash64(id), maxLevel)
+    (lvl === 0 && pmod(id, lit(4)) === 0) ||
+      (lvl === 1 && pmod(id, lit(2)) === 0)
+  }
+
+  private def foldCohort(s: SparkSession, d: String, maxLevel: Int): DataFrame =
+    embeddings(s, d).filter(foldCohortPred(col("vec_id"), maxLevel))
+      .select(col("vec_id").as("k"))
+
+  /** Per-layer (n_edges, ghost_edges, max_deg) off the live edge
+    * table — both the pre-fold measurement and the post-fold
+    * accounting run through this, so the gate carries measured facts.
+    */
+  private def ghostLayerStats(edges: DataFrame, cohort: DataFrame): DataFrame = {
+    val cs = cohort.select(col("k").as("ks"))
+    val cd = cohort.select(col("k").as("kd"))
+    val marked = edges
+      .join(broadcast(cs), edges("src") === cs("ks"), "left_outer")
+      .join(broadcast(cd), edges("dst") === cd("kd"), "left_outer")
+      .withColumn("ghost", col("ks").isNotNull || col("kd").isNotNull)
+    val deg = edges.groupBy(col("layer"), col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy(col("layer")).agg(max(col("deg")).as("max_deg"))
+    marked.groupBy(col("layer"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("ghost"), 1L).otherwise(0L)).as("ghost_edges"))
+      .join(deg, Seq("layer"))
+  }
+
+  /** Rewrite ONE flagged layer partition: drop every ghost-incident
+    * edge (anti-join per endpoint against the broadcast cohort), then
+    * re-cap survivors at 2M by distance — repaying the growth
+    * overshoot along with the ghost debt. Staged through a scratch
+    * dir (the partition can't be overwritten while it is being read).
+    */
+  private def foldLayer(s: SparkSession, d: String, loc: String,
+      layer: Long, cohort: DataFrame): Unit = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val edges = s.read.parquet(s"$loc/layer=$layer")
+      .select(col("src"), col("dst"))
+    val kept = edges
+      .join(broadcast(cohort.select(col("k").as("ks"))),
+        col("src") === col("ks"), "left_anti")
+      .join(broadcast(cohort.select(col("k").as("kd"))),
+        col("dst") === col("kd"), "left_anti")
+      .distinct()
+    val scored = kept
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("se")),
+        Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("de")),
+        Seq("dst"))
+      .select(col("src"), col("dst"), cosine(col("se"), col("de")).as("cos"))
+    val wCap = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val pruned = scored.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= 2 * M)
+      .select(col("src"), col("dst"))
+    val scratch = graft.util.TmpDirs.scratch(s"hnsw_fold_l$layer")
+    pruned.write.mode("overwrite").parquet(scratch)
+    s.read.parquet(scratch).write.mode("overwrite")
+      .parquet(s"$loc/layer=$layer")
+  }
+
+  private val foldMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Int, Long, String)]()
+  graft.util.CacheRegistry.registerMemo(foldMemo)
+
+  /** Folded-table files captured AFTER the copy and BEFORE the fold —
+    * the spec proves clean layers byte-identical across the policy
+    * and flagged layers actually rewritten.
+    */
+  private[graft] val foldPreFiles = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[String, (Long, Long)]]()
+  graft.util.CacheRegistry.registerMemo(foldPreFiles)
+
+  /** Build the fold fixture ONCE per (session, sf): copy the GROWN
+    * graph (q323's — it carries real degree-overshoot debt) into its
+    * own layer-partitioned table, measure → flag → fold → re-measure,
+    * persist the decision table. Returns (edge dir, maxLevel, entry,
+    * decision dir). The q323 fixture itself is only read.
+    */
+  private[graft] def ensureHnswFold(s: SparkSession, d: String)
+      : (String, Int, Long, String) =
+    foldMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_fold") {
+      val (gloc, maxLevel, entry) = ensureHnswGrown(s, d)
+      val loc = graft.util.TmpDirs.scratchFor("hnsw_fold", d)
+      val dec = graft.util.TmpDirs.scratchFor("hnsw_fold_dec", d)
+      s.read.parquet(gloc).write.mode("overwrite")
+        .partitionBy("layer").parquet(loc)
+      foldPreFiles.put((s, d),
+        Clustering.listDataFiles(java.nio.file.Paths.get(loc)))
+      val cohort = foldCohort(s, d, maxLevel)
+      // pre-fold measurement: ≤ maxLevel+1 bounded decision rows
+      val pre = ghostLayerStats(s.read.parquet(loc), cohort)
+        .collect().map(r => (r.getInt(0).toLong,
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val flagged = pre.filter { case (_, (n, g, _)) =>
+        g * 100L / n >= GhostThresholdPct }.keys.toSeq.sorted
+      flagged.foreach(l => foldLayer(s, d, loc, l, cohort))
+      val post = ghostLayerStats(s.read.parquet(loc), cohort)
+        .collect().map(r => (r.getInt(0).toLong,
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      import s.implicits._
+      pre.keys.toSeq.sorted.map { l =>
+        val (n, g, md) = pre(l)
+        val (pn, pg, pmd) = post(l)
+        (l, n, g, g * 100L / n, flagged.contains(l), pn, pg, pmd, md)
+      }.toDF("layer", "n_edges", "ghost_edges", "debt_pct", "fold",
+          "post_edges", "post_ghost", "post_maxdeg", "pre_maxdeg")
+        .coalesce(1).write.mode("overwrite").parquet(dec)
+      (loc, maxLevel, entry, dec)
+    })
+
+  /** q327: the fold-in decision table as deterministic booleans — the
+    * measured flag set must equal the planted pattern (layers 0-1),
+    * every layer must land at ZERO ghost edges (flagged ones because
+    * the fold dropped them, clean ones because the cohort never had
+    * edges there — both sides measured off the post-fold table),
+    * flagged layers must shed at least their ghost edges and respect
+    * the 2M cap, clean layers must keep edge counts and max degree
+    * exactly (their bytes are spec-pinned on top).
+    */
+  def hnswFoldinPolicy(s: SparkSession, d: String): DataFrame = {
+    val (_, _, _, dec) = ensureHnswFold(s, d)
+    s.read.parquet(dec).select(
+        col("layer"),
+        col("fold").as("flagged"),
+        (col("post_ghost") === 0).as("ghosts_cleared"),
+        when(col("fold"),
+            col("post_edges") <= col("n_edges") - col("ghost_edges"))
+          .otherwise(col("post_edges") === col("n_edges"))
+          .as("edges_preserved"),
+        when(col("fold"), col("post_maxdeg") <= 2 * M)
+          .otherwise(col("post_maxdeg") === col("pre_maxdeg"))
+          .as("degree_ok"))
+      .orderBy(col("layer"))
+  }
+
+  /** q328: serving through the FOLDED graph — the repaid-debt probe.
+    * The serve is RAW (no merge-on-read filter, no anti-join): the
+    * fold physically unlinked the cohort, so `no_tombstone_served`
+    * and `ghosts_unroutable` (a tombstoned vector queried for itself
+    * no longer reaches itself — the exact mirror of q324's
+    * `ghosts_routable`, falsifiable at every sf: one surviving ghost
+    * edge re-routes that self-query) are measured facts, and recall
+    * vs the survivor-exact baseline holds the declared floor.
+    */
+  def hnswFoldinProbe(s: SparkSession, d: String): DataFrame = {
+    val flags = gateMemo.computeIfAbsent((s, d, "foldin"), _ => {
+      val (loc, maxLevel, entry, _) = ensureHnswFold(s, d)
+      val qs = evalQueries(s, d)
+      val cohort = foldCohort(s, d, maxLevel)
+      val ghostQs = embeddings(s, d)
+        .filter(foldCohortPred(col("vec_id"), maxLevel))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val nGhosts = ghostQs.count() // bounded driver scalar
+      // ONE descent: eval + ghost self-queries (cohort ids are even,
+      // eval ids odd — disjoint by arithmetic)
+      val beam = beamSweepOn(s, d, loc, maxLevel, entry,
+        qs.unionByName(ghostQs), Seq(8))
+      val selfHits = beam.filter(
+        foldCohortPred(col("query_id"), maxLevel) &&
+          col("vec_id") === col("query_id")).count()
+      val w = Window.partitionBy(col("ef"), col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val served = beam.filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id"))
+      val leaked = served.filter(
+        foldCohortPred(col("vec_id"), maxLevel)).count()
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val eSurv = e.join(broadcast(cohort), e("vec_id") === cohort("k"),
+        "left_anti")
+      val exact = exactTop5On(qs, eSurv)
+      // the fold-in gate runs a hair under the shared floor's 1.7×
+      // discipline (worst measured 0.75 — a quarter of the corpus is
+      // gone, upper-layer survivors included), so it declares its own
+      // floor: 0.75 / 0.40 = 1.88×
+      Seq(leaked == 0L, selfHits == 0L && nGhosts > 0L,
+        recallMet(served.join(broadcast(qs.select(col("query_id"))),
+          Seq("query_id"), "left_semi"), exact, d, "foldin", floor = 0.40))
+    })
+    embeddings(s, d).select(col("vec_id").as("query_id"))
+      .filter(col("query_id") % 100 === 7)
+      .select(col("query_id"), lit(flags(0)).as("no_tombstone_served"),
+        lit(flags(1)).as("ghosts_unroutable"),
+        lit(flags(2)).as("recall_floor_met"))
+      .orderBy(col("query_id"))
+  }
+
+  // ---- q329: STALENESS AUDIT + rebuild trigger for the graph family -
+  //
+  // q259/q277/q278 price the rebuild decision for IVF/PQ/binary; a
+  // grown graph goes stale the same way, through a mechanism specific
+  // to graphs: an insert batch's edges are chosen by descending the
+  // graph THAT EXISTED AT INSERT TIME. When the arriving batch drifts
+  // (the q277 model-version shift: +10 per coordinate), every drifted
+  // vector attaches to v1 nodes — its true neighbors (the other
+  // drifted vectors) are not in the searched graph yet, so the clump
+  // never gets intra-clump edges and descents for drifted queries
+  // have no navigable path into it. A same-parameters REFRESHED
+  // rebuild (same M, same frozen maxLevel) interlinks the clump and
+  // recovers the lost neighbors. The audit measures both sides as
+  // exact integer hit counts against the exact top-5 (the q259
+  // discipline: no float thresholds cross the gate) and emits the
+  // rebuild trigger a maintenance job acts on.
+  //
+  // Scale shape: one extra pool build + two probe descents per audit
+  // — O(corpus) like any rebuild decision worth pricing; the probes
+  // stay |Q|·ef·2M per hop.
+
+  /** The drifted corpus: even ids unchanged (the v1 base the graph
+    * was built on), odd ids shifted +10 per coordinate — the q277
+    * model-version drift, float-exact and deterministic. Same-id
+    * replacement (the q259 shape): the stored table keeps v1 values,
+    * so descents and baselines score against THIS relation.
+    */
+  private def graphDriftCorpus(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      when(col("vec_id") % 2 === 1,
+        transform(col("embedding"), x => x + lit(10.0f)))
+        .otherwise(col("embedding")).as("embedding"))
+
+  /** Rebuild trigger: the refreshed graph must recover at least this
+    * many of the |Q|·5 exact neighbor hits the stale one lost
+    * (integer compare; measured gaps at sf0.001/0.01/0.1 — see
+    * Round12OpsSpec — sit ≥2× above it).
+    */
+  private[graft] val StaleHitGap = 2L
+
+  def hnswStaleness(s: SparkSession, d: String): DataFrame = {
+    val flags = gateMemo.computeIfAbsent((s, d, "staleness"), _ =>
+      graft.util.BuildCost.record("hnsw_staleness") {
+      val corpus = graft.util.CacheRegistry.register(
+        graphDriftCorpus(s, d).cache())
+      val base = corpus.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val maxLevel = maxLevelFor(base.count())
+      def entryOf(nodes: DataFrame): Long = nodes
+        .withColumn("lvl", levelOf(xxhash64(col("vec_id")), maxLevel))
+        .orderBy(col("lvl").desc, col("vec_id"))
+        .select(col("vec_id")).limit(1).collect()(0).getLong(0)
+      // STALE: v1-built base, drifted batch attached in ONE insert —
+      // each drifted vector descends the v1-only graph, so the clump
+      // gets no intra-clump edges (the staleness being planted) —
+      // followed by the STANDARD post-insert 2M re-cap. The cap is
+      // what makes the plant honest: without it the insert's reverse
+      // edges turn a handful of v1 hubs into unbounded fan-out routers
+      // (measured: they serve the clump at recall 1.0 at fixture
+      // scale), a structure that cannot exist at 100 TB where
+      // neighbor lists are hard-capped per node. Capped, a hub keeps
+      // its best 24 and the rest of the clump is unreachable — the
+      // real degradation a grown-then-compacted graph serves with.
+      val staleLoc = graft.util.TmpDirs.scratchFor("hnsw_stale", d)
+      buildGraphInto(s, d, staleLoc, base, maxLevel)
+      val staleEntry = entryOf(base)
+      insertBatch(s, d, staleLoc, maxLevel, staleEntry,
+        corpus.filter(pmod(col("vec_id"), lit(2)) === 1),
+        corpusOpt = Some(corpus))
+      // the q316-close / q327-fold neighbor-list cap, against the
+      // drifted corpus values
+      val ce = corpus.select(col("vec_id"), col("embedding"))
+      val scoredAll = s.read.parquet(staleLoc)
+        .join(ce.select(col("vec_id").as("src"), col("embedding").as("se")),
+          Seq("src"))
+        .join(ce.select(col("vec_id").as("dst"), col("embedding").as("de")),
+          Seq("dst"))
+        .select(col("layer"), col("src"), col("dst"),
+          cosine(col("se"), col("de")).as("cos"))
+      val wCap = Window.partitionBy(col("layer"), col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      val scratch = graft.util.TmpDirs.scratchFor("hnsw_stale_prune", d)
+      scoredAll.withColumn("rn", row_number().over(wCap))
+        .filter(col("rn") <= 2 * M)
+        .select(col("layer"), col("src"), col("dst"))
+        .write.mode("overwrite").parquet(scratch)
+      s.read.parquet(scratch).write.mode("overwrite")
+        .partitionBy("layer").parquet(staleLoc)
+      // REFRESHED: same-parameters rebuild over the full drifted corpus
+      val freshLoc = graft.util.TmpDirs.scratchFor("hnsw_fresh", d)
+      buildGraphInto(s, d, freshLoc, corpus, maxLevel)
+      val freshEntry = entryOf(corpus)
+      hnswBuilds.addAndGet(2)
+      // drifted eval queries (q259's ≡51 mod 100 convention — all odd,
+      // all in the drifted batch) vs the exact top-5 over the drifted
+      // corpus
+      val qs = corpus.filter(col("vec_id") % 100 === 51)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val exact = exactTop5On(qs, corpus)
+      val nExact = exact.count()
+      def hitsOf(loc: String, entry: Long, gate: String): Long = {
+        val ann = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry, qs,
+          Seq(8), corpusOpt = Some(corpus)))
+          .select(col("query_id"), col("vec_id"))
+        val h = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+          .count()
+        gateRecalls.put((d, gate), h.toDouble / nExact)
+        h
+      }
+      val staleHits = hitsOf(staleLoc, staleEntry, "staleness-stale")
+      val freshHits = hitsOf(freshLoc, freshEntry, "staleness-fresh")
+      Seq(freshHits - staleHits >= StaleHitGap,
+        freshHits.toDouble / nExact >= ProbeFloor)
+    })
+    embeddings(s, d).select(col("vec_id").as("query_id"))
+      .filter(col("query_id") % 100 === 51)
+      .select(col("query_id"), lit(flags(0)).as("rebuild_trigger"),
+        lit(flags(1)).as("fresh_floor_met"))
+      .orderBy(col("query_id"))
+  }
+
+  // ---- q330: the 100 TB descent plan — bucketed-by-src edge hops ----
+  //
+  // At gate scale each hop broadcasts the layer's edges; at 100 TB a
+  // base-layer edge table (n·2M rows) cannot broadcast. This is the
+  // shipped scale path the file header claims: the SAME edge set
+  // persisted partitioned by layer AND bucketed by src (the q98
+  // machinery), so a hop is a sort-merge equi-join where only the
+  // beam (|queries|·ef rows, corpus-independent) shuffles and the
+  // edge side reads co-located buckets with NO Exchange — plan-pinned
+  // by Round12OpsSpec. The strategy is size-driven (descentStrategy),
+  // and the gate proves both plans serve IDENTICAL answers (the
+  // descent is deterministic, so equality is exact, not approximate).
+
+  /** Broadcast budget for the per-hop edge relation. Generous next to
+    * the 10 MB autoBroadcast default because ONE broadcast is reused
+    * across all maxLevel+hops hop joins of a descent; past this, hops
+    * route through the bucketed table.
+    */
+  private[graft] val DescentBroadcastMaxBytes = 64L << 20
+
+  private[graft] def descentStrategy(edgeBytes: Long,
+      maxBytes: Long = DescentBroadcastMaxBytes): String =
+    if (edgeBytes <= maxBytes) "broadcast" else "bucketed"
+
+  private val bucketMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Int, Long)]()
+  graft.util.CacheRegistry.registerMemo(bucketMemo)
+
+  /** The q316 graph re-persisted as a layer-partitioned, src-bucketed
+    * TABLE — the hop join's co-location artifact. Built once per
+    * (session, sf); probes through it share the q316 handle facts.
+    */
+  private[graft] def ensureHnswBucketed(s: SparkSession, d: String)
+      : (String, Int, Long) =
+    bucketMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_bucketed") {
+      val (loc, maxLevel, entry) = ensureHnsw(s, d)
+      val name = Clustering.tableNameFor("graft_hnsw_edges_", d)
+      Clustering.dropAndCleanLocation(s, name)
+      s.read.parquet(loc)
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("layer").bucketBy(8, "src").sortBy("src")
+        .saveAsTable(name)
+      (name, maxLevel, entry)
+    })
+
+  /** Size-driven descent entry: route the sweep through broadcast
+    * hops or bucketed hops by the measured edge-table footprint — the
+    * choice a 100 TB deployment makes per index, made by the engine.
+    */
+  private[graft] def beamSweepAuto(s: SparkSession, d: String,
+      qs: DataFrame, efs: Seq[Int]): DataFrame = {
+    val (loc, maxLevel, entry) = ensureHnsw(s, d)
+    val bytes = Clustering.listDataFiles(java.nio.file.Paths.get(loc))
+      .values.map(_._1).sum
+    descentStrategy(bytes) match {
+      case "broadcast" =>
+        beamSweepOn(s, d, loc, maxLevel, entry, qs, efs)
+      case _ =>
+        val (name, _, _) = ensureHnswBucketed(s, d)
+        beamSweepOn(s, d, loc, maxLevel, entry, qs, efs,
+          bucketedTable = Some(name))
+    }
+  }
+
+  /** q330: the bucketed-path probe — hop joins through the bucketed
+    * table must serve row-for-row the broadcast path's answers (exact
+    * two-way set difference) and hold the recall floor.
+    */
+  def hnswBucketedProbe(s: SparkSession, d: String): DataFrame = {
+    val flags = gateMemo.computeIfAbsent((s, d, "bucketed"), _ => {
+      val (name, maxLevel, entry) = ensureHnswBucketed(s, d)
+      val (loc, _, _) = ensureHnsw(s, d)
+      val qs = evalQueries(s, d)
+      val viaBuckets = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry,
+          qs, Seq(8), bucketedTable = Some(name)))
+        .select(col("query_id"), col("vec_id"))
+      val viaBroadcast = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry,
+          qs, Seq(8)))
+        .select(col("query_id"), col("vec_id"))
+      val diff = viaBuckets.exceptAll(viaBroadcast).count() +
+        viaBroadcast.exceptAll(viaBuckets).count()
+      Seq(diff == 0L,
+        recallMet(viaBuckets, exactTop5(s, d, qs), d, "bucketed"))
+    })
+    embeddings(s, d).select(col("vec_id").as("query_id"))
+      .filter(col("query_id") % 100 === 7)
+      .select(col("query_id"), lit(flags(0)).as("equals_broadcast_probe"),
+        lit(flags(1)).as("recall_floor_met"))
       .orderBy(col("query_id"))
   }
 
@@ -763,6 +1297,10 @@ object GraphAnn {
     "q324_hnsw_erasure"     -> hnswErasureProbe _,
     "q325_hnsw_stream_serve" -> hnswStreamServe _,
     "q326_hnsw_grow_restart" -> hnswGrowRestart _,
+    "q327_hnsw_foldin_policy" -> hnswFoldinPolicy _,
+    "q328_hnsw_foldin_probe" -> hnswFoldinProbe _,
+    "q329_hnsw_staleness"   -> hnswStaleness _,
+    "q330_hnsw_bucketed_probe" -> hnswBucketedProbe _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -782,7 +1320,7 @@ object GraphAnn {
         |ORDER BY query_id""".stripMargin,
     "q324_hnsw_erasure" ->
       """SELECT vec_id AS query_id, TRUE AS no_tombstone_served,
-        |  TRUE AS recall_floor_met
+        |  TRUE AS recall_floor_met, TRUE AS ghosts_routable
         |FROM embeddings WHERE vec_id % 100 = 7
         |ORDER BY query_id""".stripMargin,
     "q325_hnsw_stream_serve" ->
@@ -792,6 +1330,40 @@ object GraphAnn {
         |ORDER BY query_id""".stripMargin,
     "q326_hnsw_grow_restart" ->
       """SELECT vec_id AS query_id, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 7
+        |ORDER BY query_id""".stripMargin,
+    // q327: one row per graph layer (the grown graph's level count is
+    // a pure function of the base-corpus cardinality — the even half),
+    // flags pinned to the PLANTED pattern: the level-0/1-confined
+    // cohort must flag exactly layers 0-1 and no clean layer may move
+    "q327_hnsw_foldin_policy" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT GREATEST(2, CAST(floor(log2(count(*))) AS BIGINT) - 3)
+        |    AS maxl
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |lay(layer) AS (
+        |  SELECT CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT layer + 1 FROM lay WHERE layer < (SELECT maxl FROM m))
+        |SELECT layer, layer <= 1 AS flagged, TRUE AS ghosts_cleared,
+        |  TRUE AS edges_preserved, TRUE AS degree_ok
+        |FROM lay ORDER BY layer""".stripMargin,
+    "q328_hnsw_foldin_probe" ->
+      """SELECT vec_id AS query_id, TRUE AS no_tombstone_served,
+        |  TRUE AS ghosts_unroutable, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 7
+        |ORDER BY query_id""".stripMargin,
+    // q329: the planted model-version drift must FIRE the rebuild
+    // trigger at every sf (the q259/q277/q278 oracle discipline),
+    // and the refreshed graph must itself be healthy
+    "q329_hnsw_staleness" ->
+      """SELECT vec_id AS query_id, TRUE AS rebuild_trigger,
+        |  TRUE AS fresh_floor_met
+        |FROM embeddings WHERE vec_id % 100 = 51
+        |ORDER BY query_id""".stripMargin,
+    "q330_hnsw_bucketed_probe" ->
+      """SELECT vec_id AS query_id, TRUE AS equals_broadcast_probe,
+        |  TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id % 100 = 7
         |ORDER BY query_id""".stripMargin,
   )

@@ -25,7 +25,7 @@ class Round10bOpsSpec extends AnyFunSuite {
     // run 1 died mid-backlog and run 2 drained the rest: all 3 chunk
     // batches are committed in the shared checkpoint
     val commits = new java.io.File(
-      graft.util.TmpDirs.path("neardup-restart-ckpt") + "/commits")
+      graft.util.TmpDirs.pathFor("neardup-restart-ckpt", sf) + "/commits")
       .list().filter(_.forall(_.isDigit)).map(_.toLong).sorted.toSeq
     assert(commits == Seq(0L, 1L, 2L))
   }
@@ -143,7 +143,7 @@ class Round10bOpsSpec extends AnyFunSuite {
         r.getLong(3), r.getDouble(4))).toSeq
     assert(recovered.nonEmpty && recovered == clean)
     val commits = new java.io.File(
-      graft.util.TmpDirs.path("mv-cdf-replica-ckpt") + "/commits")
+      graft.util.TmpDirs.pathFor("mv-cdf-replica-ckpt", sf) + "/commits")
       .list().filter(_.forall(_.isDigit)).map(_.toLong).sorted.toSeq
     assert(commits == Seq(0L, 1L, 2L, 3L))
   }
