@@ -56,17 +56,28 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = pass()
+    // pass 1 pays every one-time fixture build (the BuildCost ledger,
+    // reset after warm-up, accumulates exactly during pass 1) — the
+    // noise comparison below must EXCLUDE that structural cost, or a
+    // run with a real builds section always self-flags noisy and
+    // burns a pointless third pass
+    val p1BuildSec = graft.util.BuildCost.snapshot().values.sum
     val p2 = pass()
     // Host vCPU steal comes in multi-minute windows that can swallow a
     // whole pass (observed pass totals of 113 s vs 353 s on identical
-    // code). When the two passes disagree by >1.5×, one of them was
-    // polluted — run a third and let the per-query min pick whichever
-    // pass dodged the noise.
+    // code). When the two passes disagree by >1.5× after the build
+    // adjustment, one of them was polluted — run a third and let the
+    // per-query min pick whichever pass dodged the noise.
     def tot(p: Seq[(String, Double)]): Double = p.map(_._2).sum
-    val passes =
-      if (math.max(tot(p1), tot(p2)) > 1.5 * math.min(tot(p1), tot(p2)))
+    def adjTot(ps: Seq[Seq[(String, Double)]]): Seq[Double] =
+      ps.zipWithIndex.map { case (p, i) =>
+        tot(p) - (if (i == 0) p1BuildSec else 0.0) }
+    val passes = {
+      val Seq(t1, t2) = adjTot(Seq(p1, p2))
+      if (math.max(t1, t2) > 1.5 * math.min(t1, t2))
         Seq(p1, p2, pass())
       else Seq(p1, p2)
+    }
     val results = passes.transpose.map { timings =>
       timings.head._1 -> timings.map(_._2).min
     }
@@ -76,10 +87,12 @@ object Bench {
     val passTotals = passes.map(tot).mkString("[", ",", "]")
     // Noise self-identification: steal-polluted runs (pass totals of
     // 451/830/195 s for identical code in r5) must not read as
-    // regressions. Per-query spread = max/min across passes; the run
-    // is flagged noisy when the pass totals disagree >1.5× (the same
-    // threshold that triggers the third pass) — consumers should then
-    // trust per-query mins, not totals or single passes.
+    // regressions. Per-query spread = max/min across passes (build-
+    // paying queries legitimately show large pass-1 spreads — their
+    // one-time cost is itemized in `builds`, not noise); the run is
+    // flagged noisy when the BUILD-ADJUSTED pass totals disagree >1.5×
+    // (the same threshold that triggers the third pass) — consumers
+    // should then trust per-query mins, not totals or single passes.
     def r2(d: Double): Double = math.rint(d * 100) / 100
     val spreads = passes.transpose.map { timings =>
       val ts = timings.map(_._2)
@@ -87,11 +100,12 @@ object Bench {
     }
     val spreadJson = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val totSpread = r2(passes.map(tot).max / passes.map(tot).min)
+    val adjusted = adjTot(passes)
+    val totSpread = r2(adjusted.max / math.max(adjusted.min, 0.01))
     val sortedSpreads = spreads.map(_._2).sorted
     val medianSpread = sortedSpreads(sortedSpreads.length / 2)
     val noisy = totSpread > 1.5
-    val noiseJson = s"""{"pass_total_spread":$totSpread,"median_query_spread":$medianSpread,"max_query_spread":${sortedSpreads.last},"noisy":$noisy}"""
+    val noiseJson = s"""{"pass_total_spread":$totSpread,"pass1_build_sec":${r2(p1BuildSec)},"median_query_spread":$medianSpread,"max_query_spread":${sortedSpreads.last},"noisy":$noisy}"""
     // Self-description (r6 verdict task 6): the committed artifact must
     // carry its provenance so bench numbers can't silently drift from
     // commit messages — round (env, driver-set), git SHA, timestamp.

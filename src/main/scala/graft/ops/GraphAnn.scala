@@ -301,10 +301,8 @@ object GraphAnn {
     * — the q130 lineage rule.
     */
   private[graft] def beamSweep(s: SparkSession, d: String, qs: DataFrame,
-      efs: Seq[Int]): DataFrame = {
-    val (loc, maxLevel, entry) = ensureHnsw(s, d)
-    beamSweepOn(s, d, loc, maxLevel, entry, qs, efs)
-  }
+      efs: Seq[Int]): DataFrame =
+    beamSweepAuto(s, d, qs, efs) // size-driven hop-join strategy (q330)
 
   /** The descent against an ARBITRARY persisted graph handle — the
     * seam the q323 incremental-growth inserts and the q324
