@@ -414,7 +414,8 @@ object GraphAnn {
     * and q317 together cost one build + one search.
     */
   private[graft] def recalls(s: SparkSession, d: String): Map[Int, Double] =
-    recallMemo.computeIfAbsent((s, d), _ => {
+    recallMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_recalls") {
       val qs = evalQueries(s, d)
       val ann = beamTop5(beamSweep(s, d, qs, SweepFloors.map(_._1)))
       // per-ef totals: the exact baseline replicated per sweep point
@@ -620,7 +621,8 @@ object GraphAnn {
     recallOf(ann, exact, d, gate) >= floor
 
   def hnswGrowProbe(s: SparkSession, d: String): DataFrame = {
-    val met = gateMemo.computeIfAbsent((s, d, "grow"), _ => {
+    val met = gateMemo.computeIfAbsent((s, d, "grow"), _ =>
+      graft.util.BuildCost.record("hnsw_gate_grow") {
       val (loc, maxLevel, entry) = ensureHnswGrown(s, d)
       val qs = evalQueries(s, d)
       val ann = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(8)))
@@ -661,7 +663,8 @@ object GraphAnn {
     *    mis-built (empty) tombstone relation also fails the gate.
     */
   def hnswErasureProbe(s: SparkSession, d: String): DataFrame = {
-    val flags = gateMemo.computeIfAbsent((s, d, "erasure"), _ => {
+    val flags = gateMemo.computeIfAbsent((s, d, "erasure"), _ =>
+      graft.util.BuildCost.record("hnsw_gate_erasure") {
       val qs = evalQueries(s, d)
       val tomb = Clustering.erasedVecIds(s, d)
       val ghostQs = embeddings(s, d).filter(col("vec_id") % 97 === 0)
@@ -721,7 +724,8 @@ object GraphAnn {
     */
   def hnswStreamServe(s: SparkSession, d: String): DataFrame = {
     val flags = gateMemo.computeIfAbsent((s, d, "stream-serve"), _ =>
-      hnswStreamServeDrive(s, d))
+      graft.util.BuildCost.record("hnsw_gate_streamserve")(
+        hnswStreamServeDrive(s, d)))
     embeddings(s, d).select(col("vec_id").as("query_id"))
       .filter(col("query_id") % 100 === 7)
       .select(col("query_id"), lit(flags(0)).as("equals_batch_probe"),
@@ -830,7 +834,8 @@ object GraphAnn {
     * (q31 gate; the layout/commit facts are spec-pinned).
     */
   def hnswGrowRestart(s: SparkSession, d: String): DataFrame = {
-    val met = gateMemo.computeIfAbsent((s, d, "grow-restart"), _ => {
+    val met = gateMemo.computeIfAbsent((s, d, "grow-restart"), _ =>
+      graft.util.BuildCost.record("hnsw_gate_growrestart") {
       val (loc, maxLevel, entry) = ensureHnswGrowRestart(s, d)
       val qs = evalQueries(s, d)
       val ann = beamTop5(beamSweepOn(s, d, loc, maxLevel, entry, qs, Seq(8)))
@@ -1033,7 +1038,8 @@ object GraphAnn {
     * vs the survivor-exact baseline holds the declared floor.
     */
   def hnswFoldinProbe(s: SparkSession, d: String): DataFrame = {
-    val flags = gateMemo.computeIfAbsent((s, d, "foldin"), _ => {
+    val flags = gateMemo.computeIfAbsent((s, d, "foldin"), _ =>
+      graft.util.BuildCost.record("hnsw_gate_foldin") {
       val (loc, maxLevel, entry, _) = ensureHnswFold(s, d)
       val qs = evalQueries(s, d)
       val cohort = foldCohort(s, d, maxLevel)
@@ -1266,7 +1272,8 @@ object GraphAnn {
     * two-way set difference) and hold the recall floor.
     */
   def hnswBucketedProbe(s: SparkSession, d: String): DataFrame = {
-    val flags = gateMemo.computeIfAbsent((s, d, "bucketed"), _ => {
+    val flags = gateMemo.computeIfAbsent((s, d, "bucketed"), _ =>
+      graft.util.BuildCost.record("hnsw_gate_bucketed") {
       val (name, maxLevel, entry) = ensureHnswBucketed(s, d)
       val (loc, _, _) = ensureHnsw(s, d)
       val qs = evalQueries(s, d)
