@@ -1458,6 +1458,91 @@ object Audit {
       .orderBy(col("version"), col("table_name"))
   }
 
+  // ---- q332: ATOMIC N-SURFACE ERASURE -------------------------------
+  //
+  // The consumer the N-table commit exists for: a GDPR deletion must
+  // flip EVERY derived surface — the view, its replica, the derived
+  // index — in one atom, because a reader that sees the cohort gone
+  // from the view but still present in the replica is a compliance
+  // hole, not just an anomaly. The erasure lands as ONE more commit on
+  // the q331 chain: a NEGATIVE delta per table (the q311 retraction
+  // semantics — counts and sums subtract exactly in decimal
+  // arithmetic, groups that land at zero are dropped), staged for all
+  // three tables and published through one manifest. Pre-erasure
+  // versions stay readable (time travel over the erased state is the
+  // retention story q294 prices; the UNITS of v0-v3 are immutable) and
+  // the gate hashes every version's totals on every table — a torn or
+  // half-applied erasure breaks one side at v4.
+
+  private val mvNEraseMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long, Seq[(Long, String, Long)])]()
+  graft.util.CacheRegistry.registerMemo(mvNEraseMemo)
+
+  /** Append the erasure commit (v4) to the q331 chain: the deletion
+    * cohort is the standard ≡0 mod 97 customer discipline, restricted
+    * to the arrived shards (0-2). The q331 gate is unaffected — its
+    * memoized handle pins head = 3, and v4 only ADDS units.
+    */
+  private[graft] def ensureMvNErasure(s: SparkSession, d: String)
+      : (String, Long, Seq[(Long, String, Long)]) =
+    mvNEraseMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("mv_ntable_erasure") {
+        val (dir, head, ledger) = ensureMvNChain(s, d)
+        val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)
+        val o = orders(s, d).select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(Dec).as("price"),
+          col("o_orderkey"), col("o_custkey"))
+        val cohort = o.filter(pmod(col("o_orderkey"), lit(4)) < 3 &&
+          col("o_custkey") % 97 === 0)
+        val groupings: Seq[(String, Seq[String])] = Seq(
+          "view" -> Seq("month", "status"),
+          "replica" -> Seq("status"),
+          "index" -> Seq("month"))
+        val cur = readNSnapshot(s, dir, head)
+        val erased = groupings.map { case (tbl, keys) =>
+          val neg = cohort.groupBy(keys.map(col): _*)
+            .agg((-count(lit(1))).as("n"),
+              (-sum(col("price"))).as("rev"))
+          tbl -> cur(tbl).unionByName(neg)
+            .groupBy(keys.map(col): _*)
+            .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+            // a fully-cancelled group lands at exactly zero and is
+            // dropped — the q311 retraction row-deletion case
+            .filter(col("n") > 0)
+        }
+        val hd = new java.util.concurrent.atomic.AtomicLong(head)
+        require(occCommitN(s, dir, hd, head, erased),
+          "the erasure commit holds the expected head")
+        (dir, hd.get(), ledger :+ ((head + 1, "erasure_commit", 1L)))
+      })
+
+  /** q332: the atomic-erasure ledger — per (version, table), the exact
+    * totals resolved through the one manifest chain. Versions 0-3
+    * must still read their pre-erasure state (immutable units — the
+    * erased data's history is a retention decision, not a side effect
+    * of the delete) and v4's totals on ALL THREE tables must equal the
+    * cohort-excluded rollup, identically.
+    */
+  def mvNErasure(s: SparkSession, d: String): DataFrame = {
+    val (dir, head, ledger) = ensureMvNErasure(s, d)
+    import s.implicits._
+    val led = ledger.toDF("version", "writer", "attempts")
+    val totals = (0L to head).flatMap { v =>
+      readNSnapshot(s, dir, v).toSeq.map { case (tbl, df) =>
+        val r = df.agg(coalesce(sum(col("n")), lit(0L)),
+          coalesce(round(sum(col("rev")), 2).cast("double"), lit(0.0)))
+          .first()
+        (v, tbl, r.getLong(0), r.getDouble(1))
+      }
+    }.toDF("version", "table_name", "n_rows", "revenue_total")
+    led.join(totals, Seq("version"))
+      .select(col("version"), col("writer"), col("attempts"),
+        col("table_name"), col("n_rows"), col("revenue_total"))
+      .orderBy(col("version"), col("table_name"))
+  }
+
   /** q250: STREAMING erasure propagation — q233's deletion-request
     * cohort enforced on the live event stream: every micro-batch
     * anti-joins the broadcast request set, erased and kept rows are
@@ -1585,6 +1670,7 @@ object Audit {
     "q303_mv_concurrent_commits" -> mvConcurrentCommits _,
     "q320_mv_multi_commit" -> mvMultiCommits _,
     "q331_mv_ntable_commit" -> mvNCommits _,
+    "q332_mv_ntable_erasure" -> mvNErasure _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -1957,6 +2043,35 @@ object Audit {
         |    CAST(COALESCE(round(sum(CAST(o.o_totalprice
         |      AS DECIMAL(28,6))), 2), 0) AS DOUBLE) AS revenue_total
         |  FROM led l LEFT JOIN o ON o.shard < l.version
+        |  GROUP BY l.version)
+        |SELECT CAST(l.version AS BIGINT) AS version, l.writer,
+        |  CAST(l.attempts AS BIGINT) AS attempts, tb.table_name,
+        |  t.n_rows, t.revenue_total
+        |FROM led l JOIN tot t ON t.version = l.version
+        |CROSS JOIN tbls tb
+        |ORDER BY version, table_name""".stripMargin,
+    // q332: the erasure commit subtracts the cohort's rollup exactly,
+    // so every version's totals are a plain filtered aggregate — v≤3
+    // the arrived-shard prefix, v4 the prefix MINUS the ≡0 mod 97
+    // customer cohort; identical on all three tables (the atomicity
+    // witness) and unchanged for the pre-erasure versions (immutable
+    // units — time travel over erased history is a retention decision)
+    "q332_mv_ntable_erasure" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 4 AS shard, o_custkey, o_totalprice
+        |  FROM orders),
+        |led(version, writer, attempts) AS (VALUES
+        |  (0, 'genesis', 0), (1, 'init', 1),
+        |  (2, 'writer_a', 1), (3, 'writer_b', 2),
+        |  (4, 'erasure_commit', 1)),
+        |tbls(table_name) AS (VALUES ('index'), ('replica'), ('view')),
+        |tot AS (
+        |  SELECT l.version,
+        |    CAST(count(o.shard) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(round(sum(CAST(o.o_totalprice
+        |      AS DECIMAL(28,6))), 2), 0) AS DOUBLE) AS revenue_total
+        |  FROM led l LEFT JOIN o ON o.shard < least(l.version, 3)
+        |    AND NOT (l.version >= 4 AND o.o_custkey % 97 = 0)
         |  GROUP BY l.version)
         |SELECT CAST(l.version AS BIGINT) AS version, l.writer,
         |  CAST(l.attempts AS BIGINT) AS attempts, tb.table_name,

@@ -127,6 +127,31 @@ class Round12OpsSpec extends AnyFunSuite {
       s"fixture-scale edges ($bytes B) must broadcast")
   }
 
+  test("q332 atomic erasure: one manifest flips all three surfaces; pinned pre-erasure readers exact") {
+    val rows = Audit.mvNErasure(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0L to 4L))
+    // the atomicity witness: at EVERY version the three tables carry
+    // identical exact totals — a torn erasure breaks one at v4
+    rows.groupBy(_._1).foreach { case (v, g) =>
+      assert(g.map(t => (t._5, t._6)).distinct.size == 1,
+        s"torn state at version $v: $g")
+    }
+    // the erasure removed a real cohort, exactly once
+    val n3 = rows.find(r => r._1 == 3L && r._4 == "view").get._5
+    val n4 = rows.find(r => r._1 == 4L && r._4 == "view").get._5
+    assert(n4 < n3, s"erasure must shrink HEAD: v3=$n3 v4=$n4")
+    // pre-erasure versions still serve their original totals (the
+    // q331 gate hashes the same values — cross-pinned here)
+    val pre = Audit.mvNCommits(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    pre.foreach { case (v, tbl, n) =>
+      val after = rows.find(r => r._1 == v && r._4 == tbl).get._5
+      assert(after == n, s"pre-erasure version $v/$tbl moved: $n -> $after")
+    }
+  }
+
   test("q331 N-table commit: a genuine two-thread race elects one winner and never publishes a torn triple") {
     import spark.implicits._
     val dir = graft.util.TmpDirs.scratch("ntable-occ-race")
