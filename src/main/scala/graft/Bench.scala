@@ -69,9 +69,14 @@ object Bench {
     // adjustment, one of them was polluted — run a third and let the
     // per-query min pick whichever pass dodged the noise.
     def tot(p: Seq[(String, Double)]): Double = p.map(_._2).sum
+    // clamped: BuildCost records fixture time that partially overlaps
+    // query wall time (a build finishing inside a timed query), so the
+    // adjusted pass-1 total can mathematically undershoot; a negative
+    // or near-zero total would make the spread ratio nonsense (r12
+    // advice). 1 s floor = the same epsilon totSpread already uses.
     def adjTot(ps: Seq[Seq[(String, Double)]]): Seq[Double] =
       ps.zipWithIndex.map { case (p, i) =>
-        tot(p) - (if (i == 0) p1BuildSec else 0.0) }
+        math.max(tot(p) - (if (i == 0) p1BuildSec else 0.0), 1.0) }
     val passes = {
       val Seq(t1, t2) = adjTot(Seq(p1, p2))
       if (math.max(t1, t2) > 1.5 * math.min(t1, t2))
@@ -184,6 +189,26 @@ object Bench {
     val buildsJson = builds.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val buildTotal = r2(builds.map(_._2).sum)
+    // round-over-round build bar (r12 verdict task 6): warn on stderr
+    // when any build label regressed ≥2× vs the latest BENCH_HISTORY
+    // artifact — the ledger exists precisely so build cost gets the
+    // same regression scrutiny as query times. Warning-only (artifact
+    // schema unchanged); the comparison itself is BuildCost.regressions
+    // so a spec pins the rule without running a bench.
+    if (recorded.nonEmpty) {
+      val prior = try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+          s"BENCH_HISTORY/bench_r${recorded.max}.json"))
+        "\"builds\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
+          .map { body =>
+            "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
+      } catch { case _: Throwable => Map.empty[String, Double] }
+      graft.util.BuildCost.regressions(builds.toMap, prior).foreach { w =>
+        System.err.println(s"WARNING: build regression vs r${recorded.max}: $w")
+      }
+    }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${passes.length},"pass_totals":$passTotals,"query_spread":$spreadJson,"noise":$noiseJson,"builds":$buildsJson,"build_total":$buildTotal,"provenance":$provJson}"""
     // the driver captures a bounded stdout tail (rounds 1-4 lost
     // q01-q36 to truncation) — the file is the durable artifact

@@ -1130,6 +1130,25 @@ object Audit {
 
   private val multiStageSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** The move-then-CAS election's exclusivity rests on a POSIX rename
+    * property: moving onto an EXISTING NON-EMPTY directory fails. That
+    * holds only because every published manifest is a non-empty
+    * directory (Spark parquet output: part files + _SUCCESS). If a
+    * staged manifest ever degenerated to an empty dir or a single
+    * file, ATOMIC_MOVE could silently REPLACE the winner's manifest
+    * and both writers would believe they won — so the invariant is
+    * enforced explicitly (r12 advice) at every election site instead
+    * of living implicitly in the writer format.
+    */
+  private def requireStagedManifest(mStage: String): Unit = {
+    val f = new java.io.File(mStage)
+    require(f.isDirectory &&
+        Option(f.list()).exists(_.exists(_.startsWith("part-"))),
+      s"staged manifest $mStage must be a non-empty directory holding " +
+        "data files — rename-exclusivity (the commit election) depends " +
+        "on the publish target being a non-empty dir")
+  }
+
   /** The two-table optimistic commit primitive, MOVE-THEN-CAS: the
     * atomic manifest rename IS the election (ATOMIC_MOVE onto an
     * existing `manifest/vN` fails for the loser — the Delta-style
@@ -1161,6 +1180,7 @@ object Audit {
       // version may already be vacuumable history, and only the real
       // head race should be decided by the rename
       if (head.get() == expected) {
+        requireStagedManifest(mStage)
         try {
           java.nio.file.Files.move(
             java.nio.file.Paths.get(mStage),
@@ -1336,6 +1356,7 @@ object Audit {
       units.toDF("tbl", "unit").coalesce(1)
         .write.mode("overwrite").parquet(mStage)
       if (head.get() == expected) {
+        requireStagedManifest(mStage)
         try {
           java.nio.file.Files.move(
             java.nio.file.Paths.get(mStage),
