@@ -728,37 +728,65 @@ object Clustering {
   // The q215 incremental-growth invariant (freeze the centroids,
   // assign new batches against them) is sound only while new data
   // looks like the data the centroids were trained on. This audit
-  // plants a DISTRIBUTION SHIFT — the arriving half of the corpus is
-  // mapped by v′ = −reverse(v), exact in float arithmetic on both
-  // engines — grows the index incrementally under the frozen
+  // plants the MODEL-VERSION drift a production pipeline actually
+  // hits (the q277/q278/q329 shift: arriving vectors sit +10 away per
+  // coordinate), grows the index incrementally under the frozen
   // centroids, rebuilds it with a same-k centroid set re-drawn from
-  // the full drifted corpus, and measures recall@3 of both against
-  // the exact answer for drifted queries. The emitted decision row is the
-  // rebuild trigger a production index-maintenance job acts on:
-  // rebuild when the refreshed index recovers ≥ 2 of the |Q|·3
-  // neighbor hits the grown one lost (an exact integer comparison —
-  // no float thresholds cross the gate).
+  // the full drifted corpus, and reports recall@3 of both against the
+  // exact answer for drifted queries — with the REBUILD TRIGGER
+  // decided by the family's production health metric, ASSIGNMENT
+  // DISTORTION (1 − cos of each arrived vector to its assigned
+  // centroid, exact integer micro-units): rebuild when the frozen
+  // centroids distort the arrived half at least 2× worse than a
+  // refreshed same-k set (the q277 relative convention).
+  //
+  // REDESIGNED in r13 — the original trigger was recall-based and
+  // absolute (rebuilt recovers ≥ 2 hits), and the q333 falsifiability
+  // discipline exposed both halves as broken on MEASUREMENT (DuckDB,
+  // all three sfs): with the original 5-20-query panel the no-drift
+  // control's gap reached +2 hits at sf0.01 — the absolute trigger
+  // fires with NO drift planted — and with a wide panel (all odd ids)
+  // the drift gap collapses to −6.7%..+0.7% of nExact vs the
+  // control's −4.7%..+4.0%: on isotropic fixtures recall CANNOT
+  // separate a stale IVF index from a refreshed one at ANY threshold
+  // (the r9 lesson, now measured for this family too). Assignment
+  // distortion separates 5178-6741× on the drifted half vs 1.01-1.02×
+  // on the control — the q336 sibling control holds it quiet.
   //
   // Scale shape: both candidate indexes are bucketed tables built via
   // the same O(corpus) assignment pass the real builds use; the audit
-  // itself probes nprobe·|Q| cells and reranks candidates only —
-  // the recall sweep costs two q203 probes plus one q30-style exact
-  // baseline over |Q| broadcast queries, not a corpus re-embedding.
+  // probes nprobe·|Q| cells and reranks candidates only, and the
+  // distortion legs are one broadcast-centroid pass over the arrived
+  // half — never a corpus re-embedding.
 
   /** The drifted corpus: even vec_ids unchanged (the "base" the
-    * centroids were trained on), odd vec_ids mapped by v′ = −reverse(v)
-    * — an exact isometry in float arithmetic on both engines that
-    * relocates the arriving batch to a region the frozen centroids
-    * resolve poorly (coherent transforms like plain negation keep the
-    * batch in 1-2 cells, which nprobe=2 still covers — measured, not
-    * assumed: the negation variant does NOT degrade recall on the
-    * fixture; the reversal does).
+    * centroids were trained on), odd vec_ids shifted +10 per
+    * coordinate as FLOATS — cross-engine exact because float addition
+    * is correctly rounded (Spark's f32 add ≡ DuckDB's
+    * CAST(x + 10.0 AS FLOAT): the double sum is exact, then both
+    * round once to the same f32).
     */
   private def driftCorpus(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"),
       when(col("vec_id") % 2 === 1,
-        transform(reverse(col("embedding")), x => -x))
+        transform(col("embedding"), x => x + lit(10.0f)))
         .otherwise(col("embedding")).as("embedding"))
+
+  /** Arrived-half assignment distortion under a centroid set, as one
+    * exact integer: Σ over odd vec_ids of round-6 (1 − max cos)
+    * micro-units. One broadcast crossJoin + argmax — the same shape
+    * as the assignment itself. Shared by the q259 trigger and the
+    * q336 control (same rule, drifted vs undrifted corpus).
+    */
+  private def ivfDistortionSum(corpus: DataFrame, cents: DataFrame): Long =
+    corpus.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(round(round(lit(1.0) - max(col("cos")), 6) * 1e6)
+        .cast("long").as("d_us"))
+      .agg(sum(col("d_us")).as("s"))
+      .first().getLong(0) // one bounded driver scalar (the decision)
 
   /** The frozen centroid set: every 50th id — all even, i.e. drawn
     * entirely from the pre-drift base (what a real frozen codebook
@@ -808,8 +836,11 @@ object Clustering {
     })
 
   /** q259: per-query recall@3 of the grown vs rebuilt index for
-    * drifted queries (vec_id ≡ 51 mod 100 — all in the negated
-    * batch), plus the integer rebuild trigger on every row.
+    * drifted queries (vec_id ≡ 51 mod 100 — all in the shifted
+    * batch), plus the distortion-decided rebuild trigger on every
+    * row (see the section header: recall is REPORTED as the measured
+    * serving fact, distortion DECIDES — recall cannot separate on
+    * isotropic fixtures).
     */
   def indexStaleness(s: SparkSession, d: String): DataFrame = {
     val (grown, rebuilt) = ensureDriftIndexes(s, d)
@@ -854,15 +885,18 @@ object Clustering {
     val hB = hitsOf(rebuilt, refreshedCents(corpus))
       .withColumnRenamed("n_hits", "hits_rebuilt")
     val joined = hA.join(hB, Seq("query_id"))
-    val trig = joined.agg(
-      sum(col("hits_rebuilt")).as("tb"), sum(col("hits_grown")).as("ta"))
-      .select(when(col("tb") - col("ta") >= 2, 1L).otherwise(0L)
-        .as("rebuild_trigger"))
-    joined.crossJoin(broadcast(trig))
+    // the decision: frozen-centroid distortion on the arrived half at
+    // least 2× the refreshed set's (measured 5178-6741× under drift,
+    // 1.01-1.02× on the q336 control — the integer rule has three
+    // orders of magnitude of margin on both sides)
+    val fa = ivfDistortionSum(corpus, frozenCents(corpus))
+    val fb = ivfDistortionSum(corpus, refreshedCents(corpus))
+    val fires = fa >= 2L * fb
+    joined
       .select(col("query_id"), col("hits_grown"), col("hits_rebuilt"),
         round(col("hits_grown").cast("double") / 3.0, 4).as("recall_grown"),
         round(col("hits_rebuilt").cast("double") / 3.0, 4).as("recall_rebuilt"),
-        col("rebuild_trigger"))
+        lit(if (fires) 1L else 0L).as("rebuild_trigger"))
       .orderBy(col("query_id"))
   }
 
@@ -908,14 +942,17 @@ object Clustering {
           transform(col("v0"), x => x + lit(10.0)))
           .otherwise(col("v0")).as("v"))
 
-  /** q277: PQ codebook staleness — per-half quantization distortion
-    * under the frozen (16 even ids < 32) vs refreshed (same k, half
-    * drawn from the drifted batch: ids ≡ 0,1 mod 8, < 64) codebook,
-    * with the integer rebuild trigger on the arrived half.
+  /** The q277 distortion table for an arbitrary (vec_id, v) double
+    * corpus: per half, subvector count and total nearest-codeword
+    * distortion under the frozen (16 even ids < 32) vs refreshed
+    * (same k, half drawn from the arriving batch: ids ≡ 0,1 mod 8,
+    * < 64) codebook — shared by the q277 drift audit and the q336
+    * no-drift control (same legs, same rule, different corpus).
     */
-  def pqStaleness(s: SparkSession, d: String): DataFrame = {
+  private def pqStalenessHalves(s: SparkSession, corpus: DataFrame)
+      : DataFrame = {
     val sv = graft.util.CacheRegistry.register(
-      subvectors(shiftCorpus(s, d), 8, 8).cache())
+      subvectors(corpus, 8, 8).cache())
     def bestOf(cbPred: Column, name: String): DataFrame = {
       val cb = sv.filter(cbPred)
         .select(col("vec_id").cast("int").as("cid"), col("m"),
@@ -930,11 +967,19 @@ object Clustering {
     val b = bestOf(
       (pmod(col("vec_id"), lit(8)) === 0 || pmod(col("vec_id"), lit(8)) === 1)
         && col("vec_id") < 64, "db")
-    val halves = a.join(b, Seq("vec_id", "m"))
+    a.join(b, Seq("vec_id", "m"))
       .groupBy((col("vec_id") % 2).as("half"))
       .agg(count(lit(1)).as("n_subvecs"),
         sum(col("da")).as("dist_frozen_us"),
         sum(col("db")).as("dist_refreshed_us"))
+  }
+
+  /** q277: PQ codebook staleness — per-half quantization distortion
+    * under the frozen vs refreshed codebook, with the integer rebuild
+    * trigger on the arrived half.
+    */
+  def pqStaleness(s: SparkSession, d: String): DataFrame = {
+    val halves = pqStalenessHalves(s, shiftCorpus(s, d))
     val trig = halves.filter(col("half") === 1)
       .select(when(col("dist_frozen_us") >= lit(2) * col("dist_refreshed_us"), 1L)
         .otherwise(0L).as("rebuild_trigger"))
@@ -944,14 +989,15 @@ object Clustering {
       .orderBy(col("half"))
   }
 
-  /** q278: binary-threshold staleness — per-dimension bit occupancy
-    * under frozen (base-half means) vs refreshed (full-corpus means)
-    * thresholds, all in exact micro-unit integers, with the global
-    * imbalance trigger.
+  /** The q278 per-dimension bit-occupancy table for an arbitrary
+    * (vec_id, v) double corpus — frozen (base-half means) vs
+    * refreshed (full-corpus means) thresholds, micro-unit integers.
+    * Shared by the q278 drift audit and the q336 no-drift control.
     */
-  def binaryStaleness(s: SparkSession, d: String): DataFrame = {
+  private def binaryStalenessBits(s: SparkSession, corpus: DataFrame)
+      : DataFrame = {
     val x = graft.util.CacheRegistry.register(
-      shiftCorpus(s, d)
+      corpus
         .select(col("vec_id"), posexplode(col("v")).as(Seq("j0", "xv")))
         .select(col("vec_id"), (col("j0") + 1).cast("long").as("j"),
           floor(col("xv") * 1e6 + 0.5).cast("long").as("x_us"))
@@ -963,7 +1009,7 @@ object Clustering {
     val muA = muOf(col("vec_id") % 2 === 0)
       .withColumnRenamed("mu", "mu_a")
     val muB = muOf(lit(true)).withColumnRenamed("mu", "mu_b")
-    val bits = x.join(broadcast(muA), Seq("j")).join(broadcast(muB), Seq("j"))
+    x.join(broadcast(muA), Seq("j")).join(broadcast(muB), Seq("j"))
       .groupBy(col("j"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("x_us") >= col("mu_a"), 1L).otherwise(0L))
@@ -973,6 +1019,14 @@ object Clustering {
       .withColumn("imb_frozen", abs(lit(2) * col("ones_frozen") - col("n")))
       .withColumn("imb_refreshed",
         abs(lit(2) * col("ones_refreshed") - col("n")))
+  }
+
+  /** q278: binary-threshold staleness — per-dimension bit occupancy
+    * under frozen vs refreshed thresholds, all in exact micro-unit
+    * integers, with the global imbalance trigger.
+    */
+  def binaryStaleness(s: SparkSession, d: String): DataFrame = {
+    val bits = binaryStalenessBits(s, shiftCorpus(s, d))
     val trig = bits.agg(sum(col("imb_frozen")).as("fa"),
         sum(col("imb_refreshed")).as("fb"),
         sum(col("n")).as("nn"))
@@ -982,6 +1036,61 @@ object Clustering {
       .select(col("j"), col("n"), col("ones_frozen"), col("ones_refreshed"),
         col("imb_frozen"), col("imb_refreshed"), col("rebuild_trigger"))
       .orderBy(col("j"))
+  }
+
+  // ---- q336: NEGATIVE CONTROLS for the q259/q277/q278 triggers ------
+  //
+  // The q333 discipline, extended to the other three families: every
+  // rebuild trigger needs a sibling run with NO drift planted that
+  // keeps it QUIET — a trigger that is always hot prices nothing.
+  // One query carries all three controls (same rules, same shared
+  // legs as the hot audits, undrifted corpus):
+  //  * ivf: arrived-half assignment distortion, frozen vs refreshed
+  //    centroids — measured ratio 1.01-1.02× on the control vs
+  //    5178-6741× under drift (every fixture sf);
+  //  * pq: arrived-half codeword distortion — 0.98-1.04× vs ~6500×;
+  //  * binary: global bit imbalance — fails BOTH trigger conditions
+  //    on the control (ratio < 2 and magnitude ≪ n/4) while the
+  //    drift saturates every bit (imb_refreshed = 0, ratio = ∞).
+
+  private val staleCtlMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(staleCtlMemo)
+
+  /** q336: one row per family, trigger_quiet — each boolean computed
+    * by the hot audit's OWN rule over the undrifted corpus through
+    * the same shared legs (ivfDistortionSum / pqStalenessHalves /
+    * binaryStalenessBits), so a rule change cannot silently decouple
+    * audit from control.
+    */
+  def stalenessControls(s: SparkSession, d: String): DataFrame = {
+    val rows = staleCtlMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("staleness_controls") {
+      val ef = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val ev = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val ivfQuiet = {
+        val fa = ivfDistortionSum(ef, frozenCents(ef))
+        val fb = ivfDistortionSum(ef, refreshedCents(ef))
+        fa < 2L * fb
+      }
+      val pqQuiet = {
+        val h1 = pqStalenessHalves(s, ev).filter(col("half") === 1)
+          .select(col("dist_frozen_us"), col("dist_refreshed_us"))
+          .first() // one bounded control row (the decision)
+        h1.getLong(0) < 2L * h1.getLong(1)
+      }
+      val binQuiet = {
+        val t = binaryStalenessBits(s, ev)
+          .agg(sum(col("imb_frozen")).as("fa"),
+            sum(col("imb_refreshed")).as("fb"), sum(col("n")).as("nn"))
+          .first() // one bounded control row
+        !(t.getLong(0) >= 2L * t.getLong(1) && 4L * t.getLong(0) >= t.getLong(2))
+      }
+      Seq("binary" -> binQuiet, "ivf" -> ivfQuiet, "pq" -> pqQuiet)
+    })
+    import s.implicits._
+    rows.toDF("family", "trigger_quiet").orderBy(col("family"))
   }
 
   /** (vec_id, m, sv) subvector expansion shared by q114 and the q204
@@ -1813,6 +1922,106 @@ object Clustering {
     val qs = e.filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     ivfProbeOn(s, d, compacted, qs).orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- q335: ATOMIC ANN-INDEX ERASURE THROUGH THE N-TABLE MANIFEST --
+  //
+  // The r12 verdict's gap #2: q332's "index" surface was a derived
+  // rollup table, while the REAL index sweeps (q254) still commit
+  // independently of the table surfaces they must agree with — a
+  // reader could see the cohort gone from the corpus registry but
+  // still served by the inverted lists. This is the natural consumer
+  // of occCommitN (Audit.scala): a GDPR erasure staged as
+  //   corpus  — the vector registry minus the cohort,
+  //   index   — the q254-SWEPT inverted lists (the sweep's own
+  //             output, not a recomputation),
+  //   stats   — the per-cell membership counts a planner consults,
+  // published as ONE manifest version. The gate hashes every
+  // version's cardinality AND represented-vector totals on all three
+  // surfaces (they must agree at each version — a torn subset breaks
+  // one side), pins the pre-erasure version still readable (immutable
+  // units — retention is a policy decision, not a delete side
+  // effect), and carries the q254 contract on every row: the
+  // committed index unit equals a from-scratch assignment of the
+  // survivors under the frozen centroids (exact multiset equality).
+  //
+  // Scale shape: the staged units are the sweep output the engine
+  // already pays for; the commit adds one KB manifest rename
+  // regardless of surface count (the q331 property) and conflict
+  // detection stays one token compare.
+
+  private val ivfGdprMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long)]()
+  graft.util.CacheRegistry.registerMemo(ivfGdprMemo)
+
+  private[graft] def ensureIvfErasureCommit(s: SparkSession, d: String)
+      : (String, Long) =
+    ivfGdprMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("ivf_erasure_commit") {
+      val root = graft.util.TmpDirs.scratchFor("ivf_gdpr", d)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/manifest"))
+      import s.implicits._
+      // genesis (v0): the pre-erasure state of all three surfaces,
+      // published directly (the q331 genesis shape)
+      val corpus0 = embeddings(s, d).select(col("vec_id"))
+      val index0 = ivfAssignment(s, d)
+      corpus0.write.mode("overwrite").parquet(s"$root/data/corpus_0")
+      index0.write.mode("overwrite").parquet(s"$root/data/index_0")
+      s.read.parquet(s"$root/data/index_0")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$root/data/stats_0")
+      Seq(("corpus", "data/corpus_0"), ("index", "data/index_0"),
+          ("stats", "data/stats_0"))
+        .toDF("tbl", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/manifest/v0")
+      // the erasure commit (v1): the q254 sweep's OWN output staged as
+      // the index unit, with the corpus and stats deltas, ONE manifest
+      val (ivfSwept, _, _) = ensureSweptIndexes(s, d)
+      val cohort = erasedVecIds(s, d)
+      val corpus1 = corpus0.join(broadcast(cohort),
+        corpus0("vec_id") === cohort("k"), "left_anti")
+      val index1 = s.table(ivfSwept).select(col("vec_id"), col("cell"))
+      val stats1 = index1.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val head = new java.util.concurrent.atomic.AtomicLong(0)
+      require(Audit.occCommitN(s, root, head, 0L,
+          Seq("corpus" -> corpus1, "index" -> index1, "stats" -> stats1)),
+        "the erasure commit holds the expected head")
+      (root, head.get())
+    })
+
+  /** q335: the atomic index-erasure ledger — per (version, surface),
+    * the cardinality and the represented-vector total resolved
+    * through the one manifest (n_vecs must agree across all three
+    * surfaces at every version — the q332 atomicity witness), and the
+    * q254 swept==rebuilt contract as a measured boolean on every row.
+    */
+  def ivfErasureCommit(s: SparkSession, d: String): DataFrame = {
+    val (root, head) = ensureIvfErasureCommit(s, d)
+    // swept == rebuilt: the committed index unit vs a from-scratch
+    // assignment of the survivors under the frozen centroids
+    val kept = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 97 =!= 0)
+    val rebuilt = ivfAssignmentFor(s, d, kept)
+      .select(col("vec_id"), col("cell"))
+    val committed = Audit.readNSnapshot(s, root, head)("index")
+      .select(col("vec_id"), col("cell"))
+    val sweptEqRebuilt = committed.exceptAll(rebuilt).count() +
+      rebuilt.exceptAll(committed).count() == 0L
+    import s.implicits._
+    // 2 versions × 3 surfaces of 1-row aggregates = 6 bounded driver
+    // control rows (the q180 adjudication bound)
+    (0L to head).flatMap { v =>
+      Audit.readNSnapshot(s, root, v).toSeq.map { case (tbl, df) =>
+        val nRows = df.count()
+        val nVecs = if (tbl == "stats")
+          df.agg(coalesce(sum(col("n")), lit(0L))).first().getLong(0)
+        else nRows
+        (v, tbl, nRows, nVecs, sweptEqRebuilt)
+      }
+    }.toDF("version", "surface", "n_rows", "n_vecs", "swept_equals_rebuilt")
+      .orderBy(col("version"), col("surface"))
   }
 
   // ---- q272: the WHOLE index lifecycle chained on ONE table --------
@@ -3259,6 +3468,8 @@ object Clustering {
     "q257_stream_pq_serve" -> streamPqServe _,
     "q258_stream_binary_serve" -> streamBinaryServe _,
     "q259_index_staleness" -> indexStaleness _,
+    "q335_ivf_erasure_commit" -> ivfErasureCommit _,
+    "q336_staleness_ctl" -> stalenessControls _,
     "q263_index_compaction" -> ivfCompactedProbe _,
     "q272_ivf_lifecycle" -> ivfLifecycleProbe _,
     "q273_ivf_dv_erasure" -> ivfDvProbe _,
@@ -3577,12 +3788,26 @@ object Clustering {
        |FROM imb i CROSS JOIN trig t
        |ORDER BY i.j""".stripMargin
 
+  /** Distortion leg for one centroid tag: Σ over the arrived (odd)
+    * half of round-6 (1 − max cos to the tag's centroids) micro-units
+    * — mirrors ivfDistortionSum exactly.
+    */
+  private def stalenessDistCte(tag: String): String =
+    s"""dist_$tag AS (
+       |  SELECT CAST(sum(d_us) AS BIGINT) AS s FROM (
+       |    SELECT CAST(round(round(
+       |        1.0 - max(${cosSql("v.embedding", "c.ce")}), 6) * 1e6)
+       |      AS BIGINT) AS d_us
+       |    FROM e v CROSS JOIN cents_$tag c
+       |    WHERE v.vec_id % 2 = 1
+       |    GROUP BY v.vec_id))""".stripMargin
+
   private def indexStalenessSql: String =
     s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
        |e AS (
        |  SELECT vec_id,
        |    CASE WHEN vec_id % 2 = 1
-       |         THEN [-embedding[65 - i] for i in range(1, 65)]
+       |         THEN [CAST(x + 10.0 AS FLOAT) for x in embedding]
        |         ELSE embedding END AS embedding
        |  FROM e0),
        |qs AS (
@@ -3596,16 +3821,17 @@ object Clustering {
        |    FROM qs q JOIN e ON e.vec_id <> q.query_id) WHERE rk <= 3),
        |${stalenessVariantCtes("a", "vec_id % 50 = 0")},
        |${stalenessVariantCtes("b", "vec_id % 100 = 0 OR vec_id % 100 = 25")},
+       |${stalenessDistCte("a")},
+       |${stalenessDistCte("b")},
        |j AS (
        |  SELECT a.query_id, a.n_hits AS ha, b.n_hits AS hb
-       |  FROM hits_a a JOIN hits_b b USING (query_id)),
-       |tot AS (SELECT CAST(sum(hb) - sum(ha) AS BIGINT) AS dh FROM j)
+       |  FROM hits_a a JOIN hits_b b USING (query_id))
        |SELECT j.query_id, j.ha AS hits_grown, j.hb AS hits_rebuilt,
        |  round(CAST(j.ha AS DOUBLE) / 3.0, 4) AS recall_grown,
        |  round(CAST(j.hb AS DOUBLE) / 3.0, 4) AS recall_rebuilt,
-       |  CAST(CASE WHEN t.dh >= 2 THEN 1 ELSE 0 END AS BIGINT)
-       |    AS rebuild_trigger
-       |FROM j CROSS JOIN tot t
+       |  CAST(CASE WHEN (SELECT s FROM dist_a) >= 2 * (SELECT s FROM dist_b)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS rebuild_trigger
+       |FROM j
        |ORDER BY j.query_id""".stripMargin
 
   /** Sign-bit Hamming top-5 recomputed FROM THE FLOAT VECTORS (the
@@ -3849,6 +4075,43 @@ object Clustering {
     "q257_stream_pq_serve" -> pqAnnSql,
     "q258_stream_binary_serve" -> binHamSql("TRUE", "vec_id < 10"),
     "q259_index_staleness" -> indexStalenessSql,
+    // q335: the oracle recomputes every surface's totals per version
+    // from the assignment definition — the cross-surface equality at
+    // each version (the atomicity witness) is in the hash itself;
+    // swept==rebuilt is the Spark-measured multiset equality, pinned
+    "q335_ivf_erasure_commit" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS ce FROM e
+         |  WHERE vec_id % 50 = 0),
+         |assign AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+         |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+         |surf AS (
+         |  SELECT 0 AS version, 'corpus' AS surface,
+         |    count(*) AS n_rows, count(*) AS n_vecs FROM e
+         |  UNION ALL SELECT 0, 'index', count(*), count(*) FROM assign
+         |  UNION ALL SELECT 0, 'stats', count(DISTINCT cell), count(*)
+         |    FROM assign
+         |  UNION ALL SELECT 1, 'corpus', count(*), count(*) FROM e
+         |    WHERE vec_id % 97 <> 0
+         |  UNION ALL SELECT 1, 'index', count(*), count(*) FROM assign
+         |    WHERE vec_id % 97 <> 0
+         |  UNION ALL SELECT 1, 'stats', count(DISTINCT cell), count(*)
+         |    FROM assign WHERE vec_id % 97 <> 0)
+         |SELECT CAST(version AS BIGINT) AS version, surface,
+         |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  TRUE AS swept_equals_rebuilt
+         |FROM surf ORDER BY version, surface""".stripMargin,
+    // q336: the three no-drift controls must keep every trigger quiet
+    // — the falsifiability half of the q259/q277/q278 decisions
+    "q336_staleness_ctl" ->
+      """SELECT family, TRUE AS trigger_quiet
+        |FROM (VALUES ('binary'), ('ivf'), ('pq')) t(family)
+        |ORDER BY family""".stripMargin,
     "q277_pq_staleness" -> pqStalenessSql,
     "q278_binary_staleness" -> binaryStalenessSql,
     // q279/q280: the MoR views must serve exactly what the CoW sweeps
