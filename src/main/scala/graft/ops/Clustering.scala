@@ -740,18 +740,26 @@ object Clustering {
   // centroids distort the arrived half at least 2× worse than a
   // refreshed same-k set (the q277 relative convention).
   //
-  // REDESIGNED in r13 — the original trigger was recall-based and
-  // absolute (rebuilt recovers ≥ 2 hits), and the q333 falsifiability
-  // discipline exposed both halves as broken on MEASUREMENT (DuckDB,
-  // all three sfs): with the original 5-20-query panel the no-drift
-  // control's gap reached +2 hits at sf0.01 — the absolute trigger
-  // fires with NO drift planted — and with a wide panel (all odd ids)
-  // the drift gap collapses to −6.7%..+0.7% of nExact vs the
-  // control's −4.7%..+4.0%: on isotropic fixtures recall CANNOT
-  // separate a stale IVF index from a refreshed one at ANY threshold
-  // (the r9 lesson, now measured for this family too). Assignment
-  // distortion separates 5178-6741× on the drifted half vs 1.01-1.02×
-  // on the control — the q336 sibling control holds it quiet.
+  // REDESIGNED in r13 — the original audit planted a reversal
+  // isometry and triggered on an absolute recall gap (rebuilt
+  // recovers ≥ 2 hits), and the q333 falsifiability discipline
+  // exposed both choices as broken on MEASUREMENT (DuckDB, all three
+  // sfs): with the original 5-20-query panel the no-drift control's
+  // gap reached +2 hits at sf0.01 — the absolute trigger fires with
+  // NO drift planted — and with a wide panel (all odd ids) the drift
+  // gap collapses to −6.7%..+0.7% of nExact vs the control's
+  // −4.7%..+4.0%: on isotropic fixtures recall CANNOT separate a
+  // stale IVF index from a refreshed one at ANY threshold (the r9
+  // lesson, now measured for this family too). Under the REAL drift
+  // model recall is not merely weak but INVERTED: the frozen
+  // centroids cram the whole shifted clump into one cell (measured
+  // max-cell share 0.51-0.56 vs the refreshed 0.05-0.14), so drifted
+  // queries score recall 1.0 on the STALE index and lower on the
+  // refreshed one at nprobe=2 — while per-probe cost on the stale
+  // index degrades to O(clump) because one inverted list holds half
+  // the corpus. Assignment distortion prices exactly that: it
+  // separates 5178-6741× on the drifted half vs 1.01-1.02× on the
+  // control — the q336 sibling control holds it quiet.
   //
   // Scale shape: both candidate indexes are bucketed tables built via
   // the same O(corpus) assignment pass the real builds use; the audit

@@ -144,19 +144,40 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served == batch)
   }
 
-  test("q259 staleness audit: grown recall below rebuilt, trigger fires on the planted drift") {
+  test("q259 staleness audit: distortion trigger fires; recall is the misleading signal") {
     val rows = Clustering.indexStaleness(spark, sf).collect()
     assert(rows.nonEmpty)
-    // recall is an AGGREGATE property of an IVF index — a single query
-    // can get lucky under the stale centroids, so the contract (and
-    // the trigger) is on the summed hit counts, pinned strictly below
-    assert(rows.map(_.getAs[Long]("hits_grown")).sum <
-      rows.map(_.getAs[Long]("hits_rebuilt")).sum,
-      "the refreshed index must recover recall the grown one lost")
     rows.foreach { r =>
       assert(r.getAs[Long]("rebuild_trigger") == 1L,
-        "the planted drift must fire the rebuild trigger")
+        "the planted drift must fire the distortion rebuild trigger")
     }
+    // the r13 redesign's teaching fact, pinned so nobody reverts the
+    // trigger to recall: under the +10 model-version drift the STALE
+    // index serves drifted queries at recall 1.0 — the whole clump
+    // crams into the frozen cells nprobe=2 covers — while the
+    // refreshed rebuild spreads the clump and scores LOWER at this
+    // nprobe. Recall would price the rebuild backwards; distortion
+    // (and the cell imbalance below) prices it right.
+    val grown = rows.map(_.getAs[Long]("hits_grown")).sum
+    val rebuilt = rows.map(_.getAs[Long]("hits_rebuilt")).sum
+    assert(grown == 3L * rows.length,
+      "stale index must serve the clumped drift at recall 1.0")
+    assert(rebuilt < grown,
+      "refreshed recall must sit BELOW stale at nprobe=2 — the reason " +
+        "recall cannot be the trigger")
+    // the serving-cost witness: the frozen assignment crams the
+    // arrived half into one cell (per-probe cost O(clump) — the real
+    // production reason to rebuild); the refreshed one re-balances
+    val (grownT, rebuiltT) = Clustering.ensureDriftIndexes(spark, sf)
+    def maxCellShare(t: String): Double = {
+      val counts = spark.table(t).groupBy("cell").count()
+        .collect().map(_.getAs[Long]("count"))
+      counts.max.toDouble / counts.sum
+    }
+    assert(maxCellShare(grownT) >= 0.4,
+      "frozen centroids must cram the drifted half into one cell")
+    assert(maxCellShare(rebuiltT) <= 0.25,
+      "refreshed centroids must re-balance the cells")
     // the audit serves from the two persisted tables; re-running must
     // not rebuild either
     val builds = Clustering.indexBuilds.get()

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Audit, Clustering, GraphAnn}
+
+/** Round-13 physical/structural invariants behind the q334-q337 gates
+  * and the BuildCost accounting fix: the manifest-routed fold's reader
+  * isolation (v1 units byte-pinned, clean units SHARED by name across
+  * manifests), the atomic index-erasure commit's immutable history,
+  * the no-drift controls' quiet triggers, and the ledger's self-time
+  * discipline under nesting. Build-dependent assertions read
+  * runner-recorded facts (the r11 order-robust rule).
+  */
+class Round13OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q334 manifest fold: v1 units byte-pinned, flagged layers get NEW units, clean units shared") {
+    val (root, dec) = GraphAnn.ensureHnswFoldManifest(spark, sf)
+    val rows = spark.read.parquet(dec).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    val flagged = rows.filter(_._2).map(_._1).toSet
+    assert(flagged == Set(0L, 1L), s"flag set $flagged")
+    rows.foreach { r =>
+      assert(r._3, s"layer ${r._1}: post-fold ghost edges remain")
+      assert(r._4, s"layer ${r._1}: fold edge/degree contract broken")
+      assert(r._5, s"layer ${r._1}: pinned v1 reader count moved")
+      assert(r._6, s"layer ${r._1}: v2 != in-place fold")
+    }
+    // reader isolation is PHYSICAL: every v1 unit file survives the
+    // fold size/mtime-identical (the fold wrote only NEW f* units)
+    val v1Files = GraphAnn.mfoldV1Files.get((spark, sf))
+    assert(v1Files != null && v1Files.nonEmpty)
+    val now = Clustering.listDataFiles(
+      java.nio.file.Paths.get(s"$root/data"))
+    v1Files.foreach { case (p, meta) =>
+      assert(now.get(p).contains(meta), s"v1 unit file touched: $p")
+    }
+    // unit sharing: clean layers appear in BOTH manifests under the
+    // SAME unit name; flagged layers point at f* units only in v2
+    val manifests = GraphAnn.mfoldManifests.get((spark, sf))
+    assert(manifests != null)
+    val (v1, v2) = (manifests(1L), manifests(2L))
+    assert(v1.keySet == v2.keySet)
+    v1.keySet.foreach { l =>
+      if (flagged.contains(l)) {
+        assert(v1(l) == s"u$l" && v2(l) == s"f$l",
+          s"flagged layer $l units: ${v1(l)} -> ${v2(l)}")
+      } else assert(v1(l) == v2(l),
+        s"clean layer $l must share its unit: ${v1(l)} vs ${v2(l)}")
+    }
+  }
+
+  test("q335 erasure commit: exactly two manifest versions, v0 readable in full, cohort gone from the committed index") {
+    val (root, head) = Clustering.ensureIvfErasureCommit(spark, sf)
+    assert(head == 1L)
+    val versions = Option(new java.io.File(s"$root/manifest").list())
+      .getOrElse(Array.empty[String]).toSet
+    assert(versions == Set("v0", "v1"), s"manifest versions: $versions")
+    val n = graft.util.Tables.embeddings(spark, sf).count()
+    val cohort = Clustering.erasedVecIds(spark, sf)
+    val nCohort = cohort.count()
+    assert(nCohort > 0)
+    // pre-erasure history stays readable in full (immutable units)
+    val v0 = Audit.readNSnapshot(spark, root, 0L)
+    assert(v0("corpus").count() == n && v0("index").count() == n)
+    // the committed index serves ZERO cohort rows — measured off the
+    // manifest-resolved read, independent of the gate's totals
+    val v1 = Audit.readNSnapshot(spark, root, 1L)
+    val leaked = v1("index").join(broadcast(cohort),
+      col("vec_id") === col("k"), "left_semi").count()
+    assert(leaked == 0L, s"$leaked cohort rows served post-commit")
+    assert(v1("index").count() == n - nCohort)
+  }
+
+  test("q336 controls: every family's no-drift trigger is quiet") {
+    val rows = Clustering.stalenessControls(spark, sf).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(rows.keySet == Set("binary", "ivf", "pq"))
+    rows.foreach { case (fam, quiet) =>
+      assert(quiet, s"$fam control trigger fired with no drift planted")
+    }
+  }
+
+  test("BuildCost: nested records accumulate self time, not double-counted wall time") {
+    graft.util.BuildCost.record("r13_outer") {
+      graft.util.BuildCost.record("r13_inner") { Thread.sleep(80) }
+      Thread.sleep(40)
+    }
+    val snap = graft.util.BuildCost.snapshot()
+    val inner = snap("r13_inner")
+    val outer = snap("r13_outer")
+    assert(inner >= 0.07, s"inner self time $inner")
+    // the outer label holds ONLY its own 40ms, never inner's 80ms —
+    // the r12-advice double-count is structurally gone
+    assert(outer >= 0.03 && outer < 0.07,
+      s"outer self time $outer must exclude the nested 80ms")
+  }
+
+  test("BuildCost.regressions: >=2x over the floor flags, sub-floor and improvements do not") {
+    val prior = Map("big" -> 10.0, "small" -> 0.2, "ok" -> 5.0)
+    val cur = Map("big" -> 25.0, "small" -> 3.0, "ok" -> 6.0, "new" -> 9.0)
+    val w = graft.util.BuildCost.regressions(cur, prior)
+    assert(w.size == 1 && w.head.startsWith("big:"), w.mkString("; "))
+  }
+}
