@@ -1342,16 +1342,46 @@ object Audit {
     */
   private[graft] def occCommitN(s: SparkSession, dir: String,
       head: java.util.concurrent.atomic.AtomicLong,
-      expected: Long, tables: Seq[(String, DataFrame)]): Boolean = {
+      expected: Long, tables: Seq[(String, DataFrame)]): Boolean =
+    occCommitNShared(s, dir, head, expected,
+      tables.map { case (tbl, df) => tbl -> Right(df) })
+
+  /** occCommitN with UNIT SHARING — the at-scale form of the N-table
+    * commit. A surface whose bytes did not change is staged BY NAME
+    * (`Left(existingUnit)`: the prior version's immutable unit is
+    * re-listed in the new manifest), never rewritten; only `Right(df)`
+    * surfaces write fresh units. At 100 TB this is the difference
+    * between an erasure that commits in one KB manifest rename and
+    * one that rewrites an unchanged index: a manifest names files, so
+    * an unchanged surface costs zero data bytes per commit (the same
+    * re-list discipline Iceberg/Delta snapshots use). Failure cleanup
+    * removes ONLY the freshly staged units — a shared unit belongs to
+    * the prior version and must survive a losing writer.
+    */
+  private[graft] def occCommitNShared(s: SparkSession, dir: String,
+      head: java.util.concurrent.atomic.AtomicLong,
+      expected: Long,
+      tables: Seq[(String, Either[String, DataFrame])]): Boolean = {
     import s.implicits._
     val seq = nStageSeq.incrementAndGet()
-    val units = tables.map { case (tbl, _) => tbl -> s"data/${tbl}_$seq" }
+    val units = tables.map {
+      case (tbl, Left(existing)) =>
+        require(java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(s"$dir/$existing")),
+          s"shared unit $existing must already exist under $dir")
+        tbl -> existing
+      case (tbl, Right(_)) => tbl -> s"data/${tbl}_$seq"
+    }
+    val fresh = units.collect { case (tbl, u)
+      if tables.toMap.apply(tbl).isRight => u }
     val mStage = s"$dir/manifest_stage_n$seq"
     var published = false
     try {
-      tables.foreach { case (tbl, df) =>
-        df.write.mode("overwrite")
-          .parquet(s"$dir/${units.toMap.apply(tbl)}")
+      tables.foreach {
+        case (tbl, Right(df)) =>
+          df.write.mode("overwrite")
+            .parquet(s"$dir/${units.toMap.apply(tbl)}")
+        case (_, Left(_)) => // re-listed by name; zero bytes staged
       }
       units.toDF("tbl", "unit").coalesce(1)
         .write.mode("overwrite").parquet(mStage)
@@ -1376,9 +1406,18 @@ object Audit {
       published
     } finally if (!published) {
       deleteTree(mStage)
-      units.foreach { case (_, u) => deleteTree(s"$dir/$u") }
+      fresh.foreach(u => deleteTree(s"$dir/$u"))
     }
   }
+
+  /** The manifest's table→unit NAME map at version v — the sharing
+    * evidence readers and follow-on commits use to re-list unchanged
+    * units (≤ N bounded rows).
+    */
+  private[graft] def manifestUnits(s: SparkSession, dir: String,
+      v: Long): Map[String, String] =
+    s.read.parquet(s"$dir/manifest/v$v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
 
   /** Resolve snapshot v: the manifest's full table→unit map — the
     * ONLY read path, so no subset of the N tables can tear.

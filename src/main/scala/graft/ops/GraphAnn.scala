@@ -313,7 +313,11 @@ object GraphAnn {
       efs: Seq[Int], hops: Int = BaseHops,
       edgeFilter: Column = lit(true),
       corpusOpt: Option[DataFrame] = None,
-      bucketedTable: Option[String] = None): DataFrame = {
+      bucketedTable: Option[String] = None,
+      edgesOf: Option[Int => DataFrame] = None): DataFrame = {
+    // edgesOf: per-layer edge relation supplied by the caller — the
+    // manifest-resolved read (a snapshot's per-layer UNIT mounted
+    // directly, no copy), used by the q339 serve-across-fold gate.
     // corpusOpt: candidate scoring against an ALTERNATE vector
     // relation (the q329 drift corpus, where arriving vectors differ
     // from the stored table); default is the persisted table.
@@ -339,14 +343,18 @@ object GraphAnn {
       // is a sort-merge equi-join where only the (tiny) beam side
       // shuffles and the edge side reads co-located buckets with no
       // Exchange (plan-pinned by Round12OpsSpec).
-      val expanded = bucketedTable match {
-        case Some(t) =>
+      val expanded = (edgesOf, bucketedTable) match {
+        case (Some(f), _) =>
+          val edges = f(layer).select(col("src"), col("dst"))
+          beam.join(broadcast(edges), beam("vec_id") === edges("src"))
+            .select(col("ef"), col("query_id"), col("dst").as("vec_id"))
+        case (None, Some(t)) =>
           val edges = s.table(t)
             .filter(edgeFilter && col("layer") === layer)
             .select(col("src"), col("dst"))
           beam.join(edges.hint("MERGE"), beam("vec_id") === edges("src"))
             .select(col("ef"), col("query_id"), col("dst").as("vec_id"))
-        case None =>
+        case (None, None) =>
           val edges = s.read.parquet(loc)
             .filter(edgeFilter && col("layer") === layer)
             .select(col("src"), col("dst"))
@@ -947,6 +955,14 @@ object GraphAnn {
   private def foldCohort(s: SparkSession, d: String, maxLevel: Int): DataFrame =
     embeddings(s, d).filter(foldCohortPred(col("vec_id"), maxLevel))
       .select(col("vec_id").as("k"))
+
+  /** Bounded self-probe subcohort (id % 29 slice of the fold cohort)
+    * — strict self-reachability equalities (q338/q339) stay
+    * falsifiable without growing with the corpus (the r12-advice
+    * remediation for strict gates over corpus-sized cohorts).
+    */
+  private[graft] def probeCohortPred(c: Column, maxLevel: Int): Column =
+    foldCohortPred(c, maxLevel) && pmod(c, lit(29)) === 0
 
   /** Per-layer (n_edges, ghost_edges, max_deg) off the live edge
     * table — both the pre-fold measurement and the post-fold
@@ -1603,6 +1619,434 @@ object GraphAnn {
       .orderBy(col("query_id"))
   }
 
+  // ---- q338: the GDPR ERASURE LEDGER for the graph family -----------
+  //
+  // q335 made index erasure atomic for the IVF family; the graph
+  // family's erasure is MERGE-ON-READ (q324: tombstones filter the
+  // serve, the edges stay byte-untouched) with the debt repaid later
+  // by the fold (q327/q334) — which means its GDPR story is not one
+  // commit but a LEDGER of two, and each must be atomic across
+  // surfaces or a reader can see the cohort gone from the registry
+  // while the serve still returns it:
+  //
+  //   v0  genesis — full registry, empty tombstone set, the grown
+  //       graph's per-layer edge units.
+  //   v1  THE ERASURE — registry minus cohort + tombstones := cohort,
+  //       committed with every edge unit RE-LISTED BY NAME
+  //       (occCommitNShared Left): the MoR promise "a delete is
+  //       serve-invisible immediately at zero graph writes" becomes a
+  //       measured property of the commit — zero edge bytes staged.
+  //   v2  THE FOLD — debt measured off the manifest-resolved v1 read,
+  //       flagged layers get NEW folded units, clean layers and the
+  //       corpus re-list v1's units, tombstones := empty (debt
+  //       repaid: enforcement moved from read-time anti-join to
+  //       storage — the q291 contract, third appearance).
+  //
+  // Per version the ledger carries the cohort's ONE consistent state
+  // — live (in registry, no tombstone, routable), tombstoned (out of
+  // registry, all tombstoned, still routable raw), or folded away
+  // (out of registry, no tombstone, unreachable raw) — so a torn
+  // subset (registry flipped without the tombstone, tombstone dropped
+  // without the fold) lands in NO clause and fails `state_consistent`
+  // deterministically. Retrievability is measured by SELF-QUERIES
+  // (cos = 1 tops the beam once reached, the q324 falsifiability
+  // anchor) over a bounded probe subcohort (id % 29 — the advisor's
+  // remediation for strict-equality gates whose cohort grows with the
+  // corpus); the LEAK check stays predicate-based over everything
+  // served. Recall floors ride each version's own baseline: full-
+  // corpus exact at v0, survivor-exact at v1/v2, each version at a
+  // declared floor with ≥1.7× measured margin (see recallOk).
+  //
+  // Scale shape: v1 stages |registry| ids + |cohort| tombstones and
+  // renames one KB manifest — NO edge unit is written (the gate
+  // proves it by name-sharing AND byte-pinned v0 files); v2 writes
+  // only the flagged layers' folded units (the q334 cost) plus the
+  // same KB rename. The planted cohort (q334's, for flag
+  // decidability) is ~25% of the corpus — a real GDPR cohort is tiny,
+  // which only shrinks every leg; nothing here is all-pairs.
+
+  private val gdprMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Long, Seq[Boolean])]]()
+  graft.util.CacheRegistry.registerMemo(gdprMemo)
+
+  /** (root, v0 data files (path → (size, mtime)) captured at genesis)
+    * — the spec's zero-edge-write / immutability evidence.
+    */
+  private[graft] val gdprV0Files = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Map[String, (Long, Long)])]()
+  graft.util.CacheRegistry.registerMemo(gdprV0Files)
+
+  private[graft] def ensureHnswGdprLedger(s: SparkSession, d: String)
+      : Seq[(Long, Seq[Boolean])] =
+    gdprMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_gdpr_chain") {
+      val (gloc, maxLevel, entry) = ensureHnswGrown(s, d) // read-only
+      val root = graft.util.TmpDirs.scratchFor("hnsw_gdpr", d)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/manifest"))
+      import s.implicits._
+      val cohortPred = (c: Column) => foldCohortPred(c, maxLevel)
+      val cohort = foldCohort(s, d, maxLevel) // (k)
+      val subPred = (c: Column) => probeCohortPred(c, maxLevel)
+      val nFull = embeddings(s, d).count()
+      val nCohort = cohort.count()
+      val nSub = embeddings(s, d).filter(subPred(col("vec_id"))).count()
+      require(nSub > 0 && nSub < nCohort,
+        s"probe subcohort empty or unbounded at $d ($nSub of $nCohort)")
+      val edgeKeys = (0L to maxLevel.toLong).map(l => s"edge_l$l")
+      // genesis v0: direct write (the q331 genesis shape)
+      embeddings(s, d).select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$root/data/corpus_0")
+      s.range(0).select(col("id").as("k"))
+        .write.mode("overwrite").parquet(s"$root/data/tomb_0")
+      (0L to maxLevel.toLong).foreach { l =>
+        val layerDir = java.nio.file.Paths.get(s"$gloc/layer=$l")
+        val edges =
+          if (java.nio.file.Files.isDirectory(layerDir))
+            s.read.parquet(s"$gloc/layer=$l").select(col("src"), col("dst"))
+          else s.range(0).select(col("id").as("src"), col("id").as("dst"))
+        edges.write.mode("overwrite").parquet(s"$root/data/edge_l${l}_0")
+      }
+      val v0Units = Seq("corpus" -> "data/corpus_0", "tomb" -> "data/tomb_0") ++
+        (0L to maxLevel.toLong).map(l => s"edge_l$l" -> s"data/edge_l${l}_0")
+      v0Units.toDF("tbl", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/manifest/v0")
+      val v0Files = Clustering.listDataFiles(
+        java.nio.file.Paths.get(s"$root/data"))
+      gdprV0Files.put((s, d), (root, v0Files))
+      val head = new java.util.concurrent.atomic.AtomicLong(0)
+      // v1 — THE ERASURE: registry/tombstones flip, edges re-listed
+      val corpus1 = s.read.parquet(s"$root/data/corpus_0")
+        .filter(!cohortPred(col("vec_id")))
+      require(Audit.occCommitNShared(s, root, head, 0L,
+          Seq("corpus" -> Right(corpus1), "tomb" -> Right(cohort.toDF("k"))) ++
+            edgeKeys.map(k => k -> Left(s"data/${k}_0"))),
+        "the erasure commit holds the expected head")
+      // v2 — THE FOLD: debt measured off the MANIFEST-RESOLVED v1 read
+      val u1 = Audit.manifestUnits(s, root, 1L)
+      def edgesAt(v: Long): DataFrame = {
+        val u = Audit.manifestUnits(s, root, v)
+        (0L to maxLevel.toLong).map(l =>
+          s.read.parquet(s"$root/${u(s"edge_l$l")}")
+            .select(lit(l).as("layer"), col("src"), col("dst")))
+          .reduce(_ unionByName _)
+      }
+      val zero = (0L, 0L, 0L)
+      val measured = ghostLayerStats(edgesAt(1L), cohort)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val pre = (0L to maxLevel.toLong)
+        .map(l => l -> measured.getOrElse(l, zero)).toMap
+      val flagged = pre.filter { case (_, (n, g, _)) =>
+        n > 0 && g * 100L / n >= GhostThresholdPct }.keys.toSet
+      require(Audit.occCommitNShared(s, root, head, 1L,
+          Seq("corpus" -> Left(u1("corpus")),
+            "tomb" -> Right(s.range(0).select(col("id").as("k")))) ++
+            (0L to maxLevel.toLong).map { l =>
+              val k = s"edge_l$l"
+              if (flagged(l))
+                k -> Right(foldedEdges(s, d,
+                  s.read.parquet(s"$root/${u1(k)}"), cohort))
+              else k -> Left(u1(k))
+            }),
+        "the fold commit holds the expected head")
+      require(flagged.nonEmpty, s"no layer flagged at $d — the planted " +
+        "cohort must exceed the ghost threshold somewhere")
+      // ---- the measured ledger ----------------------------------------
+      val u0 = Audit.manifestUnits(s, root, 0L)
+      val u2 = Audit.manifestUnits(s, root, 2L)
+      val snaps = (0L to 2L).map(v =>
+        v -> Audit.readNSnapshot(s, root, v)).toMap
+      // descents over the manifest-resolved edges (v0 ≡ v1 by shared
+      // units — one pre-fold descent serves both versions)
+      def snapLoc(v: Long, tag: String): String = {
+        val loc = graft.util.TmpDirs.scratchFor(s"hnsw_gdpr_$tag", d)
+        edgesAt(v).write.mode("overwrite").partitionBy("layer").parquet(loc)
+        loc
+      }
+      val evalQs = evalQueries(s, d) // %100==7 — odd ids, cohort is even:
+      val subQs = embeddings(s, d).filter(subPred(col("vec_id")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val allQs = evalQs.unionByName(subQs) // provably disjoint by parity
+      val beamPre = beamSweepOn(s, d, snapLoc(1L, "pre"), maxLevel, entry,
+        allQs, Seq(8))
+      val beamPost = beamSweepOn(s, d, snapLoc(2L, "post"), maxLevel, entry,
+        allQs, Seq(8))
+      val wServe = Window.partitionBy(col("ef"), col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      // retrievability serve: self rows KEPT (the question is "is this
+      // vector still retrievable at all"), tombstones anti-joined when
+      // the version's discipline says so
+      def serveAll(beam: DataFrame, tomb: Option[DataFrame]): DataFrame = {
+        val base = tomb match {
+          case Some(t) => beam.join(broadcast(t.select(col("k"))),
+            beam("vec_id") === col("k"), "left_anti")
+          case None => beam
+        }
+        base.withColumn("rk", row_number().over(wServe))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"))
+      }
+      def servedEval(beam: DataFrame, tomb: Option[DataFrame]): DataFrame = {
+        val b = beam.filter(col("query_id") % 100 === 7)
+        val f = tomb match {
+          case Some(t) => b.join(broadcast(t.select(col("k"))),
+            b("vec_id") === col("k"), "left_anti")
+          case None => b
+        }
+        beamTop5(f).select(col("query_id"), col("vec_id"))
+      }
+      val tomb1 = snaps(1L)("tomb")
+      val served = Map(
+        0L -> serveAll(beamPre, None),
+        1L -> serveAll(beamPre, Some(tomb1)),
+        2L -> serveAll(beamPost, None))
+      val rawReach = Map(
+        0L -> beamPre, 1L -> beamPre, 2L -> beamPost).map { case (v, b) =>
+        v -> b.filter(subPred(col("query_id")) &&
+          col("vec_id") === col("query_id")).count()
+      }
+      val corpusAll = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val exactFull = exactTop5On(evalQs, corpusAll)
+      val exactSurv = exactTop5On(evalQs,
+        corpusAll.filter(!cohortPred(col("vec_id"))))
+      val recallOk = Map(
+        // measured: v0 0.80-0.96 vs 0.45 (1.78× margin); v1 and v2
+        // declare their own 0.40 floor — the ~25% planted cohort
+        // crowds the ef=8 beam at v1 (MoR anti-join removes up to a
+        // quarter of the kept candidates; measured 0.74-0.84, 1.85×
+        // over 0.40) and v2 is the q328 post-fold raw serve (0.75-0.84
+        // measured, 1.88×)
+        0L -> recallMet(servedEval(beamPre, None), exactFull, d, "gdpr_v0"),
+        1L -> recallMet(servedEval(beamPre, Some(tomb1)), exactSurv,
+          d, "gdpr_v1", floor = 0.40),
+        2L -> recallMet(servedEval(beamPost, None), exactSurv,
+          d, "gdpr_v2", floor = 0.40))
+      val sharedOk = Map(
+        0L -> true,
+        1L -> (edgeKeys.forall(k => u1(k) == u0(k)) &&
+          u1("corpus") != u0("corpus") && u1("tomb") != u0("tomb")),
+        2L -> ((0L to maxLevel.toLong).forall { l =>
+          val k = s"edge_l$l"
+          if (flagged(l)) u2(k) != u1(k) else u2(k) == u1(k)
+        } && u2("corpus") == u1("corpus")))
+      // v0 immutability AFTER the whole chain: every genesis file still
+      // present, byte-identical, and the v0 reader sees the full corpus
+      val after = Clustering.listDataFiles(
+        java.nio.file.Paths.get(s"$root/data"))
+      val v0Intact = v0Files.forall { case (p, sm) =>
+        after.get(p).contains(sm) } &&
+        snaps(0L)("corpus").count() == nFull
+      (0L to 2L).map { v =>
+        val inCorpus = snaps(v)("corpus")
+          .filter(cohortPred(col("vec_id"))).count()
+        val inTomb = snaps(v)("tomb").filter(cohortPred(col("k"))).count()
+        val leaked = served(v).filter(cohortPred(col("vec_id"))).count()
+        val selfServed = served(v).filter(subPred(col("query_id")) &&
+          col("query_id") === col("vec_id")).count()
+        val consistent =
+          (inCorpus == nCohort && inTomb == 0L && rawReach(v) == nSub) ||
+          (inCorpus == 0L && inTomb == nCohort && rawReach(v) == nSub) ||
+          (inCorpus == 0L && inTomb == 0L && rawReach(v) == 0L)
+        v -> Seq(inCorpus == nCohort, inTomb == nCohort,
+          rawReach(v) == nSub, selfServed == nSub, leaked == 0L,
+          consistent, sharedOk(v), recallOk(v), v0Intact)
+      }
+    })
+
+  /** q338: the ledger — one row per version, every column a measured
+    * boolean over the manifest-resolved surfaces (see the block
+    * comment for the three-state consistency rule).
+    */
+  def hnswGdprLedger(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureHnswGdprLedger(s, d)
+    import s.implicits._
+    rows.map { case (v, f) =>
+      (v, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7), f(8))
+    }.toDF("version", "cohort_in_corpus", "cohort_tombstoned",
+        "cohort_raw_reachable", "cohort_retrievable", "no_cohort_leaked",
+        "state_consistent", "units_shared_ok", "recall_floor_met",
+        "v0_reader_intact")
+      .orderBy(col("version"))
+  }
+
+  // ---- q339: SERVING ACROSS A FOLD COMMIT ----------------------------
+  //
+  // The r12 verdict flagged the in-place fold "before a streaming
+  // serve ever overlaps a fold"; q334 made the fold a manifest commit,
+  // and this gate drives the overlap itself: a probe STREAM is serving
+  // while the fold PUBLISHES MID-BATCH. Three micro-batches
+  // (OrderedFeed-pinned), each resolving the manifest head at batch
+  // start and descending over that snapshot's units MOUNTED DIRECTLY
+  // (beamSweepOn edgesOf — the production read: a per-layer unit IS
+  // the layer partition; no copy). Batch 1 resolves v1, THEN the fold
+  // publishes v2 (an ATOMIC_MOVE of the staged manifest), then the
+  // descent runs — with v2 already on disk. Because v1's units are
+  // immutable and the fold wrote only NEW units, batch 1 must still
+  // serve v1's answers exactly; batch 2 resolves v2 and serves the
+  // folded graph.
+  //
+  // Falsifiability: every batch carries the bounded self-probe
+  // subcohort alongside its eval slice. A cohort self-query tops its
+  // own top-5 (cos = 1) on ANY v1 serve and CANNOT appear on a v2
+  // serve (its edges are gone) — so the v1-vs-v2 answer sets provably
+  // differ per batch, and a batch that read the wrong snapshot (or a
+  // fold that rewrote a v1 byte) fails `equals_pinned_reference` with
+  // certainty, not by luck.
+  //
+  // Scale shape: per batch the work is |batch|·ef·2M scored rows
+  // against the resolved units — identical to q325; the resolution
+  // adds one ≤(maxLevel+1)-row manifest read per trigger, and the
+  // mid-stream commit costs the fold's flagged-layer writes + one KB
+  // rename, full stop. Nothing pauses the stream.
+
+  private val sfoldMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Long, Long, Boolean, Boolean, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(sfoldMemo)
+
+  private[graft] def ensureHnswStreamFold(s: SparkSession, d: String)
+      : Seq[(Long, Long, Boolean, Boolean, Boolean)] =
+    sfoldMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_stream_fold") {
+      val (gloc, maxLevel, entry) = ensureHnswGrown(s, d) // read-only
+      val root = graft.util.TmpDirs.scratchFor("hnsw_sfold", d)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/manifest"))
+      import s.implicits._
+      // v1: immutable per-layer units (the q334 layout), manifest v1
+      (0L to maxLevel.toLong).foreach { l =>
+        val layerDir = java.nio.file.Paths.get(s"$gloc/layer=$l")
+        val edges =
+          if (java.nio.file.Files.isDirectory(layerDir))
+            s.read.parquet(s"$gloc/layer=$l").select(col("src"), col("dst"))
+          else s.range(0).select(col("id").as("src"), col("id").as("dst"))
+        edges.write.mode("overwrite").parquet(s"$root/data/u$l")
+      }
+      val v1Units = (0L to maxLevel.toLong).map(l => l -> s"u$l")
+      v1Units.toDF("layer", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/manifest/v1")
+      // the fold, STAGED: new units + staged manifest now; the
+      // publish (one atomic rename) happens mid-stream
+      val cohort = foldCohort(s, d, maxLevel)
+      val zero = (0L, 0L, 0L)
+      val m = ghostLayerStats(
+          (0L to maxLevel.toLong).map(l =>
+            s.read.parquet(s"$root/data/u$l")
+              .select(lit(l).as("layer"), col("src"), col("dst")))
+            .reduce(_ unionByName _), cohort)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val flagged = (0L to maxLevel.toLong)
+        .map(l => l -> m.getOrElse(l, zero))
+        .filter { case (_, (n, g, _)) =>
+          n > 0 && g * 100L / n >= GhostThresholdPct }.map(_._1).toSet
+      require(flagged.nonEmpty, s"no layer flagged at $d")
+      flagged.foreach { l =>
+        foldedEdges(s, d, s.read.parquet(s"$root/data/u$l"), cohort)
+          .write.mode("overwrite").parquet(s"$root/data/f$l")
+      }
+      val v2Units = v1Units.map { case (l, u) =>
+        l -> (if (flagged(l)) s"f$l" else u) }
+      v2Units.toDF("layer", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/manifest_stage")
+      def publishV2(): Unit = java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/manifest_stage"),
+        java.nio.file.Paths.get(s"$root/manifest/v2"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      def maxVersion: Long = Option(
+          new java.io.File(s"$root/manifest").list())
+        .getOrElse(Array.empty[String]).map(_.drop(1).toLong).max
+      // per-version unit mount: the snapshot's unit IS the layer read
+      def edgesOfAt(ss: SparkSession, v: Long): Int => DataFrame = {
+        val u = ss.read.parquet(s"$root/manifest/v$v").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        (layer: Int) => ss.read.parquet(s"$root/data/${u(layer.toLong)}")
+      }
+      val subPred = (c: Column) => probeCohortPred(c, maxLevel)
+      val nSub = embeddings(s, d).filter(subPred(col("vec_id"))).count()
+      require(nSub > 0, s"probe subcohort empty at $d")
+      val subQs = embeddings(s, d).filter(subPred(col("vec_id")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      // feed: one eval third + the self-probes per chunk, mtime-pinned
+      val feed = graft.util.TmpDirs.scratchFor("hnsw_sfold_feed", d)
+      (0 until 3).foreach { c =>
+        graft.util.OrderedFeed.writeChunk(s"$feed/c$c", c,
+          evalQueries(s, d)
+            .filter(pmod(col("query_id"), lit(3)) === c)
+            .unionByName(subQs))
+      }
+      val wServe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      // retrievability serve (self rows KEPT — the q338 shape)
+      def serveTop5(beam: DataFrame): DataFrame =
+        beam.withColumn("rk", row_number().over(wServe))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"))
+      val outDir = graft.util.TmpDirs.scratchFor("hnsw_sfold_out", d)
+      graft.util.StreamTuning.withShuffle(s, 8) {
+        val src = s.readStream
+          .schema(s.read.parquet(s"$feed/c0").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$feed/c*")
+        val q = src.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!batch.isEmpty) {
+              val ss = batch.sparkSession
+              val v = maxVersion // resolve the head at batch start
+              val edges = edgesOfAt(ss, v)
+              if (id == 1L) publishV2() // the fold lands MID-BATCH
+              val foldOnDisk = java.nio.file.Files.isDirectory(
+                java.nio.file.Paths.get(s"$root/manifest/v2"))
+              serveTop5(beamSweepOn(ss, d, root, maxLevel, entry,
+                  batch, Seq(8), edgesOf = Some(edges)))
+                .withColumn("resolved_v", lit(v))
+                .withColumn("fold_on_disk", lit(foldOnDisk))
+                .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      // references: ONE descent per version over the same mounted units
+      val allQs = evalQueries(s, d).unionByName(subQs) // parity-disjoint
+      val refs = Seq(1L, 2L).map(v => v -> serveTop5(
+        beamSweepOn(s, d, root, maxLevel, entry, allQs, Seq(8),
+          edgesOf = Some(edgesOfAt(s, v))))).toMap
+      val served = s.read.parquet(outDir)
+      (0L to 2L).map { id =>
+        val b = served.filter(col("batch_id") === id)
+        val hdr = b.select(col("resolved_v"), col("fold_on_disk"))
+          .limit(1).collect()(0) // 1 bounded control row per batch
+        val v = hdr.getLong(0)
+        val chunkQs = s.read.parquet(s"$feed/c${id.toInt}")
+          .select(col("query_id"))
+        val refSlice = refs(v).join(chunkQs, Seq("query_id"), "left_semi")
+        val bAns = b.select(col("query_id"), col("vec_id"))
+        val equalsRef = bAns.exceptAll(refSlice).count() +
+          refSlice.exceptAll(bAns).count() == 0L
+        val selfHits = bAns.filter(subPred(col("query_id")) &&
+          col("query_id") === col("vec_id")).count()
+        val cohortRows = bAns
+          .filter(foldCohortPred(col("vec_id"), maxLevel)).count()
+        val selfStateOk =
+          (v == 1L && selfHits == nSub) || (v == 2L && cohortRows == 0L)
+        (id, v, hdr.getBoolean(1), equalsRef, selfStateOk)
+      }
+    })
+
+  /** q339: one row per micro-batch — the resolved manifest version,
+    * whether the fold was already on disk when the batch descended,
+    * exact equality with that version's pinned reference descent, and
+    * the self-probe state the resolved version mandates.
+    */
+  def hnswServeAcrossFold(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureHnswStreamFold(s, d)
+    import s.implicits._
+    rows.toDF("batch_id", "resolved_version", "fold_on_disk_at_serve",
+        "equals_pinned_reference", "self_state_ok")
+      .orderBy(col("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q316_hnsw_probe"       -> hnswProbe _,
     "q317_hnsw_ef_sweep"    -> hnswEfSweep _,
@@ -1617,6 +2061,8 @@ object GraphAnn {
     "q333_hnsw_staleness_ctl" -> hnswStalenessControl _,
     "q334_hnsw_fold_manifest" -> hnswFoldManifest _,
     "q337_hnsw_auto_descent" -> hnswAutoDescent _,
+    "q338_hnsw_gdpr_ledger" -> hnswGdprLedger _,
+    "q339_hnsw_serve_across_fold" -> hnswServeAcrossFold _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1715,5 +2161,37 @@ object GraphAnn {
         |  TRUE AS equals_broadcast_probe, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id % 100 = 7
         |ORDER BY query_id""".stripMargin,
+    // q338: the graph family's two-commit GDPR ledger — per version
+    // the cohort is in exactly one state (live / tombstoned / folded
+    // away), the erasure commit re-lists every edge unit by name
+    // (zero edge bytes), the fold commit re-lists clean units + the
+    // corpus, and v0 stays readable in full after the whole chain
+    "q338_hnsw_gdpr_ledger" ->
+      """SELECT CAST(v AS BIGINT) AS version,
+        |  v = 0 AS cohort_in_corpus,
+        |  v = 1 AS cohort_tombstoned,
+        |  v <= 1 AS cohort_raw_reachable,
+        |  v = 0 AS cohort_retrievable,
+        |  v > 0 AS no_cohort_leaked,
+        |  TRUE AS state_consistent,
+        |  TRUE AS units_shared_ok,
+        |  TRUE AS recall_floor_met,
+        |  TRUE AS v0_reader_intact
+        |FROM (VALUES (0), (1), (2)) AS t(v)
+        |ORDER BY version""".stripMargin,
+    // q339: the fold publishes MID-BATCH under a serving stream —
+    // batch 1 resolved v1 before the commit and must still serve v1's
+    // answers exactly (immutable units), batch 2 resolves v2; every
+    // batch equals its pinned version's reference descent and shows
+    // the self-probe state that version mandates
+    "q339_hnsw_serve_across_fold" ->
+      """SELECT CAST(b AS BIGINT) AS batch_id,
+        |  CAST(CASE WHEN b = 2 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS resolved_version,
+        |  b >= 1 AS fold_on_disk_at_serve,
+        |  TRUE AS equals_pinned_reference,
+        |  TRUE AS self_state_ok
+        |FROM (VALUES (0), (1), (2)) AS t(b)
+        |ORDER BY batch_id""".stripMargin,
   )
 }

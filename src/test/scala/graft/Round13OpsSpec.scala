@@ -86,6 +86,76 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q338 gdpr ledger: erasure commit stages zero edge bytes, fold shares clean units, genesis immutable") {
+    GraphAnn.ensureHnswGdprLedger(spark, sf) // drive the chain
+    val (root, v0Files) = GraphAnn.gdprV0Files.get((spark, sf))
+    assert(v0Files.nonEmpty)
+    val versions = Option(new java.io.File(s"$root/manifest").list())
+      .getOrElse(Array.empty[String]).toSet
+    assert(versions == Set("v0", "v1", "v2"), s"manifest versions: $versions")
+    val u0 = Audit.manifestUnits(spark, root, 0L)
+    val u1 = Audit.manifestUnits(spark, root, 1L)
+    val u2 = Audit.manifestUnits(spark, root, 2L)
+    assert(u0.keySet == u1.keySet && u1.keySet == u2.keySet)
+    val edgeKeys = u0.keySet.filter(_.startsWith("edge_l"))
+    assert(edgeKeys.nonEmpty)
+    // v1 (the erasure): EVERY edge unit re-listed by name — the MoR
+    // zero-graph-write promise as a manifest fact
+    edgeKeys.foreach(k => assert(u1(k) == u0(k),
+      s"erasure commit rewrote edge unit $k: ${u0(k)} -> ${u1(k)}"))
+    assert(u1("corpus") != u0("corpus") && u1("tomb") != u0("tomb"))
+    // v2 (the fold): the corpus unit re-listed, at least one edge unit
+    // folded fresh and at least one shared with v1
+    assert(u2("corpus") == u1("corpus"))
+    assert(edgeKeys.exists(k => u2(k) != u1(k)), "no layer folded")
+    assert(edgeKeys.exists(k => u2(k) == u1(k)), "no clean unit shared")
+    // genesis files byte-identical after BOTH commits (immutable units)
+    val now = Clustering.listDataFiles(
+      java.nio.file.Paths.get(s"$root/data"))
+    v0Files.foreach { case (p, meta) =>
+      assert(now.get(p).contains(meta), s"genesis unit file touched: $p")
+    }
+  }
+
+  test("q339 serve across fold: batch 1 pins v1 with v2 on disk, batch 2 picks up the fold") {
+    val rows = GraphAnn.ensureHnswStreamFold(spark, sf)
+    assert(rows.map(r => (r._1, r._2)) == Seq((0L, 1L), (1L, 1L), (2L, 2L)),
+      s"batch->version map: $rows")
+    // batch 0 served BEFORE the publish, batches 1-2 with v2 on disk —
+    // and batch 1 still equals v1's reference (byte isolation)
+    assert(rows.map(_._3) == Seq(false, true, true), s"fold_on_disk: $rows")
+    rows.foreach { r =>
+      assert(r._4, s"batch ${r._1} diverged from its pinned reference")
+      assert(r._5, s"batch ${r._1} self-probe state wrong for v${r._2}")
+    }
+  }
+
+  test("occCommitNShared: a losing writer cleans only its fresh units, never a shared one") {
+    val s = spark
+    import s.implicits._
+    val dir = graft.util.TmpDirs.scratch("occ_shared_loser")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/manifest"))
+    spark.range(5).toDF("n").write.parquet(s"$dir/data/base_0")
+    Seq(("a", "data/base_0")).toDF("tbl", "unit").coalesce(1)
+      .write.parquet(s"$dir/manifest/v0")
+    val head = new java.util.concurrent.atomic.AtomicLong(0)
+    // expected=7 ≠ head=0: the optimistic check fails AFTER staging
+    val won = Audit.occCommitNShared(spark, dir, head, 7L, Seq(
+      "a" -> Left("data/base_0"),
+      "b" -> Right(spark.range(3).toDF("n"))))
+    assert(!won && head.get() == 0L)
+    // the shared unit survives the loser; the fresh orphan is gone
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$dir/data/base_0")))
+    val dataDirs = Option(new java.io.File(s"$dir/data").list())
+      .getOrElse(Array.empty[String]).toSet
+    assert(dataDirs == Set("base_0"), s"orphans left: $dataDirs")
+    val manifests = Option(new java.io.File(s"$dir/manifest").list())
+      .getOrElse(Array.empty[String]).toSet
+    assert(manifests == Set("v0"), s"manifests: $manifests")
+  }
+
   test("BuildCost: nested records accumulate self time, not double-counted wall time") {
     graft.util.BuildCost.record("r13_outer") {
       graft.util.BuildCost.record("r13_inner") { Thread.sleep(80) }
