@@ -1016,7 +1016,7 @@ object Audit {
     * directory handles open until then — a leak on every CAS loser
     * and every vacuumed version otherwise).
     */
-  private def deleteTree(path: String): Unit = {
+  private[graft] def deleteTree(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
       val st = java.nio.file.Files.walk(p)

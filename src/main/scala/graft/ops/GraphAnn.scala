@@ -2047,6 +2047,135 @@ object GraphAnn {
       .orderBy(col("batch_id"))
   }
 
+  // ---- q340: MANIFEST GC — the GDPR physical close-out ---------------
+  //
+  // Unit sharing (occCommitNShared, this round) changes what retention
+  // means: q294's vacuum deletes whole version DIRECTORIES, but a
+  // shared unit may be referenced by MANY manifests — retention over a
+  // shared-unit chain must be MARK-AND-SWEEP (expire old manifests,
+  // keep every unit a surviving manifest references, delete the rest:
+  // the Iceberg expire-snapshots / remove-orphan-files pair). And for
+  // the q338 erasure chain this is not hygiene but the LAST GDPR
+  // OBLIGATION: after v1/v2 committed, the cohort's bytes still exist
+  // — in the genesis corpus unit, in the tombstone unit (itself PII:
+  // a list of erased ids), and in the pre-fold edge units. "Right to
+  // be forgotten" completes only when retention expires those versions
+  // and the sweep physically deletes their bytes.
+  //
+  // The gate runs GC on a HARDLINK clone of the q338 chain (link cost
+  // O(#files), zero data bytes; deleting a clone link never touches
+  // the source inode — so the shared fixture stays byte-pinned for
+  // every other gate by the filesystem itself, not by test ordering):
+  //   1. measured POSITIVE control: the cohort's bytes are present
+  //      pre-GC (corpus_0 rows, tombstone ids, ghost edges — scanned
+  //      by PREDICATE over every unit, schema-dispatched);
+  //   2. expire manifests v0/v1, mark v2's units, sweep the rest —
+  //      the swept/kept counts are deterministic (5 swept: genesis
+  //      corpus, genesis empty tombstone, the two pre-fold flagged
+  //      edge units, the cohort tombstone; maxLevel+3 kept);
+  //   3. post-GC the same scan finds ZERO cohort bytes anywhere, and
+  //      the head serve (v2 mounted units, post-sweep) is row-
+  //      identical to the untouched source chain's v2 descent — the
+  //      sweep deleted nothing live.
+  //
+  // Scale shape: expire is a ≤versions manifest-list walk; mark is a
+  // ≤N·versions name-set union; sweep deletes only dead units. The
+  // verification scan is O(live bytes) BY DESIGN — proving bytes gone
+  // prices a full read of what remains, which is what a GDPR audit
+  // costs; production runs it per retention window, not per query.
+
+  private val gcMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, Long, Seq[Boolean])]()
+  graft.util.CacheRegistry.registerMemo(gcMemo)
+
+  /** Hardlink clone: directories recreated, files linked (same inode —
+    * zero data bytes; clone deletions cannot touch source bytes).
+    */
+  private def linkTree(src: String, dst: String): Unit = {
+    val sp = java.nio.file.Paths.get(src)
+    val st = java.nio.file.Files.walk(sp)
+    try st.forEach { p =>
+      val t = java.nio.file.Paths.get(dst).resolve(sp.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.createLink(t, p)
+    } finally st.close()
+  }
+
+  private[graft] def ensureGdprGc(s: SparkSession, d: String)
+      : (Long, Long, Seq[Boolean]) =
+    gcMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_gdpr_gc") {
+      ensureHnswGdprLedger(s, d) // the source chain
+      val (srcRoot, _) = gdprV0Files.get((s, d))
+      val (_, maxLevel, entry) = ensureHnswGrown(s, d)
+      val root = graft.util.TmpDirs.scratchFor("hnsw_gdpr_gc", d)
+      linkTree(srcRoot, root)
+      val cohortPred = (c: Column) => foldCohortPred(c, maxLevel)
+      // the cohort-byte scan: every unit under data/, dispatched by
+      // schema — corpus-like (vec_id), tombstone (k), edges (src, dst)
+      def cohortBytes(): Long = {
+        val units = Option(new java.io.File(s"$root/data").list())
+          .getOrElse(Array.empty[String]).sorted
+        units.map { u =>
+          val df = s.read.parquet(s"$root/data/$u")
+          val cols = df.columns.toSet
+          if (cols.contains("vec_id"))
+            df.filter(cohortPred(col("vec_id"))).count()
+          else if (cols.contains("k"))
+            df.filter(cohortPred(col("k"))).count()
+          else df.filter(cohortPred(col("src")) ||
+            cohortPred(col("dst"))).count()
+        }.sum
+      }
+      val preScan = cohortBytes()
+      // EXPIRE: only the head manifest survives the GDPR window
+      Seq(0L, 1L).foreach(v => Audit.deleteTree(s"$root/manifest/v$v"))
+      val expiredGone = Seq(0L, 1L).forall(v =>
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/manifest/v$v")))
+      // MARK: every unit a surviving manifest references
+      val live = Audit.manifestUnits(s, root, 2L).values
+        .map(_.stripPrefix("data/")).toSet
+      // SWEEP: delete the rest
+      val all = Option(new java.io.File(s"$root/data").list())
+        .getOrElse(Array.empty[String]).toSet
+      val swept = all.diff(live)
+      swept.foreach(u => Audit.deleteTree(s"$root/data/$u"))
+      val postScan = cohortBytes()
+      // head serve unharmed: the clone's post-GC v2 descent equals the
+      // UNTOUCHED source chain's v2 descent row-for-row
+      def mountV2(rt: String): Int => DataFrame = {
+        val u = Audit.manifestUnits(s, rt, 2L)
+        (layer: Int) => s.read.parquet(s"$rt/${u(s"edge_l$layer")}")
+      }
+      val allQs = evalQueries(s, d).unionByName(
+        embeddings(s, d).filter(probeCohortPred(col("vec_id"), maxLevel))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      val srcAns = beamTop5(beamSweepOn(s, d, root, maxLevel, entry,
+          allQs, Seq(8), edgesOf = Some(mountV2(srcRoot))))
+        .select(col("query_id"), col("vec_id"))
+      val gcAns = beamTop5(beamSweepOn(s, d, root, maxLevel, entry,
+          allQs, Seq(8), edgesOf = Some(mountV2(root))))
+        .select(col("query_id"), col("vec_id"))
+      val serveOk = gcAns.exceptAll(srcAns).count() +
+        srcAns.exceptAll(gcAns).count() == 0L
+      (live.size.toLong, swept.size.toLong,
+        Seq(expiredGone, serveOk, preScan > 0L, postScan == 0L))
+    })
+
+  /** q340: one gate row — deterministic kept/swept unit counts plus
+    * the four measured GC witnesses (see the block comment).
+    */
+  def hnswGdprGc(s: SparkSession, d: String): DataFrame = {
+    val (kept, swept, flags) = ensureGdprGc(s, d)
+    import s.implicits._
+    Seq((kept, swept, flags(0), flags(1), flags(2), flags(3)))
+      .toDF("units_kept", "units_swept", "expired_versions_unreadable",
+        "head_serve_identical", "cohort_bytes_present_pre_gc",
+        "cohort_bytes_gone_post_gc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q316_hnsw_probe"       -> hnswProbe _,
     "q317_hnsw_ef_sweep"    -> hnswEfSweep _,
@@ -2063,6 +2192,7 @@ object GraphAnn {
     "q337_hnsw_auto_descent" -> hnswAutoDescent _,
     "q338_hnsw_gdpr_ledger" -> hnswGdprLedger _,
     "q339_hnsw_serve_across_fold" -> hnswServeAcrossFold _,
+    "q340_hnsw_gdpr_gc" -> hnswGdprGc _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2193,5 +2323,22 @@ object GraphAnn {
         |  TRUE AS self_state_ok
         |FROM (VALUES (0), (1), (2)) AS t(b)
         |ORDER BY batch_id""".stripMargin,
+    // q340: manifest GC over the q338 erasure chain — deterministic
+    // mark-and-sweep counts (5 dead units: genesis corpus, genesis
+    // empty tombstone, the cohort tombstone, the two pre-fold flagged
+    // edge units; maxLevel+3 live), expired versions unreadable, the
+    // head serve untouched, and the cohort's bytes measured present
+    // pre-GC and gone post-GC
+    "q340_hnsw_gdpr_gc" ->
+      """WITH m AS (
+        |  SELECT GREATEST(2, CAST(floor(log2(count(*))) AS BIGINT) - 3)
+        |    AS maxl
+        |  FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT (SELECT maxl FROM m) + 3 AS units_kept,
+        |  CAST(5 AS BIGINT) AS units_swept,
+        |  TRUE AS expired_versions_unreadable,
+        |  TRUE AS head_serve_identical,
+        |  TRUE AS cohort_bytes_present_pre_gc,
+        |  TRUE AS cohort_bytes_gone_post_gc""".stripMargin,
   )
 }

@@ -130,6 +130,27 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q340 gc: sweep never touches the SOURCE chain's bytes (hardlink isolation)") {
+    // run the GC first, then prove the source chain — which other
+    // gates and the q339 stream still mount — is byte-identical
+    val (kept, swept, flags) = GraphAnn.ensureGdprGc(spark, sf)
+    assert(swept == 5L, s"swept $swept")
+    assert(kept >= 5L, s"kept $kept")
+    flags.zip(Seq("expired_versions_unreadable", "head_serve_identical",
+      "cohort_bytes_present_pre_gc", "cohort_bytes_gone_post_gc"))
+      .foreach { case (f, nm) => assert(f, nm) }
+    val (srcRoot, v0Files) = GraphAnn.gdprV0Files.get((spark, sf))
+    val now = Clustering.listDataFiles(
+      java.nio.file.Paths.get(s"$srcRoot/data"))
+    v0Files.foreach { case (p, meta) =>
+      assert(now.get(p).contains(meta), s"GC reached the source: $p")
+    }
+    // all three source manifests still present (expiry ran on the clone)
+    val versions = Option(new java.io.File(s"$srcRoot/manifest").list())
+      .getOrElse(Array.empty[String]).toSet
+    assert(versions == Set("v0", "v1", "v2"), s"source manifests: $versions")
+  }
+
   test("occCommitNShared: a losing writer cleans only its fresh units, never a shared one") {
     val s = spark
     import s.implicits._
