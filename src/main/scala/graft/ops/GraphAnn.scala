@@ -1676,14 +1676,33 @@ object GraphAnn {
     (SparkSession, String), (String, Map[String, (Long, Long)])]()
   graft.util.CacheRegistry.registerMemo(gdprV0Files)
 
+  /** The chain's two descents (pre-fold ≡ v0/v1 edges, post-fold ≡ v2
+    * edges; queries = eval ∪ self-probe subcohort), localCheckpointed —
+    * q339's reference legs and q340's source-side serve slice these
+    * instead of re-descending (the evalBeam8 cost-sharing discipline;
+    * sound because the descent is per-(ef, query) independent).
+    */
+  private[graft] val gdprBeams = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  graft.util.CacheRegistry.registerMemo(gdprBeams)
+
   private[graft] def ensureHnswGdprLedger(s: SparkSession, d: String)
       : Seq[(Long, Seq[Boolean])] =
     gdprMemo.computeIfAbsent((s, d), _ =>
       graft.util.BuildCost.record("hnsw_gdpr_chain") {
-      val (gloc, maxLevel, entry) = ensureHnswGrown(s, d) // read-only
+      val (_, maxLevel, entry) = ensureHnswGrown(s, d) // read-only
+      // the immutable grown/folded units the q334 fixture already
+      // holds — genesis HARDLINKS the grown layers (zero data bytes;
+      // unit sharing across fixtures is the same discipline the
+      // manifests practice across versions) and the fold commit
+      // stages the fold's OWN existing output f$l, not a recompute
+      // (the q335 "stage the sweep's own output" rule)
+      val (mroot, _) = ensureHnswFoldManifest(s, d)
       val root = graft.util.TmpDirs.scratchFor("hnsw_gdpr", d)
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(s"$root/manifest"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/data"))
       import s.implicits._
       val cohortPred = (c: Column) => foldCohortPred(c, maxLevel)
       val cohort = foldCohort(s, d, maxLevel) // (k)
@@ -1700,12 +1719,7 @@ object GraphAnn {
       s.range(0).select(col("id").as("k"))
         .write.mode("overwrite").parquet(s"$root/data/tomb_0")
       (0L to maxLevel.toLong).foreach { l =>
-        val layerDir = java.nio.file.Paths.get(s"$gloc/layer=$l")
-        val edges =
-          if (java.nio.file.Files.isDirectory(layerDir))
-            s.read.parquet(s"$gloc/layer=$l").select(col("src"), col("dst"))
-          else s.range(0).select(col("id").as("src"), col("id").as("dst"))
-        edges.write.mode("overwrite").parquet(s"$root/data/edge_l${l}_0")
+        linkTree(s"$mroot/data/u$l", s"$root/data/edge_l${l}_0")
       }
       val v0Units = Seq("corpus" -> "data/corpus_0", "tomb" -> "data/tomb_0") ++
         (0L to maxLevel.toLong).map(l => s"edge_l$l" -> s"data/edge_l${l}_0")
@@ -1745,8 +1759,7 @@ object GraphAnn {
             (0L to maxLevel.toLong).map { l =>
               val k = s"edge_l$l"
               if (flagged(l))
-                k -> Right(foldedEdges(s, d,
-                  s.read.parquet(s"$root/${u1(k)}"), cohort))
+                k -> Right(s.read.parquet(s"$mroot/data/f$l"))
               else k -> Left(u1(k))
             }),
         "the fold commit holds the expected head")
@@ -1757,21 +1770,22 @@ object GraphAnn {
       val u2 = Audit.manifestUnits(s, root, 2L)
       val snaps = (0L to 2L).map(v =>
         v -> Audit.readNSnapshot(s, root, v)).toMap
-      // descents over the manifest-resolved edges (v0 ≡ v1 by shared
-      // units — one pre-fold descent serves both versions)
-      def snapLoc(v: Long, tag: String): String = {
-        val loc = graft.util.TmpDirs.scratchFor(s"hnsw_gdpr_$tag", d)
-        edgesAt(v).write.mode("overwrite").partitionBy("layer").parquet(loc)
-        loc
+      // descents over the manifest-resolved edges, units MOUNTED
+      // directly (v0 ≡ v1 by shared units — one pre-fold descent
+      // serves both versions); stored for q339/q340 to slice
+      def mountEdges(v: Long): Int => DataFrame = {
+        val u = Audit.manifestUnits(s, root, v)
+        (layer: Int) => s.read.parquet(s"$root/${u(s"edge_l$layer")}")
       }
       val evalQs = evalQueries(s, d) // %100==7 — odd ids, cohort is even:
       val subQs = embeddings(s, d).filter(subPred(col("vec_id")))
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val allQs = evalQs.unionByName(subQs) // provably disjoint by parity
-      val beamPre = beamSweepOn(s, d, snapLoc(1L, "pre"), maxLevel, entry,
-        allQs, Seq(8))
-      val beamPost = beamSweepOn(s, d, snapLoc(2L, "post"), maxLevel, entry,
-        allQs, Seq(8))
+      val beamPre = beamSweepOn(s, d, root, maxLevel, entry,
+        allQs, Seq(8), edgesOf = Some(mountEdges(1L)))
+      val beamPost = beamSweepOn(s, d, root, maxLevel, entry,
+        allQs, Seq(8), edgesOf = Some(mountEdges(2L)))
+      gdprBeams.put((s, d), (beamPre, beamPost))
       val wServe = Window.partitionBy(col("ef"), col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       // retrievability serve: self rows KEPT (the question is "is this
@@ -1908,59 +1922,40 @@ object GraphAnn {
       : Seq[(Long, Long, Boolean, Boolean, Boolean)] =
     sfoldMemo.computeIfAbsent((s, d), _ =>
       graft.util.BuildCost.record("hnsw_stream_fold") {
-      val (gloc, maxLevel, entry) = ensureHnswGrown(s, d) // read-only
-      val root = graft.util.TmpDirs.scratchFor("hnsw_sfold", d)
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(s"$root/manifest"))
+      val (_, maxLevel, entry) = ensureHnswGrown(s, d)
+      // the stream rides the q338 chain's IMMUTABLE units — its OWN
+      // manifest chain (smanifest/) re-lists them: v1 names the
+      // chain's genesis (grown) edge units, the staged v2 its folded
+      // edge units; no unit is written here at all — the stream
+      // fixture costs two KB manifests plus the live descents (unit
+    // sharing ACROSS fixtures, same discipline as across versions)
+      ensureHnswGdprLedger(s, d)
+      val (root, _) = gdprV0Files.get((s, d))
       import s.implicits._
-      // v1: immutable per-layer units (the q334 layout), manifest v1
-      (0L to maxLevel.toLong).foreach { l =>
-        val layerDir = java.nio.file.Paths.get(s"$gloc/layer=$l")
-        val edges =
-          if (java.nio.file.Files.isDirectory(layerDir))
-            s.read.parquet(s"$gloc/layer=$l").select(col("src"), col("dst"))
-          else s.range(0).select(col("id").as("src"), col("id").as("dst"))
-        edges.write.mode("overwrite").parquet(s"$root/data/u$l")
-      }
-      val v1Units = (0L to maxLevel.toLong).map(l => l -> s"u$l")
-      v1Units.toDF("layer", "unit").coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/manifest/v1")
-      // the fold, STAGED: new units + staged manifest now; the
-      // publish (one atomic rename) happens mid-stream
-      val cohort = foldCohort(s, d, maxLevel)
-      val zero = (0L, 0L, 0L)
-      val m = ghostLayerStats(
-          (0L to maxLevel.toLong).map(l =>
-            s.read.parquet(s"$root/data/u$l")
-              .select(lit(l).as("layer"), col("src"), col("dst")))
-            .reduce(_ unionByName _), cohort)
-        .collect().map(r => (r.getLong(0),
-          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-      val flagged = (0L to maxLevel.toLong)
-        .map(l => l -> m.getOrElse(l, zero))
-        .filter { case (_, (n, g, _)) =>
-          n > 0 && g * 100L / n >= GhostThresholdPct }.map(_._1).toSet
-      require(flagged.nonEmpty, s"no layer flagged at $d")
-      flagged.foreach { l =>
-        foldedEdges(s, d, s.read.parquet(s"$root/data/u$l"), cohort)
-          .write.mode("overwrite").parquet(s"$root/data/f$l")
-      }
-      val v2Units = v1Units.map { case (l, u) =>
-        l -> (if (flagged(l)) s"f$l" else u) }
-      v2Units.toDF("layer", "unit").coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/manifest_stage")
+      val g0 = Audit.manifestUnits(s, root, 0L)
+      val g2 = Audit.manifestUnits(s, root, 2L)
+      Audit.deleteTree(s"$root/smanifest")
+      Audit.deleteTree(s"$root/smanifest_stage")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/smanifest"))
+      (0L to maxLevel.toLong).map(l => l -> g0(s"edge_l$l"))
+        .toDF("layer", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/smanifest/v1")
+      (0L to maxLevel.toLong).map(l => l -> g2(s"edge_l$l"))
+        .toDF("layer", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/smanifest_stage")
       def publishV2(): Unit = java.nio.file.Files.move(
-        java.nio.file.Paths.get(s"$root/manifest_stage"),
-        java.nio.file.Paths.get(s"$root/manifest/v2"),
+        java.nio.file.Paths.get(s"$root/smanifest_stage"),
+        java.nio.file.Paths.get(s"$root/smanifest/v2"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       def maxVersion: Long = Option(
-          new java.io.File(s"$root/manifest").list())
+          new java.io.File(s"$root/smanifest").list())
         .getOrElse(Array.empty[String]).map(_.drop(1).toLong).max
       // per-version unit mount: the snapshot's unit IS the layer read
       def edgesOfAt(ss: SparkSession, v: Long): Int => DataFrame = {
-        val u = ss.read.parquet(s"$root/manifest/v$v").collect()
+        val u = ss.read.parquet(s"$root/smanifest/v$v").collect()
           .map(r => r.getLong(0) -> r.getString(1)).toMap
-        (layer: Int) => ss.read.parquet(s"$root/data/${u(layer.toLong)}")
+        (layer: Int) => ss.read.parquet(s"$root/${u(layer.toLong)}")
       }
       val subPred = (c: Column) => probeCohortPred(c, maxLevel)
       val nSub = embeddings(s, d).filter(subPred(col("vec_id"))).count()
@@ -1996,7 +1991,7 @@ object GraphAnn {
               val edges = edgesOfAt(ss, v)
               if (id == 1L) publishV2() // the fold lands MID-BATCH
               val foldOnDisk = java.nio.file.Files.isDirectory(
-                java.nio.file.Paths.get(s"$root/manifest/v2"))
+                java.nio.file.Paths.get(s"$root/smanifest/v2"))
               serveTop5(beamSweepOn(ss, d, root, maxLevel, entry,
                   batch, Seq(8), edgesOf = Some(edges)))
                 .withColumn("resolved_v", lit(v))
@@ -2007,11 +2002,12 @@ object GraphAnn {
           .start()
         q.awaitTermination()
       }
-      // references: ONE descent per version over the same mounted units
-      val allQs = evalQueries(s, d).unionByName(subQs) // parity-disjoint
-      val refs = Seq(1L, 2L).map(v => v -> serveTop5(
-        beamSweepOn(s, d, root, maxLevel, entry, allQs, Seq(8),
-          edgesOf = Some(edgesOfAt(s, v))))).toMap
+      // references: SLICED from the shared q338 chain descents — the
+      // smanifest versions re-list exactly the chain's v0/v2 edge
+      // units, so the stored beamPre/beamPost ARE these versions'
+      // descents (per-(ef, query) independence makes slicing sound)
+      val (beamPre, beamPost) = gdprBeams.get((s, d))
+      val refs = Map(1L -> serveTop5(beamPre), 2L -> serveTop5(beamPost))
       val served = s.read.parquet(outDir)
       (0L to 2L).map { id =>
         val b = served.filter(col("batch_id") === id)
@@ -2144,7 +2140,8 @@ object GraphAnn {
       swept.foreach(u => Audit.deleteTree(s"$root/data/$u"))
       val postScan = cohortBytes()
       // head serve unharmed: the clone's post-GC v2 descent equals the
-      // UNTOUCHED source chain's v2 descent row-for-row
+      // UNTOUCHED source chain's v2 descent row-for-row (the source
+      // side is the chain's stored post-fold beam — no re-descent)
       def mountV2(rt: String): Int => DataFrame = {
         val u = Audit.manifestUnits(s, rt, 2L)
         (layer: Int) => s.read.parquet(s"$rt/${u(s"edge_l$layer")}")
@@ -2152,8 +2149,7 @@ object GraphAnn {
       val allQs = evalQueries(s, d).unionByName(
         embeddings(s, d).filter(probeCohortPred(col("vec_id"), maxLevel))
           .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
-      val srcAns = beamTop5(beamSweepOn(s, d, root, maxLevel, entry,
-          allQs, Seq(8), edgesOf = Some(mountV2(srcRoot))))
+      val srcAns = beamTop5(gdprBeams.get((s, d))._2)
         .select(col("query_id"), col("vec_id"))
       val gcAns = beamTop5(beamSweepOn(s, d, root, maxLevel, entry,
           allQs, Seq(8), edgesOf = Some(mountV2(root))))
