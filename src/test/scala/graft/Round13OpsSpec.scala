@@ -177,6 +177,40 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(manifests == Set("v0"), s"manifests: $manifests")
   }
 
+  test("occCommitNShared race: two sharing writers, one winner, the shared unit survives both") {
+    val s = spark
+    import s.implicits._
+    val dir = graft.util.TmpDirs.scratch("occ_shared_race")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/manifest"))
+    spark.range(7).toDF("n").write.parquet(s"$dir/data/base_0")
+    Seq(("a", "data/base_0")).toDF("tbl", "unit").coalesce(1)
+      .write.parquet(s"$dir/manifest/v0")
+    val head = new java.util.concurrent.atomic.AtomicLong(0)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val ts = Seq("w1", "w2").map { w =>
+      new Thread(() => {
+        val won = Audit.occCommitNShared(spark, dir, head, 0L, Seq(
+          "a" -> Left("data/base_0"),
+          "b" -> Right(spark.range(4).toDF("n"))))
+        results.put(w, won)
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(Seq("w1", "w2").count(results.get(_)) == 1, results.toString)
+    assert(head.get() == 1L)
+    val u1 = Audit.manifestUnits(spark, dir, 1L)
+    assert(u1("a") == "data/base_0", s"winner must re-list the shared unit: $u1")
+    // the shared unit survived both writers; the winner's fresh unit is
+    // readable; the loser's orphan is gone — data/ holds exactly two
+    assert(spark.read.parquet(s"$dir/data/base_0").count() == 7L)
+    assert(spark.read.parquet(s"$dir/${u1("b")}").count() == 4L)
+    val dataDirs = Option(new java.io.File(s"$dir/data").list())
+      .getOrElse(Array.empty[String]).toSet
+    assert(dataDirs == Set("base_0", u1("b").stripPrefix("data/")),
+      s"data dirs: $dataDirs")
+  }
+
   test("BuildCost: nested records accumulate self time, not double-counted wall time") {
     graft.util.BuildCost.record("r13_outer") {
       graft.util.BuildCost.record("r13_inner") { Thread.sleep(80) }
