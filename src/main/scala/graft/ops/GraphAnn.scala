@@ -2043,6 +2043,180 @@ object GraphAnn {
       .orderBy(col("batch_id"))
   }
 
+  // ---- q341: CRASH-RESTART of the serve ACROSS the fold commit -------
+  //
+  // q339 leaves a replay hazard its own design creates: the batch
+  // resolves the manifest head AT BATCH START, so a batch that
+  // committed its sink but crashed before the checkpoint would — on
+  // replay — re-resolve a head the mid-stream fold has since advanced
+  // and serve DIFFERENT answers under the same batch id, breaking
+  // exactly-once. The graph-family recovery rule (q326: an insert's
+  // replay must read the graph state its first attempt read) applies
+  // to serving too: THE VERSION DECISION MUST BE PINNED IN THE SINK.
+  // Here the batch body treats its own batch-keyed output dir (with
+  // Spark's _SUCCESS marker — a torn write reads as absent) as the
+  // pin: a replayed batch re-serves the version its first attempt
+  // resolved and re-publishes nothing, so its recompute is
+  // row-identical and idempotent; only an unpinned batch resolves the
+  // live head (and batch 1's first attempt publishes the fold).
+  //
+  // The drive is the q287/q326 injected-crash schedule: run 1 commits
+  // batch 0, batch 1's sink commits and THEN the crash lands before
+  // the checkpoint; run 2 replays batch 1 (with the fold already
+  // published — the hazard) and drains batch 2. Gate: batch 1's
+  // final rows carry resolved_version 1 — not the head=2 a re-resolve
+  // would read — and are row-identical to the captured first attempt;
+  // batch 2 picks up v2 with the post-fold self-state.
+  //
+  // Scale shape: the pin adds one _SUCCESS stat + one 1-row read per
+  // replayed batch (zero cost on the non-replay path); everything
+  // else is q339's per-batch work. Recovery cost = one replayed
+  // batch, the family rule.
+
+  private val srestartMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Long, Long, Boolean, Boolean, Boolean, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(srestartMemo)
+
+  private[graft] def ensureHnswServeRestart(s: SparkSession, d: String)
+      : Seq[(Long, Long, Boolean, Boolean, Boolean, Boolean)] =
+    srestartMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_serve_restart") {
+      val (_, maxLevel, entry) = ensureHnswGrown(s, d)
+      ensureHnswStreamFold(s, d) // the shared chain, beams, and feed
+      val (root, _) = gdprV0Files.get((s, d))
+      import s.implicits._
+      val g0 = Audit.manifestUnits(s, root, 0L)
+      val g2 = Audit.manifestUnits(s, root, 2L)
+      Audit.deleteTree(s"$root/rmanifest")
+      Audit.deleteTree(s"$root/rmanifest_stage")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/rmanifest"))
+      (0L to maxLevel.toLong).map(l => l -> g0(s"edge_l$l"))
+        .toDF("layer", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/rmanifest/v1")
+      (0L to maxLevel.toLong).map(l => l -> g2(s"edge_l$l"))
+        .toDF("layer", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/rmanifest_stage")
+      def publishV2(): Unit = java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/rmanifest_stage"),
+        java.nio.file.Paths.get(s"$root/rmanifest/v2"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      def maxVersion: Long = Option(
+          new java.io.File(s"$root/rmanifest").list())
+        .getOrElse(Array.empty[String]).map(_.drop(1).toLong).max
+      def edgesOfAt(ss: SparkSession, v: Long): Int => DataFrame = {
+        val u = ss.read.parquet(s"$root/rmanifest/v$v").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        (layer: Int) => ss.read.parquet(s"$root/${u(layer.toLong)}")
+      }
+      val subPred = (c: Column) => probeCohortPred(c, maxLevel)
+      val nSub = embeddings(s, d).filter(subPred(col("vec_id"))).count()
+      val feed = graft.util.TmpDirs.pathFor("hnsw_sfold_feed", d) // q339's
+      val wServe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      def serveTop5(beam: DataFrame): DataFrame =
+        beam.withColumn("rk", row_number().over(wServe))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"))
+      val outDir = graft.util.TmpDirs.scratchFor("hnsw_srestart_out", d)
+      val ckpt = graft.util.TmpDirs.scratchFor("hnsw_srestart_ckpt", d)
+      val firstTry = graft.util.TmpDirs.scratchFor("hnsw_srestart_try1", d)
+      def body(batch: DataFrame, id: Long): Unit = if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        val outP = s"$outDir/batch_id=$id"
+        // THE PIN: a complete prior attempt (its _SUCCESS marker — a
+        // torn write reads as absent) fixes the version; the replay
+        // re-serves it and never touches the manifest chain
+        val pinned =
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"$outP/_SUCCESS")))
+            Some(ss.read.parquet(outP).select(col("resolved_v"))
+              .limit(1).collect()(0).getLong(0))
+          else None
+        val v = pinned.getOrElse(maxVersion)
+        if (id == 1L && pinned.isEmpty) publishV2() // first attempt only
+        serveTop5(beamSweepOn(ss, d, root, maxLevel, entry,
+            batch, Seq(8), edgesOf = Some(edgesOfAt(ss, v))))
+          .withColumn("resolved_v", lit(v))
+          .write.mode("overwrite").parquet(outP)
+      }
+      graft.util.StreamTuning.withShuffle(s, 8) {
+        val src = s.readStream
+          .schema(s.read.parquet(s"$feed/c0").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$feed/c*")
+        def writer(crash: Boolean) = src.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            body(batch, id)
+            if (crash && id == 1L) throw new RuntimeException(
+              "injected crash: sink committed, checkpoint not")
+          }
+        val q1 = writer(crash = true).start()
+        val crashed =
+          try { q1.awaitTermination(); false }
+          catch {
+            case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+              true
+          }
+        require(crashed, "run 1 must die on the injected crash")
+        val committed = Option(new java.io.File(s"$ckpt/commits").list())
+          .getOrElse(Array.empty[String]).filter(_.forall(_.isDigit))
+          .map(_.toLong).sorted.toSeq
+        require(committed == Seq(0L),
+          s"run 1 must commit exactly batch 0; got $committed")
+        // capture the committed-but-uncheckpointed attempt for the
+        // replay-identity witness
+        s.read.parquet(s"$outDir/batch_id=1")
+          .write.mode("overwrite").parquet(firstTry)
+        val q2 = writer(crash = false).start()
+        q2.awaitTermination()
+      }
+      val (beamPre, beamPost) = gdprBeams.get((s, d))
+      val refs = Map(1L -> serveTop5(beamPre), 2L -> serveTop5(beamPost))
+      val served = s.read.parquet(outDir)
+      (0L to 2L).map { id =>
+        val b = served.filter(col("batch_id") === id)
+        val v = b.select(col("resolved_v"))
+          .limit(1).collect()(0).getLong(0) // 1 bounded control row
+        val chunkQs = s.read.parquet(s"$feed/c${id.toInt}")
+          .select(col("query_id"))
+        val refSlice = refs(v).join(chunkQs, Seq("query_id"), "left_semi")
+        val bAns = b.select(col("query_id"), col("vec_id"))
+        val equalsRef = bAns.exceptAll(refSlice).count() +
+          refSlice.exceptAll(bAns).count() == 0L
+        val selfHits = bAns.filter(subPred(col("query_id")) &&
+          col("query_id") === col("vec_id")).count()
+        val cohortRows = bAns
+          .filter(foldCohortPred(col("vec_id"), maxLevel)).count()
+        val selfStateOk =
+          (v == 1L && selfHits == nSub) || (v == 2L && cohortRows == 0L)
+        val replayStable =
+          if (id != 1L) true
+          else {
+            val t1 = s.read.parquet(firstTry)
+              .select(col("query_id"), col("vec_id"), col("resolved_v"))
+            val fin = b.select(col("query_id"), col("vec_id"),
+              col("resolved_v"))
+            t1.exceptAll(fin).count() + fin.exceptAll(t1).count() == 0L
+          }
+        (id, v, id == 1L, equalsRef, replayStable, selfStateOk)
+      }
+    })
+
+  /** q341: one row per micro-batch of the crash-restart drive — the
+    * resolved (pinned) version, whether the batch was replayed, exact
+    * equality with the pinned version's reference, the replay-identity
+    * witness, and the version-mandated self-probe state.
+    */
+  def hnswServeRestart(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureHnswServeRestart(s, d)
+    import s.implicits._
+    rows.toDF("batch_id", "resolved_version", "replayed",
+        "equals_pinned_reference", "replay_rows_identical", "self_state_ok")
+      .orderBy(col("batch_id"))
+  }
+
   // ---- q340: MANIFEST GC — the GDPR physical close-out ---------------
   //
   // Unit sharing (occCommitNShared, this round) changes what retention
@@ -2189,6 +2363,7 @@ object GraphAnn {
     "q338_hnsw_gdpr_ledger" -> hnswGdprLedger _,
     "q339_hnsw_serve_across_fold" -> hnswServeAcrossFold _,
     "q340_hnsw_gdpr_gc" -> hnswGdprGc _,
+    "q341_hnsw_serve_restart" -> hnswServeRestart _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2336,5 +2511,19 @@ object GraphAnn {
         |  TRUE AS head_serve_identical,
         |  TRUE AS cohort_bytes_present_pre_gc,
         |  TRUE AS cohort_bytes_gone_post_gc""".stripMargin,
+    // q341: the serve's crash-restart across the fold — the replayed
+    // batch re-serves its PINNED version (1, not the advanced head),
+    // row-identical to its committed first attempt; the fresh batch
+    // picks up v2
+    "q341_hnsw_serve_restart" ->
+      """SELECT CAST(b AS BIGINT) AS batch_id,
+        |  CAST(CASE WHEN b = 2 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS resolved_version,
+        |  b = 1 AS replayed,
+        |  TRUE AS equals_pinned_reference,
+        |  TRUE AS replay_rows_identical,
+        |  TRUE AS self_state_ok
+        |FROM (VALUES (0), (1), (2)) AS t(b)
+        |ORDER BY batch_id""".stripMargin,
   )
 }

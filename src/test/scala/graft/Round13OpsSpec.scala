@@ -130,6 +130,19 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q341 serve restart: the replayed batch re-serves its pinned version, not the advanced head") {
+    val rows = GraphAnn.ensureHnswServeRestart(spark, sf)
+    // batch 1 replays AFTER the fold published (head=2) yet serves v1
+    assert(rows.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, 1L, false), (1L, 1L, true), (2L, 2L, false)),
+      s"batch ledger: $rows")
+    rows.foreach { r =>
+      assert(r._4, s"batch ${r._1} diverged from its pinned reference")
+      assert(r._5, s"batch ${r._1} replay not row-identical")
+      assert(r._6, s"batch ${r._1} self-probe state wrong for v${r._2}")
+    }
+  }
+
   test("q340 gc: sweep never touches the SOURCE chain's bytes (hardlink isolation)") {
     // run the GC first, then prove the source chain — which other
     // gates and the q339 stream still mount — is byte-identical
