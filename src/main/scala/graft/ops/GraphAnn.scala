@@ -1663,7 +1663,13 @@ object GraphAnn {
   // only the flagged layers' folded units (the q334 cost) plus the
   // same KB rename. The planted cohort (q334's, for flag
   // decidability) is ~25% of the corpus — a real GDPR cohort is tiny,
-  // which only shrinks every leg; nothing here is all-pairs.
+  // which only shrinks every leg; nothing here is all-pairs. The
+  // registry flip could itself ride a deletion-vector unit (the
+  // tombstone surface already IS one), making the whole v1 commit
+  // O(cohort) — kept as a full-unit flip here because the ledger's
+  // state witness reads corpus membership directly; the DV
+  // composition is the q282/q273 discipline and a named round-14
+  // candidate.
 
   private val gdprMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[(Long, Seq[Boolean])]]()
