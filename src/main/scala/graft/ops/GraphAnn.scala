@@ -2223,6 +2223,130 @@ object GraphAnn {
       .orderBy(col("batch_id"))
   }
 
+  // ---- q342: BUCKETED SNAPSHOT DESCENT --------------------------------
+  //
+  // The mounted-unit descents (q338-q341) hop with broadcast joins —
+  // right at gate scale, impossible at 100 TB where the base layer is
+  // n·2M edges. q330 shipped the bucketed hop for the LIVE graph; this
+  // is its composition with the manifest: the at-scale unit format for
+  // edge snapshots is ONE bucketed table partitioned by
+  // (ever, layer) — "ever" is the edge-version — where the fold lands
+  // as NEW (ever=2, flagged-layer) partitions and CLEAN layers exist
+  // ONLY under ever=1 (zero duplicate bytes — partition dirs are the
+  // shared units, and the spec pins that no ever=2/clean-layer
+  // partition exists on disk). A snapshot is then a PARTITION
+  // PREDICATE, not a table: v1 reads ever=1 everywhere; v2 reads
+  // ever = (flagged(layer) ? 2 : 1) — the manifest's layer→unit map
+  // expressed as partition pruning, which Spark evaluates at scan
+  // planning, so each hop touches exactly one (ever, layer) dir's
+  // co-located buckets and ONLY the beam exchanges (plan-pinned, the
+  // q330 discipline).
+  //
+  // Gate per snapshot version: the bucketed descent serves
+  // row-identically to the chain's stored broadcast descent, ever=2
+  // rows exist ONLY under flagged layers, and the hop join's plan
+  // carries exactly the one beam-side Exchange.
+  //
+  // Scale shape: the table write here covers both versions in one
+  // pass (fixture convenience); an incremental fold APPENDS only the
+  // flagged (ever=2, layer) partitions — dynamic partition overwrite
+  // on a bucketed table — and the predicate flips, which is the q334
+  // manifest commit realized in table-partition form.
+
+  private val gbucketMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Set[Int], Boolean)]()
+  graft.util.CacheRegistry.registerMemo(gbucketMemo)
+
+  /** Returns (table name, flagged layers — derived from the chain's
+    * MANIFESTS: exactly the layers whose v2 unit differs from v1's —
+    * and the measured shuffle-free witness for the hop plan).
+    */
+  private[graft] def ensureGdprBucketed(s: SparkSession, d: String)
+      : (String, Set[Int], Boolean) =
+    gbucketMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_gdpr_bucketed") {
+      ensureHnswGdprLedger(s, d)
+      val (root, _) = gdprV0Files.get((s, d))
+      val (_, maxLevel, _) = ensureHnswGrown(s, d)
+      val u1 = Audit.manifestUnits(s, root, 1L)
+      val u2 = Audit.manifestUnits(s, root, 2L)
+      val flagged = (0 to maxLevel)
+        .filter(l => u2(s"edge_l$l") != u1(s"edge_l$l")).toSet
+      def unitDf(u: Map[String, String], l: Int): DataFrame =
+        s.read.parquet(s"$root/${u(s"edge_l$l")}")
+          .select(col("src"), col("dst"),
+            lit(l).as("layer"))
+      val pre = (0 to maxLevel).map(l => unitDf(u1, l)
+        .withColumn("ever", lit(1))).reduce(_ unionByName _)
+      val post = flagged.toSeq.sorted.map(l => unitDf(u2, l)
+        .withColumn("ever", lit(2))).reduce(_ unionByName _)
+      val name = Clustering.tableNameFor("graft_gdpr_edges_", d)
+      Clustering.dropAndCleanLocation(s, name)
+      pre.unionByName(post)
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("ever", "layer").bucketBy(8, "src").sortBy("src")
+        .saveAsTable(name)
+      // the hop-plan witness: one bucket-co-located MERGE join, the
+      // beam side's Exchange the only one (measured off the executed
+      // plan, the Round12OpsSpec technique, carried by the GATE)
+      val resolveV2 = col("ever") ===
+        when(col("layer").isin(flagged.toSeq: _*), 2).otherwise(1)
+      val edges0 = s.table(name)
+        .filter(resolveV2 && col("layer") === 0)
+        .select(col("src"), col("dst"))
+      val probe = embeddings(s, d).select(col("vec_id")).limit(20)
+      val joined = probe.join(edges0.hint("MERGE"),
+        probe("vec_id") === edges0("src"))
+      joined.collect() // bounded: 20-row probe side
+      val full = joined.queryExecution.executedPlan.toString
+      val plan = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i => full.substring(0, i)
+      }
+      val shuffleFree = plan.contains("SortMergeJoin") &&
+        "Exchange hashpartitioning".r.findAllIn(plan).size == 1
+      (name, flagged, shuffleFree)
+    })
+
+  /** q342: per snapshot version, the bucketed-descent gate row (see
+    * the block comment).
+    */
+  def hnswBucketedSnapshot(s: SparkSession, d: String): DataFrame = {
+    val flags = gateMemo.computeIfAbsent((s, d, "bucketed-snapshot"), _ =>
+      graft.util.BuildCost.record("hnsw_gate_bucketsnap") {
+      val (name, flagged, shuffleFree) = ensureGdprBucketed(s, d)
+      val (_, maxLevel, entry) = ensureHnswGrown(s, d)
+      val subQs = embeddings(s, d)
+        .filter(probeCohortPred(col("vec_id"), maxLevel))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val allQs = evalQueries(s, d).unionByName(subQs)
+      def resolve(v: Long): Column =
+        if (v == 1L) col("ever") === 1
+        else col("ever") ===
+          when(col("layer").isin(flagged.toSeq: _*), 2).otherwise(1)
+      val (beamPre, beamPost) = gdprBeams.get((s, d))
+      val refs = Map(1L -> beamTop5(beamPre), 2L -> beamTop5(beamPost))
+      val equal = Seq(1L, 2L).map { v =>
+        val via = beamTop5(beamSweepOn(s, d, "", maxLevel, entry,
+            allQs, Seq(8), edgeFilter = resolve(v),
+            bucketedTable = Some(name)))
+          .select(col("query_id"), col("vec_id"))
+        val ref = refs(v).select(col("query_id"), col("vec_id"))
+        via.exceptAll(ref).count() + ref.exceptAll(via).count() == 0L
+      }
+      // clean-layer sharing as a semantic fact: ever=2 rows exist ONLY
+      // under flagged layers (the spec pins the partition DIRS)
+      val noClean2 = s.table(name).filter(col("ever") === 2 &&
+        !col("layer").isin(flagged.toSeq: _*)).count() == 0L
+      Seq(equal(0), equal(1), noClean2, shuffleFree)
+    })
+    import s.implicits._
+    Seq((1L, flags(0), flags(2), flags(3)), (2L, flags(1), flags(2), flags(3)))
+      .toDF("snapshot_version", "equals_broadcast_descent",
+        "clean_layers_shared", "edge_side_shuffle_free")
+      .orderBy(col("snapshot_version"))
+  }
+
   // ---- q340: MANIFEST GC — the GDPR physical close-out ---------------
   //
   // Unit sharing (occCommitNShared, this round) changes what retention
@@ -2370,6 +2494,7 @@ object GraphAnn {
     "q339_hnsw_serve_across_fold" -> hnswServeAcrossFold _,
     "q340_hnsw_gdpr_gc" -> hnswGdprGc _,
     "q341_hnsw_serve_restart" -> hnswServeRestart _,
+    "q342_hnsw_bucketed_snapshot" -> hnswBucketedSnapshot _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2531,5 +2656,17 @@ object GraphAnn {
         |  TRUE AS self_state_ok
         |FROM (VALUES (0), (1), (2)) AS t(b)
         |ORDER BY batch_id""".stripMargin,
+    // q342: the manifest's layer→unit map expressed as PARTITION
+    // PRUNING over one (ever, layer)-partitioned src-bucketed table —
+    // per snapshot version the bucketed descent equals the broadcast
+    // descent, clean layers exist only under ever=1, and the hop
+    // join's only Exchange is the beam side
+    "q342_hnsw_bucketed_snapshot" ->
+      """SELECT CAST(v AS BIGINT) AS snapshot_version,
+        |  TRUE AS equals_broadcast_descent,
+        |  TRUE AS clean_layers_shared,
+        |  TRUE AS edge_side_shuffle_free
+        |FROM (VALUES (1), (2)) AS t(v)
+        |ORDER BY snapshot_version""".stripMargin,
   )
 }

@@ -143,6 +143,22 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q342 bucketed snapshot: clean layers have NO ever=2 partition dir (shared, zero duplicate bytes)") {
+    val (name, flagged, shuffleFree) = GraphAnn.ensureGdprBucketed(spark, sf)
+    assert(shuffleFree, "hop join must carry only the beam-side Exchange")
+    assert(flagged == Set(0, 1), s"manifest-derived flag set: $flagged")
+    // the physical claim behind clean_layers_shared: the table holds
+    // ever=2 dirs ONLY for flagged layers — a clean layer's snapshot
+    // read prunes straight to its shared ever=1 partition
+    val loc = new java.net.URI(spark.sql(s"DESCRIBE FORMATTED $name")
+      .filter(col("col_name") === "Location")
+      .select(col("data_type")).collect()(0).getString(0)).getPath
+    val ever2 = Option(new java.io.File(s"$loc/ever=2").list())
+      .getOrElse(Array.empty[String])
+      .filter(_.startsWith("layer=")).map(_.stripPrefix("layer=").toInt).toSet
+    assert(ever2 == flagged, s"ever=2 partitions: $ever2 vs flagged $flagged")
+  }
+
   test("q340 gc: sweep never touches the SOURCE chain's bytes (hardlink isolation)") {
     // run the GC first, then prove the source chain — which other
     // gates and the q339 stream still mount — is byte-identical
