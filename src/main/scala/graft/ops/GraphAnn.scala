@@ -2223,6 +2223,95 @@ object GraphAnn {
       .orderBy(col("batch_id"))
   }
 
+  // ---- q343: the O(cohort) ERASURE COMMIT — deletion-vector form -----
+  //
+  // q338's v1 stages a full registry flip (|registry| ids) — correct,
+  // but the r13 scaladoc already names the cheaper HOW: the tombstone
+  // surface IS a deletion vector, so an erasure commit need stage
+  // NOTHING but the DV and re-list the base. Here the whole commit is
+  // literalized at its floor: the corpus surface is (base ⊖ dv)
+  // resolved through the manifest, the erasure commit re-lists the
+  // base unit AND the (already-staged-by-the-request) cohort DV unit
+  // — occCommitNShared with two Left entries — so the commit stages
+  // ZERO data bytes and publishes one KB manifest. The fixture links
+  // the chain's existing units (hardlinks — zero bytes, the q340
+  // clone discipline) and proves the q291 contract numerically: the
+  // DV-resolved survivor set is ROW-IDENTICAL to q338's full-flip v1
+  // corpus unit — same WHAT, O(cohort) HOW.
+  //
+  // Scale shape: at 100 TB an erasure request arrives as a cohort-
+  // sized DV file; this commit form makes erasure cost |cohort| bytes
+  // + one rename, independent of registry size — and the zero-staged
+  // witness is MEASURED (data files byte-listed before/after the
+  // commit), not asserted.
+
+  private val dvMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Long, Boolean, Boolean, Boolean, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(dvMemo)
+
+  private[graft] def ensureGdprDvCommit(s: SparkSession, d: String)
+      : Seq[(Long, Boolean, Boolean, Boolean, Boolean)] =
+    dvMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_gdpr_dv") {
+      ensureHnswGdprLedger(s, d)
+      val (root, _) = gdprV0Files.get((s, d))
+      val chainV1 = Audit.manifestUnits(s, root, 1L)
+      val dvRoot = graft.util.TmpDirs.scratchFor("hnsw_gdpr_dv", d)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$dvRoot/manifest"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$dvRoot/data"))
+      // units: hardlinks of the chain's immutable units — base = the
+      // full registry, dv0 = the empty genesis tombstone, dv1 = the
+      // cohort DV the erasure request staged
+      linkTree(s"$root/data/corpus_0", s"$dvRoot/data/base")
+      linkTree(s"$root/data/tomb_0", s"$dvRoot/data/dv0")
+      linkTree(s"$root/${chainV1("tomb")}", s"$dvRoot/data/dv1")
+      import s.implicits._
+      Seq(("corpus", "data/base"), ("dv", "data/dv0"))
+        .toDF("tbl", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dvRoot/manifest/v0")
+      val before = Clustering.listDataFiles(
+        java.nio.file.Paths.get(s"$dvRoot/data"))
+      val head = new java.util.concurrent.atomic.AtomicLong(0)
+      // THE COMMIT: two re-listed units, zero data bytes staged
+      require(Audit.occCommitNShared(s, dvRoot, head, 0L, Seq(
+          "corpus" -> Left("data/base"), "dv" -> Left("data/dv1"))),
+        "the DV erasure commit holds the expected head")
+      val after = Clustering.listDataFiles(
+        java.nio.file.Paths.get(s"$dvRoot/data"))
+      val zeroStaged = before == after
+      def resolved(v: Long): DataFrame = {
+        val u = Audit.readNSnapshot(s, dvRoot, v)
+        u("corpus").join(broadcast(u("dv")),
+          col("vec_id") === col("k"), "left_anti")
+      }
+      // the q291 witness: the DV read equals the full-flip read
+      val flipV1 = s.read.parquet(s"$root/${chainV1("corpus")}")
+      val full = embeddings(s, d).select(col("vec_id"))
+      Seq(0L, 1L).map { v =>
+        val u = Audit.manifestUnits(s, dvRoot, v)
+        val r = resolved(v)
+        val target = if (v == 0L) full else flipV1
+        val eq = r.exceptAll(target).count() +
+          target.exceptAll(r).count() == 0L
+        val dvActive = Audit.readNSnapshot(s, dvRoot, v)("dv").count() > 0L
+        (v, dvActive, eq, zeroStaged, u("corpus") == "data/base")
+      }
+    })
+
+  /** q343: per version — DV active, the resolved survivor set equal
+    * to q338's full-flip corpus unit (v0: the full registry), the
+    * measured zero-data-bytes-staged witness, and the shared base.
+    */
+  def hnswGdprDvCommit(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureGdprDvCommit(s, d)
+    import s.implicits._
+    rows.toDF("version", "dv_active", "resolved_equals_full_flip",
+        "zero_data_bytes_staged", "base_unit_shared")
+      .orderBy(col("version"))
+  }
+
   // ---- q342: BUCKETED SNAPSHOT DESCENT --------------------------------
   //
   // The mounted-unit descents (q338-q341) hop with broadcast joins —
@@ -2495,6 +2584,7 @@ object GraphAnn {
     "q340_hnsw_gdpr_gc" -> hnswGdprGc _,
     "q341_hnsw_serve_restart" -> hnswServeRestart _,
     "q342_hnsw_bucketed_snapshot" -> hnswBucketedSnapshot _,
+    "q343_gdpr_dv_commit" -> hnswGdprDvCommit _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2668,5 +2758,16 @@ object GraphAnn {
         |  TRUE AS edge_side_shuffle_free
         |FROM (VALUES (1), (2)) AS t(v)
         |ORDER BY snapshot_version""".stripMargin,
+    // q343: the O(cohort) erasure commit — two re-listed units, zero
+    // data bytes staged (measured), the DV-resolved survivors
+    // row-identical to q338's full-flip corpus unit
+    "q343_gdpr_dv_commit" ->
+      """SELECT CAST(v AS BIGINT) AS version,
+        |  v = 1 AS dv_active,
+        |  TRUE AS resolved_equals_full_flip,
+        |  TRUE AS zero_data_bytes_staged,
+        |  TRUE AS base_unit_shared
+        |FROM (VALUES (0), (1)) AS t(v)
+        |ORDER BY version""".stripMargin,
   )
 }
