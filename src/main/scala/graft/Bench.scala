@@ -109,8 +109,41 @@ object Bench {
     val totSpread = r2(adjusted.max / math.max(adjusted.min, 0.01))
     val sortedSpreads = spreads.map(_._2).sorted
     val medianSpread = sortedSpreads(sortedSpreads.length / 2)
-    val noisy = totSpread > 1.5
-    val noiseJson = s"""{"pass_total_spread":$totSpread,"pass1_build_sec":${r2(p1BuildSec)},"median_query_spread":$medianSpread,"max_query_spread":${sortedSpreads.last},"noisy":$noisy}"""
+    // cross-RUN inflation (r13 verdict task 6): the pass-spread rule
+    // is blind to uniform host steal polluting every pass equally —
+    // compare this run's per-query mins against the prior
+    // BENCH_HISTORY artifact's and self-label when the shared surface
+    // regressed uniformly (rule: BenchNoise.inflationVsPrior, spec'd
+    // without running a bench). A flagged run also flips `noisy` so
+    // consumers trust per-query mins of a quieter run over this one.
+    val recordedRounds = Option(new java.io.File("BENCH_HISTORY").list())
+      .getOrElse(Array.empty[String])
+      .flatMap { n =>
+        val m = "bench_r(\\d+)\\.json".r.findFirstMatchIn(n)
+        m.map(_.group(1).toInt)
+      }
+    def priorBlock(key: String): Map[String, Double] =
+      if (recordedRounds.isEmpty) Map.empty
+      else try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+          s"BENCH_HISTORY/bench_r${recordedRounds.max}.json"))
+        ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt)
+          .map(_.group(1))
+          .map { body =>
+            "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    val inflation = graft.util.BenchNoise.inflationVsPrior(
+      results.toMap, priorBlock("queries"))
+    val noisy = totSpread > 1.5 || inflation.inflated
+    val noiseJson = s"""{"pass_total_spread":$totSpread,"pass1_build_sec":${r2(p1BuildSec)},"median_query_spread":$medianSpread,"max_query_spread":${sortedSpreads.last},"median_vs_prior":${r2(inflation.medianRatio)},"frac_slower_vs_prior":${r2(inflation.fracSlower)},"inflated_vs_prior":${inflation.inflated},"noisy":$noisy}"""
+    if (inflation.inflated)
+      System.err.println(
+        f"WARNING: shared surface uniformly inflated vs r${recordedRounds.max}: " +
+          f"median ${inflation.medianRatio}%.2fx over ${inflation.sharedQueries} " +
+          f"shared queries (${inflation.fracSlower * 100}%.0f%% slower) — " +
+          "likely host steal; prefer a quieter re-run")
     // Self-description (r6 verdict task 6): the committed artifact must
     // carry its provenance so bench numbers can't silently drift from
     // commit messages — round (env, driver-set), git SHA, timestamp.
@@ -144,12 +177,7 @@ object Bench {
     // mislabeled-artifact class the r8 verdict flagged. BENCH_HISTORY
     // records one artifact per completed round; a derived round BELOW
     // its maximum is definitely stale (same-round re-runs are normal).
-    val recorded = Option(new java.io.File("BENCH_HISTORY").list())
-      .getOrElse(Array.empty[String])
-      .flatMap { n =>
-        val m = "bench_r(\\d+)\\.json".r.findFirstMatchIn(n)
-        m.map(_.group(1).toInt)
-      }
+    val recorded = recordedRounds
     if (recorded.nonEmpty && round.toInt < recorded.max)
       throw new IllegalStateException(
         s"bench provenance.round $round is below the latest recorded " +
@@ -196,18 +224,10 @@ object Bench {
     // schema unchanged); the comparison itself is BuildCost.regressions
     // so a spec pins the rule without running a bench.
     if (recorded.nonEmpty) {
-      val prior = try {
-        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
-          s"BENCH_HISTORY/bench_r${recorded.max}.json"))
-        "\"builds\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
-          .map { body =>
-            "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }.getOrElse(Map.empty[String, Double])
-      } catch { case _: Throwable => Map.empty[String, Double] }
-      graft.util.BuildCost.regressions(builds.toMap, prior).foreach { w =>
-        System.err.println(s"WARNING: build regression vs r${recorded.max}: $w")
-      }
+      graft.util.BuildCost.regressions(builds.toMap, priorBlock("builds"))
+        .foreach { w =>
+          System.err.println(s"WARNING: build regression vs r${recorded.max}: $w")
+        }
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${passes.length},"pass_totals":$passTotals,"query_spread":$spreadJson,"noise":$noiseJson,"builds":$buildsJson,"build_total":$buildTotal,"provenance":$provJson}"""
     // the driver captures a bounded stdout tail (rounds 1-4 lost

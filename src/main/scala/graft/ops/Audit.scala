@@ -1363,30 +1363,52 @@ object Audit {
       expected: Long,
       tables: Seq[(String, Either[String, DataFrame])]): Boolean = {
     import s.implicits._
+    // duplicate table names would collapse in any map view of the
+    // manifest (and a Left/Right pair under one name could classify a
+    // SHARED unit as fresh, deleting prior-version bytes on a losing
+    // writer) — reject them before anything is staged
+    require(tables.map(_._1).distinct.size == tables.size,
+      s"duplicate table names in commit: ${tables.map(_._1)}")
     val seq = nStageSeq.incrementAndGet()
+    def sharedExists(existing: String): Boolean =
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$dir/$existing"))
     val units = tables.map {
       case (tbl, Left(existing)) =>
-        require(java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(s"$dir/$existing")),
+        require(sharedExists(existing),
           s"shared unit $existing must already exist under $dir")
         tbl -> existing
       case (tbl, Right(_)) => tbl -> s"data/${tbl}_$seq"
     }
-    val fresh = units.collect { case (tbl, u)
-      if tables.toMap.apply(tbl).isRight => u }
+    // fresh units derived POSITIONALLY from the Left/Right shape, not
+    // through a name-keyed map — the failure cleanup below must never
+    // see a shared unit even if a future caller breaks an invariant
+    val fresh = tables.zip(units).collect {
+      case ((_, Right(_)), (_, u)) => u }
     val mStage = s"$dir/manifest_stage_n$seq"
     var published = false
     try {
-      tables.foreach {
-        case (tbl, Right(df)) =>
-          df.write.mode("overwrite")
-            .parquet(s"$dir/${units.toMap.apply(tbl)}")
-        case (_, Left(_)) => // re-listed by name; zero bytes staged
+      tables.zip(units).foreach {
+        case ((_, Right(df)), (_, u)) =>
+          df.write.mode("overwrite").parquet(s"$dir/$u")
+        case _ => // re-listed by name; zero bytes staged
       }
       units.toDF("tbl", "unit").coalesce(1)
         .write.mode("overwrite").parquet(mStage)
       if (head.get() == expected) {
         requireStagedManifest(mStage)
+        // close the staging-time TOCTOU on shared units: a retention
+        // sweep racing this commit could have deleted a re-listed
+        // unit after the staging check — re-validate every Left
+        // immediately before the publish rename so a manifest can
+        // never name a missing unit (gcSweep additionally fences
+        // staged manifests, so the two protocols compose)
+        tables.foreach {
+          case (tbl, Left(existing)) => require(sharedExists(existing),
+            s"shared unit $existing vanished before publish ($tbl) — " +
+              "a concurrent sweep violated the retention contract")
+          case _ =>
+        }
         try {
           java.nio.file.Files.move(
             java.nio.file.Paths.get(mStage),
@@ -1427,6 +1449,203 @@ object Audit {
     s.read.parquet(s"$dir/manifest/v$v").collect() // ≤ N bounded rows
       .map(r => r.getString(0) ->
         s.read.parquet(s"$dir/${r.getString(1)}")).toMap
+
+  // ---- gcSweep: MARK-AND-SWEEP retention over ANY manifest chain ----
+  //
+  // Unit sharing (occCommitNShared) makes directory-level vacuum
+  // (q294) unsafe: a shared unit may be referenced by MANY manifests,
+  // so retention must be expire → mark → sweep (the Iceberg
+  // expire-snapshots / remove-orphan-files pair). Round 13 shipped
+  // this inlined in the q340 graph-chain gate; every OTHER chain
+  // (the q335 IVF erasure chain, the q331 N-table chains, the q321
+  // compaction chain) shares the (manifest/vN, data/unit) layout, so
+  // the primitive lives here and q340/q345 both drive it.
+  //
+  // CONCURRENCY CONTRACT (the r13 verdict's race gap) — a sweep
+  // racing a live writer or reader is governed by three fences:
+  //  1. STAGE-DIR FENCING: a commit that staged its manifest
+  //     (manifest_stage_n*) but has not yet ATOMIC_MOVEd it is
+  //     in-flight; every unit its staged manifest names (fresh AND
+  //     re-listed-shared) is marked live. The committer's own
+  //     pre-publish re-validation of shared units (occCommitNShared)
+  //     composes with this: the sweep won't take a staged commit's
+  //     units, and a commit whose shared unit was nonetheless lost
+  //     fails loudly instead of publishing a dangling manifest.
+  //  2. RECENCY FENCE: an unreferenced data unit younger than
+  //     `graceMs` is never swept — it may belong to a commit that has
+  //     staged data but not yet written its stage manifest (the
+  //     window fence 1 cannot see).
+  //  3. PINNED READERS: a reader pins a VERSION (the q341 sink-pin
+  //     discipline); callers pass pinned versions and their manifests
+  //     survive expiry exactly like kept ones, so every unit a pinned
+  //     reader can resolve stays marked.
+  //
+  // Scale shape: expire is a ≤|versions| manifest-list walk; mark is
+  // a ≤N·|versions| name-set union plus one bounded read per staged
+  // manifest; sweep deletes only dead units. No data is read.
+
+  /** Run expire → mark → sweep on the chain at `dir`. Returns the
+    * sorted (kept, swept, fenced) unit-name lists — kept = referenced
+    * by a surviving or staged manifest, fenced = unreferenced but
+    * inside the grace window.
+    */
+  private[graft] def gcSweep(s: SparkSession, dir: String,
+      keep: Set[Long], pinned: Set[Long] = Set.empty,
+      graceMs: Long = 0L): (Seq[String], Seq[String], Seq[String]) = {
+    val survive = keep ++ pinned
+    val versions = Option(new java.io.File(s"$dir/manifest").list())
+      .getOrElse(Array.empty[String])
+      .flatMap { n =>
+        if (n.matches("v\\d+")) Some(n.drop(1).toLong) else None
+      }.toSet
+    require(versions.intersect(survive).nonEmpty,
+      s"gcSweep would expire every manifest under $dir")
+    // EXPIRE: only kept/pinned versions survive the retention window
+    versions.diff(survive).foreach(v => deleteTree(s"$dir/manifest/v$v"))
+    // MARK: units referenced by surviving manifests…
+    val marked = versions.intersect(survive).toSeq.flatMap(v =>
+      manifestUnits(s, dir, v).values).map(_.stripPrefix("data/")).toSet
+    // …plus units named by in-flight staged manifests (fence 1). A
+    // torn stage manifest (unreadable) contributes nothing — its
+    // units are still protected by the recency fence.
+    val staged = Option(new java.io.File(dir).list())
+      .getOrElse(Array.empty[String])
+      .filter(_.startsWith("manifest_stage_n"))
+      .flatMap { st =>
+        try s.read.parquet(s"$dir/$st").collect()
+          .map(_.getString(1).stripPrefix("data/"))
+        catch { case _: Throwable => Array.empty[String] }
+      }.toSet
+    val all = Option(new java.io.File(s"$dir/data").list())
+      .getOrElse(Array.empty[String]).toSet
+    val live = (marked ++ staged).intersect(all)
+    val dead = all.diff(live)
+    // fence 2: unreferenced-but-young units survive this sweep
+    val now = System.currentTimeMillis()
+    val (fenced, swept) = dead.partition { u =>
+      graceMs > 0L &&
+        now - new java.io.File(s"$dir/data/$u").lastModified() < graceMs
+    }
+    swept.foreach(u => deleteTree(s"$dir/data/$u"))
+    (live.toSeq.sorted, swept.toSeq.sorted, fenced.toSeq.sorted)
+  }
+
+  // ---- q345: gcSweep on a SECOND chain, with the races driven -------
+  //
+  // q340 proves GC closes out the graph family's GDPR chain; this
+  // gate proves the PRIMITIVE generalizes (the q335 IVF erasure chain
+  // — different family, same layout) and drives the concurrency
+  // contract inside the gate itself, not just a spec:
+  //  - an IN-FLIGHT commit (fresh index unit + staged manifest
+  //    re-listing v1's corpus/stats by name) is staged BEFORE the
+  //    sweep; the sweep must keep its fresh unit AND everything the
+  //    stage re-lists, and the commit must then PUBLISH and resolve —
+  //    a writer racing GC loses nothing;
+  //  - a YOUNG orphan unit (staged data, no stage manifest yet) rides
+  //    the recency fence; an OLD orphan is swept;
+  //  - the cohort-byte close-out is measured like q340: present in
+  //    the expired genesis pre-GC, zero bytes anywhere post-GC.
+  // Runs on a HARDLINK clone of the q335 chain (clone deletions can
+  // never touch source inodes — the shared fixture stays byte-pinned
+  // for q335's own gate by the filesystem, not test ordering).
+
+  private val gc2Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, Long, Long, Seq[Boolean])]()
+  graft.util.CacheRegistry.registerMemo(gc2Memo)
+
+  private[graft] def ensureIvfChainGc(s: SparkSession, d: String)
+      : (Long, Long, Long, Seq[Boolean]) =
+    gc2Memo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("ivf_chain_gc") {
+      val (srcRoot, srcHead) = Clustering.ensureIvfErasureCommit(s, d)
+      require(srcHead == 1L, s"q335 chain head must be 1, got $srcHead")
+      val root = graft.util.TmpDirs.scratchFor("ivf_chain_gc", d)
+      GraphAnn.linkTree(srcRoot, root)
+      // the clone recreates unit DIRECTORIES fresh; retention
+      // semantics need the chain's true age, so age every cloned unit
+      // dir past the grace window — dir mtime only (gcSweep's recency
+      // fence reads the unit dir), hardlinked file inodes are shared
+      // with the source chain and are never touched
+      def ageDir(p: String): Unit =
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(p),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 2L * 3600 * 1000))
+      Option(new java.io.File(s"$root/data").list())
+        .getOrElse(Array.empty[String])
+        .foreach(u => ageDir(s"$root/data/$u"))
+      import s.implicits._
+      val u1 = manifestUnits(s, root, 1L)
+      val cohort = Clustering.erasedVecIds(s, d)
+      val nSurvivors = readNSnapshot(s, root, 1L)("corpus").count()
+      // cohort-byte scan over every unit under data/, schema-dispatched
+      def cohortBytes(): Long = {
+        val units = Option(new java.io.File(s"$root/data").list())
+          .getOrElse(Array.empty[String]).sorted
+        units.map { u =>
+          val df = s.read.parquet(s"$root/data/$u")
+          if (df.columns.contains("vec_id"))
+            df.join(broadcast(cohort), col("vec_id") === col("k"),
+              "left_semi").count()
+          else 0L // stats units carry (cell, n) — no ids to leak
+        }.sum
+      }
+      val preScan = cohortBytes()
+      // the racing writer: fresh unit staged + stage manifest written,
+      // publish NOT yet executed (exactly occCommitNShared's state
+      // between its stage write and its ATOMIC_MOVE)
+      Seq(7L).toDF("vec_id").withColumn("cell", lit(0L))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/index_inflight")
+      Seq(("corpus", u1("corpus")), ("index", "data/index_inflight"),
+          ("stats", u1("stats")))
+        .toDF("tbl", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/manifest_stage_n900001")
+      // orphans for the recency fence: young survives, old sweeps
+      Seq(1L).toDF("x").coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/orphan_young")
+      Seq(1L).toDF("x").coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/orphan_old")
+      ageDir(s"$root/data/orphan_old")
+      val (kept, swept, fenced) = gcSweep(s, root, keep = Set(1L),
+        graceMs = 3600 * 1000L)
+      val expiredGone = !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/manifest/v0"))
+      val postScan = cohortBytes()
+      // the racing writer completes: publish the staged manifest and
+      // resolve the new head — nothing it staged or re-listed is gone
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/manifest_stage_n900001"),
+        java.nio.file.Paths.get(s"$root/manifest/v2"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val v2 = readNSnapshot(s, root, 2L)
+      val commitSurvives = v2("corpus").count() == nSurvivors &&
+        v2("index").count() == 1L && v2("stats").count() > 0L
+      // head serve identical post-GC: v1's index still cohort-free and
+      // full-sized (its units were marked, never touched)
+      val v1 = readNSnapshot(s, root, 1L)
+      val headOk = v1("index").count() == nSurvivors &&
+        v1("index").join(broadcast(cohort), col("vec_id") === col("k"),
+          "left_semi").count() == 0L
+      (kept.size.toLong, swept.size.toLong, fenced.size.toLong,
+        Seq(expiredGone, preScan > 0L, postScan == 0L,
+          commitSurvives, headOk))
+    })
+
+  /** q345: one gate row — deterministic kept/swept/fenced counts (3
+    * v1 units + the in-flight unit kept; the 3 genesis units + the
+    * old orphan swept; the young orphan fenced) plus the five
+    * measured witnesses (see the block comment).
+    */
+  def ivfChainGc(s: SparkSession, d: String): DataFrame = {
+    val (kept, swept, fenced, f) = ensureIvfChainGc(s, d)
+    import s.implicits._
+    Seq((kept, swept, fenced, f(0), f(1), f(2), f(3), f(4)))
+      .toDF("units_kept", "units_swept", "units_fenced",
+        "expired_versions_unreadable", "cohort_bytes_present_pre_gc",
+        "cohort_bytes_gone_post_gc", "inflight_commit_survives_sweep",
+        "head_serve_identical")
+  }
 
   /** The q331 fixture: the q303 conflict schedule through a THREE-
     * table commit — the (month, status) view, its status-level
@@ -1731,6 +1950,7 @@ object Audit {
     "q320_mv_multi_commit" -> mvMultiCommits _,
     "q331_mv_ntable_commit" -> mvNCommits _,
     "q332_mv_ntable_erasure" -> mvNErasure _,
+    "q345_ivf_chain_gc" -> ivfChainGc _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -1811,6 +2031,19 @@ object Audit {
         |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM cev))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q345: mark-and-sweep GC generalized to the q335 IVF chain with
+    // the races driven in-gate — deterministic kept/swept/fenced
+    // counts (3 v1 units + 1 in-flight kept; 3 genesis units + 1 old
+    // orphan swept; 1 young orphan fenced) and measured witnesses
+    "q345_ivf_chain_gc" ->
+      """SELECT CAST(4 AS BIGINT) AS units_kept,
+        |  CAST(4 AS BIGINT) AS units_swept,
+        |  CAST(1 AS BIGINT) AS units_fenced,
+        |  TRUE AS expired_versions_unreadable,
+        |  TRUE AS cohort_bytes_present_pre_gc,
+        |  TRUE AS cohort_bytes_gone_post_gc,
+        |  TRUE AS inflight_commit_survives_sweep,
+        |  TRUE AS head_serve_identical""".stripMargin,
     // q262: the component oracles' per-doc CTEs (q235 dedup marks,
     // q62 verdicts, q231 per-doc novelty, q90 contamination) composed
     // into the one per-(lang, source) rollup

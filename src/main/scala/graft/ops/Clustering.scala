@@ -798,7 +798,11 @@ object Clustering {
 
   /** The frozen centroid set: every 50th id — all even, i.e. drawn
     * entirely from the pre-drift base (what a real frozen codebook
-    * is).
+    * is). Fixture convention: k scales with n here (n/50) so the
+    * trigger stays decidable at every fixture sf, which makes the
+    * distortion crossJoin look O(n²/50) — in production k is FIXED
+    * (the q112 k-means convention) and the same pass is the O(n·k)
+    * of assignment itself.
     */
   private def frozenCents(corpus: DataFrame): DataFrame =
     corpus.filter(col("vec_id") % 50 === 0)

@@ -2118,6 +2118,10 @@ object GraphAnn {
       val subPred = (c: Column) => probeCohortPred(c, maxLevel)
       val nSub = embeddings(s, d).filter(subPred(col("vec_id"))).count()
       val feed = graft.util.TmpDirs.pathFor("hnsw_sfold_feed", d) // q339's
+      require(java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$feed/c0")),
+        s"q341 rides q339's feed at $feed — ensureHnswStreamFold must " +
+          "have written it (named invariant, not an AnalysisException)")
       val wServe = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       def serveTop5(beam: DataFrame): DataFrame =
@@ -2480,7 +2484,7 @@ object GraphAnn {
   /** Hardlink clone: directories recreated, files linked (same inode —
     * zero data bytes; clone deletions cannot touch source bytes).
     */
-  private def linkTree(src: String, dst: String): Unit = {
+  private[graft] def linkTree(src: String, dst: String): Unit = {
     val sp = java.nio.file.Paths.get(src)
     val st = java.nio.file.Files.walk(sp)
     try st.forEach { p =>
@@ -2518,19 +2522,15 @@ object GraphAnn {
         }.sum
       }
       val preScan = cohortBytes()
-      // EXPIRE: only the head manifest survives the GDPR window
-      Seq(0L, 1L).foreach(v => Audit.deleteTree(s"$root/manifest/v$v"))
+      // expire → mark → sweep via the SHARED primitive (r13 verdict:
+      // GC was graph-chain-local; Audit.gcSweep is the generalization
+      // and carries the concurrency contract — stage-dir fencing +
+      // recency fence are no-ops here because the clone is offline,
+      // which is exactly the q340 discipline the contract names)
+      val (live, swept, _) = Audit.gcSweep(s, root, keep = Set(2L))
       val expiredGone = Seq(0L, 1L).forall(v =>
         !java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$root/manifest/v$v")))
-      // MARK: every unit a surviving manifest references
-      val live = Audit.manifestUnits(s, root, 2L).values
-        .map(_.stripPrefix("data/")).toSet
-      // SWEEP: delete the rest
-      val all = Option(new java.io.File(s"$root/data").list())
-        .getOrElse(Array.empty[String]).toSet
-      val swept = all.diff(live)
-      swept.foreach(u => Audit.deleteTree(s"$root/data/$u"))
       val postScan = cohortBytes()
       // head serve unharmed: the clone's post-GC v2 descent equals the
       // UNTOUCHED source chain's v2 descent row-for-row (the source

@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Audit
+import graft.util.BenchNoise
+
+/** Round-14 structural invariants: the gcSweep concurrency contract
+  * (sweep vs in-flight winner, losing writer, pinned reader, recency
+  * fence), the occCommitNShared hardening (duplicate-name rejection,
+  * positional fresh-unit cleanup), and the cross-run bench inflation
+  * rule — all on tiny synthetic chains, no sf fixture needed.
+  */
+class Round14OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def newChain(tag: String): String = {
+    val dir = graft.util.TmpDirs.scratch(s"r14-$tag")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/manifest"))
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/a")
+    Seq(("t1", "data/a")).toDF("tbl", "unit").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/manifest/v0")
+    dir
+  }
+
+  test("gcSweep vs an in-flight WINNER: staged units (fresh and re-listed) survive, the commit then publishes and resolves") {
+    val dir = newChain("winner")
+    import spark.implicits._
+    // the racing writer's state between stage and publish
+    Seq(9L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/t1_fresh")
+    Seq(("t1", "data/t1_fresh"), ("t2", "data/a"))
+      .toDF("tbl", "unit").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/manifest_stage_n1")
+    // a genuinely dead unit the sweep must still take
+    Seq(0L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/dead")
+    val (kept, swept, fenced) = Audit.gcSweep(spark, dir, keep = Set(0L))
+    assert(kept.toSet == Set("a", "t1_fresh"), s"kept $kept")
+    assert(swept == Seq("dead") && fenced.isEmpty)
+    // the writer completes: publish, then the snapshot must resolve
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/manifest_stage_n1"),
+      java.nio.file.Paths.get(s"$dir/manifest/v1"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val v1 = Audit.readNSnapshot(spark, dir, 1L)
+    assert(v1("t1").count() == 1L && v1("t2").count() == 3L)
+  }
+
+  test("gcSweep vs a LOSING writer: the loser cleans only its own fresh units; the shared unit and the chain survive") {
+    val dir = newChain("loser")
+    import spark.implicits._
+    val head = new java.util.concurrent.atomic.AtomicLong(0L)
+    // expected=5 != head → the commit must lose without publishing
+    val won = Audit.occCommitNShared(spark, dir, head, expected = 5L,
+      Seq("t1" -> Left("data/a"), "t2" -> Right(Seq(7L).toDF("k"))))
+    assert(!won && head.get() == 0L)
+    // loser's fresh unit is gone, the shared unit is byte-intact
+    val units = Option(new java.io.File(s"$dir/data").list())
+      .getOrElse(Array.empty[String]).toSet
+    assert(units == Set("a"), s"units after losing writer: $units")
+    // and a sweep after the loss sees a consistent chain
+    val (kept, swept, _) = Audit.gcSweep(spark, dir, keep = Set(0L))
+    assert(kept == Seq("a") && swept.isEmpty)
+    assert(Audit.readNSnapshot(spark, dir, 0L)("t1").count() == 3L)
+  }
+
+  test("gcSweep honors PINNED readers and refuses to expire everything") {
+    val dir = newChain("pinned")
+    import spark.implicits._
+    val head = new java.util.concurrent.atomic.AtomicLong(0L)
+    assert(Audit.occCommitNShared(spark, dir, head, 0L,
+      Seq("t1" -> Right(Seq(4L, 5L).toDF("k")))))
+    // keep only the head, but a reader has v0 pinned (q341 discipline)
+    val (kept, swept, _) =
+      Audit.gcSweep(spark, dir, keep = Set(1L), pinned = Set(0L))
+    assert(swept.isEmpty && kept.size == 2)
+    assert(Audit.readNSnapshot(spark, dir, 0L)("t1").count() == 3L)
+    assert(Audit.readNSnapshot(spark, dir, 1L)("t1").count() == 2L)
+    // without the pin, v0 expires and its unit sweeps
+    val (kept2, swept2, _) = Audit.gcSweep(spark, dir, keep = Set(1L))
+    assert(swept2 == Seq("a") && kept2.size == 1)
+    intercept[IllegalArgumentException] {
+      Audit.gcSweep(spark, dir, keep = Set(99L))
+    }
+  }
+
+  test("gcSweep recency fence: an unreferenced young unit survives, an aged one sweeps") {
+    val dir = newChain("grace")
+    import spark.implicits._
+    Seq(1L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/orphan_young")
+    Seq(1L).toDF("k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/orphan_old")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/data/orphan_old"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 3600 * 1000))
+    val (kept, swept, fenced) =
+      Audit.gcSweep(spark, dir, keep = Set(0L), graceMs = 3600 * 1000L)
+    assert(kept == Seq("a"))
+    assert(swept == Seq("orphan_old") && fenced == Seq("orphan_young"))
+  }
+
+  test("occCommitNShared rejects duplicate table names before staging anything") {
+    val dir = newChain("dup")
+    import spark.implicits._
+    val head = new java.util.concurrent.atomic.AtomicLong(0L)
+    intercept[IllegalArgumentException] {
+      Audit.occCommitNShared(spark, dir, head, 0L,
+        Seq("t1" -> Left("data/a"), "t1" -> Right(Seq(7L).toDF("k"))))
+    }
+    val units = Option(new java.io.File(s"$dir/data").list())
+      .getOrElse(Array.empty[String]).toSet
+    assert(units == Set("a") && head.get() == 0L)
+  }
+
+  test("bench inflation rule: uniform steal flags, real-but-local regressions and quiet rounds do not") {
+    def mk(n: Int, f: Int => Double): Map[String, Double] =
+      (1 to n).map(i => s"q$i" -> f(i)).toMap
+    val prior = mk(40, _ => 1.0)
+    // uniform 1.3× inflation over the shared surface → flagged
+    val steal = BenchNoise.inflationVsPrior(mk(40, _ => 1.3), prior)
+    assert(steal.inflated && steal.sharedQueries == 40)
+    // three genuinely regressed queries (3×) in a quiet run → quiet
+    val local = BenchNoise.inflationVsPrior(
+      mk(40, i => if (i <= 3) 3.0 else 1.0), prior)
+    assert(!local.inflated)
+    // a faster round → quiet
+    assert(!BenchNoise.inflationVsPrior(mk(40, _ => 0.9), prior).inflated)
+    // half slower / half faster (normal variance) → quiet
+    assert(!BenchNoise.inflationVsPrior(
+      mk(40, i => if (i % 2 == 0) 1.2 else 0.9), prior).inflated)
+    // no prior artifact → quiet by construction
+    assert(!BenchNoise.inflationVsPrior(mk(40, _ => 9.0), Map.empty).inflated)
+    // sub-floor priors are excluded from the comparison
+    val tiny = BenchNoise.inflationVsPrior(
+      mk(40, _ => 0.19 * 5), mk(40, _ => 0.19))
+    assert(tiny.sharedQueries == 0 && !tiny.inflated)
+  }
+}
