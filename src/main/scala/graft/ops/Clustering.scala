@@ -870,31 +870,11 @@ object Clustering {
         .cache())
     // each index is probed with ITS OWN centroids (the grown index
     // only has the frozen set — that asymmetry IS the staleness)
-    def hitsOf(idxTable: String, cents: DataFrame): DataFrame = {
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("cent_id"))
-      val probes = qs.crossJoin(broadcast(cents))
-        .withColumn("cos", cosine(col("qe"), col("ce")))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= 2)
-        .select(col("query_id"), col("cent_id").as("cell"))
-      val ranked = s.table(idxTable).join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .join(broadcast(qs), Seq("query_id"))
-        .join(corpus, Seq("vec_id"))
-        .withColumn("cos", cosine(col("qe"), col("embedding")))
-        .withColumn("rk", row_number().over(wRank))
-        .filter(col("rk") <= 3)
-        .select(col("query_id"), col("vec_id"))
-      ranked.join(broadcast(exact),
-          ranked("query_id") === exact("xq") && ranked("vec_id") === exact("xv"),
-          "left")
-        .groupBy(col("query_id"))
-        .agg(sum(when(col("xv").isNotNull, 1L).otherwise(0L)).as("n_hits"))
-    }
-    val hA = hitsOf(grown, frozenCents(corpus))
+    val hA = staleHits(s, corpus, qs, exact, s.table(grown),
+        frozenCents(corpus))
       .withColumnRenamed("n_hits", "hits_grown")
-    val hB = hitsOf(rebuilt, refreshedCents(corpus))
+    val hB = staleHits(s, corpus, qs, exact, s.table(rebuilt),
+        refreshedCents(corpus))
       .withColumnRenamed("n_hits", "hits_rebuilt")
     val joined = hA.join(hB, Seq("query_id"))
     // the decision: frozen-centroid distortion on the arrived half at
@@ -910,6 +890,38 @@ object Clustering {
         round(col("hits_rebuilt").cast("double") / 3.0, 4).as("recall_rebuilt"),
         lit(if (fires) 1L else 0L).as("rebuild_trigger"))
       .orderBy(col("query_id"))
+  }
+
+  /** nprobe-2 / top-3 probe hits against the exact top-3, for an
+    * ARBITRARY (vec_id, cell) index relation probed with an arbitrary
+    * centroid surface — shared by the q259 staleness audit (catalog
+    * tables) and the q348 trigger-action serve (manifest-resolved
+    * units), so the serve path and the audit path are one code.
+    */
+  private def staleHits(s: SparkSession, corpus: DataFrame, qs: DataFrame,
+      exact: DataFrame, cells: DataFrame, cents: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cent_id"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val ranked = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .join(corpus, Seq("vec_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("vec_id"))
+    ranked.join(broadcast(exact),
+        ranked("query_id") === exact("xq") && ranked("vec_id") === exact("xv"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("xv").isNotNull, 1L).otherwise(0L)).as("n_hits"))
   }
 
   private def dist2Col(v: Column, c: Column): Column =
@@ -1103,6 +1115,130 @@ object Clustering {
     })
     import s.implicits._
     rows.toDF("family", "trigger_quiet").orderBy(col("family"))
+  }
+
+  // ---- q348: the STALENESS TRIGGER ACTS — rebuild committed on fire -
+  //
+  // q259 fires the IVF rebuild trigger and q336 keeps its no-drift
+  // control quiet; nothing consumed the firing (the r13 verdict's
+  // item 7). Here the trigger's own measurement DRIVES the refresh:
+  // an (index, cents) manifest chain starts at the frozen production
+  // surface; the maintenance job evaluates the q259 distortion rule
+  // against the HEAD's centroid surface (resolved through the
+  // manifest, not re-assumed), and only a firing trigger commits
+  // v1 = (the q259 rebuilt index — the rebuild the engine already
+  // built — plus the refreshed centroid set) through occCommitN: both
+  // surfaces flip in ONE atom, because an index probed with the wrong
+  // centroid generation is exactly the torn state the chain exists to
+  // prevent. The CONTROL chain runs the SAME code over the undrifted
+  // corpus: its trigger stays quiet, it commits NOTHING (head 0), and
+  // its serving surface remains the frozen genesis.
+  //
+  // The serving witness is content-level: the head-resolved index
+  // unit must equal a from-scratch assignment of the corpus under the
+  // head-resolved centroid surface (the q254 rebuilt contract —
+  // refreshed for the fired chain, frozen for the quiet one), and the
+  // head probe (q259's own nprobe-2/top-3 serve through staleHits)
+  // must answer every drifted query.
+  //
+  // Scale shape: the trigger costs the q259 measure (one assignment-
+  // shaped pass per centroid surface); the action re-stages the
+  // rebuild the engine already produced + one KB manifest rename; the
+  // control costs the measure alone. Nothing here is all-pairs.
+
+  private val trigActMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    Seq[(String, Boolean, Long, Boolean, Boolean, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(trigActMemo)
+
+  private[graft] def ensureTriggerAction(s: SparkSession, d: String)
+      : Seq[(String, Boolean, Long, Boolean, Boolean, Boolean)] =
+    trigActMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("ivf_trigger_action") {
+      import s.implicits._
+      Seq("ctl", "drift").map { chain =>
+        val corpus =
+          if (chain == "drift") driftCorpus(s, d)
+          else embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val root = graft.util.TmpDirs.scratchFor(s"ivf_trigact_$chain", d)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$root/manifest"))
+        // genesis: the maintained index under the FROZEN surface —
+        // for the drift chain that is exactly q259's grown table
+        val grownDf =
+          if (chain == "drift") {
+            val (grown, _) = ensureDriftIndexes(s, d)
+            s.table(grown).select(col("vec_id"), col("cell"))
+          } else ivfAssignAgainst(corpus, frozenCents(corpus))
+            .select(col("vec_id"), col("cell"))
+        grownDf.write.mode("overwrite").parquet(s"$root/data/index_0")
+        frozenCents(corpus)
+          .write.mode("overwrite").parquet(s"$root/data/cents_0")
+        Seq(("cents", "data/cents_0"), ("index", "data/index_0"))
+          .toDF("tbl", "unit").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/manifest/v0")
+        val head = new java.util.concurrent.atomic.AtomicLong(0)
+        // THE TRIGGER: q259's integer rule, measured off the HEAD's
+        // manifest-resolved centroid surface
+        val headCents = Audit.readNSnapshot(s, root, head.get())("cents")
+        val fa = ivfDistortionSum(corpus, headCents)
+        val fb = ivfDistortionSum(corpus, refreshedCents(corpus))
+        val fires = fa >= 2L * fb
+        if (fires) {
+          // THE ACTION: the rebuild the engine already built (q259's
+          // rebuilt leg), committed atomically WITH its centroids
+          val (_, rebuilt) = ensureDriftIndexes(s, d)
+          require(Audit.occCommitN(s, root, head, 0L, Seq(
+              "index" -> s.table(rebuilt).select(col("vec_id"), col("cell")),
+              "cents" -> refreshedCents(corpus))),
+            s"the trigger-driven refresh commit holds the head ($chain)")
+        }
+        val hv = head.get()
+        val snap = Audit.readNSnapshot(s, root, hv)
+        // expected state per the trigger decision — refreshed surface
+        // iff fired, frozen otherwise; the committed index must equal
+        // a from-scratch assignment under the committed centroids
+        val expCents =
+          if (fires) refreshedCents(corpus) else frozenCents(corpus)
+        val expIndex = ivfAssignAgainst(corpus, expCents)
+          .select(col("vec_id"), col("cell"))
+        def same(a: DataFrame, b: DataFrame): Boolean =
+          a.exceptAll(b).count() + b.exceptAll(a).count() == 0L
+        val idxOk = same(snap("index").select(col("vec_id"), col("cell")),
+          expIndex)
+        val centsOk = same(snap("cents"), expCents)
+        // the head SERVES: q259's probe off the resolved units answers
+        // every drifted query (the serving path reads the manifest)
+        val qs = corpus.filter(col("vec_id") % 100 === 51)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val wRank = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val exact = broadcast(qs)
+          .join(corpus, col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("embedding")))
+          .withColumn("rk", row_number().over(wRank))
+          .filter(col("rk") <= 3)
+          .select(col("query_id").as("xq"), col("vec_id").as("xv"))
+        val servedQ = staleHits(s, corpus, qs, exact,
+          snap("index"), snap("cents")).count()
+        val serveComplete = servedQ == qs.count()
+        (chain, fires, hv, idxOk, centsOk, serveComplete)
+      }
+    })
+
+  /** q348: one row per chain — the measured trigger decision, the
+    * head version it CAUSED (1 = refresh committed, 0 = nothing), the
+    * committed index ≡ from-scratch assignment under the committed
+    * centroid surface, the centroid surface ≡ the decision's mandate,
+    * and the head serve answering every drifted query.
+    */
+  def ivfTriggerAction(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureTriggerAction(s, d)
+    import s.implicits._
+    rows.toDF("chain", "trigger_fired", "head_version",
+        "index_equals_expected", "cents_equals_expected",
+        "head_serve_complete")
+      .orderBy(col("chain"))
   }
 
   /** (vec_id, m, sv) subvector expansion shared by q114 and the q204
@@ -2033,6 +2169,155 @@ object Clustering {
         (v, tbl, nRows, nVecs, sweptEqRebuilt)
       }
     }.toDF("version", "surface", "n_rows", "n_vecs", "swept_equals_rebuilt")
+      .orderBy(col("version"), col("surface"))
+  }
+
+  // ---- q344: ONE ERASURE COMMIT ACROSS CORPUS + ALL FOUR FAMILIES ---
+  //
+  // q335 made index erasure atomic for the IVF family and q338 for
+  // the graph; the PQ and binary sweeps (q255/q256) still landed
+  // independently of the corpus surfaces they must agree with, and
+  // the q308 capstone AUDITED the end state without any commit making
+  // it one atom. This is the end state the r13 verdict names: a
+  // single occCommitNShared spanning the corpus and every vector
+  // serving surface the engine maintains —
+  //   corpus           survivors (fresh)
+  //   ivf/pq/bin_cow   the q254-q256 sweeps' OWN outputs (fresh — the
+  //                    q335 "stage the sweep's own output" rule)
+  //   ivf/pq/bin_base  UNCHANGED merge-on-read bases, re-listed BY
+  //                    NAME (Left: zero bytes staged — at 100 TB
+  //                    these are the bulk of the index bytes)
+  //   ivf/pq/bin_dv    the cohort DVs (fresh, O(cohort) bytes each)
+  // Ten tables, one KB manifest rename: a reader resolving any
+  // version sees every family in the SAME pre- or post-erasure state;
+  // no torn subset exists at any instant. Genesis additionally shares
+  // units ACROSS tables (each family's CoW surface and MoR base name
+  // the same unit; the three empty DVs name one) — sharing is a
+  // property of unit NAMES, not table identity.
+  //
+  // Scale shape: fresh bytes = survivor ids + the three swept
+  // families (the sweep output the engine already produced — staged
+  // into the chain exactly as q335 stages the q254 sweep) +
+  // 3×O(cohort) DVs; the three MoR bases — the dominant bytes —
+  // commit at zero cost by name. Conflict detection stays O(1); the
+  // whole erasure is one rename regardless of how many families the
+  // deployment serves.
+
+  private val capMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Long, Boolean, Map[String, Boolean])]()
+  graft.util.CacheRegistry.registerMemo(capMemo)
+
+  private[graft] def ensureErasureCapstoneCommit(s: SparkSession, d: String)
+      : (String, Long, Boolean, Map[String, Boolean]) =
+    capMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("erasure_capstone_commit") {
+      val root = graft.util.TmpDirs.scratchFor("erasure_capstone", d)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/manifest"))
+      import s.implicits._
+      // genesis units (direct write, the q331 genesis shape) — one
+      // unit per distinct CONTENT, shared across tables by name
+      embeddings(s, d).select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$root/data/corpus_0")
+      ivfAssignment(s, d).select(col("vec_id"), col("cell"))
+        .write.mode("overwrite").parquet(s"$root/data/ivf_0")
+      pqCodes(s, d).select(col("vec_id"), col("m"), col("code"))
+        .write.mode("overwrite").parquet(s"$root/data/pq_0")
+      signCodes(s, d).select(col("vec_id"), col("lo"), col("hi"))
+        .write.mode("overwrite").parquet(s"$root/data/bin_0")
+      s.range(0).select(col("id").as("k"))
+        .write.mode("overwrite").parquet(s"$root/data/dv_0")
+      val v0Units = Seq(
+        "corpus" -> "data/corpus_0",
+        "ivf_cow" -> "data/ivf_0", "ivf_base" -> "data/ivf_0",
+        "pq_cow" -> "data/pq_0", "pq_base" -> "data/pq_0",
+        "bin_cow" -> "data/bin_0", "bin_base" -> "data/bin_0",
+        "ivf_dv" -> "data/dv_0", "pq_dv" -> "data/dv_0",
+        "bin_dv" -> "data/dv_0")
+      v0Units.toDF("tbl", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/manifest/v0")
+      // THE COMMIT: sweeps' own outputs + survivor corpus + cohort
+      // DVs fresh; the MoR bases re-listed by name
+      val (ivfSwept, pqSwept, binSwept) = ensureSweptIndexes(s, d)
+      val cohort = erasedVecIds(s, d)
+      val corpus1 = embeddings(s, d).select(col("vec_id"))
+        .join(broadcast(cohort), col("vec_id") === col("k"), "left_anti")
+      val head = new java.util.concurrent.atomic.AtomicLong(0)
+      require(Audit.occCommitNShared(s, root, head, 0L, Seq(
+          "corpus" -> Right(corpus1),
+          "ivf_cow" -> Right(
+            s.table(ivfSwept).select(col("vec_id"), col("cell"))),
+          "pq_cow" -> Right(
+            s.table(pqSwept).select(col("vec_id"), col("m"), col("code"))),
+          "bin_cow" -> Right(
+            s.table(binSwept).select(col("vec_id"), col("lo"), col("hi"))),
+          "ivf_base" -> Left("data/ivf_0"),
+          "pq_base" -> Left("data/pq_0"),
+          "bin_base" -> Left("data/bin_0"),
+          "ivf_dv" -> Right(cohort.select(col("k"))),
+          "pq_dv" -> Right(cohort.select(col("k"))),
+          "bin_dv" -> Right(cohort.select(col("k"))))),
+        "the capstone erasure commit holds the expected head")
+      val u0 = Audit.manifestUnits(s, root, 0L)
+      val u1 = Audit.manifestUnits(s, root, 1L)
+      val basesShared = Seq("ivf_base", "pq_base", "bin_base")
+        .forall(t => u1(t) == u0(t))
+      // each CoW family's q254-q256 contract, off the COMMITTED units:
+      // swept == rebuilt-from-survivors under the frozen model
+      val (rIvf, rPq, rBin) = rebuiltSweptContents(s, d)
+      val v1 = Audit.readNSnapshot(s, root, 1L)
+      def same(a: DataFrame, b: DataFrame): Boolean =
+        a.exceptAll(b).count() + b.exceptAll(a).count() == 0L
+      val contracts = Map(
+        "ivf" -> same(v1("ivf_cow"),
+          rIvf.select(col("vec_id"), col("cell"))),
+        "pq" -> same(v1("pq_cow"),
+          rPq.select(col("vec_id"), col("m"), col("code"))),
+        "bin" -> same(v1("bin_cow"),
+          rBin.select(col("vec_id"), col("lo"), col("hi"))))
+      (root, head.get(), basesShared, contracts)
+    })
+
+  /** q344: the capstone erasure ledger — per (version, serving
+    * surface), the distinct-key count and cohort-left resolved
+    * through the ONE manifest (MoR surfaces resolve base ⊖ dv at
+    * read, the q273 discipline), plus the zero-byte base-sharing
+    * witness and each CoW family's swept==rebuilt contract. All
+    * seven serving surfaces must show the same n_keys at every
+    * version — the q332 atomicity witness, now spanning every index
+    * family the engine maintains.
+    */
+  def erasureCapstoneCommit(s: SparkSession, d: String): DataFrame = {
+    val (root, head, basesShared, contracts) =
+      ensureErasureCapstoneCommit(s, d)
+    val cohort = erasedVecIds(s, d)
+    import s.implicits._
+    // 2 versions × 7 surfaces of 2 bounded aggregates each (the q180
+    // adjudication bound)
+    val rows = (0L to head).flatMap { v =>
+      val snap = Audit.readNSnapshot(s, root, v)
+      def resolveMor(fam: String): DataFrame =
+        snap(s"${fam}_base").join(broadcast(snap(s"${fam}_dv")),
+          col("vec_id") === col("k"), "left_anti")
+      val surfaces: Seq[(String, DataFrame, String)] = Seq(
+        ("corpus", snap("corpus"), ""),
+        ("ivf_cow", snap("ivf_cow"), "ivf"),
+        ("ivf_mor", resolveMor("ivf"), "ivf"),
+        ("pq_cow", snap("pq_cow"), "pq"),
+        ("pq_mor", resolveMor("pq"), "pq"),
+        ("bin_cow", snap("bin_cow"), "bin"),
+        ("bin_mor", resolveMor("bin"), "bin"))
+      surfaces.map { case (name, df, fam) =>
+        val keys = df.select(col("vec_id")).distinct()
+        val n = keys.count()
+        val left = keys.join(broadcast(cohort),
+          col("vec_id") === col("k"), "left_semi").count()
+        (v, name, n, left, basesShared,
+          if (fam.isEmpty) true else contracts(fam))
+      }
+    }
+    rows.toDF("version", "surface", "n_keys", "n_cohort_left",
+        "base_units_shared", "swept_equals_rebuilt")
       .orderBy(col("version"), col("surface"))
   }
 
@@ -3481,6 +3766,8 @@ object Clustering {
     "q258_stream_binary_serve" -> streamBinaryServe _,
     "q259_index_staleness" -> indexStaleness _,
     "q335_ivf_erasure_commit" -> ivfErasureCommit _,
+    "q344_erasure_capstone_commit" -> erasureCapstoneCommit _,
+    "q348_ivf_trigger_action" -> ivfTriggerAction _,
     "q336_staleness_ctl" -> stalenessControls _,
     "q263_index_compaction" -> ivfCompactedProbe _,
     "q272_ivf_lifecycle" -> ivfLifecycleProbe _,
@@ -4118,6 +4405,41 @@ object Clustering {
          |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_vecs AS BIGINT) AS n_vecs,
          |  TRUE AS swept_equals_rebuilt
          |FROM surf ORDER BY version, surface""".stripMargin,
+    // q344: one atomic erasure commit across corpus + all four
+    // families — every serving surface shows the SAME key count per
+    // version (full at v0, survivors at v1), zero cohort keys left
+    // anywhere at v1, MoR bases shared by name, CoW sweeps == rebuilt
+    "q344_erasure_capstone_commit" ->
+      """WITH c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS full_n,
+        |    CAST(sum(CASE WHEN vec_id % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS coh
+        |  FROM embeddings)
+        |SELECT CAST(v AS BIGINT) AS version, s AS surface,
+        |  CASE WHEN v = 0 THEN c.full_n ELSE c.full_n - c.coh END
+        |    AS n_keys,
+        |  CASE WHEN v = 0 THEN c.coh ELSE CAST(0 AS BIGINT) END
+        |    AS n_cohort_left,
+        |  TRUE AS base_units_shared,
+        |  TRUE AS swept_equals_rebuilt
+        |FROM (VALUES (0), (1)) AS t(v)
+        |CROSS JOIN (VALUES ('bin_cow'), ('bin_mor'), ('corpus'),
+        |  ('ivf_cow'), ('ivf_mor'), ('pq_cow'), ('pq_mor')) AS u(s)
+        |CROSS JOIN c
+        |ORDER BY version, surface""".stripMargin,
+    // q348: the trigger ACTS — the drift chain's measured rule commits
+    // the atomic (index, cents) refresh (head 1); the control chain's
+    // quiet rule commits nothing (head 0, frozen genesis serving)
+    "q348_ivf_trigger_action" ->
+      """SELECT chain,
+        |  chain = 'drift' AS trigger_fired,
+        |  CAST(CASE WHEN chain = 'drift' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS head_version,
+        |  TRUE AS index_equals_expected,
+        |  TRUE AS cents_equals_expected,
+        |  TRUE AS head_serve_complete
+        |FROM (VALUES ('ctl'), ('drift')) AS c(chain)
+        |ORDER BY chain""".stripMargin,
     // q336: the three no-drift controls must keep every trigger quiet
     // — the falsifiability half of the q259/q277/q278 decisions
     "q336_staleness_ctl" ->

@@ -1897,14 +1897,21 @@ object GraphAnn {
   // and this gate drives the overlap itself: a probe STREAM is serving
   // while the fold PUBLISHES MID-BATCH. Three micro-batches
   // (OrderedFeed-pinned), each resolving the manifest head at batch
-  // start and descending over that snapshot's units MOUNTED DIRECTLY
-  // (beamSweepOn edgesOf — the production read: a per-layer unit IS
-  // the layer partition; no copy). Batch 1 resolves v1, THEN the fold
-  // publishes v2 (an ATOMIC_MOVE of the staged manifest), then the
-  // descent runs — with v2 already on disk. Because v1's units are
-  // immutable and the fold wrote only NEW units, batch 1 must still
-  // serve v1's answers exactly; batch 2 resolves v2 and serves the
-  // folded graph.
+  // start and descending over that snapshot THROUGH THE q342 BUCKETED
+  // TABLE — the at-scale snapshot format: the smanifest version rows
+  // carry the layer → ever (edge-version) map, the snapshot becomes a
+  // partition PREDICATE pruned at scan planning, each hop reads one
+  // (ever, layer) dir's co-located buckets, and ONLY the beam side
+  // exchanges (the r13 verdict's scale-killer: the previous edgesOf
+  // form broadcast whole per-layer units per hop per batch — right at
+  // gate scale, impossible at 100 TB where the base layer is n·2M
+  // edges; the plan witness now rides every batch). Batch 1 resolves
+  // v1, THEN the fold publishes v2 (an ATOMIC_MOVE of the staged
+  // manifest), then the descent runs — with v2 already on disk.
+  // Because partition directories are immutable units and the fold
+  // landed only NEW (ever=2, flagged-layer) partitions, batch 1 must
+  // still serve v1's answers exactly; batch 2 resolves v2 and serves
+  // the folded graph.
   //
   // Falsifiability: every batch carries the bounded self-probe
   // subcohort alongside its eval slice. A cohort self-query tops its
@@ -1915,40 +1922,43 @@ object GraphAnn {
   // certainty, not by luck.
   //
   // Scale shape: per batch the work is |batch|·ef·2M scored rows
-  // against the resolved units — identical to q325; the resolution
-  // adds one ≤(maxLevel+1)-row manifest read per trigger, and the
-  // mid-stream commit costs the fold's flagged-layer writes + one KB
-  // rename, full stop. Nothing pauses the stream.
+  // against the resolved partitions — identical to q325 — with the
+  // edge side shuffle-free by bucket co-location; the resolution adds
+  // one ≤(maxLevel+1)-row manifest read + one bounded 20-row plan
+  // witness per trigger, and the mid-stream commit costs the fold's
+  // flagged-layer writes + one KB rename, full stop. Nothing pauses
+  // the stream.
 
   private val sfoldMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(Long, Long, Boolean, Boolean, Boolean)]]()
+    (SparkSession, String), Seq[(Long, Long, Boolean, Boolean, Boolean, Boolean)]]()
   graft.util.CacheRegistry.registerMemo(sfoldMemo)
 
   private[graft] def ensureHnswStreamFold(s: SparkSession, d: String)
-      : Seq[(Long, Long, Boolean, Boolean, Boolean)] =
+      : Seq[(Long, Long, Boolean, Boolean, Boolean, Boolean)] =
     sfoldMemo.computeIfAbsent((s, d), _ =>
       graft.util.BuildCost.record("hnsw_stream_fold") {
       val (_, maxLevel, entry) = ensureHnswGrown(s, d)
-      // the stream rides the q338 chain's IMMUTABLE units — its OWN
-      // manifest chain (smanifest/) re-lists them: v1 names the
-      // chain's genesis (grown) edge units, the staged v2 its folded
-      // edge units; no unit is written here at all — the stream
-      // fixture costs two KB manifests plus the live descents (unit
-    // sharing ACROSS fixtures, same discipline as across versions)
+      // the stream rides the q342 BUCKETED SNAPSHOT TABLE — its OWN
+      // manifest chain (smanifest/) carries only the layer → ever
+      // (edge-version) map per version: v1 reads ever=1 everywhere,
+      // the staged v2 flips flagged layers to ever=2; no edge byte is
+      // written here at all — the stream fixture costs two KB
+      // manifests plus the live descents (unit sharing ACROSS
+      // fixtures: the partition DIRS are the shared units)
       ensureHnswGdprLedger(s, d)
+      val (bname, flagged, _) = ensureGdprBucketed(s, d)
       val (root, _) = gdprV0Files.get((s, d))
       import s.implicits._
-      val g0 = Audit.manifestUnits(s, root, 0L)
-      val g2 = Audit.manifestUnits(s, root, 2L)
       Audit.deleteTree(s"$root/smanifest")
       Audit.deleteTree(s"$root/smanifest_stage")
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(s"$root/smanifest"))
-      (0L to maxLevel.toLong).map(l => l -> g0(s"edge_l$l"))
-        .toDF("layer", "unit").coalesce(1)
+      (0L to maxLevel.toLong).map(l => l -> 1)
+        .toDF("layer", "ever").coalesce(1)
         .write.mode("overwrite").parquet(s"$root/smanifest/v1")
-      (0L to maxLevel.toLong).map(l => l -> g2(s"edge_l$l"))
-        .toDF("layer", "unit").coalesce(1)
+      (0L to maxLevel.toLong)
+        .map(l => l -> (if (flagged(l.toInt)) 2 else 1))
+        .toDF("layer", "ever").coalesce(1)
         .write.mode("overwrite").parquet(s"$root/smanifest_stage")
       def publishV2(): Unit = java.nio.file.Files.move(
         java.nio.file.Paths.get(s"$root/smanifest_stage"),
@@ -1957,11 +1967,14 @@ object GraphAnn {
       def maxVersion: Long = Option(
           new java.io.File(s"$root/smanifest").list())
         .getOrElse(Array.empty[String]).map(_.drop(1).toLong).max
-      // per-version unit mount: the snapshot's unit IS the layer read
-      def edgesOfAt(ss: SparkSession, v: Long): Int => DataFrame = {
-        val u = ss.read.parquet(s"$root/smanifest/v$v").collect()
-          .map(r => r.getLong(0) -> r.getString(1)).toMap
-        (layer: Int) => ss.read.parquet(s"$root/${u(layer.toLong)}")
+      // per-version snapshot resolution: the manifest's layer→ever
+      // map AS a partition predicate, evaluated at scan planning
+      def resolveAt(ss: SparkSession, v: Long): Column = {
+        val m = ss.read.parquet(s"$root/smanifest/v$v").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap // ≤ maxLevel+1
+        val e2 = m.filter(_._2 == 2).keys.toSeq
+        col("ever") === (if (e2.isEmpty) lit(1)
+          else when(col("layer").isin(e2: _*), 2).otherwise(1))
       }
       val subPred = (c: Column) => probeCohortPred(c, maxLevel)
       val nSub = embeddings(s, d).filter(subPred(col("vec_id"))).count()
@@ -1994,14 +2007,18 @@ object GraphAnn {
             if (!batch.isEmpty) {
               val ss = batch.sparkSession
               val v = maxVersion // resolve the head at batch start
-              val edges = edgesOfAt(ss, v)
+              val pred = resolveAt(ss, v)
               if (id == 1L) publishV2() // the fold lands MID-BATCH
               val foldOnDisk = java.nio.file.Files.isDirectory(
                 java.nio.file.Paths.get(s"$root/smanifest/v2"))
+              // the plan witness rides THIS batch's resolved predicate
+              val shuffleFree = hopPlanShuffleFree(ss, d, bname, pred)
               serveTop5(beamSweepOn(ss, d, root, maxLevel, entry,
-                  batch, Seq(8), edgesOf = Some(edges)))
+                  batch, Seq(8), edgeFilter = pred,
+                  bucketedTable = Some(bname)))
                 .withColumn("resolved_v", lit(v))
                 .withColumn("fold_on_disk", lit(foldOnDisk))
+                .withColumn("plan_shuffle_free", lit(shuffleFree))
                 .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
             }
           }
@@ -2009,15 +2026,17 @@ object GraphAnn {
         q.awaitTermination()
       }
       // references: SLICED from the shared q338 chain descents — the
-      // smanifest versions re-list exactly the chain's v0/v2 edge
-      // units, so the stored beamPre/beamPost ARE these versions'
-      // descents (per-(ef, query) independence makes slicing sound)
+      // smanifest versions resolve to exactly the chain's v0/v2 edge
+      // sets (q342's gate pins bucketed ≡ broadcast row-for-row), so
+      // the stored beamPre/beamPost ARE these versions' descents
+      // (per-(ef, query) independence makes slicing sound)
       val (beamPre, beamPost) = gdprBeams.get((s, d))
       val refs = Map(1L -> serveTop5(beamPre), 2L -> serveTop5(beamPost))
       val served = s.read.parquet(outDir)
       (0L to 2L).map { id =>
         val b = served.filter(col("batch_id") === id)
-        val hdr = b.select(col("resolved_v"), col("fold_on_disk"))
+        val hdr = b.select(col("resolved_v"), col("fold_on_disk"),
+            col("plan_shuffle_free"))
           .limit(1).collect()(0) // 1 bounded control row per batch
         val v = hdr.getLong(0)
         val chunkQs = s.read.parquet(s"$feed/c${id.toInt}")
@@ -2032,20 +2051,24 @@ object GraphAnn {
           .filter(foldCohortPred(col("vec_id"), maxLevel)).count()
         val selfStateOk =
           (v == 1L && selfHits == nSub) || (v == 2L && cohortRows == 0L)
-        (id, v, hdr.getBoolean(1), equalsRef, selfStateOk)
+        (id, v, hdr.getBoolean(1), equalsRef, selfStateOk,
+          hdr.getBoolean(2))
       }
     })
 
   /** q339: one row per micro-batch — the resolved manifest version,
     * whether the fold was already on disk when the batch descended,
-    * exact equality with that version's pinned reference descent, and
-    * the self-probe state the resolved version mandates.
+    * exact equality with that version's pinned reference descent, the
+    * self-probe state the resolved version mandates, and the per-batch
+    * hop-plan witness (edge side shuffle-free through the bucketed
+    * snapshot table).
     */
   def hnswServeAcrossFold(s: SparkSession, d: String): DataFrame = {
     val rows = ensureHnswStreamFold(s, d)
     import s.implicits._
     rows.toDF("batch_id", "resolved_version", "fold_on_disk_at_serve",
-        "equals_pinned_reference", "self_state_ok")
+        "equals_pinned_reference", "self_state_ok",
+        "edge_side_shuffle_free")
       .orderBy(col("batch_id"))
   }
 
@@ -2076,32 +2099,34 @@ object GraphAnn {
   //
   // Scale shape: the pin adds one _SUCCESS stat + one 1-row read per
   // replayed batch (zero cost on the non-replay path); everything
-  // else is q339's per-batch work. Recovery cost = one replayed
-  // batch, the family rule.
+  // else is q339's per-batch work — the bucketed snapshot descent
+  // included (the r13 scale-killer is gone from BOTH streaming
+  // gates). Recovery cost = one replayed batch, the family rule.
 
   private val srestartMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(Long, Long, Boolean, Boolean, Boolean, Boolean)]]()
+    (SparkSession, String),
+    Seq[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]]()
   graft.util.CacheRegistry.registerMemo(srestartMemo)
 
   private[graft] def ensureHnswServeRestart(s: SparkSession, d: String)
-      : Seq[(Long, Long, Boolean, Boolean, Boolean, Boolean)] =
+      : Seq[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)] =
     srestartMemo.computeIfAbsent((s, d), _ =>
       graft.util.BuildCost.record("hnsw_serve_restart") {
       val (_, maxLevel, entry) = ensureHnswGrown(s, d)
       ensureHnswStreamFold(s, d) // the shared chain, beams, and feed
+      val (bname, flagged, _) = ensureGdprBucketed(s, d)
       val (root, _) = gdprV0Files.get((s, d))
       import s.implicits._
-      val g0 = Audit.manifestUnits(s, root, 0L)
-      val g2 = Audit.manifestUnits(s, root, 2L)
       Audit.deleteTree(s"$root/rmanifest")
       Audit.deleteTree(s"$root/rmanifest_stage")
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(s"$root/rmanifest"))
-      (0L to maxLevel.toLong).map(l => l -> g0(s"edge_l$l"))
-        .toDF("layer", "unit").coalesce(1)
+      (0L to maxLevel.toLong).map(l => l -> 1)
+        .toDF("layer", "ever").coalesce(1)
         .write.mode("overwrite").parquet(s"$root/rmanifest/v1")
-      (0L to maxLevel.toLong).map(l => l -> g2(s"edge_l$l"))
-        .toDF("layer", "unit").coalesce(1)
+      (0L to maxLevel.toLong)
+        .map(l => l -> (if (flagged(l.toInt)) 2 else 1))
+        .toDF("layer", "ever").coalesce(1)
         .write.mode("overwrite").parquet(s"$root/rmanifest_stage")
       def publishV2(): Unit = java.nio.file.Files.move(
         java.nio.file.Paths.get(s"$root/rmanifest_stage"),
@@ -2110,10 +2135,12 @@ object GraphAnn {
       def maxVersion: Long = Option(
           new java.io.File(s"$root/rmanifest").list())
         .getOrElse(Array.empty[String]).map(_.drop(1).toLong).max
-      def edgesOfAt(ss: SparkSession, v: Long): Int => DataFrame = {
-        val u = ss.read.parquet(s"$root/rmanifest/v$v").collect()
-          .map(r => r.getLong(0) -> r.getString(1)).toMap
-        (layer: Int) => ss.read.parquet(s"$root/${u(layer.toLong)}")
+      def resolveAt(ss: SparkSession, v: Long): Column = {
+        val m = ss.read.parquet(s"$root/rmanifest/v$v").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap // ≤ maxLevel+1
+        val e2 = m.filter(_._2 == 2).keys.toSeq
+        col("ever") === (if (e2.isEmpty) lit(1)
+          else when(col("layer").isin(e2: _*), 2).otherwise(1))
       }
       val subPred = (c: Column) => probeCohortPred(c, maxLevel)
       val nSub = embeddings(s, d).filter(subPred(col("vec_id"))).count()
@@ -2145,9 +2172,18 @@ object GraphAnn {
           else None
         val v = pinned.getOrElse(maxVersion)
         if (id == 1L && pinned.isEmpty) publishV2() // first attempt only
+        val pred = resolveAt(ss, v)
+        val shuffleFree = hopPlanShuffleFree(ss, d, bname, pred)
         serveTop5(beamSweepOn(ss, d, root, maxLevel, entry,
-            batch, Seq(8), edgesOf = Some(edgesOfAt(ss, v))))
+            batch, Seq(8), edgeFilter = pred,
+            bucketedTable = Some(bname)))
           .withColumn("resolved_v", lit(v))
+          // the replay witness MEASURED (r13 advice): the sink records
+          // whether THIS attempt ran off the pin, so the gate's
+          // `replayed` column evidences the pin path actually firing
+          // rather than asserting the crash schedule
+          .withColumn("was_replay", lit(pinned.isDefined))
+          .withColumn("plan_shuffle_free", lit(shuffleFree))
           .write.mode("overwrite").parquet(outP)
       }
       graft.util.StreamTuning.withShuffle(s, 8) {
@@ -2187,8 +2223,10 @@ object GraphAnn {
       val served = s.read.parquet(outDir)
       (0L to 2L).map { id =>
         val b = served.filter(col("batch_id") === id)
-        val v = b.select(col("resolved_v"))
-          .limit(1).collect()(0).getLong(0) // 1 bounded control row
+        val hdr = b.select(col("resolved_v"), col("was_replay"),
+            col("plan_shuffle_free"))
+          .limit(1).collect()(0) // 1 bounded control row
+        val v = hdr.getLong(0)
         val chunkQs = s.read.parquet(s"$feed/c${id.toInt}")
           .select(col("query_id"))
         val refSlice = refs(v).join(chunkQs, Seq("query_id"), "left_semi")
@@ -2210,20 +2248,24 @@ object GraphAnn {
               col("resolved_v"))
             t1.exceptAll(fin).count() + fin.exceptAll(t1).count() == 0L
           }
-        (id, v, id == 1L, equalsRef, replayStable, selfStateOk)
+        (id, v, hdr.getBoolean(1), equalsRef, replayStable, selfStateOk,
+          hdr.getBoolean(2))
       }
     })
 
   /** q341: one row per micro-batch of the crash-restart drive — the
-    * resolved (pinned) version, whether the batch was replayed, exact
+    * resolved (pinned) version, the MEASURED replay witness (the sink
+    * records whether the final attempt ran off the pin), exact
     * equality with the pinned version's reference, the replay-identity
-    * witness, and the version-mandated self-probe state.
+    * witness, the version-mandated self-probe state, and the per-batch
+    * bucketed hop-plan witness.
     */
   def hnswServeRestart(s: SparkSession, d: String): DataFrame = {
     val rows = ensureHnswServeRestart(s, d)
     import s.implicits._
     rows.toDF("batch_id", "resolved_version", "replayed",
-        "equals_pinned_reference", "replay_rows_identical", "self_state_ok")
+        "equals_pinned_reference", "replay_rows_identical",
+        "self_state_ok", "edge_side_shuffle_free")
       .orderBy(col("batch_id"))
   }
 
@@ -2384,22 +2426,35 @@ object GraphAnn {
       // plan, the Round12OpsSpec technique, carried by the GATE)
       val resolveV2 = col("ever") ===
         when(col("layer").isin(flagged.toSeq: _*), 2).otherwise(1)
-      val edges0 = s.table(name)
-        .filter(resolveV2 && col("layer") === 0)
-        .select(col("src"), col("dst"))
-      val probe = embeddings(s, d).select(col("vec_id")).limit(20)
-      val joined = probe.join(edges0.hint("MERGE"),
-        probe("vec_id") === edges0("src"))
-      joined.collect() // bounded: 20-row probe side
-      val full = joined.queryExecution.executedPlan.toString
-      val plan = full.indexOf("== Initial Plan ==") match {
-        case -1 => full
-        case i => full.substring(0, i)
-      }
-      val shuffleFree = plan.contains("SortMergeJoin") &&
-        "Exchange hashpartitioning".r.findAllIn(plan).size == 1
+      val shuffleFree = hopPlanShuffleFree(s, d, name, resolveV2)
       (name, flagged, shuffleFree)
     })
+
+  /** The executed-plan witness for a snapshot-resolved hop through
+    * the (ever, layer) bucketed table: a bounded 20-row probe joins
+    * layer 0 under `pred` and the plan must be a SortMergeJoin whose
+    * ONLY Exchange is the probe/beam side (edge side co-located
+    * buckets, partitions pruned at scan planning). Shared by the
+    * q342 gate and the q339/q341 streaming serve bodies — the r13
+    * verdict's ask was exactly this witness "now under a stream".
+    */
+  private[graft] def hopPlanShuffleFree(s: SparkSession, d: String,
+      name: String, pred: Column): Boolean = {
+    val edges0 = s.table(name)
+      .filter(pred && col("layer") === 0)
+      .select(col("src"), col("dst"))
+    val probe = embeddings(s, d).select(col("vec_id")).limit(20)
+    val joined = probe.join(edges0.hint("MERGE"),
+      probe("vec_id") === edges0("src"))
+    joined.collect() // bounded: 20-row probe side
+    val full = joined.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    plan.contains("SortMergeJoin") &&
+      "Exchange hashpartitioning".r.findAllIn(plan).size == 1
+  }
 
   /** q342: per snapshot version, the bucketed-descent gate row (see
     * the block comment).
@@ -2438,6 +2493,337 @@ object GraphAnn {
       .toDF("snapshot_version", "equals_broadcast_descent",
         "clean_layers_shared", "edge_side_shuffle_free")
       .orderBy(col("snapshot_version"))
+  }
+
+  // ---- q347: the INCREMENTAL FOLD as a dynamic-partition APPEND ------
+  //
+  // q342 ships the at-scale snapshot format but its fixture writes
+  // both `ever` versions in one pass (the r13 verdict's item 5); the
+  // OPERATIONAL form is incremental: the live bucketed table starts
+  // with only the (ever=1, layer) partitions, and the fold APPENDS
+  // exactly the flagged (ever=2, layer) partitions — new partition
+  // directories only, clean partitions byte-untouched on disk — then
+  // the snapshot predicate flips. That is the q334 manifest commit
+  // realized in table-partition form: partition dirs are the
+  // immutable shared units, the append is the staged fresh units, the
+  // predicate flip is the manifest rename.
+  //
+  // Scale shape: the append writes |flagged layers'| folded edges
+  // through the SAME (partitionBy, bucketBy 8 src, sortBy) spec the
+  // table was created with — bucket co-location survives the fold, so
+  // every later hop stays edge-side shuffle-free; clean layers cost
+  // zero bytes (measured: the pre-append file list survives the
+  // append size/mtime-identical).
+
+  /** The live (ever, layer)-partitioned src-bucketed edge table,
+    * PRE-fold state only: every layer's v1 unit lands under ever=1.
+    * Returns (table, manifest-derived flagged set, maxLevel).
+    */
+  private[graft] def everTableFromChain(s: SparkSession, d: String,
+      prefix: String): (String, Set[Int], Int) = {
+    ensureHnswGdprLedger(s, d)
+    val (root, _) = gdprV0Files.get((s, d))
+    val (_, maxLevel, _) = ensureHnswGrown(s, d)
+    val u1 = Audit.manifestUnits(s, root, 1L)
+    val u2 = Audit.manifestUnits(s, root, 2L)
+    val flagged = (0 to maxLevel)
+      .filter(l => u2(s"edge_l$l") != u1(s"edge_l$l")).toSet
+    val name = Clustering.tableNameFor(prefix, d)
+    Clustering.dropAndCleanLocation(s, name)
+    (0 to maxLevel).map(l =>
+        s.read.parquet(s"$root/${u1(s"edge_l$l")}")
+          .select(col("src"), col("dst"), lit(l).as("layer"))
+          .withColumn("ever", lit(1)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("ever", "layer").bucketBy(8, "src").sortBy("src")
+      .saveAsTable(name)
+    (name, flagged, maxLevel)
+  }
+
+  /** The incremental fold: append ONLY the flagged layers' folded
+    * units as (ever=2, layer) partitions — same partition/bucket/sort
+    * spec as creation, so appended buckets co-locate with the base.
+    * Unit paths are passed in resolved (not looked up through a
+    * session-keyed memo) so the verb runs identically from a batch
+    * job and from inside a foreachBatch body, where the micro-batch
+    * session is a CLONE of the one the memos are keyed by.
+    */
+  private[graft] def appendFoldPartitions(s: SparkSession, root: String,
+      u2: Map[String, String], name: String, flagged: Set[Int]): Unit = {
+    flagged.toSeq.sorted.map(l =>
+        s.read.parquet(s"$root/${u2(s"edge_l$l")}")
+          .select(col("src"), col("dst"), lit(l).as("layer"))
+          .withColumn("ever", lit(2)))
+      .reduce(_ unionByName _)
+      .write.mode("append").format("parquet")
+      .partitionBy("ever", "layer").bucketBy(8, "src").sortBy("src")
+      .saveAsTable(name)
+  }
+
+  private val incFoldMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Boolean]]()
+  graft.util.CacheRegistry.registerMemo(incFoldMemo)
+
+  private[graft] def ensureIncrementalFold(s: SparkSession, d: String)
+      : Seq[Boolean] =
+    incFoldMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_incremental_fold") {
+      val (name, flagged, maxLevel) =
+        everTableFromChain(s, d, "graft_gdpr_inc_")
+      val (incRoot, _) = gdprV0Files.get((s, d))
+      val incU2 = Audit.manifestUnits(s, incRoot, 2L)
+      val loc = Clustering.tableLocation(s, name)
+      val before = Clustering.listDataFiles(loc)
+      appendFoldPartitions(s, incRoot, incU2, name, flagged)
+      val after = Clustering.listDataFiles(loc)
+      // clean partitions byte-pinned: every pre-append file survives
+      // size/mtime-identical; new files land ONLY under flagged
+      // (ever=2, layer) partition dirs
+      val pinned = before.forall { case (p, m) => after.get(p).contains(m) }
+      val fresh = after.keySet.diff(before.keySet)
+      val onlyFlagged = fresh.nonEmpty && fresh.forall { p =>
+        val segs = p.split('/')
+        segs.contains("ever=2") &&
+          flagged.exists(l => segs.contains(s"layer=$l"))
+      }
+      // both snapshots serve row-identically to the chain's stored
+      // broadcast descents through the incrementally-built table
+      val (_, _, entry) = ensureHnswGrown(s, d)
+      val subQs = embeddings(s, d)
+        .filter(probeCohortPred(col("vec_id"), maxLevel))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val allQs = evalQueries(s, d).unionByName(subQs)
+      def resolve(v: Long): Column =
+        if (v == 1L) col("ever") === 1
+        else col("ever") ===
+          when(col("layer").isin(flagged.toSeq: _*), 2).otherwise(1)
+      val (beamPre, beamPost) = gdprBeams.get((s, d))
+      val refs = Map(1L -> beamTop5(beamPre), 2L -> beamTop5(beamPost))
+      val equal = Seq(1L, 2L).map { v =>
+        val via = beamTop5(beamSweepOn(s, d, "", maxLevel, entry,
+            allQs, Seq(8), edgeFilter = resolve(v),
+            bucketedTable = Some(name)))
+          .select(col("query_id"), col("vec_id"))
+        val ref = refs(v).select(col("query_id"), col("vec_id"))
+        via.exceptAll(ref).count() + ref.exceptAll(via).count() == 0L
+      }
+      val shuffleFree = hopPlanShuffleFree(s, d, name, resolve(2L))
+      Seq(equal(0), equal(1), pinned, onlyFlagged, shuffleFree)
+    })
+
+  /** q347: per snapshot version — the incrementally-folded table's
+    * descent equals the broadcast reference, the pre-fold partitions
+    * are byte-pinned across the append, new files landed only under
+    * flagged (ever=2, layer) dirs, and the hop plan stays edge-side
+    * shuffle-free AFTER the append (bucket co-location survives).
+    */
+  def hnswIncrementalFold(s: SparkSession, d: String): DataFrame = {
+    val f = ensureIncrementalFold(s, d)
+    import s.implicits._
+    Seq((1L, f(0), f(2), f(3), f(4)), (2L, f(1), f(2), f(3), f(4)))
+      .toDF("snapshot_version", "equals_broadcast_descent",
+        "clean_partitions_byte_pinned", "appended_only_flagged",
+        "edge_side_shuffle_free")
+      .orderBy(col("snapshot_version"))
+  }
+
+  // ---- q346: the MAINTENANCE LOOP driven END-TO-END under serving ----
+  //
+  // Every piece existed separately (the r13 verdict's item 4): q327
+  // measures debt, q334 publishes the fold, q339 serves across it —
+  // but the publish was by fiat (the gate called publishV2 on a
+  // schedule). Here the measured threshold itself INITIATES the whole
+  // chain while a probe stream is serving: each micro-batch first
+  // runs the maintenance check — ghost-debt stats off the
+  // manifest-RESOLVED read (the bucketed snapshot at the head
+  // version) against the chain's tombstone set — and if any layer's
+  // ghost share ≥ GhostThresholdPct at the pre-fold head, THAT
+  // MEASUREMENT (nothing else) triggers the fold: append the flagged
+  // (ever=2, layer) partitions (q347's verb), stage the flipped
+  // layer→ever manifest, ATOMIC_MOVE it — and the very next
+  // micro-batch resolves v2 and serves the folded graph. The q333
+  // discipline rides along as a CONTROL chain (same rule, same legs,
+  // EMPTY tombstone set — no erasure debt): its trigger must stay
+  // quiet through every batch, its head must stay v1, and its table's
+  // file list must survive the whole drive byte-identical.
+  //
+  // Scale shape: the per-trigger maintenance check is one aggregation
+  // pass over the resolved edge partitions + a broadcast cohort probe
+  // (the q327 measure); the fold costs the flagged layers' append +
+  // one KB rename, amortized across the retention window — and the
+  // serve path underneath is the q342 bucketed descent, edge-side
+  // shuffle-free per hop.
+
+  private val maintMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    Seq[(String, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(maintMemo)
+
+  private[graft] def ensureMaintLoop(s: SparkSession, d: String)
+      : Seq[(String, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)] =
+    maintMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_maint_loop") {
+      val (_, maxLevel, entry) = ensureHnswGrown(s, d)
+      ensureHnswGdprLedger(s, d)
+      val (root, _) = gdprV0Files.get((s, d))
+      import s.implicits._
+      // two chains, each its OWN live table + manifest dir: HOT holds
+      // the erasure's ghost debt (tombstones = the planted cohort);
+      // CTL has no debt (empty tombstones)
+      val (hotT, flaggedM, _) = everTableFromChain(s, d, "graft_maint_hot_")
+      val (ctlT, _, _) = everTableFromChain(s, d, "graft_maint_ctl_")
+      val chainU2 = Audit.manifestUnits(s, root, 2L) // resolved OUTSIDE
+      // the stream: the micro-batch session is a clone, memos are not
+      val chains = Map("hot" -> hotT, "ctl" -> ctlT)
+      val tombs = Map(
+        "hot" -> foldCohort(s, d, maxLevel),
+        "ctl" -> s.range(0).select(col("id").as("k")))
+      chains.foreach { case (c, _) =>
+        Audit.deleteTree(s"$root/m${c}manifest")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$root/m${c}manifest"))
+        (0L to maxLevel.toLong).map(l => l -> 1)
+          .toDF("layer", "ever").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/m${c}manifest/v1")
+      }
+      def maxVersion(c: String): Long = Option(
+          new java.io.File(s"$root/m${c}manifest").list())
+        .getOrElse(Array.empty[String]).map(_.drop(1).toLong).max
+      def resolveAt(ss: SparkSession, c: String, v: Long): Column = {
+        val m = ss.read.parquet(s"$root/m${c}manifest/v$v").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap // ≤ maxLevel+1
+        val e2 = m.filter(_._2 == 2).keys.toSeq
+        col("ever") === (if (e2.isEmpty) lit(1)
+          else when(col("layer").isin(e2: _*), 2).otherwise(1))
+      }
+      val ctlFilesBefore = Clustering.listDataFiles(
+        Clustering.tableLocation(s, ctlT))
+      val subPred = (c: Column) => probeCohortPred(c, maxLevel)
+      val nSub = embeddings(s, d).filter(subPred(col("vec_id"))).count()
+      require(nSub > 0, s"probe subcohort empty at $d")
+      val subQs = embeddings(s, d).filter(subPred(col("vec_id")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val feed = graft.util.TmpDirs.scratchFor("hnsw_maint_feed", d)
+      (0 until 3).foreach { c =>
+        graft.util.OrderedFeed.writeChunk(s"$feed/c$c", c,
+          evalQueries(s, d)
+            .filter(pmod(col("query_id"), lit(3)) === c)
+            .unionByName(subQs))
+      }
+      val wServe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      def serveTop5(beam: DataFrame): DataFrame =
+        beam.withColumn("rk", row_number().over(wServe))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"))
+      val outDir = graft.util.TmpDirs.scratchFor("hnsw_maint_out", d)
+      graft.util.StreamTuning.withShuffle(s, 8) {
+        val src = s.readStream
+          .schema(s.read.parquet(s"$feed/c0").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$feed/c*")
+        val q = src.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!batch.isEmpty) {
+              val ss = batch.sparkSession
+              chains.foreach { case (c, tname) =>
+                val v = maxVersion(c) // resolve the head at batch start
+                val pred = resolveAt(ss, c, v)
+                // THE MAINTENANCE CHECK — every trigger, both chains:
+                // debt measured off the manifest-resolved read
+                val stats = ghostLayerStats(
+                    ss.table(tname).filter(pred)
+                      .select(col("layer"), col("src"), col("dst")),
+                    tombs(c))
+                  .collect() // ≤ maxLevel+1 bounded rows (the decision)
+                val flagged = stats.filter(r =>
+                    r.getLong(1) > 0 &&
+                      r.getLong(2) * 100L / r.getLong(1) >=
+                        GhostThresholdPct)
+                  .map(r => r.getInt(0)).toSet // layer is INT in the table
+                val fires = flagged.nonEmpty
+                // the threshold INITIATES: fold + publish, hot only by
+                // MEASUREMENT (the ctl branch runs the same code)
+                val committedNow = fires && v == 1L
+                if (committedNow) {
+                  require(flagged == flaggedM,
+                    s"measured flags $flagged != manifest-derived $flaggedM")
+                  appendFoldPartitions(ss, root, chainU2, tname, flagged)
+                  (0L to maxLevel.toLong)
+                    .map(l => l -> (if (flagged(l.toInt)) 2 else 1))
+                    .toDF("layer", "ever").coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(s"$root/m${c}manifest_stage")
+                  java.nio.file.Files.move(
+                    java.nio.file.Paths.get(s"$root/m${c}manifest_stage"),
+                    java.nio.file.Paths.get(s"$root/m${c}manifest/v2"),
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                }
+                // serve THIS batch over the version resolved at start
+                serveTop5(beamSweepOn(ss, d, root, maxLevel, entry,
+                    batch, Seq(8), edgeFilter = pred,
+                    bucketedTable = Some(tname)))
+                  .withColumn("resolved_v", lit(v))
+                  .withColumn("trigger_fired", lit(fires))
+                  .withColumn("fold_committed", lit(committedNow))
+                  .write.mode("overwrite")
+                  .parquet(s"$outDir/chain=$c/batch_id=$id")
+              }
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val ctlPinned = {
+        val after = Clustering.listDataFiles(
+          Clustering.tableLocation(s, ctlT))
+        ctlFilesBefore == after
+      }
+      val (beamPre, beamPost) = gdprBeams.get((s, d))
+      val refs = Map(1L -> serveTop5(beamPre), 2L -> serveTop5(beamPost))
+      val served = s.read.parquet(outDir)
+      Seq("ctl", "hot").flatMap { c =>
+        (0L to 2L).map { id =>
+          val b = served.filter(col("chain") === c &&
+            col("batch_id") === id)
+          val hdr = b.select(col("resolved_v"), col("trigger_fired"),
+              col("fold_committed"))
+            .limit(1).collect()(0) // 1 bounded control row
+          val v = hdr.getLong(0)
+          val chunkQs = s.read.parquet(s"$feed/c${id.toInt}")
+            .select(col("query_id"))
+          val refSlice = refs(v).join(chunkQs, Seq("query_id"), "left_semi")
+          val bAns = b.select(col("query_id"), col("vec_id"))
+          val equalsRef = bAns.exceptAll(refSlice).count() +
+            refSlice.exceptAll(bAns).count() == 0L
+          val selfHits = bAns.filter(subPred(col("query_id")) &&
+            col("query_id") === col("vec_id")).count()
+          val cohortRows = bAns
+            .filter(foldCohortPred(col("vec_id"), maxLevel)).count()
+          val selfStateOk =
+            (v == 1L && selfHits == nSub) || (v == 2L && cohortRows == 0L)
+          val bytesOk = if (c == "ctl") ctlPinned else true
+          (c, id, v, hdr.getBoolean(1), hdr.getBoolean(2), equalsRef,
+            selfStateOk, bytesOk)
+        }
+      }
+    })
+
+  /** q346: per (chain, micro-batch) — the resolved version, the
+    * measured trigger decision, whether THIS batch's measurement
+    * committed the fold, exact equality with the resolved version's
+    * reference descent, the version-mandated self-probe state, and
+    * the control's table-bytes-pinned witness (no debt → no trigger →
+    * no fold → zero bytes written, ever).
+    */
+  def hnswMaintLoop(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureMaintLoop(s, d)
+    import s.implicits._
+    rows.toDF("chain", "batch_id", "resolved_version", "trigger_fired",
+        "fold_committed", "equals_pinned_reference", "self_state_ok",
+        "table_bytes_pinned")
+      .orderBy(col("chain"), col("batch_id"))
   }
 
   // ---- q340: MANIFEST GC — the GDPR physical close-out ---------------
@@ -2585,6 +2971,8 @@ object GraphAnn {
     "q341_hnsw_serve_restart" -> hnswServeRestart _,
     "q342_hnsw_bucketed_snapshot" -> hnswBucketedSnapshot _,
     "q343_gdpr_dv_commit" -> hnswGdprDvCommit _,
+    "q346_hnsw_maint_loop" -> hnswMaintLoop _,
+    "q347_hnsw_incremental_fold" -> hnswIncrementalFold _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2703,16 +3091,19 @@ object GraphAnn {
         |ORDER BY version""".stripMargin,
     // q339: the fold publishes MID-BATCH under a serving stream —
     // batch 1 resolved v1 before the commit and must still serve v1's
-    // answers exactly (immutable units), batch 2 resolves v2; every
-    // batch equals its pinned version's reference descent and shows
-    // the self-probe state that version mandates
+    // answers exactly (immutable partition units), batch 2 resolves
+    // v2; every batch equals its pinned version's reference descent,
+    // shows the self-probe state that version mandates, and descends
+    // the q342 bucketed snapshot with the edge side shuffle-free
+    // (plan witness measured per batch)
     "q339_hnsw_serve_across_fold" ->
       """SELECT CAST(b AS BIGINT) AS batch_id,
         |  CAST(CASE WHEN b = 2 THEN 2 ELSE 1 END AS BIGINT)
         |    AS resolved_version,
         |  b >= 1 AS fold_on_disk_at_serve,
         |  TRUE AS equals_pinned_reference,
-        |  TRUE AS self_state_ok
+        |  TRUE AS self_state_ok,
+        |  TRUE AS edge_side_shuffle_free
         |FROM (VALUES (0), (1), (2)) AS t(b)
         |ORDER BY batch_id""".stripMargin,
     // q340: manifest GC over the q338 erasure chain — deterministic
@@ -2735,7 +3126,9 @@ object GraphAnn {
     // q341: the serve's crash-restart across the fold — the replayed
     // batch re-serves its PINNED version (1, not the advanced head),
     // row-identical to its committed first attempt; the fresh batch
-    // picks up v2
+    // picks up v2. `replayed` is MEASURED (the sink records whether
+    // the final attempt ran off the pin), and every batch descends
+    // the bucketed snapshot with the per-batch plan witness
     "q341_hnsw_serve_restart" ->
       """SELECT CAST(b AS BIGINT) AS batch_id,
         |  CAST(CASE WHEN b = 2 THEN 2 ELSE 1 END AS BIGINT)
@@ -2743,7 +3136,8 @@ object GraphAnn {
         |  b = 1 AS replayed,
         |  TRUE AS equals_pinned_reference,
         |  TRUE AS replay_rows_identical,
-        |  TRUE AS self_state_ok
+        |  TRUE AS self_state_ok,
+        |  TRUE AS edge_side_shuffle_free
         |FROM (VALUES (0), (1), (2)) AS t(b)
         |ORDER BY batch_id""".stripMargin,
     // q342: the manifest's layer→unit map expressed as PARTITION
@@ -2755,6 +3149,34 @@ object GraphAnn {
       """SELECT CAST(v AS BIGINT) AS snapshot_version,
         |  TRUE AS equals_broadcast_descent,
         |  TRUE AS clean_layers_shared,
+        |  TRUE AS edge_side_shuffle_free
+        |FROM (VALUES (1), (2)) AS t(v)
+        |ORDER BY snapshot_version""".stripMargin,
+    // q346: the maintenance loop end-to-end under serving — the HOT
+    // chain's batch-0 measurement fires the trigger and commits the
+    // fold (append + manifest flip), batch 1 serves v2; the CTL chain
+    // (no debt) stays quiet at v1 with its table byte-pinned
+    "q346_hnsw_maint_loop" ->
+      """SELECT chain, CAST(b AS BIGINT) AS batch_id,
+        |  CAST(CASE WHEN chain = 'hot' AND b >= 1 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS resolved_version,
+        |  (chain = 'hot' AND b = 0) AS trigger_fired,
+        |  (chain = 'hot' AND b = 0) AS fold_committed,
+        |  TRUE AS equals_pinned_reference,
+        |  TRUE AS self_state_ok,
+        |  TRUE AS table_bytes_pinned
+        |FROM (VALUES (0), (1), (2)) AS t(b)
+        |CROSS JOIN (VALUES ('ctl'), ('hot')) AS c(chain)
+        |ORDER BY chain, batch_id""".stripMargin,
+    // q347: the incremental fold — only flagged (ever=2, layer)
+    // partitions appended, clean partitions byte-pinned, both
+    // snapshots row-identical to the broadcast references, hop plan
+    // still edge-side shuffle-free after the append
+    "q347_hnsw_incremental_fold" ->
+      """SELECT CAST(v AS BIGINT) AS snapshot_version,
+        |  TRUE AS equals_broadcast_descent,
+        |  TRUE AS clean_partitions_byte_pinned,
+        |  TRUE AS appended_only_flagged,
         |  TRUE AS edge_side_shuffle_free
         |FROM (VALUES (1), (2)) AS t(v)
         |ORDER BY snapshot_version""".stripMargin,

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.ops.Audit
+import graft.ops.{Audit, Clustering, GraphAnn}
 import graft.util.BenchNoise
 
 /** Round-14 structural invariants: the gcSweep concurrency contract
@@ -117,6 +117,65 @@ class Round14OpsSpec extends AnyFunSuite {
     val units = Option(new java.io.File(s"$dir/data").list())
       .getOrElse(Array.empty[String]).toSet
     assert(units == Set("a") && head.get() == 0L)
+  }
+
+  test("q339/q341 streaming serves ride the bucketed snapshot: per-batch hop-plan witness true, replay witness measured") {
+    val sf = "/root/testdata/sf0.001"
+    val fold = GraphAnn.ensureHnswStreamFold(spark, sf)
+    assert(fold.forall(_._6),
+      s"a q339 batch hopped with an edge-side Exchange: $fold")
+    val restart = GraphAnn.ensureHnswServeRestart(spark, sf)
+    assert(restart.forall(_._7),
+      s"a q341 batch hopped with an edge-side Exchange: $restart")
+    // the replay column is the sink's own record of the pin firing
+    assert(restart.map(_._3) == Seq(false, true, false),
+      s"measured replay witnesses: ${restart.map(_._3)}")
+  }
+
+  test("q347 incremental fold: clean partitions byte-pinned, only flagged ever=2 dirs appended, hop still shuffle-free") {
+    val sf = "/root/testdata/sf0.001"
+    val f = GraphAnn.ensureIncrementalFold(spark, sf)
+    assert(f == Seq(true, true, true, true, true), s"witnesses: $f")
+    // the physical claim: the incrementally-built table's ever=2 dirs
+    // are exactly the flagged layers (same check Round13 pins on q342)
+    val name = Clustering.tableNameFor("graft_gdpr_inc_", sf)
+    val loc = Clustering.tableLocation(spark, name)
+    val ever2 = Option(loc.resolve("ever=2").toFile.list())
+      .getOrElse(Array.empty[String])
+      .filter(_.startsWith("layer="))
+      .map(_.stripPrefix("layer=").toInt).toSet
+    assert(ever2 == Set(0, 1), s"appended ever=2 partitions: $ever2")
+  }
+
+  test("q346 maintenance loop: the measurement commits the hot fold, the control never writes a byte") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = GraphAnn.ensureMaintLoop(spark, sf)
+    val hot = rows.filter(_._1 == "hot")
+    val ctl = rows.filter(_._1 == "ctl")
+    // hot: batch 0 measures at v1, fires, commits; batches 1-2 serve v2
+    assert(hot.map(r => (r._2, r._3, r._4, r._5)) ==
+      Seq((0L, 1L, true, true), (1L, 2L, false, false),
+        (2L, 2L, false, false)), s"hot ledger: $hot")
+    // ctl: quiet at v1 throughout, table bytes pinned
+    assert(ctl.forall(r => r._3 == 1L && !r._4 && !r._5 && r._8),
+      s"ctl ledger: $ctl")
+    rows.foreach { r =>
+      assert(r._6, s"${r._1} batch ${r._2} diverged from its reference")
+      assert(r._7, s"${r._1} batch ${r._2} self-probe state wrong")
+    }
+    // physical: only the hot table grew an ever=2 partition dir
+    def hasEver2(name: String): Boolean = java.nio.file.Files.exists(
+      Clustering.tableLocation(spark, name).resolve("ever=2"))
+    assert(hasEver2(Clustering.tableNameFor("graft_maint_hot_", sf)))
+    assert(!hasEver2(Clustering.tableNameFor("graft_maint_ctl_", sf)))
+  }
+
+  test("q348 trigger action: the drift chain's measurement commits the refresh, the control commits nothing") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Clustering.ensureTriggerAction(spark, sf)
+    assert(rows == Seq(
+      ("ctl", false, 0L, true, true, true),
+      ("drift", true, 1L, true, true, true)), s"ledger: $rows")
   }
 
   test("bench inflation rule: uniform steal flags, real-but-local regressions and quiet rounds do not") {
