@@ -2290,31 +2290,37 @@ object Clustering {
   def erasureCapstoneCommit(s: SparkSession, d: String): DataFrame = {
     val (root, head, basesShared, contracts) =
       ensureErasureCapstoneCommit(s, d)
-    val cohort = erasedVecIds(s, d)
     import s.implicits._
-    // 2 versions × 7 surfaces of 2 bounded aggregates each (the q180
-    // adjudication bound)
+    // ONE aggregation job per version: the 7 surfaces' distinct keys
+    // union into one surface-tagged relation, grouped once — 2×7
+    // bounded driver rows total (the q180 adjudication bound), vs the
+    // 28 separate count actions a per-surface loop would run
+    val famOf = Map("corpus" -> "", "ivf_cow" -> "ivf", "ivf_mor" -> "ivf",
+      "pq_cow" -> "pq", "pq_mor" -> "pq", "bin_cow" -> "bin",
+      "bin_mor" -> "bin")
     val rows = (0L to head).flatMap { v =>
       val snap = Audit.readNSnapshot(s, root, v)
       def resolveMor(fam: String): DataFrame =
         snap(s"${fam}_base").join(broadcast(snap(s"${fam}_dv")),
           col("vec_id") === col("k"), "left_anti")
-      val surfaces: Seq[(String, DataFrame, String)] = Seq(
-        ("corpus", snap("corpus"), ""),
-        ("ivf_cow", snap("ivf_cow"), "ivf"),
-        ("ivf_mor", resolveMor("ivf"), "ivf"),
-        ("pq_cow", snap("pq_cow"), "pq"),
-        ("pq_mor", resolveMor("pq"), "pq"),
-        ("bin_cow", snap("bin_cow"), "bin"),
-        ("bin_mor", resolveMor("bin"), "bin"))
-      surfaces.map { case (name, df, fam) =>
-        val keys = df.select(col("vec_id")).distinct()
-        val n = keys.count()
-        val left = keys.join(broadcast(cohort),
-          col("vec_id") === col("k"), "left_semi").count()
-        (v, name, n, left, basesShared,
-          if (fam.isEmpty) true else contracts(fam))
-      }
+      val tagged = Seq(
+        ("corpus", snap("corpus")),
+        ("ivf_cow", snap("ivf_cow")), ("ivf_mor", resolveMor("ivf")),
+        ("pq_cow", snap("pq_cow")), ("pq_mor", resolveMor("pq")),
+        ("bin_cow", snap("bin_cow")), ("bin_mor", resolveMor("bin")))
+        .map { case (name, df) =>
+          df.select(col("vec_id")).distinct()
+            .select(lit(name).as("surface"), col("vec_id")) }
+        .reduce(_ unionByName _)
+      tagged.groupBy(col("surface"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("vec_id") % 97 === 0, 1L).otherwise(0L)).as("left"))
+        .collect() // 7 bounded rows (the per-version ledger)
+        .map { r =>
+          val name = r.getString(0)
+          (v, name, r.getLong(1), r.getLong(2), basesShared,
+            if (famOf(name).isEmpty) true else contracts(famOf(name)))
+        }
     }
     rows.toDF("version", "surface", "n_keys", "n_cohort_left",
         "base_units_shared", "swept_equals_rebuilt")

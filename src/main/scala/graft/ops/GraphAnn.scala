@@ -2628,6 +2628,120 @@ object GraphAnn {
       .orderBy(col("snapshot_version"))
   }
 
+  // ---- q349: RETENTION on the PARTITION-TABLE snapshot form ----------
+  //
+  // q340/q345 close out retention for manifest-UNIT chains; the
+  // q342/q347 format stores snapshots as partition PREDICATES over
+  // one bucketed table, and its GC is the form COVERAGE named: when
+  // the pre-fold snapshot (v1) expires, the dead data is exactly the
+  // flagged layers' (ever=1) partition directories — superseded by
+  // their ever=2 folds — while CLEAN layers' ever=1 dirs stay live
+  // (the head predicate still maps them; they are the shared units).
+  // Mark-and-sweep is therefore: expire the v1 manifest, mark every
+  // (ever, layer) pair a surviving manifest's predicate resolves,
+  // drop the unmapped partition directories. For the GDPR chain this
+  // is again the LAST obligation: the cohort's ghost edges live only
+  // in the flagged pre-fold partitions, so post-sweep the whole TABLE
+  // scans clean by predicate — merged into storage, bytes gone.
+  //
+  // Scale shape: expire is a manifest delete; mark is ≤|versions| KB
+  // manifest reads; sweep drops |flagged| partition dirs (no data
+  // read, no rewrite); the cohort-byte audit is O(live bytes) by
+  // design, the q340 pricing argument.
+
+  private val pgcMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, Long, Seq[Boolean])]()
+  graft.util.CacheRegistry.registerMemo(pgcMemo)
+
+  private[graft] def ensurePartitionGc(s: SparkSession, d: String)
+      : (Long, Long, Seq[Boolean]) =
+    pgcMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_partition_gc") {
+      val (_, maxLevel, entry) = ensureHnswGrown(s, d)
+      // own table instance + manifest chain (the q347 incremental
+      // build: ever=1 genesis, fold appended as ever=2 partitions)
+      val (name, flagged, _) = everTableFromChain(s, d, "graft_gdpr_ret_")
+      val (root, _) = gdprV0Files.get((s, d))
+      val u2 = Audit.manifestUnits(s, root, 2L)
+      appendFoldPartitions(s, root, u2, name, flagged)
+      import s.implicits._
+      val mdir = s"$root/gmanifest"
+      Audit.deleteTree(mdir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(mdir))
+      (0L to maxLevel.toLong).map(l => l -> 1)
+        .toDF("layer", "ever").coalesce(1)
+        .write.mode("overwrite").parquet(s"$mdir/v1")
+      (0L to maxLevel.toLong)
+        .map(l => l -> (if (flagged(l.toInt)) 2 else 1))
+        .toDF("layer", "ever").coalesce(1)
+        .write.mode("overwrite").parquet(s"$mdir/v2")
+      val loc = Clustering.tableLocation(s, name)
+      def cohortEdges(): Long = s.table(name)
+        .filter(foldCohortPred(col("src"), maxLevel) ||
+          foldCohortPred(col("dst"), maxLevel))
+        .count()
+      val preScan = cohortEdges()
+      // EXPIRE: the pre-fold snapshot leaves the retention window
+      Audit.deleteTree(s"$mdir/v1")
+      // MARK: every (ever, layer) pair a surviving manifest maps
+      val live = Option(new java.io.File(mdir).list())
+        .getOrElse(Array.empty[String]).flatMap { v =>
+          s.read.parquet(s"$mdir/$v").collect()
+            .map(r => (r.getInt(1), r.getLong(0))) // ≤ maxLevel+1 rows
+        }.toSet
+      // SWEEP: drop the unmapped partition directories (no data read)
+      val all = (for {
+        e <- Option(loc.toFile.list()).getOrElse(Array.empty[String])
+        if e.startsWith("ever=")
+        l <- Option(loc.resolve(e).toFile.list()).getOrElse(Array.empty[String])
+        if l.startsWith("layer=")
+      } yield (e.stripPrefix("ever=").toInt,
+        l.stripPrefix("layer=").toLong)).toSet
+      val dead = all.diff(live)
+      dead.foreach { case (e, l) =>
+        Audit.deleteTree(loc.resolve(s"ever=$e").resolve(s"layer=$l").toString)
+      }
+      s.catalog.refreshTable(name)
+      val deadGone = dead.forall { case (e, l) =>
+        !java.nio.file.Files.exists(
+          loc.resolve(s"ever=$e").resolve(s"layer=$l"))
+      }
+      val postScan = cohortEdges()
+      // head serve unharmed: the v2-resolved descent over the swept
+      // table equals the chain's stored post-fold beam row-for-row
+      val subQs = embeddings(s, d)
+        .filter(probeCohortPred(col("vec_id"), maxLevel))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val allQs = evalQueries(s, d).unionByName(subQs)
+      val resolveV2 = col("ever") ===
+        when(col("layer").isin(flagged.toSeq: _*), 2).otherwise(1)
+      val gcAns = beamTop5(beamSweepOn(s, d, "", maxLevel, entry,
+          allQs, Seq(8), edgeFilter = resolveV2,
+          bucketedTable = Some(name)))
+        .select(col("query_id"), col("vec_id"))
+      val srcAns = beamTop5(gdprBeams.get((s, d))._2)
+        .select(col("query_id"), col("vec_id"))
+      val serveOk = gcAns.exceptAll(srcAns).count() +
+        srcAns.exceptAll(gcAns).count() == 0L
+      (live.intersect(all).size.toLong, dead.size.toLong,
+        Seq(deadGone, serveOk, preScan > 0L, postScan == 0L))
+    })
+
+  /** q349: one gate row — deterministic kept/swept PARTITION counts
+    * (the head predicate maps maxLevel+1 partitions; exactly the
+    * flagged layers' superseded ever=1 dirs sweep) plus the measured
+    * witnesses: expired dirs gone, head serve row-identical over the
+    * swept table, cohort ghost bytes present pre-GC / zero post-GC.
+    */
+  def hnswPartitionGc(s: SparkSession, d: String): DataFrame = {
+    val (kept, swept, flags) = ensurePartitionGc(s, d)
+    import s.implicits._
+    Seq((kept, swept, flags(0), flags(1), flags(2), flags(3)))
+      .toDF("partitions_kept", "partitions_swept",
+        "expired_partitions_unreadable", "head_serve_identical",
+        "cohort_bytes_present_pre_gc", "cohort_bytes_gone_post_gc")
+  }
+
   // ---- q346: the MAINTENANCE LOOP driven END-TO-END under serving ----
   //
   // Every piece existed separately (the r13 verdict's item 4): q327
@@ -2973,6 +3087,7 @@ object GraphAnn {
     "q343_gdpr_dv_commit" -> hnswGdprDvCommit _,
     "q346_hnsw_maint_loop" -> hnswMaintLoop _,
     "q347_hnsw_incremental_fold" -> hnswIncrementalFold _,
+    "q349_hnsw_partition_gc" -> hnswPartitionGc _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3180,6 +3295,21 @@ object GraphAnn {
         |  TRUE AS edge_side_shuffle_free
         |FROM (VALUES (1), (2)) AS t(v)
         |ORDER BY snapshot_version""".stripMargin,
+    // q349: retention on the partition-table snapshot form — the head
+    // predicate maps maxLevel+1 live partitions; exactly the 2 flagged
+    // layers' superseded ever=1 dirs sweep; ghost bytes measured
+    // present pre-GC and zero post-GC; head serve untouched
+    "q349_hnsw_partition_gc" ->
+      """WITH m AS (
+        |  SELECT GREATEST(2, CAST(floor(log2(count(*))) AS BIGINT) - 3)
+        |    AS maxl
+        |  FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT (SELECT maxl FROM m) + 1 AS partitions_kept,
+        |  CAST(2 AS BIGINT) AS partitions_swept,
+        |  TRUE AS expired_partitions_unreadable,
+        |  TRUE AS head_serve_identical,
+        |  TRUE AS cohort_bytes_present_pre_gc,
+        |  TRUE AS cohort_bytes_gone_post_gc""".stripMargin,
     // q343: the O(cohort) erasure commit — two re-listed units, zero
     // data bytes staged (measured), the DV-resolved survivors
     // row-identical to q338's full-flip corpus unit

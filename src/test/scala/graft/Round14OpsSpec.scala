@@ -170,6 +170,26 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(!hasEver2(Clustering.tableNameFor("graft_maint_ctl_", sf)))
   }
 
+  test("q349 partition GC: exactly the superseded flagged ever=1 dirs sweep; clean shared partitions and the head serve survive") {
+    val sf = "/root/testdata/sf0.001"
+    val (kept, swept, flags) = GraphAnn.ensurePartitionGc(spark, sf)
+    assert(swept == 2L, s"swept $swept") // the two flagged layers
+    assert(flags == Seq(true, true, true, true), s"witnesses: $flags")
+    // physical: flagged ever=1 dirs gone, clean ever=1 + flagged
+    // ever=2 dirs present — the live set the head predicate maps
+    val loc = Clustering.tableLocation(spark,
+      Clustering.tableNameFor("graft_gdpr_ret_", sf))
+    def layersUnder(e: String): Set[Int] =
+      Option(loc.resolve(e).toFile.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("layer="))
+        .map(_.stripPrefix("layer=").toInt).toSet
+    val e1 = layersUnder("ever=1")
+    val e2 = layersUnder("ever=2")
+    assert(e2 == Set(0, 1), s"ever=2 dirs: $e2")
+    assert(e1.intersect(Set(0, 1)).isEmpty && e1.size == kept - 2,
+      s"ever=1 dirs after sweep: $e1 (kept=$kept)")
+  }
+
   test("q348 trigger action: the drift chain's measurement commits the refresh, the control commits nothing") {
     val sf = "/root/testdata/sf0.001"
     val rows = Clustering.ensureTriggerAction(spark, sf)
