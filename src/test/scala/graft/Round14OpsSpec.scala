@@ -190,6 +190,24 @@ class Round14OpsSpec extends AnyFunSuite {
       s"ever=1 dirs after sweep: $e1 (kept=$kept)")
   }
 
+  test("the (ever, layer) snapshot predicate prunes at SCAN PLANNING: PartitionFilters carry it") {
+    val sf = "/root/testdata/sf0.001"
+    GraphAnn.ensureIncrementalFold(spark, sf) // table built + folded
+    val name = Clustering.tableNameFor("graft_gdpr_inc_", sf)
+    val resolveV2 = col("ever") ===
+      when(col("layer").isin(0, 1), 2).otherwise(1)
+    val df = spark.table(name)
+      .filter(resolveV2 && col("layer") === 0).select(col("src"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.map(_.trim)
+      .find(_.contains("PartitionFilters: [")).getOrElse("")
+    // the snapshot resolution is evaluated against partition COLUMNS
+    // at planning — no data row is read to decide the version
+    assert(pf.contains("ever") && pf.contains("layer"),
+      s"snapshot predicate missing from PartitionFilters:\n$plan")
+  }
+
   test("q348 trigger action: the drift chain's measurement commits the refresh, the control commits nothing") {
     val sf = "/root/testdata/sf0.001"
     val rows = Clustering.ensureTriggerAction(spark, sf)
