@@ -2940,6 +2940,213 @@ object GraphAnn {
       .orderBy(col("chain"), col("batch_id"))
   }
 
+  // ---- q350: CRASH-RESTART of the MAINTENANCE LOOP --------------------
+  //
+  // q346 leaves the fold's own replay hazard open: its commit is two
+  // steps — append the (ever=2, flagged) partitions, then publish the
+  // flipped manifest — and a crash BETWEEN them strands an orphaned
+  // staged fold. A naive replay re-measures at the unpublished head
+  // (v1), fires again, and APPENDS AGAIN — duplicating every folded
+  // edge (invisible to the descent, which dedups candidates, but a
+  // real corruption: double bytes, double scan cost, and any
+  // edge-count accounting lies). The recovery rule mirrors q341's
+  // sink pin: THE STAGED FOLD IS ITS OWN PIN — before appending, the
+  // maintenance step checks whether the flagged (ever=2, layer)
+  // partition dirs already exist (the append is one job, atomic at
+  // job commit, so presence is all-or-nothing); a replay that finds
+  // them skips the append and proceeds straight to the publish, so
+  // the whole fold is idempotent at every crash point:
+  //   crash before append  → replay redoes everything (nothing stood)
+  //   crash between        → replay finds the stage, publishes only
+  //   crash after publish  → replay resolves v2, measures no debt,
+  //                          commits nothing (the q346 quiet path)
+  // The drive injects the middle crash — the only window that needs
+  // the pin — with the q287/q326/q341 schedule: run 1's batch 0
+  // measures, fires, appends, then dies before the publish and before
+  // its sink write; run 2 replays batch 0 (finds the staged fold,
+  // publishes, serves v1 — resolved at batch start) and drains
+  // batches 1-2 at v2. The exactly-once witness is physical: the
+  // table's ever=2 row count equals the fold units' row count
+  // EXACTLY — a double append fails it deterministically.
+  //
+  // Scale shape: the pin adds |flagged| directory stats per firing
+  // trigger (zero data read); recovery cost = one replayed batch +
+  // one manifest rename, the family rule.
+
+  private val maintRstMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    Seq[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(maintRstMemo)
+
+  private[graft] def ensureMaintRestart(s: SparkSession, d: String)
+      : Seq[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)] =
+    maintRstMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("hnsw_maint_restart") {
+      val (_, maxLevel, entry) = ensureHnswGrown(s, d)
+      ensureHnswGdprLedger(s, d)
+      val (root, _) = gdprV0Files.get((s, d))
+      import s.implicits._
+      val (name, flaggedM, _) = everTableFromChain(s, d, "graft_maint_rst_")
+      val chainU2 = Audit.manifestUnits(s, root, 2L) // outside the stream
+      val tomb = foldCohort(s, d, maxLevel)
+      val loc = Clustering.tableLocation(s, name)
+      // the exactly-once target: the fold units' total rows
+      val foldRows = flaggedM.toSeq.sorted.map(l =>
+        s.read.parquet(s"$root/${chainU2(s"edge_l$l")}").count()).sum
+      val mdir = s"$root/mrstmanifest"
+      Audit.deleteTree(mdir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(mdir))
+      (0L to maxLevel.toLong).map(l => l -> 1)
+        .toDF("layer", "ever").coalesce(1)
+        .write.mode("overwrite").parquet(s"$mdir/v1")
+      def maxVersion: Long = Option(new java.io.File(mdir).list())
+        .getOrElse(Array.empty[String]).map(_.drop(1).toLong).max
+      def resolveAt(ss: SparkSession, v: Long): Column = {
+        val m = ss.read.parquet(s"$mdir/v$v").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap // ≤ maxLevel+1
+        val e2 = m.filter(_._2 == 2).keys.toSeq
+        col("ever") === (if (e2.isEmpty) lit(1)
+          else when(col("layer").isin(e2: _*), 2).otherwise(1))
+      }
+      val subPred = (c: Column) => probeCohortPred(c, maxLevel)
+      val nSub = embeddings(s, d).filter(subPred(col("vec_id"))).count()
+      ensureMaintLoop(s, d) // writes the shared feed (memoized)
+      val feed = graft.util.TmpDirs.pathFor("hnsw_maint_feed", d) // q346's
+      require(java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$feed/c0")),
+        s"q350 rides q346's feed at $feed — ensureMaintLoop must have " +
+          "written it (named invariant)")
+      val wServe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      def serveTop5(beam: DataFrame): DataFrame =
+        beam.withColumn("rk", row_number().over(wServe))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"))
+      val outDir = graft.util.TmpDirs.scratchFor("hnsw_mrst_out", d)
+      val ckpt = graft.util.TmpDirs.scratchFor("hnsw_mrst_ckpt", d)
+      def body(batch: DataFrame, id: Long, crash: Boolean): Unit =
+        if (!batch.isEmpty) {
+          val ss = batch.sparkSession
+          val v = maxVersion // resolve the head at batch start
+          val pred = resolveAt(ss, v)
+          val stats = ghostLayerStats(
+              ss.table(name).filter(pred)
+                .select(col("layer"), col("src"), col("dst")),
+              tomb)
+            .collect() // ≤ maxLevel+1 bounded rows (the decision)
+          val flagged = stats.filter(r =>
+              r.getLong(1) > 0 &&
+                r.getLong(2) * 100L / r.getLong(1) >= GhostThresholdPct)
+            .map(r => r.getInt(0)).toSet
+          val fires = flagged.nonEmpty
+          var stagedFound = false
+          val committedNow = fires && v == 1L
+          if (committedNow) {
+            require(flagged == flaggedM,
+              s"measured flags $flagged != manifest-derived $flaggedM")
+            // THE PIN: the staged fold is its own recovery marker —
+            // the append is one job (atomic at job commit), so the
+            // flagged dirs are present all-or-nothing
+            val staged = flagged.map(l => java.nio.file.Files.isDirectory(
+              loc.resolve("ever=2").resolve(s"layer=$l")))
+            require(staged.size == 1 || staged.forall(_ == staged.head),
+              "torn staged fold: flagged ever=2 dirs disagree")
+            stagedFound = staged.head
+            if (!stagedFound)
+              appendFoldPartitions(ss, root, chainU2, name, flagged)
+            if (crash) throw new RuntimeException(
+              "injected crash: fold appended, manifest not published")
+            (0L to maxLevel.toLong)
+              .map(l => l -> (if (flagged(l.toInt)) 2 else 1))
+              .toDF("layer", "ever").coalesce(1)
+              .write.mode("overwrite").parquet(s"$root/mrst_stage")
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(s"$root/mrst_stage"),
+              java.nio.file.Paths.get(s"$mdir/v2"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          serveTop5(beamSweepOn(ss, d, root, maxLevel, entry,
+              batch, Seq(8), edgeFilter = pred,
+              bucketedTable = Some(name)))
+            .withColumn("resolved_v", lit(v))
+            .withColumn("trigger_fired", lit(fires))
+            .withColumn("staged_fold_found", lit(stagedFound))
+            .withColumn("fold_committed", lit(committedNow))
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        }
+      graft.util.StreamTuning.withShuffle(s, 8) {
+        val src = s.readStream
+          .schema(s.read.parquet(s"$feed/c0").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$feed/c*")
+        def writer(crash: Boolean) = src.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch((batch: DataFrame, id: Long) =>
+            body(batch, id, crash && id == 0L))
+        val q1 = writer(crash = true).start()
+        val crashed =
+          try { q1.awaitTermination(); false }
+          catch {
+            case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+              true
+          }
+        require(crashed, "run 1 must die on the injected crash")
+        // the worst-window state: fold appended, manifest unpublished
+        require(maxVersion == 1L,
+          "crash must land before the publish (head still v1)")
+        require(flaggedM.forall(l => java.nio.file.Files.isDirectory(
+            loc.resolve("ever=2").resolve(s"layer=$l"))),
+          "crash must land after the append (staged fold on disk)")
+        val committed = Option(new java.io.File(s"$ckpt/commits").list())
+          .getOrElse(Array.empty[String]).filter(_.forall(_.isDigit))
+        require(committed.isEmpty,
+          s"run 1 must commit no batch; got ${committed.toSeq}")
+        val q2 = writer(crash = false).start()
+        q2.awaitTermination()
+      }
+      val exactlyOnce =
+        s.table(name).filter(col("ever") === 2).count() == foldRows
+      val (beamPre, beamPost) = gdprBeams.get((s, d))
+      val refs = Map(1L -> serveTop5(beamPre), 2L -> serveTop5(beamPost))
+      val served = s.read.parquet(outDir)
+      (0L to 2L).map { id =>
+        val b = served.filter(col("batch_id") === id)
+        val hdr = b.select(col("resolved_v"), col("trigger_fired"),
+            col("staged_fold_found"), col("fold_committed"))
+          .limit(1).collect()(0) // 1 bounded control row
+        val v = hdr.getLong(0)
+        val chunkQs = s.read.parquet(s"$feed/c${id.toInt}")
+          .select(col("query_id"))
+        val refSlice = refs(v).join(chunkQs, Seq("query_id"), "left_semi")
+        val bAns = b.select(col("query_id"), col("vec_id"))
+        val equalsRef = bAns.exceptAll(refSlice).count() +
+          refSlice.exceptAll(bAns).count() == 0L
+        val selfHits = bAns.filter(subPred(col("query_id")) &&
+          col("query_id") === col("vec_id")).count()
+        val cohortRows = bAns
+          .filter(foldCohortPred(col("vec_id"), maxLevel)).count()
+        val selfStateOk =
+          (v == 1L && selfHits == nSub) || (v == 2L && cohortRows == 0L)
+        (id, v, hdr.getBoolean(1), hdr.getBoolean(2), hdr.getBoolean(3),
+          equalsRef, selfStateOk, exactlyOnce)
+      }
+    })
+
+  /** q350: one row per micro-batch of the maintenance crash-restart —
+    * the replayed batch finds the orphaned staged fold (its own pin),
+    * publishes WITHOUT re-appending, and serves its resolved version;
+    * the exactly-once witness is the table's ever=2 row count equal
+    * to the fold units' rows (a double append fails deterministically).
+    */
+  def hnswMaintRestart(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureMaintRestart(s, d)
+    import s.implicits._
+    rows.toDF("batch_id", "resolved_version", "trigger_fired",
+        "staged_fold_found", "fold_committed", "equals_pinned_reference",
+        "self_state_ok", "append_exactly_once")
+      .orderBy(col("batch_id"))
+  }
+
   // ---- q340: MANIFEST GC — the GDPR physical close-out ---------------
   //
   // Unit sharing (occCommitNShared, this round) changes what retention
@@ -3088,6 +3295,7 @@ object GraphAnn {
     "q346_hnsw_maint_loop" -> hnswMaintLoop _,
     "q347_hnsw_incremental_fold" -> hnswIncrementalFold _,
     "q349_hnsw_partition_gc" -> hnswPartitionGc _,
+    "q350_hnsw_maint_restart" -> hnswMaintRestart _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3295,6 +3503,23 @@ object GraphAnn {
         |  TRUE AS edge_side_shuffle_free
         |FROM (VALUES (1), (2)) AS t(v)
         |ORDER BY snapshot_version""".stripMargin,
+    // q350: the maintenance loop's crash-restart — run 1's batch 0
+    // appends the fold then dies BEFORE the publish (the worst
+    // window); the replay finds the staged fold (its own pin),
+    // publishes without re-appending (ever=2 rows == fold units'
+    // rows, exactly once), and serves v1; batches 1-2 pick up v2
+    "q350_hnsw_maint_restart" ->
+      """SELECT CAST(b AS BIGINT) AS batch_id,
+        |  CAST(CASE WHEN b >= 1 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS resolved_version,
+        |  b = 0 AS trigger_fired,
+        |  b = 0 AS staged_fold_found,
+        |  b = 0 AS fold_committed,
+        |  TRUE AS equals_pinned_reference,
+        |  TRUE AS self_state_ok,
+        |  TRUE AS append_exactly_once
+        |FROM (VALUES (0), (1), (2)) AS t(b)
+        |ORDER BY batch_id""".stripMargin,
     // q349: retention on the partition-table snapshot form — the head
     // predicate maps maxLevel+1 live partitions; exactly the 2 flagged
     // layers' superseded ever=1 dirs sweep; ghost bytes measured

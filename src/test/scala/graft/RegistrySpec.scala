@@ -29,10 +29,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the documented surface") {
-    assert(SparkEntry.queries.size == 349)
+    assert(SparkEntry.queries.size == 350)
     // every query — including the approximate ones, which emit
     // deterministic bound-check gate rows — has a DuckDB oracle
-    assert(SparkEntry.oracleSql.size == 349)
+    assert(SparkEntry.oracleSql.size == 350)
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 }

@@ -216,6 +216,20 @@ class Round14OpsSpec extends AnyFunSuite {
       ("drift", true, 1L, true, true, true)), s"ledger: $rows")
   }
 
+  test("q350 maintenance crash-restart: the replay finds the staged fold, publishes without re-appending") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = GraphAnn.ensureMaintRestart(spark, sf)
+    assert(rows.map(r => (r._1, r._2, r._3, r._4, r._5)) == Seq(
+      (0L, 1L, true, true, true),
+      (1L, 2L, false, false, false),
+      (2L, 2L, false, false, false)), s"batch ledger: $rows")
+    rows.foreach { r =>
+      assert(r._6, s"batch ${r._1} diverged from its reference")
+      assert(r._7, s"batch ${r._1} self-probe state wrong for v${r._2}")
+      assert(r._8, s"batch ${r._1}: fold rows duplicated (double append)")
+    }
+  }
+
   test("bench inflation rule: uniform steal flags, real-but-local regressions and quiet rounds do not") {
     def mk(n: Int, f: Int => Double): Map[String, Double] =
       (1 to n).map(i => s"q$i" -> f(i)).toMap
