@@ -109,11 +109,14 @@ object Bench {
     val totSpread = r2(adjusted.max / math.max(adjusted.min, 0.01))
     val sortedSpreads = spreads.map(_._2).sorted
     val medianSpread = sortedSpreads(sortedSpreads.length / 2)
-    // cross-RUN inflation (r13 verdict task 6): the pass-spread rule
-    // is blind to uniform host steal polluting every pass equally —
-    // compare this run's per-query mins against the prior
-    // BENCH_HISTORY artifact's and self-label when the shared surface
-    // regressed uniformly (rule: BenchNoise.inflationVsPrior, spec'd
+    // cross-RUN inflation (r13 verdict task 6; baseline tightened in
+    // r15 per the r14 advice): the pass-spread rule is blind to
+    // uniform host steal polluting every pass equally — compare this
+    // run's per-query mins against the PER-QUERY MIN across the last
+    // three same-sf, self-labeled-quiet BENCH_HISTORY artifacts (a
+    // single polluted prior masked r14's steal run) and self-label
+    // when the shared surface regressed uniformly (rule + baseline
+    // selection: BenchNoise, spec'd on the committed artifacts
     // without running a bench). A flagged run also flips `noisy` so
     // consumers trust per-query mins of a quieter run over this one.
     val recordedRounds = Option(new java.io.File("BENCH_HISTORY").list())
@@ -122,25 +125,23 @@ object Bench {
         val m = "bench_r(\\d+)\\.json".r.findFirstMatchIn(n)
         m.map(_.group(1).toInt)
       }
-    def priorBlock(key: String): Map[String, Double] =
-      if (recordedRounds.isEmpty) Map.empty
-      else try {
-        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
-          s"BENCH_HISTORY/bench_r${recordedRounds.max}.json"))
-        ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt)
-          .map(_.group(1))
-          .map { body =>
-            "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }.getOrElse(Map.empty[String, Double])
-      } catch { case _: Throwable => Map.empty[String, Double] }
+    val recordedArtifacts = recordedRounds.toSeq.sorted.flatMap { r =>
+      try Some(r -> graft.util.BenchNoise.parseArtifact(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(
+          s"BENCH_HISTORY/bench_r$r.json"))))
+      catch { case _: Throwable => None }
+    }
+    val (baselineRounds, priorQueries, priorBuilds) =
+      graft.util.BenchNoise.baseline(recordedArtifacts, sfDir)
     val inflation = graft.util.BenchNoise.inflationVsPrior(
-      results.toMap, priorBlock("queries"))
+      results.toMap, priorQueries)
     val noisy = totSpread > 1.5 || inflation.inflated
-    val noiseJson = s"""{"pass_total_spread":$totSpread,"pass1_build_sec":${r2(p1BuildSec)},"median_query_spread":$medianSpread,"max_query_spread":${sortedSpreads.last},"median_vs_prior":${r2(inflation.medianRatio)},"frac_slower_vs_prior":${r2(inflation.fracSlower)},"inflated_vs_prior":${inflation.inflated},"noisy":$noisy}"""
-    if (inflation.inflated)
+    val baselineJson = baselineRounds.sorted.mkString("[", ",", "]")
+    val noiseJson = s"""{"pass_total_spread":$totSpread,"pass1_build_sec":${r2(p1BuildSec)},"median_query_spread":$medianSpread,"max_query_spread":${sortedSpreads.last},"baseline_rounds":$baselineJson,"median_vs_prior":${r2(inflation.medianRatio)},"frac_slower_vs_prior":${r2(inflation.fracSlower)},"inflated_vs_prior":${inflation.inflated},"suspect_vs_prior":${inflation.suspect},"noisy":$noisy}"""
+    if (inflation.inflated || inflation.suspect)
       System.err.println(
-        f"WARNING: shared surface uniformly inflated vs r${recordedRounds.max}: " +
+        f"WARNING: shared surface ${if (inflation.inflated) "uniformly inflated" else "near the inflation bars"} " +
+          f"vs min of rounds ${baselineRounds.sorted.mkString("/")}: " +
           f"median ${inflation.medianRatio}%.2fx over ${inflation.sharedQueries} " +
           f"shared queries (${inflation.fracSlower * 100}%.0f%% slower) — " +
           "likely host steal; prefer a quieter re-run")
@@ -223,10 +224,11 @@ object Bench {
     // same regression scrutiny as query times. Warning-only (artifact
     // schema unchanged); the comparison itself is BuildCost.regressions
     // so a spec pins the rule without running a bench.
-    if (recorded.nonEmpty) {
-      graft.util.BuildCost.regressions(builds.toMap, priorBlock("builds"))
+    if (baselineRounds.nonEmpty) {
+      graft.util.BuildCost.regressions(builds.toMap, priorBuilds)
         .foreach { w =>
-          System.err.println(s"WARNING: build regression vs r${recorded.max}: $w")
+          System.err.println("WARNING: build regression vs min of rounds " +
+            s"${baselineRounds.sorted.mkString("/")}: $w")
         }
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${passes.length},"pass_totals":$passTotals,"query_spread":$spreadJson,"noise":$noiseJson,"builds":$buildsJson,"build_total":$buildTotal,"provenance":$provJson}"""

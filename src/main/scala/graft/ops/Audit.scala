@@ -1488,10 +1488,17 @@ object Audit {
     * sorted (kept, swept, fenced) unit-name lists — kept = referenced
     * by a surviving or staged manifest, fenced = unreferenced but
     * inside the grace window.
+    *
+    * `graceMs` is REQUIRED (r14 advice): a zero grace silently
+    * disables fence 2 — the only protection for units staged after
+    * the one-shot staged-manifest listing — so the caller must state
+    * it. Online sweeps racing live writers should pass hours (the
+    * Iceberg remove-orphan-files convention is days); only an
+    * offline/quiesced chain may pass 0 explicitly.
     */
   private[graft] def gcSweep(s: SparkSession, dir: String,
       keep: Set[Long], pinned: Set[Long] = Set.empty,
-      graceMs: Long = 0L): (Seq[String], Seq[String], Seq[String]) = {
+      graceMs: Long): (Seq[String], Seq[String], Seq[String]) = {
     val survive = keep ++ pinned
     val versions = Option(new java.io.File(s"$dir/manifest").list())
       .getOrElse(Array.empty[String])
@@ -1502,9 +1509,16 @@ object Audit {
       s"gcSweep would expire every manifest under $dir")
     // EXPIRE: only kept/pinned versions survive the retention window
     versions.diff(survive).foreach(v => deleteTree(s"$dir/manifest/v$v"))
+    // manifest unit names read by COLUMN, not position: the N-table
+    // chains write (tbl, unit) rows, the q321 compaction chain writes
+    // bare (unit) rows — both name their units in a `unit` column, so
+    // the one primitive serves every chain layout (r14 verdict item 3)
+    def unitsOf(path: String): Seq[String] =
+      s.read.parquet(path).select(org.apache.spark.sql.functions.col("unit"))
+        .collect().map(_.getString(0).stripPrefix("data/")).toSeq
     // MARK: units referenced by surviving manifests…
-    val marked = versions.intersect(survive).toSeq.flatMap(v =>
-      manifestUnits(s, dir, v).values).map(_.stripPrefix("data/")).toSet
+    val marked = versions.intersect(survive).toSeq
+      .flatMap(v => unitsOf(s"$dir/manifest/v$v")).toSet
     // …plus units named by in-flight staged manifests (fence 1). A
     // torn stage manifest (unreadable) contributes nothing — its
     // units are still protected by the recency fence.
@@ -1512,9 +1526,8 @@ object Audit {
       .getOrElse(Array.empty[String])
       .filter(_.startsWith("manifest_stage_n"))
       .flatMap { st =>
-        try s.read.parquet(s"$dir/$st").collect()
-          .map(_.getString(1).stripPrefix("data/"))
-        catch { case _: Throwable => Array.empty[String] }
+        try unitsOf(s"$dir/$st")
+        catch { case _: Throwable => Seq.empty[String] }
       }.toSet
     val all = Option(new java.io.File(s"$dir/data").list())
       .getOrElse(Array.empty[String]).toSet
@@ -1645,6 +1658,348 @@ object Audit {
         "expired_versions_unreadable", "cohort_bytes_present_pre_gc",
         "cohort_bytes_gone_post_gc", "inflight_commit_survives_sweep",
         "head_serve_identical")
+  }
+
+  // ---- q351/q352: gcSweep driven on the REMAINING chain families ----
+  //
+  // The r13 verdict named four chain layouts for the one retention
+  // primitive; r14 drove the graph (q340) and IVF-erasure (q345)
+  // chains plus the partition form (q349). These two close the set:
+  //  - q351: the q321 COMPACTION chain — the layout where retention
+  //    IS the payoff (compaction strands the superseded fragment
+  //    units; expire v1 → exactly the flagged pgs' old slices sweep,
+  //    the unflagged slices survive because v2 re-lists them);
+  //    its manifests are the bare single-column form, which is why
+  //    gcSweep reads unit names by COLUMN.
+  //  - q352: the q331/q332 N-TABLE view chain — five versions deep,
+  //    driven with the PINNED-READER fence live in-gate (a reader
+  //    holds v2 across the sweep and must re-read it exactly) on top
+  //    of q345's in-flight-commit and recency races.
+  // Both run on HARDLINK clones (clone deletions cannot touch source
+  // inodes — the shared fixtures stay byte-pinned for their own gates
+  // by the filesystem, not test ordering), both publish the racing
+  // commit AFTER the sweep and resolve it.
+  //
+  // Scale shape: identical to q345 — expire is a manifest-list walk,
+  // mark a name-set union, sweep deletes only dead units; the
+  // conservation witnesses are bounded aggregates (per-pg / per-table
+  // one-row rollups), not data copies.
+
+  private def ageUnitDirs(root: String): Unit = {
+    def age(p: String): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 3600 * 1000))
+    Option(new java.io.File(s"$root/data").list())
+      .getOrElse(Array.empty[String])
+      .foreach(u => age(s"$root/data/$u"))
+  }
+
+  private val gc3Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, Long, Long, Seq[Boolean])]()
+  graft.util.CacheRegistry.registerMemo(gc3Memo)
+
+  private[graft] def ensureCompactionChainGc(s: SparkSession, d: String)
+      : (Long, Long, Long, Seq[Boolean]) =
+    gc3Memo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("compaction_chain_gc") {
+      val srcRoot = Clustering.ensureManifestPolicy(s, d)
+      val root = graft.util.TmpDirs.scratchFor("compaction_chain_gc", d)
+      GraphAnn.linkTree(srcRoot, root)
+      ageUnitDirs(root)
+      import s.implicits._
+      def pgCounts(v: Long): Map[Long, (Long, Long)] =
+        Clustering.readManifestSnapshot(s, root, v)
+          .groupBy(col("pg"))
+          .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sv"))
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2)))).toMap // ≤ 8 bounded rows
+      val headBefore = pgCounts(2L)
+      // the racing writer: fresh unit + stage manifest re-listing the
+      // whole v2 unit set (the single-column manifest form)
+      Clustering.readManifestSnapshot(s, root, 2L).limit(1)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/comp_inflight")
+      val v2units = s.read.parquet(s"$root/manifest/v2")
+        .collect().map(_.getString(0))
+      (v2units :+ "comp_inflight").toSeq.toDF("unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/manifest_stage_n900002")
+      // orphans for the recency fence: young survives, old sweeps
+      Seq(1L).toDF("x").coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/orphan_young")
+      Seq(1L).toDF("x").coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/orphan_old")
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/data/orphan_old"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 3600 * 1000))
+      val (kept, swept, fenced) = gcSweep(s, root, keep = Set(2L),
+        graceMs = 3600 * 1000L)
+      val expiredGone = !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/manifest/v1"))
+      // head serve identical: the v2 snapshot's per-pg counts survive
+      // the sweep exactly (its units were marked, never touched)
+      val headOk = pgCounts(2L) == headBefore
+      // the unflagged pgs' ORIGINAL fragment units are v2 units too
+      // (re-listed at compaction time) — they must have survived
+      val unflaggedSurvive = v2units.filter(_.startsWith("u")).forall(u =>
+        java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$root/data/$u")))
+      // the racing writer completes: publish and resolve v3
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/manifest_stage_n900002"),
+        java.nio.file.Paths.get(s"$root/manifest/v3"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val commitSurvives = Clustering.readManifestSnapshot(s, root, 3L)
+        .count() == headBefore.values.map(_._1).sum + 1
+      (kept.size.toLong, swept.size.toLong, fenced.size.toLong,
+        Seq(expiredGone, unflaggedSurvive, headOk, commitSurvives))
+    })
+
+  /** q351: one gate row for retention on the compaction chain —
+    * deterministic kept/swept/fenced counts (the 11 v2 units — 6
+    * re-listed unflagged fragments + 5 compacted — plus the in-flight
+    * unit kept; the 30 superseded flagged-pg fragments + the old
+    * orphan swept; the young orphan fenced) and the measured
+    * witnesses (expired manifest gone, unflagged fragments shared
+    * into v2 byte-survive, head per-pg counts conserved, the racing
+    * commit publishes post-sweep).
+    */
+  def compactionChainGc(s: SparkSession, d: String): DataFrame = {
+    val (kept, swept, fenced, f) = ensureCompactionChainGc(s, d)
+    import s.implicits._
+    Seq((kept, swept, fenced, f(0), f(1), f(2), f(3)))
+      .toDF("units_kept", "units_swept", "units_fenced",
+        "expired_versions_unreadable", "shared_fragments_survive",
+        "head_serve_identical", "inflight_commit_survives_sweep")
+  }
+
+  private val gc4Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, Long, Long, Seq[Boolean])]()
+  graft.util.CacheRegistry.registerMemo(gc4Memo)
+
+  private[graft] def ensureNTableChainGc(s: SparkSession, d: String)
+      : (Long, Long, Long, Seq[Boolean]) =
+    gc4Memo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("ntable_chain_gc") {
+      val (srcDir, srcHead, _) = ensureMvNErasure(s, d)
+      require(srcHead == 4L, s"q331/q332 chain head must be 4, got $srcHead")
+      val root = graft.util.TmpDirs.scratchFor("ntable_chain_gc", d)
+      GraphAnn.linkTree(srcDir, root)
+      ageUnitDirs(root)
+      import s.implicits._
+      def totals(v: Long): Map[String, (Long, Double)] =
+        readNSnapshot(s, root, v).toSeq.map { case (tbl, df) =>
+          val r = df.agg(coalesce(sum(col("n")), lit(0L)),
+            coalesce(round(sum(col("rev")), 2).cast("double"), lit(0.0)))
+            .first() // one bounded control row per table
+          tbl -> ((r.getLong(0), r.getDouble(1)))
+        }.toMap
+      // THE PINNED READER: holds v2 across the sweep (q341 discipline)
+      val pinnedBefore = totals(2L)
+      val headBefore = totals(4L)
+      // the racing writer: a fresh view unit + v4's replica/index
+      // re-listed by name (exactly occCommitNShared's staged state)
+      val u4 = manifestUnits(s, root, 4L)
+      readNSnapshot(s, root, 4L)("view").limit(1)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/view_inflight")
+      Seq(("view", "data/view_inflight"), ("replica", u4("replica")),
+          ("index", u4("index")))
+        .toDF("tbl", "unit").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/manifest_stage_n900003")
+      Seq(1L).toDF("x").coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/orphan_young")
+      Seq(1L).toDF("x").coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/data/orphan_old")
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/data/orphan_old"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 3600 * 1000))
+      val (kept, swept, fenced) = gcSweep(s, root, keep = Set(3L, 4L),
+        pinned = Set(2L), graceMs = 3600 * 1000L)
+      val expiredGone = Seq(0L, 1L).forall(v => !java.nio.file.Files
+        .exists(java.nio.file.Paths.get(s"$root/manifest/v$v")))
+      val pinnedSurvives = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/manifest/v2")) &&
+        totals(2L) == pinnedBefore
+      val headOk = totals(4L) == headBefore
+      // the racing writer completes post-sweep: v5 resolves, its
+      // re-listed units intact
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$root/manifest_stage_n900003"),
+        java.nio.file.Paths.get(s"$root/manifest/v5"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val v5 = readNSnapshot(s, root, 5L)
+      val commitSurvives = v5("view").count() == 1L &&
+        totals(5L)("replica") == headBefore("replica") &&
+        totals(5L)("index") == headBefore("index")
+      (kept.size.toLong, swept.size.toLong, fenced.size.toLong,
+        Seq(expiredGone, pinnedSurvives, headOk, commitSurvives))
+    })
+
+  /** q352: one gate row for retention on the N-table view chain with
+    * a LIVE pinned reader — deterministic kept/swept/fenced counts
+    * (v2+v3+v4's 9 units + the in-flight unit kept; genesis' 3 +
+    * v1's 3 + the old orphan swept; the young orphan fenced), the
+    * pinned v2 reader re-reading exactly across the sweep, head
+    * totals conserved, the racing commit publishing post-sweep with
+    * its re-listed units intact.
+    */
+  def ntableChainGc(s: SparkSession, d: String): DataFrame = {
+    val (kept, swept, fenced, f) = ensureNTableChainGc(s, d)
+    import s.implicits._
+    Seq((kept, swept, fenced, f(0), f(1), f(2), f(3)))
+      .toDF("units_kept", "units_swept", "units_fenced",
+        "expired_versions_unreadable", "pinned_reader_exact",
+        "head_totals_conserved", "inflight_commit_survives_sweep")
+  }
+
+  // ---- q354: the ENGINE-WIDE RETENTION POLICY RUNNER ----------------
+  //
+  // Every chain family now has a gated GC drive (q340/q345/q349/q351/
+  // q352), but each gate hand-invokes the primitive; a deployment
+  // wants ONE job that walks every registered chain with a declared
+  // keep-window and the pinned set sourced from live readers' sink
+  // pins (the r14 verdict's item 5). `retentionRun` is that job: a
+  // declarative policy list — chain name, layout kind, keep window,
+  // pinned versions, grace — dispatched to the matching primitive
+  // (gcSweep for unit chains of EITHER manifest schema,
+  // partitionGcSweep for the (ever, layer) partition form), returning
+  // one (kept, swept, fenced) ledger row per chain. The concurrency
+  // contract rides the primitives unchanged: the gate drives the walk
+  // itself (the races are gated separately in q345/q351/q352, which
+  // share the same code paths).
+  //
+  // Scale shape: the runner adds nothing to the per-chain cost — it
+  // is a driver-side loop over manifests (a few KB each); production
+  // runs it once per retention window across thousands of chains.
+
+  /** One chain's retention declaration. `kind` is "units" (the
+    * manifest/vN + data/unit layout, any manifest schema with a
+    * `unit` column) or "partitions" (the (ever, layer) bucketed-table
+    * form, where `table` names the table and `dir` its manifest
+    * directory). `pinned` is the live readers' sink-pinned versions
+    * (the q341 discipline) — the runner never expires them.
+    */
+  final case class RetentionPolicy(
+      chain: String, kind: String, dir: String, keep: Set[Long],
+      pinned: Set[Long] = Set.empty, graceMs: Long = 3600 * 1000L,
+      table: String = "")
+
+  /** Walk every declared chain once; one ledger row per chain:
+    * (chain, kind, kept, swept, fenced).
+    */
+  private[graft] def retentionRun(s: SparkSession,
+      policies: Seq[RetentionPolicy]): Seq[(String, String, Long, Long, Long)] =
+    policies.map { p =>
+      p.kind match {
+        case "units" =>
+          val (k, sw, f) = gcSweep(s, p.dir, p.keep, p.pinned, p.graceMs)
+          (p.chain, p.kind, k.size.toLong, sw.size.toLong, f.size.toLong)
+        case "partitions" =>
+          val (k, sw) = GraphAnn.partitionGcSweep(s, p.dir, p.table,
+            p.keep, p.pinned)
+          (p.chain, p.kind, k.size.toLong, sw.size.toLong, 0L)
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown retention layout '$other' for chain ${p.chain}")
+      }
+    }
+
+  private val polMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, String, Long, Long, Long, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(polMemo)
+
+  /** The q354 drive: THREE chains of TWO layout kinds swept by one
+    * retentionRun invocation —
+    *  - `ivf_keep_head`: a fresh hardlink clone of the q335 IVF
+    *    erasure chain, keep = head → the 3 genesis units sweep;
+    *  - `ivf_reader_pinned`: a second clone whose pinned version is
+    *    READ FROM A SINK PIN a live reader persisted (the q341
+    *    discipline: the reader writes its pinned version; retention
+    *    reads it) → nothing sweeps;
+    *  - `graph_partition_form`: its own (ever, layer) bucketed table
+    *    + manifest pair (the q347 incremental build) → exactly the
+    *    flagged layers' superseded ever=1 partitions sweep.
+    * Per chain, a head-conservation witness re-reads the surviving
+    * snapshot after the run.
+    */
+  private[graft] def ensureRetentionRun(s: SparkSession, d: String)
+      : Seq[(String, String, Long, Long, Long, Boolean)] =
+    polMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("retention_policy_run") {
+      val (srcRoot, srcHead) = Clustering.ensureIvfErasureCommit(s, d)
+      require(srcHead == 1L, s"q335 chain head must be 1, got $srcHead")
+      // clone A: keep the head only
+      val rootA = graft.util.TmpDirs.scratchFor("retention_pol_a", d)
+      GraphAnn.linkTree(srcRoot, rootA)
+      ageUnitDirs(rootA)
+      // clone B: a live reader PINS v0 — the pin is a persisted
+      // artifact the runner reads, not a parameter someone remembers
+      val rootB = graft.util.TmpDirs.scratchFor("retention_pol_b", d)
+      GraphAnn.linkTree(srcRoot, rootB)
+      ageUnitDirs(rootB)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$rootB/reader_pin"), "0")
+      val sinkPinned = Set(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$rootB/reader_pin")).trim.toLong)
+      // chain C: the partition form (q347's incremental build shape)
+      val (tname, flagged, maxLevel) =
+        GraphAnn.everTableFromChain(s, d, "graft_gdpr_pol_")
+      val (groot, _) = GraphAnn.gdprV0Files.get((s, d))
+      val u2 = manifestUnits(s, groot, 2L)
+      GraphAnn.appendFoldPartitions(s, groot, u2, tname, flagged)
+      import s.implicits._
+      val mdir = s"$groot/polmanifest"
+      deleteTree(mdir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(mdir))
+      (0L to maxLevel.toLong).map(l => l -> 1)
+        .toDF("layer", "ever").coalesce(1)
+        .write.mode("overwrite").parquet(s"$mdir/v1")
+      (0L to maxLevel.toLong)
+        .map(l => l -> (if (flagged(l.toInt)) 2 else 1))
+        .toDF("layer", "ever").coalesce(1)
+        .write.mode("overwrite").parquet(s"$mdir/v2")
+      val resolveV2 = col("ever") ===
+        when(col("layer").isin(flagged.toSeq: _*), 2).otherwise(1)
+      // head states BEFORE the run (bounded one-row aggregates)
+      val headA = readNSnapshot(s, rootA, 1L)("index").count()
+      val pinnedB = readNSnapshot(s, rootB, 0L)("corpus").count()
+      val headC = s.table(tname).filter(resolveV2).count()
+      // ONE invocation walks all three chains
+      val ledger = retentionRun(s, Seq(
+        RetentionPolicy("ivf_keep_head", "units", rootA, keep = Set(1L)),
+        RetentionPolicy("ivf_reader_pinned", "units", rootB,
+          keep = Set(1L), pinned = sinkPinned),
+        RetentionPolicy("graph_partition_form", "partitions", mdir,
+          keep = Set(2L), table = tname)))
+      // head/pin conservation, re-read AFTER the run
+      val conserved = Map(
+        "ivf_keep_head" ->
+          (readNSnapshot(s, rootA, 1L)("index").count() == headA),
+        "ivf_reader_pinned" ->
+          (readNSnapshot(s, rootB, 0L)("corpus").count() == pinnedB),
+        "graph_partition_form" ->
+          (s.table(tname).filter(resolveV2).count() == headC))
+      ledger.map { case (c, kind, k, sw, f) =>
+        (c, kind, k, sw, f, conserved(c))
+      }
+    })
+
+  /** q354: the retention-runner ledger — one row per walked chain
+    * with deterministic (kept, swept, fenced) counts (head-keep: 3
+    * kept / 3 genesis swept; reader-pinned: all 6 kept / 0 swept;
+    * partition form: maxLevel+1 kept / the 2 flagged superseded
+    * dirs swept) and the post-run head/pin conservation witness.
+    */
+  def retentionPolicyRun(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureRetentionRun(s, d)
+    import s.implicits._
+    rows.toDF("chain", "layout", "kept", "swept", "fenced",
+        "head_conserved")
+      .orderBy(col("chain"))
   }
 
   /** The q331 fixture: the q303 conflict schedule through a THREE-
@@ -1951,6 +2306,9 @@ object Audit {
     "q331_mv_ntable_commit" -> mvNCommits _,
     "q332_mv_ntable_erasure" -> mvNErasure _,
     "q345_ivf_chain_gc" -> ivfChainGc _,
+    "q351_compaction_chain_gc" -> compactionChainGc _,
+    "q352_ntable_chain_gc" -> ntableChainGc _,
+    "q354_retention_policy_run" -> retentionPolicyRun _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -2044,6 +2402,47 @@ object Audit {
         |  TRUE AS cohort_bytes_gone_post_gc,
         |  TRUE AS inflight_commit_survives_sweep,
         |  TRUE AS head_serve_identical""".stripMargin,
+    // q351: retention on the q321 compaction chain — 11 v2 units
+    // (6 re-listed unflagged fragments + 5 compacted) + the in-flight
+    // unit kept; the 30 superseded flagged-pg fragments + the old
+    // orphan swept; the young orphan fenced
+    "q351_compaction_chain_gc" ->
+      """SELECT CAST(12 AS BIGINT) AS units_kept,
+        |  CAST(31 AS BIGINT) AS units_swept,
+        |  CAST(1 AS BIGINT) AS units_fenced,
+        |  TRUE AS expired_versions_unreadable,
+        |  TRUE AS shared_fragments_survive,
+        |  TRUE AS head_serve_identical,
+        |  TRUE AS inflight_commit_survives_sweep""".stripMargin,
+    // q352: retention on the q331/q332 N-table chain with a LIVE
+    // pinned reader — v2+v3+v4's 9 units + the in-flight unit kept;
+    // genesis' 3 + v1's 3 + the old orphan swept; the young orphan
+    // fenced
+    "q352_ntable_chain_gc" ->
+      """SELECT CAST(10 AS BIGINT) AS units_kept,
+        |  CAST(7 AS BIGINT) AS units_swept,
+        |  CAST(1 AS BIGINT) AS units_fenced,
+        |  TRUE AS expired_versions_unreadable,
+        |  TRUE AS pinned_reader_exact,
+        |  TRUE AS head_totals_conserved,
+        |  TRUE AS inflight_commit_survives_sweep""".stripMargin,
+    // q354: one retentionRun invocation walking three chains of two
+    // layout kinds — per-chain deterministic counts + conservation
+    "q354_retention_policy_run" ->
+      """WITH m AS (
+        |  SELECT GREATEST(2, CAST(floor(log2(count(*))) AS BIGINT) - 3)
+        |    AS maxl
+        |  FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT chain, layout, kept, swept,
+        |  CAST(0 AS BIGINT) AS fenced, TRUE AS head_conserved
+        |FROM (
+        |  SELECT 'graph_partition_form' AS chain, 'partitions' AS layout,
+        |    (SELECT maxl FROM m) + 1 AS kept, CAST(2 AS BIGINT) AS swept
+        |  UNION ALL SELECT 'ivf_keep_head', 'units',
+        |    CAST(3 AS BIGINT), CAST(3 AS BIGINT)
+        |  UNION ALL SELECT 'ivf_reader_pinned', 'units',
+        |    CAST(6 AS BIGINT), CAST(0 AS BIGINT))
+        |ORDER BY chain""".stripMargin,
     // q262: the component oracles' per-doc CTEs (q235 dedup marks,
     // q62 verdicts, q231 per-doc novelty, q90 contamination) composed
     // into the one per-(lang, source) rollup

@@ -892,14 +892,15 @@ object Clustering {
       .orderBy(col("query_id"))
   }
 
-  /** nprobe-2 / top-3 probe hits against the exact top-3, for an
-    * ARBITRARY (vec_id, cell) index relation probed with an arbitrary
-    * centroid surface — shared by the q259 staleness audit (catalog
-    * tables) and the q348 trigger-action serve (manifest-resolved
-    * units), so the serve path and the audit path are one code.
+  /** The nprobe-2 / top-3 SERVE for an ARBITRARY (vec_id, cell) index
+    * relation probed with an arbitrary centroid surface and scored
+    * against an arbitrary corpus — the one serve leg behind the q259
+    * staleness audit, the q348 trigger-action serve, and the q353
+    * maintenance-loop stream, so every consumer probes through
+    * literally the same code.
     */
-  private def staleHits(s: SparkSession, corpus: DataFrame, qs: DataFrame,
-      exact: DataFrame, cells: DataFrame, cents: DataFrame): DataFrame = {
+  private def ivfProbeTop3(corpus: DataFrame, qs: DataFrame,
+      cells: DataFrame, cents: DataFrame): DataFrame = {
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     val wProbe = Window.partitionBy(col("query_id"))
@@ -909,7 +910,7 @@ object Clustering {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 2)
       .select(col("query_id"), col("cent_id").as("cell"))
-    val ranked = cells.join(broadcast(probes), Seq("cell"))
+    cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(qs), Seq("query_id"))
       .join(corpus, Seq("vec_id"))
@@ -917,6 +918,14 @@ object Clustering {
       .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") <= 3)
       .select(col("query_id"), col("vec_id"))
+  }
+
+  /** ivfProbeTop3 joined against the exact top-3 → per-query hit
+    * counts (the audit form).
+    */
+  private def staleHits(s: SparkSession, corpus: DataFrame, qs: DataFrame,
+      exact: DataFrame, cells: DataFrame, cents: DataFrame): DataFrame = {
+    val ranked = ivfProbeTop3(corpus, qs, cells, cents)
     ranked.join(broadcast(exact),
         ranked("query_id") === exact("xq") && ranked("vec_id") === exact("xv"),
         "left")
@@ -1238,6 +1247,404 @@ object Clustering {
     rows.toDF("chain", "trigger_fired", "head_version",
         "index_equals_expected", "cents_equals_expected",
         "head_serve_complete")
+      .orderBy(col("chain"))
+  }
+
+  // ---- q353: the IVF MAINTENANCE LOOP under LIVE SERVING ------------
+  //
+  // q348 proves the staleness trigger ACTS, batch-side; q346 proves
+  // the maintenance loop runs under a stream for the graph family.
+  // This is the composition for a SECOND family (the r14 verdict's
+  // item 4), with the r15 O(manifest) discipline built in from the
+  // start: the chain carries a `meta` table — ONE row of commit-time
+  // distortion stats (dist_head_us, dist_refreshed_us) — and the
+  // per-trigger check reads the manifest plus that row, nothing else
+  // (plan-witnessed per trigger). The measurement is paid by the
+  // commit that CHANGES what the rule sees: genesis stamps the base
+  // corpus quiet, THE INGEST (the odd half's vectors re-embedded by a
+  // drifted model, landing mid-stream as one atomic corpus+index+meta
+  // commit — the index grown under the frozen centroids, q215's
+  // maintenance path, re-staging only its own arriving bytes) stamps
+  // the drifted measure, and the refresh stamps itself quiet.
+  //
+  // Timeline per chain (one probe stream serves both):
+  //   batch 0  serves v0 (frozen genesis); then the ingest commits v1
+  //   batch 1  the check reads v1's meta row — the drift chain's q259
+  //            integer rule FIRES and commits v2 = (rebuilt index,
+  //            refreshed cents, quiet meta) through one occCommitN
+  //            atom (corpus re-listed by name, zero bytes); the ctl
+  //            chain's zero-delta ingest stays quiet
+  //   batch 2  the drift chain serves the refreshed head; ctl still v1
+  // The ctl chain's serving units (index_0/cents_0) are byte-pinned
+  // across the whole drive — its ingest re-lists them by NAME and its
+  // trigger never fires.
+  //
+  // Scale shape: the per-trigger check is a KB manifest read + one
+  // meta row; the ingest pays one assignment-shaped distortion pass
+  // over ITS OWN delta (amortized per ingest, never per trigger); the
+  // refresh re-stages the rebuild the engine already produced + one
+  // KB rename. The serve is the nprobe-2 descent through the
+  // manifest-resolved units — cells pruned by the probe join, the
+  // same leg q259/q348 serve.
+
+  private val maintIvfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    Seq[(String, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean,
+      Boolean, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(maintIvfMemo)
+
+  /** The q353 per-trigger check: resolve the head manifest (bounded),
+    * read the ONE meta row, apply q259's integer rule — and witness
+    * off the executed plan that the meta read scanned ONLY the meta
+    * unit (the manifest resolve is itself a bounded KB read; no
+    * corpus or index bytes are touched by the decision).
+    */
+  private def ivfMaintCheck(ss: SparkSession, root: String, v: Long)
+      : (Boolean, Boolean) = {
+    val u = Audit.manifestUnits(ss, root, v) // ≤ N bounded rows
+    val df = ss.read.parquet(s"$root/${u("meta")}")
+    val r = df.collect()(0) // 1 bounded row — THE decision
+    val fires = r.getAs[Long]("dist_head_us") >=
+      2L * r.getAs[Long]("dist_refreshed_us")
+    val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+    val want = java.nio.file.Paths.get(s"$root/${u("meta")}")
+      .toAbsolutePath.normalize.toString
+    val metaOnly = scanned.nonEmpty && scanned.forall(p =>
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString == want)
+    (fires, metaOnly)
+  }
+
+  private[graft] def ensureIvfMaintLoop(s: SparkSession, d: String)
+      : Seq[(String, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean,
+        Boolean, Boolean)] =
+    maintIvfMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("ivf_maint_loop") {
+      import s.implicits._
+      val base = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val arrived = driftCorpus(s, d)
+      val cents0 = frozenCents(base)
+      val (grown, rebuilt) = ensureDriftIndexes(s, d)
+      // commit-time distortion stamps, measured OUTSIDE the stream by
+      // the writer that owns each commit (genesis / ingest / refresh)
+      val fa0 = ivfDistortionSum(base, cents0)
+      val fb0 = ivfDistortionSum(base, refreshedCents(base))
+      val faDrift = ivfDistortionSum(arrived, cents0)
+      val fbDrift = ivfDistortionSum(arrived, refreshedCents(arrived))
+      val chains = Seq("ctl", "drift")
+      val roots = chains.map(c =>
+        c -> graft.util.TmpDirs.scratchFor(s"ivf_maint_$c", d)).toMap
+      val heads = chains.map(c =>
+        c -> new java.util.concurrent.atomic.AtomicLong(0)).toMap
+      chains.foreach { c =>
+        val root = roots(c)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$root/manifest"))
+        base.write.mode("overwrite").parquet(s"$root/data/corpus_0")
+        ivfAssignAgainst(base, cents0).select(col("vec_id"), col("cell"))
+          .write.mode("overwrite").parquet(s"$root/data/index_0")
+        cents0.write.mode("overwrite").parquet(s"$root/data/cents_0")
+        Seq((fa0, fb0)).toDF("dist_head_us", "dist_refreshed_us")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/data/meta_0")
+        Seq(("corpus", "data/corpus_0"), ("index", "data/index_0"),
+            ("cents", "data/cents_0"), ("meta", "data/meta_0"))
+          .toDF("tbl", "unit").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/manifest/v0")
+      }
+      // the ctl serving units must survive the drive byte-identical
+      val ctlPinBefore =
+        listDataFiles(java.nio.file.Paths.get(s"${roots("ctl")}/data/index_0")) ++
+        listDataFiles(java.nio.file.Paths.get(s"${roots("ctl")}/data/cents_0"))
+      // the probe feed: drifted queries (≡51 mod 100), 3 ordered chunks
+      val qVecs = Map(
+        "ctl" -> base.filter(col("vec_id") % 100 === 51)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+        "drift" -> arrived.filter(col("vec_id") % 100 === 51)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      val feed = graft.util.TmpDirs.scratchFor("ivf_maint_feed", d)
+      (0 until 3).foreach { c =>
+        graft.util.OrderedFeed.writeChunk(s"$feed/c$c", c,
+          qVecs("drift").select(col("query_id"))
+            .filter(pmod(col("query_id"), lit(3)) === c))
+      }
+      val outDir = graft.util.TmpDirs.scratchFor("ivf_maint_out", d)
+      graft.util.StreamTuning.withShuffle(s, 8) {
+        val src = s.readStream
+          .schema(s.read.parquet(s"$feed/c0").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$feed/c*")
+        val q = src.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!batch.isEmpty) {
+              val ss = batch.sparkSession
+              chains.foreach { c =>
+                val root = roots(c)
+                val v = heads(c).get() // resolve the head at batch start
+                // THE MAINTENANCE CHECK — manifest + one meta row
+                val (fires, metaOnly) = ivfMaintCheck(ss, root, v)
+                val refreshNow = fires && v == 1L
+                if (refreshNow) {
+                  // THE ACTION: the rebuild the engine already built,
+                  // committed atomically WITH its centroids and the
+                  // quiet re-stamp; the corpus re-lists by name
+                  val u = Audit.manifestUnits(ss, root, v)
+                  require(Audit.occCommitNShared(s, root, heads(c), 1L, Seq(
+                      "corpus" -> Left(u("corpus")),
+                      "index" -> Right(s.table(rebuilt)
+                        .select(col("vec_id"), col("cell"))),
+                      "cents" -> Right(refreshedCents(arrived)),
+                      "meta" -> Right(Seq((fbDrift, fbDrift))
+                        .toDF("dist_head_us", "dist_refreshed_us")))),
+                    s"the maintenance refresh holds the head ($c)")
+                }
+                // serve THIS batch through the version resolved at start
+                val snap = Audit.readNSnapshot(ss, root, v)
+                val qs = batch.select(col("query_id"))
+                  .join(qVecs(c), Seq("query_id"))
+                ivfProbeTop3(snap("corpus"), qs, snap("index"),
+                    snap("cents"))
+                  .withColumn("resolved_v", lit(v))
+                  .withColumn("trigger_fired", lit(fires))
+                  .withColumn("refresh_committed", lit(refreshNow))
+                  .withColumn("check_meta_only", lit(metaOnly))
+                  .write.mode("overwrite")
+                  .parquet(s"$outDir/chain=$c/batch_id=$id")
+                // after batch 0's serve: THE INGEST lands — one atomic
+                // corpus+index+meta commit (drift), or the zero-delta
+                // re-stamp (ctl: every serving unit re-listed by name)
+                if (id == 0L) {
+                  val u0 = Audit.manifestUnits(ss, root, 0L)
+                  val ingest: Seq[(String, Either[String, DataFrame])] =
+                    if (c == "drift") Seq(
+                      "corpus" -> Right(arrived),
+                      "index" -> Right(s.table(grown)
+                        .select(col("vec_id"), col("cell"))),
+                      "cents" -> Left(u0("cents")),
+                      "meta" -> Right(Seq((faDrift, fbDrift))
+                        .toDF("dist_head_us", "dist_refreshed_us")))
+                    else Seq(
+                      "corpus" -> Left(u0("corpus")),
+                      "index" -> Left(u0("index")),
+                      "cents" -> Left(u0("cents")),
+                      "meta" -> Right(Seq((fa0, fb0))
+                        .toDF("dist_head_us", "dist_refreshed_us")))
+                  require(Audit.occCommitNShared(s, root, heads(c), 0L,
+                      ingest), s"the ingest commit holds the head ($c)")
+                }
+              }
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val ctlPinned = {
+        val after =
+          listDataFiles(java.nio.file.Paths.get(s"${roots("ctl")}/data/index_0")) ++
+          listDataFiles(java.nio.file.Paths.get(s"${roots("ctl")}/data/cents_0"))
+        ctlPinBefore == after
+      }
+      // post-drive: per-version references through the SAME serve leg,
+      // and the head answering every drifted query (q348's witness)
+      chains.flatMap { c =>
+        val root = roots(c)
+        val served = s.read.parquet(s"$outDir/chain=$c")
+        def ref(v: Long, chunk: DataFrame): DataFrame = {
+          val snap = Audit.readNSnapshot(s, root, v)
+          ivfProbeTop3(snap("corpus"),
+            chunk.join(qVecs(c), Seq("query_id")),
+            snap("index"), snap("cents"))
+        }
+        val headV = heads(c).get()
+        val headSnap = Audit.readNSnapshot(s, root, headV)
+        val corpusH = if (c == "drift") arrived else base
+        val qsAll = qVecs(c)
+        val wRank = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val exact = broadcast(qsAll)
+          .join(corpusH, col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("embedding")))
+          .withColumn("rk", row_number().over(wRank))
+          .filter(col("rk") <= 3)
+          .select(col("query_id").as("xq"), col("vec_id").as("xv"))
+        val headServeComplete = staleHits(s, headSnap("corpus"), qsAll,
+          exact, headSnap("index"), headSnap("cents")).count() ==
+          qsAll.count()
+        (0L to 2L).map { id =>
+          val b = served.filter(col("batch_id") === id)
+          val hdr = b.select(col("resolved_v"), col("trigger_fired"),
+              col("refresh_committed"), col("check_meta_only"))
+            .limit(1).collect()(0) // 1 bounded control row
+          val v = hdr.getLong(0)
+          val chunk = s.read.parquet(s"$feed/c${id.toInt}")
+            .select(col("query_id"))
+          val bAns = b.select(col("query_id"), col("vec_id"))
+          val refAns = ref(v, chunk).select(col("query_id"), col("vec_id"))
+          val equalsRef = bAns.exceptAll(refAns).count() +
+            refAns.exceptAll(bAns).count() == 0L
+          (c, id, v, id == 0L, hdr.getBoolean(1), hdr.getBoolean(2),
+            equalsRef, if (c == "ctl") ctlPinned else true,
+            hdr.getBoolean(3), headServeComplete)
+        }
+      }
+    })
+
+  /** q353: per (chain, micro-batch) — the resolved version, the
+    * ingest landing at batch 0, the stamped-stats trigger decision
+    * (fires at v1 on the drift chain only), whether THIS batch's
+    * decision committed the refresh, exact serve equality with the
+    * resolved version's reference through the same probe leg, the
+    * control's serving-units byte-pin, the per-trigger meta-only plan
+    * witness, and the head answering every drifted query.
+    */
+  def ivfMaintLoop(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureIvfMaintLoop(s, d)
+    import s.implicits._
+    rows.toDF("chain", "batch_id", "resolved_version", "ingest_committed",
+        "trigger_fired", "refresh_committed", "equals_pinned_reference",
+        "serving_units_pinned", "check_meta_only", "head_serve_complete")
+      .orderBy(col("chain"), col("batch_id"))
+  }
+
+  // ---- q355: the PQ STALENESS TRIGGER ACTS ---------------------------
+  //
+  // q348 closes trigger→action for IVF and q353 runs it under a
+  // stream; the PQ family still only AUDITED (q277 fires, q336 keeps
+  // the control quiet — nothing consumed the firing). Same shape as
+  // q348: a (codes, codebook) manifest chain starts at the frozen
+  // production codebook with the corpus' nearest-codeword codes; the
+  // maintenance job evaluates q277's integer rule against the HEAD's
+  // manifest-resolved codebook (arrived-half quantization distortion
+  // vs the refreshed candidate), and only a firing trigger commits
+  // v1 = (codes re-quantized under the refreshed codebook, the
+  // refreshed codebook) through one occCommitN — codes probed with
+  // the wrong codebook generation are exactly the torn state the
+  // atom prevents. The CONTROL chain runs the same code over the
+  // undrifted corpus: quiet rule, head 0, frozen genesis serving.
+  //
+  // The serving witness is q277's own health metric measured on the
+  // OUTCOME: the head's arrived-half distortion under its committed
+  // codebook sits inside the refreshed bound (quiet) — hot before the
+  // action, quiet after it, frozen-and-quiet on the control.
+  //
+  // Scale shape: the trigger costs one assignment-shaped pass per
+  // codebook surface (the same crossJoin-argmin the codes themselves
+  // cost); the action re-quantizes once and renames one KB manifest;
+  // the control costs the measure alone. Codebooks are O(k·m) —
+  // always broadcast.
+
+  /** Sub-codebook extraction: the (cid, m, csv) rows drawn from the
+    * corpus rows matching `pred` — the q277 frozen/refreshed forms.
+    */
+  private def pqCodebookOf(corpus: DataFrame, pred: Column): DataFrame =
+    subvectors(corpus.filter(pred), 8, 8)
+      .select(col("vec_id").cast("int").as("cid"), col("m"),
+        col("sv").as("csv"))
+
+  /** Nearest-codeword assignment of every (vec_id, m) subvector under
+    * an arbitrary codebook — deterministic argmin (distance, then
+    * cid). The PQ analog of ivfAssignAgainst.
+    */
+  private def pqAssignAgainst(corpus: DataFrame, cb: DataFrame): DataFrame =
+    subvectors(corpus, 8, 8)
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d_us",
+        round(round(dist2Col(col("sv"), col("csv")), 6) * 1e6).cast("long"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d_us"), col("cid"))).getField("cid").as("code"))
+
+  /** q277's decision quantity: total arrived-half (odd ids) nearest-
+    * codeword distortion under a codebook, exact integer micro-units.
+    */
+  private def pqArrivedDistortion(corpus: DataFrame, cb: DataFrame): Long =
+    subvectors(corpus.filter(col("vec_id") % 2 === 1), 8, 8)
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d_us",
+        round(round(dist2Col(col("sv"), col("csv")), 6) * 1e6).cast("long"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("d_us")).as("d"))
+      .agg(coalesce(sum(col("d")), lit(0L)).as("s"))
+      .first().getLong(0) // one bounded driver scalar (the decision)
+
+  private val pqTrigMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    Seq[(String, Boolean, Long, Boolean, Boolean, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(pqTrigMemo)
+
+  private[graft] def ensurePqTriggerAction(s: SparkSession, d: String)
+      : Seq[(String, Boolean, Long, Boolean, Boolean, Boolean)] =
+    pqTrigMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("pq_trigger_action") {
+      import s.implicits._
+      val frozenPred = col("vec_id") % 2 === 0 && col("vec_id") < 32
+      val refreshedPred =
+        (pmod(col("vec_id"), lit(8)) === 0 || pmod(col("vec_id"), lit(8)) === 1) &&
+          col("vec_id") < 64
+      Seq("ctl", "drift").map { chain =>
+        val corpus =
+          if (chain == "drift") shiftCorpus(s, d)
+          else embeddings(s, d).select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val root = graft.util.TmpDirs.scratchFor(s"pq_trigact_$chain", d)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$root/manifest"))
+        val frozenCb = pqCodebookOf(corpus, frozenPred)
+        val refreshedCb = pqCodebookOf(corpus, refreshedPred)
+        // genesis: the maintained codes under the FROZEN codebook —
+        // the arrived half was quantized as it landed (q215's path)
+        pqAssignAgainst(corpus, frozenCb)
+          .write.mode("overwrite").parquet(s"$root/data/codes_0")
+        frozenCb.write.mode("overwrite").parquet(s"$root/data/cb_0")
+        Seq(("cb", "data/cb_0"), ("codes", "data/codes_0"))
+          .toDF("tbl", "unit").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/manifest/v0")
+        val head = new java.util.concurrent.atomic.AtomicLong(0)
+        // THE TRIGGER: q277's integer rule, measured off the HEAD's
+        // manifest-resolved codebook surface
+        val headCb = Audit.readNSnapshot(s, root, head.get())("cb")
+        val fa = pqArrivedDistortion(corpus, headCb)
+        val fb = pqArrivedDistortion(corpus, refreshedCb)
+        val fires = fa >= 2L * fb
+        if (fires) {
+          // THE ACTION: re-quantize under the refreshed codebook and
+          // commit codes + codebook in ONE atom
+          require(Audit.occCommitN(s, root, head, 0L, Seq(
+              "codes" -> pqAssignAgainst(corpus, refreshedCb),
+              "cb" -> refreshedCb)),
+            s"the trigger-driven requantization holds the head ($chain)")
+        }
+        val hv = head.get()
+        val snap = Audit.readNSnapshot(s, root, hv)
+        val expCb = if (fires) refreshedCb else frozenCb
+        def same(a: DataFrame, b: DataFrame): Boolean =
+          a.exceptAll(b).count() + b.exceptAll(a).count() == 0L
+        val codesOk = same(
+          snap("codes").select(col("vec_id"), col("m"), col("code")),
+          pqAssignAgainst(corpus, expCb))
+        val cbOk = same(snap("cb").select(col("cid"), col("m"), col("csv")),
+          expCb)
+        // the OUTCOME health check: the head's own rule, re-measured
+        // off the committed codebook, must sit inside the refreshed
+        // bound — hot chains become quiet BY the action, controls
+        // were never hot
+        val headQuiet = pqArrivedDistortion(corpus, snap("cb")) < 2L * fb
+        (chain, fires, hv, codesOk, cbOk, headQuiet)
+      }
+    })
+
+  /** q355: one row per chain — the measured trigger decision, the
+    * head version it CAUSED, the committed codes ≡ a from-scratch
+    * re-quantization under the committed codebook, the codebook ≡ the
+    * decision's mandate, and the head's own staleness rule re-measured
+    * quiet off the committed surface.
+    */
+  def pqTriggerAction(s: SparkSession, d: String): DataFrame = {
+    val rows = ensurePqTriggerAction(s, d)
+    import s.implicits._
+    rows.toDF("chain", "trigger_fired", "head_version",
+        "codes_equal_expected", "codebook_equals_expected",
+        "head_rule_quiet")
       .orderBy(col("chain"))
   }
 
@@ -2178,9 +2585,12 @@ object Clustering {
   // the graph; the PQ and binary sweeps (q255/q256) still landed
   // independently of the corpus surfaces they must agree with, and
   // the q308 capstone AUDITED the end state without any commit making
-  // it one atom. This is the end state the r13 verdict names: a
-  // single occCommitNShared spanning the corpus and every vector
-  // serving surface the engine maintains —
+  // it one atom. This is the end state the r13 verdict names — and
+  // since r15 it spans all four families IN ONE ATOM (the r14
+  // verdict's item 2: the graph previously committed through its own
+  // q338 chain, leaving a cross-chain torn window a regulator-facing
+  // erasure cannot have): a single occCommitNShared spanning the
+  // corpus and every vector serving surface the engine maintains —
   //   corpus           survivors (fresh)
   //   ivf/pq/bin_cow   the q254-q256 sweeps' OWN outputs (fresh — the
   //                    q335 "stage the sweep's own output" rule)
@@ -2188,20 +2598,32 @@ object Clustering {
   //                    NAME (Left: zero bytes staged — at 100 TB
   //                    these are the bulk of the index bytes)
   //   ivf/pq/bin_dv    the cohort DVs (fresh, O(cohort) bytes each)
-  // Ten tables, one KB manifest rename: a reader resolving any
-  // version sees every family in the SAME pre- or post-erasure state;
-  // no torn subset exists at any instant. Genesis additionally shares
-  // units ACROSS tables (each family's CoW surface and MoR base name
-  // the same unit; the three empty DVs name one) — sharing is a
-  // property of unit NAMES, not table identity.
+  //   graph_reg        the graph registry flip (fresh — survivors,
+  //                    the q338 v1 pattern)
+  //   graph_base       the genesis registry, re-listed BY NAME
+  //   graph_dv         the graph tombstone set := cohort (fresh)
+  //   graph_edge_l*    every per-layer edge unit re-listed BY NAME —
+  //                    the graph's MoR promise ("a delete is
+  //                    serve-invisible immediately at zero graph
+  //                    writes") measured INSIDE the capstone atom
+  // Thirteen-plus tables, one KB manifest rename: a reader resolving
+  // any version sees every family in the SAME pre- or post-erasure
+  // state; no torn subset exists at any instant. Genesis additionally
+  // shares units ACROSS tables (each family's CoW surface and MoR
+  // base name the same unit; the graph registry pair and the corpus
+  // name one; the empty DVs name one) — sharing is a property of unit
+  // NAMES, not table identity.
   //
-  // Scale shape: fresh bytes = survivor ids + the three swept
-  // families (the sweep output the engine already produced — staged
-  // into the chain exactly as q335 stages the q254 sweep) +
-  // 3×O(cohort) DVs; the three MoR bases — the dominant bytes —
-  // commit at zero cost by name. Conflict detection stays O(1); the
-  // whole erasure is one rename regardless of how many families the
-  // deployment serves.
+  // Scale shape: fresh bytes = survivor ids (twice: corpus + graph
+  // registry) + the three swept families (the sweep output the engine
+  // already produced — staged into the chain exactly as q335 stages
+  // the q254 sweep) + 4×O(cohort) DVs; the three MoR bases and EVERY
+  // edge unit — the dominant bytes — commit at zero cost by name.
+  // Conflict detection stays O(1); the whole erasure is one rename
+  // regardless of how many families the deployment serves. The graph
+  // self-probe contract costs one bounded descent (≤ 8 probe
+  // queries) shared by both versions, because the edge units are
+  // version-shared.
 
   private val capMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, Long, Boolean, Map[String, Boolean])]()
@@ -2216,7 +2638,11 @@ object Clustering {
         java.nio.file.Paths.get(s"$root/manifest"))
       import s.implicits._
       // genesis units (direct write, the q331 genesis shape) — one
-      // unit per distinct CONTENT, shared across tables by name
+      // unit per distinct CONTENT, shared across tables by name; the
+      // graph's per-layer edge units HARDLINK the grown graph's
+      // immutable layers (zero data bytes, the q338 genesis rule)
+      val (_, maxLevel, entry) = GraphAnn.ensureHnswGrown(s, d)
+      val (mroot, _) = GraphAnn.ensureHnswFoldManifest(s, d)
       embeddings(s, d).select(col("vec_id"))
         .write.mode("overwrite").parquet(s"$root/data/corpus_0")
       ivfAssignment(s, d).select(col("vec_id"), col("cell"))
@@ -2227,17 +2653,26 @@ object Clustering {
         .write.mode("overwrite").parquet(s"$root/data/bin_0")
       s.range(0).select(col("id").as("k"))
         .write.mode("overwrite").parquet(s"$root/data/dv_0")
+      (0 to maxLevel).foreach { l =>
+        GraphAnn.linkTree(s"$mroot/data/u$l", s"$root/data/gedge_l${l}_0")
+      }
+      val edgeKeys = (0 to maxLevel).map(l => s"graph_edge_l$l")
       val v0Units = Seq(
         "corpus" -> "data/corpus_0",
         "ivf_cow" -> "data/ivf_0", "ivf_base" -> "data/ivf_0",
         "pq_cow" -> "data/pq_0", "pq_base" -> "data/pq_0",
         "bin_cow" -> "data/bin_0", "bin_base" -> "data/bin_0",
         "ivf_dv" -> "data/dv_0", "pq_dv" -> "data/dv_0",
-        "bin_dv" -> "data/dv_0")
+        "bin_dv" -> "data/dv_0",
+        "graph_reg" -> "data/corpus_0", "graph_base" -> "data/corpus_0",
+        "graph_dv" -> "data/dv_0") ++
+        (0 to maxLevel).map(l => s"graph_edge_l$l" -> s"data/gedge_l${l}_0")
       v0Units.toDF("tbl", "unit").coalesce(1)
         .write.mode("overwrite").parquet(s"$root/manifest/v0")
-      // THE COMMIT: sweeps' own outputs + survivor corpus + cohort
-      // DVs fresh; the MoR bases re-listed by name
+      // THE COMMIT: sweeps' own outputs + survivor corpus + survivor
+      // graph registry + cohort DVs fresh; the MoR bases, the genesis
+      // registry, and EVERY edge unit re-listed by name — all four
+      // families flip in one rename
       val (ivfSwept, pqSwept, binSwept) = ensureSweptIndexes(s, d)
       val cohort = erasedVecIds(s, d)
       val corpus1 = embeddings(s, d).select(col("vec_id"))
@@ -2256,48 +2691,91 @@ object Clustering {
           "bin_base" -> Left("data/bin_0"),
           "ivf_dv" -> Right(cohort.select(col("k"))),
           "pq_dv" -> Right(cohort.select(col("k"))),
-          "bin_dv" -> Right(cohort.select(col("k"))))),
+          "bin_dv" -> Right(cohort.select(col("k"))),
+          "graph_reg" -> Right(corpus1),
+          "graph_base" -> Left("data/corpus_0"),
+          "graph_dv" -> Right(cohort.select(col("k")))) ++
+          (0 to maxLevel).map(l =>
+            s"graph_edge_l$l" -> Left(s"data/gedge_l${l}_0"))),
         "the capstone erasure commit holds the expected head")
       val u0 = Audit.manifestUnits(s, root, 0L)
       val u1 = Audit.manifestUnits(s, root, 1L)
-      val basesShared = Seq("ivf_base", "pq_base", "bin_base")
-        .forall(t => u1(t) == u0(t))
+      val basesShared =
+        (Seq("ivf_base", "pq_base", "bin_base", "graph_base") ++ edgeKeys)
+          .forall(t => u1(t) == u0(t))
       // each CoW family's q254-q256 contract, off the COMMITTED units:
       // swept == rebuilt-from-survivors under the frozen model
       val (rIvf, rPq, rBin) = rebuiltSweptContents(s, d)
       val v1 = Audit.readNSnapshot(s, root, 1L)
       def same(a: DataFrame, b: DataFrame): Boolean =
         a.exceptAll(b).count() + b.exceptAll(a).count() == 0L
+      // the GRAPH family's contract is its self-probe state (q338's
+      // falsifiability anchor, measured through the capstone's OWN
+      // committed units): a bounded cohort subprobe (≤ 8 graph-member
+      // cohort ids) retrieves ITSELF at v0 (cos = 1 tops the beam) and
+      // at v1 the tombstone-resolved serve returns ZERO cohort ids —
+      // one descent serves both versions because every edge unit is
+      // version-shared (zero bytes staged is the same fact)
+      val probeQs = embeddings(s, d)
+        .filter(col("vec_id") % 97 === 0 && col("vec_id") % 2 === 0)
+        .orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val nProbe = probeQs.count()
+      require(nProbe > 0, s"graph probe subcohort empty at $d")
+      val mount = (l: Int) =>
+        s.read.parquet(s"$root/${u1(s"graph_edge_l$l")}")
+      val beam = GraphAnn.beamSweepOn(s, d, root, maxLevel, entry,
+        probeQs, Seq(8), edgesOf = Some(mount))
+      val wServe = Window.partitionBy(col("ef"), col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      def serveKeys(tomb: Option[DataFrame]): DataFrame = {
+        val base = tomb match {
+          case Some(t) => beam.join(broadcast(t.select(col("k"))),
+            beam("vec_id") === col("k"), "left_anti")
+          case None => beam
+        }
+        base.withColumn("rk", row_number().over(wServe))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"))
+      }
+      val v0Self = serveKeys(None)
+        .filter(col("query_id") === col("vec_id")).count()
+      val v1CohortLeft = serveKeys(Some(v1("graph_dv")))
+        .filter(col("vec_id") % 97 === 0).count()
       val contracts = Map(
         "ivf" -> same(v1("ivf_cow"),
           rIvf.select(col("vec_id"), col("cell"))),
         "pq" -> same(v1("pq_cow"),
           rPq.select(col("vec_id"), col("m"), col("code"))),
         "bin" -> same(v1("bin_cow"),
-          rBin.select(col("vec_id"), col("lo"), col("hi"))))
+          rBin.select(col("vec_id"), col("lo"), col("hi"))),
+        "graph" -> (v0Self == nProbe && v1CohortLeft == 0L))
       (root, head.get(), basesShared, contracts)
     })
 
   /** q344: the capstone erasure ledger — per (version, serving
     * surface), the distinct-key count and cohort-left resolved
     * through the ONE manifest (MoR surfaces resolve base ⊖ dv at
-    * read, the q273 discipline), plus the zero-byte base-sharing
-    * witness and each CoW family's swept==rebuilt contract. All
-    * seven serving surfaces must show the same n_keys at every
-    * version — the q332 atomicity witness, now spanning every index
-    * family the engine maintains.
+    * read, the q273 discipline), plus the zero-byte unit-sharing
+    * witness (MoR bases, graph registry base, AND every edge unit)
+    * and each family's contract: swept==rebuilt for the CoW
+    * families, the version-mandated self-probe state for the graph
+    * (whose erasure is MoR — the contract column carries the family's
+    * own invariant). All NINE serving surfaces must show the same
+    * n_keys at every version — the q332 atomicity witness, now
+    * spanning all four index families in one atom.
     */
   def erasureCapstoneCommit(s: SparkSession, d: String): DataFrame = {
     val (root, head, basesShared, contracts) =
       ensureErasureCapstoneCommit(s, d)
     import s.implicits._
-    // ONE aggregation job per version: the 7 surfaces' distinct keys
-    // union into one surface-tagged relation, grouped once — 2×7
+    // ONE aggregation job per version: the 9 surfaces' distinct keys
+    // union into one surface-tagged relation, grouped once — 2×9
     // bounded driver rows total (the q180 adjudication bound), vs the
-    // 28 separate count actions a per-surface loop would run
+    // 36 separate count actions a per-surface loop would run
     val famOf = Map("corpus" -> "", "ivf_cow" -> "ivf", "ivf_mor" -> "ivf",
       "pq_cow" -> "pq", "pq_mor" -> "pq", "bin_cow" -> "bin",
-      "bin_mor" -> "bin")
+      "bin_mor" -> "bin", "graph_reg" -> "graph", "graph_mor" -> "graph")
     val rows = (0L to head).flatMap { v =>
       val snap = Audit.readNSnapshot(s, root, v)
       def resolveMor(fam: String): DataFrame =
@@ -2307,7 +2785,9 @@ object Clustering {
         ("corpus", snap("corpus")),
         ("ivf_cow", snap("ivf_cow")), ("ivf_mor", resolveMor("ivf")),
         ("pq_cow", snap("pq_cow")), ("pq_mor", resolveMor("pq")),
-        ("bin_cow", snap("bin_cow")), ("bin_mor", resolveMor("bin")))
+        ("bin_cow", snap("bin_cow")), ("bin_mor", resolveMor("bin")),
+        ("graph_reg", snap("graph_reg")),
+        ("graph_mor", resolveMor("graph")))
         .map { case (name, df) =>
           df.select(col("vec_id")).distinct()
             .select(lit(name).as("surface"), col("vec_id")) }
@@ -2315,7 +2795,7 @@ object Clustering {
       tagged.groupBy(col("surface"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("vec_id") % 97 === 0, 1L).otherwise(0L)).as("left"))
-        .collect() // 7 bounded rows (the per-version ledger)
+        .collect() // 9 bounded rows (the per-version ledger)
         .map { r =>
           val name = r.getString(0)
           (v, name, r.getLong(1), r.getLong(2), basesShared,
@@ -3774,6 +4254,8 @@ object Clustering {
     "q335_ivf_erasure_commit" -> ivfErasureCommit _,
     "q344_erasure_capstone_commit" -> erasureCapstoneCommit _,
     "q348_ivf_trigger_action" -> ivfTriggerAction _,
+    "q353_ivf_maint_loop" -> ivfMaintLoop _,
+    "q355_pq_trigger_action" -> pqTriggerAction _,
     "q336_staleness_ctl" -> stalenessControls _,
     "q263_index_compaction" -> ivfCompactedProbe _,
     "q272_ivf_lifecycle" -> ivfLifecycleProbe _,
@@ -4412,9 +4894,11 @@ object Clustering {
          |  TRUE AS swept_equals_rebuilt
          |FROM surf ORDER BY version, surface""".stripMargin,
     // q344: one atomic erasure commit across corpus + all four
-    // families — every serving surface shows the SAME key count per
-    // version (full at v0, survivors at v1), zero cohort keys left
-    // anywhere at v1, MoR bases shared by name, CoW sweeps == rebuilt
+    // families (graph included since r15) — every serving surface
+    // shows the SAME key count per version (full at v0, survivors at
+    // v1), zero cohort keys left anywhere at v1, MoR bases + graph
+    // registry base + edge units shared by name, CoW sweeps ==
+    // rebuilt, graph self-probe state version-consistent
     "q344_erasure_capstone_commit" ->
       """WITH c AS (
         |  SELECT CAST(count(*) AS BIGINT) AS full_n,
@@ -4430,6 +4914,7 @@ object Clustering {
         |  TRUE AS swept_equals_rebuilt
         |FROM (VALUES (0), (1)) AS t(v)
         |CROSS JOIN (VALUES ('bin_cow'), ('bin_mor'), ('corpus'),
+        |  ('graph_mor'), ('graph_reg'),
         |  ('ivf_cow'), ('ivf_mor'), ('pq_cow'), ('pq_mor')) AS u(s)
         |CROSS JOIN c
         |ORDER BY version, surface""".stripMargin,
@@ -4444,6 +4929,38 @@ object Clustering {
         |  TRUE AS index_equals_expected,
         |  TRUE AS cents_equals_expected,
         |  TRUE AS head_serve_complete
+        |FROM (VALUES ('ctl'), ('drift')) AS c(chain)
+        |ORDER BY chain""".stripMargin,
+    // q353: the IVF maintenance loop under live serving — the ingest
+    // lands at batch 0 (v1), the drift chain's stamped-stats check
+    // fires at batch 1 and commits the (index, cents, meta) refresh,
+    // batch 2 serves the refreshed head; the ctl chain's zero-delta
+    // ingest stays quiet forever with its serving units byte-pinned
+    "q353_ivf_maint_loop" ->
+      """SELECT chain, CAST(b AS BIGINT) AS batch_id,
+        |  CAST(CASE WHEN chain = 'drift' THEN b
+        |    ELSE LEAST(b, 1) END AS BIGINT) AS resolved_version,
+        |  (b = 0) AS ingest_committed,
+        |  (chain = 'drift' AND b = 1) AS trigger_fired,
+        |  (chain = 'drift' AND b = 1) AS refresh_committed,
+        |  TRUE AS equals_pinned_reference,
+        |  TRUE AS serving_units_pinned,
+        |  TRUE AS check_meta_only,
+        |  TRUE AS head_serve_complete
+        |FROM (VALUES (0), (1), (2)) AS t(b)
+        |CROSS JOIN (VALUES ('ctl'), ('drift')) AS c(chain)
+        |ORDER BY chain, batch_id""".stripMargin,
+    // q355: the PQ trigger ACTS — the drift chain's measured q277 rule
+    // commits the atomic (codes, codebook) re-quantization (head 1);
+    // the control chain stays quiet (head 0, frozen genesis serving)
+    "q355_pq_trigger_action" ->
+      """SELECT chain,
+        |  chain = 'drift' AS trigger_fired,
+        |  CAST(CASE WHEN chain = 'drift' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS head_version,
+        |  TRUE AS codes_equal_expected,
+        |  TRUE AS codebook_equals_expected,
+        |  TRUE AS head_rule_quiet
         |FROM (VALUES ('ctl'), ('drift')) AS c(chain)
         |ORDER BY chain""".stripMargin,
     // q336: the three no-drift controls must keep every trigger quiet

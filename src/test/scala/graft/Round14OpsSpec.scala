@@ -39,7 +39,7 @@ class Round14OpsSpec extends AnyFunSuite {
     // a genuinely dead unit the sweep must still take
     Seq(0L).toDF("k").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/data/dead")
-    val (kept, swept, fenced) = Audit.gcSweep(spark, dir, keep = Set(0L))
+    val (kept, swept, fenced) = Audit.gcSweep(spark, dir, keep = Set(0L), graceMs = 0L)
     assert(kept.toSet == Set("a", "t1_fresh"), s"kept $kept")
     assert(swept == Seq("dead") && fenced.isEmpty)
     // the writer completes: publish, then the snapshot must resolve
@@ -64,7 +64,7 @@ class Round14OpsSpec extends AnyFunSuite {
       .getOrElse(Array.empty[String]).toSet
     assert(units == Set("a"), s"units after losing writer: $units")
     // and a sweep after the loss sees a consistent chain
-    val (kept, swept, _) = Audit.gcSweep(spark, dir, keep = Set(0L))
+    val (kept, swept, _) = Audit.gcSweep(spark, dir, keep = Set(0L), graceMs = 0L)
     assert(kept == Seq("a") && swept.isEmpty)
     assert(Audit.readNSnapshot(spark, dir, 0L)("t1").count() == 3L)
   }
@@ -77,15 +77,16 @@ class Round14OpsSpec extends AnyFunSuite {
       Seq("t1" -> Right(Seq(4L, 5L).toDF("k")))))
     // keep only the head, but a reader has v0 pinned (q341 discipline)
     val (kept, swept, _) =
-      Audit.gcSweep(spark, dir, keep = Set(1L), pinned = Set(0L))
+      Audit.gcSweep(spark, dir, keep = Set(1L), pinned = Set(0L),
+        graceMs = 0L)
     assert(swept.isEmpty && kept.size == 2)
     assert(Audit.readNSnapshot(spark, dir, 0L)("t1").count() == 3L)
     assert(Audit.readNSnapshot(spark, dir, 1L)("t1").count() == 2L)
     // without the pin, v0 expires and its unit sweeps
-    val (kept2, swept2, _) = Audit.gcSweep(spark, dir, keep = Set(1L))
+    val (kept2, swept2, _) = Audit.gcSweep(spark, dir, keep = Set(1L), graceMs = 0L)
     assert(swept2 == Seq("a") && kept2.size == 1)
     intercept[IllegalArgumentException] {
-      Audit.gcSweep(spark, dir, keep = Set(99L))
+      Audit.gcSweep(spark, dir, keep = Set(99L), graceMs = 0L)
     }
   }
 
