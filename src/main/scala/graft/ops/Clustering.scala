@@ -1648,6 +1648,143 @@ object Clustering {
       .orderBy(col("chain"))
   }
 
+  // ---- q356: the BINARY STALENESS TRIGGER ACTS -----------------------
+  //
+  // The fourth and last family's trigger→action closure (IVF q348/
+  // q353, graph q346, PQ q355): a (thresholds, codes) manifest chain
+  // starts at the frozen base-half per-dim means with the corpus
+  // sign-coded against them; the maintenance job evaluates q278's
+  // bit-balance rule against the HEAD's manifest-resolved threshold
+  // surface (global imbalance under head vs refreshed thresholds,
+  // both integer micro-units), and only a firing trigger commits
+  // v1 = (codes re-signed under the refreshed thresholds, the
+  // refreshed thresholds) through one occCommitN — a Hamming probe
+  // against codes signed under a different threshold generation is
+  // the torn state. Control chain: undrifted corpus, quiet rule,
+  // head 0, frozen genesis serving.
+  //
+  // Scale shape: thresholds are O(dim) — always broadcast; the
+  // measure and the re-sign are each one explode+aggregate pass over
+  // the corpus (the cost of writing the codes at all); the commit is
+  // a KB rename. All integer arithmetic — exact on every engine.
+
+  /** (vec_id, j, x_us) micro-unit expansion — the shared leg under
+    * the thresholds, the imbalance measure, and the sign encode.
+    */
+  private def binExploded(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), posexplode(col("v")).as(Seq("j0", "xv")))
+      .select(col("vec_id"), (col("j0") + 1).cast("long").as("j"),
+        floor(col("xv") * 1e6 + 0.5).cast("long").as("x_us"))
+
+  /** Per-dim mean thresholds over the rows matching `pred` (frozen =
+    * base half, refreshed = full corpus — q278's two surfaces).
+    */
+  private def binThresholdsOf(corpus: DataFrame, pred: Column): DataFrame =
+    binExploded(corpus.filter(pred))
+      .groupBy(col("j"))
+      .agg(floor(sum(col("x_us")).cast("double") / count(lit(1)) + 0.5)
+        .cast("long").as("mu"))
+
+  /** The q278 decision quantities under an arbitrary threshold
+    * surface: (Σ per-dim |2·ones − n|, Σ n) — exact integers.
+    */
+  private def binImbalance(corpus: DataFrame, thr: DataFrame): (Long, Long) = {
+    val r = binExploded(corpus).join(broadcast(thr), Seq("j"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x_us") >= col("mu"), 1L).otherwise(0L)).as("ones"))
+      .agg(sum(abs(lit(2) * col("ones") - col("n"))).as("imb"),
+        sum(col("n")).as("nn"))
+      .first() // one bounded driver row (the decision)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Threshold-relative sign encode into the (lo, hi) two-word code —
+    * bit j−1 set iff x_us ≥ mu_j (dims 1-32 → lo, 33-64 → hi; exact
+    * powers of two stay integral in double arithmetic up to 2^52).
+    */
+  private def thresholdSignCodes(corpus: DataFrame, thr: DataFrame)
+      : DataFrame =
+    binExploded(corpus).join(broadcast(thr), Seq("j"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("x_us") >= col("mu") && col("j") <= 32,
+          pow(lit(2.0), (col("j") - 1).cast("double")).cast("long"))
+          .otherwise(0L)).as("lo"),
+        sum(when(col("x_us") >= col("mu") && col("j") > 32,
+          pow(lit(2.0), (col("j") - 33).cast("double")).cast("long"))
+          .otherwise(0L)).as("hi"))
+
+  private val binTrigMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    Seq[(String, Boolean, Long, Boolean, Boolean, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(binTrigMemo)
+
+  private[graft] def ensureBinTriggerAction(s: SparkSession, d: String)
+      : Seq[(String, Boolean, Long, Boolean, Boolean, Boolean)] =
+    binTrigMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("bin_trigger_action") {
+      import s.implicits._
+      Seq("ctl", "drift").map { chain =>
+        val corpus =
+          if (chain == "drift") shiftCorpus(s, d)
+          else embeddings(s, d).select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val root = graft.util.TmpDirs.scratchFor(s"bin_trigact_$chain", d)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$root/manifest"))
+        val frozenThr = binThresholdsOf(corpus, col("vec_id") % 2 === 0)
+        val refreshedThr = binThresholdsOf(corpus, lit(true))
+        thresholdSignCodes(corpus, frozenThr)
+          .write.mode("overwrite").parquet(s"$root/data/codes_0")
+        frozenThr.write.mode("overwrite").parquet(s"$root/data/thr_0")
+        Seq(("codes", "data/codes_0"), ("thr", "data/thr_0"))
+          .toDF("tbl", "unit").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/manifest/v0")
+        val head = new java.util.concurrent.atomic.AtomicLong(0)
+        // THE TRIGGER: q278's integer rule off the HEAD's surface
+        val headThr = Audit.readNSnapshot(s, root, head.get())("thr")
+        val (fa, nn) = binImbalance(corpus, headThr)
+        val (fb, _) = binImbalance(corpus, refreshedThr)
+        val fires = fa >= 2L * fb && 4L * fa >= nn
+        if (fires) {
+          require(Audit.occCommitN(s, root, head, 0L, Seq(
+              "codes" -> thresholdSignCodes(corpus, refreshedThr),
+              "thr" -> refreshedThr)),
+            s"the trigger-driven re-sign holds the head ($chain)")
+        }
+        val hv = head.get()
+        val snap = Audit.readNSnapshot(s, root, hv)
+        val expThr = if (fires) refreshedThr else frozenThr
+        def same(a: DataFrame, b: DataFrame): Boolean =
+          a.exceptAll(b).count() + b.exceptAll(a).count() == 0L
+        val codesOk = same(
+          snap("codes").select(col("vec_id"), col("lo"), col("hi")),
+          thresholdSignCodes(corpus, expThr))
+        val thrOk = same(snap("thr").select(col("j"), col("mu")), expThr)
+        // outcome health: the head's own rule off the committed
+        // thresholds must be quiet
+        val (faH, nnH) = binImbalance(corpus, snap("thr"))
+        val headQuiet = !(faH >= 2L * fb && 4L * faH >= nnH)
+        (chain, fires, hv, codesOk, thrOk, headQuiet)
+      }
+    })
+
+  /** q356: one row per chain — the measured trigger decision, the
+    * head version it CAUSED, the committed codes ≡ a from-scratch
+    * re-sign under the committed thresholds, the threshold surface ≡
+    * the decision's mandate, and the head's own bit-balance rule
+    * re-measured quiet off the committed surface.
+    */
+  def binTriggerAction(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureBinTriggerAction(s, d)
+    import s.implicits._
+    rows.toDF("chain", "trigger_fired", "head_version",
+        "codes_equal_expected", "thresholds_equal_expected",
+        "head_rule_quiet")
+      .orderBy(col("chain"))
+  }
+
   /** (vec_id, m, sv) subvector expansion shared by q114 and the q204
     * index/probe split.
     */
@@ -4256,6 +4393,7 @@ object Clustering {
     "q348_ivf_trigger_action" -> ivfTriggerAction _,
     "q353_ivf_maint_loop" -> ivfMaintLoop _,
     "q355_pq_trigger_action" -> pqTriggerAction _,
+    "q356_bin_trigger_action" -> binTriggerAction _,
     "q336_staleness_ctl" -> stalenessControls _,
     "q263_index_compaction" -> ivfCompactedProbe _,
     "q272_ivf_lifecycle" -> ivfLifecycleProbe _,
@@ -4960,6 +5098,19 @@ object Clustering {
         |    AS head_version,
         |  TRUE AS codes_equal_expected,
         |  TRUE AS codebook_equals_expected,
+        |  TRUE AS head_rule_quiet
+        |FROM (VALUES ('ctl'), ('drift')) AS c(chain)
+        |ORDER BY chain""".stripMargin,
+    // q356: the binary trigger ACTS — the drift chain's measured q278
+    // rule commits the atomic (codes, thresholds) re-sign (head 1);
+    // the control chain stays quiet (head 0, frozen genesis serving)
+    "q356_bin_trigger_action" ->
+      """SELECT chain,
+        |  chain = 'drift' AS trigger_fired,
+        |  CAST(CASE WHEN chain = 'drift' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS head_version,
+        |  TRUE AS codes_equal_expected,
+        |  TRUE AS thresholds_equal_expected,
         |  TRUE AS head_rule_quiet
         |FROM (VALUES ('ctl'), ('drift')) AS c(chain)
         |ORDER BY chain""".stripMargin,

@@ -29,10 +29,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the documented surface") {
-    assert(SparkEntry.queries.size == 355)
+    assert(SparkEntry.queries.size == 356)
     // every query — including the approximate ones, which emit
     // deterministic bound-check gate rows — has a DuckDB oracle
-    assert(SparkEntry.oracleSql.size == 355)
+    assert(SparkEntry.oracleSql.size == 356)
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 }

@@ -104,6 +104,38 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(!quiet.suspect && !quiet.inflated)
   }
 
+  test("retentionRun rejects an unknown chain layout before touching anything") {
+    import graft.ops.Audit
+    val e = intercept[IllegalArgumentException] {
+      Audit.retentionRun(spark, Seq(Audit.RetentionPolicy(
+        "bad", "blobs", "/nonexistent", keep = Set(0L))))
+    }
+    assert(e.getMessage.contains("unknown retention layout"))
+  }
+
+  test("q344 capstone: the graph family is INSIDE the one atom — edge units re-listed by name, registry pair sharing the corpus unit") {
+    val sf = "/root/testdata/sf0.001"
+    val (root, head, basesShared, contracts) =
+      graft.ops.Clustering.ensureErasureCapstoneCommit(spark, sf)
+    assert(head == 1L && basesShared)
+    assert(contracts.keySet == Set("ivf", "pq", "bin", "graph"))
+    assert(contracts.values.forall(identity), s"contracts: $contracts")
+    val u0 = graft.ops.Audit.manifestUnits(spark, root, 0L)
+    val u1 = graft.ops.Audit.manifestUnits(spark, root, 1L)
+    // genesis unit sharing: the registry pair AND the corpus name ONE
+    // unit; v1 re-lists the registry base and every edge unit by name
+    assert(u0("graph_reg") == u0("corpus") &&
+      u0("graph_base") == u0("corpus"))
+    assert(u1("graph_base") == u0("graph_base"))
+    val edgeKeys = u0.keySet.filter(_.startsWith("graph_edge_l"))
+    assert(edgeKeys.nonEmpty)
+    assert(edgeKeys.forall(k => u1(k) == u0(k)),
+      "an edge unit was re-staged — the MoR zero-byte promise broke")
+    // the two versions' manifests name DIFFERENT registry units (the
+    // CoW flip) but the SAME dominant bytes
+    assert(u1("graph_reg") != u0("graph_reg"))
+  }
+
   test("q346/q350 O(manifest) check: every trigger's plan witness and the stamped-equals-recomputed audit hold at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val loop = GraphAnn.ensureMaintLoop(spark, sf)
@@ -114,5 +146,34 @@ class Round15OpsSpec extends AnyFunSuite {
     val rst = GraphAnn.ensureMaintRestart(spark, sf)
     assert(rst.forall(_._9) && rst.forall(_._10),
       s"q350 manifest-check witnesses failed: $rst")
+  }
+
+  test("q353 IVF maintenance loop: the ingest lands, the stamped check fires once on the drift chain, the control stays pinned") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Clustering.ensureIvfMaintLoop(spark, sf)
+    val byChain = rows.groupBy(_._1)
+    // version sequence: drift 0→1→2, ctl 0→1→1
+    assert(byChain("drift").map(_._3) == Seq(0L, 1L, 2L))
+    assert(byChain("ctl").map(_._3) == Seq(0L, 1L, 1L))
+    // the trigger fires exactly once, on the drift chain at v1
+    assert(rows.filter(_._5).map(r => (r._1, r._2)) == Seq(("drift", 1L)))
+    assert(rows.filter(_._6).map(r => (r._1, r._2)) == Seq(("drift", 1L)))
+    // every batch: serve equality, ctl pin, meta-only witness, head
+    rows.foreach { r =>
+      assert(r._7, s"${r._1} batch ${r._2} diverged from its reference")
+      assert(r._8, s"${r._1} serving units not pinned")
+      assert(r._9, s"${r._1} batch ${r._2} check scanned beyond meta")
+      assert(r._10, s"${r._1} head serve incomplete")
+    }
+  }
+
+  test("q355/q356: the PQ and binary triggers ACT on drift and stay quiet on the control") {
+    val sf = "/root/testdata/sf0.001"
+    val pq = graft.ops.Clustering.ensurePqTriggerAction(spark, sf)
+    assert(pq == Seq(("ctl", false, 0L, true, true, true),
+      ("drift", true, 1L, true, true, true)), s"pq ledger: $pq")
+    val bin = graft.ops.Clustering.ensureBinTriggerAction(spark, sf)
+    assert(bin == Seq(("ctl", false, 0L, true, true, true),
+      ("drift", true, 1L, true, true, true)), s"bin ledger: $bin")
   }
 }
