@@ -1262,10 +1262,14 @@ object Clustering {
   // (plan-witnessed per trigger). The measurement is paid by the
   // commit that CHANGES what the rule sees: genesis stamps the base
   // corpus quiet, THE INGEST (the odd half's vectors re-embedded by a
-  // drifted model, landing mid-stream as one atomic corpus+index+meta
-  // commit — the index grown under the frozen centroids, q215's
-  // maintenance path, re-staging only its own arriving bytes) stamps
-  // the drifted measure, and the refresh stamps itself quiet.
+  // drifted model, landing mid-stream as ONE atomic commit) stamps
+  // the drifted measure, and the refresh stamps itself quiet. The
+  // corpus lives as TWO units — corpus_base (the even half, never
+  // re-embedded) and corpus_delta (the odd half) — so the ingest
+  // stages LITERALLY only its arriving bytes: the delta unit replaces
+  // fresh, the base and centroids re-list by name, and the grown
+  // index (q215's maintenance path under the frozen centroids) is the
+  // only other fresh surface.
   //
   // Timeline per chain (one probe stream serves both):
   //   batch 0  serves v0 (frozen genesis); then the ingest commits v1
@@ -1338,17 +1342,26 @@ object Clustering {
         c -> graft.util.TmpDirs.scratchFor(s"ivf_maint_$c", d)).toMap
       val heads = chains.map(c =>
         c -> new java.util.concurrent.atomic.AtomicLong(0)).toMap
+      // the corpus lives as TWO units so the ingest can stage ONLY
+      // its arriving bytes: corpus_base = the even half (never
+      // re-embedded, re-listed by name through every commit),
+      // corpus_delta = the odd half (the unit the drift REPLACES)
       chains.foreach { c =>
         val root = roots(c)
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(s"$root/manifest"))
-        base.write.mode("overwrite").parquet(s"$root/data/corpus_0")
+        base.filter(col("vec_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$root/data/corpus_base_0")
+        base.filter(col("vec_id") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$root/data/corpus_delta_0")
         ivfAssignAgainst(base, cents0).select(col("vec_id"), col("cell"))
           .write.mode("overwrite").parquet(s"$root/data/index_0")
         cents0.write.mode("overwrite").parquet(s"$root/data/cents_0")
         Seq((fa0, fb0)).toDF("dist_head_us", "dist_refreshed_us")
           .coalesce(1).write.mode("overwrite").parquet(s"$root/data/meta_0")
-        Seq(("corpus", "data/corpus_0"), ("index", "data/index_0"),
+        Seq(("corpus_base", "data/corpus_base_0"),
+            ("corpus_delta", "data/corpus_delta_0"),
+            ("index", "data/index_0"),
             ("cents", "data/cents_0"), ("meta", "data/meta_0"))
           .toDF("tbl", "unit").coalesce(1)
           .write.mode("overwrite").parquet(s"$root/manifest/v0")
@@ -1388,10 +1401,11 @@ object Clustering {
                 if (refreshNow) {
                   // THE ACTION: the rebuild the engine already built,
                   // committed atomically WITH its centroids and the
-                  // quiet re-stamp; the corpus re-lists by name
+                  // quiet re-stamp; BOTH corpus units re-list by name
                   val u = Audit.manifestUnits(ss, root, v)
                   require(Audit.occCommitNShared(s, root, heads(c), 1L, Seq(
-                      "corpus" -> Left(u("corpus")),
+                      "corpus_base" -> Left(u("corpus_base")),
+                      "corpus_delta" -> Left(u("corpus_delta")),
                       "index" -> Right(s.table(rebuilt)
                         .select(col("vec_id"), col("cell"))),
                       "cents" -> Right(refreshedCents(arrived)),
@@ -1403,8 +1417,9 @@ object Clustering {
                 val snap = Audit.readNSnapshot(ss, root, v)
                 val qs = batch.select(col("query_id"))
                   .join(qVecs(c), Seq("query_id"))
-                ivfProbeTop3(snap("corpus"), qs, snap("index"),
-                    snap("cents"))
+                ivfProbeTop3(
+                    snap("corpus_base").unionByName(snap("corpus_delta")),
+                    qs, snap("index"), snap("cents"))
                   .withColumn("resolved_v", lit(v))
                   .withColumn("trigger_fired", lit(fires))
                   .withColumn("refresh_committed", lit(refreshNow))
@@ -1418,14 +1433,20 @@ object Clustering {
                   val u0 = Audit.manifestUnits(ss, root, 0L)
                   val ingest: Seq[(String, Either[String, DataFrame])] =
                     if (c == "drift") Seq(
-                      "corpus" -> Right(arrived),
+                      // ONLY the arriving bytes stage fresh: the
+                      // re-embedded odd half replaces its delta unit;
+                      // the untouched even base re-lists by name
+                      "corpus_base" -> Left(u0("corpus_base")),
+                      "corpus_delta" -> Right(
+                        arrived.filter(col("vec_id") % 2 === 1)),
                       "index" -> Right(s.table(grown)
                         .select(col("vec_id"), col("cell"))),
                       "cents" -> Left(u0("cents")),
                       "meta" -> Right(Seq((faDrift, fbDrift))
                         .toDF("dist_head_us", "dist_refreshed_us")))
                     else Seq(
-                      "corpus" -> Left(u0("corpus")),
+                      "corpus_base" -> Left(u0("corpus_base")),
+                      "corpus_delta" -> Left(u0("corpus_delta")),
                       "index" -> Left(u0("index")),
                       "cents" -> Left(u0("cents")),
                       "meta" -> Right(Seq((fa0, fb0))
@@ -1452,7 +1473,8 @@ object Clustering {
         val served = s.read.parquet(s"$outDir/chain=$c")
         def ref(v: Long, chunk: DataFrame): DataFrame = {
           val snap = Audit.readNSnapshot(s, root, v)
-          ivfProbeTop3(snap("corpus"),
+          ivfProbeTop3(
+            snap("corpus_base").unionByName(snap("corpus_delta")),
             chunk.join(qVecs(c), Seq("query_id")),
             snap("index"), snap("cents"))
         }
@@ -1468,8 +1490,9 @@ object Clustering {
           .withColumn("rk", row_number().over(wRank))
           .filter(col("rk") <= 3)
           .select(col("query_id").as("xq"), col("vec_id").as("xv"))
-        val headServeComplete = staleHits(s, headSnap("corpus"), qsAll,
-          exact, headSnap("index"), headSnap("cents")).count() ==
+        val headServeComplete = staleHits(s,
+          headSnap("corpus_base").unionByName(headSnap("corpus_delta")),
+          qsAll, exact, headSnap("index"), headSnap("cents")).count() ==
           qsAll.count()
         (0L to 2L).map { id =>
           val b = served.filter(col("batch_id") === id)

@@ -165,6 +165,18 @@ class Round15OpsSpec extends AnyFunSuite {
       assert(r._9, s"${r._1} batch ${r._2} check scanned beyond meta")
       assert(r._10, s"${r._1} head serve incomplete")
     }
+    // the at-scale corpus split: the never-re-embedded base unit is
+    // name-shared through EVERY drift commit (zero unchanged-corpus
+    // bytes staged); only the delta unit replaces, exactly once
+    val droot = graft.util.TmpDirs.pathFor("ivf_maint_drift", sf)
+    val u = (0L to 2L).map(v =>
+      graft.ops.Audit.manifestUnits(spark, droot, v))
+    assert(u.map(_("corpus_base")).distinct.size == 1,
+      "the corpus base unit was re-staged")
+    assert(u(1)("corpus_delta") != u(0)("corpus_delta"),
+      "the ingest must replace the delta unit")
+    assert(u(2)("corpus_delta") == u(1)("corpus_delta"),
+      "the refresh must re-list the delta by name")
   }
 
   test("q355/q356: the PQ and binary triggers ACT on drift and stay quiet on the control") {
