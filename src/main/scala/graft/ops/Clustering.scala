@@ -1297,6 +1297,21 @@ object Clustering {
       Boolean, Boolean)]]()
   graft.util.CacheRegistry.registerMemo(maintIvfMemo)
 
+  /** Executed-plan witness that `df` scanned ONLY the directory at
+    * `wantPath` — shared by every stamped-stats maintenance check
+    * (q353 IVF, q357 binary).
+    */
+  private def scanOnlyWitness(df: DataFrame, wantPath: String): Boolean = {
+    val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+    val want = java.nio.file.Paths.get(wantPath)
+      .toAbsolutePath.normalize.toString
+    scanned.nonEmpty && scanned.forall(p =>
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString == want)
+  }
+
   /** The q353 per-trigger check: resolve the head manifest (bounded),
     * read the ONE meta row, apply q259's integer rule — and witness
     * off the executed plan that the meta read scanned ONLY the meta
@@ -1310,15 +1325,7 @@ object Clustering {
     val r = df.collect()(0) // 1 bounded row — THE decision
     val fires = r.getAs[Long]("dist_head_us") >=
       2L * r.getAs[Long]("dist_refreshed_us")
-    val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.rootPaths.map(_.toUri.getPath)
-    }.flatten
-    val want = java.nio.file.Paths.get(s"$root/${u("meta")}")
-      .toAbsolutePath.normalize.toString
-    val metaOnly = scanned.nonEmpty && scanned.forall(p =>
-      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString == want)
-    (fires, metaOnly)
+    (fires, scanOnlyWitness(df, s"$root/${u("meta")}"))
   }
 
   private[graft] def ensureIvfMaintLoop(s: SparkSession, d: String)
@@ -1806,6 +1813,277 @@ object Clustering {
         "codes_equal_expected", "thresholds_equal_expected",
         "head_rule_quiet")
       .orderBy(col("chain"))
+  }
+
+  // ---- q357: the BINARY MAINTENANCE LOOP under LIVE SERVING ---------
+  //
+  // q353's composition for a THIRD family: the binary index serves a
+  // Hamming probe stream while q356's trigger→action runs inside the
+  // loop. The chain carries the q353 unit split discipline end to
+  // end — corpus_base/corpus_delta (the never-re-embedded even half
+  // vs the odd half) AND codes_base/codes_delta (their sign codes),
+  // so THE INGEST (the odd half re-embedded, landing mid-stream as
+  // one atomic commit) stages literally its arriving bytes: the delta
+  // corpus unit, the delta CODES re-signed under the UNCHANGED frozen
+  // thresholds (quantize-on-arrival, q215's maintenance path), and
+  // the meta stamp; base corpus, base codes, and thresholds re-list
+  // by name. The per-trigger check reads the manifest + ONE meta row
+  // carrying q278's decision quantities (imb_head, imb_refreshed,
+  // n_total — the rule needs the magnitude term too), plan-witnessed
+  // meta-only. A firing check commits the full re-sign — BOTH code
+  // units must refresh because the THRESHOLDS changed, which is
+  // exactly why the re-sign is a commit and not an append — plus the
+  // refreshed thresholds and the quiet re-stamp, corpus units
+  // re-listed. The ctl chain's zero-delta ingest re-lists everything
+  // but meta and never fires; its serving units stay byte-pinned.
+  //
+  // Scale shape: the serve is the production binary probe — encode
+  // the micro-batch's queries under the resolved thresholds (O(dim)
+  // broadcast) and rank by two-word Hamming distance (bit_count on
+  // codegen'd longs, no arrays touched); the check is a KB read; the
+  // ingest measure is one explode+aggregate pass over its own delta,
+  // amortized per ingest.
+
+  /** The q357 per-trigger check: q278's two-condition integer rule
+    * off the head's stamped meta row, with the meta-only plan
+    * witness.
+    */
+  private def binMaintCheck(ss: SparkSession, root: String, v: Long)
+      : (Boolean, Boolean) = {
+    val u = Audit.manifestUnits(ss, root, v) // ≤ N bounded rows
+    val df = ss.read.parquet(s"$root/${u("meta")}")
+    val r = df.collect()(0) // 1 bounded row — THE decision
+    val (fa, fb, nn) = (r.getAs[Long]("imb_head"),
+      r.getAs[Long]("imb_refreshed"), r.getAs[Long]("n_total"))
+    (fa >= 2L * fb && 4L * fa >= nn,
+      scanOnlyWitness(df, s"$root/${u("meta")}"))
+  }
+
+  /** The binary serve: encode queries under the resolved thresholds,
+    * rank corpus codes by two-word Hamming distance, top-3 per query
+    * (self excluded; ties by vec_id).
+    */
+  private def hammingTop3(qVecs: DataFrame, thr: DataFrame,
+      codes: DataFrame): DataFrame = {
+    val qCodes = thresholdSignCodes(
+        qVecs.select(col("query_id").as("vec_id"), col("qe").as("v")), thr)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+        col("hi").as("qhi"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("vec_id"))
+    codes.crossJoin(broadcast(qCodes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ham",
+        bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("vec_id"))
+  }
+
+  private val maintBinMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    Seq[(String, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean,
+      Boolean, Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(maintBinMemo)
+
+  private[graft] def ensureBinMaintLoop(s: SparkSession, d: String)
+      : Seq[(String, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean,
+        Boolean, Boolean)] =
+    maintBinMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("bin_maint_loop") {
+      import s.implicits._
+      val base = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val arrived = shiftCorpus(s, d)
+      val thr0All = binThresholdsOf(base, col("vec_id") % 2 === 0)
+      // commit-time stamps, measured OUTSIDE the stream by each
+      // commit's writer (genesis / ingest / refresh)
+      val (fa0, nn0) = binImbalance(base, thr0All)
+      val (fb0, _) = binImbalance(base, binThresholdsOf(base, lit(true)))
+      val refreshedThr = binThresholdsOf(arrived, lit(true))
+      val (faDrift, nnD) = binImbalance(arrived, thr0All)
+      val (fbDrift, _) = binImbalance(arrived, refreshedThr)
+      val chains = Seq("ctl", "drift")
+      val roots = chains.map(c =>
+        c -> graft.util.TmpDirs.scratchFor(s"bin_maint_$c", d)).toMap
+      val heads = chains.map(c =>
+        c -> new java.util.concurrent.atomic.AtomicLong(0)).toMap
+      chains.foreach { c =>
+        val root = roots(c)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$root/manifest"))
+        base.filter(col("vec_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$root/data/corpus_base_0")
+        base.filter(col("vec_id") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$root/data/corpus_delta_0")
+        thresholdSignCodes(base.filter(col("vec_id") % 2 === 0), thr0All)
+          .write.mode("overwrite").parquet(s"$root/data/codes_base_0")
+        thresholdSignCodes(base.filter(col("vec_id") % 2 === 1), thr0All)
+          .write.mode("overwrite").parquet(s"$root/data/codes_delta_0")
+        thr0All.write.mode("overwrite").parquet(s"$root/data/thr_0")
+        Seq((fa0, fb0, nn0)).toDF("imb_head", "imb_refreshed", "n_total")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/data/meta_0")
+        Seq(("corpus_base", "data/corpus_base_0"),
+            ("corpus_delta", "data/corpus_delta_0"),
+            ("codes_base", "data/codes_base_0"),
+            ("codes_delta", "data/codes_delta_0"),
+            ("thr", "data/thr_0"), ("meta", "data/meta_0"))
+          .toDF("tbl", "unit").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/manifest/v0")
+      }
+      val ctlPinBefore = Seq("thr_0", "codes_base_0", "codes_delta_0")
+        .map(u => listDataFiles(
+          java.nio.file.Paths.get(s"${roots("ctl")}/data/$u")))
+        .reduce(_ ++ _)
+      val qVecs = Map(
+        "ctl" -> base.filter(col("vec_id") % 100 === 51)
+          .select(col("vec_id").as("query_id"), col("v").as("qe")),
+        "drift" -> arrived.filter(col("vec_id") % 100 === 51)
+          .select(col("vec_id").as("query_id"), col("v").as("qe")))
+      val feed = graft.util.TmpDirs.scratchFor("bin_maint_feed", d)
+      (0 until 3).foreach { c =>
+        graft.util.OrderedFeed.writeChunk(s"$feed/c$c", c,
+          qVecs("drift").select(col("query_id"))
+            .filter(pmod(col("query_id"), lit(3)) === c))
+      }
+      val outDir = graft.util.TmpDirs.scratchFor("bin_maint_out", d)
+      graft.util.StreamTuning.withShuffle(s, 8) {
+        val src = s.readStream
+          .schema(s.read.parquet(s"$feed/c0").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$feed/c*")
+        val q = src.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!batch.isEmpty) {
+              val ss = batch.sparkSession
+              chains.foreach { c =>
+                val root = roots(c)
+                val v = heads(c).get() // resolve the head at batch start
+                val (fires, metaOnly) = binMaintCheck(ss, root, v)
+                val refreshNow = fires && v == 1L
+                if (refreshNow) {
+                  // THE ACTION: the thresholds changed, so BOTH code
+                  // units re-sign — that is what makes the refresh a
+                  // commit; corpus units re-list by name
+                  val u = Audit.manifestUnits(ss, root, v)
+                  require(Audit.occCommitNShared(s, root, heads(c), 1L, Seq(
+                      "corpus_base" -> Left(u("corpus_base")),
+                      "corpus_delta" -> Left(u("corpus_delta")),
+                      "codes_base" -> Right(thresholdSignCodes(
+                        arrived.filter(col("vec_id") % 2 === 0),
+                        refreshedThr)),
+                      "codes_delta" -> Right(thresholdSignCodes(
+                        arrived.filter(col("vec_id") % 2 === 1),
+                        refreshedThr)),
+                      "thr" -> Right(refreshedThr),
+                      "meta" -> Right(Seq((fbDrift, fbDrift, nnD))
+                        .toDF("imb_head", "imb_refreshed", "n_total")))),
+                    s"the maintenance re-sign holds the head ($c)")
+                }
+                // serve THIS batch through the version resolved at start
+                val snap = Audit.readNSnapshot(ss, root, v)
+                val qs = batch.select(col("query_id"))
+                  .join(qVecs(c), Seq("query_id"))
+                hammingTop3(qs, snap("thr"),
+                    snap("codes_base").unionByName(snap("codes_delta")))
+                  .withColumn("resolved_v", lit(v))
+                  .withColumn("trigger_fired", lit(fires))
+                  .withColumn("refresh_committed", lit(refreshNow))
+                  .withColumn("check_meta_only", lit(metaOnly))
+                  .write.mode("overwrite")
+                  .parquet(s"$outDir/chain=$c/batch_id=$id")
+                // after batch 0's serve: THE INGEST — the odd half
+                // re-embedded; ONLY its bytes stage (delta corpus +
+                // delta codes quantized under the UNCHANGED frozen
+                // thresholds + meta); ctl re-lists everything but meta
+                if (id == 0L) {
+                  val u0 = Audit.manifestUnits(ss, root, 0L)
+                  val ingest: Seq[(String, Either[String, DataFrame])] =
+                    if (c == "drift") Seq(
+                      "corpus_base" -> Left(u0("corpus_base")),
+                      "corpus_delta" -> Right(
+                        arrived.filter(col("vec_id") % 2 === 1)),
+                      "codes_base" -> Left(u0("codes_base")),
+                      "codes_delta" -> Right(thresholdSignCodes(
+                        arrived.filter(col("vec_id") % 2 === 1), thr0All)),
+                      "thr" -> Left(u0("thr")),
+                      "meta" -> Right(Seq((faDrift, fbDrift, nnD))
+                        .toDF("imb_head", "imb_refreshed", "n_total")))
+                    else Seq(
+                      "corpus_base" -> Left(u0("corpus_base")),
+                      "corpus_delta" -> Left(u0("corpus_delta")),
+                      "codes_base" -> Left(u0("codes_base")),
+                      "codes_delta" -> Left(u0("codes_delta")),
+                      "thr" -> Left(u0("thr")),
+                      "meta" -> Right(Seq((fa0, fb0, nn0))
+                        .toDF("imb_head", "imb_refreshed", "n_total")))
+                  require(Audit.occCommitNShared(s, root, heads(c), 0L,
+                      ingest), s"the ingest commit holds the head ($c)")
+                }
+              }
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val ctlPinned = {
+        val after = Seq("thr_0", "codes_base_0", "codes_delta_0")
+          .map(u => listDataFiles(
+            java.nio.file.Paths.get(s"${roots("ctl")}/data/$u")))
+          .reduce(_ ++ _)
+        ctlPinBefore == after
+      }
+      // post-drive: per-version references through the SAME serve leg;
+      // head completeness = every query answered at the head
+      chains.flatMap { c =>
+        val root = roots(c)
+        val served = s.read.parquet(s"$outDir/chain=$c")
+        def ref(v: Long, chunk: DataFrame): DataFrame = {
+          val snap = Audit.readNSnapshot(s, root, v)
+          hammingTop3(chunk.join(qVecs(c), Seq("query_id")),
+            snap("thr"),
+            snap("codes_base").unionByName(snap("codes_delta")))
+        }
+        val headV = heads(c).get()
+        val headSnap = Audit.readNSnapshot(s, root, headV)
+        val headServeComplete = hammingTop3(qVecs(c), headSnap("thr"),
+            headSnap("codes_base").unionByName(headSnap("codes_delta")))
+          .select(col("query_id")).distinct().count() == qVecs(c).count()
+        (0L to 2L).map { id =>
+          val b = served.filter(col("batch_id") === id)
+          val hdr = b.select(col("resolved_v"), col("trigger_fired"),
+              col("refresh_committed"), col("check_meta_only"))
+            .limit(1).collect()(0) // 1 bounded control row
+          val v = hdr.getLong(0)
+          val chunk = s.read.parquet(s"$feed/c${id.toInt}")
+            .select(col("query_id"))
+          val bAns = b.select(col("query_id"), col("vec_id"))
+          val refAns = ref(v, chunk).select(col("query_id"), col("vec_id"))
+          val equalsRef = bAns.exceptAll(refAns).count() +
+            refAns.exceptAll(bAns).count() == 0L
+          (c, id, v, id == 0L, hdr.getBoolean(1), hdr.getBoolean(2),
+            equalsRef, if (c == "ctl") ctlPinned else true,
+            hdr.getBoolean(3), headServeComplete)
+        }
+      }
+    })
+
+  /** q357: per (chain, micro-batch) — the binary family's maintenance
+    * loop under a live Hamming probe stream: the resolved version,
+    * the ingest landing at batch 0 (delta-only bytes), the stamped
+    * q278 trigger decision, whether THIS batch's decision committed
+    * the re-sign, exact serve equality with the resolved version's
+    * reference, the control's serving-units byte-pin, the per-trigger
+    * meta-only plan witness, and the head answering every query.
+    */
+  def binMaintLoop(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureBinMaintLoop(s, d)
+    import s.implicits._
+    rows.toDF("chain", "batch_id", "resolved_version", "ingest_committed",
+        "trigger_fired", "refresh_committed", "equals_pinned_reference",
+        "serving_units_pinned", "check_meta_only", "head_serve_complete")
+      .orderBy(col("chain"), col("batch_id"))
   }
 
   /** (vec_id, m, sv) subvector expansion shared by q114 and the q204
@@ -4417,6 +4695,7 @@ object Clustering {
     "q353_ivf_maint_loop" -> ivfMaintLoop _,
     "q355_pq_trigger_action" -> pqTriggerAction _,
     "q356_bin_trigger_action" -> binTriggerAction _,
+    "q357_bin_maint_loop" -> binMaintLoop _,
     "q336_staleness_ctl" -> stalenessControls _,
     "q263_index_compaction" -> ivfCompactedProbe _,
     "q272_ivf_lifecycle" -> ivfLifecycleProbe _,
@@ -5137,6 +5416,25 @@ object Clustering {
         |  TRUE AS head_rule_quiet
         |FROM (VALUES ('ctl'), ('drift')) AS c(chain)
         |ORDER BY chain""".stripMargin,
+    // q357: the binary maintenance loop under a live Hamming probe
+    // stream — the delta-only ingest lands at batch 0 (v1), the drift
+    // chain's stamped q278 check fires at batch 1 and commits the
+    // (codes, thresholds, meta) re-sign, batch 2 serves it; the ctl
+    // chain re-lists everything but meta and never fires
+    "q357_bin_maint_loop" ->
+      """SELECT chain, CAST(b AS BIGINT) AS batch_id,
+        |  CAST(CASE WHEN chain = 'drift' THEN b
+        |    ELSE LEAST(b, 1) END AS BIGINT) AS resolved_version,
+        |  (b = 0) AS ingest_committed,
+        |  (chain = 'drift' AND b = 1) AS trigger_fired,
+        |  (chain = 'drift' AND b = 1) AS refresh_committed,
+        |  TRUE AS equals_pinned_reference,
+        |  TRUE AS serving_units_pinned,
+        |  TRUE AS check_meta_only,
+        |  TRUE AS head_serve_complete
+        |FROM (VALUES (0), (1), (2)) AS t(b)
+        |CROSS JOIN (VALUES ('ctl'), ('drift')) AS c(chain)
+        |ORDER BY chain, batch_id""".stripMargin,
     // q336: the three no-drift controls must keep every trigger quiet
     // — the falsifiability half of the q259/q277/q278 decisions
     "q336_staleness_ctl" ->

@@ -179,6 +179,34 @@ class Round15OpsSpec extends AnyFunSuite {
       "the refresh must re-list the delta by name")
   }
 
+  test("q357 binary maintenance loop: delta-only ingest, one firing re-sign, control fully re-listed") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Clustering.ensureBinMaintLoop(spark, sf)
+    val byChain = rows.groupBy(_._1)
+    assert(byChain("drift").map(_._3) == Seq(0L, 1L, 2L))
+    assert(byChain("ctl").map(_._3) == Seq(0L, 1L, 1L))
+    assert(rows.filter(_._5).map(r => (r._1, r._2)) == Seq(("drift", 1L)))
+    assert(rows.filter(_._6).map(r => (r._1, r._2)) == Seq(("drift", 1L)))
+    rows.foreach { r =>
+      assert(r._7 && r._8 && r._9 && r._10,
+        s"${r._1} batch ${r._2} witnesses: $r")
+    }
+    // delta-only ingest: base corpus AND base codes AND thresholds
+    // name-shared v0→v1 on the drift chain; the re-sign at v2
+    // replaces both code units and the thresholds, corpus unchanged
+    val droot = graft.util.TmpDirs.pathFor("bin_maint_drift", sf)
+    val u = (0L to 2L).map(v =>
+      graft.ops.Audit.manifestUnits(spark, droot, v))
+    Seq("corpus_base", "codes_base", "thr").foreach { k =>
+      assert(u(1)(k) == u(0)(k), s"$k re-staged by the ingest") }
+    assert(u(1)("corpus_delta") != u(0)("corpus_delta"))
+    assert(u(1)("codes_delta") != u(0)("codes_delta"))
+    Seq("corpus_base", "corpus_delta").foreach { k =>
+      assert(u(2)(k) == u(1)(k), s"$k re-staged by the re-sign") }
+    Seq("codes_base", "codes_delta", "thr").foreach { k =>
+      assert(u(2)(k) != u(1)(k), s"$k must refresh with the thresholds") }
+  }
+
   test("q355/q356: the PQ and binary triggers ACT on drift and stay quiet on the control") {
     val sf = "/root/testdata/sf0.001"
     val pq = graft.ops.Clustering.ensurePqTriggerAction(spark, sf)
