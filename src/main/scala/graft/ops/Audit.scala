@@ -1832,9 +1832,10 @@ object Audit {
         java.nio.file.Paths.get(s"$root/manifest/v5"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       val v5 = readNSnapshot(s, root, 5L)
+      val t5 = totals(5L) // evaluate the v5 totals once (r15 advice)
       val commitSurvives = v5("view").count() == 1L &&
-        totals(5L)("replica") == headBefore("replica") &&
-        totals(5L)("index") == headBefore("index")
+        t5("replica") == headBefore("replica") &&
+        t5("index") == headBefore("index")
       (kept.size.toLong, swept.size.toLong, fenced.size.toLong,
         Seq(expiredGone, pinnedSurvives, headOk, commitSurvives))
     })
@@ -1886,22 +1887,49 @@ object Audit {
   final case class RetentionPolicy(
       chain: String, kind: String, dir: String, keep: Set[Long],
       pinned: Set[Long] = Set.empty, graceMs: Long = 3600 * 1000L,
-      table: String = "")
+      table: String = "", keepNewerThanMs: Long = 0L)
 
   /** Walk every declared chain once; one ledger row per chain:
     * (chain, kind, kept, swept, fenced).
     */
+  /** Resolve a policy's effective keep-set: the enumerated versions
+    * plus — when `keepNewerThanMs` > 0 — every version whose manifest
+    * mtime (the commit-adjacent timestamp: staging writes it, the
+    * publish rename preserves it) is inside the window. Production
+    * declares "keep versions newer than T" (r15 verdict item 5); the
+    * enumerated form stays for pinning specific versions, and both
+    * compose with the reader sink pins.
+    */
+  private def resolveKeep(p: RetentionPolicy): Set[Long] = {
+    if (p.keepNewerThanMs <= 0L) p.keep
+    else {
+      val mroot = if (p.kind == "partitions") p.dir else s"${p.dir}/manifest"
+      val now = System.currentTimeMillis()
+      val derived = Option(new java.io.File(mroot).list())
+        .getOrElse(Array.empty[String])
+        .flatMap { n =>
+          if (n.matches("v\\d+")) Some(n.drop(1).toLong) else None
+        }
+        .filter { v =>
+          now - new java.io.File(s"$mroot/v$v").lastModified() <
+            p.keepNewerThanMs
+        }.toSet
+      p.keep ++ derived
+    }
+  }
+
   private[graft] def retentionRun(s: SparkSession,
       policies: Seq[RetentionPolicy]): Seq[(String, String, Long, Long, Long)] =
     policies.map { p =>
+      val keep = resolveKeep(p)
       p.kind match {
         case "units" =>
-          val (k, sw, f) = gcSweep(s, p.dir, p.keep, p.pinned, p.graceMs)
+          val (k, sw, f) = gcSweep(s, p.dir, keep, p.pinned, p.graceMs)
           (p.chain, p.kind, k.size.toLong, sw.size.toLong, f.size.toLong)
         case "partitions" =>
-          val (k, sw) = GraphAnn.partitionGcSweep(s, p.dir, p.table,
-            p.keep, p.pinned)
-          (p.chain, p.kind, k.size.toLong, sw.size.toLong, 0L)
+          val (k, sw, f) = GraphAnn.partitionGcSweep(s, p.dir, p.table,
+            keep, p.pinned, p.graceMs)
+          (p.chain, p.kind, k.size.toLong, sw.size.toLong, f.size.toLong)
         case other =>
           throw new IllegalArgumentException(
             s"unknown retention layout '$other' for chain ${p.chain}")
@@ -1951,6 +1979,20 @@ object Audit {
       val (groot, _) = GraphAnn.gdprV0Files.get((s, d))
       val u2 = manifestUnits(s, groot, 2L)
       GraphAnn.appendFoldPartitions(s, groot, u2, tname, flagged)
+      // age the (ever, layer) partition dirs past the grace window:
+      // this chain is quiesced, so the recency fence (r16) must see
+      // steady-state mtimes and sweep exactly the superseded dirs
+      val ploc = Clustering.tableLocation(s, tname)
+      for {
+        e <- Option(ploc.toFile.list()).getOrElse(Array.empty[String])
+        if e.startsWith("ever=")
+        l <- Option(ploc.resolve(e).toFile.list())
+          .getOrElse(Array.empty[String])
+        if l.startsWith("layer=")
+      } java.nio.file.Files.setLastModifiedTime(
+        ploc.resolve(e).resolve(l),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 3600 * 1000))
       import s.implicits._
       val mdir = s"$groot/polmanifest"
       deleteTree(mdir)
@@ -1999,6 +2041,140 @@ object Audit {
     import s.implicits._
     rows.toDF("chain", "layout", "kept", "swept", "fenced",
         "head_conserved")
+      .orderBy(col("chain"))
+  }
+
+  // ---- q362: TIME-WINDOW retention — the keep-set is DERIVED ---------
+  //
+  // q354's keep-sets are explicit version lists; production declares
+  // "keep versions newer than T" resolved against manifest commit
+  // timestamps (the r15 verdict's item 5). RetentionPolicy now
+  // carries `keepNewerThanMs`; the runner derives the keep-set from
+  // the manifest mtimes and composes it with the enumerated versions
+  // and the reader sink pins. This gate drives ONE retentionRun over
+  // three chains of two layout kinds where NO policy enumerates a
+  // keep version — every survivor is derived or pinned:
+  //  - `tw_units_window`: the q335 clone with v0 aged out of the
+  //    window and v1 inside it → genesis sweeps, head survives;
+  //  - `tw_units_pinned`: same ages, but a persisted reader sink-pin
+  //    holds v0 → nothing sweeps (the pin outranks the window);
+  //  - `tw_partition_form`: the (ever, layer) table with v1 aged and
+  //    v2 fresh → the flagged superseded dirs sweep.
+  // Per chain the head/pin conservation witness re-reads after the
+  // run — the q354 discipline with the keep-set computed, not typed.
+  //
+  // Scale shape: derivation adds one mtime stat per manifest version
+  // (a ≤|versions| driver walk); everything else rides the
+  // primitives unchanged.
+
+  private val twMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, String, Long, Long, Long, Boolean,
+      Boolean)]]()
+  graft.util.CacheRegistry.registerMemo(twMemo)
+
+  private def setMtime(path: String, ms: Long): Unit =
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(path),
+      java.nio.file.attribute.FileTime.fromMillis(ms))
+
+  private[graft] def ensureTimeRetention(s: SparkSession, d: String)
+      : Seq[(String, String, Long, Long, Long, Boolean, Boolean)] =
+    twMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("time_retention_run") {
+      val (srcRoot, srcHead) = Clustering.ensureIvfErasureCommit(s, d)
+      require(srcHead == 1L, s"q335 chain head must be 1, got $srcHead")
+      val now = System.currentTimeMillis()
+      val old = now - 2L * 3600 * 1000
+      // clone A: v0 outside the 1 h window, v1 inside it
+      val rootA = graft.util.TmpDirs.scratchFor("tw_ret_a", d)
+      GraphAnn.linkTree(srcRoot, rootA)
+      ageUnitDirs(rootA)
+      setMtime(s"$rootA/manifest/v0", old)
+      setMtime(s"$rootA/manifest/v1", now)
+      // clone B: same ages, but a live reader's persisted sink pin
+      // holds v0 — the pin outranks the window
+      val rootB = graft.util.TmpDirs.scratchFor("tw_ret_b", d)
+      GraphAnn.linkTree(srcRoot, rootB)
+      ageUnitDirs(rootB)
+      setMtime(s"$rootB/manifest/v0", old)
+      setMtime(s"$rootB/manifest/v1", now)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$rootB/reader_pin"), "0")
+      val sinkPinned = Set(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$rootB/reader_pin")).trim.toLong)
+      // chain C: the partition form, v1 aged / v2 fresh
+      val (tname, flagged, maxLevel) =
+        GraphAnn.everTableFromChain(s, d, "graft_gdpr_tw_")
+      val (groot, _) = GraphAnn.gdprV0Files.get((s, d))
+      val u2 = manifestUnits(s, groot, 2L)
+      GraphAnn.appendFoldPartitions(s, groot, u2, tname, flagged)
+      val ploc = Clustering.tableLocation(s, tname)
+      for {
+        e <- Option(ploc.toFile.list()).getOrElse(Array.empty[String])
+        if e.startsWith("ever=")
+        l <- Option(ploc.resolve(e).toFile.list())
+          .getOrElse(Array.empty[String])
+        if l.startsWith("layer=")
+      } setMtime(ploc.resolve(e).resolve(l).toString, old)
+      import s.implicits._
+      val mdir = s"$groot/twmanifest"
+      deleteTree(mdir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(mdir))
+      (0L to maxLevel.toLong).map(l => l -> 1)
+        .toDF("layer", "ever").coalesce(1)
+        .write.mode("overwrite").parquet(s"$mdir/v1")
+      (0L to maxLevel.toLong)
+        .map(l => l -> (if (flagged(l.toInt)) 2 else 1))
+        .toDF("layer", "ever").coalesce(1)
+        .write.mode("overwrite").parquet(s"$mdir/v2")
+      setMtime(s"$mdir/v1", old)
+      setMtime(s"$mdir/v2", now)
+      val resolveV2 = col("ever") ===
+        when(col("layer").isin(flagged.toSeq: _*), 2).otherwise(1)
+      // head/pin states BEFORE the run (bounded one-row aggregates)
+      val headA = readNSnapshot(s, rootA, 1L)("index").count()
+      val pinnedB = readNSnapshot(s, rootB, 0L)("corpus").count()
+      val headC = s.table(tname).filter(resolveV2).count()
+      // ONE invocation; NO policy enumerates a keep version
+      val window = 3600 * 1000L
+      val ledger = retentionRun(s, Seq(
+        RetentionPolicy("tw_units_window", "units", rootA,
+          keep = Set.empty, keepNewerThanMs = window),
+        RetentionPolicy("tw_units_pinned", "units", rootB,
+          keep = Set.empty, pinned = sinkPinned, keepNewerThanMs = window),
+        RetentionPolicy("tw_partition_form", "partitions", mdir,
+          keep = Set.empty, table = tname, keepNewerThanMs = window)))
+      val expiredOld = Map(
+        "tw_units_window" -> !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$rootA/manifest/v0")),
+        "tw_units_pinned" -> java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$rootB/manifest/v0")), // pin holds it
+        "tw_partition_form" -> !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$mdir/v1")))
+      val conserved = Map(
+        "tw_units_window" ->
+          (readNSnapshot(s, rootA, 1L)("index").count() == headA),
+        "tw_units_pinned" ->
+          (readNSnapshot(s, rootB, 0L)("corpus").count() == pinnedB),
+        "tw_partition_form" ->
+          (s.table(tname).filter(resolveV2).count() == headC))
+      ledger.map { case (c, kind, k, sw, f) =>
+        (c, kind, k, sw, f, expiredOld(c), conserved(c))
+      }
+    })
+
+  /** q362: the time-window retention ledger — one row per chain with
+    * deterministic (kept, swept, fenced) counts driven by a DERIVED
+    * keep-set (window: 3 kept / 3 genesis swept; pinned: the sink pin
+    * outranks the window, all 6 kept; partition form: maxLevel+1
+    * kept / the 2 flagged superseded dirs swept), the out-of-window
+    * expiry/pin-hold witness, and post-run head/pin conservation.
+    */
+  def timeRetentionRun(s: SparkSession, d: String): DataFrame = {
+    val rows = ensureTimeRetention(s, d)
+    import s.implicits._
+    rows.toDF("chain", "layout", "kept", "swept", "fenced",
+        "window_expiry_correct", "head_conserved")
       .orderBy(col("chain"))
   }
 
@@ -2309,6 +2485,7 @@ object Audit {
     "q351_compaction_chain_gc" -> compactionChainGc _,
     "q352_ntable_chain_gc" -> ntableChainGc _,
     "q354_retention_policy_run" -> retentionPolicyRun _,
+    "q362_time_retention" -> timeRetentionRun _,
     "q192_psi_drift"       -> psiDrift _,
     "q171_benford"         -> benfordAudit _,
     "q131_column_profile"  -> columnProfile _,
@@ -2442,6 +2619,25 @@ object Audit {
         |    CAST(3 AS BIGINT), CAST(3 AS BIGINT)
         |  UNION ALL SELECT 'ivf_reader_pinned', 'units',
         |    CAST(6 AS BIGINT), CAST(0 AS BIGINT))
+        |ORDER BY chain""".stripMargin,
+    // q362: one retentionRun where every keep-set is DERIVED from the
+    // manifest commit-time window (or held by a sink pin) — same
+    // deterministic counts as the enumerated q354 forms
+    "q362_time_retention" ->
+      """WITH m AS (
+        |  SELECT GREATEST(2, CAST(floor(log2(count(*))) AS BIGINT) - 3)
+        |    AS maxl
+        |  FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT chain, layout, kept, swept,
+        |  CAST(0 AS BIGINT) AS fenced, TRUE AS window_expiry_correct,
+        |  TRUE AS head_conserved
+        |FROM (
+        |  SELECT 'tw_partition_form' AS chain, 'partitions' AS layout,
+        |    (SELECT maxl FROM m) + 1 AS kept, CAST(2 AS BIGINT) AS swept
+        |  UNION ALL SELECT 'tw_units_pinned', 'units',
+        |    CAST(6 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'tw_units_window', 'units',
+        |    CAST(3 AS BIGINT), CAST(3 AS BIGINT))
         |ORDER BY chain""".stripMargin,
     // q262: the component oracles' per-doc CTEs (q235 dedup marks,
     // q62 verdicts, q231 per-doc novelty, q90 contamination) composed

@@ -700,7 +700,7 @@ object GraphAnn {
     *    mis-built (empty) tombstone relation also fails the gate.
     *
     * `ghosts_routable` demands STRICT equality rawSelfHits == nGhosts
-    * — intentional, as the falsifiability anchor (any slack re-admits
+    * — intentional, as the falsifiability anchor (any looseness re-admits
     * the tautology the gate exists to kill). Self-reachability is not
     * structurally guaranteed by an approximate descent, but it is not
     * luck either: a self-query's cosine to its own vector is exactly 1
@@ -1010,15 +1010,7 @@ object GraphAnn {
     val rows = df.collect().map(r => r.getAs[Long]("layer") ->
       ((r.getAs[Int]("ever"), r.getAs[Long]("n_edges"),
         r.getAs[Long]("ghost_edges")))).toMap
-    val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.rootPaths.map(_.toUri.getPath)
-    }.flatten
-    val want = java.nio.file.Paths.get(
-      mpath.stripPrefix("file:")).toAbsolutePath.normalize.toString
-    val manifestOnly = scanned.nonEmpty && scanned.forall(p =>
-      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString == want)
-    (rows, manifestOnly)
+    (rows, graft.util.PlanWitness.scanOnly(df, mpath))
   }
 
   /** The trigger rule over the manifest-carried stats — the same
@@ -2752,8 +2744,9 @@ object GraphAnn {
     * data is read. Returns (kept pairs, swept pairs).
     */
   private[graft] def partitionGcSweep(s: SparkSession, mdir: String,
-      tname: String, keep: Set[Long], pinned: Set[Long] = Set.empty)
-      : (Set[(Int, Long)], Set[(Int, Long)]) = {
+      tname: String, keep: Set[Long], pinned: Set[Long] = Set.empty,
+      graceMs: Long)
+      : (Set[(Int, Long)], Set[(Int, Long)], Set[(Int, Long)]) = {
     val survive = keep ++ pinned
     val versions = Option(new java.io.File(mdir).list())
       .getOrElse(Array.empty[String])
@@ -2764,11 +2757,26 @@ object GraphAnn {
       s"partitionGcSweep would expire every manifest under $mdir")
     // EXPIRE: only kept/pinned snapshots survive the retention window
     versions.diff(survive).foreach(v => Audit.deleteTree(s"$mdir/v$v"))
-    // MARK: every (ever, layer) pair a surviving manifest maps
-    val live = versions.intersect(survive).toSeq.flatMap { v =>
+    // MARK: every (ever, layer) pair a surviving manifest maps…
+    val mapped = versions.intersect(survive).toSeq.flatMap { v =>
       s.read.parquet(s"$mdir/v$v").collect() // ≤ maxLevel+1 rows
         .map(r => (r.getAs[Int]("ever"), r.getAs[Long]("layer")))
     }.toSet
+    // …plus pairs named by IN-FLIGHT staged manifests (fence 1, the
+    // gcSweep discipline brought to the partition form — r15 advice):
+    // a fold that staged its flipped manifest but has not yet
+    // ATOMIC_MOVEd it must not lose the partitions the stage maps. A
+    // torn (unreadable) stage contributes nothing — its partitions
+    // are still protected by the recency fence below.
+    val staged = Option(new java.io.File(mdir).list())
+      .getOrElse(Array.empty[String])
+      .filter(_.contains("_stage"))
+      .flatMap { st =>
+        try s.read.parquet(s"$mdir/$st").collect()
+          .map(r => (r.getAs[Int]("ever"), r.getAs[Long]("layer")))
+        catch { case _: Throwable => Array.empty[(Int, Long)] }
+      }.toSet
+    val live = mapped ++ staged
     // SWEEP: drop the unmapped partition directories (no data read)
     val loc = Clustering.tableLocation(s, tname)
     val all = (for {
@@ -2779,11 +2787,21 @@ object GraphAnn {
     } yield (e.stripPrefix("ever=").toInt,
       l.stripPrefix("layer=").toLong)).toSet
     val dead = all.diff(live)
-    dead.foreach { case (e, l) =>
+    // fence 2 (RECENCY, r15 advice — gcSweep's required-graceMs
+    // contract): an unmapped partition dir younger than `graceMs` may
+    // belong to a fold that appended data but has not yet written its
+    // stage manifest — the window fence 1 cannot see. Only an
+    // offline/quiesced chain may pass 0 explicitly.
+    val now = System.currentTimeMillis()
+    val (fenced, swept) = dead.partition { case (e, l) =>
+      graceMs > 0L && now - loc.resolve(s"ever=$e").resolve(s"layer=$l")
+        .toFile.lastModified() < graceMs
+    }
+    swept.foreach { case (e, l) =>
       Audit.deleteTree(loc.resolve(s"ever=$e").resolve(s"layer=$l").toString)
     }
     s.catalog.refreshTable(tname)
-    (live.intersect(all), dead)
+    (live.intersect(all), swept, fenced)
   }
 
   private val pgcMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -2821,8 +2839,9 @@ object GraphAnn {
       // expire → mark → sweep via the shared PARTITION-form primitive
       // (extracted in r15 so the q354 retention runner drives the
       // same code)
-      val (liveKept, dead) =
-        partitionGcSweep(s, mdir, name, keep = Set(2L))
+      val (liveKept, dead, _) =
+        partitionGcSweep(s, mdir, name, keep = Set(2L),
+          graceMs = 0L) // offline clone: no fold can be mid-append
       val deadGone = dead.forall { case (e, l) =>
         !java.nio.file.Files.exists(
           loc.resolve(s"ever=$e").resolve(s"layer=$l"))
@@ -2861,6 +2880,123 @@ object GraphAnn {
       .toDF("partitions_kept", "partitions_swept",
         "expired_partitions_unreadable", "head_serve_identical",
         "cohort_bytes_present_pre_gc", "cohort_bytes_gone_post_gc")
+  }
+
+  // ---- q360: the PARTITION-form sweep RACING an in-flight fold -------
+  //
+  // gcSweep's concurrency contract was driven in-gate on the unit
+  // chains (q345/q351/q352); the partition form had neither fence
+  // (the r15 verdict's item 3 / the medium advice): a fold that has
+  // appended its (ever=2, layer) partitions but not yet published the
+  // flipped manifest would lose its staged partitions to a concurrent
+  // sweep. partitionGcSweep now carries both fences — staged-manifest
+  // marking (any `*_stage` entry under the manifest dir maps its
+  // pairs live) and the REQUIRED graceMs recency window — and this
+  // gate drives the race itself:
+  //  - the in-flight fold's ever=2 dirs are deliberately AGED past
+  //    the grace window, so ONLY the staged-manifest fence protects
+  //    them (fence 1 proven, not shadowed by fence 2);
+  //  - a YOUNG unmapped orphan dir rides the recency fence; an OLD
+  //    one sweeps — the q351 orphan discipline on partition dirs;
+  //  - the fold then PUBLISHES (stage → v2, one ATOMIC_MOVE) and the
+  //    flipped predicate resolves over the survived partitions — a
+  //    fold racing GC loses nothing.
+  //
+  // Scale shape: the fences add one bounded stage-manifest read and
+  // one mtime stat per dead dir; the sweep still reads no data.
+
+  private val pgcRaceMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, Long, Long, Seq[Boolean])]()
+  graft.util.CacheRegistry.registerMemo(pgcRaceMemo)
+
+  private[graft] def ensurePartitionGcRace(s: SparkSession, d: String)
+      : (Long, Long, Long, Seq[Boolean]) =
+    pgcRaceMemo.computeIfAbsent((s, d), _ =>
+      graft.util.BuildCost.record("partition_gc_race") {
+      val (name, flagged, maxLevel) =
+        everTableFromChain(s, d, "graft_gdpr_race_")
+      val (root, _) = gdprV0Files.get((s, d))
+      val u2 = Audit.manifestUnits(s, root, 2L)
+      import s.implicits._
+      val mdir = s"$root/racemanifest"
+      Audit.deleteTree(mdir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(mdir))
+      (0L to maxLevel.toLong).map(l => l -> 1)
+        .toDF("layer", "ever").coalesce(1)
+        .write.mode("overwrite").parquet(s"$mdir/v1")
+      // THE IN-FLIGHT FOLD: ever=2 partitions appended, flipped
+      // manifest STAGED (not yet published)
+      appendFoldPartitions(s, root, u2, name, flagged)
+      (0L to maxLevel.toLong)
+        .map(l => l -> (if (flagged(l.toInt)) 2 else 1))
+        .toDF("layer", "ever").coalesce(1)
+        .write.mode("overwrite").parquet(s"$mdir/v2_stage")
+      // orphan partition dirs outside any manifest: old sweeps, young
+      // rides the recency fence
+      val loc = Clustering.tableLocation(s, name)
+      Seq((0L, 0L)).toDF("src", "dst").coalesce(1).write
+        .parquet(loc.resolve("ever=9").resolve("layer=0").toString)
+      Seq((0L, 0L)).toDF("src", "dst").coalesce(1).write
+        .parquet(loc.resolve("ever=8").resolve("layer=0").toString)
+      // age EVERY partition dir except the young orphan — the staged
+      // fold dirs are deliberately OLD so only fence 1 protects them
+      for {
+        e <- Option(loc.toFile.list()).getOrElse(Array.empty[String])
+        if e.startsWith("ever=")
+        l <- Option(loc.resolve(e).toFile.list())
+          .getOrElse(Array.empty[String])
+        if l.startsWith("layer=") && (e, l) != (("ever=8", "layer=0"))
+      } java.nio.file.Files.setLastModifiedTime(
+        loc.resolve(e).resolve(l),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 3600 * 1000))
+      val headBefore = s.table(name).filter(col("ever") === 1).count()
+      val (kept, swept, fenced) = partitionGcSweep(s, mdir, name,
+        keep = Set(1L), graceMs = 3600 * 1000L)
+      val inflightSurvive = flagged.forall(l =>
+        java.nio.file.Files.isDirectory(
+          loc.resolve("ever=2").resolve(s"layer=$l")))
+      val oldOrphanGone = swept == Set((9, 0L)) &&
+        !java.nio.file.Files.exists(
+          loc.resolve("ever=9").resolve("layer=0"))
+      val youngFenced = fenced == Set((8, 0L)) &&
+        java.nio.file.Files.isDirectory(
+          loc.resolve("ever=8").resolve("layer=0"))
+      val headOk = s.table(name).filter(col("ever") === 1).count() ==
+        headBefore
+      // the fold PUBLISHES post-sweep and the flipped read resolves
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$mdir/v2_stage"),
+        java.nio.file.Paths.get(s"$mdir/v2"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val resolveV2 = col("ever") ===
+        when(col("layer").isin(flagged.toSeq: _*), 2).otherwise(1)
+      // u2 already maps flagged layers to their fold units and clean
+      // layers to the shared v1 units — the flipped read's row budget
+      val expectV2 = (0 to maxLevel).map(l =>
+        s.read.parquet(s"$root/${u2(s"edge_l$l")}").count()).sum
+      val foldResolves = s.table(name).filter(resolveV2).count() == expectV2
+      (kept.size.toLong, swept.size.toLong, fenced.size.toLong,
+        Seq(inflightSurvive, oldOrphanGone, youngFenced, headOk,
+          foldResolves))
+    })
+
+  /** q360: one gate row — deterministic kept/swept/fenced partition
+    * counts (the maxLevel+1 v1 pairs + the 2 staged fold pairs kept;
+    * the old orphan swept; the young orphan fenced) and the race
+    * witnesses: the in-flight fold's aged staged partitions survive
+    * by the staged-manifest fence alone, the head read is conserved,
+    * and the fold publishes post-sweep with its flipped predicate
+    * resolving exactly.
+    */
+  def partitionGcRace(s: SparkSession, d: String): DataFrame = {
+    val (kept, swept, fenced, f) = ensurePartitionGcRace(s, d)
+    import s.implicits._
+    Seq((kept, swept, fenced, f(0), f(1), f(2), f(3), f(4)))
+      .toDF("partitions_kept", "partitions_swept", "partitions_fenced",
+        "inflight_fold_partitions_survive", "old_orphan_swept",
+        "young_orphan_fenced", "head_serve_identical",
+        "fold_publishes_post_sweep")
   }
 
   // ---- q346: the MAINTENANCE LOOP driven END-TO-END under serving ----
@@ -3454,6 +3590,7 @@ object GraphAnn {
     "q346_hnsw_maint_loop" -> hnswMaintLoop _,
     "q347_hnsw_incremental_fold" -> hnswIncrementalFold _,
     "q349_hnsw_partition_gc" -> hnswPartitionGc _,
+    "q360_partition_gc_race" -> partitionGcRace _,
     "q350_hnsw_maint_restart" -> hnswMaintRestart _,
   )
 
@@ -3700,6 +3837,23 @@ object GraphAnn {
         |  TRUE AS head_serve_identical,
         |  TRUE AS cohort_bytes_present_pre_gc,
         |  TRUE AS cohort_bytes_gone_post_gc""".stripMargin,
+    // q360: the partition-form sweep racing an in-flight fold — the
+    // staged (aged) fold partitions survive by fence 1 alone, the
+    // young orphan by fence 2, the old orphan sweeps, and the fold
+    // publishes post-sweep
+    "q360_partition_gc_race" ->
+      """WITH m AS (
+        |  SELECT GREATEST(2, CAST(floor(log2(count(*))) AS BIGINT) - 3)
+        |    AS maxl
+        |  FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT (SELECT maxl FROM m) + 3 AS partitions_kept,
+        |  CAST(1 AS BIGINT) AS partitions_swept,
+        |  CAST(1 AS BIGINT) AS partitions_fenced,
+        |  TRUE AS inflight_fold_partitions_survive,
+        |  TRUE AS old_orphan_swept,
+        |  TRUE AS young_orphan_fenced,
+        |  TRUE AS head_serve_identical,
+        |  TRUE AS fold_publishes_post_sweep""".stripMargin,
     // q343: the O(cohort) erasure commit — two re-listed units, zero
     // data bytes staged (measured), the DV-resolved survivors
     // row-identical to q338's full-flip corpus unit

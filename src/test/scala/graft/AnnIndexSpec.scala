@@ -117,29 +117,45 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!plan.contains("graft_ivf_cells_"), "wrong index")
   }
 
-  test("q257 streamed PQ serving equals the batch probe and never rebuilds per batch") {
-    Clustering.ensurePqIndex(spark, sf)
+  test("q257 streamed PQ serving equals the batch COMPOSED probe and never rebuilds per batch") {
+    // r16: the serve leg is the composed IVF-PQ probe — pre-build the
+    // composed table, then pin that no micro-batch rebuilds anything
+    val idx = Clustering.ensureIvfPqIndex(spark, sf)
     val builds = Clustering.indexBuilds.get()
     val served = Clustering.streamPqServe(spark, sf).collect().toSeq
     assert(Clustering.indexBuilds.get() == builds,
-      "a micro-batch must probe the persisted code table, not rebuild it")
-    val batch = Clustering.pqProbe(spark, sf).collect().toSeq
+      "a micro-batch must probe the persisted composed table, not rebuild it")
+    import org.apache.spark.sql.functions.{col, transform}
+    val qdf = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").as("qe"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val batch = Clustering.ivfPqProbeForQueries(spark, sf, idx, qdf)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
     assert(served.nonEmpty)
-    assert(served == batch)
+    assert(served == batch,
+      "streamed composed serving must equal the batch composed probe")
   }
 
-  test("q258 streamed binary serving reuses the persisted code table per batch") {
-    Clustering.ensureBinaryIndex(spark, sf)
+  test("q258 streamed binary serving reuses the persisted composed code table per batch") {
+    val idx = Clustering.ensureIvfBinIndex(spark, sf)
     val builds = Clustering.indexBuilds.get()
     val served = Clustering.streamBinaryServe(spark, sf).collect().toSeq
     assert(Clustering.indexBuilds.get() == builds,
-      "a micro-batch must rank against the persisted code table, not rebuild it")
+      "a micro-batch must rank against the persisted composed table, not rebuild it")
     assert(served.nonEmpty)
-    // the streamed ranking equals the batch ranking read from the
-    // same table (arrival order free)
+    // the streamed ranking equals the batch composed ranking read from
+    // the same table (arrival order free)
     import org.apache.spark.sql.functions.col
-    val batch = Clustering.binaryTopOn(spark,
-        Clustering.ensureBinaryIndex(spark, sf), col("vec_id") < 10)
+    val qVecsF = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val qVecs = qVecsF.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val qCodes = Clustering.signCodesOf(spark, qVecsF)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+        col("hi").as("qhi"))
+    val batch = Clustering.ivfBinProbeForQueries(spark, sf, idx, qVecs,
+        qCodes)
       .orderBy(col("query_id"), col("rank")).collect().toSeq
     assert(served == batch)
   }

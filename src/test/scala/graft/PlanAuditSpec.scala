@@ -60,6 +60,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q304_ivf_grow_restart", // q203's broadcast centroid table over the crash-replayed grown index
     "q319_binary_grow_restart", // q253's broadcast 10-query =!= join over the crash-replayed grown code table
     "q307_manifest_probe", // q203's broadcast centroid table over the manifest-resolved HEAD snapshot
+    "q358_ivfpq_probe", // q203's broadcast centroid table (coarse probe) + broadcast LUT over the cell-pruned composed scan
+    "q359_ivfbin_probe", // same coarse-probe broadcast over the composed sign-code partitions
+    "q365_ivfpq_grow", // q358's gate verbatim over the grown composed table
     "q293_mv_asof_timestamp") // broadcast ≤4-row shard-max/stamp catalogs in non-equi (<, <=) resolution joins
   private val allowedSinglePartition =
     Set("q14_promo_revenue", "q105_bloom_semi_join",

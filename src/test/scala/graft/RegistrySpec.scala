@@ -29,10 +29,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the documented surface") {
-    assert(SparkEntry.queries.size == 357)
+    assert(SparkEntry.queries.size == 365)
     // every query — including the approximate ones, which emit
     // deterministic bound-check gate rows — has a DuckDB oracle
-    assert(SparkEntry.oracleSql.size == 357)
+    assert(SparkEntry.oracleSql.size == 365)
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 }
