@@ -5,6 +5,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // ephemeral scratch (state stores, checkpoints, shuffle local dirs)
+    // on the fastest local mount — see TmpDirs.scratchBase (r16)
+    graft.util.TmpDirs.installJavaTmp()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

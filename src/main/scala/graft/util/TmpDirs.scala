@@ -11,14 +11,53 @@ import java.util.Comparator
   * the whole scratch root.
   */
 object TmpDirs {
+  /** Scratch base: `SPARK_GRAFT_SCRATCH` if set, else tmpfs
+    * (`/dev/shm`) when present and writable, else `java.io.tmpdir`.
+    *
+    * Why tmpfs by default (r16 measurement, guide §1/§6): the scratch
+    * root holds ONLY process-lifetime ephemera — streaming checkpoints
+    * (offset/commit WALs, HDFSBackedStateStore deltas), foreachBatch
+    * sink dirs, fixture staging — all deleted by the shutdown hook.
+    * At fixture scale the streaming gates are dominated by small-file
+    * create/rename/commit latency on these paths: moving the root from
+    * the disk-backed /tmp to tmpfs measured q274 3.22→2.65 s, q310
+    * 2.70→2.02 s, q315 3.38→2.79 s, q275 2.00→1.56 s (steady-state,
+    * local[32], sf0.1) with byte-identical results. On a production
+    * cluster this env points at the local NVMe/SSD scratch mount (the
+    * same place spark.local.dir lives); the data placed here is
+    * re-derivable per process, never a cross-run cache.
+    */
+  private def scratchBase: Path = {
+    sys.env.get("SPARK_GRAFT_SCRATCH").map(Paths.get(_)).getOrElse {
+      val shm = Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    }
+  }
+
   private lazy val root: Path = {
     // per-process root: concurrent JVMs (a Bench and a Verify, parallel
     // CI jobs) must not delete each other's live scratch data
-    val p = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+    val p = scratchBase.resolve(
       "graft-scratch-" + ProcessHandle.current().pid())
     Files.createDirectories(p)
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
     p
+  }
+
+  /** Redirect `java.io.tmpdir` into the scratch root. Spark derives
+    * its process-ephemeral paths from `java.io.tmpdir` when not set
+    * explicitly — `spark.local.dir` (block manager / shuffle scratch)
+    * and the auto-created temp streaming-checkpoint dirs — so the
+    * driver mains call this BEFORE building the session to put those
+    * on the same fast ephemeral mount as the named scratch dirs.
+    * No-op effect on correctness: everything under it is
+    * process-lifetime ephemera (deleted by the shutdown hook).
+    */
+  def installJavaTmp(): Unit = {
+    val p = root.resolve("javatmp")
+    Files.createDirectories(p)
+    System.setProperty("java.io.tmpdir", p.toString)
   }
 
   /** A fresh empty directory at a stable per-name path. */
