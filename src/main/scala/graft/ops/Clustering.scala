@@ -2847,6 +2847,30 @@ object Clustering {
       .select(col("query_id"), col("cent_id").as("cell"))
   }
 
+  /** Memoized coarse-probe assignment for a GATE's fixed query cohort
+    * (r16): q358 and q365 run the identical assignment — and collect
+    * the identical probed-cell list — twice each (probe body +
+    * physical-pruning witness), and the two gates share the cohort
+    * outright since q365 is "the q358 gate verbatim". One cached
+    * control relation per (session, sf, cohort, nprobe) replaces
+    * eight rebuilds of the same crossJoin+window+collect. Shared-stage
+    * memo in the q27/q28-MinHash-signature tradition: a fixture-shaped
+    * control input, not a query answer.
+    */
+  private val gateProbesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, Int), (DataFrame, Array[Long])]()
+  graft.util.CacheRegistry.registerMemo(gateProbesMemo)
+
+  private def ensureGateProbes(s: SparkSession, d: String, tag: String,
+      qs: => DataFrame, nprobe: Int): (DataFrame, Array[Long]) =
+    gateProbesMemo.computeIfAbsent((s, d, tag, nprobe), _ => {
+      val probes = graft.util.CacheRegistry.register(
+        coarseProbes(s, d, qs, nprobe).cache())
+      val cells = probes.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      (probes, cells)
+    })
+
   /** The partition set of a cell-partitioned code table, from catalog
     * METADATA (SHOW PARTITIONS — no data read).
     */
@@ -2875,16 +2899,21 @@ object Clustering {
     */
   private[graft] def ivfPqProbeForQueries(s: SparkSession, d: String,
       codesTable: String, qdf: DataFrame, nprobe: Int = 2,
-      topK: Int = 3): DataFrame = {
+      topK: Int = 3,
+      probesOpt: Option[(DataFrame, Array[Long])] = None): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val probes = graft.util.CacheRegistry.register(
-      coarseProbes(s, d,
-        qdf.select(col("vec_id").as("query_id"), col("qe")), nprobe).cache())
     // nprobe × |queries| bounded probe-request control rows — the isin
-    // literal is what prunes the partitioned scan to the hit cells
-    val probeCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    // literal is what prunes the partitioned scan to the hit cells.
+    // Gate callers pass the memoized cohort assignment (probesOpt);
+    // streaming serves assign their own batch.
+    val (probes, probeCells) = probesOpt.getOrElse {
+      val p = graft.util.CacheRegistry.register(
+        coarseProbes(s, d,
+          qdf.select(col("vec_id").as("query_id"), col("qe")), nprobe).cache())
+      (p, p.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted)
+    }
     val sv = subvectors(e, 8, 8)
     val cb = sv.filter(col("vec_id") < 16)
       .select(col("vec_id").cast("int").as("cid"), col("m"), col("sv").as("csv"))
@@ -2920,11 +2949,14 @@ object Clustering {
     */
   private[graft] def ivfBinProbeForQueries(s: SparkSession, d: String,
       codesTable: String, qVecs: DataFrame, qCodes: DataFrame,
-      nprobe: Int = 2, topK: Int = 5): DataFrame = {
-    val probes = graft.util.CacheRegistry.register(
-      coarseProbes(s, d, qVecs, nprobe).cache())
-    val probeCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+      nprobe: Int = 2, topK: Int = 5,
+      probesOpt: Option[(DataFrame, Array[Long])] = None): DataFrame = {
+    val (probes, probeCells) = probesOpt.getOrElse {
+      val p = graft.util.CacheRegistry.register(
+        coarseProbes(s, d, qVecs, nprobe).cache())
+      (p, p.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted)
+    }
     val pruned = s.table(codesTable).filter(col("cell").isin(probeCells: _*))
     val cand = pruned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -2956,17 +2988,34 @@ object Clustering {
     * with q365 (the incrementally-GROWN composed table must gate
     * identically, including the physical pruning witnesses).
     */
+  /** The q204 gate cohort's flat ADC reference, memo-CACHED per
+    * (session, sf): q358 AND q365 gate recall against the identical
+    * flat-scan probe — one shared reference stage instead of two
+    * (the q27/q28 shared-MinHash-signature discipline).
+    */
+  private val pqFlatRefMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(pqFlatRefMemo)
+
+  private def ensureFlatPqRef(s: SparkSession, d: String): DataFrame =
+    pqFlatRefMemo.computeIfAbsent((s, d), _ =>
+      graft.util.CacheRegistry.register(
+        pqProbeForQueries(s, d, ensurePqIndex(s, d),
+          embeddings(s, d).filter(col("vec_id") < 5)
+            .select(col("vec_id"),
+              transform(col("embedding"), _.cast("double")).as("v"))).cache()))
+
   private def ivfPqProbeGate(s: SparkSession, d: String,
       idx: String): DataFrame = {
     val qdf = embeddings(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding").as("qe"),
         transform(col("embedding"), _.cast("double")).as("v"))
-    val composed = ivfPqProbeForQueries(s, d, idx, qdf)
-    // the physical witnesses, measured on the same pruned scan shape
-    val probes = coarseProbes(s, d,
+    // one memoized cohort assignment serves the probe body AND the
+    // physical witnesses, across BOTH gates (q358/q365)
+    val gp = ensureGateProbes(s, d, "pq_q204",
       qdf.select(col("vec_id").as("query_id"), col("qe")), 2)
-    val probeCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val (_, probeCells) = gp
+    val composed = ivfPqProbeForQueries(s, d, idx, qdf, probesOpt = Some(gp))
     val pruned = s.table(idx).filter(col("cell").isin(probeCells: _*))
     val scanned = scannedPartitionCount(pruned)
     val existing = tableCellSet(s, idx)
@@ -2974,8 +3023,7 @@ object Clustering {
     val exactlyProbed =
       scanned == probeCells.count(existing.contains)
     // recall@3 vs the FLAT scan the family served with before
-    val flat = pqProbeForQueries(s, d, ensurePqIndex(s, d),
-      qdf.select(col("vec_id"), col("v")))
+    val flat = ensureFlatPqRef(s, d)
     val rec = composed.select(col("query_id"), col("neighbor_id"))
       .join(flat.select(col("query_id").as("fq"), col("neighbor_id").as("fn")),
         col("query_id") === col("fq") && col("neighbor_id") === col("fn"),
@@ -3005,10 +3053,11 @@ object Clustering {
     val qCodes = signCodesOf(s, qVecsF)
       .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
         col("hi").as("qhi"))
-    val composed = ivfBinProbeForQueries(s, d, idx, qVecs, qCodes, topK = 3)
-    val probes = coarseProbes(s, d, qVecs, 2)
-    val probeCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    // one memoized cohort assignment for the probe body AND witnesses
+    val gp = ensureGateProbes(s, d, "bin_q253", qVecs, 2)
+    val (_, probeCells) = gp
+    val composed = ivfBinProbeForQueries(s, d, idx, qVecs, qCodes,
+      topK = 3, probesOpt = Some(gp))
     val pruned = s.table(idx).filter(col("cell").isin(probeCells: _*))
     val scanned = scannedPartitionCount(pruned)
     val existing = tableCellSet(s, idx)

@@ -396,6 +396,9 @@ object Dedup {
     * state (the documented B1-style trade).
     */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
+    // emission-on-arrival (no watermark): the no-data batch is pure
+    // state-store re-commit overhead — skip it (StreamTuning scaladoc)
+    graft.util.StreamTuning.withNoDataSkip(s) {
     graft.util.StreamTuning.withShuffle(s, 8) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = s"$d/events.parquet"
@@ -414,6 +417,7 @@ object Dedup {
       q.awaitTermination()
       s.read.parquet(out).orderBy(col("user_id"))
     }
+    }
   }
 
   /** q182: streaming dedup with BOUNDED state —
@@ -429,6 +433,9 @@ object Dedup {
     * expiring form gate-able against the batch DISTINCT oracle.
     */
   def streamDedupWatermark(s: SparkSession, d: String): DataFrame = {
+    // dropDuplicatesWithinWatermark emits each key's FIRST occurrence
+    // on arrival; the no-data batch only evicts state — skip it
+    graft.util.StreamTuning.withNoDataSkip(s) {
     graft.util.StreamTuning.withShuffle(s, 8) {
       val path = s"$d/events.parquet"
       val out = graft.util.TmpDirs.scratch("stream-dedup-wm")
@@ -447,6 +454,7 @@ object Dedup {
         .start()
       q.awaitTermination()
       s.read.parquet(out).orderBy(col("user_id"))
+    }
     }
   }
 
@@ -507,6 +515,9 @@ object Dedup {
     * (key, doc) incidence in RocksDB, TTL-boundable.
     */
   def streamFuzzyDedup(s: SparkSession, d: String): DataFrame =
+    // timer-less transformWithState: flags emit with their own batch;
+    // the no-data batch emits nothing — skip it
+    graft.util.StreamTuning.withNoDataSkip(s) {
     graft.util.StreamTuning.withShuffle(s, 8) {
       val path = s"$d/documents.parquet"
       val out = graft.util.TmpDirs.scratch("stream-fuzzydedup")
@@ -525,6 +536,7 @@ object Dedup {
         .start()
       q.awaitTermination()
       s.read.parquet(out).orderBy(col("doc_id"))
+    }
     }
 
   /** q300: checkpoint-restart recovery for the KEYED-CUSTOM-STATE

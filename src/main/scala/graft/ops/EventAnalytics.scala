@@ -961,9 +961,14 @@ object EventAnalytics {
       width: Int): DataFrame = {
     val path = s"$d/events.parquet"
     val out = graft.util.TmpDirs.scratch("stream-join")
-    // see StreamTuning: four state stores per shuffle partition here
-    graft.util.StreamTuning.withShuffle(s, width) {
-      streamClickAttributionInner(s, d, path, out)
+    // see StreamTuning: four state stores per shuffle partition here.
+    // INNER join = emission-on-arrival; the final no-data batch only
+    // evicts state (emits nothing) — skip it (measured 2.86→2.17 s,
+    // hash-identical; StreamTuning.withNoDataSkip scaladoc)
+    graft.util.StreamTuning.withNoDataSkip(s) {
+      graft.util.StreamTuning.withShuffle(s, width) {
+        streamClickAttributionInner(s, d, path, out)
+      }
     }
   }
 

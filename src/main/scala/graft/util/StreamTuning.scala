@@ -19,4 +19,23 @@ object StreamTuning {
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** Scoped `spark.sql.streaming.noDataMicroBatches.enabled=false` —
+    * ONLY for queries whose final no-data micro-batch provably emits
+    * nothing: emission-on-arrival operators (inner stream-stream join,
+    * dropDuplicates[WithinWatermark], timer-less transformWithState).
+    * For those the extra trigger exists purely to advance the
+    * watermark and evict state — on a finite AvailableNow backlog it
+    * re-opens and re-commits every state store for zero output rows
+    * (measured: q173 2.86→2.17 s, results hash-identical at sf0.1;
+    * oracle-gated at every sf). NEVER use on append-mode window
+    * aggregations, outer joins, or session windows — there the final
+    * batch is what emits the watermark-closed rows.
+    */
+  def withNoDataSkip[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
 }
