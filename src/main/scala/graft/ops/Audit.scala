@@ -1438,17 +1438,21 @@ object Audit {
     */
   private[graft] def manifestUnits(s: SparkSession, dir: String,
       v: Long): Map[String, String] =
-    s.read.parquet(s"$dir/manifest/v$v").collect()
+    graft.util.Mounts.parquet(s, s"$dir/manifest/v$v").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
 
   /** Resolve snapshot v: the manifest's full table→unit map — the
-    * ONLY read path, so no subset of the N tables can tear.
+    * ONLY read path, so no subset of the N tables can tear. Both the
+    * version file and its units are write-once (publish = one atomic
+    * rename; units stage under fresh names), so the mounts are
+    * memoized ([[graft.util.Mounts]]) — re-listing them per read was
+    * pure fixed cost (guide §6).
     */
   private[graft] def readNSnapshot(s: SparkSession, dir: String,
       v: Long): Map[String, DataFrame] =
-    s.read.parquet(s"$dir/manifest/v$v").collect() // ≤ N bounded rows
+    graft.util.Mounts.parquet(s, s"$dir/manifest/v$v").collect() // ≤ N bounded rows
       .map(r => r.getString(0) ->
-        s.read.parquet(s"$dir/${r.getString(1)}")).toMap
+        graft.util.Mounts.parquet(s, s"$dir/${r.getString(1)}")).toMap
 
   // ---- gcSweep: MARK-AND-SWEEP retention over ANY manifest chain ----
   //

@@ -311,23 +311,42 @@ object Clustering {
     * clustering core behind q112 (inertia rollup) and q141 (SemDeDup's
     * cluster-bounded pairwise stage).
     */
+  /** Double-cast embedding vectors (vec_id, v), memoized + cached per
+    * (session, sf dir): q112's three assignment passes and q141's
+    * SemDeDup stage all scan it — one cache populate per session, not
+    * one per call (the Tables discipline).
+    */
+  private val dblVecMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(dblVecMemo)
+  private def dblVecs(s: SparkSession, d: String): DataFrame =
+    dblVecMemo.computeIfAbsent((s, d), _ => graft.util.CacheRegistry.register(
+      embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .cache()))
+
   private[graft] def kmeansAssigned(s: SparkSession, d: String, k: Int = 10,
       iters: Int = 3): DataFrame = {
-    val e = embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .cache()
-    graft.util.CacheRegistry.register(e)
+    val e = dblVecs(s, d)
     def dist2(v: Column, c: Column): Column =
       aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x)
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist_r"), col("cid"))
+    // argmin by AGGREGATION, not a window (the q52 assignment
+    // discipline): row_number would sort and shuffle every
+    // (vector × centroid) pair, while min_by collapses the k candidate
+    // rows per vector map-side (the broadcast crossJoin preserves e's
+    // partitioning) — the exchange then carries |corpus| rows, not
+    // k·|corpus|. Tie rule unchanged: smallest (dist_r, cid), on the
+    // same rounded doubles.
+    def assign(cent: DataFrame): DataFrame =
       e.crossJoin(broadcast(cent))
         .withColumn("dist_r", round(dist2(col("v"), col("c")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"), col("dist_r"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("v"), col("cid"), col("dist_r")),
+          struct(col("dist_r"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.v").as("v"),
+          col("best.cid").as("cid"), col("best.dist_r").as("dist_r"))
     def update(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
@@ -4897,9 +4916,12 @@ object Clustering {
     */
   private[graft] def readManifestSnapshot(s: SparkSession, root: String,
       v: Long): DataFrame = {
-    val units = s.read.parquet(s"$root/manifest/v$v")
+    // version files and units are write-once → memoized mounts
+    // (graft.util.Mounts): re-listing per read was pure fixed cost
+    val units = graft.util.Mounts.parquet(s, s"$root/manifest/v$v")
       .collect().map(_.getString(0)).sorted
-    units.map(u => s.read.parquet(s"$root/data/$u")).reduce(_ unionByName _)
+    units.map(u => graft.util.Mounts.parquet(s, s"$root/data/$u"))
+      .reduce(_ unionByName _)
   }
 
   /** Build the manifest-versioned IVF table: the even-half base plus

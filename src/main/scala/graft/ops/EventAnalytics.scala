@@ -1063,6 +1063,8 @@ object EventAnalytics {
   def streamLeftOuterJoin(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
     val out = graft.util.TmpDirs.scratch("stream-louter-join")
+    // 2-batch AvailableNow join drive: unload state on commit
+    graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 4) {
       val src = graft.util.Tables.normalizeTs(
         s.readStream.schema(s.read.parquet(path).schema)
@@ -1078,6 +1080,7 @@ object EventAnalytics {
         }
         .start()
       q.awaitTermination()
+    }
     }
     s.read.parquet(out)
       .groupBy(col("user_id"))
@@ -1102,6 +1105,8 @@ object EventAnalytics {
   def streamFullOuterJoin(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
     val out = graft.util.TmpDirs.scratch("stream-fouter-join")
+    // 2-batch AvailableNow join drive: unload state on commit
+    graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 4) {
       val src = graft.util.Tables.normalizeTs(
         s.readStream.schema(s.read.parquet(path).schema)
@@ -1116,6 +1121,7 @@ object EventAnalytics {
         }
         .start()
       q.awaitTermination()
+    }
     }
     s.read.parquet(out)
       .groupBy(col("user_id"))
@@ -1304,6 +1310,9 @@ object EventAnalytics {
   def streamJoinWindowed(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
     val out = graft.util.TmpDirs.scratch("stream-join-win")
+    // 2-batch AvailableNow drive with two stateful operators: unload
+    // state stores as each batch commits (StreamTuning scaladoc)
+    graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 4) {
       val src = graft.util.Tables.normalizeTs(
         s.readStream.schema(s.read.parquet(path).schema)
@@ -1338,6 +1347,7 @@ object EventAnalytics {
           unix_micros(to_timestamp(col("hour_start"), TsFmt)) +
             lit(3600000000L) <= lit(fenceUs))
         .orderBy(col("hour_start"))
+    }
     }
   }
 

@@ -50,6 +50,27 @@ object Graph {
     * graph family's shared expensive stage (q126/q130/q133/q174/
     * q220/q227/q268 all ride it), so it runs once per session.
     */
+  /** Raw unordered pair counts (u, v, cuv) over the basket incidence —
+    * the ONE basket self-join the whole graph family derives from,
+    * memo-CACHED per (session, sf dir): copurchaseEdges filters it to
+    * the support threshold and q174's rule mining consumes the counts
+    * directly, so the expensive pair aggregation runs once per session
+    * instead of once per consumer (guide §1.2: remove repeated passes).
+    */
+  private val pairCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(pairCountMemo)
+  private def pairCounts(s: SparkSession, d: String): DataFrame =
+    pairCountMemo.computeIfAbsent((s, d), _ =>
+      graft.util.CacheRegistry.register {
+        val li = incidence(s, d)
+        li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("cuv"))
+          .cache()
+      })
+
   private val edgeMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Long), DataFrame]()
   graft.util.CacheRegistry.registerMemo(edgeMemo)
@@ -57,12 +78,8 @@ object Graph {
       minSupport: Long): DataFrame =
     edgeMemo.computeIfAbsent((s, d, minSupport), _ =>
       graft.util.CacheRegistry.register {
-        val li = incidence(s, d)
-        li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("c"))
-          .filter(col("c") >= minSupport)
+        pairCounts(s, d)
+          .filter(col("cuv") >= minSupport)
           .select(col("u"), col("v"))
           .cache()
       })
@@ -282,16 +299,13 @@ object Graph {
     */
   def assocRules(s: SparkSession, d: String,
       minSupport: Long = 2L, topK: Int = 10): DataFrame = {
-    // cache the incidence: it feeds the order total, the item counts
-    // AND both sides of the pair self-join — uncached, the distinct
-    // shuffle reruns 4×
-    val inc = graft.util.CacheRegistry.register(incidence(s, d).cache())
+    // the cached incidence feeds the order total and the item counts;
+    // the pair aggregation itself is the family-shared pairCounts
+    // stage (one basket self-join per session, not one per consumer)
+    val inc = incidence(s, d)
     val nOrders = inc.select(countDistinct(col("o")).as("n_orders"))
     val item = inc.groupBy(col("p")).agg(count(lit(1)).as("cp"))
-    val pairs = inc.as("a").join(inc.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("cuv"))
+    val pairs = pairCounts(s, d)
       .filter(col("cuv") >= minSupport)
     val directed = pairs.select(col("u"), col("v"), col("cuv"))
       .unionAll(pairs.select(col("v").as("u"), col("u").as("v"), col("cuv")))

@@ -1,0 +1,48 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Memoized parquet mounts for IMMUTABLE-once-written paths — the
+  * manifest-protocol artifacts: `manifest/vN` version files and the
+  * `data/<unit>` directories they name. The protocol guarantees both
+  * are write-once (a version is published by one atomic rename and
+  * never rewritten; units are staged fresh under unique names or
+  * re-listed by name, never modified in place), so re-mounting one per
+  * read pays the file listing + parquet schema read again for bytes
+  * that cannot have changed — a per-gate fixed cost that dominated the
+  * lakehouse gates' job counts (q344: 68 jobs/pass, most of them
+  * listing/schema work; guide §6 "file listing" + §1.2 remove repeated
+  * passes). This is the same session-catalog discipline as
+  * [[Tables.table]]: a real table format caches snapshot metadata
+  * (file lists, schemas) per version instead of re-listing per query.
+  *
+  * NEVER use for paths that are overwritten in place (live dims,
+  * `mode("overwrite")` re-writes at a stable path): a memoized mount
+  * pins the file list at first read and would serve stale or deleted
+  * files. Those callers keep `spark.read.parquet` directly.
+  *
+  * Registered in [[CacheRegistry]], so Bench's post-warm-up clear
+  * empties it: the timed pass 1 pays every mount itself.
+  */
+object Mounts {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  CacheRegistry.registerMemo(cache)
+
+  def parquet(s: SparkSession, path: String): DataFrame =
+    cache.computeIfAbsent((s, path), k => k._1.read.parquet(k._2))
+
+  /** Drop every memoized mount at or under `prefix` — called by
+    * [[TmpDirs.scratch]] when a scratch directory is wiped, so a
+    * rebuild at a stable path can never be served a mount of the
+    * deleted files (the write-once contract is per PATH LIFETIME; a
+    * wipe starts a new one).
+    */
+  def invalidateUnder(prefix: String): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._2 == prefix || k._2.startsWith(prefix + "/")) it.remove()
+    }
+  }
+}

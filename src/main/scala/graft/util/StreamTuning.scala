@@ -38,4 +38,28 @@ object StreamTuning {
     s.conf.set(key, "false")
     try body finally s.conf.set(key, prev)
   }
+
+  /** Scoped `spark.sql.streaming.stateStore.unloadOnCommit=true` — for
+    * FINITE AvailableNow drives with ≤ 2 micro-batches and heavy join
+    * state (the stream-stream join gates). Spark keeps every state
+    * store provider of a terminated query loaded until the background
+    * maintenance tick (60 s) notices; in a session that drives many
+    * short-lived streams those dead providers accumulate and tax every
+    * later commit (measured: q274 4.07→2.82 s min-of-4 at sf0.1,
+    * q310 −0.5, q314 −0.65, results hash-identical). Unload-on-commit
+    * closes each store as its batch commits — the Spark-documented
+    * mode for batch-like streaming jobs. NOT for multi-batch drives:
+    * every batch would re-load state from the checkpoint (measured:
+    * q257 1.56→3.60 s), so the default stays off and the override
+    * lives only around the 2-batch join gates.
+    */
+  def withUnloadOnCommit[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.unloadOnCommit"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 }

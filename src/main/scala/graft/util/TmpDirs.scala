@@ -60,10 +60,14 @@ object TmpDirs {
     System.setProperty("java.io.tmpdir", p.toString)
   }
 
-  /** A fresh empty directory at a stable per-name path. */
+  /** A fresh empty directory at a stable per-name path. Any memoized
+    * parquet mounts under it are invalidated: the wipe ends the
+    * write-once lifetime of every path beneath ([[Mounts]]).
+    */
   def scratch(name: String): String = {
     val p = root.resolve(name)
     deleteRecursively(p)
+    Mounts.invalidateUnder(p.toString)
     Files.createDirectories(p)
     p.toString
   }

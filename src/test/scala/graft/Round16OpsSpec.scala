@@ -15,27 +15,31 @@ class Round16OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  private def writeMeta(root: String, fa: Long, fb: Long): Unit = {
+  /** One stamp probe = one fresh root: manifest versions are
+    * write-once by protocol (and their mounts memoized — Mounts), so
+    * the spec must not rewrite v0 in place at a reused path.
+    */
+  private def metaRoot(tag: String, fa: Long, fb: Long): String = {
     import spark.implicits._
+    val root = graft.util.TmpDirs.scratch(s"r16-strictzero-$tag")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/manifest"))
     Seq((fa, fb)).toDF("dist_head_us", "dist_refreshed_us")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/data/meta_0")
     Seq(("meta", "data/meta_0")).toDF("tbl", "unit").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/manifest/v0")
+    root
   }
 
   test("stamped trigger rule is strict at zero: a (0, 0) quiet stamp never re-fires, a hot stamp does, a sub-2x stamp does not") {
-    val root = graft.util.TmpDirs.scratch("r16-strictzero")
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$root/manifest"))
-    writeMeta(root, 0L, 0L) // converged/empty chain: fa = fb = 0
-    val (zeroFires, w0) = Clustering.ivfMaintCheck(spark, root, 0L)
+    // converged/empty chain: fa = fb = 0
+    val (zeroFires, w0) =
+      Clustering.ivfMaintCheck(spark, metaRoot("zero", 0L, 0L), 0L)
     assert(!zeroFires, "fa = fb = 0 satisfies fa >= 2*fb — the strict " +
       "guard must keep a converged chain quiet")
     assert(w0, "the meta read must carry the plan witness")
-    writeMeta(root, 10L, 5L)
-    assert(Clustering.ivfMaintCheck(spark, root, 0L)._1)
-    writeMeta(root, 10L, 6L)
-    assert(!Clustering.ivfMaintCheck(spark, root, 0L)._1)
+    assert(Clustering.ivfMaintCheck(spark, metaRoot("hot", 10L, 5L), 0L)._1)
+    assert(!Clustering.ivfMaintCheck(spark, metaRoot("sub2x", 10L, 6L), 0L)._1)
   }
 
   test("PlanWitness: scanOnly pins a single-dir scan, rejects a two-dir plan; scanOnlyWithin admits the declared set") {
@@ -52,6 +56,22 @@ class Round16OpsSpec extends AnyFunSuite {
       "a plan that also scans b must fail the single-dir witness")
     assert(PlanWitness.scanOnlyWithin(two, Seq(a, b)))
     assert(!PlanWitness.scanOnlyWithin(two, Seq(a)))
+  }
+
+  test("Mounts: memoized mount returns the same rows and the same instance; a scratch() wipe invalidates mounts under the path") {
+    import spark.implicits._
+    val p = graft.util.TmpDirs.scratch("r16-mounts")
+    Seq(1L, 2L).toDF("x").write.mode("overwrite").parquet(s"$p/u")
+    val m1 = graft.util.Mounts.parquet(spark, s"$p/u")
+    assert(m1.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(graft.util.Mounts.parquet(spark, s"$p/u") eq m1,
+      "second mount of an immutable path must be the memoized instance")
+    // the wipe ends the path's write-once lifetime: the next mount
+    // must see the NEW bytes, not the memoized file list
+    val p2 = graft.util.TmpDirs.scratch("r16-mounts")
+    Seq(7L).toDF("x").write.mode("overwrite").parquet(s"$p2/u")
+    assert(graft.util.Mounts.parquet(spark, s"$p2/u")
+      .as[Long].collect().toSeq == Seq(7L))
   }
 
   test("partitionGcSweep fences: a staged manifest's aged pairs survive (fence 1), a young orphan is fenced (fence 2), an old orphan sweeps") {
