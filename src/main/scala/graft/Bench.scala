@@ -10,6 +10,9 @@ object Bench {
     graft.util.TmpDirs.installJavaTmp()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // planner/function extensions ship the production way (r16 verdict
+      // #3): every driver session loads them via spark.sql.extensions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -20,6 +20,7 @@ object DevProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     graft.util.TmpDirs.installJavaTmp()
     val b0 = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     // extra session confs for A/B runs: "k=v;k=v"

@@ -14,6 +14,7 @@ object Verify {
     graft.util.TmpDirs.installJavaTmp() // scratch on fast mount (r16)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

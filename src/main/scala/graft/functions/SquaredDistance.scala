@@ -8,25 +8,28 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftext.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
-/** Native Catalyst expression: cosine similarity of two float vectors
-  * in ONE pass (dot + both norms), with whole-stage codegen.
+/** Native Catalyst expression: squared L2 distance of two numeric
+  * vectors in ONE codegen'd pass — the [[CosineSimilarity]] discipline
+  * applied to the distance kernel the clustering / PQ family runs
+  * hottest (kmeans assignment scans k·|corpus| candidate rows per
+  * round; the PQ encode scans m·nCent candidates per vector).
   *
-  * Why a custom Expression (SURVEY.md §2.2 last row / builder guidance
-  * tier (b)): the composable form —
-  * `aggregate(zip_with(a,b,*), ..) / (sqrt(aggregate(..)) * ..)` —
-  * walks both arrays three times through INTERPRETED higher-order
-  * lambdas (HOFs have no codegen), boxing every element. This kernel
-  * is a tight branch-free loop the JIT vectorizes.
+  * Why (guide §4 / optimization-round rule 4): the composable form —
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0d, (acc,x) => acc+x)`
+  * — walks the arrays through INTERPRETED higher-order lambdas (HOFs
+  * have no codegen), boxing every element. This kernel is the same
+  * per-element fold as a tight branch-free loop.
   *
   * Accumulation is per-element in array order with double math —
-  * bit-identical to the HOF form and to the DuckDB oracle's
-  * list-comprehension form, so q30/q32 hash-checks still pass
-  * unchanged (proof of numeric parity).
+  * bit-identical to the HOF form it replaces and to the DuckDB
+  * oracle's list-comprehension form (the hash-gated queries prove it).
   *
-  * Constraint: array elements must be non-null (embedding vectors);
-  * mismatched lengths use the common prefix.
+  * Constraint: elements must be non-null; mismatched lengths use the
+  * common prefix (the HOF form's zip_with pads the shorter side with
+  * nulls and returns NULL — callers only ever compare equal-length
+  * vectors, where both forms agree).
   */
-case class CosineSimilarity(left: Expression, right: Expression)
+case class SquaredDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 
   private def ok(dt: DataType): Boolean = dt match {
@@ -41,10 +44,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_similarity requires array<float|double|long> on both sides, " +
+      s"squared_distance requires array<float|double|long> on both sides, " +
         s"got (${left.dataType}, ${right.dataType})")
+
   override def dataType: DataType = DoubleType
-  override def prettyName: String = "cosine_similarity"
+  override def prettyName: String = "squared_distance"
 
   // 0 = float, 1 = double, 2 = long
   private def kind(dt: DataType): Int =
@@ -66,30 +70,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val lk = kind(left.dataType)
     val rk = kind(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
+    var acc = 0.0
     var i = 0
     while (i < n) {
       val xv = getD(x, i, lk)
       val yv = getD(y, i, rk)
-      dot += xv * yv
-      na += xv * xv
-      nb += yv * yv
+      val d = xv - yv
+      acc += d * d
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
       def get(arr: String, idx: String, k: Int): String = k match {
         case 0 => s"(double) $arr.getFloat($idx)"
         case 1 => s"$arr.getDouble($idx)"
@@ -97,35 +95,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       }
       s"""
         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |double $acc = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
-        |  double $xv = ${get(a, i, kind(left.dataType))};
-        |  double $yv = ${get(b, i, kind(right.dataType))};
-        |  $dot += $xv * $yv;
-        |  $na += $xv * $xv;
-        |  $nb += $yv * $yv;
+        |  double $dd = ${get(a, i, kind(left.dataType))}
+        |    - ${get(b, i, kind(right.dataType))};
+        |  $acc += $dd * $dd;
         |}
-        |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |${ev.value} = $acc;
       """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): CosineSimilarity =
+      newLeft: Expression, newRight: Expression): SquaredDistance =
     copy(left = newLeft, right = newRight)
 }
 
-object CosineSimilarity {
+object SquaredDistance {
   /** Column-API entry point. */
-  def cosineSimilarity(a: Column, b: Column): Column =
-    ColumnBridge.column(CosineSimilarity(
+  def squaredDistance(a: Column, b: Column): Column =
+    ColumnBridge.column(SquaredDistance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
-
-  /** SQL registration: makes `cosine_similarity(a, b)` usable in
-    * spark.sql text (SparkSessionExtensions-style function injection).
-    */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
-      "built-in")
 }

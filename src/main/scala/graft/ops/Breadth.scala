@@ -361,7 +361,7 @@ object Breadth {
     graft.util.StreamTuning.withShuffle(s, 8) {
       val path = s"$d/events.parquet"
       val out = graft.util.TmpDirs.scratch("stream-kll")
-      val q = s.readStream.schema(s.read.parquet(path).schema)
+      val q = s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
         .parquet(s"$d/events.parquet*")
         .groupBy(col("event_type"))
         .agg(kll_sketch_agg_double(col("value")).as("sk"))

@@ -329,9 +329,12 @@ object Clustering {
   private[graft] def kmeansAssigned(s: SparkSession, d: String, k: Int = 10,
       iters: Int = 3): DataFrame = {
     val e = dblVecs(s, d)
+    // codegen'd one-pass kernel (guide §4): same per-element fold
+    // order as the interpreted zip_with/aggregate form — bit-identical
+    // distances, whole-stage-codegen instead of boxed HOF lambdas on
+    // the k·|corpus| hottest rows of the engine
     def dist2(v: Column, c: Column): Column =
-      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x)
+      graft.functions.SquaredDistance.squaredDistance(v, c)
     // argmin by AGGREGATION, not a window (the q52 assignment
     // discipline): row_number would sort and shuffle every
     // (vector × centroid) pair, while min_by collapses the k candidate
@@ -355,11 +358,30 @@ object Clustering {
         .groupBy(col("cid"))
         .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("im"))
         .select(col("cid"), transform(col("im"), s => s.getField("m")).as("c"))
+    // Centroids are k×dims doubles — MLlib-style, they live on the
+    // driver between rounds. Leaving them lazy nests each round's full
+    // assignment subtree inside the next round's broadcast, so the
+    // final plan is 3 corpus aggregations deep and DRIVER PLANNING (not
+    // job wall) dominated the measured query time (r16: 13 jobs,
+    // 0.88 s job wall vs 1.57 s query wall). Localizing the k updated
+    // rows per round keeps the same 3 corpus passes (one per
+    // assignment) but every plan stays one broadcast-crossJoin + one
+    // aggregation shallow. Values are the same rounded doubles the lazy
+    // form carried — the collect is bit-exact, so the trajectory and
+    // tie rule are unchanged (oracle-gated).
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true))))
+    def localize(cent: DataFrame): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(cent.collect(): _*), centSchema)
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
     var assigned = assign(cent)
     (1 until iters).foreach { _ =>
-      cent = update(assigned)
+      cent = localize(update(assigned))
       assigned = assign(cent)
     }
     assigned
@@ -425,9 +447,9 @@ object Clustering {
     */
   def pqAnn(s: SparkSession, d: String, m: Int = 8, sub: Int = 8,
       nCent: Int = 16, nQuery: Int = 5, topK: Int = 3): DataFrame = {
+    // codegen'd one-pass kernel — bit-identical fold (see kmeans)
     def dist2(v: Column, c: Column): Column =
-      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x)
+      graft.functions.SquaredDistance.squaredDistance(v, c)
     val e = embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val sv = e
@@ -724,7 +746,7 @@ object Clustering {
   def streamIvfServe(s: SparkSession, d: String): DataFrame =
     graft.util.StreamTuning.withShuffle(s, 8) {
       val idx = ensureIvfIndex(s, d) // build ONCE, outside the stream
-      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val schema = graft.util.Tables.table(s, d, "embeddings").schema
       val out = graft.util.TmpDirs.scratch("stream-ivf-serve")
       val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
         .filter(col("vec_id") % 100 === 7)
@@ -953,8 +975,8 @@ object Clustering {
   }
 
   private def dist2Col(v: Column, c: Column): Column =
-    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (a, x) => a + x)
+    // codegen'd one-pass kernel — bit-identical fold (see kmeans)
+    graft.functions.SquaredDistance.squaredDistance(v, c)
 
   // ---- q277/q278: staleness audits for the PQ and binary families --
   //
@@ -4493,7 +4515,7 @@ object Clustering {
   private[graft] def streamLifecycleServe(s: SparkSession, d: String): DataFrame =
     graft.util.StreamTuning.withShuffle(s, 8) {
       val idx = ensureLifecycleIvf(s, d) // chain runs ONCE, outside the stream
-      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val schema = graft.util.Tables.table(s, d, "embeddings").schema
       val out = graft.util.TmpDirs.scratch("stream-life-serve")
       val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
         .filter(col("vec_id") % 100 === 7)
@@ -4829,7 +4851,8 @@ object Clustering {
     */
   def ivfGrowRestart(s: SparkSession, d: String): DataFrame = {
     val loc = ensureGrowRestart(s, d)
-    val cells = s.read.parquet(loc)
+    // write-once fixture output: memoized mount (r16 Mounts discipline)
+    val cells = graft.util.Mounts.parquet(s, loc)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val qs = e.filter(col("vec_id") % 100 === 7)
@@ -4846,7 +4869,7 @@ object Clustering {
     */
   def ivfGrowAudit(s: SparkSession, d: String): DataFrame = {
     val loc = ensureGrowRestart(s, d)
-    s.read.parquet(loc)
+    graft.util.Mounts.parquet(s, loc)
       .groupBy(col("gb").cast("long").as("grow_batch"))
       .agg(count(lit(1)).as("n_vectors"),
         countDistinct(col("vec_id")).as("n_distinct"),
@@ -4864,7 +4887,7 @@ object Clustering {
     */
   def pqGrowRestart(s: SparkSession, d: String): DataFrame = {
     val loc = ensurePqGrowRestart(s, d)
-    val codes = s.read.parquet(loc).select(col("vec_id"), col("m"), col("code"))
+    val codes = graft.util.Mounts.parquet(s, loc).select(col("vec_id"), col("m"), col("code"))
     val e = embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     pqProbeForQueriesOn(s, d, codes, e.filter(col("vec_id") < 5))
@@ -4877,7 +4900,7 @@ object Clustering {
     */
   def binaryGrowRestart(s: SparkSession, d: String): DataFrame = {
     val loc = ensureBinGrowRestart(s, d)
-    val codes = s.read.parquet(loc).select(col("vec_id"), col("lo"), col("hi"))
+    val codes = graft.util.Mounts.parquet(s, loc).select(col("vec_id"), col("lo"), col("hi"))
     binaryTopForQueriesOn(s, codes,
         codes.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
@@ -5322,7 +5345,7 @@ object Clustering {
   def streamDvServe(s: SparkSession, d: String): DataFrame =
     graft.util.StreamTuning.withShuffle(s, 8) {
       val (ivf, dv) = ensureDvIvf(s, d) // built ONCE, outside the stream
-      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val schema = graft.util.Tables.table(s, d, "embeddings").schema
       val out = graft.util.TmpDirs.scratch("stream-dv-serve")
       val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
         .filter(col("vec_id") % 100 === 7)
@@ -5367,7 +5390,7 @@ object Clustering {
       // the flat ranking exactly at every fixture sf (q358 carries
       // the recall + pruning witnesses).
       val idx = ensureIvfPqIndex(s, d)
-      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val schema = graft.util.Tables.table(s, d, "embeddings").schema
       val out = graft.util.TmpDirs.scratch("stream-pq-serve")
       val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
         .filter(col("vec_id") < 5)
@@ -5399,7 +5422,7 @@ object Clustering {
       // Hamming rank reads ONLY the probed cells' partitions (q359
       // carries the recall + pruning witnesses); flat oracle intact.
       val idx = ensureIvfBinIndex(s, d)
-      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val schema = graft.util.Tables.table(s, d, "embeddings").schema
       val out = graft.util.TmpDirs.scratch("stream-bin-serve")
       val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
         .filter(col("vec_id") < 10)
@@ -5819,7 +5842,7 @@ object Clustering {
     */
   def swgErasureServe(s: SparkSession, d: String): DataFrame = {
     val out = ensureSwgErasure(s, d)
-    s.read.parquet(out)
+    graft.util.Mounts.parquet(s, out)
       .select((col("batch_id") + 1).cast("long").as("phase"),
         col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
       .orderBy(col("phase"), col("query_id"), col("rank"))

@@ -399,11 +399,12 @@ object Dedup {
     // emission-on-arrival (no watermark): the no-data batch is pure
     // state-store re-commit overhead — skip it (StreamTuning scaladoc)
     graft.util.StreamTuning.withNoDataSkip(s) {
+    graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 8) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = s"$d/events.parquet"
       val out = graft.util.TmpDirs.scratch("stream-dedup")
-      val q = s.readStream.schema(s.read.parquet(path).schema)
+      val q = s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
         .parquet(s"$d/events.parquet*")
         .select(col("user_id"))
         .dropDuplicates("user_id")
@@ -416,6 +417,7 @@ object Dedup {
         .start()
       q.awaitTermination()
       s.read.parquet(out).orderBy(col("user_id"))
+    }
     }
     }
   }
@@ -436,11 +438,12 @@ object Dedup {
     // dropDuplicatesWithinWatermark emits each key's FIRST occurrence
     // on arrival; the no-data batch only evicts state — skip it
     graft.util.StreamTuning.withNoDataSkip(s) {
+    graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 8) {
       val path = s"$d/events.parquet"
       val out = graft.util.TmpDirs.scratch("stream-dedup-wm")
       val q = graft.util.Tables.normalizeTs(
-          s.readStream.schema(s.read.parquet(path).schema)
+          s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
             .parquet(s"$d/events.parquet*"))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id")
@@ -454,6 +457,7 @@ object Dedup {
         .start()
       q.awaitTermination()
       s.read.parquet(out).orderBy(col("user_id"))
+    }
     }
     }
   }
@@ -477,10 +481,11 @@ object Dedup {
     * a corpus rescan per refresh.
     */
   def streamNearDup(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 8) {
       val path = s"$d/documents.parquet"
       val out = graft.util.TmpDirs.scratch("stream-neardup")
-      val src = s.readStream.schema(s.read.parquet(path).schema)
+      val src = s.readStream.schema(graft.util.Tables.table(s, d, "documents").schema)
         .parquet(s"$d/documents.parquet*")
         .select(col("doc_id"), col("text"))
       val q = graft.streaming.DedupStreams.bandFlags(src).toDF()
@@ -495,6 +500,7 @@ object Dedup {
         .start()
       q.awaitTermination()
       s.read.parquet(out).orderBy(col("doc_id"))
+    }
     }
 
   /** q270: streaming INCREMENTAL edit-distance dedup — q201's
@@ -518,10 +524,11 @@ object Dedup {
     // timer-less transformWithState: flags emit with their own batch;
     // the no-data batch emits nothing — skip it
     graft.util.StreamTuning.withNoDataSkip(s) {
+    graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 8) {
       val path = s"$d/documents.parquet"
       val out = graft.util.TmpDirs.scratch("stream-fuzzydedup")
-      val src = s.readStream.schema(s.read.parquet(path).schema)
+      val src = s.readStream.schema(graft.util.Tables.table(s, d, "documents").schema)
         .parquet(s"$d/documents.parquet*")
         .select(col("doc_id"), col("text"))
       val q = graft.streaming.DedupStreams.fuzzyFlags(src).toDF()
@@ -536,6 +543,7 @@ object Dedup {
         .start()
       q.awaitTermination()
       s.read.parquet(out).orderBy(col("doc_id"))
+    }
     }
     }
 
@@ -602,7 +610,7 @@ object Dedup {
       })
 
   def streamNearDupRestart(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(ensureNearDupRestart(s, d))
+    graft.util.Mounts.parquet(s, ensureNearDupRestart(s, d))
       .groupBy(col("doc_id"))
       .agg(max(col("dup")).as("is_near_dup"),
         count(lit(1)).as("n_votes"))

@@ -109,7 +109,7 @@ object EventAnalytics {
       // via a glob — base resolves to the sf dir, the glob matches just
       // the events table
       val agg = graft.util.Tables.normalizeTs(
-        s.readStream.schema(s.read.parquet(path).schema)
+        s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
           .parquet(s"$d/events.parquet*"))
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
@@ -155,7 +155,7 @@ object EventAnalytics {
       val path = s"$d/events.parquet"
       val out = graft.util.TmpDirs.scratch("stream-sessions-append")
       val agg = graft.util.Tables.normalizeTs(
-        s.readStream.schema(s.read.parquet(path).schema)
+        s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
           .parquet(s"$d/events.parquet*"))
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -194,7 +194,7 @@ object EventAnalytics {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = s"$d/events.parquet"
       val out = graft.util.TmpDirs.scratch("stream-user-totals")
-      val q = s.readStream.schema(s.read.parquet(path).schema)
+      val q = s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
         .parquet(s"$d/events.parquet*")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
@@ -975,7 +975,7 @@ object EventAnalytics {
   private def streamClickAttributionInner(s: SparkSession, d: String,
       path: String, out: String): DataFrame = {
     def src = graft.util.Tables.normalizeTs(
-      s.readStream.schema(s.read.parquet(path).schema)
+      s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
         .parquet(s"$d/events.parquet*"))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -1067,7 +1067,7 @@ object EventAnalytics {
     graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 4) {
       val src = graft.util.Tables.normalizeTs(
-        s.readStream.schema(s.read.parquet(path).schema)
+        s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
           .parquet(s"$d/events.parquet*"))
       val q = leftOuterAttribution(src)
         .writeStream
@@ -1109,7 +1109,7 @@ object EventAnalytics {
     graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 4) {
       val src = graft.util.Tables.normalizeTs(
-        s.readStream.schema(s.read.parquet(path).schema)
+        s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
           .parquet(s"$d/events.parquet*"))
       val q = outerAttribution(src, "fullOuter")
         .writeStream
@@ -1151,19 +1151,38 @@ object EventAnalytics {
     * TTL cache); the stream side is never shuffled.
     */
   def streamDimRefresh(s: SparkSession, d: String): DataFrame = {
-    val stage = graft.util.TmpDirs.scratch("dimrefresh-stage")
     val live = graft.util.TmpDirs.scratch("dimrefresh-live")
     val out = graft.util.TmpDirs.scratch("dimrefresh-out")
     val ckpt = graft.util.TmpDirs.scratch("dimrefresh-ckpt")
     val dimDir = graft.util.TmpDirs.scratch("dimrefresh-dim")
-    val schema = chronoSplit(s, d, stage)
+    // the backlog chunks come from the SHARED memoized chrono split
+    // (identical chunking: same chronoSplit, same n=3) instead of a
+    // per-call rebuild — the split is fixture prep (BuildCost-ledgered
+    // via ensureChronoChunks), not the gate's timed hot-reload work.
+    // reveal() HARDLINKS a chunk into the live dir (same inode → the
+    // fixture's mtime pin, i.e. arrival order, is preserved; the
+    // fixture is never mutated), where it used to move the per-call
+    // copy.
+    val (split, schema) = ensureChronoChunks(s, d)
     def dim(mod: Int) = customer(s, d)
       .select(col("c_custkey").as("user_id"),
         concat(lit("s"), pmod(col("c_custkey"), lit(mod))).as("segment"))
-    def reveal(k: Int): Unit =
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(s"$stage/c$k"),
-        java.nio.file.Paths.get(s"$live/c$k"))
+    def reveal(k: Int): Unit = {
+      val from = java.nio.file.Paths.get(s"$split/c$k")
+      val to = java.nio.file.Paths.get(s"$live/c$k")
+      java.nio.file.Files.createDirectories(to)
+      val ls = java.nio.file.Files.list(from)
+      try ls.forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f)) {
+          val t = to.resolve(f.getFileName)
+          try java.nio.file.Files.createLink(t, f)
+          catch { case _: UnsupportedOperationException =>
+            java.nio.file.Files.copy(f, t,
+              java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+          }
+        }
+      } finally ls.close()
+    }
     def drain(): Unit = graft.util.StreamTuning.withShuffle(s, 8) {
       val q = graft.util.Tables.normalizeTs(
           s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
@@ -1315,7 +1334,7 @@ object EventAnalytics {
     graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 4) {
       val src = graft.util.Tables.normalizeTs(
-        s.readStream.schema(s.read.parquet(path).schema)
+        s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
           .parquet(s"$d/events.parquet*"))
       val agg = chainedJoinWindowAgg(src)
       val q = agg.writeStream
@@ -1336,7 +1355,7 @@ object EventAnalytics {
       // with straddling tail windows now turns the gate red AT the
       // open windows (closed=false + missing streamed rows) instead
       // of silently. 1-row bounded aggregate, q281-bounds style.
-      val mm = graft.util.Tables.normalizeTs(s.read.parquet(path))
+      val mm = graft.util.Tables.events(s, d)
         .agg(
           max(when(col("event_type") === "click", unix_micros(col("ts")))).as("mc"),
           max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("mp"))
@@ -1515,14 +1534,14 @@ object EventAnalytics {
     val out = ensureRestartRecovery(s, d)
     // the q274 fence flag, over the same full event set (the chunks
     // partition it exactly)
-    val ev = graft.util.Tables.normalizeTs(s.read.parquet(path))
+    val ev = graft.util.Tables.events(s, d)
     val us = unix_micros(col("ts"))
     val mm = ev.agg(
         max(when(col("event_type") === "click", us)).as("mc"),
         max(when(col("event_type") === "purchase", us)).as("mp"))
       .select(least(col("mc"), col("mp"))).collect()(0).getLong(0)
     val fenceUs = mm - 4200000000L
-    s.read.parquet(out)
+    graft.util.Mounts.parquet(s, out)
       .select(col("hour_start"), col("n_pairs"))
       .withColumn("closed",
         unix_micros(to_timestamp(col("hour_start"), TsFmt)) +
@@ -1566,7 +1585,8 @@ object EventAnalytics {
 
   def streamSessionsRestart(s: SparkSession, d: String): DataFrame = {
     val out = ensureSessionsRestart(s, d)
-    s.read.parquet(out)
+    // write-once fixture output: memoized mount (r16 Mounts discipline)
+    graft.util.Mounts.parquet(s, out)
       .select(col("user_id"), col("session_start"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
   }
@@ -1770,11 +1790,12 @@ object EventAnalytics {
     * by user_id like the batch shuffle; unbounded runs add TTL.
     */
   def streamUserStats(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 8) {
       val path = s"$d/events.parquet"
       val out = graft.util.TmpDirs.scratch("stream-user-stats")
       val src = graft.util.Tables.normalizeTs(
-        s.readStream.schema(s.read.parquet(path).schema)
+        s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
           .parquet(s"$d/events.parquet*"))
       val q = graft.streaming.EventStreams.userStats(src)
         .toDF()
@@ -1793,6 +1814,7 @@ object EventAnalytics {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
         .orderBy(col("user_id"))
+    }
     }
 
   /** q194: geometric mean of `value` per event type through the custom
@@ -1833,7 +1855,7 @@ object EventAnalytics {
       val path = s"$d/events.parquet"
       val out = graft.util.TmpDirs.scratch("stream-hourly")
       val q = graft.util.Tables.normalizeTs(
-          s.readStream.schema(s.read.parquet(path).schema)
+          s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
             .parquet(s"$d/events.parquet*"))
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -1867,11 +1889,12 @@ object EventAnalytics {
     * catalog-sized. Rank ties break by event_type.
     */
   def streamLeaderboard(s: SparkSession, d: String): DataFrame =
+    graft.util.StreamTuning.withUnloadOnCommit(s) {
     graft.util.StreamTuning.withShuffle(s, 8) {
       val path = s"$d/events.parquet"
       val out = graft.util.TmpDirs.scratch("stream-leaderboard")
       val q = graft.util.Tables.normalizeTs(
-          s.readStream.schema(s.read.parquet(path).schema)
+          s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
             .parquet(s"$d/events.parquet*"))
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -1891,6 +1914,7 @@ object EventAnalytics {
         .start()
       q.awaitTermination()
       s.read.parquet(out).orderBy(col("hour_start"), col("rnk"))
+    }
     }
 
   /** q202: stream-static enrichment join through the driver gate — the
@@ -1916,7 +1940,7 @@ object EventAnalytics {
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_mktsegment"), col("n_name"))
         .cache()
-      val src = s.readStream.schema(s.read.parquet(path).schema)
+      val src = s.readStream.schema(graft.util.Tables.table(s, d, "events").schema)
         .parquet(s"$d/events.parquet*")
         .select(col("event_id"), col("user_id"), col("value"))
       val q = graft.streaming.EventStreams.enrichWithDim(src, dim)

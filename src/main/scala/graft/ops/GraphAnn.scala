@@ -793,7 +793,7 @@ object GraphAnn {
     val (loc, maxLevel, entry) = ensureHnsw(s, d) // outside the stream
     val out = graft.util.TmpDirs.scratch("hnsw-stream-serve")
     graft.util.StreamTuning.withShuffle(s, 8) {
-      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val schema = graft.util.Tables.table(s, d, "embeddings").schema
       val src = s.readStream.schema(schema).parquet(s"$d/embeddings.parquet*")
         .filter(col("vec_id") % 100 === 7)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -506,16 +506,18 @@ object Similarity {
       .withColumn("sc", when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127))
       .select(col("vec_id"), transform(col("embedding"),
         x => floor(x.cast("double") / col("sc") + 0.5)).as("qv"))
-    def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val q = qvecs.select(col("vec_id").as("query_id"), col("qv").as("qa"))
       .filter(col("query_id") < 10)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     val quant = broadcast(q)
       .join(qvecs, col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dotD(col("qa"), col("qv")) /
-        (sqrt(dotD(col("qa"), col("qa"))) * sqrt(dotD(col("qv"), col("qv")))))
+      // codegen'd one-pass cosine (CosineSimilarity, widened to
+      // array<double>) replaces THREE interpreted zip_with/aggregate
+      // folds per pair row: dot, na, nb accumulate in the same
+      // per-element order, and dot/(sqrt(na)*sqrt(nb)) is the same
+      // expression — bit-identical cos, whole-stage codegen (guide §4)
+      .withColumn("cos", cosine(col("qa"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -582,15 +582,20 @@ object TrainingData {
       .select(col("doc_id"), col("lang"),
         pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"),
           lit(buckets.toLong)).as("b"))
-    val tc = toks.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val rc = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val nt = toks.filter(col("lang") === "en").agg(count(lit(1)).as("nt"))
-    val nr = toks.agg(count(lit(1)).as("nr"))
-    val model = rc.join(tc, Seq("b"), "left")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+    // ONE (bucket)-keyed pass builds both distributions, and the
+    // corpus totals are exact integer sums OVER the 256-row bucket
+    // table — the previous form re-ran the tokenize+explode scan four
+    // times (target counts, raw counts, and both totals; guide §1.2).
+    // Identical integers feed the same `ln` quotients: a bucket with
+    // no target tokens counts ct=0 exactly where the old left join
+    // yielded NULL→0, and nt/nr are the same token totals.
+    val bl = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = bl.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val model = bl.crossJoin(broadcast(tot))
       .select(col("b"),
-        floor((log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+        floor((log((col("ct") + 1).cast("double")
             / (col("nt") + lit(buckets.toLong)).cast("double"))
           - log((col("cr") + 1).cast("double")
             / (col("nr") + lit(buckets.toLong)).cast("double")))

@@ -29,20 +29,29 @@ object Mounts {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   CacheRegistry.registerMemo(cache)
 
+  /** Canonical memo key: a trailing slash / `//` / `.` segment spelling
+    * of the same path must hit the same entry AND fall inside
+    * `invalidateUnder`'s prefix match (r16 advice).
+    */
+  private def norm(path: String): String =
+    java.nio.file.Paths.get(path).normalize().toString
+
   def parquet(s: SparkSession, path: String): DataFrame =
-    cache.computeIfAbsent((s, path), k => k._1.read.parquet(k._2))
+    cache.computeIfAbsent((s, norm(path)), k => k._1.read.parquet(k._2))
 
   /** Drop every memoized mount at or under `prefix` — called by
-    * [[TmpDirs.scratch]] when a scratch directory is wiped, so a
-    * rebuild at a stable path can never be served a mount of the
-    * deleted files (the write-once contract is per PATH LIFETIME; a
-    * wipe starts a new one).
+    * [[TmpDirs.scratch]] when a scratch directory is wiped and by
+    * `Audit.deleteTree` (GC sweeps, CAS-loser staging, vacuumed
+    * versions), so a deleted path can never be served from a stale
+    * memoized file list (the write-once contract is per PATH LIFETIME;
+    * a wipe starts a new one).
     */
   def invalidateUnder(prefix: String): Unit = {
+    val p = norm(prefix)
     val it = cache.keySet().iterator()
     while (it.hasNext) {
       val k = it.next()
-      if (k._2 == prefix || k._2.startsWith(prefix + "/")) it.remove()
+      if (k._2 == p || k._2.startsWith(p + "/")) it.remove()
     }
   }
 }
