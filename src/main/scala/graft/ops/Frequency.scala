@@ -104,10 +104,14 @@ object Frequency {
     * integers — the only float is the final log.
     */
   def pmiPairs(s: SparkSession, d: String): DataFrame = {
-    val dw = documents(s, d)
+    // the distinct (doc, word) incidence feeds THREE subtrees (word
+    // counts + both self-join sides); cached so the tokenize+distinct
+    // exchange runs once per execution instead of three times
+    // (guide §1.2; the register+cache stage convention)
+    val dw = graft.util.CacheRegistry.register(documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
       .select(col("doc_id"), lower(col("w")).as("word"))
-      .distinct()
+      .distinct().cache())
     val wc = dw.groupBy(col("word")).agg(count(lit(1)).as("c"))
     val nDocs = documents(s, d).agg(count(lit(1)).as("nd"))
     val pairs = dw.select(col("doc_id"), col("word").as("wa"))

@@ -242,7 +242,15 @@ object SqlSuite {
     * Catalyst plans, costing nothing at executor scale.
     */
   def sqlScripting(s: SparkSession, d: String): DataFrame = {
-    graft.util.Tables.lineitem(s, d).createOrReplaceTempView("li_script")
+    // the WHILE loop's condition re-evaluates two counts over the view
+    // per iteration (~7 iterations to the quartile threshold) — cache
+    // the NARROW projection the script actually touches so each
+    // iteration probes memory instead of re-scanning the parquet
+    // (guide §1.2; same derived-projection discipline as dblVecs)
+    graft.util.CacheRegistry.register(
+      graft.util.Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity")).cache())
+      .createOrReplaceTempView("li_script")
     s.sql(
       """BEGIN
         |  DECLARE thr BIGINT DEFAULT 10;

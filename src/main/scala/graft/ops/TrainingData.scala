@@ -518,7 +518,9 @@ object TrainingData {
     perplexityOn(documents(s, d))
 
   private[graft] def perplexityOn(docs: DataFrame): DataFrame = {
-    val bigrams = docs
+    // bigram stream feeds the model build AND the per-doc scoring join;
+    // cached so the tokenize+explode pass runs once per execution
+    val bigrams = graft.util.CacheRegistry.register(docs
       .withColumn("ws", split(lower(col("text")), "\\s+"))
       .select(col("doc_id"), expr(
         """explode(CASE WHEN size(ws) >= 2
@@ -526,6 +528,7 @@ object TrainingData {
           |    i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))
           |  ELSE array() END)""".stripMargin).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache())
     val model = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val left = model.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
     val vocab = docs
@@ -817,9 +820,12 @@ object TrainingData {
     sourceOverlapOn(documents(s, d), k)
 
   private[graft] def sourceOverlapOn(docs: DataFrame, k: Int): DataFrame = {
-    val gs = posGrams(docs, k)
+    // (gram, source) distinct set feeds THREE subtrees (per-source
+    // counts + both self-join sides); cached so the gram hash +
+    // distinct exchange runs once per execution (guide §1.2)
+    val gs = graft.util.CacheRegistry.register(posGrams(docs, k)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("gh"), col("source")).distinct()
+      .select(col("gh"), col("source")).distinct().cache())
     val per = gs.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val shared = gs.as("x")
       .join(gs.as("y"),
