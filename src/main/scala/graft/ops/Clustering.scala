@@ -326,8 +326,24 @@ object Clustering {
           transform(col("embedding"), _.cast("double")).as("v"))
         .cache()))
 
+  /** Final Lloyd assignment, memoized + cached per (session, sf, k,
+    * iters): q112's inertia rollup and q141's SemDeDup pairwise stage
+    * consume the IDENTICAL assignment — the pairCounts/dblVecs shared-
+    * stage convention (one fill per session, CacheRegistry-cleared,
+    * bench pass 1 pays it).
+    */
+  private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(kmeansMemo)
+
   private[graft] def kmeansAssigned(s: SparkSession, d: String, k: Int = 10,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): DataFrame =
+    kmeansMemo.computeIfAbsent((s, d, k, iters), _ =>
+      graft.util.CacheRegistry.register(
+        kmeansAssignedUncached(s, d, k, iters).cache()))
+
+  private[graft] def kmeansAssignedUncached(s: SparkSession, d: String,
+      k: Int = 10, iters: Int = 3): DataFrame = {
     val e = dblVecs(s, d)
     // codegen'd one-pass kernel (guide §4): same per-element fold
     // order as the interpreted zip_with/aggregate form — bit-identical
