@@ -30,6 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 112 queries × (warm-up + 2 timed passes) of whole-stage-codegen
   // classes overflow the JVM's default 240 MB code cache, after which
   // JIT compilation stops and everything runs interpreted — pass 2 of
-  // Bench measured 3× slower than pass 1 until this was raised.
-  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
+  // Bench measured 3× slower than pass 1 until this was raised (512m,
+  // r?); the registry has since grown to 365 queries plus per-trigger
+  // streaming re-plans, so the default rides up to 1g (reserved
+  // address space, committed on demand — free headroom on the bench
+  // host; override with SPARK_CODE_CACHE).
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )
