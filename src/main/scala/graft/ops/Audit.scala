@@ -465,7 +465,7 @@ object Audit {
           ()
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(s"$dir/mv_v${ver.get()}")
         .select(col("month"), col("status"), col("n"),
           round(col("rev"), 2).cast("double").as("revenue"))
@@ -537,7 +537,7 @@ object Audit {
           ()
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       ver.get()
     }
 
@@ -796,7 +796,7 @@ object Audit {
               ()
             }
             .start()
-          q.awaitTermination()
+          graft.util.StreamTuning.drained(q)
         }
         require(ver.get() == maxV,
           s"replica must apply all $maxV deltas; applied ${ver.get()}")
@@ -2422,7 +2422,7 @@ object Audit {
           ()
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       erased.unpersist()
       s.read.parquet(out)
         .groupBy(col("disposition"))

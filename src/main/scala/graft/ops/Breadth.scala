@@ -375,7 +375,7 @@ object Breadth {
           batch.write.mode("overwrite").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       val est = s.read.parquet(out)
       events(s, d)
         .join(broadcast(est), Seq("event_type"))

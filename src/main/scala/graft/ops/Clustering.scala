@@ -776,7 +776,7 @@ object Clustering {
               .write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("query_id"), col("rank"))
     }
 
@@ -1518,7 +1518,7 @@ object Clustering {
             }
           }
           .start()
-        q.awaitTermination()
+        graft.util.StreamTuning.drained(q)
       }
       val ctlPinned = {
         val after =
@@ -2078,7 +2078,7 @@ object Clustering {
             }
           }
           .start()
-        q.awaitTermination()
+        graft.util.StreamTuning.drained(q)
       }
       val ctlPinned = {
         val after = Seq("thr_0", "codes_base_0", "codes_delta_0")
@@ -2422,7 +2422,7 @@ object Clustering {
             }
           }
           .start()
-        q.awaitTermination()
+        graft.util.StreamTuning.drained(q)
       }
       val ctlPinned = {
         val after =
@@ -2654,7 +2654,7 @@ object Clustering {
             }
           }
           .start()
-        q.awaitTermination()
+        graft.util.StreamTuning.drained(q)
       }
       val singlePass = ticks.get() == 2L
       // post-drive: serve equality vs the resolved versions' reference
@@ -4344,7 +4344,7 @@ object Clustering {
             }
           }
           .start()
-        q.awaitTermination()
+        graft.util.StreamTuning.drained(q)
       }
       // post-drive: per (family, batch) equality vs the resolved
       // version's reference + the cohort-free-after-flip audit
@@ -4545,7 +4545,7 @@ object Clustering {
               .write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("query_id"), col("rank"))
     }
 
@@ -4664,7 +4664,7 @@ object Clustering {
         }
         .start()
       grow.awaitTermination()
-      serve.awaitTermination()
+      graft.util.StreamTuning.drained(serve)
     }
     swgBuildDelta.put((s, d, family), indexBuilds.get() - buildsAtStart)
     (name, mid)
@@ -5377,7 +5377,7 @@ object Clustering {
           }
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("query_id"), col("rank"))
     }
 
@@ -5421,7 +5421,7 @@ object Clustering {
               .write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("query_id"), col("rank"))
     }
 
@@ -5459,7 +5459,7 @@ object Clustering {
           }
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("query_id"), col("rank"))
     }
 
@@ -5826,7 +5826,7 @@ object Clustering {
               .write.mode("overwrite").parquet(s"$out/batch_id=$id")
           }
           .start()
-        q.awaitTermination()
+        graft.util.StreamTuning.drained(q)
       }
       reveal(0)
       drain() // run 1: chunk 0 served against the FULL table

@@ -415,7 +415,7 @@ object Dedup {
           batch.write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("user_id"))
     }
     }
@@ -455,7 +455,7 @@ object Dedup {
           batch.write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("user_id"))
     }
     }
@@ -498,7 +498,7 @@ object Dedup {
             .write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("doc_id"))
     }
     }
@@ -541,7 +541,7 @@ object Dedup {
             .write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("doc_id"))
     }
     }

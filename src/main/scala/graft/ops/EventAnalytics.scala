@@ -123,7 +123,7 @@ object EventAnalytics {
           batch.write.mode("overwrite").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("user_id"), col("session_start"))
     }
   }
@@ -170,7 +170,7 @@ object EventAnalytics {
           batch.write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("user_id"), col("session_start"))
     }
   }
@@ -207,7 +207,7 @@ object EventAnalytics {
           batch.write.mode("overwrite").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("user_id"))
     }
   }
@@ -998,7 +998,7 @@ object EventAnalytics {
         batch.write.mode("append").parquet(out)
       }
       .start()
-    q.awaitTermination()
+    graft.util.StreamTuning.drained(q)
     s.read.parquet(out)
       .groupBy(col("user_id"))
       .agg(countDistinct(col("purchase_id")).as("n_purchases"),
@@ -1079,7 +1079,7 @@ object EventAnalytics {
           batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
     }
     }
     s.read.parquet(out)
@@ -1120,7 +1120,7 @@ object EventAnalytics {
           batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
     }
     }
     s.read.parquet(out)
@@ -1200,7 +1200,7 @@ object EventAnalytics {
             .write.mode("overwrite").parquet(s"$out/batch_id=$id")
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
     }
     dim(3).coalesce(1).write.mode("overwrite").parquet(dimDir)
     reveal(0)
@@ -1253,7 +1253,7 @@ object EventAnalytics {
           batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
     }
     s.read.parquet(out)
       .select(col("user_id"), col("purchase_id"),
@@ -1344,7 +1344,7 @@ object EventAnalytics {
           batch.write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       // make the append fence EXPLICIT in the gate: the oracle's
       // validity rests on "the fence never bites on the fixtures"
       // (every joined window closes before the propagated watermark's
@@ -1493,7 +1493,7 @@ object EventAnalytics {
         try { q1.awaitTermination(); false }
         catch {
           case _: org.apache.spark.sql.streaming.StreamingQueryException => true
-        }
+        } finally graft.util.StreamTuning.unloadDeadProviders()
       require(crashed, "run 1 must die on the injected crash")
       val committed = Option(new java.io.File(s"$ckpt/commits").list())
         .getOrElse(Array.empty[String]).filter(_.forall(_.isDigit))
@@ -1501,7 +1501,7 @@ object EventAnalytics {
       require(committed == (0L until crashAt),
         s"run 1 must stop mid-backlog with exactly batches 0..${crashAt - 1} committed; got $committed")
       val q2 = writer(crash = false).start()
-      q2.awaitTermination()
+      graft.util.StreamTuning.drained(q2)
     }
   }
 
@@ -1806,7 +1806,7 @@ object EventAnalytics {
           batch.write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       // AvailableNow drains the finite backlog; update-mode emits each
       // user once per batch, so the LAST emission per user is the total
       val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
@@ -1871,7 +1871,7 @@ object EventAnalytics {
           batch.write.mode("overwrite").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("hour_start"), col("event_type"))
     }
 
@@ -1912,7 +1912,7 @@ object EventAnalytics {
             .write.mode("overwrite").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out).orderBy(col("hour_start"), col("rnk"))
     }
     }
@@ -1951,7 +1951,7 @@ object EventAnalytics {
           batch.write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       dim.unpersist()
       s.read.parquet(out).orderBy(col("event_id"))
     }

@@ -808,7 +808,7 @@ object GraphAnn {
           }
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
     }
     val served = s.read.parquet(out)
       .select(col("query_id"), col("vec_id"))
@@ -2108,7 +2108,7 @@ object GraphAnn {
             }
           }
           .start()
-        q.awaitTermination()
+        graft.util.StreamTuning.drained(q)
       }
       // references: SLICED from the shared q338 chain descents — the
       // smanifest versions resolve to exactly the chain's v0/v2 edge
@@ -2289,7 +2289,7 @@ object GraphAnn {
           catch {
             case _: org.apache.spark.sql.streaming.StreamingQueryException =>
               true
-          }
+          } finally graft.util.StreamTuning.unloadDeadProviders()
         require(crashed, "run 1 must die on the injected crash")
         val committed = Option(new java.io.File(s"$ckpt/commits").list())
           .getOrElse(Array.empty[String]).filter(_.forall(_.isDigit))
@@ -2301,7 +2301,7 @@ object GraphAnn {
         s.read.parquet(s"$outDir/batch_id=1")
           .write.mode("overwrite").parquet(firstTry)
         val q2 = writer(crash = false).start()
-        q2.awaitTermination()
+        graft.util.StreamTuning.drained(q2)
       }
       val (beamPre, beamPost) = gdprBeams.get((s, d))
       val refs = Map(1L -> serveTop5(beamPre), 2L -> serveTop5(beamPost))
@@ -3160,7 +3160,7 @@ object GraphAnn {
             }
           }
           .start()
-        q.awaitTermination()
+        graft.util.StreamTuning.drained(q)
       }
       val ctlPinned = {
         val after = Clustering.listDataFiles(
@@ -3377,7 +3377,7 @@ object GraphAnn {
           catch {
             case _: org.apache.spark.sql.streaming.StreamingQueryException =>
               true
-          }
+          } finally graft.util.StreamTuning.unloadDeadProviders()
         require(crashed, "run 1 must die on the injected crash")
         // the worst-window state: fold appended, manifest unpublished
         require(maxVersion == 1L,
@@ -3390,7 +3390,7 @@ object GraphAnn {
         require(committed.isEmpty,
           s"run 1 must commit no batch; got ${committed.toSeq}")
         val q2 = writer(crash = false).start()
-        q2.awaitTermination()
+        graft.util.StreamTuning.drained(q2)
       }
       val exactlyOnce =
         s.table(name).filter(col("ever") === 2).count() == foldRows

@@ -248,7 +248,7 @@ object PumpOps {
           ()
         }
         .start()
-      q.awaitTermination()
+      graft.util.StreamTuning.drained(q)
       s.read.parquet(out)
         .groupBy(col("drop_reason"))
         .agg(sum(col("n")).as("n_records"))

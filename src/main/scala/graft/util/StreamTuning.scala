@@ -39,6 +39,33 @@ object StreamTuning {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Await a finite gate drive, then unload the session's dead
+    * state-store providers. Provider-cache keys include the query RUN
+    * id (StateStoreProviderId), so a terminated drive's providers can
+    * never be reused — not even by a checkpoint resume, which gets a
+    * fresh run id and re-reads the delta/snapshot files regardless.
+    * Left loaded, they tax every later streaming commit until the 60 s
+    * maintenance tick evicts them; a Bench/Verify sweep runs its ~32
+    * gates well inside one tick, so the tax compounds across the whole
+    * family (measured at sf0.1/local[32], DevProbe min-of-3 over the 4
+    * stream-join gates: q173 4.08→1.46 s, q310 5.51→2.09, q314
+    * 3.89→2.00, q274 5.58→2.91 once dead providers are dropped
+    * promptly). A long-lived engine hosting CONCURRENT streams would
+    * scope the unload per checkpoint instead of globally; the gates
+    * here are strictly sequential, and a live query hit by the global
+    * unload only reloads its state from the checkpoint — correctness
+    * never depends on the provider cache.
+    */
+  def drained(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    unloadDeadProviders()
+  }
+
+  /** See [[drained]] — for call sites that manage their own awaits
+    * (concurrent grow/serve pairs, expected-failure restart drives). */
+  def unloadDeadProviders(): Unit =
+    org.apache.spark.sql.graftext.StateStoreBridge.unloadAll()
+
   /** Scoped `spark.sql.streaming.stateStore.unloadOnCommit=true` — for
     * FINITE AvailableNow drives with ≤ 2 micro-batches and heavy join
     * state (the stream-stream join gates). Spark keeps every state
