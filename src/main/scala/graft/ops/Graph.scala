@@ -143,6 +143,87 @@ object Graph {
     adj.join(deg, adj("s") === deg("n")).select(col("s"), col("t"), col("deg"))
   }
 
+  /** Plain symmetric adjacency (s, t) of the co-purchase graph,
+    * memo-CACHED per (session, sf dir, minSupport): q133/q227/q268 each
+    * re-derived (and re-cached) the same two-way union per CALL — and
+    * q227 probes it twice per peel round. One cached instance per
+    * session, the same shared-stage accounting as copurchaseEdges
+    * (guide §1.2: pass 1 pays the fill, CacheRegistry clears it).
+    */
+  private val symAdjMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+  graft.util.CacheRegistry.registerMemo(symAdjMemo)
+  private def symAdj(s: SparkSession, d: String, minSupport: Long): DataFrame =
+    symAdjMemo.computeIfAbsent((s, d, minSupport), _ =>
+      graft.util.CacheRegistry.register {
+        val e = copurchaseEdges(s, d, minSupport)
+        e.select(col("u").as("s"), col("v").as("t"))
+          .unionAll(e.select(col("v").as("s"), col("u").as("t")))
+          .cache()
+      })
+
+  /** Degree-attached adjacency (s, t, deg_s) + its node set, the
+    * per-iteration probe tables of q130's PageRank — memo-CACHED per
+    * (session, sf dir, minSupport) like [[symAdj]], with the node
+    * count (a scalar of the algorithm) memoized alongside so repeat
+    * calls skip the count job.
+    */
+  private val degAdjMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), (DataFrame, DataFrame, Long)]()
+  graft.util.CacheRegistry.registerMemo(degAdjMemo)
+  private def degAdj(s: SparkSession, d: String,
+      minSupport: Long): (DataFrame, DataFrame, Long) =
+    degAdjMemo.computeIfAbsent((s, d, minSupport), _ => {
+      val sa = symAdj(s, d, minSupport)
+      val deg = sa.groupBy(col("s").as("n")).agg(count(lit(1)).as("deg"))
+      val adj = graft.util.CacheRegistry.register(
+        sa.join(deg, sa("s") === deg("n"))
+          .select(col("s"), col("t"), col("deg")).cache())
+      val (nodes, nN) = graphNodes(s, d, minSupport)
+      (adj, nodes, nN)
+    })
+
+  /** The graph's node set + its count, memo-CACHED per (session, sf
+    * dir, minSupport): q130/q133/q227/q268 each need the node catalog
+    * (or just its size, for the localized-iterate guard below) and
+    * each used to re-derive it per call.
+    */
+  private val nodesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), (DataFrame, Long)]()
+  graft.util.CacheRegistry.registerMemo(nodesMemo)
+  private def graphNodes(s: SparkSession, d: String,
+      minSupport: Long): (DataFrame, Long) =
+    nodesMemo.computeIfAbsent((s, d, minSupport), _ => {
+      val nodes = graft.util.CacheRegistry.register(
+        symAdj(s, d, minSupport).select(col("s").as("n")).distinct().cache())
+      (nodes, nodes.count())
+    })
+
+  /** The localized-iterate guard — the same decision rule as
+    * [[maybeBroadcastNodes]]: when a node-sized table provably fits the
+    * session's broadcast threshold, the engine would collect it to the
+    * driver ANYWAY to build each iteration's broadcast relation, so
+    * collecting it once per round and re-broadcasting a LOCAL relation
+    * moves the identical bytes while buying a constant-depth plan and
+    * one job per round instead of three-plus (broadcast build +
+    * localCheckpoint materialization + convergence count). Past the
+    * threshold — or with auto-broadcast disabled — the callers run
+    * their distributed localCheckpoint iterate unchanged, exactly the
+    * fallback discipline GraphAuditSpec pins for q130.
+    */
+  private def broadcastFitBytes(s: SparkSession): Long = {
+    val conf = s.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+    try {
+      if (conf.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
+    } catch { case _: Throwable => 10L << 20 }
+  }
+  private def nodesFitBroadcast(s: SparkSession, nN: Long): Boolean = {
+    val thr = broadcastFitBytes(s)
+    thr > 0 && nN * 32L <= thr
+  }
+
   /** PageRank over the co-purchase graph, 3 unrolled iterations,
     * damping 0.85, in EXACT integer arithmetic: ranks live in 1e-12
     * units (BIGINT), each neighbor contribution is `rank div deg`
@@ -161,10 +242,41 @@ object Graph {
     * node count.
     */
   def pageRank(s: SparkSession, d: String, minSupport: Long = 2L,
-      iters: Int = 3, topK: Int = 10): DataFrame =
-    pageRankOn(copurchaseEdges(s, d, minSupport), iters)
+      iters: Int = 3, topK: Int = 10): DataFrame = {
+    // the cached adjacency/node tables are the session-shared stage
+    // (degAdj memo); the iteration body is identical to pageRankOn's
+    val (adj, nodes, nN) = degAdj(s, d, minSupport)
+    if (!nodesFitBroadcast(s, nN))
+      return pageRankIter(adj, nodes, nN, iters)
+        .orderBy(col("rank_e12").desc, col("p_key"))
+        .limit(topK)
+    // Localized iterate (the q112 localized-centroid discipline, see
+    // nodesFitBroadcast): the rank table is node-sized and WOULD be
+    // driver-collected per round to build its broadcast — collect it
+    // once per round instead. The contribution aggregation (the
+    // edge-sized work) stays distributed and byte-identical:
+    // `r div deg` / `85·cs div 100` on non-negative longs == Scala `/`,
+    // partial sums are exact integers, coalesce(cs,0) == getOrElse 0 —
+    // so the trajectory is bit-exact vs pageRankIter (Round17OpsSpec
+    // pins the equality).
+    import s.implicits._
+    val Scale = 1000000000000L
+    val r0 = Scale / nN
+    val base = (Scale * 15L / 100L) / nN
+    val nodeIds = nodes.as[Long].collect().sorted
+    var ranks: Array[(Long, Long)] = nodeIds.map(_ -> r0)
+    (1 to iters).foreach { _ =>
+      val rdf = broadcast(ranks.toSeq.toDF("n", "r"))
+      val cs = adj.join(rdf, adj("s") === rdf("n"))
+        .select(col("t"), expr("r div deg").as("c"))
+        .groupBy(col("t")).agg(sum(col("c")).as("cs"))
+        .as[(Long, Long)].collect().toMap
+      ranks = nodeIds.map(n => n -> (base + 85L * cs.getOrElse(n, 0L) / 100L))
+    }
+    ranks.toSeq.toDF("p_key", "rank_e12")
       .orderBy(col("rank_e12").desc, col("p_key"))
       .limit(topK)
+  }
 
   /** Broadcast a node-sized table (ranks / contributions) only while
     * it provably fits the session's broadcast threshold — nN × 32 B is
@@ -190,7 +302,6 @@ object Graph {
     * (p_key, rank_e12) for every node. See [[pageRank]].
     */
   private[graft] def pageRankOn(e: DataFrame, iters: Int): DataFrame = {
-    val Scale = 1000000000000L // 1e12: rank mass units
     // cache the graph, not the iterates: every iteration (and the
     // final action) would otherwise re-derive the basket self-join —
     // the same graph-pinning GraphX does for its iterative algorithms
@@ -198,6 +309,12 @@ object Graph {
     val nodes = graft.util.CacheRegistry.register(
       adj.select(col("s").as("n")).distinct().cache())
     val nN = nodes.count() // one small job; N is a scalar of the algorithm
+    pageRankIter(adj, nodes, nN, iters)
+  }
+
+  private def pageRankIter(adj: DataFrame, nodes: DataFrame, nN: Long,
+      iters: Int): DataFrame = {
+    val Scale = 1000000000000L // 1e12: rank mass units
     val r0 = Scale / nN
     val base = (Scale * 15L / 100L) / nN
     var ranks = nodes.withColumn("r", lit(r0))
@@ -239,14 +356,39 @@ object Graph {
     */
   def bfsReach(s: SparkSession, d: String, minSupport: Long = 2L,
       hops: Int = 3, nSeeds: Int = 3): DataFrame = {
-    val adj = graft.util.CacheRegistry.register(
-      adjacency(copurchaseEdges(s, d, minSupport))
-        .select(col("s"), col("t")).cache())
-    val seeds = adj.select(col("s").as("n")).distinct()
-      .orderBy(col("n")).limit(nSeeds)
-    bfsLayers(adj, seeds, hops)
-      .groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
-      .orderBy(col("hop"))
+    val adj = symAdj(s, d, minSupport) // session-shared cached stage
+    val (nodesDf, nN) = graphNodes(s, d, minSupport)
+    if (!nodesFitBroadcast(s, nN)) {
+      val seeds = nodesDf.orderBy(col("n")).limit(nSeeds)
+      return bfsLayers(adj, seeds, hops)
+        .groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("hop"))
+    }
+    // Localized frontier (see nodesFitBroadcast): the frontier and
+    // visited sets are node-bounded and were already broadcast per hop
+    // — collecting the expansion's distinct targets moves the same
+    // bytes, drops the per-hop localCheckpoint job, and makes the
+    // visited-set anti-join a local set filter. The hop expansion
+    // (edge-sized) stays a distributed broadcast-probe of the cached
+    // adjacency. Recurrence identical to bfsLayers: distinct targets of
+    // the frontier minus visited, at each node's MINIMUM hop.
+    import s.implicits._
+    val seeds = nodesDf.orderBy(col("n")).limit(nSeeds).as[Long].collect()
+    var visited = seeds.toSet
+    var frontier: Array[Long] = seeds
+    val counts = scala.collection.mutable.ArrayBuffer((0, frontier.length.toLong))
+    (1 to hops).foreach { h =>
+      if (frontier.nonEmpty) {
+        val fdf = broadcast(frontier.toSeq.toDF("n"))
+        val nxt = adj.join(fdf, adj("s") === fdf("n"))
+          .select(col("t")).distinct()
+          .as[Long].collect().filterNot(visited)
+        visited ++= nxt
+        frontier = nxt
+        if (nxt.nonEmpty) counts += ((h, nxt.length.toLong))
+      }
+    }
+    counts.toSeq.toDF("hop", "n_nodes").orderBy(col("hop"))
   }
 
   /** Min-hop BFS layers (n, hop) from `seeds` over directed adjacency
@@ -349,9 +491,7 @@ object Graph {
     */
   def assortativity(s: SparkSession, d: String, minSupport: Long = 2L): DataFrame = {
     val Dec19 = org.apache.spark.sql.types.DataTypes.createDecimalType(19, 0)
-    val e = copurchaseEdges(s, d, minSupport)
-    val adj = e.select(col("u").as("s"), col("v").as("t"))
-      .unionAll(e.select(col("v").as("s"), col("u").as("t")))
+    val adj = symAdj(s, d, minSupport) // session-shared cached stage
     val deg = adj.groupBy(col("s").as("n")).agg(count(lit(1)).as("deg"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
     val xy = adj
@@ -395,31 +535,59 @@ object Graph {
     */
   def kCore(s: SparkSession, d: String, k: Int = 3, rounds: Int = 8,
       minSupport: Long = 2L): DataFrame = {
-    val e = copurchaseEdges(s, d, minSupport)
-    val adj = e.select(col("u").as("s"), col("v").as("t"))
-      .unionAll(e.select(col("v").as("s"), col("u").as("t")))
-    var alive = adj.select(col("s").as("n")).distinct()
-    var deg: DataFrame = null
+    // session-shared cached adjacency — probed TWICE per peel round
+    val adj = symAdj(s, d, minSupport)
+    val (_, nN) = graphNodes(s, d, minSupport)
     // alive only SHRINKS round to round (removing nodes can only lower
     // in-subgraph degrees), so equal consecutive counts ⇒ equal sets ⇒
     // every remaining round is the identity: early-exit produces the
     // bit-identical result the bounded-round oracle computes, minus the
     // dead rounds (measured 1.86 s → the fixture converges in 2-3).
+    if (!nodesFitBroadcast(s, nN)) {
+      var alive = adj.select(col("s").as("n")).distinct()
+      var deg: DataFrame = null
+      var prevCount = -1L
+      var r = 0
+      while (r < rounds) {
+        deg = adj
+          .join(alive.select(col("n").as("s")), Seq("s"))
+          .join(alive.select(col("n").as("t")), Seq("t"))
+          .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        alive = deg.filter(col("deg") >= k).select(col("s").as("n"))
+          .localCheckpoint()
+        val c = alive.count()
+        if (c == prevCount) r = rounds else { prevCount = c; r += 1 }
+      }
+      return deg.filter(col("deg") >= k)
+        .select(col("s").as("p_key"), col("deg"))
+        .orderBy(col("p_key"))
+    }
+    // Localized alive set (see nodesFitBroadcast): the shrinking alive
+    // set is node-bounded and was broadcast into both semi-joins every
+    // round anyway — collecting the round's degree table (≤ node-sized)
+    // replaces the localCheckpoint materialization AND the convergence
+    // count with the one aggregation job the round already runs. The
+    // degree count over the adjacency (edge-sized) stays distributed;
+    // recurrence and early-exit rule identical to the distributed form.
+    import s.implicits._
+    var alive: Array[Long] = null // null = all nodes (round 1)
+    var deg: Array[(Long, Long)] = null
     var prevCount = -1L
     var r = 0
     while (r < rounds) {
-      deg = adj
-        .join(alive.select(col("n").as("s")), Seq("s"))
-        .join(alive.select(col("n").as("t")), Seq("t"))
-        .groupBy(col("s")).agg(count(lit(1)).as("deg"))
-      alive = deg.filter(col("deg") >= k).select(col("s").as("n"))
-        .localCheckpoint()
-      val c = alive.count()
-      if (c == prevCount) r = rounds else { prevCount = c; r += 1 }
+      val base = if (alive == null) adj else {
+        val sa = broadcast(alive.toSeq.toDF("sn"))
+        val ta = broadcast(alive.toSeq.toDF("tn"))
+        adj.join(sa, adj("s") === sa("sn"))
+          .join(ta, adj("t") === ta("tn"))
+      }
+      deg = base.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .as[(Long, Long)].collect()
+      alive = deg.filter(_._2 >= k).map(_._1)
+      if (alive.length == prevCount) r = rounds
+      else { prevCount = alive.length; r += 1 }
     }
-    deg.filter(col("deg") >= k)
-      .select(col("s").as("p_key"), col("deg"))
-      .orderBy(col("p_key"))
+    deg.filter(_._2 >= k).sortBy(_._1).toSeq.toDF("p_key", "deg")
   }
 
   /** Mechanically generated bounded-round peel oracle for q227 — the
@@ -470,27 +638,46 @@ object Graph {
     */
   def labelPropagation(s: SparkSession, d: String, minSupport: Long = 2L,
       iters: Int = 4): DataFrame = {
-    val e = copurchaseEdges(s, d, minSupport)
-    val adj = graft.util.CacheRegistry.register(
-      e.select(col("u").as("s"), col("v").as("t"))
-        .unionAll(e.select(col("v").as("s"), col("u").as("t")))
-        .cache())
-    var labels = adj.select(col("s").as("n")).distinct()
-      .withColumn("lb", col("n"))
+    val adj = symAdj(s, d, minSupport) // session-shared cached stage
+    val (nodesDf, nN) = graphNodes(s, d, minSupport)
+    if (!nodesFitBroadcast(s, nN)) {
+      var labels = nodesDf.withColumn("lb", col("n"))
+      (1 to iters).foreach { _ =>
+        labels = adj.join(labels, adj("t") === labels("n"))
+          .groupBy(col("s"), col("lb")).agg(count(lit(1)).as("c"))
+          .groupBy(col("s"))
+          .agg(max_by(col("lb"),
+            struct(col("c"), (-col("lb")).as("neg"))).as("lb"))
+          .select(col("s").as("n"), col("lb"))
+          .localCheckpoint()
+      }
+      val sizes = labels.groupBy(col("lb")).agg(count(lit(1)).as("community_size"))
+      return labels.join(sizes, Seq("lb"))
+        .select(col("n").as("p_key"), col("lb").as("community"),
+          col("community_size"))
+        .orderBy(col("p_key"))
+    }
+    // Localized label table (see nodesFitBroadcast): node-sized, was
+    // joined (and localCheckpoint()ed) per round — collect the round's
+    // argmax output instead; the (node, label)-keyed count + max_by
+    // argmax (the edge-sized work, SAME expressions incl. the tie rule)
+    // stays distributed, so labels are bit-identical round by round.
+    import s.implicits._
+    var labels: Array[(Long, Long)] =
+      nodesDf.as[Long].collect().sorted.map(n => (n, n))
     (1 to iters).foreach { _ =>
-      labels = adj.join(labels, adj("t") === labels("n"))
+      val ldf = broadcast(labels.toSeq.toDF("n", "lb"))
+      labels = adj.join(ldf, adj("t") === ldf("n"))
         .groupBy(col("s"), col("lb")).agg(count(lit(1)).as("c"))
         .groupBy(col("s"))
         .agg(max_by(col("lb"),
           struct(col("c"), (-col("lb")).as("neg"))).as("lb"))
-        .select(col("s").as("n"), col("lb"))
-        .localCheckpoint()
+        .as[(Long, Long)].collect()
     }
-    val sizes = labels.groupBy(col("lb")).agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, Seq("lb"))
-      .select(col("n").as("p_key"), col("lb").as("community"),
-        col("community_size"))
-      .orderBy(col("p_key"))
+    val sizes = labels.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    labels.toSeq.sortBy(_._1)
+      .map { case (n, lb) => (n, lb, sizes(lb)) }
+      .toDF("p_key", "community", "community_size")
   }
 
   /** One unrolled LPA round (the SQL provably matches the Scala

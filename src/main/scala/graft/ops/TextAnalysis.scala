@@ -964,7 +964,25 @@ object TextAnalysis {
     * (BM25) and semantic (cosine vs vector 0), each rank-numbered
     * inside its bounded top list.
     */
+  /** Memo-CACHED per (session, sf dir, topN) — q175 AND q188 consume
+    * the IDENTICAL pair of rankings, and each ranking costs a full
+    * corpus pass (BM25 tokenize+score / embedding cosine scan) to
+    * produce ≤ topN rows. One fill per session instead of one per
+    * consumer (guide §1.2; the pairCounts/dblVecs shared-stage
+    * convention: pass 1 pays the fill, CacheRegistry clears it).
+    */
+  private val fusionMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (DataFrame, DataFrame)]()
+  graft.util.CacheRegistry.registerMemo(fusionMemo)
   private[graft] def fusionRankings(s: SparkSession, d: String,
+      topN: Int): (DataFrame, DataFrame) =
+    fusionMemo.computeIfAbsent((s, d, topN), _ => {
+      val (lex, sem) = fusionRankingsUncached(s, d, topN)
+      (graft.util.CacheRegistry.register(lex.cache()),
+        graft.util.CacheRegistry.register(sem.cache()))
+    })
+
+  private def fusionRankingsUncached(s: SparkSession, d: String,
       topN: Int): (DataFrame, DataFrame) = {
     val lexTop = bm25Scores(s, d, Seq("hash", "join", "scan"), 1.2, 0.75)
       .orderBy(col("score").desc, col("doc_id")).limit(topN)

@@ -103,4 +103,27 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(graft.util.Mounts.parquet(spark, s"$root/u").count() == 2,
       "a mount of a deleted path must not survive deleteTree")
   }
+
+  test("localized graph iterates == distributed iterates (q130/q133/q227/q268), bit-exact") {
+    // The localized forms fire only under the broadcast-fit guard;
+    // disabling auto-broadcast forces every query down the distributed
+    // localCheckpoint path. Both paths must produce IDENTICAL rows —
+    // the oracle pins one answer, so the guard must never change it.
+    def runAll(): Map[String, Seq[String]] = Seq(
+      "q130_pagerank", "q133_bfs_reach", "q227_kcore",
+      "q268_label_propagation").map { q =>
+      q -> SparkEntry.queries(q)(spark, sf).collect()
+        .map(_.toString).toSeq.sorted
+    }.toMap
+    val localized = runAll()
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val distributed = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      runAll()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    localized.foreach { case (q, rows) =>
+      assert(rows == distributed(q), s"$q: localized != distributed")
+      assert(rows.nonEmpty, s"$q: empty result")
+    }
+  }
 }
