@@ -187,6 +187,60 @@ object Clustering {
     if (prev._1 == 0L)
       return edges.select(col("u").as("doc_id"), col("v").as("cluster_id"),
         lit(0L).as("cluster_size")).limit(0)
+    // Localized alternation (the Graph.nodesFitBroadcast discipline):
+    // the verified near-dup edge set is the DERIVED pair table — its
+    // exact count is already in hand from the witness — and the
+    // star-alternation iterate only ever shrinks toward one node→root
+    // row per non-root. When the table provably fits the broadcast
+    // threshold (count × 32 B, the maybeBroadcastNodes estimate), the
+    // engine would ship it whole to every executor anyway; run the
+    // identical integer set recurrence driver-side instead — zero jobs
+    // per round in place of two (localCheckpoint + witness). Fixpoint
+    // test is exact set equality, which the distributed witness
+    // (count + hash sum) is a proxy for; past the threshold the
+    // distributed loop below runs unchanged (OpsSpec pins the labeling
+    // either way).
+    val ss = edges0.sparkSession
+    val thrConf = ss.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+    val thr =
+      try {
+        if (thrConf.startsWith("-")) -1L
+        else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thrConf)
+      } catch { case _: Throwable => 10L << 20 }
+    if (thr > 0 && prev._1 * 32L <= thr) {
+      import ss.implicits._
+      var e: Set[(Long, Long)] =
+        edges.as[(Long, Long)].collect().toSet
+      val nodeIds = allNodes.as[Long].collect().sorted
+      var convergedL = false
+      var it = 0
+      while (!convergedL && it < maxIter) {
+        val adj = e ++ e.map(p => (p._2, p._1))
+        val lMins = adj.groupBy(_._1).map { case (u, vs) =>
+          u -> math.min(vs.iterator.map(_._2).min, u) }
+        val ls = adj.iterator.filter { case (u, v) => v > u }
+          .map { case (u, v) => (v, lMins(u)) }.toSet
+        val sMins = ls.groupBy(_._1).map { case (u, vs) =>
+          u -> vs.iterator.map(_._2).min }
+        val next = ls.iterator.filter { case (u, v) => v != sMins(u) }
+          .map { case (u, v) => (v, sMins(u)) }.toSet ++
+          sMins.iterator.map { case (u, m) => (u, m) }.toSet
+        convergedL = next == e
+        e = next
+        it += 1
+      }
+      if (!convergedL)
+        throw new IllegalStateException(
+          s"ccStar: star alternation did not converge in $maxIter rounds")
+      val root = e.toMap
+      val labeled = nodeIds.map(id => id -> root.getOrElse(id, id))
+      val sizes = labeled.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      return labeled.toSeq
+        .map { case (id, r) => (id, r, sizes(r)) }
+        .toDF("doc_id", "cluster_id", "cluster_size")
+        .orderBy(col("doc_id"))
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
