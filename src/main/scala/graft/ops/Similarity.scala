@@ -159,11 +159,30 @@ object Similarity {
     * list-comprehension oracle, so scores stay bit-exact, and is
     * symmetric in (a, b), so hash-blocking cannot perturb a value.
     */
+  /** Scale-adaptive block count for the block-pair sweeps (guide §2:
+    * partitioning must scale with the job, not a constant tuned for one
+    * corpus size). ⌈n/blockRows⌉ alone leaves a small corpus in ONE
+    * task — at sf0.1's 2 000 vectors the whole O(n²) sweep ran on a
+    * single core. Floor the block count so the unordered block-pair
+    * count b(b+1)/2 feeds ≥ 2× the session's cores, bounded below by
+    * 64-row blocks so per-block packing overhead stays amortized.
+    * Blocking is RESULT-INVARIANT by construction: the pair set is
+    * partitioned (i ≤ j, each pair scored in exactly one task) and the
+    * per-pair arithmetic is symmetric, so only task granularity moves.
+    */
+  private def adaptiveBlocks(s: SparkSession, n: Long, blockRows: Int): Int = {
+    val byRows = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
+    val p = s.sparkContext.defaultParallelism
+    var b = byRows
+    while (b.toLong * (b + 1) / 2 < 2L * p && b.toLong * 64 < n) b += 1
+    b
+  }
+
   private[graft] def pairsAboveBlocked(s: SparkSession, d: String,
       minCos: Double, blockRows: Int = 4096): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val nBlocks = math.max(1, math.ceil(e.count().toDouble / blockRows).toInt)
+    val nBlocks = adaptiveBlocks(s, e.count(), blockRows)
     val packed = e
       .withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)).cast("int"))
       .groupBy(col("blk"))
@@ -320,7 +339,11 @@ object Similarity {
       blockRows: Int = 4096): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val nBlocks = math.max(1, math.ceil(e.count().toDouble / blockRows).toInt)
+    // adaptiveBlocks: see pairsAboveBlocked — the global top-k is
+    // contained in the union of per-block top-ks for ANY blocking, and
+    // the final (cos DESC, vec_id) window picks the same rows, so the
+    // k-NN result is blocking-invariant too.
+    val nBlocks = adaptiveBlocks(s, e.count(), blockRows)
     val packed = e
       .withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)).cast("int"))
       .groupBy(col("blk"))
