@@ -1241,7 +1241,7 @@ object EventAnalytics {
   def streamAsofJoin(s: SparkSession, d: String): DataFrame = {
     val out = graft.util.TmpDirs.scratch("stream-asof")
     val (split, schema) = ensureChronoChunks(s, d)
-    graft.util.StreamTuning.withShuffle(s, 8) {
+    graft.util.StreamTuning.withShuffle(s, 4) {
       val src = graft.util.Tables.normalizeTs(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
           .parquet(s"$split/c*"))
