@@ -675,10 +675,37 @@ object TrainingData {
     * Iterates are localCheckpoint()ed (the Pregel-superstep
     * truncation, as in ccStarOn/pageRank).
     */
-  def bpeMerges(s: SparkSession, d: String, iters: Int = 5): DataFrame =
-    bpeMergesOn(documents(s, d), iters)
+  def bpeMerges(s: SparkSession, d: String, iters: Int = 5): DataFrame = {
+    import s.implicits._
+    learnedMerges(s, d, iters).toDF("iter", "pair", "merged", "pair_count")
+      .orderBy(col("iter"))
+  }
+
+  /** The learned merge table, memoized per (session, sf dir, iters):
+    * q151 (training) emits it and q156 (application) re-derives the
+    * IDENTICAL trajectory before applying it — one training loop per
+    * session instead of one per consumer (guide §1.2; the
+    * scoredPairs/fusionRankings shared-stage convention). O(iters)
+    * control rows, so the memo holds the algorithm's parameters, not
+    * data.
+    */
+  private val mergesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Seq[(Long, String, String, Long)]]()
+  graft.util.CacheRegistry.registerMemo(mergesMemo)
+  private def learnedMerges(s: SparkSession, d: String,
+      iters: Int): Seq[(Long, String, String, Long)] =
+    mergesMemo.computeIfAbsent((s, d, iters), _ =>
+      bpeMergeSeq(documents(s, d), iters))
 
   private[graft] def bpeMergesOn(docs: DataFrame, iters: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bpeMergeSeq(docs, iters).toDF("iter", "pair", "merged", "pair_count")
+      .orderBy(col("iter"))
+  }
+
+  private def bpeMergeSeq(docs: DataFrame,
+      iters: Int): Seq[(Long, String, String, Long)] = {
     val s = docs.sparkSession
     import s.implicits._
     var vocab = docs
@@ -711,7 +738,7 @@ object TrainingData {
           .localCheckpoint()
       }
     }
-    merges.toSeq.toDF("iter", "pair", "merged", "pair_count").orderBy(col("iter"))
+    merges.toSeq
   }
 
   /** BPE tokenizer APPLICATION (q156) — encode the corpus with the
@@ -737,13 +764,17 @@ object TrainingData {
     * exhausted trajectory would empty the oracle's cross joins).
     */
   def bpeApply(s: SparkSession, d: String, iters: Int = 5): DataFrame =
-    bpeApplyOn(documents(s, d), iters)
+    // rides the session-shared learned merge table (see learnedMerges)
+    applyMerges(documents(s, d),
+      learnedMerges(s, d, iters).map(_._2))
 
-  private[graft] def bpeApplyOn(docs: DataFrame, iters: Int): DataFrame = {
-    val merges = bpeMergesOn(docs, iters).collect() // O(iters) control rows
+  private[graft] def bpeApplyOn(docs: DataFrame, iters: Int): DataFrame =
+    applyMerges(docs, bpeMergeSeq(docs, iters).map(_._2))
+
+  private def applyMerges(docs: DataFrame, pairs: Seq[String]): DataFrame = {
     var sym: Column = regexp_replace(col("w"), "(.)", "|$1|")
-    merges.foreach { r =>
-      val Array(x, y) = r.getAs[String]("pair").split(" ", 2)
+    pairs.foreach { p =>
+      val Array(x, y) = p.split(" ", 2)
       sym = replace(sym, lit(s"|$x||$y|"), lit(s"|$x$y|"))
     }
     docs
