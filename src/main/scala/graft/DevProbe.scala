@@ -35,6 +35,7 @@ object DevProbe {
 
     // job-level listener: id -> (start ns, #tasks, description)
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
+    val logLock = new Object // dedicated lock (ADVICE: never sync on the reassigned field)
     @volatile var log = List.empty[(Int, Double, Int, String)]
     @volatile var capture = false
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -48,7 +49,7 @@ object DevProbe {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val st = starts.remove(je.jobId)
         if (capture && st != null)
-          log synchronized {
+          logLock synchronized {
             log = (je.jobId, (System.nanoTime() - st._1) / 1e9, st._2, st._3) :: log
           }
       }
